@@ -1,0 +1,91 @@
+"""Join operators (SURVEY.md §2.4).
+
+Reference parity: broadcast dict-lookup map joins (playByplay.py:84-99,
+boxScores.py:18-32, games.py:56-63), the fact->detail pipeline
+dependency (playByplay.py:104-110), implied warehouse dimension joins
+(keys at boxScores.py:51, playerSalary.py:9, coaches.py:79-80), plus
+the extended range/as-of joins the reference lacks.
+
+Scale notes: lookup/dimension sides are broadcast (no shuffle); big
+fact-fact joins shuffle on the key and rely on AQE for skew splitting.
+The as-of join is the union+window pattern — one shuffle on
+(key, time), no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def lookup_join(
+    df: DataFrame,
+    spark: SparkSession,
+    mapping: dict,
+    key_col: str,
+    value_col: str,
+    key_name: str = "__lookup_key",
+    how: str = "left",
+) -> DataFrame:
+    """J1/J2: apply a small dict lookup as a broadcast join.
+
+    The reference does ``df[col].apply(lambda x: d[x])`` row-wise; here the
+    dict becomes a tiny DataFrame broadcast to every executor — constant
+    cost at 100 TB, and the probe stays in whole-stage codegen.
+    """
+    lookup = spark.createDataFrame(
+        [(k, v) for k, v in mapping.items()], schema=[key_name, value_col]
+    )
+    out = df.join(
+        F.broadcast(lookup), on=df[key_col] == lookup[key_name], how=how
+    ).drop(key_name)
+    return out
+
+
+def equi_join(left: DataFrame, right: DataFrame, on, how: str = "inner") -> DataFrame:
+    """J3/J4: standard equi-join; Catalyst/AQE picks broadcast vs SMJ."""
+    return left.join(right, on=on, how=how)
+
+
+def range_join(left: DataFrame, right: DataFrame, predicate: Column, how: str = "inner", broadcast_right: bool = True) -> DataFrame:
+    """J5a: interval/range join (e.g. value BETWEEN lo AND hi).
+
+    Non-equi joins execute as nested-loop; keep the banded side small and
+    broadcast it. For two large sides, pre-bucket both on a coarse range
+    key and add the bucket as an equi-condition to avoid the cross product.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=predicate, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    value_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """J5b: as-of join — for each left row, latest right row with
+    right.time <= left.time on the same key.
+
+    Implementation: tag both sides, union by name, window
+    last(value, ignorenulls=True) over (key ORDER BY time, tag), keep the
+    left rows. Ties at equal time resolve right-before-left (tag 0 < 1),
+    matching inclusive (<=) as-of semantics. One shuffle on ``key``; each
+    partition sorts locally — scales linearly, no range-broadcast needed.
+    """
+    lt = left.withColumn("__tag", F.lit(1))
+    rt = right.select(
+        key, time_col, *[F.col(c).alias(f"{prefix}{c}") for c in value_cols]
+    ).withColumn("__tag", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(time_col).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumns(
+        {f"{prefix}{c}": F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w) for c in value_cols}
+    )
+    return filled.filter(F.col("__tag") == 1).drop("__tag")

@@ -1,0 +1,119 @@
+"""Window / ordered-stateful operators (SURVEY.md §2.6).
+
+The reference's most engine-like code: three hand-rolled sequential
+scans (playByplay.py:19-41 period counter, playByplay.py:43-65 score
+forward-fill, boxScores.py:61-76 isStarter marker fill). Those loops
+depend on scrape order; every builder here REQUIRES an explicit
+partition key and ordering column (the ``seq`` ingest contract).
+
+Scale notes: ``Window.partitionBy(key).orderBy(seq)`` shuffles once on
+the key and sorts within partitions — linear scale-out. A global
+``Window.orderBy`` collapses to ONE task; it is deliberately not
+offered here (see ``ordered_surrogate`` for the bounded exception).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _running(part: list[str], order: list[str]) -> WindowSpec:
+    return (
+        Window.partitionBy(*part)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
+def running_sum(df: DataFrame, part: list[str], order: list[str], value: Column, out: str) -> DataFrame:
+    """W1 core: cumulative sum per group in explicit order."""
+    return df.withColumn(out, F.sum(value).over(_running(part, order)))
+
+
+def running_count_with_reset(
+    df: DataFrame, part: list[str], order: list[str], reset: Column, out: str, start: int = 1
+) -> DataFrame:
+    """W1: counter that starts at ``start`` per group and increments at
+    every row where ``reset`` holds — the period-number scan
+    (playByplay.py:19-41: 1 at each new game_id, +1 at each
+    periodTime==720 marker after the first).
+
+    The first row of the group never increments even if it matches
+    ``reset`` (the reference's game-start special case).
+    """
+    w = _running(part, order)
+    rn = F.row_number().over(Window.partitionBy(*part).orderBy(*order))
+    inc = F.when((rn != 1) & reset, F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn(out, F.lit(start) + F.sum(inc).over(w))
+
+
+def forward_fill(
+    df: DataFrame, part: list[str], order: list[str], value: Column, out: str, default=None
+) -> DataFrame:
+    """W2: last non-null carried forward (score carry,
+    playByplay.py:43-65); ``default`` fills the leading run (game-start 0)."""
+    filled = F.last(value, ignorenulls=True).over(_running(part, order))
+    if default is not None:
+        filled = F.coalesce(filled, F.lit(default))
+    return df.withColumn(out, filled)
+
+
+def marker_flag_fill(
+    df: DataFrame,
+    part: list[str],
+    order: list[str],
+    marker_value: dict,
+    marker_col: str,
+    out: str,
+    first_default,
+    drop_markers: bool = True,
+) -> DataFrame:
+    """W3: marker rows set the flag for FOLLOWING rows ('Reserves' -> 0,
+    'Team Totals' -> 1, boxScores.py:61-76); non-marker rows carry the
+    previous flag; rows before any marker get ``first_default``; marker
+    rows themselves are dropped (boxScores.py:79).
+    """
+    cases = F.when(F.lit(False), F.lit(None))
+    for mv, flag in marker_value.items():
+        cases = cases.when(F.col(marker_col) == F.lit(mv), F.lit(flag))
+    tagged = df.withColumn("__marker_flag", cases)
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    filled = tagged.withColumn(
+        out,
+        F.coalesce(F.last("__marker_flag", ignorenulls=True).over(w), F.lit(first_default)),
+    ).drop("__marker_flag")
+    if drop_markers:
+        filled = filled.filter(~F.col(marker_col).isin(list(marker_value)))
+    return filled
+
+
+def rank_in_group(
+    df: DataFrame, part: list[str], order: list[Column], out: str, method: str = "rank"
+) -> DataFrame:
+    """W5: rank/dense_rank/row_number per group (salary rank per season)."""
+    fn = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number}[method]
+    return df.withColumn(out, fn().over(Window.partitionBy(*part).orderBy(*order)))
+
+
+def lag_delta(
+    df: DataFrame, part: list[str], order: list[str], value: Column, out: str
+) -> DataFrame:
+    """W5: difference vs previous row per group (point deltas)."""
+    w = Window.partitionBy(*part).orderBy(*order)
+    return df.withColumn(out, value - F.lag(value).over(w))
+
+
+def ordered_surrogate(df: DataFrame, order: list[Column], out: str) -> DataFrame:
+    """W4: dense global ordinal (games.py:82-83 sort-then-assign).
+
+    WARNING: global window = single task. Kept only for small frames /
+    tests; production surrogate keys use hash-of-natural-key
+    (functions.scalar.surrogate_key) which is retry-deterministic and
+    fully parallel.
+    """
+    return df.withColumn(out, F.row_number().over(Window.orderBy(*order)))

@@ -1,0 +1,55 @@
+"""SparkSession factory + per-session tuning.
+
+The driver hands us its own SparkSession for ``entry``/``queries``;
+``tune(spark)`` applies the runtime-settable knobs idempotently so
+results are deterministic regardless of who built the session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable (safe to apply on a live session).
+_RUNTIME_CONF = {
+    # Deterministic timestamp semantics vs the DuckDB oracle (naive UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-plan, skew-join splitting, shuffle-partition coalesce.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas interchange (multimodal / edge ingest).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dims under this size broadcast automatically.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as long and convert at the source boundary
+    # (sources.registry normalizes back to TimestampType, micros).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime conf to any session (driver-provided or ours)."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build — keep going
+    return spark
+
+
+def get_spark(app_name: str = "nba_pipeline_spark", cores: int | None = None) -> SparkSession:
+    """Local session for tests/bench. Cluster deploys pass their own conf."""
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return tune(builder.getOrCreate())

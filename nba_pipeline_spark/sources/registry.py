@@ -1,0 +1,156 @@
+"""Schema-checked sources/sinks for the lake tables.
+
+Reference parity (SURVEY.md §2.1): the reference stages CSV and
+converts to Parquet per season partition
+(``scrape_data_to_gcs.py:34-46,196-266``); here every table has an
+explicit StructType, reads go straight to Parquet, and partitioned
+writes use ``partitionBy`` so partition pruning works at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Explicit schemas for the driver testdata tables (FIXTURES.md §A).
+# Inference is banned inside the engine; these are asserted on read.
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLES = tuple(SCHEMAS)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one lake table; assert column names match the declared schema."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    expected = [f.name for f in SCHEMAS[name].fields]
+    if df.columns != expected:
+        raise ValueError(f"schema drift for {name}: {df.columns} != {expected}")
+    # Normalize TIMESTAMP(NANOS) columns (read as long via
+    # spark.sql.legacy.parquet.nanosAsLong) back to TimestampType.
+    # The testdata nanos are micro-aligned (verified: epoch_ns % 1000 == 0).
+    for field in SCHEMAS[name].fields:
+        if isinstance(field.dataType, T.TimestampType) and isinstance(
+            df.schema[field.name].dataType, T.LongType
+        ):
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+            )
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    if schema is not None:
+        names = [f.name for f in schema.fields]
+        missing = set(names) - set(df.columns)
+        if missing:
+            raise ValueError(f"missing columns in {path}: {sorted(missing)}")
+        df = df.select(*names)
+    return df
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True) -> DataFrame:
+    """Reference S3/S5 (``pd.read_csv`` / ``pv.read_csv``): schema-checked CSV scan."""
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet") -> None:
+    """Reference S7 partitioned lake layout (one object per season,
+    ``scrape_data_to_gcs.py:196-266``) -> directory partitions that Spark
+    prunes statically and dynamically at 100 TB."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
