@@ -1,0 +1,99 @@
+"""Multimodal column plumbing (BASELINE north star).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct. Decode / feature-extract runs as Arrow-batched
+``mapInPandas`` — the ONLY sanctioned Python crossing in the engine,
+because codecs genuinely can't run in the JVM. Batches stream through
+the Python worker ~10k rows at a time (spark.sql.execution.arrow.
+maxRecordsPerBatch), so memory stays bounded at any corpus size, and
+the surrounding plan (partitioning, pushdown on metadata columns)
+remains pure Catalyst.
+
+The actual codec call is STUBBED: this container has no image/audio
+libraries, so ``fake_decode_meta`` derives deterministic pseudo
+dimensions from the byte length (making the plumbing testable and
+oracle-checkable), and ``decode_image`` raises NotImplementedError at
+the exact line where Pillow/ffmpeg would be invoked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, text_col: str, modality: str = "image") -> DataFrame:
+    """Wrap a payload as (content: binary, meta: struct) — the canonical
+    multimodal column pair. Here the payload is the utf-8 text bytes
+    (testdata has no real media); real ingests write the raw object
+    bytes plus mime sniffed at the edge."""
+    content = F.encode(F.col(text_col), "utf-8")
+    meta = F.struct(
+        F.lit(modality).alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(content).cast("long").alias("n_bytes"),
+    )
+    return df.withColumn("content", content).withColumn("meta", meta)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub by design
+    """Real decode entry point. In production: PIL.Image.open(BytesIO(payload))."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for decode: pseudo dims from byte length.
+    Keeps the Arrow batch shape and the downstream schema real."""
+    n = len(payload)
+    return n, 64 + n % 512, 64 + (n // 7) % 512, 1 + n % 30
+
+
+def extract_media_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extraction over binary content.
+
+    Arrow-batched: each pandas chunk holds a bounded slice of one
+    partition; per-row Python cost is amortized over the batch transfer.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [fake_decode_meta(b) for b in pdf["content"]]
+            out = pd.DataFrame(
+                decoded, columns=["n_bytes", "width", "height", "n_frames"]
+            )
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(F.col(id_col), "content").mapInPandas(batches, DECODED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, id_col: str, every_nth: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: explode pseudo frame
+    indices (0, n, 2n, ...) per row — the Spark-side shape of
+    ffmpeg-based sampling, with the decode itself stubbed."""
+    meta = extract_media_features(df, id_col)
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
+    return meta.select(F.col(id_col), F.explode(idx).alias("frame_idx"))

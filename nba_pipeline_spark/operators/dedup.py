@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.10
+X6; BASELINE north star).
+
+Five tiers, cheapest first — at 100 TB you run them in this order and
+each tier prunes the candidate space for the next:
+
+1. exact         — sha256(normalized text) groupBy. One shuffle on a
+                   32-byte key; AQE handles skew from boilerplate docs.
+2. fingerprint   — sha over the sorted distinct token SET (word-order /
+                   duplication invariant canonical form).
+3. minhash LSH   — per-row signatures (NO shuffle to build: array
+                   higher-order fns), banded into buckets, candidate
+                   pairs from an equi-join on (band, sig). Shuffle
+                   volume = O(docs × bands), never O(docs²).
+4. simhash       — 16-bit portable simhash fingerprint; near-dups share
+                   buckets under Hamming distance (pair generation via
+                   bit-rotation buckets, same equi-join trick).
+5. ngram jaccard / embedding cosine — exact verification of candidate
+   pairs, run ONLY inside blocks (lang/source or LSH bucket / label) so
+   the quadratic term is bounded by block size.
+
+The md5-based hash functions are engine-portable on purpose: the DuckDB
+oracles replay the identical algorithm, so correctness is provable, and
+md5 min-hashing (lexicographic min over hex strings) is a valid uniform
+min-hash family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokenize
+from ..functions.vectors import cosine, to_double_array
+from .setops import union_by_name
+
+HEX = "0123456789abcdef"
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Tier 1: groups of byte-identical (after lowercase) texts.
+    Returns (keep_id, n_dupes) per duplicate group — keep the min id."""
+    h = F.sha2(F.lower(F.col(text_col)), 256)
+    return (
+        df.groupBy(h.alias("__h"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .filter(F.col("n_dupes") > 1)
+        .drop("__h")
+    )
+
+
+def fingerprint_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Tier 2: same token SET (order/multiplicity-invariant)."""
+    toks = tokenize(F.col(text_col))
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return (
+        df.groupBy(fp.alias("fp"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+def minhash_signature_cols(text_col: str, n_hashes: int, shingle_n: int = 3) -> dict[str, Column]:
+    """Per-row minhash signature, one column per hash seed.
+
+    min over shingles of md5(seed || '|' || shingle) — computed entirely
+    with array higher-order functions: building signatures is a narrow
+    map over the scan, zero shuffle, regardless of corpus size.
+    Docs with < shingle_n tokens get NULL signatures (excluded later).
+    """
+    sh = shingles(tokenize(F.col(text_col)), shingle_n)
+
+    def seeded(seed: int):
+        # NB: must be a 1-arg lambda — a 2-arg lambda makes F.transform
+        # pass the array index as the second argument.
+        return lambda x: F.md5(F.concat(F.lit(f"{seed}|"), x))
+
+    return {f"mh{s}": F.array_min(F.transform(sh, seeded(s))) for s in range(n_hashes)}
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 8, band_rows: int = 2
+) -> DataFrame:
+    """Tier 3: banded LSH candidate pairs (id_a < id_b, distinct).
+
+    Signature -> b bands of r hashes; docs sharing any band signature are
+    candidates. The only shuffle is the groupBy/join on (band, sig) —
+    O(docs × bands) rows. Tune (n_hashes, band_rows) for the target
+    jaccard threshold t ≈ (1/b)^(1/r).
+    """
+    sigs = df.select(F.col(id_col), *[c.alias(n) for n, c in minhash_signature_cols(text_col, n_hashes).items()])
+    n_bands = n_hashes // band_rows
+    bands = union_by_name(
+        *[
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+                ).alias("sig"),
+            ).filter(F.col(f"mh{b * band_rows}").isNotNull())
+            for b in range(n_bands)
+        ]
+    )
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    pairs = a.join(
+        b_,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    return pairs.distinct()
+
+
+def _hex4_to_int(h: Column) -> Column:
+    """Portable hex->int for the first 4 md5 chars (0..65535), expressed
+    with instr arithmetic so DuckDB can replay it exactly."""
+    val = F.lit(0)
+    for i in range(4):
+        digit = F.instr(F.lit(HEX), F.substring(h, i + 1, 1)) - 1
+        val = val * 16 + digit
+    return val
+
+
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Tier 4: 16-bit simhash fingerprint per document.
+
+    Token hash = first 4 hex chars of md5 -> 16-bit int; each bit votes
+    +1/-1 weighted by token multiplicity; simhash bit j = sign of vote.
+    One explode + one groupBy(doc) with 16 conditional sums — a single
+    shuffle keyed by doc id, partial-aggregated map-side.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    val = _hex4_to_int(F.substring(F.md5(F.col("tok")), 1, 4))
+    toks = toks.withColumn("hv", val)
+    votes = [
+        F.sum(
+            F.when((F.col("hv").bitwiseAND(F.lit(1 << j))) != 0, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Tier 5a: exact n-gram jaccard within blocks.
+
+    The self-join carries the block equi-keys, so Spark shuffles on the
+    block and the quadratic term is per-block only. At 100 TB block by
+    LSH bucket (tier 3 output) instead of metadata.
+    """
+    sh = F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n))
+    docs = df.select(F.col(id_col), *block_cols, sh.alias("sh"))
+    a, b = docs.alias("a"), docs.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter * F.lit(1.0) / union
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, block_cols: list[str], threshold: float
+) -> DataFrame:
+    """Tier 5b: cosine near-duplicates within blocks (label / IVF cell).
+
+    Same blocked self-join shape; the dot products run as JVM
+    higher-order functions over double arrays.
+    """
+    docs = df.select(F.col(id_col), *block_cols, to_double_array(F.col(vec_col)).alias("v"))
+    a, b = docs.alias("a"), docs.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

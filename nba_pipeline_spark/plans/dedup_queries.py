@@ -1,1 +1,178 @@
-"""Placeholder — populated incrementally."""
+"""Deduplication queries over the documents/embeddings tables
+(SURVEY.md §2.10 X6; BASELINE north star).
+
+The md5-based hashes are engine-portable, so every tier — including
+MinHash LSH and SimHash — has an exact DuckDB oracle replaying the same
+algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup as OD
+from ..sources import load_table
+from ..session import tune
+from .queries import register
+
+_DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_DUCK_SHINGLES = (
+    "list_transform(range(1, greatest(len(toks) - 1, 1)), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- tier 1: exact ------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return OD.exact_dup_groups(_docs(spark, sf_dir), "text", "doc_id")
+
+
+register(
+    "q_dedup_exact",
+    q_dedup_exact,
+    """
+    SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
+    FROM documents GROUP BY sha256(lower(text)) HAVING count(*) > 1
+    """,
+)
+
+
+# --- tier 2: canonical fingerprint --------------------------------------------
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return OD.fingerprint_dup_groups(_docs(spark, sf_dir), "text", "doc_id")
+
+
+register(
+    "q_dedup_fingerprint",
+    q_dedup_fingerprint,
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_dupes
+    FROM t GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+
+
+# --- tier 3: MinHash LSH ------------------------------------------------------
+
+N_HASHES, BAND_ROWS = 8, 2
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return OD.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n_hashes=N_HASHES, band_rows=BAND_ROWS
+    )
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ",\n           ".join(
+        f"list_min(list_transform(sh, x -> md5(concat('{s}|', x)))) AS mh{s}"
+        for s in range(N_HASHES)
+    )
+    n_bands = N_HASHES // BAND_ROWS
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, concat(mh{b * BAND_ROWS}, mh{b * BAND_ROWS + 1}) AS sig "
+        f"FROM sig WHERE mh{b * BAND_ROWS} IS NOT NULL"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    shing AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t),
+    sig AS (SELECT doc_id,
+           {mh_cols}
+           FROM shing),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """
+
+
+register("q_dedup_minhash", q_dedup_minhash, _minhash_oracle())
+
+
+# --- tier 4: SimHash ----------------------------------------------------------
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return OD.simhash16(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _simhash_oracle() -> str:
+    hv = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (hv & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS v{j}" for j in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH tk AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    hv AS (SELECT doc_id, {hv} AS hv FROM tk),
+    v AS (SELECT doc_id,
+           {votes}
+          FROM hv GROUP BY doc_id)
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v
+    """
+
+
+register("q_dedup_simhash", q_dedup_simhash, _simhash_oracle())
+
+
+# --- tier 5a: blocked n-gram jaccard ------------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return OD.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", block_cols=["lang", "source"], threshold=0.5
+    )
+
+
+register(
+    "q_dedup_ngram_jaccard",
+    q_dedup_ngram_jaccard,
+    f"""
+    WITH t AS (SELECT doc_id, lang, source, {_DUCK_TOKS} AS toks FROM documents),
+    d AS (SELECT doc_id, lang, source, list_distinct({_DUCK_SHINGLES}) AS sh FROM t)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+)
+
+
+# --- tier 5b: blocked embedding cosine ----------------------------------------
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return OD.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", block_cols=["label"], threshold=0.3
+    )
+
+
+register(
+    "q_dedup_embedding",
+    q_dedup_embedding,
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT id_a, id_b, sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+    WHERE sim >= 0.3
+    """,
+)

@@ -1,1 +1,342 @@
-"""Placeholder — populated incrementally."""
+"""Join and aggregation queries (SURVEY.md §2.4, §2.5).
+
+Scale notes are on the operators; here the important choices are
+broadcast hints for dimension/lookup sides and explicit pivot value
+lists (no distinct-collect job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import aggregates as OA
+from ..operators import joins as OJ
+from ..sources import load_table
+from ..session import tune
+from .queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --- J1/J2/F8/M7: broadcast dict-lookup join ----------------------------------
+
+REGION_CODE = {
+    "AFRICA": "AF",
+    "AMERICA": "AM",
+    "ASIA": "AS",
+    "EUROPE": "EU",
+    "MIDDLE EAST": "ME",
+}
+
+
+def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 37-entry team->abbreviation dict applied via
+    ``.apply`` (playByplay.py:84-99) becomes a broadcast join of a
+    literal lookup frame — constant cost per executor at any scale."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    with_region = OJ.equi_join(
+        nation, F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    )
+    out = OJ.lookup_join(
+        with_region, spark, REGION_CODE, key_col="r_name", value_col="region_code"
+    )
+    # M7: boolean -> 0/1 (games.py:64-65 isRegular flag)
+    is_east = (F.col("region_code").isin("AS", "ME")).cast("int")
+    return out.select("n_nationkey", "n_name", "region_code", is_east.alias("is_east"))
+
+
+register(
+    "q_lookup_join",
+    q_lookup_join,
+    """
+    SELECT n_nationkey, n_name, code.region_code,
+           CAST(code.region_code IN ('AS','ME') AS INT) AS is_east
+    FROM nation
+    JOIN region ON n_regionkey = r_regionkey
+    LEFT JOIN (VALUES ('AFRICA','AF'),('AMERICA','AM'),('ASIA','AS'),
+                      ('EUROPE','EU'),('MIDDLE EAST','ME'))
+              AS code(r_name2, region_code)
+      ON r_name = code.r_name2
+    """,
+)
+
+
+# --- J3/J4: equi-join variants ------------------------------------------------
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return OJ.equi_join(orders, cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+register(
+    "q_join_inner",
+    q_join_inner,
+    "SELECT o_orderkey, c_custkey, c_name, o_totalprice "
+    "FROM orders JOIN customer ON o_custkey = c_custkey",
+)
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return OJ.equi_join(
+        cust, big, cust["c_custkey"] == big["o_custkey"], how="left"
+    ).select("c_custkey", "o_orderkey")
+
+
+register(
+    "q_join_left",
+    q_join_left,
+    "SELECT c_custkey, o_orderkey FROM customer "
+    "LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o "
+    "ON c_custkey = o.o_custkey",
+)
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return OJ.equi_join(
+        cust, big, cust["c_custkey"] == big["o_custkey"], how="left_semi"
+    ).select("c_custkey", "c_name")
+
+
+register(
+    "q_join_semi",
+    q_join_semi,
+    "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)",
+)
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return OJ.equi_join(
+        cust, big, cust["c_custkey"] == big["o_custkey"], how="left_anti"
+    ).select("c_custkey", "c_name")
+
+
+register(
+    "q_join_anti",
+    q_join_anti,
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)",
+)
+
+
+# --- J5a: range/banded join ---------------------------------------------------
+
+QTY_BANDS = [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 60.0, "high")]
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(QTY_BANDS, schema=["lo", "hi", "band"])
+    joined = OJ.range_join(
+        li,
+        bands,
+        (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+    )
+    return joined.select("l_orderkey", "l_linenumber", "band")
+
+
+register(
+    "q_join_range",
+    q_join_range,
+    """
+    SELECT l_orderkey, l_linenumber, band
+    FROM lineitem
+    JOIN (VALUES (0.0,10.0,'low'),(10.0,25.0,'mid'),(25.0,60.0,'high')) AS b(lo,hi,band)
+      ON l_quantity >= b.lo AND l_quantity < b.hi
+    """,
+)
+
+
+# --- J5b: as-of join ----------------------------------------------------------
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event, the most recent purchase value by the same user at
+    or before its timestamp (union+window pattern: one shuffle on
+    user_id, linear at scale — no per-row lookups)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = OJ.asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases.withColumnsRenamed({"purchase_value": "value"}),
+        key="user_id",
+        time_col="ts",
+        value_cols=["value"],
+        prefix="last_purchase_",
+    )
+    return out.select(
+        "event_id", "user_id", F.round("last_purchase_value", 4).alias("last_purchase_value")
+    )
+
+
+register(
+    "q_join_asof",
+    q_join_asof,
+    """
+    SELECT e.event_id, e.user_id, ROUND(p.value, 4) AS last_purchase_value
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+
+
+# --- A1/A2: global reductions, distinct ---------------------------------------
+
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return OA.global_agg(
+        li,
+        {
+            "max_price": F.max("l_extendedprice"),
+            "min_ship": F.min("l_shipdate"),
+            "n": F.count(F.lit(1)),
+            "n_null_tax": F.sum(F.when(F.col("l_tax").isNull(), 1).otherwise(0)).cast("bigint"),
+        },
+    )
+
+
+register(
+    "q_agg_global",
+    q_agg_global,
+    "SELECT max(l_extendedprice) AS max_price, min(l_shipdate) AS min_ship, "
+    "count(*) AS n, CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_tax "
+    "FROM lineitem",
+)
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return OA.distinct_rows(li.select("l_returnflag", "l_linestatus"))
+
+
+register(
+    "q_distinct",
+    q_distinct,
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+
+
+# --- A4: grouped agg (TPC-H Q1 shape) -----------------------------------------
+
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return OA.grouped_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.round(F.sum("l_quantity"), 4),
+            "sum_base_price": F.round(F.sum("l_extendedprice"), 4),
+            "sum_disc_price": F.round(F.sum(disc_price), 4),
+            "avg_qty": F.round(F.avg("l_quantity"), 4),
+            "avg_price": F.round(F.avg("l_extendedprice"), 4),
+            "count_order": F.count(F.lit(1)),
+        },
+    )
+
+
+register(
+    "q_agg_group",
+    q_agg_group,
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+# --- A5: distinct counts ------------------------------------------------------
+
+def q_agg_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return OA.count_distinct_per_group(ev, ["event_type"], "user_id", "n_users")
+
+
+register(
+    "q_agg_countdistinct",
+    q_agg_countdistinct,
+    "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM events GROUP BY event_type",
+)
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch — THE cardinality path at 100 TB (fixed memory, one
+    pass, mergeable partials). No oracle: sketch estimates are
+    algorithm-specific; the driver records a rows-only check."""
+    ev = _t(spark, sf_dir, "events")
+    return OA.approx_count_distinct_per_group(ev, ["event_type"], "user_id", "n_users_approx")
+
+
+register("q_agg_approx_distinct", q_agg_approx_distinct, None)
+
+
+# --- A6: rollup ---------------------------------------------------------------
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return OA.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": F.round(F.sum("l_quantity"), 4), "n": F.count(F.lit(1))},
+    )
+
+
+register(
+    "q_agg_rollup",
+    q_agg_rollup,
+    "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+
+
+# --- A7: pivot ----------------------------------------------------------------
+
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = OJ.equi_join(orders, cust, orders["o_custkey"] == cust["c_custkey"])
+    return OA.pivot_agg(
+        joined,
+        ["c_mktsegment"],
+        "o_orderstatus",
+        ["F", "O", "P"],
+        F.round(F.sum("o_totalprice"), 4),
+    )
+
+
+register(
+    "q_agg_pivot",
+    q_agg_pivot,
+    """
+    SELECT c_mktsegment,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS "F",
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS "O",
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS "P"
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)

@@ -49,6 +49,7 @@ from . import text_queries  # noqa: E402,F401
 from . import dedup_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
+from . import multimodal_queries  # noqa: E402,F401
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,1 +1,73 @@
-"""Placeholder — populated incrementally."""
+"""Similarity-search queries over the embeddings table (X4/ANN)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import to_double_array
+from ..operators import similarity as SIM
+from ..sources import load_table
+from ..session import tune
+from .queries import register
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+QUERY_ID = 0
+TOP_K = 10
+N_CELLS = 8
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == QUERY_ID).select(
+        to_double_array(F.col("embedding")).alias("qv")
+    )
+    others = emb.filter(F.col("vec_id") != QUERY_ID)
+    return SIM.brute_force_topk(others, query, "vec_id", "embedding", TOP_K)
+
+
+register(
+    "q_cosine_topk",
+    q_cosine_topk,
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_ID}),
+    scored AS (
+      SELECT vec_id,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS sim6
+      FROM embeddings, q WHERE vec_id <> {QUERY_ID})
+    SELECT vec_id, ROUND(sim6, 4) AS sim FROM scored
+    ORDER BY sim6 DESC, vec_id ASC LIMIT {TOP_K}
+    """,
+)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ivf_topk(_emb(spark, sf_dir), "vec_id", "embedding", QUERY_ID, TOP_K, N_CELLS)
+
+
+register(
+    "q_ann_ivf",
+    q_ann_ivf,
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+    asg AS (
+      SELECT vec_id, v, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ROUND(list_distance(v, cv), 6) ASC, cid ASC) AS rn
+      FROM e CROSS JOIN c),
+    cells AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+    q AS (SELECT v AS qv, cid AS qcid FROM cells WHERE vec_id = {QUERY_ID}),
+    cand AS (
+      SELECT cells.vec_id,
+             ROUND(list_cosine_similarity(cells.v, q.qv), 6) AS sim6
+      FROM cells, q WHERE cells.cid = q.qcid AND cells.vec_id <> {QUERY_ID})
+    SELECT vec_id, ROUND(sim6, 4) AS sim FROM cand
+    ORDER BY sim6 DESC, vec_id ASC LIMIT {TOP_K}
+    """,
+)

@@ -1,1 +1,93 @@
-"""Placeholder — populated incrementally."""
+"""Windowed-aggregation queries (SURVEY.md §2.11 T2-T4), batch form.
+
+The identical expressions run as Structured Streaming jobs via
+``streaming.windows.read_events_stream`` + ``Trigger.AvailableNow``;
+tests/test_streaming.py asserts the stream output equals these batch
+results (the T1 batch-equivalence contract). Watermark semantics (T5)
+are streaming-only and covered there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..session import tune
+from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
+from .queries import register
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def AGGS() -> dict:
+    # built lazily: Column construction needs an active SparkContext
+    return {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)}
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(_ev(spark, sf_dir), "ts", "1 hour", ["event_type"], AGGS())
+
+
+register(
+    "q_stream_tumbling",
+    q_stream_tumbling,
+    """
+    SELECT date_trunc('hour', ts) AS ws, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(_ev(spark, sf_dir), "ts", "1 hour", "15 minutes", ["event_type"], AGGS())
+
+
+register(
+    "q_stream_sliding",
+    q_stream_sliding,
+    # Every event belongs to 4 epoch-aligned 15-min-slid 1-hour windows:
+    # starts floor(epoch/900)*900 - k*900, k = 0..3.
+    """
+    WITH expanded AS (
+      SELECT make_timestamp(CAST((FLOOR(epoch(ts) / 900) * 900 - k * 900) * 1000000 AS BIGINT)) AS ws,
+             event_type, value
+      FROM events
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+    SELECT ws, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(_ev(spark, sf_dir), "ts", "30 minutes", ["user_id"], AGGS())
+
+
+register(
+    "q_stream_session",
+    q_stream_session,
+    # Gaps-and-islands replay of session_window semantics: a new session
+    # starts when the gap since the previous event is >= 30 min
+    # (session end = last event + gap, end-exclusive).
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM islands GROUP BY user_id, sid
+    """,
+)

@@ -1,1 +1,146 @@
-"""Placeholder — populated incrementally."""
+"""Text-analysis queries over the documents table (SURVEY.md §2.10 X5;
+BASELINE north star: language ID, quality scoring, token counting,
+fingerprinting).
+
+Everything is JVM-side Column expressions (functions.text) — a 100 TB
+document scan runs at parquet-read speed with zero Python crossings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources import load_table
+from ..session import tune
+from .queries import register
+
+# DuckDB-side tokenizer identical to functions.text.tokenize.
+_DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- X5: word frequency (tokenize -> explode -> count) ------------------------
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = docs.select(F.explode(TX.tokenize(F.col("text"))).alias("word"))
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+register(
+    "q_text_tokens",
+    q_text_tokens,
+    f"SELECT word, count(*) AS n FROM (SELECT unnest({_DUCK_TOKS}) AS word FROM documents) GROUP BY word",
+)
+
+
+# --- token counting: whitespace + BPE-ish regex -------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("n_ws"),
+        TX.token_count_bpe_ish(F.col("text")).alias("n_bpe"),
+    )
+
+
+register(
+    "q_token_count",
+    q_token_count,
+    f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKS}) AS INT) AS n_ws,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe
+    FROM documents
+    """,
+)
+
+
+# --- quality scoring ----------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    q = TX.quality_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars_q"].alias("n_chars_q"),
+        q["n_tokens"].alias("n_tokens"),
+        F.round(q["stop_ratio"], 4).alias("stop_ratio"),
+        F.round(q["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(q["mean_tok_len"], 4).alias("mean_tok_len"),
+    )
+
+
+_SW = "['the','a','an','of','to','and','in','is','it','that']"
+
+register(
+    "q_text_quality",
+    q_text_quality,
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_q,
+           CAST(len(toks) AS INT) AS n_tokens,
+           ROUND(len(list_filter(toks, x -> list_contains({_SW}, x)))
+                 * 1.0 / greatest(len(toks), 1), 4) AS stop_ratio,
+           ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+           ROUND(list_sum(list_transform(toks, x -> length(x)))
+                 * 1.0 / greatest(len(toks), 1), 4) AS mean_tok_len
+    FROM t
+    """,
+)
+
+
+# --- language ID (marker-token heuristic) -------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _marker_hits(lang: str) -> str:
+    markers = "[" + ",".join(f"'{m}'" for m in TX.LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter(toks, x -> list_contains({markers}, x)))"
+
+
+register(
+    "q_lang_id",
+    q_lang_id,
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id, lang,
+                 {_marker_hits('de')} AS de_h, {_marker_hits('en')} AS en_h,
+                 {_marker_hits('es')} AS es_h, {_marker_hits('fr')} AS fr_h
+          FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'und'
+                WHEN de_h = greatest(de_h, en_h, es_h, fr_h) THEN 'de'
+                WHEN en_h = greatest(de_h, en_h, es_h, fr_h) THEN 'en'
+                WHEN es_h = greatest(de_h, en_h, es_h, fr_h) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM h
+    """,
+)
+
+
+# --- document fingerprint -----------------------------------------------------
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+register(
+    "q_fingerprint",
+    q_fingerprint,
+    f"SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ')) AS fp "
+    "FROM documents",
+)

@@ -1,0 +1,100 @@
+"""Event-time windowed aggregation (SURVEY.md §2.11 T1-T6).
+
+The reference's closest analog is Airflow ``@yearly`` catchup DAGs —
+per-execution-date incremental batches (scrape_data_to_gcs.py:268-340).
+Here that becomes Structured Streaming: the same window expressions run
+identically in batch and in ``readStream`` + ``Trigger.AvailableNow``
+micro-batches; tests assert batch/stream equivalence.
+
+Scale notes: windowed aggs shuffle on (window, keys) with map-side
+partials; watermarks bound state so a 100 TB backfill doesn't
+accumulate unbounded window state; ``dropDuplicatesWithinWatermark``
+gives the bounded-state streaming dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import SCHEMAS
+
+
+def tumbling_agg(
+    df: DataFrame, ts_col: str, duration: str, keys: list[str], aggs: dict[str, Column]
+) -> DataFrame:
+    """T2: fixed windows, epoch-aligned."""
+    return (
+        df.groupBy(F.window(ts_col, duration), *keys)
+        .agg(*[e.alias(n) for n, e in aggs.items()])
+        .select(F.col("window.start").alias("ws"), *keys, *aggs)
+    )
+
+
+def sliding_agg(
+    df: DataFrame, ts_col: str, duration: str, slide: str, keys: list[str], aggs: dict[str, Column]
+) -> DataFrame:
+    """T3: overlapping windows — each event lands in duration/slide windows."""
+    return (
+        df.groupBy(F.window(ts_col, duration, slide), *keys)
+        .agg(*[e.alias(n) for n, e in aggs.items()])
+        .select(F.col("window.start").alias("ws"), *keys, *aggs)
+    )
+
+
+def session_agg(
+    df: DataFrame, ts_col: str, gap: str, keys: list[str], aggs: dict[str, Column]
+) -> DataFrame:
+    """T4: data-driven windows that close after ``gap`` of inactivity."""
+    return (
+        df.groupBy(F.session_window(ts_col, gap), *keys)
+        .agg(*[e.alias(n) for n, e in aggs.items()])
+        .select(F.col("session_window.start").alias("session_start"), *keys, *aggs)
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: incremental file ingest of the events table.
+
+    File sources require an explicit schema. The nanos timestamp column
+    arrives as long (nanosAsLong) and is normalized exactly like the
+    batch reader, so stream and batch plans share every expression.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if isinstance(f.dataType, T.TimestampType) else f.dataType)
+            for f in SCHEMAS["events"].fields
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """T5: bound lateness -> bounded state."""
+    return df.withWatermark(ts_col, delay)
+
+
+def streaming_dedup(df: DataFrame, keys: list[str], ts_col: str, delay: str) -> DataFrame:
+    """T6: exactly-once-per-key within the watermark horizon."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain the stream into a memory sink with Trigger.AvailableNow and
+    return the materialized result (test/bench harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
