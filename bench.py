@@ -1,0 +1,81 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed to full materialization (count over the result —
+no driver-side collect of payload rows). A warmup query absorbs JVM /
+session startup so timings reflect the plans, not Py4J bring-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family, weighted toward the shapes that
+# dominate real pipelines (scan-join-agg, windows, dedup, similarity).
+HEADLINE = [
+    "q_flagship",
+    "q_agg_group",
+    "q_join_inner",
+    "q_join_asof",
+    "q_win_running_sum",
+    "q_win_ffill",
+    "q_union_all",
+    "q_topk",
+    "q_text_tokens",
+    "q_token_count",
+    "q_fingerprint",
+    "q_dedup_minhash",
+    "q_dedup_embedding",
+    "q_cosine_topk",
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_json_extract",
+    "q_multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from nba_pipeline_spark.session import get_spark
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM, codegen, parquet footer caches.
+    REGISTRY["q_agg_global"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -56,10 +56,14 @@ def mean_token_len(tokens: Column) -> Column:
     return total / F.greatest(F.size(tokens), F.lit(1))
 
 
-def quality_score(text: Column) -> dict[str, Column]:
+def quality_score(text: Column, toks: Column) -> dict[str, Column]:
     """Composite quality signals (length / punctuation / stopword ratios)
-    for document filtering; returns named component columns."""
-    toks = tokenize(text)
+    for document filtering; returns named component columns.
+
+    ``toks`` must be a MATERIALIZED tokens column (withColumn /
+    select-alias boundary), not an inline tokenize() expression: lambda
+    bodies referencing a non-attribute expression re-evaluate it per
+    array element — O(tokens²) per row."""
     return {
         "n_chars_q": F.length(text),
         "n_tokens": F.size(toks),
@@ -69,14 +73,14 @@ def quality_score(text: Column) -> dict[str, Column]:
     }
 
 
-def lang_id(text: Column) -> Column:
-    """Marker-token language ID: the language with the most marker hits
-    wins; ties and zero-hit rows fall back to 'und'.
+def lang_id(toks: Column) -> Column:
+    """Marker-token language ID over a materialized tokens column: the
+    language with the most marker hits wins; ties and zero-hit rows fall
+    back to 'und'.
 
     Deterministic tie-break: languages evaluated in fixed order, strict
     greater-than to switch.
     """
-    toks = tokenize(text)
     best_lang = F.lit("und")
     best_hits = F.lit(0)
     for lang in sorted(LANG_MARKERS):

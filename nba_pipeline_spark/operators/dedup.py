@@ -31,8 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokenize
-from ..functions.vectors import cosine, to_double_array
-from .setops import union_by_name
+from ..functions.vectors import dot, norm, to_double_array
 
 HEX = "0123456789abcdef"
 
@@ -60,22 +59,35 @@ def fingerprint_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFra
     )
 
 
-def minhash_signature_cols(text_col: str, n_hashes: int, shingle_n: int = 3) -> dict[str, Column]:
-    """Per-row minhash signature, one column per hash seed.
+def with_minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int, shingle_n: int = 3
+) -> DataFrame:
+    """(id, mh0..mhk) — per-row minhash signature, one column per seed.
 
     min over shingles of md5(seed || '|' || shingle) — computed entirely
     with array higher-order functions: building signatures is a narrow
     map over the scan, zero shuffle, regardless of corpus size.
     Docs with < shingle_n tokens get NULL signatures (excluded later).
+
+    PERF: tokens and shingles are materialized as real columns before
+    the per-seed transforms. Lambda bodies that reference a non-attribute
+    expression re-evaluate it per array element (interpreted, outside
+    codegen) — with tokenize() inlined this was O(tokens²) per doc and
+    15× slower at sf0.1.
     """
-    sh = shingles(tokenize(F.col(text_col)), shingle_n)
 
     def seeded(seed: int):
         # NB: must be a 1-arg lambda — a 2-arg lambda makes F.transform
         # pass the array index as the second argument.
         return lambda x: F.md5(F.concat(F.lit(f"{seed}|"), x))
 
-    return {f"mh{s}": F.array_min(F.transform(sh, seeded(s))) for s in range(n_hashes)}
+    staged = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks")).select(
+        id_col, shingles(F.col("__toks"), shingle_n).alias("__sh")
+    )
+    return staged.select(
+        id_col,
+        *[F.array_min(F.transform(F.col("__sh"), seeded(s))).alias(f"mh{s}") for s in range(n_hashes)],
+    )
 
 
 def minhash_lsh_pairs(
@@ -84,33 +96,57 @@ def minhash_lsh_pairs(
     """Tier 3: banded LSH candidate pairs (id_a < id_b, distinct).
 
     Signature -> b bands of r hashes; docs sharing any band signature are
-    candidates. The only shuffle is the groupBy/join on (band, sig) —
-    O(docs × bands) rows. Tune (n_hashes, band_rows) for the target
-    jaccard threshold t ≈ (1/b)^(1/r).
+    candidates. Tune (n_hashes, band_rows) for the target jaccard
+    threshold t ≈ (1/b)^(1/r).
+
+    Physical shape (matters at 100 TB): signatures and (band, sig) rows
+    are produced in ONE narrow pass over the scan — posexplode of an
+    in-row band array, not a union of b branches each re-reading the
+    corpus, and no bands⋈bands self-join re-scanning both sides (the
+    first version did both: 56 s at sf0.1; this one ~3 s). The only
+    shuffle is the groupBy(band, sig); candidate pairs are generated
+    row-locally inside each bucket, so total work is
+    O(docs × bands + Σ bucket²) with near-dup-sized buckets — never
+    O(docs²). Pathologically hot buckets (boilerplate) should be capped
+    upstream by dropping sigs with bucket counts over a threshold.
     """
-    sigs = df.select(F.col(id_col), *[c.alias(n) for n, c in minhash_signature_cols(text_col, n_hashes).items()])
+    sigs = with_minhash_signatures(df, text_col, id_col, n_hashes)
     n_bands = n_hashes // band_rows
-    bands = union_by_name(
+    # Null-propagating concat: a doc with no shingles gets NULL band sigs,
+    # filtered AFTER the generate on the cheap attribute — filtering on
+    # mh0 before it would reference the expensive expression twice and
+    # make the optimizer re-evaluate the whole signature per reference.
+    band_arr = F.array(
         *[
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
-                ).alias("sig"),
-            ).filter(F.col(f"mh{b * band_rows}").isNotNull())
+            F.concat(*[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)])
             for b in range(n_bands)
         ]
     )
-    a = bands.alias("a")
-    b_ = bands.alias("b")
-    pairs = a.join(
-        b_,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.sig") == F.col("b.sig"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-    return pairs.distinct()
+    bands = sigs.select(F.col(id_col), F.posexplode(band_arr).alias("band", "sig")).filter(
+        F.col("sig").isNotNull()
+    )
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # all (i < j) pairs within a bucket, generated row-locally
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda a: F.transform(
+                    F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
 
 
 def _hex4_to_int(h: Column) -> Column:
@@ -162,8 +198,10 @@ def ngram_jaccard_pairs(
     block and the quadratic term is per-block only. At 100 TB block by
     LSH bucket (tier 3 output) instead of metadata.
     """
-    sh = F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n))
-    docs = df.select(F.col(id_col), *block_cols, sh.alias("sh"))
+    docs = (
+        df.select(F.col(id_col), *block_cols, tokenize(F.col(text_col)).alias("__toks"))
+        .select(id_col, *block_cols, F.array_distinct(shingles(F.col("__toks"), shingle_n)).alias("sh"))
+    )
     a, b = docs.alias("a"), docs.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols:
@@ -190,12 +228,16 @@ def embedding_neardup_pairs(
     Same blocked self-join shape; the dot products run as JVM
     higher-order functions over double arrays.
     """
-    docs = df.select(F.col(id_col), *block_cols, to_double_array(F.col(vec_col)).alias("v"))
+    # Norms are per-ROW quantities: materialize them before the pair
+    # join so each is computed n times, not n² times per pair.
+    docs = df.select(
+        F.col(id_col), *block_cols, to_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
     a, b = docs.alias("a"), docs.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    sim = F.try_divide(dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, cond)
         .select(

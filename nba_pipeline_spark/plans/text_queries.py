@@ -66,8 +66,8 @@ register(
 # --- quality scoring ----------------------------------------------------------
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    q = TX.quality_score(F.col("text"))
+    docs = _docs(spark, sf_dir).withColumn("__toks", TX.tokenize(F.col("text")))
+    q = TX.quality_score(F.col("text"), F.col("__toks"))
     return docs.select(
         "doc_id",
         q["n_chars_q"].alias("n_chars_q"),
@@ -102,8 +102,8 @@ register(
 # --- language ID (marker-token heuristic) -------------------------------------
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+    docs = _docs(spark, sf_dir).withColumn("__toks", TX.tokenize(F.col("text")))
+    return docs.select("doc_id", "lang", TX.lang_id(F.col("__toks")).alias("lang_pred"))
 
 
 def _marker_hits(lang: str) -> str:
