@@ -53,8 +53,15 @@ def parse_date(col: Column, fmt: str = "MMM d, yyyy") -> Column:
     Spark >= 3 rejects day-of-week (EEE) in PARSE patterns, so the
     weekday prefix is stripped before parsing — it carries no
     information the date doesn't.
+
+    Tolerant by design: unparseable input yields NULL (try_to_timestamp)
+    rather than an ANSI DateTimeException — one junk scraped row must
+    not kill a 100 TB ingest job; the reference's pandas path likewise
+    coerced to NaT.
     """
-    return F.to_date(F.regexp_replace(col, r"^[A-Za-z]+, ", ""), fmt)
+    return F.try_to_timestamp(F.regexp_replace(col, r"^[A-Za-z]+, ", ""), F.lit(fmt)).cast(
+        "date"
+    )
 
 
 def fix_hornets(season: Column, team: Column, abbrev: Column) -> Column:

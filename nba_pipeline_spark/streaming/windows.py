@@ -68,10 +68,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in SCHEMAS["events"].fields
         ]
     )
+    # The file source requires a DIRECTORY (it tails new files). The
+    # testdata table is a single read-only file, so stage a symlink dir —
+    # exactly the layout a production ingest would write into.
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    stream_dir = f"/tmp/nba_stream_src/{tag}/events"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = f"{stream_dir}/events-000.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/events.parquet")
+        .parquet(stream_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -1,0 +1,91 @@
+"""Behavioral tests for dedup tiers and similarity search on seeded
+near-duplicates (SURVEY §5.4: precision on planted dupes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nba_pipeline_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from nba_pipeline_spark.operators.similarity import brute_force_topk, ivf_topk
+from nba_pipeline_spark.functions.vectors import to_double_array
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "the bird and the fish swim in the pond near the old mill house"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one token changed
+FAR = "completely different content about spark dataframes and shuffle partitions at scale"
+
+
+def corpus(spark):
+    return spark.createDataFrame(
+        [(0, BASE, "en", "s"), (1, BASE, "en", "s"), (2, NEAR, "en", "s"), (3, FAR, "en", "s")],
+        ["doc_id", "text", "lang", "source"],
+    )
+
+
+def test_exact_dedup_finds_planted(spark):
+    got = exact_dup_groups(corpus(spark), "text", "doc_id").collect()
+    assert len(got) == 1 and got[0]["keep_id"] == 0 and got[0]["n_dupes"] == 2
+
+
+def test_minhash_finds_near_dup_not_far(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(corpus(spark), "text", "doc_id").collect()}
+    assert (0, 1) in pairs            # identical docs always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # one-token change collides in some band
+    assert all(3 not in p for p in pairs)      # unrelated doc never pairs
+
+
+def test_ngram_jaccard_scores(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            corpus(spark), "text", "doc_id", ["lang", "source"], threshold=0.0
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert pairs.get((0, 3), 0.0) < 0.05
+
+
+def test_simhash_near_means_close(spark):
+    hashes = {r["doc_id"]: r["simhash"] for r in simhash16(corpus(spark), "text", "doc_id").collect()}
+    assert hashes[0] == hashes[1]
+    ham_near = bin(hashes[0] ^ hashes[2]).count("1")
+    ham_far = bin(hashes[0] ^ hashes[3]).count("1")
+    assert ham_near <= ham_far
+    assert ham_near <= 4  # one-token change flips few bits
+
+
+def _emb(spark):
+    import math
+
+    def vec(seed, n=8):
+        vals = [math.sin(seed * 7.3 + i) for i in range(n)]
+        return vals
+
+    rows = [(i, vec(i), i % 2) for i in range(20)]
+    rows.append((100, vec(5), 1))  # planted duplicate of vec_id 5
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_brute_force_topk_finds_planted_duplicate(spark):
+    emb = _emb(spark)
+    query = emb.filter(F.col("vec_id") == 5).select(to_double_array(F.col("embedding")).alias("qv"))
+    others = emb.filter(F.col("vec_id") != 5)
+    top = brute_force_topk(others, query, "vec_id", "embedding", 3).collect()
+    assert top[0]["vec_id"] == 100 and abs(top[0]["sim"] - 1.0) < 1e-9
+
+
+def test_ivf_results_subset_of_brute_force(spark):
+    emb = _emb(spark)
+    ivf = {r["vec_id"] for r in ivf_topk(emb, "vec_id", "embedding", 5, 3, n_cells=2).collect()}
+    query = emb.filter(F.col("vec_id") == 5).select(to_double_array(F.col("embedding")).alias("qv"))
+    brute = {r["vec_id"] for r in brute_force_topk(emb.filter(F.col("vec_id") != 5), query, "vec_id", "embedding", 21).collect()}
+    assert ivf and ivf.issubset(brute)
+    assert 100 in ivf  # the planted dup shares the query's cell by construction

@@ -1,0 +1,60 @@
+"""Streaming batch-equivalence (SURVEY §5.5): the same window
+expressions over readStream + Trigger.AvailableNow must equal the batch
+results on the events table."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nba_pipeline_spark.plans.streaming_queries import AGGS
+from nba_pipeline_spark.sources import load_table
+from nba_pipeline_spark.streaming.windows import (
+    read_events_stream,
+    run_available_now,
+    session_agg,
+    streaming_dedup,
+    tumbling_agg,
+    with_watermark,
+)
+from conftest import SF_DIR
+
+
+def _norm(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    return pdf.reindex(sorted(pdf.columns), axis=1).sort_values(
+        by=sorted(pdf.columns), ignore_index=True
+    )
+
+
+def test_tumbling_stream_equals_batch(spark):
+    batch = tumbling_agg(load_table(spark, SF_DIR, "events"), "ts", "1 hour", ["event_type"], AGGS())
+    stream = tumbling_agg(read_events_stream(spark, SF_DIR), "ts", "1 hour", ["event_type"], AGGS())
+    got = run_available_now(stream, "t_tumbling")
+    pd.testing.assert_frame_equal(_norm(got), _norm(batch))
+
+
+def test_session_stream_equals_batch(spark):
+    ev_b = load_table(spark, SF_DIR, "events")
+    batch = session_agg(ev_b, "ts", "30 minutes", ["user_id"], AGGS())
+    ev_s = with_watermark(read_events_stream(spark, SF_DIR), "ts", "1 hour")
+    stream = session_agg(ev_s, "ts", "30 minutes", ["user_id"], AGGS())
+    got = run_available_now(stream, "t_session")
+    pd.testing.assert_frame_equal(_norm(got), _norm(batch))
+
+
+def test_streaming_dedup_drops_resent_keys(spark):
+    ev = read_events_stream(spark, SF_DIR)
+    doubled = ev.unionByName(ev)  # simulate at-least-once redelivery
+    deduped = streaming_dedup(doubled, ["event_id"], "ts", "1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.table("t_dedup").count()
+    n_batch = load_table(spark, SF_DIR, "events").count()
+    assert n == n_batch
