@@ -23,6 +23,10 @@ _RUNTIME_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Dims under this size broadcast automatically.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Right-size shuffles for local/bench; AQE coalesces batch shuffles
+    # anyway, but STATEFUL streaming shuffles are not AQE-coalesced and
+    # pay per-partition state-store overhead (200 default = 200 stores).
+    "spark.sql.shuffle.partitions": "32",
     # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     # reader rejects; read as long and convert at the source boundary
     # (sources.registry normalizes back to TimestampType, micros).

@@ -1,0 +1,73 @@
+"""Arbitrary stateful streaming (SURVEY §2.11 T7): the reference's
+period-counter scan (playByplay.py:19-41 / operators.windows.
+running_count_with_reset) as an ``applyInPandasWithState`` operator.
+
+State per key = (rows_seen, counter). Each micro-batch's rows are
+sorted by ``seq`` inside the group, the counter continues from state,
+so the result over N micro-batches equals the batch window op —
+asserted by tests/test_streaming_stateful.py.
+
+Scale notes: state is one small tuple per key in the state store;
+per-batch work is a grouped Arrow transfer — the same shuffle key as
+the batch window version. This is the template for any carry-forward
+scan (score fill, session carry) that must run continuously.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("game_id", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("period", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("rows_seen", T.LongType()),
+        T.StructField("counter", T.LongType()),
+    ]
+)
+
+
+def _apply(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    rows_seen, counter = state.get if state.exists else (0, 1)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("seq")
+        periods = []
+        for is_reset in pdf["is_reset"]:
+            if rows_seen > 0 and is_reset:
+                counter += 1
+            rows_seen += 1
+            periods.append(counter)
+        out = pd.DataFrame(
+            {"game_id": pdf["game_id"].values, "seq": pdf["seq"].values, "period": periods}
+        )
+        yield out
+    state.update((rows_seen, counter))
+
+
+def streaming_period_counter(events: DataFrame) -> DataFrame:
+    """Input: streaming frame with (game_id, seq, is_reset boolean).
+    Output: (game_id, seq, period) — continuous W1 semantics."""
+    from ..session import tune
+
+    tune(events.sparkSession)
+    return events.groupBy("game_id").applyInPandasWithState(
+        _apply,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -62,6 +62,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import types as T
 
+    from ..session import tune
+
+    tune(spark)
     schema = T.StructType(
         [
             T.StructField(f.name, T.LongType() if isinstance(f.dataType, T.TimestampType) else f.dataType)

@@ -1,0 +1,106 @@
+"""Physical-plan invariants (SURVEY §4) — the 100 TB design contract.
+
+These assert the plans Catalyst actually produces, not just results:
+filters reach the parquet scan, dimension joins broadcast, partition
+pruning prunes, top-k compiles to TakeOrderedAndProject, and nothing
+falls back to a cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["q_filter_basic"].fn(spark, SF_DIR)
+    p = formatted(df)
+    assert "PushedFilters" in p
+    # the returnflag predicate must be pushed, not post-filtered only
+    assert "IsNotNull(l_returnflag)" in p or "Not(EqualTo(l_returnflag" in p
+
+
+def test_column_pruning_reads_only_projection(spark):
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    p = formatted(REGISTRY["q_project_rename"].fn(spark, SF_DIR))
+    assert "c_name" in p and "c_acctbal" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_flagship_broadcasts_dimensions(spark):
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    p = plan(REGISTRY["q_flagship"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_lookup_join_broadcasts(spark):
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    p = plan(REGISTRY["q_lookup_join"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+def test_partition_pruning(spark):
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["q_partition_prune"].fn(spark, SF_DIR)
+    p = formatted(df)
+    assert "PartitionFilters" in p and "o_year" in p
+    # only the matching partition's files are read
+    assert "(o_year = 1997)" in p or "o_year#" in p
+
+
+def test_topk_is_take_ordered(spark):
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    p = plan(REGISTRY["q_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_windows_partition_by_key_not_global(spark):
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    for name in ("q_win_running_sum", "q_win_ffill", "q_win_rank", "q_win_lag"):
+        p = plan(REGISTRY[name].fn(spark, SF_DIR))
+        assert "SinglePartition" not in p, name
+
+
+def test_no_python_udfs_in_core_queries(spark):
+    """Policy SURVEY §2.12: zero Python UDFs outside the multimodal path."""
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    for name, spec in REGISTRY.items():
+        if name.startswith("q_multimodal"):
+            continue
+        p = plan(spec.fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_no_cartesian_products_anywhere(spark):
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    for name, spec in REGISTRY.items():
+        p = plan(spec.fn(spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+
+
+def test_agg_has_partial_aggregation(spark):
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    p = plan(REGISTRY["q_agg_group"].fn(spark, SF_DIR))
+    # partial (map-side) + final hash aggregate
+    assert p.count("HashAggregate") >= 2

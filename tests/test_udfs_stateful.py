@@ -1,0 +1,113 @@
+"""Tests for the sanctioned UDF escape hatches and the stateful
+streaming period counter (state must carry across micro-batches)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nba_pipeline_spark.functions.udfs import (
+    normalize_embedding,
+    register_parity_udfs,
+    zscore_per_group,
+)
+from nba_pipeline_spark.functions.vectors import norm, to_double_array
+from nba_pipeline_spark.operators.windows import running_count_with_reset
+from nba_pipeline_spark.streaming.stateful import streaming_period_counter
+from conftest import SF_DIR
+
+
+def test_pandas_udf_normalize(spark):
+    from nba_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    out = emb.select(normalize_embedding(F.col("embedding")).alias("nv"))
+    norms = [r["n"] for r in out.select(norm(F.col("nv")).alias("n")).collect()]
+    assert all(abs(n - 1.0) < 1e-9 for n in norms)
+
+
+def test_apply_in_pandas_zscore(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 10.0)],
+        ["k", "v"],
+    )
+    out = zscore_per_group(df, ["k"], "v", "z").collect()
+    by_kv = {(r["k"], r["v"]): r["z"] for r in out}
+    assert abs(by_kv[("a", 2.0)]) < 1e-12
+    assert abs(by_kv[("a", 3.0)] - 1.0) < 1e-12
+    assert by_kv[("b", 10.0)] == 0.0  # zero-variance group
+
+
+def test_registered_udf_matches_builtin(spark):
+    register_parity_udfs(spark)
+    df = spark.createDataFrame([("11:43.0",), ("1st Q",), ("0:59.9",)], ["t"])
+    df.createOrReplaceTempView("t_mmss")
+    got = spark.sql(
+        "SELECT mmss_to_seconds_py(t) AS s FROM t_mmss"
+    ).collect()
+    from nba_pipeline_spark.functions.scalar import mmss_to_seconds
+
+    want = df.select(mmss_to_seconds(F.col("t")).alias("s")).collect()
+    assert [r["s"] for r in got] == [r["s"] for r in want]
+
+
+@pytest.fixture()
+def staged_pbp_stream(spark, tmp_path):
+    """Two parquet files -> two micro-batches; game g1 spans both, so the
+    counter must continue from state."""
+    batch1 = [("g1", 1, True), ("g1", 2, False), ("g1", 3, False)]
+    batch2 = [("g1", 4, True), ("g1", 5, False), ("g2", 6, True), ("g2", 7, False)]
+    d = str(tmp_path / "pbp_stream")
+    os.makedirs(d)
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, "game_id string, seq long, is_reset boolean").coalesce(
+            1
+        ).write.parquet(f"{d}/f{i}")
+        # one file per subdir won't stream; flatten files into d with ordered names
+    files = []
+    for i in range(2):
+        sub = f"{d}/f{i}"
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        dest = f"{d}/{i:03d}.parquet"
+        shutil.move(f"{sub}/{part}", dest)
+        shutil.rmtree(sub)
+        os.utime(dest, (1000 + i, 1000 + i))  # deterministic processing order
+        files.append(dest)
+    return d
+
+
+def test_stateful_period_counter_across_batches(spark, staged_pbp_stream):
+    stream = (
+        spark.readStream.schema("game_id string, seq long, is_reset boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_pbp_stream)
+    )
+    out = streaming_period_counter(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["game_id"], r["seq"]): r["period"]
+        for r in spark.table("t_stateful").collect()
+    }
+    # batch equivalence: same data through the batch window operator
+    all_rows = [("g1", 1, True), ("g1", 2, False), ("g1", 3, False),
+                ("g1", 4, True), ("g1", 5, False), ("g2", 6, True), ("g2", 7, False)]
+    batch_df = spark.createDataFrame(all_rows, "game_id string, seq long, is_reset boolean")
+    want = {
+        (r["game_id"], r["seq"]): r["period"]
+        for r in running_count_with_reset(
+            batch_df, ["game_id"], ["seq"], F.col("is_reset"), "period"
+        ).collect()
+    }
+    assert got == want
+    # the cross-batch carry: g1 seq4 reset AFTER first row -> period 2
+    assert got[("g1", 4)] == 2 and got[("g2", 6)] == 1
