@@ -538,3 +538,47 @@ register(
     "SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS o_year "
     "FROM orders WHERE year(o_orderdate) = 1997",
 )
+
+
+# --- S3/S4/S5: CSV staging round-trip -----------------------------------------
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CSV staging hop (pd.read_csv / to_csv / pyarrow
+    convert, scrape_data_to_gcs.py:34-39): write a CSV stage once, read
+    it back with an explicit schema (no inference in the engine), and
+    aggregate — results must equal the parquet source exactly.
+    """
+    tune(spark)
+    from pyspark.sql import types as T
+
+    from ..sources import read_csv
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = f"/tmp/nba_spark_lake/{tag}/lineitem_csv"
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        load_table(spark, sf_dir, "lineitem").select(*cols).write.mode(
+            "overwrite"
+        ).option("header", "true").option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(stage)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    )
+    staged = read_csv(spark, stage, schema)
+    return staged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+register(
+    "q_csv_roundtrip",
+    q_csv_roundtrip,
+    "SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty, "
+    "max(l_shipdate) AS max_ship FROM lineitem GROUP BY l_returnflag",
+)

@@ -55,5 +55,8 @@ def get_spark(app_name: str = "nba_pipeline_spark", cores: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # keep managed-table data out of the repo; a stale spark-warehouse
+        # dir from a previous session breaks saveAsTable(overwrite)
+        .config("spark.sql.warehouse.dir", "/tmp/nba_spark_warehouse")
     )
     return tune(builder.getOrCreate())

@@ -1,0 +1,58 @@
+"""Source/sink coverage: schema checks, partitioned writes, CSV staging,
+cloud sink gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nba_pipeline_spark.sources import SCHEMAS, load_table, write_partitioned
+from nba_pipeline_spark.sources.cloud import (
+    ConnectorMissing,
+    save_as_warehouse_table,
+    write_bigquery,
+    write_gcs_parquet,
+)
+from conftest import SF_DIR
+
+
+def test_load_table_schema_names(spark):
+    for name in SCHEMAS:
+        df = load_table(spark, SF_DIR, name)
+        assert df.columns == [f.name for f in SCHEMAS[name].fields]
+
+
+def test_events_nanos_normalized_to_timestamp(spark):
+    df = load_table(spark, SF_DIR, "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    # values survive the nanos->micros conversion
+    r = df.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert r[0].year == 2024 and r[1].year == 2024
+
+
+def test_unknown_table_raises(spark):
+    with pytest.raises(KeyError):
+        load_table(spark, SF_DIR, "nope")
+
+
+def test_write_partitioned_roundtrip(spark, tmp_path):
+    df = load_table(spark, SF_DIR, "orders").withColumn("y", F.year("o_orderdate"))
+    path = str(tmp_path / "orders_part")
+    write_partitioned(df, path, ["y"])
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    assert back.filter(F.col("y") == 1997).count() == df.filter(F.col("y") == 1997).count()
+
+
+def test_cloud_sinks_gate_cleanly(spark):
+    df = load_table(spark, SF_DIR, "region")
+    with pytest.raises(ConnectorMissing, match="gcs-connector"):
+        write_gcs_parquet(df, "bucket", "raw/region", [])
+    with pytest.raises(ConnectorMissing, match="bigquery"):
+        write_bigquery(df, "region", "all_nba_data", "tmp-bucket")
+
+
+def test_warehouse_table_local(spark):
+    df = load_table(spark, SF_DIR, "region")
+    save_as_warehouse_table(df, "wh_region")
+    assert spark.sql("SELECT count(*) AS n FROM wh_region").collect()[0]["n"] == 5
