@@ -53,8 +53,15 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: JVM, codegen, parquet footer caches.
-    REGISTRY["q_agg_global"].fn(spark, sf_dir).count()
+    # Warmup at the smallest SF: JVM + whole-stage-codegen compilation for
+    # the headline plan shapes and the Python/Arrow worker pool. Warmup is
+    # excluded from timings — the bench measures steady-state latency.
+    warm_dir = "/root/testdata/sf0.001"
+    for warm_q in ("q_flagship", "q_multimodal_meta", "q_stream_session", "q_dedup_minhash"):
+        try:
+            REGISTRY[warm_q].fn(spark, warm_dir).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -149,6 +149,34 @@ def minhash_lsh_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken MOSS scheme): per doc, the
+    distinct minima of each sliding window of ``window`` consecutive
+    n-gram hashes. Guarantees any shared run of >= window+shingle_n-1
+    tokens contributes a shared fingerprint — position-robust plagiarism
+    / overlap detection with output ~1/window the size of full shingling.
+
+    All array ops row-local (zero shuffle until the final explode);
+    arrays materialized as columns per the HOF-lambda rule.
+    """
+    staged = (
+        df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        .select(id_col, shingles(F.col("__toks"), shingle_n).alias("__sh"))
+        .select(id_col, F.transform(F.col("__sh"), lambda s: F.md5(s)).alias("__h"))
+    )
+    wins = F.when(F.size("__h") < window, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__h") - window),
+            lambda i: F.array_min(F.slice(F.col("__h"), i + 1, window)),
+        )
+    )
+    return staged.select(
+        F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
 def _hex4_to_int(h: Column) -> Column:
     """Portable hex->int for the first 4 md5 chars (0..65535), expressed
     with instr arithmetic so DuckDB can replay it exactly."""

@@ -58,6 +58,42 @@ def range_join(left: DataFrame, right: DataFrame, predicate: Column, how: str = 
     return left.join(r, on=predicate, how=how)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: hot keys no longer land on one task.
+
+    Left rows get a deterministic salt in [0, n_salts) from a hash of the
+    whole row's key (NOT rand() — retries must reproduce); right rows are
+    replicated once per salt via a small explode. The join key becomes
+    (key, salt), spreading each hot key over n_salts tasks. Result is
+    exactly the plain join (verified against the same SQL oracle).
+
+    Use when AQE's skew-join splitting isn't available or the skew is in
+    a broadcast-ineligible dimension; replication multiplies the right
+    side by n_salts, so keep that side the smaller one.
+    """
+    # Salt from a hash of the WHOLE left row (not the key! — all rows of a
+    # hot key would get one salt and nothing would spread).
+    l_salted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    joined = l_salted.join(
+        r_salted,
+        (l_salted[left_key] == r_salted[right_key]) & (l_salted["__salt"] == r_salted["__salt"]),
+        how=how,
+    )
+    return joined.drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -154,6 +154,32 @@ register(
 )
 
 
+# --- winnowing fingerprints ---------------------------------------------------
+
+WINNOW_W = 4
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return OD.winnow_fingerprints(_docs(spark, sf_dir), "text", "doc_id", window=WINNOW_W)
+
+
+register(
+    "q_winnow_fingerprint",
+    q_winnow_fingerprint,
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, list_transform({_DUCK_SHINGLES}, x -> md5(x)) AS h FROM t),
+    w AS (SELECT doc_id,
+                 CASE WHEN len(h) < {WINNOW_W} THEN []
+                      ELSE list_transform(range(1, len(h) - {WINNOW_W} + 2),
+                                          i -> list_min(h[i:i+{WINNOW_W}-1]))
+                 END AS mins
+          FROM s)
+    SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w
+    """,
+)
+
+
 # --- tier 5b: blocked embedding cosine ----------------------------------------
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

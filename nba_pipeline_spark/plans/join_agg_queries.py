@@ -161,6 +161,24 @@ register(
 )
 
 
+# --- skew-salted join (same result as plain join, spread physical plan) -------
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return OJ.salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=4).select(
+        "l_orderkey", "l_linenumber", "o_orderstatus"
+    )
+
+
+register(
+    "q_join_salted",
+    q_join_salted,
+    "SELECT l_orderkey, l_linenumber, o_orderstatus "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+)
+
+
 # --- J5b: as-of join ----------------------------------------------------------
 
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
