@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokenize
-from ..functions.vectors import dot, norm, to_double_array
+from ..functions.vectors import dot, dot_fixed, norm, to_double_array
 
 HEX = "0123456789abcdef"
 
@@ -249,12 +249,19 @@ def ngram_jaccard_pairs(
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, vec_col: str, id_col: str, block_cols: list[str], threshold: float
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float,
+    dims: int | None = None,
 ) -> DataFrame:
     """Tier 5b: cosine near-duplicates within blocks (label / IVF cell).
 
-    Same blocked self-join shape; the dot products run as JVM
-    higher-order functions over double arrays.
+    Same blocked self-join shape. With ``dims`` given, the per-pair dot
+    product is unrolled into a codegen-compiled flat sum (same float
+    order as the HOF path — bit-compatible); without it, falls back to
+    interpreted higher-order functions.
     """
     # Norms are per-ROW quantities: materialize them before the pair
     # join so each is computed n times, not n² times per pair.
@@ -265,7 +272,8 @@ def embedding_neardup_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    sim = F.try_divide(dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm"))
+    dot_fn = (lambda x, y: dot_fixed(x, y, dims)) if dims else dot
+    sim = F.try_divide(dot_fn(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, cond)
         .select(

@@ -331,6 +331,44 @@ register(
 )
 
 
+# --- A6b: cube ----------------------------------------------------------------
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return OA.cube_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": F.round(F.sum("l_quantity"), 4), "n": F.count(F.lit(1))},
+    )
+
+
+register(
+    "q_agg_cube",
+    q_agg_cube,
+    "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n "
+    "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+)
+
+
+# --- A5b: exact interpolated percentiles --------------------------------------
+
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+    )
+
+
+register(
+    "q_agg_percentile",
+    q_agg_percentile,
+    "SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty, "
+    "ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+
+
 # --- A7: pivot ----------------------------------------------------------------
 
 def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -188,6 +188,33 @@ register(
 )
 
 
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: quartile bucketing per nation (total order via custkey tiebreak
+    so bucket assignment is engine-deterministic)."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey", "c_nationkey", F.ntile(4).over(w).alias("bal_quartile")
+    )
+
+
+register(
+    "q_win_ntile",
+    q_win_ntile,
+    """
+    SELECT c_custkey, c_nationkey,
+           CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS bal_quartile
+    FROM customer
+    """,
+)
+
+
 # --- W4: global ordinal (bounded use) -----------------------------------------
 
 def q_win_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
