@@ -149,6 +149,40 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_ml(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.6, n_hashes: int = 8
+) -> DataFrame:
+    """Tier 3 via pyspark.ml (library path, vs the hand-rolled portable
+    path above): shingles -> HashingTF sparse vectors -> MinHashLSH
+    approxSimilarityJoin. Seeded, so deterministic per Spark version,
+    but the hash family is JVM-internal — no SQL oracle (rows-only).
+
+    Kept alongside the md5 implementation deliberately: the library path
+    is less portable but gives tuned band/bucket internals for free.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    staged = (
+        df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        .select(id_col, shingles(F.col("__toks"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 16)
+    feats = tf.transform(staged)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=n_hashes, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(F.lit(1.0) - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
+        )
+        .distinct()
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3, window: int = 4
 ) -> DataFrame:

@@ -31,6 +31,48 @@ from pyspark.sql.window import Window
 from ..functions.vectors import cosine, l2_distance, to_double_array
 
 
+def kmeans_cells(
+    emb: DataFrame, id_col: str, vec_col: str, k: int, iterations: int = 5
+) -> DataFrame:
+    """Mini k-means for IVF cell training — the iterative-algorithm class
+    the reference lacks, as a pure DataFrame loop.
+
+    Each iteration: broadcast the k centroids (a k×dims literal frame —
+    tiny), assign every vector to its nearest by rounded L2 (engine-
+    deterministic argmin), recompute centroids as per-cell means (one
+    partial+final agg). Driver holds only the k centroids between
+    iterations — the corpus never leaves the cluster, so the loop is
+    O(iterations) scans at any scale. Init: first k vectors by id
+    (deterministic; replayable).
+    """
+    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    spark = emb.sparkSession
+    centroids = [
+        [float(x) for x in r["v"]]
+        for r in e.filter(F.col(id_col) < k).orderBy(id_col).collect()
+    ]
+    dims = len(centroids[0])
+
+    def centroid_df(vecs):
+        return spark.createDataFrame(
+            list(enumerate(vecs)), schema="cid int, cv array<double>"
+        )
+
+    for _ in range(iterations):
+        assigned = assign_cells(e, centroid_df(centroids), id_col)
+        new_rows = (
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("v").getItem(i)).alias(f"m{i}") for i in range(dims)])
+            .collect()
+        )
+        by_cid = {int(r["cid"]): [float(r[f"m{i}"]) for i in range(dims)] for r in new_rows}
+        # empty cells keep their previous centroid
+        centroids = [by_cid.get(cid, centroids[cid]) for cid in range(k)]
+    return assign_cells(e, centroid_df(centroids), id_col).select(
+        id_col, F.col("cid").alias("cell")
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, query: DataFrame, id_col: str, vec_col: str, k: int
 ) -> DataFrame:
@@ -49,16 +91,22 @@ def brute_force_topk(
 
 def assign_cells(emb: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     """Nearest-centroid assignment: broadcast centroids, argmin by
-    rounded L2 with centroid id tiebreak (engine-portable argmin)."""
+    rounded L2 with centroid id tiebreak (engine-portable argmin).
+
+    min_by over struct(dist, cid) instead of a row_number window: a
+    partial+final aggregate (map-side combined, no per-key sort) — at
+    corpus scale this halves the assignment stage. Same argmin+tiebreak
+    result as the windowed form (oracle unchanged).
+    """
     joined = emb.crossJoin(F.broadcast(centroids)).withColumn(
         "dist6", F.round(l2_distance(F.col("v"), F.col("cv")), 6)
     )
-    w = Window.partitionBy(id_col).orderBy(F.asc("dist6"), F.asc("cid"))
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "v", "cid")
+    picked = joined.groupBy(id_col).agg(
+        F.min_by(F.struct(F.col("cid"), F.col("v")), F.struct(F.col("dist6"), F.col("cid"))).alias(
+            "__m"
+        )
     )
+    return picked.select(id_col, F.col("__m.v").alias("v"), F.col("__m.cid").alias("cid"))
 
 
 def ivf_topk(

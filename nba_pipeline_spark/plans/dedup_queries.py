@@ -101,6 +101,15 @@ def _minhash_oracle() -> str:
 register("q_dedup_minhash", q_dedup_minhash, _minhash_oracle())
 
 
+# --- tier 3b: library MinHashLSH (rows-only) ----------------------------------
+
+def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return OD.minhash_lsh_pairs_ml(_docs(spark, sf_dir), "text", "doc_id", threshold=0.6)
+
+
+register("q_dedup_minhash_ml", q_dedup_minhash_ml, None)
+
+
 # --- tier 4: SimHash ----------------------------------------------------------
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -50,6 +50,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(_emb(spark, sf_dir), "vec_id", "embedding", QUERY_ID, TOP_K, N_CELLS)
 
 
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means cell assignment (rows-only: 5 iterations of
+    float averaging aren't SQL-replayable bit-for-bit)."""
+    return SIM.kmeans_cells(_emb(spark, sf_dir), "vec_id", "embedding", k=N_CELLS)
+
+
+register("q_kmeans_cells", q_kmeans_cells, None)
+
+
 register(
     "q_ann_ivf",
     q_ann_ivf,

@@ -1,0 +1,76 @@
+"""Property-based tests (SURVEY §5.4) — hypothesis drives edge cases the
+fixtures don't."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nba_pipeline_spark.functions.scalar import mmss_to_seconds, score_pair, surrogate_key
+
+_slow = settings(
+    max_examples=8,  # each example is a Spark job — keep the suite fast
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@_slow
+@given(m=st.integers(0, 59), s=st.integers(0, 59), frac=st.integers(0, 9))
+def test_mmss_roundtrip(spark, m, s, frac):
+    df = spark.createDataFrame([(f"{m}:{s:02d}.{frac}",)], ["t"])
+    got = df.select(mmss_to_seconds(F.col("t")).alias("v")).collect()[0]["v"]
+    assert got == m * 60 + s
+
+
+@_slow
+@given(a=st.integers(0, 300), b=st.integers(0, 300))
+def test_score_pair_roundtrip(spark, a, b):
+    df = spark.createDataFrame([(f"{a}-{b}",)], ["s"])
+    x, y = score_pair(F.col("s"))
+    r = df.select(x.alias("a"), y.alias("b")).collect()[0]
+    assert (r["a"], r["b"]) == (a, b)
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=8), st.text(max_size=8)), min_size=2, max_size=6, unique=True
+    )
+)
+def test_surrogate_key_injective_on_distinct_inputs(spark, pairs):
+    df = spark.createDataFrame(pairs, ["x", "y"])
+    keys = [r[0] for r in df.select(surrogate_key(F.col("x"), F.col("y"))).collect()]
+    assert len(set(keys)) == len(pairs)
+
+
+def test_kmeans_cells_partition_all_vectors(spark):
+    from nba_pipeline_spark.operators.similarity import kmeans_cells
+    from nba_pipeline_spark.sources import load_table
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(100)
+    cells = kmeans_cells(emb, "vec_id", "embedding", k=4, iterations=2)
+    rows = cells.collect()
+    assert len(rows) == 100                      # every vector assigned
+    assert {r["cell"] for r in rows} <= set(range(4))
+    # deterministic across runs
+    again = kmeans_cells(emb, "vec_id", "embedding", k=4, iterations=2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ml_lsh_finds_identical_docs(spark):
+    from nba_pipeline_spark.operators.dedup import minhash_lsh_pairs_ml
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again today"),
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "completely unrelated text about shuffle partitions and broadcast joins"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs_ml(docs, "text", "doc_id", 0.5).collect()}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
