@@ -369,6 +369,44 @@ register(
 )
 
 
+# --- sampling (training-data pipelines; rows-only: RNG is engine-local) -------
+
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded uniform sample — deterministic within Spark (stable across
+    runs/retries for a fixed seed and partitioning), but the RNG stream
+    is engine-specific, so no SQL oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+register("q_sample", q_sample, None)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling (sampleBy) — balances training data across
+    classes; fractions per l_returnflag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sampleBy(
+        "l_returnflag", fractions={"A": 0.05, "N": 0.2, "R": 0.1}, seed=42
+    ).select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+register("q_sample_stratified", q_sample_stratified, None)
+
+
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-family percentile (approx_percentile / KLL-style) — the one-
+    pass bounded-memory path for 100 TB; estimates are algorithm-specific
+    (rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias("pcts")
+    )
+
+
+register("q_agg_approx_percentile", q_agg_approx_percentile, None)
+
+
 # --- A7: pivot ----------------------------------------------------------------
 
 def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:

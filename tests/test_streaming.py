@@ -43,6 +43,19 @@ def test_session_stream_equals_batch(spark):
     pd.testing.assert_frame_equal(_norm(got), _norm(batch))
 
 
+def test_sliding_stream_equals_batch(spark):
+    from nba_pipeline_spark.streaming.windows import sliding_agg
+
+    batch = sliding_agg(
+        load_table(spark, SF_DIR, "events"), "ts", "1 hour", "15 minutes", ["event_type"], AGGS()
+    )
+    stream = sliding_agg(
+        read_events_stream(spark, SF_DIR), "ts", "1 hour", "15 minutes", ["event_type"], AGGS()
+    )
+    got = run_available_now(stream, "t_sliding")
+    pd.testing.assert_frame_equal(_norm(got), _norm(batch))
+
+
 def test_streaming_dedup_drops_resent_keys(spark):
     ev = read_events_stream(spark, SF_DIR)
     doubled = ev.unionByName(ev)  # simulate at-least-once redelivery
