@@ -49,9 +49,12 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def fingerprint_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Tier 2: same token SET (order/multiplicity-invariant)."""
-    toks = tokenize(F.col(text_col))
-    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    """Tier 2: same token SET (order/multiplicity-invariant). Uses the
+    shared canonical-fingerprint expression so q_fingerprint and this
+    operator can never drift apart."""
+    from ..functions.text import fingerprint
+
+    fp = fingerprint(F.col(text_col))
     return (
         df.groupBy(fp.alias("fp"))
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
@@ -195,10 +198,10 @@ def winnow_fingerprints(
     All array ops row-local (zero shuffle until the final explode);
     arrays materialized as columns per the HOF-lambda rule.
     """
-    staged = (
-        df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
-        .select(id_col, shingles(F.col("__toks"), shingle_n).alias("__sh"))
-        .select(id_col, F.transform(F.col("__sh"), lambda s: F.md5(s)).alias("__h"))
+    from ..functions.text import rolling_hashes
+
+    staged = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks")).select(
+        id_col, rolling_hashes(F.col("__toks"), shingle_n).alias("__h")
     )
     wins = F.when(F.size("__h") < window, F.array().cast("array<string>")).otherwise(
         F.transform(

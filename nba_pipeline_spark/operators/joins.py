@@ -77,7 +77,16 @@ def salted_join(
     Use when AQE's skew-join splitting isn't available or the skew is in
     a broadcast-ineligible dimension; replication multiplies the right
     side by n_salts, so keep that side the smaller one.
+
+    Only inner/left-sided joins are valid: in a right/full outer join the
+    replicated right rows' non-matching salt copies would surface as
+    phantom unmatched rows.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join supports inner/left-sided joins only, got how={how!r} "
+            "(right/full outer would emit phantom rows from salt replicas)"
+        )
     # Salt from a hash of the WHOLE left row (not the key! — all rows of a
     # hot key would get one salt and nothing would spread).
     l_salted = left.withColumn(
@@ -106,14 +115,22 @@ def asof_join(
     right.time <= left.time on the same key.
 
     Implementation: tag both sides, union by name, window
-    last(value, ignorenulls=True) over (key ORDER BY time, tag), keep the
+    last(..., ignorenulls=True) over (key ORDER BY time, tag), keep the
     left rows. Ties at equal time resolve right-before-left (tag 0 < 1),
     matching inclusive (<=) as-of semantics. One shuffle on ``key``; each
     partition sorts locally — scales linearly, no range-broadcast needed.
+
+    The carried payload is a STRUCT of the value columns, not the bare
+    columns: the struct is non-null for every right row even when its
+    fields are NULL, so "latest right value is NULL" correctly yields
+    NULL instead of resurrecting an older non-null value (a bare
+    last(value, ignorenulls) can't tell those cases apart).
     """
     lt = left.withColumn("__tag", F.lit(1))
     rt = right.select(
-        key, time_col, *[F.col(c).alias(f"{prefix}{c}") for c in value_cols]
+        key,
+        time_col,
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__asof_payload"),
     ).withColumn("__tag", F.lit(0))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     w = (
@@ -121,7 +138,10 @@ def asof_join(
         .orderBy(F.col(time_col).asc(), F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.withColumns(
-        {f"{prefix}{c}": F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w) for c in value_cols}
+    filled = unioned.withColumn(
+        "__asof_payload", F.last(F.col("__asof_payload"), ignorenulls=True).over(w)
     )
-    return filled.filter(F.col("__tag") == 1).drop("__tag")
+    out = filled.filter(F.col("__tag") == 1)
+    for c in value_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col("__asof_payload").getField(c))
+    return out.drop("__tag", "__asof_payload")

@@ -47,10 +47,13 @@ def kmeans_cells(
     """
     e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
     spark = emb.sparkSession
+    # first k by id ORDER, not id < k: ids need not be 0-based/contiguous
     centroids = [
-        [float(x) for x in r["v"]]
-        for r in e.filter(F.col(id_col) < k).orderBy(id_col).collect()
+        [float(x) for x in r["v"]] for r in e.orderBy(id_col).limit(k).collect()
     ]
+    if not centroids:
+        raise ValueError("kmeans_cells: empty input")
+    k = len(centroids)  # fewer rows than k -> shrink
     dims = len(centroids[0])
 
     def centroid_df(vecs):
@@ -115,7 +118,9 @@ def ivf_topk(
     """IVF ANN with deterministic 'training': centroids = first n_cells
     vectors by id. Search probes only the query's cell."""
     e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
-    centroids = e.filter(F.col(id_col) < n_cells).select(
+    # first n_cells by id order (robust to non-contiguous ids; equals the
+    # id < n_cells set when ids are 0-based like the testdata)
+    centroids = e.orderBy(id_col).limit(n_cells).select(
         F.col(id_col).alias("cid"), F.col("v").alias("cv")
     )
     assigned = assign_cells(e, centroids, id_col)

@@ -42,10 +42,10 @@ def build_coaches(coaches_raw: DataFrame) -> DataFrame:
     )
     return head.select(
         "coachName", "coach_id", "seasonStartYear", "Tm", "coachType",
-        F.col("G_reg").cast("int").alias("games_reg"),
-        F.col("W_reg").cast("int").alias("wins_reg"),
-        F.col("L_reg").cast("int").alias("losses_reg"),
-        F.col("G_playoff").cast("int").alias("games_playoff"),
-        F.col("W_playoff").cast("int").alias("wins_playoff"),
-        F.col("L_playoff").cast("int").alias("losses_playoff"),
+        F.col("G_reg").try_cast("int").alias("games_reg"),
+        F.col("W_reg").try_cast("int").alias("wins_reg"),
+        F.col("L_reg").try_cast("int").alias("losses_reg"),
+        F.col("G_playoff").try_cast("int").alias("games_playoff"),
+        F.col("W_playoff").try_cast("int").alias("wins_playoff"),
+        F.col("L_playoff").try_cast("int").alias("losses_playoff"),
     ), assistant

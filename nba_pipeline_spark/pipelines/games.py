@@ -60,6 +60,8 @@ def build_games(games_raw: DataFrame, spark: SparkSession) -> DataFrame:
     )
     return df.select(
         "seasonStartYear", "awayTeam", "pointsAway", "homeTeam", "pointsHome",
-        F.col("attendance").cast("int").alias("attendance"),
+        # scraped attendance can carry thousands separators / blanks —
+        # tolerate, don't abort (ANSI cast would kill the build)
+        F.regexp_replace(F.col("attendance"), ",", "").try_cast("int").alias("attendance"),
         "notes", "startET", "datetime", "isRegular", "game_id",
     )

@@ -34,7 +34,8 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = ev.withColumn("props_struct", F.from_json("props", PROPS_SCHEMA))
     return parsed.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        # try_cast: junk props must yield NULL, not an ANSI cast abort
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_path"),
         F.col("props_struct.k").alias("k_typed"),
     )
 

@@ -24,7 +24,19 @@ def ensure_bucketed_table(
 
     spark = df.sparkSession
     if spark.catalog.tableExists(table):
-        return
+        # validate the existing layout actually matches the request — a
+        # stale table with different buckets/column silently reintroduces
+        # the shuffle this module exists to remove
+        desc = {r["col_name"]: (r["data_type"] or "") for r in spark.sql(
+            f"DESCRIBE TABLE FORMATTED {table}"
+        ).collect()}
+        ok = (
+            str(n_buckets) == desc.get("Num Buckets", "").strip()
+            and bucket_col in desc.get("Bucket Columns", "")
+        )
+        if ok:
+            return
+        spark.sql(f"DROP TABLE {table}")
     # fresh metastore + orphaned warehouse dir from a previous session
     # would fail LOCATION_ALREADY_EXISTS — clear the stale location
     try:

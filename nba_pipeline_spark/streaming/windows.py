@@ -81,7 +81,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stream_dir, exist_ok=True)
     link = f"{stream_dir}/events-000.parquet"
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        try:
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        except FileExistsError:
+            pass  # concurrent session staged it between check and create
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -100,13 +103,19 @@ def streaming_dedup(df: DataFrame, keys: list[str], ts_col: str, delay: str) -> 
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drain the stream into a memory sink with Trigger.AvailableNow and
-    return the materialized result (test/bench harness)."""
+    return the materialized result (test/bench harness).
+
+    ``output_mode``: "complete" for aggregated streams (the default),
+    "append" for map-only / dedup streams — complete mode is rejected by
+    Spark when the stream has no aggregation."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -138,3 +138,25 @@ def test_asof_join_semantics(spark):
     # e0: before any right row -> null; e1: tie at t=10 matches (<=);
     # e2: latest at-or-before is t=15; e3: no uid=2 right rows -> null
     assert got == {"e0": None, "e1": 100.0, "e2": 150.0, "e3": None}
+
+
+def test_asof_join_latest_value_null_stays_null(spark):
+    # the latest right row EXISTS but its value is NULL: a real as-of
+    # join returns that NULL, never an older non-null value
+    left = spark.createDataFrame([(1, 10, "e1")], ["uid", "t", "ev"])
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 8, None)], "uid long, t long, v double"
+    )
+    out = asof_join(left, right, key="uid", time_col="t", value_cols=["v"])
+    assert out.collect()[0]["asof_v"] is None
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from nba_pipeline_spark.operators.joins import salted_join
+
+    a = spark.createDataFrame([(1,)], ["k"])
+    b = spark.createDataFrame([(1,)], ["rk"])
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(a, b, "k", "rk", how="full")
