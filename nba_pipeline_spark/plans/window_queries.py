@@ -215,6 +215,144 @@ register(
 )
 
 
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: first/last value per group frame (user's first and latest
+    event value as of each row)."""
+    ev = _ev(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w), 4).alias("first_value"),
+        F.round(F.last("value").over(w), 4).alias("latest_value"),
+    )
+
+
+register(
+    "q_win_first_last",
+    q_win_first_last,
+    """
+    SELECT event_id, user_id,
+           ROUND(FIRST_VALUE(value) OVER w, 4) AS first_value,
+           ROUND(LAST_VALUE(value) OVER w, 4) AS latest_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+
+
+def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: percent_rank + cume_dist of account balance within nation."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").asc())
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
+    )
+
+
+register(
+    "q_win_percent_rank",
+    q_win_percent_rank,
+    """
+    SELECT c_custkey, c_nationkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS bal_cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC)
+    """,
+)
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse SCD2 pattern (the reference's intended BigQuery layer):
+    each customer's orders become versioned rows with
+    [valid_from, valid_to) intervals and a current flag — lead() over the
+    entity's ordered history, one shuffle on the entity key."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderkey").over(w).isNull().cast("int").alias("is_current"),
+    )
+
+
+register(
+    "q_scd2_intervals",
+    q_scd2_intervals,
+    """
+    SELECT o_custkey, o_orderkey,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           CAST(LEAD(o_orderkey) OVER w IS NULL AS INT) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence analytics: per user, first signup, first purchase AFTER
+    that signup, and the conversion flag — conditional min-aggregates,
+    one shuffle, no self-join."""
+    ev = _ev(spark, sf_dir)
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    agg = ev.groupBy("user_id").agg(first_signup.alias("first_signup"))
+    joined = ev.join(agg, "user_id")
+    converted = joined.groupBy("user_id").agg(
+        F.min("first_signup").alias("first_signup"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("first_signup")),
+                F.col("ts"),
+            )
+        ).alias("first_purchase_after"),
+    )
+    return converted.select(
+        "user_id",
+        "first_signup",
+        "first_purchase_after",
+        F.col("first_purchase_after").isNotNull().cast("int").alias("converted"),
+    )
+
+
+register(
+    "q_funnel",
+    q_funnel,
+    """
+    WITH s AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+      FROM events GROUP BY user_id),
+    j AS (SELECT e.user_id, e.event_type, e.ts, s.first_signup
+          FROM events e JOIN s ON e.user_id = s.user_id)
+    SELECT user_id, MIN(first_signup) AS first_signup,
+           MIN(CASE WHEN event_type = 'purchase' AND ts >= first_signup THEN ts END)
+             AS first_purchase_after,
+           CAST(MIN(CASE WHEN event_type = 'purchase' AND ts >= first_signup THEN ts END)
+                IS NOT NULL AS INT) AS converted
+    FROM j GROUP BY user_id
+    """,
+)
+
+
 # --- W4: global ordinal (bounded use) -----------------------------------------
 
 def q_win_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
