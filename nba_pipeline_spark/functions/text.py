@@ -93,9 +93,15 @@ def lang_id(toks: Column) -> Column:
 
 
 def shingles(tokens: Column, n: int = 3) -> Column:
-    """Token n-grams as strings; rows with < n tokens yield an empty array."""
+    """Token n-grams as strings; rows with < n tokens (or a NULL token
+    array) yield an empty array.
+
+    The NULL guard matters: ``size(NULL) < n`` is NULL, which a bare
+    when() treats as false — NULL-text rows would fall into the build
+    branch and emit arrays of NULL shingles (found as an MLlib
+    'at least 1 non zero entry' crash downstream)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
-    return F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(
+    return F.when(tokens.isNull() | (F.size(tokens) < n), F.array().cast("array<string>")).otherwise(
         F.transform(
             idx,
             lambda i: F.concat_ws(
@@ -107,9 +113,14 @@ def shingles(tokens: Column, n: int = 3) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Canonical document fingerprint: md5 over the sorted distinct token
-    set — key for exact near-canonical dedup."""
+    set — key for exact near-canonical dedup.
+
+    NULL text -> NULL fingerprint (concat_ws would silently turn a NULL
+    array into '' and merge NULL-text docs with empty-text docs)."""
     toks = tokenize(text)
-    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return F.when(
+        text.isNotNull(), F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    )
 
 
 def rolling_hashes(tokens: Column, n: int = 3) -> Column:

@@ -80,7 +80,11 @@ def extract_media_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [fake_decode_meta(b) for b in pdf["content"]]
+            # NULL payloads yield NULL metrics (a row, not a task crash)
+            decoded = [
+                fake_decode_meta(b) if b is not None else (None, None, None, None)
+                for b in pdf["content"]
+            ]
             out = pd.DataFrame(
                 decoded, columns=["n_bytes", "width", "height", "n_frames"]
             )

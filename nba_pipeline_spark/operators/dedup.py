@@ -171,7 +171,12 @@ def minhash_lsh_pairs_ml(
         .filter(F.size("sh") > 0)
     )
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 16)
-    feats = tf.transform(staged)
+    # localCheckpoint: approxSimilarityJoin re-derives its inputs and the
+    # optimizer can evaluate the LSH hash UDF on rows the size-filter
+    # later removes — an all-zero vector then crashes MLlib ('at least 1
+    # non zero entry'). Materializing the filtered features pins the
+    # evaluation order (and caches the double-scanned side of the join).
+    feats = tf.transform(staged).localCheckpoint(eager=True)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=n_hashes, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_dist")
@@ -273,7 +278,9 @@ def ngram_jaccard_pairs(
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = inter * F.lit(1.0) / union
+    # try_divide: two shingle-less docs give union=0 — NULL (dropped by
+    # the threshold filter), not an ANSI divide-by-zero job abort
+    jac = F.try_divide(inter * F.lit(1.0), union)
     return (
         a.join(b, cond)
         .select(

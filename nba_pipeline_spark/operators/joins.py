@@ -125,6 +125,10 @@ def asof_join(
     fields are NULL, so "latest right value is NULL" correctly yields
     NULL instead of resurrecting an older non-null value (a bare
     last(value, ignorenulls) can't tell those cases apart).
+
+    CONTRACT: the right side must be unique per (key, time) — multiple
+    right rows at the same instant make every as-of implementation's
+    pick arbitrary; pre-aggregate (e.g. max per key+time) first.
     """
     lt = left.withColumn("__tag", F.lit(1))
     rt = right.select(

@@ -53,8 +53,10 @@ register(
     "q_dedup_fingerprint",
     q_dedup_fingerprint,
     f"""
-    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
-    SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT CASE WHEN text IS NULL THEN NULL
+                ELSE md5(COALESCE(array_to_string(list_sort(list_distinct(toks)), ' '), ''))
+           END AS fp,
            min(doc_id) AS keep_id, count(*) AS n_dupes
     FROM t GROUP BY 1 HAVING count(*) > 1
     """,

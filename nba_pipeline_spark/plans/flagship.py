@@ -30,7 +30,14 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
 
-    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # money math in DECIMAL: price(2dp) and discount(2dp) are exact
+    # decimals, so the sum is EXACT on any engine in any order — the
+    # only way a grouped money sum stays hash-identical at 100 TB
+    # magnitudes, where double accumulation error exceeds any rounding
+    # grid (see SCALE.md). Cast to double only at the very end.
+    revenue = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
     seg = (
         F.when(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"), F.lit("industrial"))
         .otherwise(F.lit("consumer"))
@@ -45,7 +52,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("segment", seg)
         .groupBy("r_name", "segment")
         .agg(
-            F.round(F.sum(revenue), 4).alias("revenue"),
+            F.sum(revenue).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.desc("revenue"), F.asc("r_name"))
@@ -57,7 +64,9 @@ FLAGSHIP_ORACLE = """
 SELECT r_name,
        CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY') THEN 'industrial'
             ELSE 'consumer' END AS segment,
-       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -66,6 +75,6 @@ JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 GROUP BY 1, 2
-ORDER BY revenue DESC, r_name ASC
+ORDER BY revenue DESC NULLS LAST, r_name ASC NULLS FIRST
 LIMIT 20
 """

@@ -186,12 +186,17 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     or before its timestamp (union+window pattern: one shuffle on
     user_id, linear at scale — no per-row lookups)."""
     ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value").alias("purchase_value")
+    # one purchase row per (user, ts): as-of joins are ambiguous on
+    # right-side time ties (both engines pick arbitrarily) — dedupe to
+    # max(value) so query and oracle see the same unambiguous input
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
     out = OJ.asof_join(
         ev.select("event_id", "user_id", "ts", "event_type"),
-        purchases.withColumnsRenamed({"purchase_value": "value"}),
+        purchases,
         key="user_id",
         time_col="ts",
         value_cols=["value"],
@@ -208,7 +213,8 @@ register(
     """
     SELECT e.event_id, e.user_id, ROUND(p.value, 4) AS last_purchase_value
     FROM events e
-    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value FROM events
+                    WHERE event_type = 'purchase' GROUP BY user_id, ts) p
       ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
 )
@@ -254,14 +260,19 @@ register(
 
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # money sums in exact DECIMAL (order-independent at any scale; see
+    # flagship.py); qty is integral-valued (double-exact); avgs stay
+    # rounded doubles — their divisor makes decimal exactness moot
+    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
     return OA.grouped_agg(
         li,
         ["l_returnflag", "l_linestatus"],
         {
             "sum_qty": F.round(F.sum("l_quantity"), 4),
-            "sum_base_price": F.round(F.sum("l_extendedprice"), 4),
-            "sum_disc_price": F.round(F.sum(disc_price), 4),
+            "sum_base_price": F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"),
+            "sum_disc_price": F.sum(disc_price).cast("double"),
             "avg_qty": F.round(F.avg("l_quantity"), 4),
             "avg_price": F.round(F.avg("l_extendedprice"), 4),
             "count_order": F.count(F.lit(1)),
@@ -275,8 +286,10 @@ register(
     """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS sum_disc_price,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            COUNT(*) AS count_order

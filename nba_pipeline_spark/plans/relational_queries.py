@@ -477,7 +477,7 @@ register(
     "q_sort",
     q_sort,
     "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem "
-    "ORDER BY l_shipdate ASC, l_orderkey ASC",
+    "ORDER BY l_shipdate ASC NULLS FIRST, l_orderkey ASC NULLS FIRST",
 )
 
 
@@ -489,7 +489,7 @@ def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "q_limit",
     q_limit,
-    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey ASC LIMIT 10",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey ASC NULLS FIRST LIMIT 10",
 )
 
 
@@ -507,7 +507,7 @@ register(
     "q_topk",
     q_topk,
     "SELECT c_custkey, c_name, c_acctbal FROM customer "
-    "ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10",
+    "ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST LIMIT 10",
 )
 
 

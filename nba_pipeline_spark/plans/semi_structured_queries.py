@@ -43,8 +43,21 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "q_json_extract",
     q_json_extract,
-    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_path, "
-    "CAST(json_extract_string(props, '$.k') AS INT) AS k_typed FROM events",
+    # k_path models get_json_object+try_cast (string-encoded numbers OK,
+    # junk -> NULL); k_typed models from_json's strict typed parse (only
+    # JSON integer tokens populate an IntegerType field). json_valid
+    # guards keep DuckDB from raising on malformed JSON where Spark
+    # returns NULL rows.
+    """
+    SELECT event_id,
+           CASE WHEN json_valid(props)
+                     AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k_path,
+           CASE WHEN json_valid(props)
+                     AND json_type(props, '$.k') IN ('INTEGER', 'BIGINT', 'UBIGINT')
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k_typed
+    FROM events
+    """,
 )
 
 
@@ -53,8 +66,13 @@ register(
 def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = TX.tokenize(F.col("text"))
-    first3 = F.concat_ws("|", F.slice(toks, 1, 3))
-    total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("bigint")
+    not_null = F.col("text").isNotNull()
+    # NULL text -> NULL outputs (concat_ws would silently emit '' and
+    # aggregate-over-NULL semantics differ across engines)
+    first3 = F.when(not_null, F.concat_ws("|", F.slice(toks, 1, 3)))
+    total_chars = F.when(
+        not_null, F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("bigint")
+    )
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -75,8 +93,11 @@ register(
     SELECT doc_id,
            CAST(len(toks) AS INT) AS n_tokens,
            list_contains(toks, 'spark') AS has_spark,
-           array_to_string(toks[1:3], '|') AS first3,
-           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars
+           CASE WHEN toks IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(toks[1:3], '|'), '') END AS first3,
+           CASE WHEN toks IS NULL THEN NULL
+                ELSE COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT), 0)
+           END AS total_chars
     FROM t
     """,
 )

@@ -41,7 +41,7 @@ register(
              ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS sim6
       FROM embeddings, q WHERE vec_id <> {QUERY_ID})
     SELECT vec_id, ROUND(sim6, 4) AS sim FROM scored
-    ORDER BY sim6 DESC, vec_id ASC LIMIT {TOP_K}
+    ORDER BY sim6 DESC NULLS LAST, vec_id ASC NULLS FIRST LIMIT {TOP_K}
     """,
 )
 
@@ -68,7 +68,7 @@ register(
     asg AS (
       SELECT vec_id, v, cid,
              ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY ROUND(list_distance(v, cv), 6) ASC, cid ASC) AS rn
+                                ORDER BY ROUND(list_distance(v, cv), 6) ASC NULLS FIRST, cid ASC NULLS FIRST) AS rn
       FROM e CROSS JOIN c),
     cells AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
     q AS (SELECT v AS qv, cid AS qcid FROM cells WHERE vec_id = {QUERY_ID}),
@@ -77,6 +77,6 @@ register(
              ROUND(list_cosine_similarity(cells.v, q.qv), 6) AS sim6
       FROM cells, q WHERE cells.cid = q.qcid AND cells.vec_id <> {QUERY_ID})
     SELECT vec_id, ROUND(sim6, 4) AS sim FROM cand
-    ORDER BY sim6 DESC, vec_id ASC LIMIT {TOP_K}
+    ORDER BY sim6 DESC NULLS LAST, vec_id ASC NULLS FIRST LIMIT {TOP_K}
     """,
 )

@@ -24,8 +24,12 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def AGGS() -> dict:
-    # built lazily: Column construction needs an active SparkContext
-    return {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)}
+    # built lazily: Column construction needs an active SparkContext.
+    # sum in exact DECIMAL (order-independent; see flagship.py).
+    return {
+        "n": F.count(F.lit(1)),
+        "sum_value": F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+    }
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,7 +41,7 @@ register(
     q_stream_tumbling,
     """
     SELECT date_trunc('hour', ts) AS ws, event_type,
-           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -58,7 +62,7 @@ register(
              event_type, value
       FROM events
       CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
-    SELECT ws, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    SELECT ws, event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM expanded GROUP BY 1, 2
     """,
 )
@@ -80,14 +84,14 @@ register(
              CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST)
     ),
     islands AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM flagged)
-    SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM islands GROUP BY user_id, sid
     """,
 )

@@ -92,8 +92,10 @@ register(
                  * 1.0 / greatest(len(toks), 1), 4) AS stop_ratio,
            ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
                  * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
-           ROUND(list_sum(list_transform(toks, x -> length(x)))
-                 * 1.0 / greatest(len(toks), 1), 4) AS mean_tok_len
+           CASE WHEN toks IS NULL THEN NULL
+                ELSE ROUND(COALESCE(list_sum(list_transform(toks, x -> length(x))) * 1.0, 0.0)
+                           / greatest(len(toks), 1), 4)
+           END AS mean_tok_len
     FROM t
     """,
 )
@@ -121,7 +123,8 @@ register(
                  {_marker_hits('es')} AS es_h, {_marker_hits('fr')} AS fr_h
           FROM t)
     SELECT doc_id, lang,
-           CASE WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'und'
+           CASE WHEN de_h IS NULL THEN 'und'
+                WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'und'
                 WHEN de_h = greatest(de_h, en_h, es_h, fr_h) THEN 'de'
                 WHEN en_h = greatest(de_h, en_h, es_h, fr_h) THEN 'en'
                 WHEN es_h = greatest(de_h, en_h, es_h, fr_h) THEN 'es'
@@ -141,6 +144,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "q_fingerprint",
     q_fingerprint,
-    f"SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ')) AS fp "
-    "FROM documents",
+    # COALESCE: DuckDB array_to_string([]) is NULL while Spark concat_ws
+    # of an empty array is '' — empty docs must fingerprint as md5('')
+    # on both engines; NULL text stays NULL.
+    f"""
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE md5(COALESCE(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' '), ''))
+           END AS fp
+    FROM documents
+    """,
 )

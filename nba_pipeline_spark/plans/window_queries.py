@@ -39,7 +39,7 @@ register(
     q_win_running_sum,
     """
     SELECT event_id, user_id,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
              AS running_value
     FROM events
@@ -66,7 +66,7 @@ register(
       SELECT event_id, user_id, event_type,
              ROW_NUMBER() OVER w AS rn
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     )
     SELECT event_id, user_id,
            1 + CAST(SUM(CASE WHEN rn <> 1 AND event_type = 'signup' THEN 1 ELSE 0 END)
@@ -96,7 +96,7 @@ register(
     SELECT event_id, user_id,
            ROUND(COALESCE(
              LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
              0.0), 4) AS filled_value
     FROM events
@@ -132,7 +132,7 @@ register(
              COALESCE(
                LAST_VALUE(CASE WHEN event_type = 'signup' THEN 0
                                WHEN event_type = 'error' THEN 1 END IGNORE NULLS)
-                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                1) AS flag
       FROM events
@@ -165,7 +165,7 @@ register(
            CAST(RANK() OVER w AS INT) AS bal_rank,
            CAST(DENSE_RANK() OVER w AS INT) AS bal_dense
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC NULLS LAST)
     """,
 )
 
@@ -181,7 +181,7 @@ register(
     q_win_lag,
     """
     SELECT event_id, user_id,
-           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST), 4)
              AS delta
     FROM events
     """,
@@ -209,7 +209,7 @@ register(
     """
     SELECT c_custkey, c_nationkey,
            CAST(NTILE(4) OVER (PARTITION BY c_nationkey
-                               ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS bal_quartile
+                               ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST) AS INT) AS bal_quartile
     FROM customer
     """,
 )
@@ -242,7 +242,7 @@ register(
            ROUND(FIRST_VALUE(value) OVER w, 4) AS first_value,
            ROUND(LAST_VALUE(value) OVER w, 4) AS latest_value
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
@@ -271,7 +271,7 @@ register(
            ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
            ROUND(CUME_DIST() OVER w, 6) AS bal_cume
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC)
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC NULLS FIRST)
     """,
 )
 
@@ -304,7 +304,7 @@ register(
            LEAD(o_orderdate) OVER w AS valid_to,
            CAST(LEAD(o_orderkey) OVER w IS NULL AS INT) AS is_current
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST)
     """,
 )
 
@@ -370,6 +370,6 @@ def q_win_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "q_win_ordinal",
     q_win_ordinal,
-    "SELECT o_orderkey, CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS INT) AS seq_id "
+    "SELECT o_orderkey, CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST) AS INT) AS seq_id "
     "FROM orders",
 )

@@ -1,0 +1,64 @@
+"""Stage an adversarial testdata dir at /tmp/adversarial_sf.
+
+Documents with NULL/empty/sub-shingle texts and events with junk JSON —
+the data shapes the synthetic testdata never produces but real corpora
+do. Run the full gate against it:
+
+    python tools/make_adversarial.py
+    python tools/local_verify.py /tmp/adversarial_sf
+
+Found in round 1: ANSI divide-by-zero in jaccard, NULL-text crashes in
+mapInPandas, concat_ws('')-vs-NULL fingerprint divergence, DuckDB
+TRY_CAST('3.5' AS INT)=4 vs Spark NULL, NULL-token shingle arrays
+crashing MLlib MinHashLSH.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+
+BASE = "/root/testdata/sf0.001"
+DEST = "/tmp/adversarial_sf"
+
+DOCS = [
+    (0, None, "en", "s0", 0),
+    (1, "", "en", "s0", 0),
+    (2, "one", "en", "s0", 3),
+    (3, "two words", "en", "s0", 9),
+    (4, "tiny doc", "en", "s0", 8),
+    (5, "the quick brown fox jumps over the lazy dog near the old mill house today", "en", "s1", 74),
+    (6, "the quick brown fox jumps over the lazy dog near the old mill house today", "en", "s1", 74),
+]
+
+EVENTS = [
+    (0, "2024-01-01 00:00:01", 1, "click", 10.5, '{"k": 87}'),
+    (1, "2024-01-01 00:00:02", 1, "purchase", 20.0, '{"k": "7"}'),
+    (2, "2024-01-01 00:00:03", 1, "error", 1.0, '{"k": "abc"}'),
+    (3, "2024-01-01 00:00:04", 2, "view", 5.0, "not json at all"),
+    (4, "2024-01-01 00:00:05", 2, "signup", 7.25, '{"k": 3.5}'),
+]
+
+
+def main() -> None:
+    shutil.rmtree(DEST, ignore_errors=True)
+    os.makedirs(DEST)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "embeddings"]:
+        os.symlink(f"{BASE}/{t}.parquet", f"{DEST}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", DOCS)
+    con.execute(f"COPY d TO '{DEST}/documents.parquet' (FORMAT PARQUET)")
+    con.execute(
+        "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?,?,?,?)", EVENTS)
+    con.execute(f"COPY e TO '{DEST}/events.parquet' (FORMAT PARQUET)")
+    print(f"staged {DEST}")
+
+
+if __name__ == "__main__":
+    main()
