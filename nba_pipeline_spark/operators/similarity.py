@@ -20,6 +20,14 @@ Two paths:
 Determinism contract for hash-compared results: order by the SCORE
 ROUNDED to 6dp with the id as tiebreak, so last-bit float divergence
 across engines cannot flip the top-k set.
+
+Literature (PAPERS.md corpus): the incremental/banded pruning stance —
+score cheaply first, probe only a shrinking candidate set — follows the
+top-k similarity-search line of work (e.g. "Incremental Based Framework
+for Efficient Top-K Similarity Search", EDBT 2020; distributed top-k
+search with local reference points, ICDE 2021). The IVF cell layout is
+the standard inverted-file ANN design, mapped here onto Spark partition
+pruning.
 """
 
 from __future__ import annotations
