@@ -57,7 +57,15 @@ def main() -> None:
     # the headline plan shapes and the Python/Arrow worker pool. Warmup is
     # excluded from timings — the bench measures steady-state latency.
     warm_dir = "/root/testdata/sf0.001"
-    for warm_q in ("q_flagship", "q_multimodal_meta", "q_stream_session", "q_dedup_minhash"):
+    for warm_q in (
+        "q_flagship",
+        "q_multimodal_meta",
+        "q_stream_session",
+        "q_dedup_minhash",
+        "q_dedup_embedding",
+        "q_join_asof",
+        "q_text_tokens",
+    ):
         try:
             REGISTRY[warm_q].fn(spark, warm_dir).count()
         except Exception:

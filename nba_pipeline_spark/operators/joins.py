@@ -131,11 +131,18 @@ def asof_join(
     pick arbitrary; pre-aggregate (e.g. max per key+time) first.
     """
     lt = left.withColumn("__tag", F.lit(1))
-    rt = right.select(
-        key,
-        time_col,
-        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__asof_payload"),
-    ).withColumn("__tag", F.lit(0))
+    # NULL-key right rows are dropped: an equi as-of (ON l.key = r.key)
+    # never matches NULL = NULL, but a window PARTITION BY groups NULL
+    # keys together and would wrongly serve them to NULL-key left rows.
+    rt = (
+        right.filter(F.col(key).isNotNull())
+        .select(
+            key,
+            time_col,
+            F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__asof_payload"),
+        )
+        .withColumn("__tag", F.lit(0))
+    )
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)

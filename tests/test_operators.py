@@ -151,6 +151,18 @@ def test_asof_join_latest_value_null_stays_null(spark):
     assert out.collect()[0]["asof_v"] is None
 
 
+def test_asof_join_null_keys_never_match(spark):
+    # SQL equi as-of never matches NULL = NULL; the window impl must not
+    # serve NULL-key right rows to NULL-key left rows
+    left = spark.createDataFrame([(None, 10, "eN"), (1, 10, "e1")], "uid long, t long, ev string")
+    right = spark.createDataFrame(
+        [(None, 5, 666.0), (1, 5, 100.0)], "uid long, t long, v double"
+    )
+    out = asof_join(left, right, key="uid", time_col="t", value_cols=["v"])
+    got = {r["ev"]: r["asof_v"] for r in out.collect()}
+    assert got == {"eN": None, "e1": 100.0}
+
+
 def test_salted_join_rejects_outer(spark):
     import pytest as _pytest
 
