@@ -185,7 +185,10 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each event, the most recent purchase value by the same user at
     or before its timestamp (union+window pattern: one shuffle on
     user_id, linear at scale — no per-row lookups)."""
-    ev = _t(spark, sf_dir, "events")
+    # NULL-ts rows are excluded on both sides: an event without a
+    # timestamp has no "as of" instant (engines disagree on NULL-time
+    # ASOF matching).
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     # one purchase row per (user, ts): as-of joins are ambiguous on
     # right-side time ties (both engines pick arbitrarily) — dedupe to
     # max(value) so query and oracle see the same unambiguous input
@@ -212,9 +215,10 @@ register(
     q_join_asof,
     """
     SELECT e.event_id, e.user_id, ROUND(p.value, 4) AS last_purchase_value
-    FROM events e
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
     ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value FROM events
-                    WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+                    WHERE event_type = 'purchase' AND ts IS NOT NULL
+                    GROUP BY user_id, ts) p
       ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
 )

@@ -292,13 +292,15 @@ register(
     q_str_time,
     """
     WITH g AS (
+      -- || not CONCAT: DuckDB's CONCAT skips NULL args while Spark's
+      -- propagates them; NULL user_id must yield t = NULL on both sides
       SELECT event_id,
-             CONCAT(CAST(user_id % 12 AS VARCHAR), ':',
-                    LPAD(CAST(event_id % 60 AS VARCHAR), 2, '0'), '.0') AS t
+             CAST(user_id % 12 AS VARCHAR) || ':' ||
+             LPAD(CAST(event_id % 60 AS VARCHAR), 2, '0') || '.0' AS t
       FROM events)
     SELECT event_id, t,
-           CAST(split_part(t, ':', 1) AS INT) * 60
-             + CAST(split_part(split_part(t, ':', 2), '.', 1) AS INT) AS secs
+           TRY_CAST(split_part(t, ':', 1) AS INT) * 60
+             + TRY_CAST(split_part(split_part(t, ':', 2), '.', 1) AS INT) AS secs
     FROM g
     """,
 )

@@ -42,7 +42,7 @@ register(
     """
     SELECT date_trunc('hour', ts) AS ws, event_type,
            COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 
@@ -61,7 +61,8 @@ register(
       SELECT make_timestamp(CAST((FLOOR(epoch(ts) / 900) * 900 - k * 900) * 1000000 AS BIGINT)) AS ws,
              event_type, value
       FROM events
-      CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+      WHERE ts IS NOT NULL)
     SELECT ws, event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM expanded GROUP BY 1, 2
     """,
@@ -84,6 +85,7 @@ register(
              CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST)
     ),
     islands AS (

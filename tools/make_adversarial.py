@@ -39,6 +39,10 @@ EVENTS = [
     (2, "2024-01-01 00:00:03", 1, "error", 1.0, '{"k": "abc"}'),
     (3, "2024-01-01 00:00:04", 2, "view", 5.0, "not json at all"),
     (4, "2024-01-01 00:00:05", 2, "signup", 7.25, '{"k": 3.5}'),
+    # NULL key / value / props / timestamp shapes
+    (5, "2024-01-01 00:00:06", None, "click", 2.0, None),
+    (6, "2024-01-01 00:00:07", 2, "purchase", None, '{"k": 1}'),
+    (7, None, 1, "view", 3.0, '{"k": 2}'),
 ]
 
 
