@@ -46,12 +46,53 @@ EVENTS = [
 ]
 
 
+CUSTOMERS = [
+    (1, "alpha", 0, 100.5, "BUILDING"),
+    (2, "beta", 1, None, "MACHINERY"),      # NULL acctbal
+    (3, "gamma", None, 50.0, None),          # NULL nationkey + segment
+    (4, "delta", 2, -10.0, "FURNITURE"),
+]
+
+ORDERS = [
+    (10, 1, "F", 1000.0, "1997-03-01", "1-URGENT"),
+    (11, 2, "O", None, "1997-06-15", "2-HIGH"),      # NULL totalprice
+    (12, None, "P", 500.0, None, None),               # NULL custkey + date
+    (13, 1, None, 750.0, "1998-01-05", "3-MEDIUM"),  # NULL status
+]
+
+LINEITEM = [
+    (10, 1, 1, 1, 5.0, 100.25, 0.05, 0.02, "A", "F", "1997-03-05"),
+    (10, 2, 1, 2, None, 200.50, 0.10, 0.10, "N", "O", "1997-03-06"),   # NULL qty
+    (11, 3, 2, 1, 3.0, None, None, 0.03, None, "F", None),             # NULL price/disc/flag/ship
+    (12, 4, 2, 1, 30.0, 50.75, 0.00, None, "R", None, "1997-07-01"),   # NULL tax/status
+]
+
+
 def main() -> None:
     shutil.rmtree(DEST, ignore_errors=True)
     os.makedirs(DEST)
-    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "embeddings"]:
+    for t in ["region", "nation", "supplier", "part", "embeddings"]:
         os.symlink(f"{BASE}/{t}.parquet", f"{DEST}/{t}.parquet")
     con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE c (c_custkey BIGINT, c_name VARCHAR, c_nationkey INTEGER, "
+        "c_acctbal DOUBLE, c_mktsegment VARCHAR)"
+    )
+    con.executemany("INSERT INTO c VALUES (?,?,?,?,?)", CUSTOMERS)
+    con.execute(f"COPY c TO '{DEST}/customer.parquet' (FORMAT PARQUET)")
+    con.execute(
+        "CREATE TABLE o (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority VARCHAR)"
+    )
+    con.executemany("INSERT INTO o VALUES (?,?,?,?,?,?)", ORDERS)
+    con.execute(f"COPY o TO '{DEST}/orders.parquet' (FORMAT PARQUET)")
+    con.execute(
+        "CREATE TABLE li (l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+        "l_linenumber INTEGER, l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, "
+        "l_tax DOUBLE, l_returnflag VARCHAR, l_linestatus VARCHAR, l_shipdate TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO li VALUES (?,?,?,?,?,?,?,?,?,?,?)", LINEITEM)
+    con.execute(f"COPY li TO '{DEST}/lineitem.parquet' (FORMAT PARQUET)")
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)")
     con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", DOCS)
     con.execute(f"COPY d TO '{DEST}/documents.parquet' (FORMAT PARQUET)")
