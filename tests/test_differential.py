@@ -1,0 +1,105 @@
+"""Randomized differential tests: the order-dependent operators vs
+DuckDB on seeded random frames (stronger than fixtures — hundreds of
+random shapes, ties, NULL patterns).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nba_pipeline_spark.operators.joins import asof_join
+from nba_pipeline_spark.operators.windows import forward_fill, running_count_with_reset
+
+SEEDS = [7, 42, 1234]
+
+
+def _rand_events(rng: np.random.Generator, n: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n),
+            "seq": np.arange(n),
+            "v": np.where(rng.random(n) < 0.3, np.nan, rng.integers(0, 50, n).astype(float)),
+            "reset": rng.random(n) < 0.2,
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_forward_fill_matches_duckdb(spark, seed):
+    pdf = _rand_events(np.random.default_rng(seed), 60)
+    df = spark.createDataFrame(pdf.astype({"k": int, "seq": int}))
+    got = (
+        forward_fill(df, ["k"], ["seq"], F.col("v"), "f", default=-1.0)
+        .select("k", "seq", "f")
+        .toPandas()
+        .sort_values(["k", "seq"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        """
+        SELECT k, seq, COALESCE(LAST_VALUE(v IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS f
+        FROM t ORDER BY k, seq
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()), check_exact=True)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_running_reset_matches_duckdb(spark, seed):
+    pdf = _rand_events(np.random.default_rng(seed), 60)
+    df = spark.createDataFrame(pdf.astype({"k": int, "seq": int}))
+    got = (
+        running_count_with_reset(df, ["k"], ["seq"], F.col("reset"), "period")
+        .select("k", "seq", "period")
+        .toPandas()
+        .sort_values(["k", "seq"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        """
+        WITH s AS (SELECT k, seq, reset, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq) AS rn FROM t)
+        SELECT k, seq, 1 + SUM(CASE WHEN rn <> 1 AND reset THEN 1 ELSE 0 END) OVER
+          (PARTITION BY k ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS period
+        FROM s ORDER BY k, seq
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()), check_exact=True)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_asof_matches_duckdb_native(spark, seed):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 40).astype(int),
+            "t": rng.choice(np.arange(0, 100), 40, replace=False).astype(int),
+            "lid": np.arange(40),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 15).astype(int),
+            "t": rng.choice(np.arange(0, 100), 15, replace=False).astype(int),
+            "v": rng.integers(0, 1000, 15).astype(float),
+        }
+    )
+    got = (
+        asof_join(spark.createDataFrame(left), spark.createDataFrame(right), "k", "t", ["v"])
+        .select("lid", "asof_v")
+        .toPandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute(
+        "SELECT l.lid, r.v AS asof_v FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.t ORDER BY lid"
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()), check_exact=True)
