@@ -191,6 +191,60 @@ def minhash_lsh_pairs_ml(
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str, id_col: str, hamming_max: int = 3
+) -> DataFrame:
+    """Tier 4b: near-duplicate pairs from SimHash via banded buckets.
+
+    The 16-bit simhash splits into 4 nibbles; by pigeonhole, any pair
+    within Hamming distance 3 shares at least one exact nibble — so
+    candidates come from an equi-join on (band, nibble) buckets (same
+    bucket-local pair generation as MinHash LSH, O(docs×4) shuffle rows)
+    and are verified with an exact popcount. Never O(docs²).
+
+    16 bits is the oracle-replayable demo width; on a homogeneous corpus
+    its nibble buckets are dense (many candidates). Production uses the
+    same shape at 64 bits (4×16-bit bands), where buckets are sparse and
+    the hamming verify prunes hard.
+    """
+    sims = simhash16(df, text_col, id_col)
+    nibbles = F.array(
+        *[F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15)) for b in range(4)]
+    )
+    bands = sims.select(F.col(id_col), F.posexplode(nibbles).alias("band", "nib"))
+    buckets = (
+        bands.groupBy("band", "nib")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda a: F.transform(
+                    F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    a = sims.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
+    b = sims.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3, window: int = 4
 ) -> DataFrame:

@@ -140,6 +140,34 @@ def _simhash_oracle() -> str:
 register("q_dedup_simhash", q_dedup_simhash, _simhash_oracle())
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return OD.simhash_neardup_pairs(_docs(spark, sf_dir), "text", "doc_id", hamming_max=3)
+
+
+def _simhash_pairs_oracle() -> str:
+    base = _simhash_oracle().strip().rstrip()
+    # reuse the per-doc simhash CTE, then band nibbles -> buckets -> verify
+    inner = base.replace("SELECT doc_id, CAST(", "SELECT doc_id, CAST(", 1)
+    return f"""
+    WITH sim AS ({inner}),
+    bands AS (
+      SELECT doc_id, b.b AS band, (simhash >> (4 * b.b)) & 15 AS nib
+      FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.band = c.band AND a.nib = c.nib AND a.doc_id < c.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand
+    JOIN sim sa ON cand.id_a = sa.doc_id
+    JOIN sim sb ON cand.id_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """
+
+
+register("q_dedup_simhash_pairs", q_dedup_simhash_pairs, _simhash_pairs_oracle())
+
+
 # --- tier 5a: blocked n-gram jaccard ------------------------------------------
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

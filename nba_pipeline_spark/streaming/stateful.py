@@ -58,6 +58,52 @@ def _apply(
     state.update((rows_seen, counter))
 
 
+FFILL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("game_id", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("filled", T.DoubleType()),
+    ]
+)
+
+FFILL_STATE_SCHEMA = T.StructType([T.StructField("last_value", T.DoubleType())])
+
+
+def _ffill_apply(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (last,) = state.get if state.exists else (None,)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("seq")
+        filled = []
+        for v in pdf["v"]:
+            if v is not None and not pd.isna(v):
+                last = float(v)
+            filled.append(last)
+        yield pd.DataFrame(
+            {"game_id": pdf["game_id"].values, "seq": pdf["seq"].values, "filled": filled}
+        )
+    state.update((last,))
+
+
+def streaming_forward_fill(events: DataFrame) -> DataFrame:
+    """T7: the score forward-fill (W2, playByplay.py:43-65) as a
+    continuous stream — last non-null value per key carries across
+    micro-batches. Input: (game_id, seq, v); output (game_id, seq,
+    filled) with NULL before the first value (apply a COALESCE default
+    downstream, matching the batch operator's ``default``)."""
+    from ..session import tune
+
+    tune(events.sparkSession)
+    return events.groupBy("game_id").applyInPandasWithState(
+        _ffill_apply,
+        outputStructType=FFILL_OUTPUT_SCHEMA,
+        stateStructType=FFILL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_period_counter(events: DataFrame) -> DataFrame:
     """Input: streaming frame with (game_id, seq, is_reset boolean).
     Output: (game_id, seq, period) — continuous W1 semantics."""

@@ -79,6 +79,39 @@ def staged_pbp_stream(spark, tmp_path):
     return d
 
 
+def test_stateful_forward_fill_across_batches(spark, tmp_path):
+    from nba_pipeline_spark.streaming.stateful import streaming_forward_fill
+
+    b1 = [("g1", 1, 5.0), ("g1", 2, None)]
+    b2 = [("g1", 3, None), ("g1", 4, 9.0), ("g2", 5, None)]
+    d = str(tmp_path / "ffill_stream")
+    os.makedirs(d)
+    for i, rows in enumerate([b1, b2]):
+        sub = f"{d}/w{i}"
+        spark.createDataFrame(rows, "game_id string, seq long, v double").coalesce(1).write.parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(f"{sub}/{part}", f"{d}/{i:03d}.parquet")
+        shutil.rmtree(sub)
+        os.utime(f"{d}/{i:03d}.parquet", (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema("game_id string, seq long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        streaming_forward_fill(stream)
+        .writeStream.format("memory")
+        .queryName("t_ffill_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["game_id"], r["seq"]): r["filled"] for r in spark.table("t_ffill_state").collect()}
+    # seq 3 is in batch 2 but carries the value from batch 1 (state!)
+    assert got == {("g1", 1): 5.0, ("g1", 2): 5.0, ("g1", 3): 5.0, ("g1", 4): 9.0, ("g2", 5): None}
+
+
 def test_stateful_period_counter_across_batches(spark, staged_pbp_stream):
     stream = (
         spark.readStream.schema("game_id string, seq long, is_reset boolean")
