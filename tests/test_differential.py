@@ -74,6 +74,43 @@ def test_running_reset_matches_duckdb(spark, seed):
 
 
 @pytest.mark.parametrize("seed", SEEDS)
+def test_marker_fill_matches_duckdb(spark, seed):
+    from nba_pipeline_spark.operators.windows import marker_flag_fill
+
+    rng = np.random.default_rng(seed)
+    n = 50
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n).astype(int),
+            "seq": np.arange(n),
+            "tag": rng.choice(["row", "row", "row", "MARK0", "MARK1"], n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        marker_flag_fill(
+            df, ["k"], ["seq"], {"MARK0": 0, "MARK1": 1}, "tag", "flag", first_default=1
+        )
+        .select("k", "seq", "flag")
+        .toPandas()
+        .sort_values(["k", "seq"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        """
+        WITH f AS (
+          SELECT k, seq, tag, COALESCE(LAST_VALUE(
+            CASE WHEN tag = 'MARK0' THEN 0 WHEN tag = 'MARK1' THEN 1 END IGNORE NULLS)
+            OVER (PARTITION BY k ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1) AS flag
+          FROM t)
+        SELECT k, seq, flag FROM f WHERE tag NOT IN ('MARK0','MARK1') ORDER BY k, seq
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()), check_exact=True)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
 def test_asof_matches_duckdb_native(spark, seed):
     rng = np.random.default_rng(seed)
     left = pd.DataFrame(
