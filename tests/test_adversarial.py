@@ -31,6 +31,8 @@ QUERIES = [
     "q_token_count",
     "q_multimodal_meta",
     "q_multimodal_frames",
+    "q_cdc_upsert",
+    "q_cdc_changelog",
 ]
 
 
