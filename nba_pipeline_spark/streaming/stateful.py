@@ -117,3 +117,77 @@ def streaming_period_counter(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_available() -> bool:
+    """transformWithState's Python runner speaks protobuf to the JVM;
+    without the `google.protobuf` package the driver worker crashes at
+    init. Probe so callers/tests can fall back to
+    ``applyInPandasWithState`` in slim environments."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_period_counter_tws(events: DataFrame) -> DataFrame:
+    """Same W1 semantics on Spark 4's ``transformWithStateInPandas``
+    (the successor API: typed per-key state via a StatefulProcessor,
+    RocksDB state store required). Kept alongside the
+    ``applyInPandasWithState`` version so both stateful surfaces stay
+    exercised; results must be identical (asserted by
+    tests/test_udfs_stateful.py, which skips where `tws_available()`
+    is False — the runner needs `google.protobuf` at runtime).
+
+    Scale notes: state here is a ValueState holding one (rows_seen,
+    counter) pair per key — RocksDB keeps it off-heap and incrementally
+    checkpointed, which is the 100 TB-state story applyInPandasWithState
+    (HDFS-backed full snapshots) lacks.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessorHandle
+
+    from ..session import tune
+
+    tune(events.sparkSession)
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class PeriodCounterProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("counter", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            rows_seen, counter = (
+                self._state.get() if self._state.exists() else (0, 1)
+            )
+            for pdf in rows:
+                pdf = pdf.sort_values("seq")
+                periods = []
+                for is_reset in pdf["is_reset"]:
+                    if rows_seen > 0 and is_reset:
+                        counter += 1
+                    rows_seen += 1
+                    periods.append(counter)
+                yield pd.DataFrame(
+                    {
+                        "game_id": pdf["game_id"].values,
+                        "seq": pdf["seq"].values,
+                        "period": periods,
+                    }
+                )
+            self._state.update((rows_seen, counter))
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("game_id").transformWithStateInPandas(
+        PeriodCounterProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -144,3 +144,56 @@ def test_stateful_period_counter_across_batches(spark, staged_pbp_stream):
     assert got == want
     # the cross-batch carry: g1 seq4 reset AFTER first row -> period 2
     assert got[("g1", 4)] == 2 and got[("g2", 6)] == 1
+
+
+def test_transform_with_state_plan_builds(spark, staged_pbp_stream):
+    """The transformWithStateInPandas plan analyzes (schema + streaming
+    flag) regardless of whether the protobuf runtime is present — only
+    query START needs the Python runner."""
+    from nba_pipeline_spark.streaming.stateful import streaming_period_counter_tws
+
+    stream = (
+        spark.readStream.schema("game_id string, seq long, is_reset boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_pbp_stream)
+    )
+    out = streaming_period_counter_tws(stream)
+    assert out.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("game_id", "string"), ("seq", "bigint"), ("period", "bigint")
+    ]
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, staged_pbp_stream):
+    """Spark 4 transformWithStateInPandas produces the same result as the
+    applyInPandasWithState version, including cross-batch state carry."""
+    from nba_pipeline_spark.streaming.stateful import (
+        streaming_period_counter_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed; transformWithState runner needs it")
+
+    stream = (
+        spark.readStream.schema("game_id string, seq long, is_reset boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_pbp_stream)
+    )
+    q = (
+        streaming_period_counter_tws(stream)
+        .writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["game_id"], r["seq"]): r["period"] for r in spark.table("t_tws").collect()
+    }
+    assert got == {
+        ("g1", 1): 1, ("g1", 2): 1, ("g1", 3): 1,
+        ("g1", 4): 2, ("g1", 5): 2,  # cross-batch: reset counted from state
+        ("g2", 6): 1, ("g2", 7): 1,
+    }
