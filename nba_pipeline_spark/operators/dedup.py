@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokenize
 from ..functions.vectors import dot, dot_fixed, norm, to_double_array
+from .partitioning import fan_out
 
 HEX = "0123456789abcdef"
 
@@ -106,14 +107,16 @@ def minhash_lsh_pairs(
     are produced in ONE narrow pass over the scan — posexplode of an
     in-row band array, not a union of b branches each re-reading the
     corpus, and no bands⋈bands self-join re-scanning both sides (the
-    first version did both: 56 s at sf0.1; this one ~3 s). The only
+    first version did both: 56 s at sf0.1; this one ~3 s). `fan_out`
+    spreads a single-row-group scan across cores before the signature
+    projection (no-op on real multi-partition scans). The only other
     shuffle is the groupBy(band, sig); candidate pairs are generated
     row-locally inside each bucket, so total work is
     O(docs × bands + Σ bucket²) with near-dup-sized buckets — never
     O(docs²). Pathologically hot buckets (boilerplate) should be capped
     upstream by dropping sigs with bucket counts over a threshold.
     """
-    sigs = with_minhash_signatures(df, text_col, id_col, n_hashes)
+    sigs = with_minhash_signatures(fan_out(df), text_col, id_col, n_hashes)
     n_bands = n_hashes // band_rows
     # Null-propagating concat: a doc with no shingles gets NULL band sigs,
     # filtered AFTER the generate on the cheap attribute — filtering on
@@ -353,6 +356,7 @@ def embedding_neardup_pairs(
     block_cols: list[str],
     threshold: float,
     dims: int | None = None,
+    broadcast_build: bool = False,
 ) -> DataFrame:
     """Tier 5b: cosine near-duplicates within blocks (label / IVF cell).
 
@@ -360,13 +364,25 @@ def embedding_neardup_pairs(
     product is unrolled into a codegen-compiled flat sum (same float
     order as the HOF path — bit-compatible); without it, falls back to
     interpreted higher-order functions.
+
+    ``broadcast_build=True`` is the small-corpus fast path: broadcast
+    the build side and fan the probe side across cores. A sort-merge
+    self-join on low-cardinality block keys lands in as many tasks as
+    there are DISTINCT BLOCKS (then AQE byte-coalesces tiny partitions
+    to ONE task while each pair still costs a 64-term dot) — the
+    broadcast plan keeps probe parallelism at fan_out width with zero
+    shuffle. Leave False when the corpus doesn't fit an executor; the
+    blocked SMJ is the 100 TB path (parallelism = #blocks, which is
+    large at scale).
     """
     # Norms are per-ROW quantities: materialize them before the pair
     # join so each is computed n times, not n² times per pair.
     docs = df.select(
         F.col(id_col), *block_cols, to_double_array(F.col(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
-    a, b = docs.alias("a"), docs.alias("b")
+    probe = fan_out(docs) if broadcast_build else docs
+    a = probe.alias("a")
+    b = (F.broadcast(docs) if broadcast_build else docs).alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))

@@ -225,7 +225,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return OD.embedding_neardup_pairs(
-        emb, "embedding", "vec_id", block_cols=["label"], threshold=0.3
+        emb, "embedding", "vec_id", block_cols=["label"], threshold=0.3,
+        broadcast_build=True,
     )
 
 
