@@ -16,14 +16,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import fan_out
 from ..session import tune
 from ..sources import load_table
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    lineitem = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    # fan_out: the bench file is one row group -> one scan partition,
+    # which would serialize the whole probe-side pipeline on one core.
+    # No-op on a real multi-partition lake scan (see partitioning.py).
+    lineitem = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+        )
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
