@@ -33,6 +33,7 @@ HEADLINE = [
     "q_text_tokens",
     "q_token_count",
     "q_fingerprint",
+    "q_corpus_pipeline",
     "q_dedup_minhash",
     "q_dedup_embedding",
     "q_cosine_topk",
@@ -65,6 +66,7 @@ def main() -> None:
         "q_dedup_embedding",
         "q_join_asof",
         "q_text_tokens",
+        "q_corpus_pipeline",
     ):
         try:
             REGISTRY[warm_q].fn(spark, warm_dir).count()

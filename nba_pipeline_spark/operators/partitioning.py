@@ -21,10 +21,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def under_parallelized(df: DataFrame, min_parts: int | None = None) -> bool:
+    """True when the plan yields fewer partitions than the cluster can
+    run in parallel — the trigger for `fan_out` and for pinning
+    computed projections against filter push-through (see
+    plans/corpus_queries.py)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.rdd.getNumPartitions() < target
+
+
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition up to `min_parts` (default: defaultParallelism) when
     the current plan has fewer partitions; unchanged otherwise."""
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if not under_parallelized(df, min_parts):
         return df
-    return df.repartition(target)
+    return df.repartition(
+        min_parts or df.sparkSession.sparkContext.defaultParallelism
+    )

@@ -33,6 +33,7 @@ QUERIES = [
     "q_multimodal_frames",
     "q_cdc_upsert",
     "q_cdc_changelog",
+    "q_corpus_pipeline",
 ]
 
 
