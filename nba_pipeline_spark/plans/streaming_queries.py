@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from ..session import tune
-from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
+from ..streaming.windows import interval_join, session_agg, sliding_agg, tumbling_agg
 from .queries import register
 
 
@@ -95,5 +95,37 @@ register(
       FROM flagged)
     SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM islands GROUP BY user_id, sid
+    """,
+)
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 batch form: purchases attributed to clicks by the same user in
+    the preceding 10 minutes, rolled up per user. The identical
+    interval_join plan runs as a stream-stream join in
+    tests/test_streaming.py (batch/stream equivalence)."""
+    ev = _ev(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    joined = interval_join(purchases, clicks, "user_id", "ts", "ts", "10 MINUTES")
+    return joined.groupBy(F.col("l_user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.countDistinct("r_event_id").alias("n_clicks"),
+        F.sum(F.col("l_value").cast("decimal(18,4)")).cast("double").alias("attributed_value"),
+    )
+
+
+register(
+    "q_stream_interval_join",
+    q_stream_interval_join,
+    """
+    SELECT p.user_id AS user_id, COUNT(*) AS n_attributed,
+           COUNT(DISTINCT c.event_id) AS n_clicks,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY 1
     """,
 )

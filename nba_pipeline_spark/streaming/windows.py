@@ -103,6 +103,46 @@ def streaming_dedup(df: DataFrame, keys: list[str], ts_col: str, delay: str) -> 
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T8: stream-stream inner join — each left event matched to right
+    events of the same key with ``right_ts`` in
+    ``[left_ts - lookback, left_ts]`` (closed interval).
+
+    The time-range predicate plus both watermarks is what lets Spark
+    BOUND the join state: right rows older than
+    (watermark + lookback) behind max event time are evicted, so a
+    100 TB replay holds a sliding-horizon's worth of state, not the
+    whole stream. Columns from each side come back prefixed ``l_`` /
+    ``r_`` (a self-join of one events stream would otherwise collide).
+
+    The same plan runs in batch (withWatermark is a batch no-op) —
+    tests assert stream output == the batch join row-for-row.
+    """
+    # Rename BEFORE attaching the watermark so the event-time column the
+    # join condition references is exactly the watermarked attribute.
+    l = left.select(*[F.col(c).alias(f"l_{c}") for c in left.columns]).withWatermark(
+        f"l_{left_ts}", watermark
+    )
+    r = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns]).withWatermark(
+        f"r_{right_ts}", watermark
+    )
+    lt, rt = F.col(f"l_{left_ts}"), F.col(f"r_{right_ts}")
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (rt >= lt - F.expr(f"INTERVAL {lookback}"))
+        & (rt <= lt)
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

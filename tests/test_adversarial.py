@@ -34,6 +34,7 @@ QUERIES = [
     "q_cdc_upsert",
     "q_cdc_changelog",
     "q_corpus_pipeline",
+    "q_stream_interval_join",
 ]
 
 

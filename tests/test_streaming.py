@@ -71,3 +71,22 @@ def test_streaming_dedup_drops_resent_keys(spark):
     n = spark.table("t_dedup").count()
     n_batch = load_table(spark, SF_DIR, "events").count()
     assert n == n_batch
+
+
+def test_interval_join_stream_equals_batch(spark):
+    """T8: the stream-stream interval join (purchase<-click attribution)
+    equals the identical batch join plan."""
+    from nba_pipeline_spark.streaming.windows import interval_join
+
+    def branches(ev):
+        p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+        c = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+        return p, c
+
+    batch = interval_join(*branches(load_table(spark, SF_DIR, "events")),
+                          "user_id", "ts", "ts", "10 MINUTES")
+    stream = interval_join(*branches(read_events_stream(spark, SF_DIR)),
+                           "user_id", "ts", "ts", "10 MINUTES")
+    got = run_available_now(stream, "t_interval_join", output_mode="append")
+    assert got.count() > 0
+    pd.testing.assert_frame_equal(_norm(got), _norm(batch))
