@@ -70,6 +70,45 @@ def merge_upsert(
     )
 
 
+def streaming_upsert_sink(
+    changes_stream: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    version_col: str,
+    checkpoint_dir: str,
+    tiebreak: Sequence[str] = (),
+):
+    """Continuous CDC apply: drain a changelog stream into a parquet
+    target with last-writer-wins semantics, one transactional merge per
+    micro-batch (``foreachBatch`` + ``merge_upsert``).
+
+    Exactly-once story: foreachBatch may REPLAY a batch after a crash,
+    but merge_upsert is idempotent (same change rows -> same winners),
+    so replays converge. The target is read fresh each batch; at lake
+    scale the overwrite step becomes a partition-replace (or a Delta/
+    Iceberg MERGE) — plain parquet has no atomic row-level commit, which
+    is exactly why the merge itself stays a pure DataFrame op.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = spark.read.parquet(target_path)
+        merged = merge_upsert(base, batch_df, keys, version_col, tiebreak)
+        # write-then-swap: parquet can't overwrite a path it's reading
+        tmp = f"{target_path}__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+
+    return (
+        changes_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def apply_changelog(
     base: DataFrame,
     changelog: DataFrame,

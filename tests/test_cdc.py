@@ -64,3 +64,36 @@ def test_apply_changelog_keeps_duplicate_untouched_base_rows(spark):
     log = spark.createDataFrame([(2, "b2", 1, "upsert")], ["k", "v", "seq", "op"])
     got = _rows(apply_changelog(base, log, ["k"], "seq", "op"))
     assert got == [(1, "a"), (1, "a"), (2, "b2")]
+
+
+def test_streaming_upsert_sink_converges(spark, tmp_path):
+    """Two micro-batches of changes drained through foreachBatch
+    merge_upsert equal one batch merge of all changes."""
+    import os, shutil
+
+    from nba_pipeline_spark.operators.cdc import streaming_upsert_sink
+
+    target = str(tmp_path / "target")
+    spark.createDataFrame([(1, "a", 0), (2, "b", 0)], "k int, v string, ver int").write.parquet(target)
+
+    b1 = [(1, "a2", 10), (3, "c", 5)]
+    b2 = [(1, "a3", 20), (2, "b2", 7)]
+    src = str(tmp_path / "changes")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        sub = f"{src}/w{i}"
+        spark.createDataFrame(rows, "k int, v string, ver int").coalesce(1).write.parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(f"{sub}/{part}", f"{src}/{i:03d}.parquet")
+        shutil.rmtree(sub)
+        os.utime(f"{src}/{i:03d}.parquet", (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema("k int, v string, ver int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_upsert_sink(stream, target, ["k"], "ver", str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a3"), (2, "b2"), (3, "c")}  # latest ver wins per key
