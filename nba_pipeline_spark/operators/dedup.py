@@ -169,7 +169,8 @@ def minhash_lsh_pairs_ml(
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     staged = (
-        df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        fan_out(df)
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
         .select(id_col, shingles(F.col("__toks"), 3).alias("sh"))
         .filter(F.size("sh") > 0)
     )
@@ -294,7 +295,7 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     One explode + one groupBy(doc) with 16 conditional sums — a single
     shuffle keyed by doc id, partial-aggregated map-side.
     """
-    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    toks = fan_out(df).select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
     val = _hex4_to_int(F.substring(F.md5(F.col("tok")), 1, 4))
     toks = toks.withColumn("hv", val)
     votes = [
@@ -326,7 +327,8 @@ def ngram_jaccard_pairs(
     LSH bucket (tier 3 output) instead of metadata.
     """
     docs = (
-        df.select(F.col(id_col), *block_cols, tokenize(F.col(text_col)).alias("__toks"))
+        fan_out(df)
+        .select(F.col(id_col), *block_cols, tokenize(F.col(text_col)).alias("__toks"))
         .select(id_col, *block_cols, F.array_distinct(shingles(F.col("__toks"), shingle_n)).alias("sh"))
     )
     a, b = docs.alias("a"), docs.alias("b")
