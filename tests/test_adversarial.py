@@ -35,6 +35,7 @@ QUERIES = [
     "q_cdc_changelog",
     "q_corpus_pipeline",
     "q_stream_interval_join",
+    "q_sql_pricing_summary",
 ]
 
 
