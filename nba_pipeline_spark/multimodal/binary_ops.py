@@ -94,6 +94,45 @@ def extract_media_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col), "content").mapInPandas(batches, DECODED_SCHEMA)
 
 
+EMBED_DIMS = 16
+
+
+def embed_media(df: DataFrame, id_col: str = "doc_id", dims: int = EMBED_DIMS) -> DataFrame:
+    """mapInPandas embedding extraction: binary content -> array<float>.
+
+    The model forward-pass is stubbed deterministically (byte histogram
+    folded into `dims` buckets, L2-normalized) — in production the
+    batch loop calls an ONNX/torch encoder on the decoded media. The
+    Spark-side contract is the real thing: Arrow batch in, fixed-width
+    float vector out, NULL payload -> NULL vector, output partitioning
+    inherited so the frame feeds the similarity operators
+    (operators/similarity.py) with no extra shuffle.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = []
+            for b in pdf["content"]:
+                if b is None:
+                    vecs.append(None)
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr % dims, minlength=dims).astype(np.float64)
+                nrm = float(np.sqrt((hist * hist).sum()))
+                vecs.append((hist / nrm if nrm else hist).astype(np.float32).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "embedding": vecs})
+
+    return df.select(F.col(id_col), "content").mapInPandas(batches, out_schema)
+
+
 def sample_frames(df: DataFrame, id_col: str, every_nth: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: explode pseudo frame
     indices (0, n, 2n, ...) per row — the Spark-side shape of

@@ -8,7 +8,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..multimodal.binary_ops import attach_binary, extract_media_features, sample_frames
+from pyspark.sql import functions as F
+
+from ..multimodal.binary_ops import (
+    attach_binary,
+    embed_media,
+    extract_media_features,
+    sample_frames,
+)
+from ..operators.similarity import brute_force_topk
 from ..sources import load_table
 from ..session import tune
 from .queries import register
@@ -49,3 +57,19 @@ register(
     SELECT doc_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx FROM b
     """,
 )
+
+
+def q_multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal -> similarity composition: binary payloads through the
+    mapInPandas embedding stub, then exact cosine top-10 against doc 0's
+    vector. Rows-only (the stub embedding is a byte histogram — not
+    replayable in portable SQL for non-ASCII payloads), but the pytest
+    asserts unit norms, determinism, and the self-hit at sim 1.0."""
+    emb = embed_media(_bin_docs(spark, sf_dir)).filter(F.col("embedding").isNotNull())
+    query = emb.filter(F.col("doc_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
+    return brute_force_topk(emb, query, "doc_id", "embedding", k=10)
+
+
+register("q_multimodal_embed_ann", q_multimodal_embed_ann, None)
