@@ -144,6 +144,28 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     return df
 
 
+def read_evolved(
+    spark: SparkSession, path: str, required: list[str] | None = None
+) -> DataFrame:
+    """Schema-evolution-tolerant lake read (reference analog: yearly
+    re-scrapes changing shape across seasons, scrape_data_to_gcs.py's
+    per-year objects). ``mergeSchema`` unions every file footer's
+    schema; files written before a column existed surface NULLs for it.
+    `required` pins the contract columns a downstream pipeline needs —
+    fail fast at the source boundary, not 40 operators later.
+
+    Scale note: mergeSchema reads every file footer at planning time
+    (driver-side listing); on a 100 TB lake pin the schema in a
+    catalog / read_parquet(schema=...) instead and reserve this for
+    exploratory reads — which is why it's a separate entry point.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    missing = set(required or []) - set(df.columns)
+    if missing:
+        raise ValueError(f"missing contract columns in {path}: {sorted(missing)}")
+    return df
+
+
 def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True) -> DataFrame:
     """Reference S3/S5 (``pd.read_csv`` / ``pv.read_csv``): schema-checked CSV scan."""
     return spark.read.schema(schema).option("header", str(header).lower()).csv(path)

@@ -56,3 +56,22 @@ def test_warehouse_table_local(spark):
     df = load_table(spark, SF_DIR, "region")
     save_as_warehouse_table(df, "wh_region")
     assert spark.sql("SELECT count(*) AS n FROM wh_region").collect()[0]["n"] == 5
+
+
+def test_read_evolved_merges_schema_and_checks_contract(spark, tmp_path):
+    """Files written before a column existed surface NULLs for it;
+    missing contract columns fail at the source boundary."""
+    from nba_pipeline_spark.sources.registry import read_evolved
+
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame([(1, "a")], "id int, v string").write.parquet(f"{lake}/y=1997")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id int, v string, score double"
+    ).write.parquet(f"{lake}/y=1998")
+
+    df = read_evolved(spark, lake, required=["id", "v", "score"])
+    rows = {r["id"]: (r["v"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}  # old file: NULL score
+
+    with pytest.raises(ValueError, match="missing contract columns"):
+        read_evolved(spark, lake, required=["id", "nope"])
