@@ -451,3 +451,101 @@ register(
     GROUP BY c_mktsegment
     """,
 )
+
+
+# --- J6 (extended): null-safe equi-join ---------------------------------------
+
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<=> join semantics: NULL keys MATCH each other (one NULL group),
+    unlike `=` which drops them — the distinction only shows on
+    NULL-laden data, which the adversarial gate supplies."""
+    cust = _t(spark, sf_dir, "customer").alias("c")
+    orders = _t(spark, sf_dir, "orders").alias("o")
+    joined = cust.join(
+        orders, F.col("c.c_custkey").eqNullSafe(F.col("o.o_custkey")), "inner"
+    )
+    return joined.groupBy(F.col("c.c_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o.o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
+
+
+register(
+    "q_join_nullsafe",
+    q_join_nullsafe,
+    """
+    SELECT c_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM customer c JOIN orders o ON c.c_custkey IS NOT DISTINCT FROM o.o_custkey
+    GROUP BY c_custkey
+    """,
+)
+
+
+# --- A8 (extended): unpivot / melt --------------------------------------------
+
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long: lineitem money measures melted to (measure, value)
+    rows, then summed per returnflag — the relational melt Spark ships
+    as DataFrame.unpivot (EXPAND under the hood: no shuffle to melt,
+    one groupBy after)."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        "l_returnflag",
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total")
+    )
+
+
+register(
+    "q_agg_unpivot",
+    q_agg_unpivot,
+    """
+    WITH melted AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+    SELECT l_returnflag, measure,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM melted GROUP BY 1, 2
+    """,
+)
+
+
+# --- A9 (extended): width_bucket histogram ------------------------------------
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values: width_bucket keeps the
+    binning in the JVM scan projection; one low-cardinality groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(20))
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    )
+
+
+register(
+    "q_agg_histogram",
+    q_agg_histogram,
+    # DuckDB has no width_bucket; replicate SQL-standard semantics with
+    # explicit arithmetic (bucket width 600000/20 = 30000 is exact in
+    # binary, so the division agrees bit-for-bit with Spark's impl).
+    """
+    SELECT CASE WHEN o_totalprice IS NULL THEN NULL
+                WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 600000.0 THEN 21
+                ELSE CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 4) AS lo,
+           ROUND(MAX(o_totalprice), 4) AS hi
+    FROM orders GROUP BY 1
+    """,
+)

@@ -36,6 +36,9 @@ QUERIES = [
     "q_corpus_pipeline",
     "q_stream_interval_join",
     "q_sql_pricing_summary",
+    "q_join_nullsafe",
+    "q_agg_unpivot",
+    "q_agg_histogram",
 ]
 
 
