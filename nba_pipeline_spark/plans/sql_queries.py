@@ -55,3 +55,103 @@ register(
     GROUP BY l_returnflag, l_linestatus
     """,
 )
+
+
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id — finer than rollup/cube (the
+    DataFrame API stops at rollup/cube; the SQL surface does not)."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus) AS g_status,
+               GROUPING(o_orderpriority) AS g_prio,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+register(
+    "q_sql_grouping_sets",
+    q_sql_grouping_sets,
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+
+
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each nation's 3 priciest suppliers —
+    the top-N-per-group shape as the optimizer sees it from SQL
+    (decorrelated into a ranked window, same plan family as q_win_rank)."""
+    tune(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.s_name, t.s_acctbal
+        FROM nation n
+        JOIN LATERAL (
+          SELECT s_name, ROUND(s_acctbal, 4) AS s_acctbal
+          FROM supplier s
+          WHERE s.s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_name ASC
+          LIMIT 3
+        ) t
+        """
+    )
+
+
+register(
+    "q_sql_lateral_topn",
+    q_sql_lateral_topn,
+    """
+    SELECT n.n_name, t.s_name, t.s_acctbal
+    FROM nation n
+    JOIN LATERAL (
+      SELECT s_name, ROUND(s_acctbal, 4) AS s_acctbal
+      FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name ASC
+      LIMIT 3
+    ) t ON TRUE
+    """,
+)
+
+
+def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery per row (decorrelated by Catalyst into
+    a left outer aggregate join — no per-row execution)."""
+    tune(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM customer c
+        """
+    )
+
+
+register(
+    "q_sql_scalar_subquery",
+    q_sql_scalar_subquery,
+    """
+    SELECT c_custkey,
+           (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    """,
+)

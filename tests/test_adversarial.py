@@ -39,6 +39,9 @@ QUERIES = [
     "q_join_nullsafe",
     "q_agg_unpivot",
     "q_agg_histogram",
+    "q_sql_grouping_sets",
+    "q_sql_lateral_topn",
+    "q_sql_scalar_subquery",
 ]
 
 
