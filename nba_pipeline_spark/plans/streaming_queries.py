@@ -129,3 +129,50 @@ register(
     GROUP BY 1
     """,
 )
+
+
+def q_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-spine resampling: one row per (hour, event_type) between the
+    corpus' min and max hour, zero-filled where no events landed — the
+    gap-filling shape every time-series rollup needs before charting or
+    model features. The spine is generated (sequence + explode), never
+    materialized as a table; the hourly agg is the q_stream_tumbling
+    plan; the fill is a broadcast-able left join (spine is tiny: hours ×
+    types, independent of event count)."""
+    ev = _ev(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("ws")
+    )
+    types = ev.select("event_type").distinct()
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("ws"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(types)
+        .join(hourly, ["ws", "event_type"], "left")
+        .select("ws", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+
+
+register(
+    "q_resample_1h",
+    q_resample_1h,
+    """
+    WITH ev AS (SELECT ts, event_type FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM ev),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws FROM b),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    hourly AS (SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n
+               FROM ev GROUP BY 1, 2)
+    SELECT s.ws, t.event_type, COALESCE(h.n, 0) AS n
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN hourly h ON h.ws = s.ws AND h.event_type = t.event_type
+    """,
+)

@@ -42,6 +42,7 @@ QUERIES = [
     "q_sql_grouping_sets",
     "q_sql_lateral_topn",
     "q_sql_scalar_subquery",
+    "q_resample_1h",
 ]
 
 
