@@ -34,6 +34,7 @@ HEADLINE = [
     "q_token_count",
     "q_fingerprint",
     "q_corpus_pipeline",
+    "q_decontaminate",
     "q_dedup_minhash",
     "q_dedup_embedding",
     "q_cosine_topk",
@@ -67,6 +68,7 @@ def main() -> None:
         "q_join_asof",
         "q_text_tokens",
         "q_corpus_pipeline",
+    "q_decontaminate",
     ):
         try:
             REGISTRY[warm_q].fn(spark, warm_dir).count()

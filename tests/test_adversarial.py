@@ -43,6 +43,9 @@ QUERIES = [
     "q_sql_lateral_topn",
     "q_sql_scalar_subquery",
     "q_resample_1h",
+    "q_decontaminate",
+    "q_pii_redact",
+    "q_repetition_filter",
 ]
 
 
