@@ -219,6 +219,43 @@ register(
 )
 
 
+# --- tier 4b: pairs -> clusters (connected components) ------------------------
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: simhash banded pairs fed through
+    iterative min-label connected components (operators/graph.py), the
+    transitive-closure step that turns pairwise matches into keep/drop
+    decisions. Oracle replays it with a DuckDB recursive CTE."""
+    from ..operators.graph import dedup_clusters
+
+    pairs = OD.simhash_neardup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", hamming_max=3
+    ).select("id_a", "id_b")
+    return dedup_clusters(pairs)
+
+
+def _cluster_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_simhash_pairs_oracle()})),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src AS node, src AS comp FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+    sz AS (SELECT comp, count(*) AS cluster_size FROM cc GROUP BY comp)
+    SELECT cc.node AS doc_id, cc.comp AS cluster_id,
+           sz.cluster_size AS cluster_size,
+           CASE WHEN cc.node = cc.comp THEN 1 ELSE 0 END AS keep
+    FROM cc JOIN sz ON cc.comp = sz.comp
+    """
+
+
+register("q_dedup_cluster", q_dedup_cluster, _cluster_oracle())
+
+
 # --- tier 5b: blocked embedding cosine ----------------------------------------
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,10 +5,13 @@ filtering — each as a pure Column-expression plan with a DuckDB
 oracle).
 
 Scale shapes:
-- decontamination shuffles ONE exploded distinct-shingle frame per
-  side on the shingle key (fixed-width md5 at 100 TB; raw strings
-  here so the oracle stays readable) — the same join-on-ngram layout
-  the published decontamination runs use, never doc × doc.
+- decontamination broadcasts the held-out side's distinct shingles
+  (tiny: thousands of benchmark docs vs billions of training docs)
+  against the exploded train-side shingle stream — zero train-side
+  shuffle, the same layout as the published bloom-of-test-ngrams
+  decontamination runs, never doc × doc. If the test side ever
+  outgrew broadcast, fall back to a shuffle join on fixed-width
+  hashed shingles.
 - PII redaction and repetition scoring are narrow map-side passes;
   zero shuffles, scan-speed.
 """
@@ -47,7 +50,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs (source != src0) that
     share any 5-gram with the held-out set (source = src0), with the
     size of the overlap. Distinct shingles per doc BEFORE the join so
-    a repeated phrase can't multiply the shuffle."""
+    a repeated phrase can't multiply the shuffle; the test side is
+    BROADCAST — at 100 TB the held-out benchmark set is thousands of
+    docs against billions, so the train-side shingle stream never
+    shuffles (the same shape as the published bloom-of-test-ngrams
+    decontamination runs). Only the contaminated survivors (a tiny
+    fraction) hit the final doc_id aggregation exchange."""
     docs = _docs(spark, sf_dir)
     sh = docs.select(
         "doc_id",
@@ -62,7 +70,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = sh.filter(
         F.col("source").isNotNull() & (F.col("source") != TEST_SOURCE)
     )
-    hits = train.join(test, "sh")
+    hits = train.join(F.broadcast(test), "sh")
     return hits.groupBy("doc_id").agg(
         F.countDistinct("sh").alias("n_shared_ngrams"),
         F.countDistinct("test_doc").alias("n_test_docs"),

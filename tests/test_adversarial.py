@@ -46,6 +46,7 @@ QUERIES = [
     "q_decontaminate",
     "q_pii_redact",
     "q_repetition_filter",
+    "q_dedup_cluster",
 ]
 
 

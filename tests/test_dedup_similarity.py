@@ -89,3 +89,23 @@ def test_ivf_results_subset_of_brute_force(spark):
     brute = {r["vec_id"] for r in brute_force_topk(emb.filter(F.col("vec_id") != 5), query, "vec_id", "embedding", 21).collect()}
     assert ivf and ivf.issubset(brute)
     assert 100 in ivf  # the planted dup shares the query's cell by construction
+
+
+def test_connected_components_topology(spark):
+    from nba_pipeline_spark.operators.graph import connected_components, dedup_clusters
+
+    # chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21), (2, None)],
+        "src int, dst int",
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    rows = dedup_clusters(
+        edges.filter("dst IS NOT NULL").withColumnsRenamed({"src": "id_a", "dst": "id_b"})
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[4]["cluster_id"] == 1 and by_id[4]["cluster_size"] == 4
+    assert by_id[4]["keep"] == 0 and by_id[1]["keep"] == 1
+    assert sum(r["keep"] for r in rows) == 3  # one canonical per cluster
