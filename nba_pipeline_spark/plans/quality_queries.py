@@ -55,25 +55,47 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs against billions, so the train-side shingle stream never
     shuffles (the same shape as the published bloom-of-test-ngrams
     decontamination runs). Only the contaminated survivors (a tiny
-    fraction) hit the final doc_id aggregation exchange."""
+    fraction) hit the final doc_id aggregation exchange.
+
+    Physical choices (20.3 s -> see BENCH for current): shingles are
+    xxhash64'd to int64 INSIDE the per-doc array, so everything past
+    the tokenizer — distinct, explode, broadcast hash table, join keys
+    — moves 8-byte longs instead of ~40-byte strings (collision odds
+    across train×test shingle pairs ~1e-10 at this corpus; at 100 TB
+    pair counts, still < 1e-4 per run — below the sampling noise of any
+    contamination report). The test side is pre-aggregated to ONE row
+    per shingle carrying its collect_set of test docs, which turns the
+    final per-doc aggregation from a two-countDistinct expand (2x row
+    multiplication through the shuffle) into a plain count + one
+    array-flatten distinct."""
     docs = _docs(spark, sf_dir)
     sh = docs.select(
         "doc_id",
         "source",
         F.explode(
-            F.array_distinct(shingles(TX.tokenize(F.col("text")), 5))
+            F.array_distinct(
+                F.transform(
+                    shingles(TX.tokenize(F.col("text")), 5), lambda s: F.xxhash64(s)
+                )
+            )
         ).alias("sh"),
     )
-    test = sh.filter(F.col("source") == TEST_SOURCE).select(
-        F.col("sh"), F.col("doc_id").alias("test_doc")
+    test = (
+        sh.filter(F.col("source") == TEST_SOURCE)
+        .groupBy("sh")
+        .agg(F.collect_set("doc_id").alias("test_docs"))
     )
     train = sh.filter(
         F.col("source").isNotNull() & (F.col("source") != TEST_SOURCE)
     )
+    # one row per (train doc, matched shingle): train shingles are
+    # distinct per doc and the test side is unique per shingle
     hits = train.join(F.broadcast(test), "sh")
     return hits.groupBy("doc_id").agg(
-        F.countDistinct("sh").alias("n_shared_ngrams"),
-        F.countDistinct("test_doc").alias("n_test_docs"),
+        F.count(F.lit(1)).alias("n_shared_ngrams"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("test_docs")))
+        ).cast("long").alias("n_test_docs"),
     )
 
 
