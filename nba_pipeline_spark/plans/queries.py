@@ -54,6 +54,7 @@ from . import cdc_queries  # noqa: E402,F401
 from . import corpus_queries  # noqa: E402,F401
 from . import sql_queries  # noqa: E402,F401
 from . import quality_queries  # noqa: E402,F401
+from . import analytics_queries  # noqa: E402,F401
 
 
 def queries() -> dict[str, QueryFn]:
