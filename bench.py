@@ -42,6 +42,9 @@ HEADLINE = [
     "q_stream_session",
     "q_json_extract",
     "q_multimodal_meta",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_sessionize",
 ]
 
 
