@@ -1,0 +1,248 @@
+"""Surface-breadth family: argmin/argmax aggregation, outer-generator
+NULL semantics, regexp-extract-all, boolean/bitwise aggregates,
+nth_value windows, and a recursive-CTE calendar spine.
+
+These round out the declared SQL/DataFrame surface (SURVEY.md §2.5 A4 /
+§2.9 M11 / §2.10 X2) with shapes the reference's implied warehouse
+would serve but that no earlier family exercises. Engine-parity rules
+as everywhere: unique ordering scores for argmin/argmax (ties are
+nondeterministic in BOTH engines, so we make ties impossible), NULL
+semantics pinned explicitly, counts as BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import tune
+from ..sources import load_table
+from .queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --- A4 extension: argmin / argmax (max_by / min_by) ---------------------------
+
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation richest/poorest customer name via max_by/min_by.
+    Both engines break ordering ties arbitrarily, so the ordering score
+    is made UNIQUE: balance in integer cents, shifted, plus the unique
+    custkey — deterministic under any partitioning/merge order, the
+    same rule as the engine's surrogate keys. One partial+final agg,
+    no window, no join: the cheapest top-1-per-group shape at scale."""
+    cust = _t(spark, sf_dir, "customer")
+    score = (
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint") * F.lit(10000000).cast("bigint")
+        + F.col("c_custkey").cast("bigint")
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by(F.col("c_name"), score).alias("richest"),
+        F.min_by(F.col("c_name"), score).alias("poorest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register(
+    "q_agg_argminmax",
+    q_agg_argminmax,
+    """
+    SELECT c_nationkey,
+           max_by(c_name, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * 10000000
+                          + CAST(c_custkey AS BIGINT)) AS richest,
+           min_by(c_name, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * 10000000
+                          + CAST(c_custkey AS BIGINT)) AS poorest,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+
+
+# --- X2 extension: outer-generator NULL semantics ------------------------------
+
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer over a higher-order filter: vectors with no
+    element above the threshold still emit one row with NULL val (the
+    LEFT-JOIN-LATERAL semantics plain explode silently drops). The
+    lambda references only its bound element — free-variable lambdas
+    re-evaluate per element (README rule 5)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    arr = F.filter(F.col("embedding"), lambda x: x > F.lit(0.3))
+    return emb.select(
+        "vec_id", F.explode_outer(arr).alias("v")
+    ).select("vec_id", F.round(F.col("v").cast("double"), 6).alias("val"))
+
+
+register(
+    "q_explode_outer",
+    q_explode_outer,
+    """
+    WITH f AS (
+      SELECT vec_id, list_filter(embedding, x -> x > 0.3) AS arr
+      FROM embeddings
+    ),
+    u AS (
+      SELECT vec_id,
+             unnest(CASE WHEN arr IS NULL OR len(arr) = 0
+                         THEN [NULL]::FLOAT[] ELSE arr END) AS v
+      FROM f
+    )
+    SELECT vec_id, ROUND(CAST(v AS DOUBLE), 6) AS val FROM u
+    """,
+)
+
+
+# --- M11 extension: regexp_extract_all -----------------------------------------
+
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All numeric tokens per document: match count and first match.
+    The `[0-9]+` pattern means the same thing to Java regex and RE2
+    (the PII redactor established the shared-dialect rule). NULL text
+    propagates NULL through extract/size/element on both engines;
+    try_element_at absorbs the empty-array case under ANSI mode."""
+    docs = _t(spark, sf_dir, "documents")
+    nums = F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(nums).cast("int").alias("n_nums"),
+        F.try_element_at(nums, F.lit(1)).alias("first_num"),
+    )
+
+
+register(
+    "q_regexp_extract_all",
+    q_regexp_extract_all,
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
+           regexp_extract_all(text, '[0-9]+')[1] AS first_num
+    FROM documents
+    """,
+)
+
+
+# --- A4 extension: boolean + bitwise aggregates --------------------------------
+
+def q_agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or and bit_and / bit_or / bit_xor per group.
+    All five are order-independent reductions (safe under partial+final
+    merge in any order at any scale); NULL inputs are skipped by both
+    engines' aggregate semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") < 25).alias("all_small"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+        F.bit_and(ln).alias("ln_and"),
+        F.bit_or(ln).alias("ln_or"),
+        F.bit_xor(ln).alias("ln_xor"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register(
+    "q_agg_bool_bit",
+    q_agg_bool_bit,
+    """
+    SELECT l_returnflag,
+           bool_and(l_quantity < 25) AS all_small,
+           bool_or(l_discount > 0.09) AS any_big_discount,
+           CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_and,
+           CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_or,
+           CAST(bit_xor(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_xor,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+
+# --- W5 extension: nth_value ---------------------------------------------------
+
+def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-richest customer name visible to each row of its nation.
+    The frame is pinned to ROWS UNBOUNDED PRECEDING..CURRENT ROW on
+    both engines (rows before the 3rd see NULL — the default RANGE
+    frame would disagree between engines on peer rows), and the
+    ordering carries the unique custkey tiebreak."""
+    cust = _t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.nth_value(F.col("c_name"), 3).over(w).alias("third_richest"),
+    )
+
+
+register(
+    "q_win_nth_value",
+    q_win_nth_value,
+    """
+    SELECT c_custkey, c_nationkey,
+           CAST(row_number() OVER w AS INT) AS rn,
+           nth_value(c_name, 3) OVER w AS third_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+
+
+# --- SQL surface: recursive CTE (Spark 4.1) ------------------------------------
+
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE calendar spine (24 months) left-joined to
+    monthly order counts — the zero-fill report shape where missing
+    months must still appear. The recursion is driver-side-tiny
+    (constant 24 rows, then broadcast); the fact scan aggregates
+    before the join, so the recursive side never touches fact-table
+    volume. Spark 4.1 evaluates recursive CTEs natively; the
+    batch-generated twin is q_resample_1h (sequence+explode)."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+          SELECT DATE '1996-01-01'
+          UNION ALL
+          SELECT add_months(m, 1) FROM spine WHERE m < DATE '1997-12-01'
+        ),
+        mo AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT s.m AS month, COALESCE(mo.n_orders, 0) AS n_orders
+        FROM spine s LEFT JOIN mo ON s.m = mo.m
+        """
+    )
+
+
+register(
+    "q_sql_recursive",
+    q_sql_recursive,
+    """
+    WITH RECURSIVE spine(m) AS (
+      SELECT DATE '1996-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+      WHERE m < DATE '1997-12-01'
+    ),
+    mo AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT s.m AS month, COALESCE(mo.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN mo ON s.m = mo.m
+    """,
+)

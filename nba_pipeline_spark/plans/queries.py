@@ -55,6 +55,7 @@ from . import corpus_queries  # noqa: E402,F401
 from . import sql_queries  # noqa: E402,F401
 from . import quality_queries  # noqa: E402,F401
 from . import analytics_queries  # noqa: E402,F401
+from . import breadth_queries  # noqa: E402,F401
 
 
 def queries() -> dict[str, QueryFn]:
