@@ -36,3 +36,10 @@ def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
 def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
     """U2: SQL EXCEPT ALL (bag semantics)."""
     return a.exceptAll(b)
+
+
+def intersect_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """U2: SQL INTERSECT ALL (bag semantics — keeps min(count_a, count_b)
+    copies of each value). Plans as a grouped-count join, one shuffle
+    per side, no row explosion."""
+    return a.intersectAll(b)

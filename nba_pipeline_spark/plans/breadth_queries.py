@@ -246,3 +246,61 @@ register(
     FROM spine s LEFT JOIN mo ON s.m = mo.m
     """,
 )
+
+
+# --- U2 extension: multiset set ops + explicit cross join ----------------------
+
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL on nationkey bags: each key survives
+    min(customer_count, supplier_count) times. Bag semantics plan as
+    grouped counts + join (one shuffle per side) — never a row-level
+    self-match explosion."""
+    from ..operators import setops as OS
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return OS.intersect_all(c, s)
+
+
+register(
+    "q_intersect_all",
+    q_intersect_all,
+    "SELECT c_nationkey AS nk FROM customer "
+    "INTERSECT ALL SELECT s_nationkey AS nk FROM supplier",
+)
+
+
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: customer nationkey occurrences minus one per
+    supplier occurrence — the bag-difference twin of q_except."""
+    from ..operators import setops as OS
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return OS.except_all(c, s)
+
+
+register(
+    "q_except_all",
+    q_except_all,
+    "SELECT c_nationkey AS nk FROM customer "
+    "EXCEPT ALL SELECT s_nationkey AS nk FROM supplier",
+)
+
+
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join: the region×nation grid (25×5 — both sides
+    dimension-sized, one broadcast, no shuffle). Cross joins are safe
+    ONLY when at least one side is provably tiny; fact-fact cross is
+    banned in this engine (the dedup tiers exist precisely to avoid
+    O(n²) pair generation)."""
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return r.crossJoin(F.broadcast(n))
+
+
+register(
+    "q_join_cross",
+    q_join_cross,
+    "SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation",
+)
