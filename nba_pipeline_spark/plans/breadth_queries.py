@@ -304,3 +304,38 @@ register(
     q_join_cross,
     "SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation",
 )
+
+
+# --- SQL surface: NOT IN subquery (null-aware anti join) -----------------------
+
+def q_sql_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (subquery) with a nullable inner side — three-valued
+    logic: ONE NULL in the inner set empties the whole result, which is
+    why Spark plans a null-aware anti join (broadcast NAAJ) instead of
+    a plain left-anti. The inner side deliberately has NO IS NOT NULL
+    guard; the adversarial gate's NULL custkey row survives the inner
+    predicate (IS DISTINCT FROM keeps NULL rows) and empties the whole
+    result on both engines."""
+    tune(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_orderpriority IS DISTINCT FROM '2-HIGH'
+        )
+        """
+    )
+
+
+register(
+    "q_sql_not_in",
+    q_sql_not_in,
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_orderpriority IS DISTINCT FROM '2-HIGH'
+    )
+    """,
+)
