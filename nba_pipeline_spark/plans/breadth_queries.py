@@ -339,3 +339,32 @@ register(
     )
     """,
 )
+
+
+# --- A5 extension: mergeable DataSketches HLL ----------------------------------
+
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL: per-group part-cardinality sketches, then the
+    SAME binary sketches re-merged with hll_union_agg for the global
+    estimate — proving the property that makes sketches the 100 TB
+    cardinality path: partial sketches merge associatively across any
+    partitioning (executors, days, lake partitions) without touching
+    rows again. approx_count_distinct gives one number; a stored sketch
+    column supports later rollup. Rows-only oracle (sketch internals
+    are engine-specific); the exact twin is q_agg_countdistinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    by_flag = per_flag.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_parts"),
+    )
+    merged = per_flag.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("l_returnflag"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_parts"),
+    )
+    return by_flag.unionByName(merged)
+
+
+register("q_agg_hll_sketch", q_agg_hll_sketch, None)
