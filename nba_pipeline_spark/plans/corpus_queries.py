@@ -99,3 +99,95 @@ register(
     FROM deduped GROUP BY source
     """,
 )
+
+
+# --- Chunking: the pre-tokenization window step --------------------------------
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character windows (200 wide, stride 150 —
+    25% overlap), the chunking step ahead of embedding/tokenization in
+    a training-data pipeline. sequence+explode generates chunk starts
+    JVM-side (no Python, no UDF); chunks inherit the scan's
+    partitioning — a pure narrow map, embarrassingly parallel at any
+    scale. Row growth is len/stride ≈ 1.33× chars, paid exactly once."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"), F.lit(150))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST((pos - 1) DIV 150 AS INT) + 1").alias("chunk_id"),
+            F.expr("substring(text, pos, 200)").alias("chunk_text"),
+        )
+    )
+
+
+register(
+    "q_chunk_docs",
+    q_chunk_docs,
+    """
+    SELECT d.doc_id,
+           CAST((t.pos - 1) // 150 AS INT) + 1 AS chunk_id,
+           substr(d.text, t.pos, 200) AS chunk_text
+    FROM documents d,
+         unnest(generate_series(1, greatest(length(d.text), 1), 150)) t(pos)
+    WHERE d.text IS NOT NULL AND length(d.text) > 0
+    """,
+)
+
+
+# --- Sequence packing: bin docs into context-window groups ---------------------
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: per source, docs are laid
+    end-to-end in doc_id order and assigned to the 8192-char context
+    bin their START offset lands in — the offset-based variant of
+    greedy packing that a distributed engine can compute with one
+    keyed window (cumulative sum), no sequential loop, no driver.
+    Same one-shuffle shape as sessionization; bin sizes overshoot by
+    at most one document, the standard trade for parallel packing."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.coalesce(F.col("n_chars"), F.lit(0))
+    start = (F.sum(n).over(w) - n).cast("bigint")
+    staged = docs.select(
+        "source",
+        "doc_id",
+        n.alias("n"),
+        (start - (start % F.lit(8192))).alias("bin_start"),
+    )
+    return staged.groupBy("source", (F.col("bin_start") / 8192).cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("packed_chars"),
+    )
+
+
+register(
+    "q_seq_pack",
+    q_seq_pack,
+    """
+    WITH s AS (
+      SELECT source, doc_id, COALESCE(n_chars, 0) AS n,
+             CAST(SUM(COALESCE(n_chars, 0)) OVER w - COALESCE(n_chars, 0) AS BIGINT) AS start
+      FROM documents
+      WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT source, CAST(start // 8192 AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS packed_chars
+    FROM s GROUP BY source, CAST(start // 8192 AS BIGINT)
+    """,
+)
