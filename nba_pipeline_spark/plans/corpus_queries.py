@@ -191,3 +191,53 @@ register(
     FROM s GROUP BY source, CAST(start // 8192 AS BIGINT)
     """,
 )
+
+
+# --- Deterministic train/val/test split ----------------------------------------
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/val/test assignment (98/1/1 by md5 bucket):
+    the split is a pure function of the salted document key — stable
+    across runs, cluster sizes, and re-partitioning, and new documents
+    never reshuffle old ones (the property random-split lacks). The
+    16-bit-hash mod 100 carries a ~0.05% bucket bias — irrelevant for
+    corpus splitting and kept for exact DuckDB replay."""
+    from ..operators.dedup import _hex4_to_int
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    h4 = _hex4_to_int(
+        F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 4)
+    )
+    bucket = F.pmod(h4, F.lit(100)).cast("int")
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.when(bucket < 98, "train")
+        .when(bucket == 98, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _split_oracle() -> str:
+    hv = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('split|' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id, source, CAST(({hv}) % 100 AS INT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source, bucket,
+           CASE WHEN bucket < 98 THEN 'train'
+                WHEN bucket = 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """
+
+
+register("q_split_assign", q_split_assign, _split_oracle())
