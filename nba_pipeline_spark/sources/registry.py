@@ -120,17 +120,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     expected = [f.name for f in SCHEMAS[name].fields]
     if df.columns != expected:
         raise ValueError(f"schema drift for {name}: {df.columns} != {expected}")
-    # Normalize TIMESTAMP(NANOS) columns (read as long via
-    # spark.sql.legacy.parquet.nanosAsLong) back to TimestampType.
-    # The testdata nanos are micro-aligned (verified: epoch_ns % 1000 == 0).
+    # Normalize timestamp physical encodings to TimestampType:
+    # - TIMESTAMP(NANOS) read as long (spark.sql.legacy.parquet.nanosAsLong):
+    #   nanos are micro-aligned in the testdata (verified: epoch_ns % 1000 == 0).
+    # - timestamp[us] without isAdjustedToUTC → TimestampNTZType under
+    #   spark.sql.parquet.inferTimestampNTZ; session tz is UTC, so the cast
+    #   preserves the wall-clock values byte-for-byte.
     for field in SCHEMAS[name].fields:
-        if isinstance(field.dataType, T.TimestampType) and isinstance(
-            df.schema[field.name].dataType, T.LongType
-        ):
-            df = df.withColumn(
-                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
-            )
+        if isinstance(field.dataType, T.TimestampType):
+            got = df.schema[field.name].dataType
+            if isinstance(got, T.LongType):
+                df = df.withColumn(
+                    field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+                )
+            elif isinstance(got, T.TimestampNTZType):
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
+
+
+def parquet_ts_encoding(path: str, col: str) -> str:
+    """Physical encoding of a parquet timestamp column: ``"nanos"``
+    (TIMESTAMP(NANOS) — Spark reads as long under nanosAsLong),
+    ``"ntz"`` (no UTC adjustment — Spark reads as TimestampNTZ), or
+    ``"utc"`` (instant-adjusted — plain TimestampType).
+
+    File-stream sources need the schema up front, so the batch reader's
+    inspect-what-arrived normalization (load_table) is resolved here by
+    probing one footer instead — a metadata-only read.
+    """
+    import pyarrow.parquet as pa_pq
+    import pyarrow.types as pa_types
+
+    t = pa_pq.read_schema(path).field(col).type
+    if not pa_types.is_timestamp(t):
+        raise ValueError(f"{path}:{col} is {t}, not a parquet timestamp")
+    if t.unit == "ns":
+        return "nanos"
+    return "utc" if t.tz else "ntz"
 
 
 def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:

@@ -56,18 +56,27 @@ def session_agg(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: incremental file ingest of the events table.
 
-    File sources require an explicit schema. The nanos timestamp column
-    arrives as long (nanosAsLong) and is normalized exactly like the
-    batch reader, so stream and batch plans share every expression.
+    File sources require an explicit schema; the physical timestamp
+    encoding of the lake files varies by writer (TIMESTAMP(NANOS) read
+    as long under nanosAsLong; timestamp[us] without tz read as NTZ), so
+    the footer is probed and the same normalization as the batch reader
+    applied — stream and batch plans share every expression.
     """
     from pyspark.sql import types as T
 
     from ..session import tune
+    from ..sources.registry import parquet_ts_encoding
 
     tune(spark)
+    enc = parquet_ts_encoding(f"{sf_dir}/events.parquet", "ts")
+    ts_read_type = {
+        "nanos": T.LongType(),
+        "ntz": T.TimestampNTZType(),
+        "utc": T.TimestampType(),
+    }[enc]
     schema = T.StructType(
         [
-            T.StructField(f.name, T.LongType() if isinstance(f.dataType, T.TimestampType) else f.dataType)
+            T.StructField(f.name, ts_read_type if isinstance(f.dataType, T.TimestampType) else f.dataType)
             for f in SCHEMAS["events"].fields
         ]
     )
@@ -90,7 +99,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if enc == "nanos":
+        # nanos are micro-aligned in the lake (verified at ingest)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if enc == "ntz":
+        # session tz is UTC: the NTZ->LTZ cast preserves wall-clock values
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
