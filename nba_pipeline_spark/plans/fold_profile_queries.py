@@ -1,0 +1,243 @@
+"""Ordered folds, exact medians, heavy hitters, bitmap distinct
+counting, and one-pass data profiling.
+
+Extends SURVEY.md §2.5/§2.10: the per-key ordered fold (EWMA) shows
+that sequential recurrences — the classic "needs a Python loop" shape —
+compile to JVM higher-order functions (collect → array_sort →
+aggregate), keeping the only shuffle on the group key. The bitmap
+distinct count is the exact-but-mergeable middle ground between
+countDistinct's row expansion and HLL's approximation.
+
+Oracle notes pinned by probe (DuckDB 1.0): list_reduce is a left fold
+seeded with the first element (same as F.aggregate with element_at(1)
+as init); DuckDB median() interpolates only for DOUBLE inputs
+(DECIMAL inputs take the lower middle) — the oracle casts; decimal
+lambda literals poison list_reduce into decimal rounding — the oracle
+casts the list to DOUBLE[].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..sources import load_table
+from .queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --- Per-key ordered fold: EWMA without Python ---------------------------------
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event values per user
+    (alpha=0.1), final value per key. A sequential recurrence — yet
+    fully JVM-side: collect_list under the group, array_sort on the
+    (ts, event_id) struct prefix for a total order, then a seeded left
+    fold with F.aggregate. One shuffle on user_id; the fold itself is
+    narrow. Both engines fold in the identical order, so the float
+    result matches bit-for-bit before the safety rounding.
+
+    Scale note: state per key is its event array — fine for bounded
+    per-key cardinality (sessions, devices); for unbounded keys use the
+    streaming twin (applyInPandasWithState) which folds incrementally
+    without materializing history."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    vals = F.transform(arr, lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.1) * x + F.lit(0.9) * acc,
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(ewma.alias("raw"), F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.round("raw", 6).alias("ewma"), "n_events")
+    )
+
+
+register(
+    "q_ewma",
+    q_ewma,
+    """
+    SELECT user_id,
+           ROUND(list_reduce(CAST(list(value ORDER BY ts, event_id) AS DOUBLE[]),
+                             (acc, x) -> 0.1 * x + 0.9 * acc), 6) AS ewma,
+           COUNT(*) AS n_events
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+
+
+# --- Exact median per group ----------------------------------------------------
+
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group. Spark's median() is the
+    exact percentile(0.5) (sort-based within the agg — heavier than
+    approx_percentile's sketch, the deliberate trade for exactness);
+    quantities are integer-valued doubles so the even-count midpoint
+    is exact in binary on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.median("l_discount").alias("med_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register(
+    "q_agg_median",
+    q_agg_median,
+    """
+    SELECT l_returnflag,
+           median(CAST(l_quantity AS DOUBLE)) AS med_qty,
+           median(CAST(l_discount AS DOUBLE)) AS med_disc,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+
+# --- Exact heavy hitters (relative threshold) ----------------------------------
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users contributing more than 1.2x the uniform share of events —
+    the exact heavy-hitter query, scale-free (the threshold tracks the
+    user population instead of a fixed percentage). The totals are a
+    1-row broadcast; the comparison is multiplicative in integers
+    (5*cnt*n_users > 6*total) so no division and no float. The
+    approximate-at-scale twin is a count-min sketch (see q_sketch_cms):
+    this exact form is one extra shuffle but gives the true set."""
+    ev = _t(spark, sf_dir, "events")
+    total = ev.agg(
+        F.count(F.lit(1)).alias("total"), F.countDistinct("user_id").alias("n_users")
+    )
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_user.join(F.broadcast(total))
+        .filter(F.col("cnt") * F.col("n_users") * 5 > F.col("total") * 6)
+        .select("user_id", "cnt")
+    )
+
+
+register(
+    "q_heavy_hitters",
+    q_heavy_hitters,
+    """
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) * (SELECT COUNT(DISTINCT user_id) FROM events) * 5
+           > (SELECT COUNT(*) FROM events) * 6
+    """,
+)
+
+
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of user_id frequencies per event type — the
+    mergeable approximate twin of q_heavy_hitters. The sketch binary is
+    engine-specific, so the oracle-checkable surface is its size and
+    the exact row count it summarizes (rows-only gate covers the rest).
+    At 100 TB: sketches built per partition/day merge associatively,
+    answering point frequency queries without a second scan."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.length(
+                F.count_min_sketch(
+                    F.col("user_id"), F.lit(0.001), F.lit(0.99), F.lit(42)
+                )
+            ).alias("sketch_bytes"),
+        )
+    )
+
+
+register("q_sketch_cms", q_sketch_cms, None)  # sketch binary: rows-only gate
+
+
+# --- Exact-but-mergeable distinct: bitmap aggregation --------------------------
+
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority via bitmap aggregation:
+    keys bucket into 32k-bit bitmaps (bitmap_bucket_number), each
+    bucket OR-aggregates positions, bucket popcounts sum per group.
+    EXACT like countDistinct but without its row expansion, and the
+    per-bucket bitmaps are mergeable partials — written to a lake
+    partition they roll distinct counts up across days the way HLL
+    sketches do, with no error bar. Two keyed shuffles, both on
+    pre-combined rows."""
+    orders = _t(spark, sf_dir, "orders")
+    per_bucket = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+        )
+        .agg(
+            F.bitmap_count(
+                F.bitmap_construct_agg(F.bitmap_bit_position(F.col("o_custkey")))
+            ).alias("bucket_cnt")
+        )
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum("bucket_cnt").cast("long").alias("n_custs")
+    )
+
+
+register(
+    "q_agg_bitmap_distinct",
+    q_agg_bitmap_distinct,
+    """
+    SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+
+
+# --- One-pass data profiling ---------------------------------------------------
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of lineitem in ONE scan: per-column null counts,
+    exact distinct cardinalities, and min/max. The shape every ingest
+    pipeline runs before trusting a new drop. countDistinct over
+    multiple columns expands rows (one per column) — acceptable here
+    because the profile is a deliberate full-scan job; the everyday
+    monitoring twin would swap in approx_count_distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_shipdate").isNull().cast("int")).cast("long").alias("null_shipdate"),
+        F.countDistinct("l_orderkey").alias("d_orderkey"),
+        F.countDistinct("l_partkey").alias("d_partkey"),
+        F.countDistinct("l_returnflag").alias("d_returnflag"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+register(
+    "q_profile",
+    q_profile,
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_shipdate,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d_orderkey,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d_partkey,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS d_returnflag,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           MIN(l_shipdate) AS min_shipdate,
+           MAX(l_shipdate) AS max_shipdate
+    FROM lineitem
+    """,
+)

@@ -58,6 +58,7 @@ from . import analytics_queries  # noqa: E402,F401
 from . import breadth_queries  # noqa: E402,F401
 from . import tpch_more_queries  # noqa: E402,F401
 from . import scalar_breadth_queries  # noqa: E402,F401
+from . import fold_profile_queries  # noqa: E402,F401
 
 
 def queries() -> dict[str, QueryFn]:
