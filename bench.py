@@ -44,7 +44,12 @@ HEADLINE = [
     "q_multimodal_meta",
     "q_tpch_q5",
     "q_tpch_q10",
+    "q_tpch_q6",
+    "q_tpch_q8",
+    "q_tpch_q18",
     "q_sessionize",
+    "q_ewma",
+    "q_agg_bitmap_distinct",
 ]
 
 

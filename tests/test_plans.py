@@ -104,3 +104,56 @@ def test_agg_has_partial_aggregation(spark):
     p = plan(REGISTRY["q_agg_group"].fn(spark, SF_DIR))
     # partial (map-side) + final hash aggregate
     assert p.count("HashAggregate") >= 2
+
+
+def test_tpch_q6_is_scan_only(spark):
+    """Q6 must be a pure pushed-down scan + agg: no join anywhere, and
+    the date bounds reach the parquet reader."""
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["q_tpch_q6"].fn(spark, SF_DIR)
+    p = formatted(df)
+    assert "Join" not in p
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1].split("]")[0]
+
+
+def test_tpch_q19_disjunction_keeps_pushdown(spark):
+    """The OR-of-ANDs must not disable scan pushdown entirely: the
+    quantity bounds common to no branch can't push, but IsNotNull and
+    the partkey join key still must."""
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    p = formatted(REGISTRY["q_tpch_q19"].fn(spark, SF_DIR))
+    pushed = p.split("PushedFilters")[1].split("]")[0]
+    assert "IsNotNull" in pushed
+
+
+def test_tpch_new_reports_broadcast_dimensions(spark):
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    for name in ("q_tpch_q7", "q_tpch_q8", "q_tpch_q14", "q_tpch_q16", "q_tpch_q18"):
+        p = plan(REGISTRY[name].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in p, name
+
+
+def test_tpch_q18_topk_is_take_ordered(spark):
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    p = plan(REGISTRY["q_tpch_q18"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_ewma_fold_partitions_by_key(spark):
+    """The ordered fold groups on user_id — it must never collapse to a
+    single partition (that would be the driver-loop shape at 100 TB)."""
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    p = plan(REGISTRY["q_ewma"].fn(spark, SF_DIR))
+    assert "SinglePartition" not in p
+
+
+def test_bitmap_distinct_has_partial_aggregation(spark):
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    p = plan(REGISTRY["q_agg_bitmap_distinct"].fn(spark, SF_DIR))
+    assert p.count("HashAggregate") >= 2
