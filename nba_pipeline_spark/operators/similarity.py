@@ -120,6 +120,75 @@ def assign_cells(emb: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame
     return picked.select(id_col, F.col("__m.v").alias("v"), F.col("__m.cid").alias("cid"))
 
 
+def hyperplane_planes(n_bits: int, dims: int) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane set (sign-random-projection
+    LSH). Seedless integer mixing so the identical planes can be
+    regenerated anywhere (including inlined into an oracle SQL string):
+    sign(b, i) = +1 iff ((b*73856093 + i*19349663) % 97) is even."""
+    return [
+        [1.0 if ((b * 73856093 + i * 19349663) % 97) % 2 == 0 else -1.0 for i in range(dims)]
+        for b in range(n_bits)
+    ]
+
+
+def _dot_literal(v: Column, plane: list[float]) -> Column:
+    lit = F.array(*[F.lit(x) for x in plane])
+    return F.aggregate(
+        F.zip_with(v, lit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def hyperplane_bucket(v: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = sign bits of the plane projections, packed little-
+    endian. The sign test uses the 6dp-rounded projection (NULL-safe:
+    a NULL projection contributes bit 0 on both engines) so last-bit
+    float divergence cannot flip a bucket."""
+    bucket = F.lit(0)
+    for b, plane in enumerate(planes):
+        bit = F.when(F.round(_dot_literal(v, plane), 6) >= 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + bit
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    emb: DataFrame, id_col: str, vec_col: str, query_id, k: int, n_bits: int, dims: int
+) -> DataFrame:
+    """Sign-random-projection LSH ANN: bucket every vector by the sign
+    pattern of ``n_bits`` fixed hyperplane projections (a narrow map —
+    no shuffle, no training, unlike IVF), then cosine-rerank only the
+    query's bucket. Expected candidates = corpus / 2^n_bits: n_bits
+    tunes recall vs cost. At 100 TB the bucket column becomes a
+    ``partitionBy(bucket)`` lake axis so a probe is partition pruning;
+    multi-probe = also visiting buckets at Hamming distance 1 (flip the
+    lowest-|projection| bits) — same plan, more buckets in the IN list.
+
+    Versus IVF (ivf_topk): no centroid training or assignment shuffle,
+    data-independent buckets (stable under corpus growth — new vectors
+    never move old ones between buckets, so incremental ingest appends
+    instead of re-clustering); the price is data-oblivious cell shapes
+    and thus lower recall per probe on clustered data.
+    """
+    planes = hyperplane_planes(n_bits, dims)
+    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    bucketed = e.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cand = bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qb")).filter(
+        F.col(id_col) != query_id
+    )
+    scored = cand.select(
+        F.col(id_col), F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6")
+    )
+    return (
+        scored.orderBy(F.desc("sim6"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round(F.col("sim6"), 4).alias("sim"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame, id_col: str, vec_col: str, query_id, k: int, n_cells: int
 ) -> DataFrame:

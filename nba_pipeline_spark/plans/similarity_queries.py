@@ -80,3 +80,45 @@ register(
     ORDER BY sim6 DESC NULLS LAST, vec_id ASC NULLS FIRST LIMIT {TOP_K}
     """,
 )
+
+
+N_BITS = 4
+DIMS = 64
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH ANN (see operators.similarity.lsh_topk):
+    training-free bucketing twin of q_ann_ivf."""
+    return SIM.lsh_topk(
+        _emb(spark, sf_dir), "vec_id", "embedding", QUERY_ID, TOP_K, N_BITS, DIMS
+    )
+
+
+def _planes_sql() -> str:
+    rows = []
+    for b, plane in enumerate(SIM.hyperplane_planes(N_BITS, DIMS)):
+        arr = ",".join(str(x) for x in plane)
+        rows.append(f"({b}, CAST([{arr}] AS DOUBLE[]))")
+    return ", ".join(rows)
+
+
+register(
+    "q_ann_lsh",
+    q_ann_lsh,
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT * FROM (VALUES {_planes_sql()}) AS t(b, plane)),
+    bk AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN ROUND(list_dot_product(v, plane), 6) >= 0
+                           THEN (1 << b) ELSE 0 END) AS INT) AS bucket
+      FROM e CROSS JOIN p GROUP BY vec_id),
+    eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk USING (vec_id)),
+    q AS (SELECT v AS qv, bucket AS qb FROM eb WHERE vec_id = {QUERY_ID}),
+    cand AS (
+      SELECT eb.vec_id, ROUND(list_cosine_similarity(eb.v, q.qv), 6) AS sim6
+      FROM eb, q WHERE eb.bucket = q.qb AND eb.vec_id <> {QUERY_ID})
+    SELECT vec_id, ROUND(sim6, 4) AS sim FROM cand
+    ORDER BY sim6 DESC NULLS LAST, vec_id ASC NULLS FIRST LIMIT {TOP_K}
+    """,
+)

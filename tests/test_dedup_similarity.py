@@ -109,3 +109,31 @@ def test_connected_components_topology(spark):
     assert by_id[4]["cluster_id"] == 1 and by_id[4]["cluster_size"] == 4
     assert by_id[4]["keep"] == 0 and by_id[1]["keep"] == 1
     assert sum(r["keep"] for r in rows) == 3  # one canonical per cluster
+
+
+def test_lsh_topk_finds_near_duplicates(spark):
+    """Sign-LSH collision probability (1 - theta/pi)^bits -> 1 as
+    theta -> 0: near-identical vectors MUST share the query's bucket
+    and dominate the rerank."""
+    from nba_pipeline_spark.operators.similarity import lsh_topk
+
+    dims = 16
+
+    import hashlib
+
+    def vec(seed: int, wobble: float) -> list[float]:
+        # md5-mixed pseudo-randoms in [-1, 1): decorrelated across seeds
+        def h(i: int) -> float:
+            d = hashlib.md5(f"{seed}:{i}".encode()).digest()
+            return int.from_bytes(d[:4], "big") / 2**31 - 1.0
+
+        return [h(i) + wobble * h(i + 1000) for i in range(dims)]
+
+    rows = [(0, vec(1, 0.0))]
+    rows += [(i, vec(1, 0.02 * i)) for i in range(1, 6)]       # near dups of v0
+    rows += [(i, vec(i * 13 + 7, 0.0)) for i in range(6, 50)]  # unrelated
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = lsh_topk(emb, "vec_id", "embedding", 0, 5, n_bits=4, dims=dims).collect()
+    ids = {r["vec_id"] for r in got}
+    assert set(range(1, 6)) <= ids, ids
