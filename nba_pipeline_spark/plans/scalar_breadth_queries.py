@@ -194,3 +194,43 @@ register(
     GROUP BY c_nationkey
     """,
 )
+
+
+# --- Lake layout: Morton (Z-order) clustering key ------------------------------
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value over (l_partkey, l_suppkey) — the clustering key
+    write_zordered ranges on (sources/layout.py). Pure shift/mask
+    integer arithmetic, so the 2-D data-skipping layout is driven by an
+    oracle-replayable JVM projection, not engine magic."""
+    from ..sources.layout import zvalue
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        zvalue(F.col("l_partkey"), F.col("l_suppkey"), 8).alias("zval"),
+    )
+
+
+def _zvalue_sql(a: str, b: str, bits: int = 8) -> str:
+    # full parens around every term: DuckDB's << binds looser than +,
+    # so unparenthesized terms would chain into each other's shifts
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({a} & 255) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({b} & 255) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+register(
+    "q_zorder_key",
+    q_zorder_key,
+    f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({_zvalue_sql('l_partkey', 'l_suppkey')} AS BIGINT) AS zval
+    FROM lineitem
+    """,
+)
