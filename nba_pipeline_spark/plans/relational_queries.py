@@ -584,3 +584,49 @@ register(
     "SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty, "
     "max(l_shipdate) AS max_ship FROM lineitem GROUP BY l_returnflag",
 )
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S5 companion for semi-structured staging: write a JSON-lines
+    stage once, read it back through the schema-checked PERMISSIVE
+    reader (read_jsonl — bad rows would land in the corrupt channel;
+    a clean stage yields zero), and aggregate. Must equal the parquet
+    source exactly."""
+    tune(spark)
+    from pyspark.sql import types as T
+
+    from ..sources import read_jsonl
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = f"/tmp/nba_spark_lake/{tag}/events_jsonl"
+    cols = ["event_id", "user_id", "event_type", "value"]
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").select(*cols).write.mode(
+            "overwrite"
+        ).json(stage)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    staged = read_jsonl(spark, stage, schema)
+    clean = staged.filter(F.col("_corrupt_record").isNull())
+    return clean.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        # exact-decimal sum: order-independent (see flagship.py); JSON
+        # round-trips the double bit-exactly (shortest-repr write)
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+register(
+    "q_jsonl_roundtrip",
+    q_jsonl_roundtrip,
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value, "
+    "MAX(user_id) AS max_user FROM events GROUP BY event_type",
+)

@@ -373,3 +373,44 @@ register(
     "SELECT o_orderkey, CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST) AS INT) AS seq_id "
     "FROM orders",
 )
+
+
+# --- W5 extension: sliding distinct count over an event-time frame ------------
+
+def q_win_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event types per user over the trailing hour — a
+    set-valued RANGE frame (collect_set over event-time micros, then
+    size). The state Spark keeps per frame is the distinct set, not the
+    row list; NULL types are excluded at the source on both engines
+    (collect_set drops NULLs, DuckDB's array_agg keeps them)."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(w)).cast("int").alias("d_types_1h"),
+    )
+
+
+register(
+    "q_win_distinct",
+    q_win_distinct,
+    """
+    SELECT event_id, user_id, ts,
+           CAST(len(list_distinct(array_agg(event_type) OVER w)) AS INT) AS d_types_1h
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)

@@ -197,6 +197,53 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool 
     return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str | None = "_corrupt_record",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Schema-checked JSON-lines scan with an explicit bad-row channel.
+
+    A 100 TB ingest cannot die on one malformed line (the reference's
+    analog: try/except-continue around every fetch, games.py:21-27).
+    PERMISSIVE parsing routes unparseable lines into ``corrupt_col``
+    (added to the schema here) instead of nulling them silently —
+    downstream splits the frame on ``corrupt_col IS NULL`` into the
+    clean table and a quarantine table. ``mode`` passes through for
+    DROPMALFORMED / FAILFAST when silence or loudness is wanted.
+    """
+    full = schema
+    if corrupt_col is not None and mode == "PERMISSIVE":
+        full = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+        )
+        reader = spark.read.schema(full).option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    else:
+        reader = spark.read.schema(full)
+    return reader.option("mode", mode).json(path)
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE-parsed frame into (clean, quarantine).
+
+    Spark refuses plans that reference ONLY the corrupt column (the
+    parser would have to re-run just to rebuild it), so the frame is
+    persisted first — which is what a real quarantine job does anyway:
+    one parse pass feeding two sinks. Caller unpersists when both
+    branches are written.
+    """
+    df = df.persist()
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.filter(F.col(corrupt_col).isNotNull())
+    return clean, quarantine
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet") -> None:
     """Reference S7 partitioned lake layout (one object per season,
     ``scrape_data_to_gcs.py:196-266``) -> directory partitions that Spark

@@ -75,3 +75,33 @@ def test_read_evolved_merges_schema_and_checks_contract(spark, tmp_path):
 
     with pytest.raises(ValueError, match="missing contract columns"):
         read_evolved(spark, lake, required=["id", "nope"])
+
+
+def test_jsonl_corrupt_record_channel(spark, tmp_path):
+    """PERMISSIVE: bad lines land whole in the corrupt column (other
+    fields NULL); DROPMALFORMED silently drops them; the clean/
+    quarantine split accounts for every input line."""
+    from pyspark.sql import types as T
+
+    from nba_pipeline_spark.sources import read_jsonl
+    from nba_pipeline_spark.sources.registry import split_corrupt
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        '{"id": 2, "v": "b"}\n'
+        'THIS IS NOT JSON\n'
+        '{"id": "not-an-int", "v": "c"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = read_jsonl(spark, str(p), schema)
+    clean, quarantine = split_corrupt(df)
+    assert clean.count() + quarantine.count() == 4
+    assert sorted(r["id"] for r in clean.collect()) == [1, 2]
+    # the raw offending line is preserved for replay/debugging
+    assert any("NOT JSON" in r["_corrupt_record"] for r in quarantine.collect())
+
+    dropped = read_jsonl(spark, str(p), schema, mode="DROPMALFORMED", corrupt_col=None)
+    assert sorted(r["id"] for r in dropped.select("id").collect()) == [1, 2]
