@@ -234,3 +234,45 @@ register(
     FROM lineitem
     """,
 )
+
+
+# --- ANSI-mode safety family: try_* functions ----------------------------------
+
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI mode is ON engine-wide (Spark 4 default): a junk row must
+    yield NULL, not kill the 100 TB job. try_divide nulls
+    divide-by-zero, try_cast nulls unparseable strings (the words
+    column really parses where p_name's numeric suffix is numeric),
+    try_to_timestamp nulls junk timestamps, and try_add nulls SIGNED
+    OVERFLOW — the oracle replays overflow as an explicit range check,
+    since DuckDB has no try-arithmetic."""
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    big = F.lit(9223372036854775807)
+    return part.select(
+        "p_partkey",
+        F.try_divide(k.cast("double"), (k % 5).cast("double")).alias("div5"),
+        F.col("p_type").try_cast("int").alias("type_as_int"),
+        F.split_part(F.col("p_name"), F.lit("_"), F.lit(2)).try_cast("long").alias("suffix_num"),
+        F.try_to_timestamp(F.col("p_type")).alias("junk_ts"),
+        F.try_to_timestamp(F.lit("1997-03-01 12:30:00")).alias("good_ts"),
+        F.try_add(big - (k % 10), k % 7).alias("maybe_overflow"),
+    )
+
+
+register(
+    "q_try_funcs",
+    q_try_funcs,
+    """
+    SELECT p_partkey,
+           p_partkey / nullif(CAST(p_partkey % 5 AS DOUBLE), 0.0) AS div5,
+           TRY_CAST(p_type AS INT) AS type_as_int,
+           TRY_CAST(split_part(p_name, '_', 2) AS BIGINT) AS suffix_num,
+           TRY_CAST(p_type AS TIMESTAMP) AS junk_ts,
+           TRY_CAST('1997-03-01 12:30:00' AS TIMESTAMP) AS good_ts,
+           CASE WHEN (p_partkey % 7) > (p_partkey % 10) THEN NULL
+                ELSE (9223372036854775807 - (p_partkey % 10)) + (p_partkey % 7) END
+             AS maybe_overflow
+    FROM part
+    """,
+)

@@ -157,3 +157,35 @@ def test_bitmap_distinct_has_partial_aggregation(spark):
 
     p = plan(REGISTRY["q_agg_bitmap_distinct"].fn(spark, SF_DIR))
     assert p.count("HashAggregate") >= 2
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark):
+    """DPP: joining the partitioned lake to a FILTERED dimension must
+    prune partitions at runtime from the dim's filter result — the scan
+    carries a dynamicpruning subquery on the partition column even
+    though no literal o_year predicate exists in the query."""
+    import os
+
+    from nba_pipeline_spark.plans.queries import REGISTRY
+    from nba_pipeline_spark.sources import load_table
+
+    # ensure the partitioned lake exists (q_partition_prune stages it)
+    REGISTRY["q_partition_prune"].fn(spark, SF_DIR).count()
+    tag = SF_DIR.strip("/").replace("/", "_")
+    lake = f"/tmp/nba_spark_lake/{tag}/orders_by_year"
+    assert os.path.exists(os.path.join(lake, "_SUCCESS"))
+
+    facts = spark.read.parquet(lake)
+    # the dim filter is on a NON-partition column: a literal y filter
+    # would be constant-propagated into static pruning (verified — the
+    # optimizer infers o_year = <lit> through the join), so the partition
+    # set here is genuinely unknown until the dim is evaluated at runtime
+    years = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.year("o_orderdate").alias("y"))
+        .distinct()
+    )
+    joined = facts.join(years, facts["o_year"] == years["y"])
+    p = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in p, p[:2000]
