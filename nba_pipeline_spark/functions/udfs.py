@@ -9,6 +9,12 @@ all Arrow-vectorized (never row-at-a-time):
   array columns (the pattern for model-adjacent feature transforms).
 - ``zscore_per_group``: applyInPandas grouped-map — per-group pandas
   logic with the group shuffled to one worker (UDAF-shaped).
+- ``weighted_mean``: pandas_udf grouped-agg — a true UDAF: Arrow
+  batches in, one scalar out per group, usable in groupBy().agg and
+  over windows.
+- ``ngram_udtf``: Python UDTF (table function) — one row in, many
+  rows out with a declared schema; the lateral-join shape for Python
+  tokenizers/parsers that genuinely can't be `split`+`explode`.
 - ``register_parity_udfs``: spark.udf.register bridge so SQL text can
   call engine functions; used by parity tests only.
 """
@@ -52,6 +58,39 @@ def zscore_per_group(df: DataFrame, keys: list[str], value_col: str, out: str) -
         return pdf
 
     return df.groupBy(*keys).applyInPandas(apply, schema)
+
+
+# DataType objects, not DDL strings: string return types parse via the
+# active SparkContext, which doesn't exist yet at module import
+@F.pandas_udf(T.DoubleType())
+def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+    """Grouped-agg pandas UDF (UDAF): weighted mean of ``v`` by ``w``.
+    Arrow ships each group's columns as one batch; the return is a
+    scalar per group. NULL weights/values are excluded pairwise, like
+    SQL aggregates."""
+    mask = v.notna() & w.notna()
+    tw = float(w[mask].sum())
+    return float((v[mask] * w[mask]).sum() / tw) if tw != 0.0 else None
+
+
+@F.udtf(
+    returnType=T.StructType(
+        [T.StructField("ngram", T.StringType()), T.StructField("pos", T.IntegerType())]
+    )
+)
+class ngram_udtf:
+    """Python UDTF: emit the word bigrams of a text with positions.
+    The table-function shape (one row -> many typed rows, usable in
+    FROM/LATERAL) for parsers that outgrow split+explode. Plumbing
+    demo — a regex bigram IS expressible builtin, which is why no core
+    query uses this."""
+
+    def eval(self, text: str):  # noqa: D102
+        if not text:
+            return
+        words = text.split()
+        for i in range(len(words) - 1):
+            yield f"{words[i]} {words[i + 1]}", i
 
 
 def register_parity_udfs(spark: SparkSession) -> None:

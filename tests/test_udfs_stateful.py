@@ -197,3 +197,32 @@ def test_transform_with_state_matches_apply_in_pandas(spark, staged_pbp_stream):
         ("g1", 4): 2, ("g1", 5): 2,  # cross-batch: reset counted from state
         ("g2", 6): 1, ("g2", 7): 1,
     }
+
+
+def test_weighted_mean_udaf(spark):
+    from nba_pipeline_spark.functions.udfs import weighted_mean
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 2.0), ("b", None, 9.0)],
+        "g string, v double, w double",
+    )
+    got = {
+        r["g"]: r["wm"]
+        for r in df.groupBy("g").agg(weighted_mean("v", "w").alias("wm")).collect()
+    }
+    assert got["a"] == pytest.approx((10 * 1 + 20 * 3) / 4.0)
+    assert got["b"] == pytest.approx(5.0)  # NULL value excluded pairwise
+
+
+def test_ngram_udtf_emits_typed_rows(spark):
+    from nba_pipeline_spark.functions.udfs import ngram_udtf
+
+    spark.udtf.register("ngram_udtf", ngram_udtf)
+    rows = spark.sql(
+        "SELECT t.* FROM (SELECT 'the quick brown fox' AS s), LATERAL ngram_udtf(s) t"
+    ).collect()
+    assert [(r["ngram"], r["pos"]) for r in rows] == [
+        ("the quick", 0),
+        ("quick brown", 1),
+        ("brown fox", 2),
+    ]
