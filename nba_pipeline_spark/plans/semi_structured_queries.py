@@ -125,3 +125,50 @@ register(
     FROM events
     """,
 )
+
+
+# --- X2 extension: higher-order function breadth over numeric arrays ----------
+
+def q_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order breadth over embeddings: filter (count of
+    positive coords), exists / forall (range predicates), array
+    min/max, sort+slice (top-3 coords), distinct-after-transform
+    (sign cardinality). Everything JVM-side, narrow, codegen'd. The
+    top-3 list is serialized as micro-unit integers — double-to-string
+    formatting is NOT canonical across engines (Spark says 1.0E-6,
+    DuckDB 0.000001), integers are."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    top3 = F.slice(F.array_sort(v, lambda a, b: F.when(a < b, 1).when(a > b, -1).otherwise(0)), 1, 3)
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.exists(v, lambda x: x > 0.9).alias("any_gt9"),
+        F.forall(v, lambda x: F.abs(x) <= 1.5).alias("all_in_range"),
+        F.round(F.array_max(v), 6).alias("mx"),
+        F.round(F.array_min(v), 6).alias("mn"),
+        F.concat_ws(
+            ",", F.transform(top3, lambda x: F.round(x * 1000000).cast("long").cast("string"))
+        ).alias("top3_micro"),
+        F.size(F.array_distinct(F.transform(v, lambda x: F.signum(x)))).cast("int").alias("n_signs"),
+    )
+
+
+register(
+    "q_hof_funcs",
+    q_hof_funcs,
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+           len(list_filter(v, x -> x > 0.9)) > 0 AS any_gt9,
+           len(list_filter(v, x -> abs(x) > 1.5)) = 0 AS all_in_range,
+           ROUND(list_max(v), 6) AS mx,
+           ROUND(list_min(v), 6) AS mn,
+           array_to_string(list_transform(list_sort(v, 'DESC')[1:3],
+                             x -> CAST(CAST(round(x * 1000000, 0) AS BIGINT) AS VARCHAR)), ',')
+             AS top3_micro,
+           CAST(len(list_distinct(list_transform(v, x -> sign(x)))) AS INT) AS n_signs
+    FROM e
+    """,
+)

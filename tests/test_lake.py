@@ -43,3 +43,49 @@ def test_build_lake_end_to_end(spark, tmp_path):
     assert {r["playerName"] for r in sal} == {"Michael Jordan", "Magic Johnson"}
     assert enriched.count() == 0
     assert set(tables) >= {"wh_games", "wh_playbyplay", "wh_salaries"}
+
+
+def test_catalog_ctas_insert_describe(spark):
+    """SQL DDL surface over the session catalog: CTAS from a temp view,
+    INSERT INTO appends, DESCRIBE/SHOW see the table, DROP removes it.
+    (The warehouse dir is /tmp — saveAsTable/CTAS never touch the repo.)"""
+    from nba_pipeline_spark.sources import load_table
+    from conftest import SF_DIR
+
+    load_table(spark, SF_DIR, "nation").createOrReplaceTempView("nation_v")
+    spark.sql("DROP TABLE IF EXISTS nation_small")
+    spark.sql(
+        "CREATE TABLE nation_small USING parquet AS "
+        "SELECT n_nationkey, n_name FROM nation_v WHERE n_nationkey < 5"
+    )
+    try:
+        assert spark.table("nation_small").count() == 5
+        spark.sql("INSERT INTO nation_small VALUES (99, 'NATION_X')")
+        assert spark.table("nation_small").count() == 6
+        cols = [r["col_name"] for r in spark.sql("DESCRIBE TABLE nation_small").collect()]
+        assert "n_nationkey" in cols and "n_name" in cols
+        names = [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]
+        assert "nation_small" in names
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_small")
+
+
+def test_cache_reuses_inmemory_relation(spark):
+    """persist(): the second action scans the InMemoryRelation, not the
+    parquet files — and results are identical either way."""
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.sources import load_table
+    from conftest import SF_DIR
+
+    base = load_table(spark, SF_DIR, "supplier").filter(F.col("s_acctbal") > 0)
+    cold = base.groupBy("s_nationkey").count().collect()
+    cached = base.persist()
+    try:
+        cached.count()  # materialize
+        plan = cached.groupBy("s_nationkey").count()._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan[:500]
+        warm = cached.groupBy("s_nationkey").count().collect()
+        assert sorted(map(tuple, warm)) == sorted(map(tuple, cold))
+    finally:
+        cached.unpersist()
