@@ -172,3 +172,41 @@ register(
     FROM e
     """,
 )
+
+
+# --- X1 extension: VARIANT semi-structured type (Spark 4) ---------------------
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: try_parse_json
+    builds the binary variant (NULL on junk instead of dying — the
+    open-schema analog of the try_* family), variant_get extracts typed
+    fields by JSONPath (the try_ form: a {"k": "abc"} payload NULLs the
+    cast instead of failing the job). Versus from_json: no schema declared up front,
+    the value keeps its own structure — the right ingest type when
+    event payloads drift. The oracle guards junk with json_valid, since
+    DuckDB's JSON functions error on malformed input."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.try_parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        # double, not int: variant int-casts TRUNCATE 3.5 -> 3 where a
+        # text-path TRY_CAST rounds -> 4; double agrees everywhere
+        F.try_variant_get(v, "$.k", "double").alias("k_num"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
+        v.isNull().alias("unparseable"),
+    )
+
+
+register(
+    "q_variant_extract",
+    q_variant_extract,
+    """
+    SELECT event_id,
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) END AS k_num,
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.missing') END AS missing_str,
+           (props IS NULL OR NOT json_valid(props)) AS unparseable
+    FROM events
+    """,
+)

@@ -105,3 +105,30 @@ def test_jsonl_corrupt_record_channel(spark, tmp_path):
 
     dropped = read_jsonl(spark, str(p), schema, mode="DROPMALFORMED", corrupt_col=None)
     assert sorted(r["id"] for r in dropped.select("id").collect()) == [1, 2]
+
+
+def test_observe_metrics_piggyback_on_action(spark):
+    """df.observe(): operational metrics (row count, sum, null count)
+    computed DURING the action — no second scan. The way a 100 TB
+    ingest reports volume/quality without doubling its cost."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.sources import load_table
+    from conftest import SF_DIR
+
+    obs = Observation("ingest_metrics")
+    df = load_table(spark, SF_DIR, "supplier").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,4)")).cast("double").alias("sum_bal"),
+        F.sum(F.col("s_name").isNull().cast("int")).alias("null_names"),
+    )
+    df.write.mode("overwrite").parquet("/tmp/nba_spark_lake/observe_sink")
+    m = obs.get
+    direct = load_table(spark, SF_DIR, "supplier").agg(
+        F.count(F.lit(1)), F.sum(F.col("s_acctbal").cast("decimal(18,4)")).cast("double")
+    ).first()
+    assert m["n_rows"] == direct[0]
+    assert m["sum_bal"] == direct[1]
+    assert m["null_names"] == 0
