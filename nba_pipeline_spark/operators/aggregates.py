@@ -64,3 +64,45 @@ def pivot_agg(
     collect distinct values — wasteful and nondeterministic at scale.
     """
     return df.groupBy(*keys).pivot(pivot_col, pivot_values).agg(agg)
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    salt_col: Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for SKEWED group-by keys: pre-aggregate on
+    (keys, salt) so one hot key's rows spread over ``n_salts`` reducers,
+    then combine the per-salt partials on the true keys.
+
+    Spark's map-side partial aggregation already handles most skew; the
+    residual case is a final-stage reducer that still receives one hot
+    key's combined partials from EVERY map task (low-cardinality keys at
+    100 TB — think 5 event types over a trillion rows). AQE splits skewed
+    JOIN partitions but not skewed aggregations, so the salt is the
+    explicit fix. Exact for algebraic aggregates: counts and decimal
+    sums re-combine losslessly; the second shuffle moves only
+    keys x n_salts rows.
+
+    ``salt_col`` must be deterministic (hash of some high-cardinality
+    column, never rand() — retries must re-salt identically).
+    """
+    dec = F.col(value_col).cast("decimal(18,4)")
+    partial = (
+        df.withColumn("__salt", salt_col % n_salts)
+        .groupBy(*keys, F.col("__salt"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(dec).alias("__s"),
+            F.min(value_col).alias("__mn"),
+            F.max(value_col).alias("__mx"),
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__s").cast("double").alias("sum_value"),
+        F.min("__mn").alias("min_value"),
+        F.max("__mx").alias("max_value"),
+    )

@@ -189,6 +189,63 @@ def lsh_topk(
     )
 
 
+def lsh_topk_multiprobe(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id,
+    k: int,
+    n_bits: int,
+    dims: int,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Multi-probe sign-LSH: visit the query's bucket PLUS the buckets
+    at Hamming distance 1 obtained by flipping its lowest-|projection|
+    bits — the bits most likely to disagree for a true neighbor sitting
+    near a hyperplane. Standard multi-probe trade: recall of a
+    (n_probe)x bigger bucket at the cost of probing n_probe buckets,
+    WITHOUT rebucketing anything.
+
+    The probe set derives from the query row alone (one collect — same
+    driver-side footprint as IVF's centroid pull); the corpus-side plan
+    is identical to single-probe except the bucket filter becomes an
+    IN list, so at scale it stays partition pruning over a
+    partitionBy(bucket) layout.
+    """
+    planes = hyperplane_planes(n_bits, dims)
+    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    bucketed = e.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    qrow = (
+        bucketed.filter(F.col(id_col) == query_id)
+        .select(
+            "v",
+            "bucket",
+            *[
+                F.round(_dot_literal(F.col("v"), p), 6).alias(f"proj{b}")
+                for b, p in enumerate(planes)
+            ],
+        )
+        .first()
+    )
+    if qrow is None:
+        raise ValueError(f"query id {query_id!r} not found")
+    qb = qrow["bucket"]
+    by_margin = sorted(range(n_bits), key=lambda b: (abs(qrow[f"proj{b}"] or 0.0), b))
+    probes = [qb] + [qb ^ (1 << b) for b in by_margin[: max(0, n_probe - 1)]]
+    q = emb.sparkSession.createDataFrame([(list(qrow["v"]),)], "qv array<double>")
+    cand = bucketed.filter(
+        F.col("bucket").isin(probes) & (F.col(id_col) != query_id)
+    ).crossJoin(F.broadcast(q))
+    scored = cand.select(
+        F.col(id_col), F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6")
+    )
+    return (
+        scored.orderBy(F.desc("sim6"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round(F.col("sim6"), 4).alias("sim"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame, id_col: str, vec_col: str, query_id, k: int, n_cells: int
 ) -> DataFrame:

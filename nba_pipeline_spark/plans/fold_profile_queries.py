@@ -241,3 +241,31 @@ register(
     FROM lineitem
     """,
 )
+
+
+# --- Skewed-key aggregation: explicit two-phase salt ---------------------------
+
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the 5 hot event types (see
+    operators.aggregates.salted_two_phase_agg: AQE splits skewed join
+    partitions, not skewed agg reducers). Results are exactly the plain
+    groupBy — counts and decimal sums recombine losslessly — which is
+    what the oracle checks."""
+    from ..operators.aggregates import salted_two_phase_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_two_phase_agg(
+        ev, ["event_type"], "value", F.abs(F.xxhash64(F.col("user_id"))), n_salts=16
+    )
+
+
+register(
+    "q_agg_salted",
+    q_agg_salted,
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)

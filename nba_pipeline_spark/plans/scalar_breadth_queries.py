@@ -276,3 +276,34 @@ register(
     FROM part
     """,
 )
+
+
+# --- Spark 4 collations: case-insensitive comparison without lower() -----------
+
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF8_LCASE collation (Spark 4): case-insensitive equality as a
+    COLLATION on the comparison, not a lower() rewrite of the data —
+    the engine-native path for mixed-case joins/filters (predicate
+    pushdown and stats survive, and the original casing is preserved
+    in the output). The oracle replays it as lower() equality, which
+    is exactly the semantics UTF8_LCASE guarantees for ASCII."""
+    part = _t(spark, sf_dir, "part")
+    mixed = F.when(F.col("p_partkey") % 2 == 0, F.col("p_type")).otherwise(
+        F.lower(F.col("p_type"))
+    )
+    return (
+        part.select("p_partkey", mixed.alias("mixed_type"))
+        .filter(F.collate(F.col("mixed_type"), "UTF8_LCASE") == F.lit("promo"))
+    )
+
+
+register(
+    "q_collation",
+    q_collation,
+    """
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 2 = 0 THEN p_type ELSE lower(p_type) END AS mixed_type
+    FROM part
+    WHERE lower(CASE WHEN p_partkey % 2 = 0 THEN p_type ELSE lower(p_type) END) = 'promo'
+    """,
+)

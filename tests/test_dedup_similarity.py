@@ -137,3 +137,55 @@ def test_lsh_topk_finds_near_duplicates(spark):
     got = lsh_topk(emb, "vec_id", "embedding", 0, 5, n_bits=4, dims=dims).collect()
     ids = {r["vec_id"] for r in got}
     assert set(range(1, 6)) <= ids, ids
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark):
+    """Multi-probe visits the single-probe bucket plus its lowest-margin
+    neighbors: its candidate set is a superset, so brute-force top-k
+    overlap can only improve. On this corpus it must recover the full
+    exact top-5."""
+    import hashlib
+
+    from nba_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        lsh_topk_multiprobe,
+        to_double_array,
+    )
+    from pyspark.sql import functions as F
+
+    dims = 16
+
+    def h(seed, i):
+        d = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        return int.from_bytes(d[:4], "big") / 2**31 - 1.0
+
+    rows = [(i, [h(i * 31 + 1, j) for j in range(dims)]) for i in range(120)]
+    # plant near-dups of v0 with varying wobble (some will sit near planes)
+    rows += [
+        (200 + m, [x + 0.05 * m * h(999, j) for j, x in enumerate(rows[0][1])])
+        for m in range(1, 6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        r["vec_id"]
+        for r in brute_force_topk(
+            emb.filter(F.col("vec_id") != 0),
+            emb.filter(F.col("vec_id") == 0).select(
+                to_double_array(F.col("embedding")).alias("qv")
+            ),
+            "vec_id",
+            "embedding",
+            5,
+        ).collect()
+    }
+    single = {r["vec_id"] for r in lsh_topk(emb, "vec_id", "embedding", 0, 5, 4, dims).collect()}
+    multi = {
+        r["vec_id"]
+        for r in lsh_topk_multiprobe(
+            emb, "vec_id", "embedding", 0, 5, 4, dims, n_probe=4
+        ).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert multi == exact, (multi, exact)
