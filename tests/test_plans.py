@@ -189,3 +189,36 @@ def test_dynamic_partition_pruning_from_dim_filter(spark):
     joined = facts.join(years, facts["o_year"] == years["y"])
     p = joined._jdf.queryExecution().optimizedPlan().toString()
     assert "dynamicpruning" in p, p[:2000]
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime filtering: a selective non-broadcast join grows a
+    bloom_filter_agg on the build side and a might_contain filter on
+    the probe side — rows that can't join die at the probe scan instead
+    of crossing the shuffle. The 100 TB lever for selective fact-fact
+    joins; thresholds here are forced because local test data is far
+    below the defaults (10 GB probe-side scan)."""
+    from nba_pipeline_spark.sources import load_table
+
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        p = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in p and "bloom_filter_agg" in p, p[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
