@@ -269,3 +269,56 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+# --- Theta sketches: approximate SET OPERATIONS on distinct sets ---------------
+
+def q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches Theta sketches (Spark 4.1): union / intersection /
+    difference of DISTINCT-user sets without materializing either set —
+    the sketch twin of q_agg_hll_sketch (HLL can only union; Theta
+    composes all three set ops). Each side aggregates to one sketch,
+    the 1-row frames cross-broadcast, and the set algebra happens on
+    sketch binaries. Below 4096 retained entries Theta is EXACT (it
+    keeps every hash until saturation), which is what lets the oracle
+    pin this with exact DISTINCT set ops at gate scale; above that it
+    degrades to a ~2% relative-error estimate — the 100 TB mode, where
+    per-day sketches stored at ingest answer audience-overlap queries
+    in milliseconds."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").agg(
+        F.theta_sketch_agg("user_id").alias("s_purchase")
+    )
+    c = ev.filter(F.col("event_type") == "click").agg(
+        F.theta_sketch_agg("user_id").alias("s_click")
+    )
+    return p.crossJoin(F.broadcast(c)).select(
+        F.theta_sketch_estimate(F.theta_union("s_purchase", "s_click")).alias("n_union"),
+        F.theta_sketch_estimate(F.theta_intersection("s_purchase", "s_click")).alias(
+            "n_intersect"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("s_purchase", "s_click")).alias(
+            "n_only_purchase"
+        ),
+    )
+
+
+register(
+    "q_sketch_theta",
+    q_sketch_theta,
+    """
+    SELECT
+      (SELECT COUNT(DISTINCT user_id) FROM events
+        WHERE event_type IN ('purchase','click')) AS n_union,
+      (SELECT COUNT(*) FROM
+        (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'))
+        AS n_intersect,
+      (SELECT COUNT(*) FROM
+        (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'))
+        AS n_only_purchase
+    """,
+)

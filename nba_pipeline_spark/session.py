@@ -52,6 +52,12 @@ def get_spark(app_name: str = "nba_pipeline_spark", cores: int | None = None) ->
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        # AQE advisory partition size stays at the 64MB default: smaller
+        # targets (2m/8m) looked faster in isolated single-query probes
+        # (warm-JVM artifact) but measured NEUTRAL-to-worse across the
+        # full headline bench — more tasks just buys scheduler overhead
+        # at ~100MB shuffle totals. Override per-run if needed:
+        # --conf spark.sql.adaptive.advisoryPartitionSizeInBytes=...
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
