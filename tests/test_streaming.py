@@ -90,3 +90,32 @@ def test_interval_join_stream_equals_batch(spark):
     got = run_available_now(stream, "t_interval_join", output_mode="append")
     assert got.count() > 0
     pd.testing.assert_frame_equal(_norm(got), _norm(batch))
+
+
+def test_stream_writes_partitioned_lake(spark, tmp_path):
+    """T1 sink side: the stream lands in a partitionBy(event_type)
+    parquet lake with a checkpoint; the drained lake equals the batch
+    table row-for-row, and the directory layout prunes like any other
+    partitioned table."""
+    import glob
+
+    ev = read_events_stream(spark, SF_DIR)
+    out = str(tmp_path / "events_lake")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        ev.writeStream.format("parquet")
+        .partitionBy("event_type")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert glob.glob(f"{out}/event_type=*"), "no partition directories"
+    back = spark.read.parquet(out)
+    batch = load_table(spark, SF_DIR, "events")
+    assert back.count() == batch.count()
+    got = _norm(back.select("event_id", "event_type", "user_id"))
+    want = _norm(batch.select("event_id", "event_type", "user_id"))
+    pd.testing.assert_frame_equal(got, want)
