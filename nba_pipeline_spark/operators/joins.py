@@ -156,3 +156,54 @@ def asof_join(
     for c in value_cols:
         out = out.withColumn(f"{prefix}{c}", F.col("__asof_payload").getField(c))
     return out.drop("__tag", "__asof_payload")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+    keys: list[tuple[str, str]] | None = None,
+    how_predicate: Column | None = None,
+) -> DataFrame:
+    """J5c: interval x interval OVERLAP join for two LARGE sides —
+    neither broadcastable, so the naive non-equi join (a cross product
+    with a filter) is banned. Bounds are integers (epoch days/seconds).
+
+    Decomposition: each interval explodes into the coarse buckets of
+    width ``bucket_width`` it touches (sequence + explode — narrow);
+    the join becomes EQUI on (bucket, *keys) with the exact closed
+    overlap predicate ``l_start <= r_end AND r_start <= l_end`` re-
+    checked. A pair overlapping across several shared buckets would
+    duplicate, so only the CANONICAL bucket emits: the one containing
+    ``greatest(l_start, r_start)`` — dedup by arithmetic, no distinct,
+    no second shuffle.
+
+    Cost: rows replicate by ceil(span/width) (pick width ~ typical
+    span so the factor stays small); the join itself is an ordinary
+    shuffled equi-join AQE can plan. This is the standard distributed
+    interval-join used for sessions x campaigns, trades x quotes
+    windows, genomic ranges.
+    """
+    w = int(bucket_width)
+    lb = F.col("__lb")
+    ls, le = F.col(l_start), F.col(l_end)
+    rs, re_ = F.col(r_start), F.col(r_end)
+
+    l_exp = left.withColumn(
+        "__lb", F.explode(F.sequence(F.floor(ls / w), F.floor(le / w)))
+    )
+    r_exp = right.withColumn(
+        "__rb", F.explode(F.sequence(F.floor(rs / w), F.floor(re_ / w)))
+    )
+    cond = lb == F.col("__rb")
+    for lk, rk in keys or []:
+        cond = cond & (F.col(lk) == F.col(rk))
+    overlap = (ls <= re_) & (rs <= le)
+    canonical = lb == F.floor(F.greatest(ls, rs) / w)
+    if how_predicate is not None:
+        overlap = overlap & how_predicate
+    return l_exp.join(r_exp, cond & overlap & canonical, "inner").drop("__lb", "__rb")

@@ -549,3 +549,64 @@ register(
     FROM orders GROUP BY 1
     """,
 )
+
+
+# --- J5c: interval x interval overlap join (two large sides) ------------------
+
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 30-day order windows of the same customer — an
+    interval x interval self-join where BOTH sides are the fact table
+    (see operators.joins.interval_overlap_join: bucket decomposition
+    turns the non-equi overlap into a shuffled equi-join on
+    (bucket, custkey), and the canonical-bucket rule dedups by
+    arithmetic). The id_a < id_b predicate halves the symmetric
+    pairs."""
+    from ..operators.joins import interval_overlap_join
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def windows(side: str) -> DataFrame:
+        day = F.unix_date(F.col("o_orderdate").cast("date"))
+        return orders.select(
+            F.col("o_orderkey").alias(f"{side}_key"),
+            F.col("o_custkey").alias(f"{side}_cust"),
+            day.alias(f"{side}_start"),
+            (day + 30).alias(f"{side}_end"),
+        )
+
+    out = interval_overlap_join(
+        windows("a"),
+        windows("b"),
+        "a_start",
+        "a_end",
+        "b_start",
+        "b_end",
+        bucket_width=30,
+        keys=[("a_cust", "b_cust")],
+        how_predicate=F.col("a_key") < F.col("b_key"),
+    )
+    return out.select(
+        F.col("a_cust").alias("custkey"),
+        F.col("a_key").alias("okey_a"),
+        F.col("b_key").alias("okey_b"),
+        (F.least(F.col("a_end"), F.col("b_end"))
+         - F.greatest(F.col("a_start"), F.col("b_start"))).cast("int").alias("overlap_days"),
+    )
+
+
+register(
+    "q_join_interval_overlap",
+    q_join_interval_overlap,
+    """
+    WITH w AS (
+      SELECT o_orderkey AS k, o_custkey AS c,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 30 AS e
+      FROM orders
+    )
+    SELECT a.c AS custkey, a.k AS okey_a, b.k AS okey_b,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS INT) AS overlap_days
+    FROM w a JOIN w b
+      ON a.c = b.c AND a.k < b.k AND a.s <= b.e AND b.s <= a.e
+    """,
+)

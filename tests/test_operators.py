@@ -172,3 +172,28 @@ def test_salted_join_rejects_outer(spark):
     b = spark.createDataFrame([(1,)], ["rk"])
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(a, b, "k", "rk", how="full")
+
+
+def test_interval_overlap_join_canonical_bucket_dedup(spark):
+    """A pair overlapping across MULTIPLE shared buckets must emit
+    exactly once (the canonical-bucket rule), and non-overlapping /
+    cross-key pairs never join."""
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, "k1", 0, 250), (2, "k1", 500, 510), (3, "k2", 0, 100)],
+        "lid long, lk string, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(10, "k1", 100, 400), (11, "k1", 600, 700), (12, "k2", 90, 95)],
+        "rid long, rk string, rs long, re long",
+    )
+    got = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=100, keys=[("lk", "rk")]
+    ).select("lid", "rid").collect()
+    pairs = sorted((r["lid"], r["rid"]) for r in got)
+    # (1,10) overlaps over buckets 1..2 of both -> exactly one row;
+    # (2,11) no overlap; (3,12) overlaps on k2; cross-key never joins
+    assert pairs == [(1, 10), (3, 12)]
