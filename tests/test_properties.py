@@ -74,3 +74,39 @@ def test_ml_lsh_finds_identical_docs(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs_ml(docs, "text", "doc_id", 0.5).collect()}
     assert (0, 1) in pairs
     assert all(2 not in p for p in pairs)
+
+
+@_slow
+@given(
+    li=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 200)), min_size=1, max_size=8
+    ),
+    ri=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 200)), min_size=1, max_size=8
+    ),
+    width=st.sampled_from([7, 50, 100, 1000]),
+)
+def test_interval_overlap_join_equals_naive(spark, li, ri, width):
+    """The bucketed interval join must equal the naive cross+filter
+    join for ANY intervals and ANY bucket width (the canonical-bucket
+    dedup is width-independent)."""
+    from nba_pipeline_spark.operators.joins import interval_overlap_join
+
+    lrows = [(i, s, s + d) for i, (s, d) in enumerate(li)]
+    rrows = [(i, s, s + d) for i, (s, d) in enumerate(ri)]
+    left = spark.createDataFrame(lrows, "lid long, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid long, rs long, re long")
+
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_width=width
+        ).collect()
+    }
+    want = {
+        (l[0], r[0])
+        for l in lrows
+        for r in rrows
+        if l[1] <= r[2] and r[1] <= l[2]
+    }
+    assert got == want
