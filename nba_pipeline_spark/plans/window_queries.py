@@ -414,3 +414,96 @@ register(
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
 )
+
+
+# --- W5 extension: gaps and islands -------------------------------------------
+
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE order months per
+    customer (month_seq - dense_rank is constant within an island —
+    the classic trick, one shuffle on custkey shared by the window and
+    the final groupBy). Distinct months first so duplicate orders in a
+    month can't split an island."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    months = (
+        orders.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    grp = (F.col("m") - F.dense_rank().over(w)).alias("g")
+    return (
+        months.select("o_custkey", "m", grp)
+        .groupBy("o_custkey", "g")
+        .agg(
+            F.min("m").alias("island_start"),
+            F.max("m").alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+        )
+        .drop("g")
+    )
+
+
+register(
+    "q_gaps_islands",
+    q_gaps_islands,
+    """
+    WITH months AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_custkey, m,
+             m - DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY m) AS g
+      FROM months
+    )
+    SELECT o_custkey, MIN(m) AS island_start, MAX(m) AS island_end,
+           COUNT(*) AS n_months
+    FROM ranked GROUP BY o_custkey, g
+    """,
+)
+
+
+# --- Cohort retention matrix ---------------------------------------------------
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention: customers grouped by first-order month,
+    counted distinct at each month offset. Two aggregations (first
+    month per customer, then cohort x offset), both on the custkey
+    shuffle; the output is the cohort triangle every growth dashboard
+    draws. Offsets in months via (year*12+month) arithmetic — identical
+    integer math on both engines."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+    base = orders.select("o_custkey", m)
+    first = base.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    return (
+        base.join(first, "o_custkey")
+        .select("o_custkey", "cohort_m", (F.col("m") - F.col("cohort_m")).alias("offset_m"))
+        .groupBy("cohort_m", "offset_m")
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
+
+
+register(
+    "q_cohort_retention",
+    q_cohort_retention,
+    """
+    WITH base AS (
+      SELECT o_custkey, CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS m
+      FROM orders
+    ),
+    first AS (SELECT o_custkey, MIN(m) AS cohort_m FROM base GROUP BY o_custkey)
+    SELECT cohort_m, m - cohort_m AS offset_m,
+           CAST(COUNT(DISTINCT base.o_custkey) AS BIGINT) AS n_active
+    FROM base JOIN first USING (o_custkey)
+    GROUP BY cohort_m, m - cohort_m
+    """,
+)
