@@ -507,3 +507,48 @@ register(
     GROUP BY cohort_m, m - cohort_m
     """,
 )
+
+
+# --- Pareto frontier (skyline) -------------------------------------------------
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict 2-D skyline of customers over (balance cents, order
+    count): nobody strictly beats a surviving customer on BOTH axes.
+    Uses operators.windows.skyline_2d — value-bucketed running maxima
+    instead of the O(n^2) NOT-EXISTS join the oracle replays, and
+    instead of the banned single-task global window."""
+    from ..operators.windows import skyline_2d
+
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+    )
+    return skyline_2d(per_cust, "bal_cents", "n_orders")
+
+
+register(
+    "q_skyline",
+    q_skyline,
+    """
+    WITH per_cust AS (
+      SELECT c_custkey,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+             CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_acctbal
+    )
+    SELECT r.c_custkey, r.bal_cents, r.n_orders
+    FROM per_cust r
+    WHERE NOT EXISTS (SELECT 1 FROM per_cust p
+                      WHERE p.bal_cents > r.bal_cents AND p.n_orders > r.n_orders)
+    """,
+)

@@ -110,3 +110,26 @@ def test_interval_overlap_join_equals_naive(spark, li, ri, width):
         if l[1] <= r[2] and r[1] <= l[2]
     }
     assert got == want
+
+
+@_slow
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-50, 400), st.integers(0, 20)), min_size=1, max_size=12
+    ),
+    width=st.sampled_from([3, 100, 100_000]),
+)
+def test_skyline_equals_brute_force(spark, pts, width):
+    """Bucketed skyline == brute-force strict-dominance filter for any
+    points (duplicates included) and any bucket width."""
+    from nba_pipeline_spark.operators.windows import skyline_2d
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted(r["id"] for r in skyline_2d(df, "x", "y", bucket_width=width).collect())
+    want = sorted(
+        i
+        for i, (x, y) in enumerate(pts)
+        if not any(px > x and py > y for px, py in pts)
+    )
+    assert got == want
