@@ -322,3 +322,93 @@ register(
         AS n_only_purchase
     """,
 )
+
+
+# --- RFM segmentation (per-market quintiles) -----------------------------------
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quintiles WITHIN each nation (the partition keeps every ntile
+    window off the banned single-task shape and is how a 100 TB
+    engine segments per market anyway). Total tiebreak on custkey
+    makes every quintile boundary deterministic; the digits compose
+    into the familiar 3-digit segment code."""
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
+        )
+    )
+    def quintile(order_cols):
+        return F.ntile(5).over(
+            Window.partitionBy("c_nationkey").orderBy(*order_cols)
+        )
+
+    r = quintile([F.col("last_order").desc(), F.col("c_custkey").asc()])
+    f = quintile([F.col("freq").desc(), F.col("c_custkey").asc()])
+    m = quintile([F.col("monetary").desc(), F.col("c_custkey").asc()])
+    return per_cust.select(
+        "c_custkey",
+        "c_nationkey",
+        (r * 100 + f * 10 + m).cast("int").alias("rfm_code"),
+    )
+
+
+register(
+    "q_rfm",
+    q_rfm,
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, c_nationkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_nationkey
+    )
+    SELECT c_custkey, c_nationkey,
+           CAST(NTILE(5) OVER (PARTITION BY c_nationkey
+                               ORDER BY last_order DESC, c_custkey ASC) * 100
+              + NTILE(5) OVER (PARTITION BY c_nationkey
+                               ORDER BY freq DESC, c_custkey ASC) * 10
+              + NTILE(5) OVER (PARTITION BY c_nationkey
+                               ORDER BY monetary DESC, c_custkey ASC) AS INT)
+             AS rfm_code
+    FROM per_cust
+    """,
+)
+
+
+# --- Deterministic hash sampling (the oracle-able, retry-safe sample) ----------
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% Bernoulli sample selected by an md5 hash threshold on the
+    key instead of engine RNG: the SAME rows come back on any engine,
+    any partitioning, any retry — which is why q_sample (engine RNG) is
+    rows-only but this twin hash-matches its oracle exactly. The
+    100 TB default for reproducible eval splits and debugging samples;
+    stratify by composing the key with the stratum."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("|", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    word = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return li.filter(word % 10 == 0).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+register(
+    "q_sample_hash",
+    q_sample_hash,
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE CAST(('0x' || substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                                             CAST(l_linenumber AS VARCHAR))), 1, 8))
+               AS BIGINT) % 10 = 0
+    """,
+)
