@@ -50,6 +50,10 @@ HEADLINE = [
     "q_sessionize",
     "q_ewma",
     "q_agg_bitmap_distinct",
+    "q_join_interval_overlap",
+    "q_skyline",
+    "q_gaps_islands",
+    "q_hof_funcs",
 ]
 
 

@@ -140,3 +140,32 @@ def sample_frames(df: DataFrame, id_col: str, every_nth: int = 10) -> DataFrame:
     meta = extract_media_features(df, id_col)
     idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
     return meta.select(F.col(id_col), F.explode(idx).alias("frame_idx"))
+
+
+def chunk_binary(
+    df: DataFrame, id_col: str, content_col: str, chunk_bytes: int, stride: int
+) -> DataFrame:
+    """Overlapping byte-window chunking of binary content — the audio/
+    video analog of document chunking (fixed-size windows with overlap
+    feeding per-chunk decode/embedding). ENTIRELY JVM-side: offsets
+    come from sequence + posexplode and the slice is substring on the
+    binary column, so the chunker itself needs no Python — only the
+    downstream decode does. Each chunk carries its offset, true length
+    (the tail chunk is short) and content hash for dedup/caching."""
+    total = F.octet_length(F.col(content_col))
+    offsets = F.sequence(F.lit(1), F.greatest(total, F.lit(1)), F.lit(int(stride)))
+    exploded = df.select(
+        F.col(id_col),
+        F.col(content_col),
+        F.posexplode(offsets).alias("chunk_idx", "offset"),
+    )
+    chunk = F.substring(F.col(content_col), F.col("offset"), chunk_bytes)
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("offset").cast("long").alias("offset"),
+        F.octet_length(chunk).cast("long").alias("n_bytes"),
+        # md5 over HEX(chunk), not the raw bytes: SQL engines disagree
+        # on BLOB slicing support, hex strings compare everywhere
+        F.md5(F.hex(chunk)).alias("chunk_hex_md5"),
+    )

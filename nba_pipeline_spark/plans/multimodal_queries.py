@@ -73,3 +73,47 @@ def q_multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_multimodal_embed_ann", q_multimodal_embed_ann, None)
+
+
+def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping byte-window chunking of binary payloads (audio/video
+    window prep) — fully JVM-side (sequence/posexplode/substring on the
+    binary column), so unlike the decode stages it carries an exact
+    oracle. Oracle notes: DuckDB can't substring BLOBs and reserves
+    `offset` as a keyword, so both engines hash the HEX of each chunk
+    (hex is uppercase on both) and the column is byte_off."""
+    from ..multimodal.binary_ops import attach_binary, chunk_binary
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wrapped = attach_binary(docs, "text", modality="audio")
+    out = chunk_binary(wrapped, "doc_id", "content", chunk_bytes=256, stride=192)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("offset").alias("byte_off"),
+        "n_bytes",
+        "chunk_hex_md5",
+    )
+
+
+register(
+    "q_multimodal_chunks",
+    q_multimodal_chunks,
+    """
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS h FROM documents
+               WHERE text IS NOT NULL),
+    raw AS (
+      SELECT doc_id, h,
+             unnest(generate_series(1,
+               CAST(ceil(greatest(length(h) / 2, 1) / 192.0) AS BIGINT))) AS o
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(o - 1 AS INT) AS chunk_idx,
+           CAST(1 + (o - 1) * 192 AS BIGINT) AS byte_off,
+           CAST(length(substr(h, 1 + (o - 1) * 384, 512)) / 2 AS BIGINT) AS n_bytes,
+           md5(substr(h, 1 + (o - 1) * 384, 512)) AS chunk_hex_md5
+    FROM raw
+    """,
+)

@@ -29,3 +29,24 @@ def test_embed_media_feeds_ann(spark):
     )
     top = brute_force_topk(emb, query, "doc_id", "embedding", k=5).collect()
     assert top[0]["doc_id"] == 0 and abs(top[0]["sim"] - 1.0) < 1e-9
+
+
+def test_chunk_binary_windows_and_tail(spark):
+    """256-byte windows at stride 192: offsets advance by the stride,
+    every full chunk is 256 bytes, the tail is short, and overlapping
+    bytes mean consecutive chunks share content."""
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.multimodal.binary_ops import attach_binary, chunk_binary
+
+    text = "x" * 500  # 500 utf-8 bytes
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_binary(
+        attach_binary(df, "text"), "doc_id", "content", chunk_bytes=256, stride=192
+    ).orderBy("chunk_idx")
+    rows = out.collect()
+    assert [r["offset"] for r in rows] == [1, 193, 385]
+    assert [r["n_bytes"] for r in rows] == [256, 256, 116]
+    # identical bytes everywhere -> identical hashes for same-size chunks
+    assert rows[0]["chunk_hex_md5"] == rows[1]["chunk_hex_md5"]
+    assert rows[0]["chunk_hex_md5"] != rows[2]["chunk_hex_md5"]
