@@ -1,17 +1,22 @@
-"""TPC-H decision-support coverage, part 2 (Q6/Q7/Q8/Q12/Q13/Q14/Q15/
-Q16/Q17/Q18/Q19/Q22 shapes adapted to the driver schema).
+"""TPC-H decision-support coverage, part 2 — with analytics_queries.py
+(Q3/Q5/Q10) and sql_queries.py (Q1 = q_sql_pricing_summary), ALL 22
+TPC-H query shapes are adapted to the driver schema and oracle-checked.
 
 The reference's Terraform provisions a warehouse it never queries
-(IaC/variables.tf:26-30); q_tpch_q3/q5/q10 in analytics_queries.py
-cover the scan-heavy report shapes, and this module completes the
-classic decision-support set: conditional aggregation, left-join
-distributions, group-filter semi-joins, decorrelated scalar subqueries,
-disjunctive pushdown, NOT-IN exclusion, and max-match selection.
+(IaC/variables.tf:26-30); this module completes the classic
+decision-support set: conditional aggregation, left-join
+distributions, group-filter semi-joins, decorrelated scalar
+subqueries, disjunctive pushdown, NOT-IN exclusion, max-match
+selection, nested-aggregate semi-join chains, and the only-late-
+supplier exists/not-exists pair recast as pure aggregation.
 
 Schema adaptations (the driver tables lack some TPC-H columns):
-no partsupp -> supplier relationships come from lineitem; no
-l_shipmode/l_commitdate -> Q12 buckets on o_orderpriority per
-l_linestatus; no c_phone -> Q22 segments on c_nationkey.
+no partsupp -> supplier relationships come from lineitem (Q2: cost =
+min observed line price; Q11: stock value = shipped line value;
+Q16/Q20: supplier-part pairs from lines); no l_commitdate/receiptdate
+-> "late" = shipped >60 days after the order date (Q4/Q21); no
+l_shipmode -> Q12 buckets on o_orderpriority per l_linestatus; no
+c_phone -> Q22 segments on c_nationkey.
 
 Engine-parity rules as everywhere (flagship.py): money in exact
 DECIMAL(18,4) until the output boundary, correlated averages compared
@@ -621,5 +626,333 @@ register(
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '1999-01-01')
     GROUP BY c_nationkey
+    """,
+)
+
+
+# --- Q4: order priority checking (EXISTS against the detail table) -------------
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (no commit/receipt dates -> "late" = shipped more
+    than 60 days after order): count orders per priority with at least
+    one late line. The EXISTS decorrelates to a left-semi join on the
+    DISTINCT late order keys — one shuffle, no row multiplication."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate").withColumnRenamed("o_orderkey", "lk"),
+        F.col("l_orderkey") == F.col("lk"),
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        orders.join(
+            late.select("l_orderkey").distinct(),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+register(
+    "q_tpch_q4",
+    q_tpch_q4,
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey
+                    AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# --- Q2: minimum-cost supplier per part ----------------------------------------
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp -> lineitem: a supplier's "cost" for a
+    part is its minimum observed line price, exact decimal): for ASIA
+    suppliers and one part size, the supplier(s) matching the per-part
+    minimum cost. Two-level min + equality match — the same
+    decorrelated correlated-subquery family as Q15/Q17."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    cost_ps = (
+        li.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name", "n_name")
+        .agg(F.min(F.col("l_extendedprice").cast(_DEC)).alias("cost"))
+    )
+    min_pp = cost_ps.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        cost_ps.join(
+            F.broadcast(min_pp),
+            (F.col("p_partkey") == F.col("mk")) & (F.col("cost") == F.col("min_cost")),
+        )
+        .select(
+            "p_partkey", "s_suppkey", "s_name", "n_name", F.col("cost").cast("double").alias("cost")
+        )
+    )
+
+
+register(
+    "q_tpch_q2",
+    q_tpch_q2,
+    """
+    WITH asia_supp AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    cost_ps AS (
+      SELECT p_partkey, s_suppkey, s_name, n_name,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+      FROM lineitem
+      JOIN asia_supp ON l_suppkey = s_suppkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_size = 15
+      GROUP BY p_partkey, s_suppkey, s_name, n_name
+    )
+    SELECT p_partkey, s_suppkey, s_name, n_name, CAST(cost AS DOUBLE) AS cost
+    FROM cost_ps c
+    WHERE cost = (SELECT MIN(cost) FROM cost_ps m WHERE m.p_partkey = c.p_partkey)
+    """,
+)
+
+
+# --- Q9: product-type profit by nation and year --------------------------------
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no ps_supplycost -> cost proxy = 60% of retail
+    price x quantity, exact decimal): profit by supplier nation and
+    order year over the 'o'-marked part-name family (the synthetic
+    names are word pairs, not numbered). One
+    fact-fact shuffle; part/supplier/nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%o%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    # x10 integer scaling: profit*10 = rev*10 - retail*qty*6 keeps every
+    # decimal multiplication exact (a 0.6 decimal factor overflows the
+    # product precision and the engines round it differently)
+    cost6 = F.col("p_retailprice").cast(_DEC) * F.col("l_quantity").cast(_DEC) * F.lit(6)
+    profit10 = _revenue() * F.lit(10) - cost6
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(profit10).cast("double") / F.lit(10.0)).alias("profit"))
+    )
+
+
+register(
+    "q_tpch_q9",
+    q_tpch_q9,
+    f"""
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM({_REV_SQL} * 10
+                    - CAST(p_retailprice AS DECIMAL(18,4))
+                      * CAST(l_quantity AS DECIMAL(18,4)) * 6) AS DOUBLE) / 10.0
+             AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%o%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+
+
+# --- Q11: important stock (group value vs global-fraction scalar) --------------
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp value -> shipped line value): parts
+    whose EUROPE-supplied value exceeds 1/2000 of the total. The total
+    is a 1-row broadcast; the fraction compares multiplicatively in
+    exact decimal (value*2000 > total) so no division, no float."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    base = li.join(F.broadcast(euro), F.col("l_suppkey") == F.col("s_suppkey"))
+    value = F.sum(F.col("l_extendedprice").cast(_DEC))
+    per_part = base.groupBy("l_partkey").agg(value.alias("part_value"))
+    total = base.agg(value.alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") * 2000 > F.col("total_value"))
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+register(
+    "q_tpch_q11",
+    q_tpch_q11,
+    """
+    WITH euro AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    base AS (SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,4)) AS v
+             FROM lineitem JOIN euro ON l_suppkey = s_suppkey)
+    SELECT l_partkey, CAST(SUM(v) AS DOUBLE) AS part_value
+    FROM base
+    GROUP BY l_partkey
+    HAVING SUM(v) * 2000 > (SELECT SUM(v) FROM base)
+    """,
+)
+
+
+# --- Q20: suppliers with a dominant share of a part family ---------------------
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty -> shipped-quantity share): NATION_2
+    suppliers holding >30% of 1997 shipped quantity for some 'red'
+    part — nested aggregate (per part+supplier, then per part) feeding
+    a semi join into the supplier list. Shares compare multiplicatively
+    (10*sq > 3*tq) on integer-valued quantity sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    f = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    t = f.groupBy(F.col("l_partkey").alias("tk")).agg(F.sum("sq").alias("tq"))
+    qualifying = (
+        f.join(F.broadcast(t), F.col("l_partkey") == F.col("tk"))
+        .filter(F.col("sq") * 10 > F.col("tq") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+register(
+    "q_tpch_q20",
+    q_tpch_q20,
+    """
+    WITH f AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    t AS (SELECT l_partkey, SUM(sq) AS tq FROM f GROUP BY l_partkey)
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND EXISTS (SELECT 1 FROM f JOIN t USING (l_partkey)
+                  WHERE f.l_suppkey = s_suppkey AND sq * 10 > tq * 3)
+    """,
+)
+
+
+# --- Q21: suppliers who kept orders waiting ------------------------------------
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape ("late" = shipped >60 days after order): count,
+    per supplier, multi-supplier orders where THEY were the only late
+    supplier. The exists / not-exists pair becomes pure aggregation:
+    per (order, supplier) max(late), per order countDistinct suppliers
+    + late-supplier count, then the qualifying pairs group by supplier.
+    No correlated execution anywhere; three keyed shuffles total."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier")
+    flagged = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .cast("int")
+            .alias("late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("has_late"))
+    )
+    per_order = flagged.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("has_late").alias("n_late")
+    )
+    qualifying = (
+        flagged.join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("has_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        qualifying.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+register(
+    "q_tpch_q21",
+    q_tpch_q21,
+    """
+    WITH flagged AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS has_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(has_late) AS n_late
+      FROM flagged GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM flagged
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE has_late = 1 AND n_supp >= 2 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC NULLS LAST, s_name ASC
+    LIMIT 20
     """,
 )
