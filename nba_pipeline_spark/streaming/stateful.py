@@ -191,3 +191,60 @@ def streaming_period_counter_tws(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [T.StructField("acc", T.DoubleType()), T.StructField("seeded", T.BooleanType())]
+)
+
+
+def _ewma_apply(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    acc, seeded = state.get if state.exists else (0.0, False)
+    alpha = 0.1
+    for pdf in pdfs:
+        pdf = pdf.sort_values("seq")
+        out = []
+        for v in pdf["value"]:
+            x = float(v) if v is not None and not pd.isna(v) else None
+            if x is None:
+                acc = None  # NULL poisons the fold, exactly like the batch lambda
+                seeded = True
+            elif not seeded:
+                acc, seeded = x, True  # first value seeds the accumulator
+            elif acc is not None:
+                acc = alpha * x + (1 - alpha) * acc
+            # else: already poisoned — stays None forever (batch parity)
+            out.append(acc)
+        yield pd.DataFrame(
+            {"user_id": pdf["user_id"].values, "seq": pdf["seq"].values, "ewma": out}
+        )
+    state.update((acc, seeded))
+
+
+def streaming_ewma(events: DataFrame) -> DataFrame:
+    """The incremental twin of the batch ordered fold (q_ewma): state
+    per key is just (accumulator, seeded) — no history materializes,
+    so unbounded keys and unbounded streams both hold. Input:
+    (user_id, seq, value); output the running EWMA after each event.
+    The Nth output for a key equals the batch fold over its first N
+    events — the equivalence the test asserts."""
+    from ..session import tune
+
+    tune(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_apply,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

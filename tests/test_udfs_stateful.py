@@ -226,3 +226,51 @@ def test_ngram_udtf_emits_typed_rows(spark):
         ("quick brown", 1),
         ("brown fox", 2),
     ]
+
+
+def test_streaming_ewma_equals_batch_fold(spark, tmp_path):
+    """The stateful streaming EWMA's last output per key across TWO
+    micro-batches equals the batch array-fold (q_ewma's recurrence) —
+    the state carries the accumulator across the batch boundary."""
+    import pandas as pd
+
+    from nba_pipeline_spark.streaming.stateful import streaming_ewma
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [(1, 0, 10.0), (1, 1, 20.0), (2, 0, 7.0)]
+    rows2 = [(1, 2, 15.0), (1, 3, 0.0), (2, 1, 14.0)]
+    schema = "user_id long, seq long, value double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = (
+        streaming_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("t_ewma")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["seq"]): r["ewma"] for r in spark.table("t_ewma").collect()
+    }
+
+    def fold(vals):
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = 0.1 * x + 0.9 * acc
+        return acc
+
+    assert got[(1, 3)] == pytest.approx(fold([10.0, 20.0, 15.0, 0.0]), abs=1e-12)
+    assert got[(2, 1)] == pytest.approx(fold([7.0, 14.0]), abs=1e-12)
+    assert got[(1, 0)] == 10.0
