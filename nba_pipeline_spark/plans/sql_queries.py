@@ -155,3 +155,48 @@ register(
     FROM customer c
     """,
 )
+
+
+def q_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (Spark SQL syntax surface; the DataFrame twin
+    is q_agg_pivot): per-nation customer counts and summed balances
+    spread across explicit market-segment columns. Explicit IN list —
+    implicit pivot values would cost a discovery job at 100 TB. The
+    oracle lowers the pivot to conditional aggregation, which is
+    exactly what Catalyst compiles it to."""
+    tune(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+          FROM customer
+        )
+        PIVOT (
+          COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS bal
+          FOR c_mktsegment IN ('BUILDING' AS building, 'MACHINERY' AS machinery)
+        )
+        """
+    )
+
+
+register(
+    "q_sql_pivot",
+    q_sql_pivot,
+    """
+    SELECT c_nationkey,
+           CAST(NULLIF(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS building_n,  -- PIVOT emits NULL, not 0, for absent cells
+           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                         THEN CAST(c_acctbal AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS building_bal,
+           CAST(NULLIF(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS machinery_n,
+           CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+                         THEN CAST(c_acctbal AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS machinery_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
