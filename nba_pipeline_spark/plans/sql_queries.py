@@ -200,3 +200,34 @@ register(
     GROUP BY c_nationkey
     """,
 )
+
+
+def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT clause (DataFrame twin: q_agg_unpivot / melt): the
+    three part metrics fold into (metric, value) rows. INCLUDE NULLS
+    keeps row counts schema-stable — the lake-contract-friendly choice;
+    Catalyst compiles this to Expand, a narrow operator (no shuffle).
+    Oracle: the UNION ALL it desugars to."""
+    tune(spark)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, metric, CAST(value AS DOUBLE) AS value
+        FROM (SELECT p_partkey,
+                     CAST(p_size AS DOUBLE) AS size,
+                     p_retailprice AS retail
+              FROM part)
+        UNPIVOT INCLUDE NULLS (value FOR metric IN (size, retail))
+        """
+    )
+
+
+register(
+    "q_sql_unpivot",
+    q_sql_unpivot,
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part
+    """,
+)
