@@ -169,3 +169,49 @@ def chunk_binary(
         # on BLOB slicing support, hex strings compare everywhere
         F.md5(F.hex(chunk)).alias("chunk_hex_md5"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, id_col: str = "doc_id", width: int = 224, height: int = 224
+) -> DataFrame:
+    """mapInPandas resize plumbing: binary in, binary out with the new
+    dimensions in typed columns. The pixel work is STUBBED (no codecs
+    in this container — production calls PIL resize inside the batch
+    loop at the marked line); the Spark-side contract is real: Arrow
+    batches bound memory, output schema fixed, NULL payloads pass
+    through as NULL rows, and the byte size change is deterministic so
+    tests can assert the plumbing end-to-end."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_bytes = []
+            for b in pdf["content"]:
+                if b is None:
+                    out_bytes.append(None)
+                    continue
+                # production: PIL.Image.open(BytesIO(b)).resize((width, height))
+                # stub: deterministic proportional truncation/padding of the
+                # payload to width*height/64 bytes keeps shape assertions real
+                target = max(1, (width * height) // 64)
+                bb = bytes(b)
+                out_bytes.append((bb * (target // max(len(bb), 1) + 1))[:target])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "content": out_bytes,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(F.col(id_col), "content").mapInPandas(batches, RESIZED_SCHEMA)

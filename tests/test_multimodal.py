@@ -50,3 +50,18 @@ def test_chunk_binary_windows_and_tail(spark):
     # identical bytes everywhere -> identical hashes for same-size chunks
     assert rows[0]["chunk_hex_md5"] == rows[1]["chunk_hex_md5"]
     assert rows[0]["chunk_hex_md5"] != rows[2]["chunk_hex_md5"]
+
+
+def test_resize_media_plumbing(spark):
+    """Stubbed resize: fixed output byte budget per target dims, NULL
+    payloads pass through, schema carries the new dimensions."""
+    from nba_pipeline_spark.multimodal.binary_ops import attach_binary, resize_media
+
+    df = spark.createDataFrame(
+        [(1, "x" * 10), (2, None)], "doc_id long, text string"
+    )
+    out = resize_media(attach_binary(df, "text"), width=64, height=64).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id[1]["content"]) == (64 * 64) // 64
+    assert by_id[1]["width"] == 64 and by_id[1]["height"] == 64
+    assert by_id[2]["content"] is None
