@@ -106,6 +106,43 @@ def main() -> None:
             gc.collect()
         timings[name] = round(best, 3)
 
+    # Skew harness: the zipfian MERGE-join (q_skew_join) timed with AQE
+    # skew-split OFF vs ON. Thresholds are scaled to the local data size
+    # (~30 MB shuffle) so the splitter can act at all — at cluster scale
+    # the 256 MB defaults play the same role. Reported separately from
+    # the headline set so round-over-round totals stay comparable.
+    skew_conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    toggles = list(skew_conf) + ["spark.sql.adaptive.skewJoin.enabled"]
+    saved = {}
+    for k in toggles:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    skew_fn = REGISTRY["q_skew_join"].fn
+    skew_demo: dict[str, float] = {}
+    for label, enabled in (("naive", "false"), ("aqe_skew", "true")):
+        df = skew_fn(spark, sf_dir)  # builder's tune() runs first...
+        for k, v in skew_conf.items():
+            spark.conf.set(k, v)  # ...then the demo overrides apply
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+            gc.collect()
+        skew_demo[label] = round(best, 3)
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -114,6 +151,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "skew_demo": skew_demo,
                 "sf": sf,
             }
         )

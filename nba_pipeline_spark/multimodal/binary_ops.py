@@ -171,14 +171,19 @@ def chunk_binary(
     )
 
 
-RESIZED_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("content", T.BinaryType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-    ]
-)
+def _resized_schema(id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+
+# default-id instance kept for callers/tests that import the schema
+RESIZED_SCHEMA = _resized_schema("doc_id")
 
 
 def resize_media(
@@ -207,11 +212,13 @@ def resize_media(
                 out_bytes.append((bb * (target // max(len(bb), 1) + 1))[:target])
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].values,
+                    id_col: pdf[id_col].values,
                     "content": out_bytes,
                     "width": width,
                     "height": height,
                 }
             )
 
-    return df.select(F.col(id_col), "content").mapInPandas(batches, RESIZED_SCHEMA)
+    return df.select(F.col(id_col), "content").mapInPandas(
+        batches, _resized_schema(id_col)
+    )

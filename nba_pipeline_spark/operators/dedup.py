@@ -95,7 +95,13 @@ def with_minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 8, band_rows: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    max_bucket: int | None = 1000,
+    observation=None,
 ) -> DataFrame:
     """Tier 3: banded LSH candidate pairs (id_a < id_b, distinct).
 
@@ -113,8 +119,21 @@ def minhash_lsh_pairs(
     shuffle is the groupBy(band, sig); candidate pairs are generated
     row-locally inside each bucket, so total work is
     O(docs × bands + Σ bucket²) with near-dup-sized buckets — never
-    O(docs²). Pathologically hot buckets (boilerplate) should be capped
-    upstream by dropping sigs with bucket counts over a threshold.
+    O(docs²). Pathologically hot buckets (boilerplate: one cluster of m
+    near-identical docs puts m ids in one bucket row, whose pair array
+    is m² structs — a row-size blowup at corpus scale) are DROPPED when
+    they exceed ``max_bucket`` ids; tier-1/tier-2 exact dedup upstream
+    already collapses byte-identical boilerplate, so a hot bucket here
+    is template noise, not signal. Drops are observable: pass a
+    ``pyspark.sql.Observation`` as ``observation`` (metrics
+    ``hot_buckets_dropped`` / ``docs_in_dropped_buckets`` after the
+    first action); a named observe is attached otherwise so the drop
+    counts land in the Spark UI / QueryExecution metrics regardless.
+    ``max_bucket=None`` disables the cap (oracle-exact replay).
+    Caveat: if the cap empties the bucket frame entirely, AQE's
+    empty-relation propagation elides the metrics node and
+    ``Observation.get`` raises — treat a missing observation on an
+    empty result as "every bucket was dropped".
 
     The signature frame is PINNED (localCheckpoint): Catalyst's
     CollapseProject re-inlines the md5-min signature expressions into
@@ -146,6 +165,19 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        hot = F.size("ids") > max_bucket
+        metrics = (
+            F.coalesce(F.sum(F.when(hot, 1)), F.lit(0)).alias("hot_buckets_dropped"),
+            F.coalesce(F.sum(F.when(hot, F.size("ids"))), F.lit(0)).alias(
+                "docs_in_dropped_buckets"
+            ),
+        )
+        if observation is not None:
+            buckets = buckets.observe(observation, *metrics)
+        else:
+            buckets = buckets.observe("minhash_lsh_bucket_cap", *metrics)
+        buckets = buckets.filter(~hot)
     # all (i < j) pairs within a bucket, generated row-locally
     pair_arr = F.filter(
         F.flatten(
@@ -333,8 +365,9 @@ def ngram_jaccard_pairs(
     """Tier 5a: exact n-gram jaccard within blocks.
 
     The self-join carries the block equi-keys, so Spark shuffles on the
-    block and the quadratic term is per-block only. At 100 TB block by
-    LSH bucket (tier 3 output) instead of metadata.
+    block and the quadratic term is per-block only. At 100 TB use
+    `lsh_verified_jaccard_pairs` instead — tier-3 LSH candidates
+    verified by id equi-joins, no metadata-cardinality quadratic term.
     """
     docs = (
         fan_out(df)
@@ -358,6 +391,58 @@ def ngram_jaccard_pairs(
             F.round(jac, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_verified_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Tier 3→5 wired together: MinHash-LSH candidate generation feeding
+    exact n-gram jaccard verification — the 100 TB registered plan.
+
+    Metadata blocking (lang/source/label) makes tier-5 quadratic in
+    block size, and at corpus scale a block is billions of rows. Here
+    the candidate set IS the tier-3 LSH output — O(docs × bands) pairs,
+    near-dup-sized — and verification is two hash equi-joins on the doc
+    id (shuffle keyed on id, never a self-join): candidates ⋈ shingle
+    sets for the a-side, then the b-side. Total shuffle volume is
+    O(candidates + docs), the same shape published dedup pipelines
+    (RefinedWeb / Dolma) run at web scale.
+
+    The shingle-set frame is pinned (localCheckpoint) for the same
+    CollapseProject reason as the signatures: both joins reference it,
+    and un-pinned the tokenize+shingle expressions re-evaluate per join.
+    """
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, n_hashes=n_hashes, band_rows=band_rows,
+        max_bucket=max_bucket,
+    )
+    docs = (
+        fan_out(df)
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        .select(
+            id_col, F.array_distinct(shingles(F.col("__toks"), shingle_n)).alias("sh")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sa"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    union = F.size("__sa") + F.size("__sb") - inter
+    jac = F.try_divide(inter * F.lit(1.0), union)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

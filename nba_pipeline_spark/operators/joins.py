@@ -193,17 +193,24 @@ def interval_overlap_join(
     ls, le = F.col(l_start), F.col(l_end)
     rs, re_ = F.col(r_start), F.col(r_end)
 
-    l_exp = left.withColumn(
-        "__lb", F.explode(F.sequence(F.floor(ls / w), F.floor(le / w)))
-    )
-    r_exp = right.withColumn(
-        "__rb", F.explode(F.sequence(F.floor(rs / w), F.floor(re_ / w)))
-    )
+    def fdiv(e: str) -> Column:
+        # Exact long floor-division. A double quotient (F.floor(col/w))
+        # loses integer precision above ~2^52 — epoch micros/nanos would
+        # silently land in the wrong bucket, dropping or duplicating
+        # pairs. truncating `div` minus a borrow when the remainder is
+        # negative == floor, all in 64-bit integer arithmetic, no
+        # overflow for any long input.
+        return F.expr(
+            f"(({e}) div {w}) - (CASE WHEN (({e}) % {w}) < 0 THEN 1 ELSE 0 END)"
+        )
+
+    l_exp = left.withColumn("__lb", F.explode(F.sequence(fdiv(l_start), fdiv(l_end))))
+    r_exp = right.withColumn("__rb", F.explode(F.sequence(fdiv(r_start), fdiv(r_end))))
     cond = lb == F.col("__rb")
     for lk, rk in keys or []:
         cond = cond & (F.col(lk) == F.col(rk))
     overlap = (ls <= re_) & (rs <= le)
-    canonical = lb == F.floor(F.greatest(ls, rs) / w)
+    canonical = lb == fdiv(f"greatest({l_start}, {r_start})")
     if how_predicate is not None:
         overlap = overlap & how_predicate
     return l_exp.join(r_exp, cond & overlap & canonical, "inner").drop("__lb", "__rb")

@@ -66,15 +66,24 @@ register(
 # --- tier 3: MinHash LSH ------------------------------------------------------
 
 N_HASHES, BAND_ROWS = 8, 2
+# Hot-bucket cap: buckets with more ids than this are boilerplate noise
+# (tier-1/2 already collapsed exact dupes) and would emit O(m²) pair
+# structs in ONE row. Replayed in the oracles so the algorithms stay
+# provably identical.
+MAX_BUCKET = 1000
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OD.minhash_lsh_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", n_hashes=N_HASHES, band_rows=BAND_ROWS
+        _docs(spark, sf_dir), "text", "doc_id",
+        n_hashes=N_HASHES, band_rows=BAND_ROWS, max_bucket=MAX_BUCKET,
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_cand_ctes() -> str:
+    """Shared DuckDB CTE chain: docs -> shingles -> signatures -> bands
+    -> capped buckets -> candidate pairs (`cand`). Reused by the tier-3
+    pair query and the tier-3→5 verified-jaccard query."""
     mh_cols = ",\n           ".join(
         f"list_min(list_transform(sh, x -> md5(concat('{s}|', x)))) AS mh{s}"
         for s in range(N_HASHES)
@@ -93,10 +102,21 @@ def _minhash_oracle() -> str:
            FROM shing),
     bands AS (
       {band_selects}
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    ok AS (SELECT band, sig FROM bands GROUP BY band, sig
+           HAVING count(*) <= {MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN ok ON a.band = ok.band AND a.sig = ok.sig
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    {_minhash_cand_ctes()}
+    SELECT id_a, id_b FROM cand
     """
 
 
@@ -193,6 +213,39 @@ register(
 )
 
 
+# --- tier 3→5: LSH-blocked exact jaccard (the 100 TB registered plan) ---------
+
+def q_dedup_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-jaccard verification of MinHash-LSH candidates: tier-3
+    output IS the candidate set, so the quadratic term of tier-5 is
+    bounded by LSH bucket sizes (capped), never by metadata-block
+    cardinality. Verification = two equi-joins on doc id. This is the
+    plan to run at corpus scale; q_dedup_ngram_jaccard keeps the
+    metadata-blocked shape for small, well-partitioned corpora."""
+    return OD.lsh_verified_jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", threshold=0.5,
+        n_hashes=N_HASHES, band_rows=BAND_ROWS, max_bucket=MAX_BUCKET,
+    )
+
+
+register(
+    "q_dedup_ngram_lsh",
+    q_dedup_ngram_lsh,
+    f"""
+    {_minhash_cand_ctes()},
+    d AS (SELECT doc_id, list_distinct(sh) AS sh FROM shing)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT cand.id_a, cand.id_b,
+             ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+      FROM cand
+      JOIN d a ON cand.id_a = a.doc_id
+      JOIN d b ON cand.id_b = b.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+)
+
+
 # --- winnowing fingerprints ---------------------------------------------------
 
 WINNOW_W = 4
@@ -260,13 +313,24 @@ register("q_dedup_cluster", q_dedup_cluster, _cluster_oracle())
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
+    from ..operators.partitioning import plan_size_bytes
+
     emb = load_table(spark, sf_dir, "embeddings")
     # dims=64 (testdata embedding width): the unrolled codegen dot beats
     # the interpreted zip_with/aggregate pair-dot ~2x at this width
     # (re-measured; the HOF path allocates a 64-elem array per PAIR).
+    #
+    # broadcast_build only when the whole corpus fits an executor (same
+    # 64 MB bar the session sets for dim-table auto-broadcast): the
+    # broadcast plan keeps probe parallelism at fan_out width with zero
+    # shuffle and wins at bench scale, but broadcasting a 100 TB corpus
+    # OOMs every executor — past the bar this picks the blocked
+    # sort-merge self-join, whose parallelism is #blocks (large at
+    # scale; at TB+ feed IVF cells / LSH buckets as block_cols).
+    small = plan_size_bytes(emb) <= (64 << 20)
     return OD.embedding_neardup_pairs(
         emb, "embedding", "vec_id", block_cols=["label"], threshold=0.3,
-        dims=64, broadcast_build=True,
+        dims=64, broadcast_build=small,
     )
 
 

@@ -179,6 +179,59 @@ register(
 )
 
 
+# --- skewed-key join harness (AQE skew-split demo) ----------------------------
+
+SKEW_N, SKEW_K = 2_000_000, 100_000
+
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuinely zipfian shuffle-join: 60% of the 2M left rows land on
+    ONE key, the rest spread over 100k keys; the MERGE hint forbids the
+    broadcast escape so the hot key concentrates a shuffle partition —
+    the shape AQE's skew-join split (or salting, operators/joins.py
+    salted_join) exists for. bench.py times this plan twice (skew-split
+    off vs on, thresholds scaled to the data size) and reports the pair
+    as skew_demo; at cluster scale the default 256 MB threshold plays
+    the same role. Inputs are deterministic ranges, so the oracle
+    replays exactly; the aggregate keeps driver output at 10 rows while
+    forcing every joined row to exist."""
+    tune(spark)
+    left = spark.range(SKEW_N).select(
+        F.when(F.col("id") % 5 < 3, F.lit(0))
+        .otherwise(F.col("id") % SKEW_K)
+        .alias("key"),
+        (F.col("id") % 97).alias("val"),
+    )
+    right = spark.range(SKEW_K).select(
+        F.col("id").alias("key"), (F.col("id") % 13).alias("weight")
+    )
+    joined = left.hint("MERGE").join(right, "key")
+    return (
+        joined.groupBy((F.col("key") % 10).alias("kb"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("weight") * F.col("val")).alias("ws"),
+        )
+        .orderBy("kb")
+    )
+
+
+register(
+    "q_skew_join",
+    q_skew_join,
+    f"""
+    WITH l AS (SELECT CASE WHEN i % 5 < 3 THEN 0 ELSE i % {SKEW_K} END AS key,
+                      i % 97 AS val
+               FROM generate_series(0, {SKEW_N - 1}) t(i)),
+         r AS (SELECT i AS key, i % 13 AS weight
+               FROM generate_series(0, {SKEW_K - 1}) t(i))
+    SELECT key % 10 AS kb, COUNT(*) AS n,
+           CAST(SUM(weight * val) AS BIGINT) AS ws
+    FROM l JOIN r USING (key) GROUP BY key % 10 ORDER BY kb
+    """,
+)
+
+
 # --- J5b: as-of join ----------------------------------------------------------
 
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,10 +467,21 @@ register("q_sample_stratified", q_sample_stratified, None)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-family percentile (approx_percentile / KLL-style) — the one-
     pass bounded-memory path for 100 TB; estimates are algorithm-specific
-    (rows-only)."""
+    (rows-only).  Quantiles are projected as scalar columns — array cells
+    are unhashable in the driver's pandas canonicalizer."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias("pcts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)"
+            ).alias("pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("pcts")[0], 2).alias("p50"),
+            F.round(F.col("pcts")[1], 2).alias("p95"),
+        )
     )
 
 

@@ -61,6 +61,93 @@ from . import scalar_breadth_queries  # noqa: E402,F401
 from . import fold_profile_queries  # noqa: E402,F401
 
 
+# The driver's per-round CORRECTNESS check records only the FIRST 50
+# registry entries (dict order).  Round 1 spent that window on the
+# relational/scalar/join/agg families (all green in CORRECTNESS_r01);
+# promote one-or-more representatives of every remaining SURVEY §2
+# family — windows (W1-W5), semi-structured (X1-X3), text (X5), dedup
+# (X6), similarity (X4), streaming (T2-T4), multimodal, CDC, corpus,
+# quality, TPC-H — into the window so every family gets a driver-green
+# row.  Names not present in the registry are skipped (lets the list
+# reference queries added later in the round without import-order
+# coupling); everything else keeps its original import order.
+_PRIORITY: tuple[str, ...] = (
+    "q_flagship",
+    # windows (SURVEY W1-W5 — the semantically hardest ports)
+    "q_win_running_sum",
+    "q_win_running_reset",
+    "q_win_ffill",
+    "q_win_marker_fill",
+    "q_win_rank",
+    "q_win_lag",
+    "q_win_ntile",
+    "q_win_first_last",
+    "q_win_percent_rank",
+    "q_win_ordinal",
+    "q_skyline",
+    "q_gaps_islands",
+    "q_scd2_intervals",
+    "q_funnel",
+    "q_cohort_retention",
+    # semi-structured (X1-X3)
+    "q_json_extract",
+    "q_array_ops",
+    "q_map_ops",
+    "q_hof_funcs",
+    "q_variant_extract",
+    # text analysis (X5)
+    "q_text_tokens",
+    "q_token_count",
+    "q_text_quality",
+    "q_lang_id",
+    "q_fingerprint",
+    # dedup (X6)
+    "q_dedup_exact",
+    "q_dedup_fingerprint",
+    "q_dedup_minhash",
+    "q_dedup_simhash_pairs",
+    "q_dedup_ngram_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_winnow_fingerprint",
+    "q_dedup_cluster",
+    "q_dedup_embedding",
+    # similarity / ANN (X4)
+    "q_cosine_topk",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    # streaming windows (T2-T4)
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_interval_join",
+    "q_resample_1h",
+    # multimodal / CDC / corpus / quality
+    "q_multimodal_meta",
+    "q_multimodal_chunks",
+    "q_cdc_upsert",
+    "q_cdc_changelog",
+    "q_corpus_pipeline",
+    "q_decontaminate",
+    # warehouse report shape
+    "q_tpch_q5",
+)
+
+
+def _reorder_registry() -> None:
+    ordered: dict[str, QuerySpec] = {}
+    for name in _PRIORITY:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

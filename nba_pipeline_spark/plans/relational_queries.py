@@ -28,6 +28,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _stage_dir(sf_dir: str, table: str, kind: str) -> str:
+    """Per-source staging path for the write-once/read-back queries.
+
+    The path embeds a fingerprint (size + mtime) of the SOURCE parquet:
+    the driver regenerates /root/testdata between rounds, and a stage
+    keyed only on _SUCCESS existence would silently replay last round's
+    bytes against this round's oracle. A fingerprint change simply lands
+    in a fresh directory (stale ones are /tmp-lifetime garbage)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size:x}-{st.st_mtime_ns:x}"
+    except OSError:  # non-local source: fall back to the unkeyed path
+        fp = "nofp"
+    return f"/tmp/nba_spark_lake/{tag}/{kind}-{fp}"
+
+
 # --- P1-P4/P7: renames, drops, positional select ------------------------------
 
 def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,8 +539,7 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only the o_year=1997 directory (static partition pruning).
     """
     tune(spark)
-    tag = sf_dir.strip("/").replace("/", "_")
-    lake = f"/tmp/nba_spark_lake/{tag}/orders_by_year"
+    lake = _stage_dir(sf_dir, "orders", "orders_by_year")
     if not os.path.exists(os.path.join(lake, "_SUCCESS")):
         orders = load_table(spark, sf_dir, "orders").withColumn(
             "o_year", F.year("o_orderdate")
@@ -555,8 +572,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources import read_csv
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    stage = f"/tmp/nba_spark_lake/{tag}/lineitem_csv"
+    stage = _stage_dir(sf_dir, "lineitem", "lineitem_csv")
     cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         load_table(spark, sf_dir, "lineitem").select(*cols).write.mode(
@@ -597,8 +613,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources import read_jsonl
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    stage = f"/tmp/nba_spark_lake/{tag}/events_jsonl"
+    stage = _stage_dir(sf_dir, "events", "events_jsonl")
     cols = ["event_id", "user_id", "event_type", "value"]
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         load_table(spark, sf_dir, "events").select(*cols).write.mode(

@@ -43,6 +43,60 @@ def fetch_table_stub(url: str) -> list[list[str]]:
     return [[slug, str(len(url))], [slug.upper(), str(sum(map(ord, slug)) % 997)]]
 
 
+def recorded_html_fetcher(
+    pages: dict[str, str | bytes],
+    columns: dict[str, str] | list[str] | None = None,
+    table_index: int | None = 0,
+    prepend_table_idx: bool = False,
+):
+    """Build a ``fetch_urls`` fetcher over RECORDED page bytes — the
+    sandbox equivalent of requests + read_html (reference games.py:23,
+    boxScores.py:43): url -> parse_tables -> header-mapped cell rows.
+
+    ``columns`` selects/reorders cells by HEADER NAME (missing headers
+    yield None cells — the schedule pages' era-dependent 'Start (ET)'
+    column); ``table_index=None`` concatenates every table in the page
+    (box-score pages carry away+home tables) and ``prepend_table_idx``
+    tags each row with its table's position so the consumer can map
+    table order to away/home the way boxScores.py:53-57 does. Unknown
+    URLs raise -> fetch_urls' per-row error channel."""
+    from .html_parse import parse_tables, table_to_records
+
+    def fetch(url: str) -> list[list[str | None]]:
+        tables = parse_tables(pages[url])
+        if not tables:
+            raise ValueError(f"no <table> in recorded page for {url}")
+        picked = tables if table_index is None else [tables[table_index]]
+        out: list[list[str | None]] = []
+        for ti, tbl in enumerate(picked):
+            for rec in table_to_records(tbl, columns):
+                out.append(([str(ti)] + rec) if prepend_table_idx else rec)
+        return out
+
+    return fetch
+
+
+def cells_to_columns(
+    df: DataFrame, names: list[str], empty_as_null: bool = True
+) -> DataFrame:
+    """Project the fetch_urls cell-array rows into named string columns
+    (positional — pair with a `columns`-mapped fetcher), keeping url and
+    row_idx for provenance/ordering. ``empty_as_null`` collapses empty
+    <td> text to NULL — web tables conflate the two, and the engine's
+    try_cast/fill semantics key on NULL."""
+    from pyspark.sql import functions as F
+
+    def cell(i: int):
+        c = F.col("cells").getItem(i)
+        return F.nullif(c, F.lit("")) if empty_as_null else c
+
+    return df.filter(F.col("fetch_error").isNull()).select(
+        "url",
+        "row_idx",
+        *[cell(i).alias(n) for i, n in enumerate(names)],
+    )
+
+
 def fetch_urls(
     spark: SparkSession,
     urls: list[str],
@@ -61,7 +115,10 @@ def fetch_urls(
             for u in pdf["url"]:
                 try:
                     for i, cells in enumerate(fetcher(u)):
-                        out.append((u, i, [str(c) for c in cells], None))
+                        # preserve missing cells as NULL (str(None) is a bug)
+                        out.append(
+                            (u, i, [None if c is None else str(c) for c in cells], None)
+                        )
                 except Exception as e:  # noqa: BLE001 - error channel by design
                     out.append((u, None, None, f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(out, columns=["url", "row_idx", "cells", "fetch_error"])

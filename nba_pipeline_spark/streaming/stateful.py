@@ -211,23 +211,32 @@ def _ewma_apply(
 ) -> Iterator[pd.DataFrame]:
     acc, seeded = state.get if state.exists else (0.0, False)
     alpha = 0.1
-    for pdf in pdfs:
-        pdf = pdf.sort_values("seq")
-        out = []
-        for v in pdf["value"]:
-            x = float(v) if v is not None and not pd.isna(v) else None
-            if x is None:
-                acc = None  # NULL poisons the fold, exactly like the batch lambda
-                seeded = True
-            elif not seeded:
-                acc, seeded = x, True  # first value seeds the accumulator
-            elif acc is not None:
-                acc = alpha * x + (1 - alpha) * acc
-            # else: already poisoned — stays None forever (batch parity)
-            out.append(acc)
-        yield pd.DataFrame(
-            {"user_id": pdf["user_id"].values, "seq": pdf["seq"].values, "ewma": out}
-        )
+    # The fold is order-sensitive across the WHOLE group: Arrow hands the
+    # micro-batch to us in >=1 chunks, and sorting each chunk separately
+    # would fold chunk 2's early seqs after chunk 1's late ones whenever a
+    # key's batch spans chunks (>~10k rows/key/trigger). Concatenate first,
+    # sort once — the per-trigger data for one key is bounded by the
+    # trigger interval, not the stream, so this stays in memory.
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:  # NoTimeout => shouldn't happen, but don't crash concat
+        state.update((acc, seeded))
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
+    out = []
+    for v in pdf["value"]:
+        x = float(v) if v is not None and not pd.isna(v) else None
+        if x is None:
+            acc = None  # NULL poisons the fold, exactly like the batch lambda
+            seeded = True
+        elif not seeded:
+            acc, seeded = x, True  # first value seeds the accumulator
+        elif acc is not None:
+            acc = alpha * x + (1 - alpha) * acc
+        # else: already poisoned — stays None forever (batch parity)
+        out.append(acc)
+    yield pd.DataFrame(
+        {"user_id": pdf["user_id"].values, "seq": pdf["seq"].values, "ewma": out}
+    )
     state.update((acc, seeded))
 
 

@@ -189,3 +189,57 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark):
     }
     assert len(multi & exact) >= len(single & exact)
     assert multi == exact, (multi, exact)
+
+
+def test_minhash_hot_bucket_cap_bounds_boilerplate(spark):
+    """One m-doc boilerplate cluster must NOT emit m² pair structs: with
+    max_bucket set, its buckets are dropped before pair generation and
+    the drop is observable (VERDICT r1 #4)."""
+    from pyspark.sql import Observation
+
+    m = 40
+    boiler = "same boilerplate footer text repeated on every single page of the site"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(m)]
+        # a small legit near-dup cluster that must SURVIVE the cap
+        + [(100, BASE), (101, NEAR), (102, BASE)],
+        ["doc_id", "text"],
+    )
+    obs = Observation("hot_bucket_cap")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket=10, observation=obs
+    ).collect()
+    metrics = obs.get
+    assert metrics["hot_buckets_dropped"] > 0
+    assert metrics["docs_in_dropped_buckets"] >= m
+    # no pair from the capped boilerplate cluster survives, while the
+    # legit small cluster still pairs
+    assert pairs and all(r["id_a"] >= 100 and r["id_b"] >= 100 for r in pairs)
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(100, 102)}
+    # uncapped control: the same corpus explodes into >= m*(m-1)/2 pairs
+    uncapped = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket=None).count()
+    assert uncapped >= m * (m - 1) // 2
+
+
+def test_lsh_verified_jaccard_matches_blocked_verify(spark):
+    """Tier-3→5 wiring: LSH-verified jaccard must agree with the
+    metadata-blocked exact verify on every candidate LSH surfaces."""
+    from nba_pipeline_spark.operators.dedup import lsh_verified_jaccard_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_verified_jaccard_pairs(
+            corpus(spark), "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            corpus(spark), "text", "doc_id", ["lang", "source"], 0.5
+        ).collect()
+    }
+    # every verified LSH pair exists in the exhaustive blocked verify
+    # with the identical exact score
+    assert got and all(blocked.get(k) == v for k, v in got.items())
+    # and the planted identical pair is found by both
+    assert (0, 1) in got and got[(0, 1)] == 1.0

@@ -170,9 +170,10 @@ def test_dynamic_partition_pruning_from_dim_filter(spark):
     from nba_pipeline_spark.sources import load_table
 
     # ensure the partitioned lake exists (q_partition_prune stages it)
+    from nba_pipeline_spark.plans.relational_queries import _stage_dir
+
     REGISTRY["q_partition_prune"].fn(spark, SF_DIR).count()
-    tag = SF_DIR.strip("/").replace("/", "_")
-    lake = f"/tmp/nba_spark_lake/{tag}/orders_by_year"
+    lake = _stage_dir(SF_DIR, "orders", "orders_by_year")
     assert os.path.exists(os.path.join(lake, "_SUCCESS"))
 
     facts = spark.read.parquet(lake)
