@@ -107,13 +107,19 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     # Skew harness: the zipfian MERGE-join (q_skew_join) timed with AQE
-    # skew-split OFF vs ON. Thresholds are scaled to the local data size
-    # (~30 MB shuffle) so the splitter can act at all — at cluster scale
-    # the 256 MB defaults play the same role. Reported separately from
-    # the headline set so round-over-round totals stay comparable.
+    # skew-split OFF vs ON. Runtime broadcast is blocked for BOTH runs
+    # (otherwise AQE broadcasts the 1 MB build side and there is no
+    # skewed shuffle to compare) and thresholds are scaled to the local
+    # shuffle size so the splitter can act — at cluster scale the
+    # 256 MB defaults play the same role. The timing uses collect()
+    # (result is a handful of rows) so the executed plan of the SAME
+    # QueryExecution can be inspected for the skew=true markers.
+    # Reported separately from the headline set so round-over-round
+    # totals stay comparable.
     skew_conf = {
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
     }
     toggles = list(skew_conf) + ["spark.sql.adaptive.skewJoin.enabled"]
@@ -124,19 +130,25 @@ def main() -> None:
         except Exception:
             saved[k] = None
     skew_fn = REGISTRY["q_skew_join"].fn
-    skew_demo: dict[str, float] = {}
+    skew_demo: dict[str, object] = {}
     for label, enabled in (("naive", "false"), ("aqe_skew", "true")):
-        df = skew_fn(spark, sf_dir)  # builder's tune() runs first...
-        for k, v in skew_conf.items():
-            spark.conf.set(k, v)  # ...then the demo overrides apply
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
         best = float("inf")
         for _ in range(2):
+            # fresh frame per run: AQE caches materialized query stages
+            # on the java DataFrame, so re-collecting the same object
+            # measures stage reuse, not the plan
+            df = skew_fn(spark, sf_dir)  # builder's tune() runs first...
+            for k, v in skew_conf.items():
+                spark.conf.set(k, v)  # ...then the demo overrides apply
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
             t0 = time.perf_counter()
-            df.count()
+            df.collect()
             best = min(best, time.perf_counter() - t0)
             gc.collect()
         skew_demo[label] = round(best, 3)
+        if enabled == "true":
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            skew_demo["skew_split_in_plan"] = "skew=true" in plan
     for k, v in saved.items():
         if v is None:
             spark.conf.unset(k)

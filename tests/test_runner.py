@@ -1,0 +1,89 @@
+"""Job-runner contract (reference Airflow DAG semantics re-expressed:
+ordering, retries, upstream-failure skip, season backfill). Pure
+Python — no Spark session needed."""
+
+from __future__ import annotations
+
+import pytest
+
+from nba_pipeline_spark.pipelines.runner import Dag, Task
+
+
+def test_topological_order_stable_and_context_flows():
+    seen = []
+
+    def step(name, value):
+        def fn(ctx):
+            seen.append(name)
+            return value
+
+        return fn
+
+    dag = Dag(
+        "g",
+        [
+            Task("load", step("load", 10)),
+            Task("clean", lambda ctx: ctx["load"] + 1, deps=("load",)),
+            Task("stats", lambda ctx: ctx["load"] * 2, deps=("load",)),
+            Task("sink", lambda ctx: (ctx["clean"], ctx["stats"]), deps=("clean", "stats")),
+        ],
+    )
+    run = dag.run()
+    assert run.ok
+    assert run.context["sink"] == (11, 20)
+    # declaration-stable order: clean before stats (both ready together)
+    assert [t.name for t in dag.order] == ["load", "clean", "stats", "sink"]
+
+
+def test_retries_then_success():
+    calls = {"n": 0}
+
+    def flaky(ctx):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    run = Dag("r", [Task("flaky", flaky, retries=3)]).run()
+    assert run.ok and run.runs["flaky"].attempts == 3
+
+
+def test_failure_skips_downstream_but_not_siblings():
+    def boom(ctx):
+        raise ValueError("dead page")
+
+    dag = Dag(
+        "f",
+        [
+            Task("a", lambda ctx: 1),
+            Task("bad", boom, deps=("a",)),
+            Task("child_of_bad", lambda ctx: 1, deps=("bad",)),
+            Task("sibling", lambda ctx: ctx["a"] + 1, deps=("a",)),
+        ],
+    )
+    run = dag.run()
+    assert not run.ok
+    assert run.runs["bad"].state == "failed"
+    assert "ValueError" in run.runs["bad"].error
+    assert run.runs["child_of_bad"].state == "upstream_failed"
+    assert run.runs["sibling"].state == "success"
+
+
+def test_cycle_and_unknown_dep_rejected():
+    with pytest.raises(ValueError, match="cycle"):
+        Dag("c", [Task("a", lambda c: 1, deps=("b",)), Task("b", lambda c: 1, deps=("a",))])
+    with pytest.raises(ValueError, match="unknown"):
+        Dag("u", [Task("a", lambda c: 1, deps=("nope",))])
+
+
+def test_backfill_isolates_failed_seasons():
+    def ingest(ctx):
+        season = ctx["params"]
+        if season == 1998:  # one bad season must not stop the sweep
+            raise RuntimeError("lockout year page missing")
+        return season * 10
+
+    dag = Dag("seasons", [Task("ingest", ingest)])
+    runs = dag.backfill([1996, 1997, 1998, 1999])
+    assert [r.ok for r in runs] == [True, True, False, True]
+    assert runs[3].context["ingest"] == 19990
