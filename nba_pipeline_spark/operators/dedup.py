@@ -446,6 +446,71 @@ def lsh_verified_jaccard_pairs(
     )
 
 
+def embedding_lsh_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    dims: int,
+    n_bits: int = 4,
+    n_bands: int = 2,
+) -> DataFrame:
+    """Tier 5b at corpus scale: sign-LSH banded bucket blocking.
+
+    The metadata-blocked variant's quadratic term is bounded by block
+    cardinality — unusable when blocks are labels. Here each vector
+    lands in one bucket per BAND (n_bands independent hyperplane sets,
+    OR-construction exactly like MinHash banding): candidate pairs are
+    generated inside (band, bucket) groups via an equi-join, verified
+    with exact cosine, deduped across bands. Expected bucket size =
+    corpus / 2^n_bits per band; per-bit collision probability for
+    angle θ is 1-θ/π, so recall = 1-(1-p^n_bits)^n_bands — tune
+    (n_bits, n_bands) like (band_rows, bands) in MinHash. The planes
+    are data-independent ±1 literals (similarity.hyperplane_planes),
+    so bucketing is a narrow map, replayable in the oracle, and at
+    scale the bucket becomes a partitionBy axis.
+
+    Norms are hoisted per-row; the bucketed frame is pinned so the
+    projection doesn't re-evaluate per join side.
+    """
+    from .similarity import hyperplane_bucket, hyperplane_planes
+
+    all_planes = hyperplane_planes(n_bands * n_bits, dims)
+    e = df.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    buckets = F.array(
+        *[
+            hyperplane_bucket(
+                F.col("v"), all_planes[band * n_bits : (band + 1) * n_bits]
+            )
+            for band in range(n_bands)
+        ]
+    )
+    bd = fan_out(e).select(
+        F.col(id_col), "v", "nrm", F.posexplode(buckets).alias("band", "bucket")
+    ).localCheckpoint(eager=False)
+    a, b = bd.alias("a"), bd.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    sim = F.try_divide(
+        dot_fixed(F.col("a.v"), F.col("b.v"), dims), F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -241,3 +241,133 @@ def _split_oracle() -> str:
 
 
 register("q_split_assign", q_split_assign, _split_oracle())
+
+
+# --- Paragraph/span-level corpus dedup (CCNet-style line dedup) -----------------
+
+SPAN_TOKENS, SPAN_DF_MAX = 3, 10
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level corpus dedup — the paragraph/line-hash dedup step of
+    published web-corpus pipelines (CCNet, RefinedWeb), re-expressed
+    over fixed token spans because the synthetic docs carry no newline
+    structure: split each doc into consecutive SPAN_TOKENS-token spans,
+    hash each span, count corpus-wide DOCUMENT frequency per hash, and
+    flag spans appearing in more than SPAN_DF_MAX distinct docs as
+    boilerplate. Output: per-doc span counts + boilerplate ratio (the
+    downstream filter drops flagged spans or whole docs by ratio).
+
+    Scale shape: span generation is a narrow map (sequence+slice HOFs,
+    tokens materialized per the lambda rule); document frequency is ONE
+    groupBy on the 32-char hash (partial-agg'd); flagging is an
+    equi-join on the hash — broadcastable whenever the over-threshold
+    set is small (it is: boilerplate is by definition few distinct
+    spans), otherwise a plain shuffled join. Nothing is quadratic."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", TX.tokenize(F.col("text")).alias("__toks"))
+    n_full = F.expr(f"size(__toks) div {SPAN_TOKENS}")
+    idx = F.when(
+        F.size("__toks") >= SPAN_TOKENS, F.sequence(F.lit(0), n_full - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = staged.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.array_join(
+                    F.slice(F.col("__toks"), i * SPAN_TOKENS + 1, SPAN_TOKENS), " "
+                ),
+            )
+        ).alias("span"),
+    ).select("doc_id", F.md5(F.col("span")).alias("h"))
+    freq = spans.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
+    flagged = spans.join(freq, "h").select(
+        "doc_id", (F.col("df") > SPAN_DF_MAX).cast("int").alias("boiler")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("boiler").cast("bigint").alias("n_boiler"),
+        F.round(F.sum("boiler") / F.count(F.lit(1)), 4).alias("boiler_ratio"),
+    )
+
+
+register(
+    "q_paragraph_dedup",
+    q_paragraph_dedup,
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[i*{SPAN_TOKENS}+1:i*{SPAN_TOKENS}+{SPAN_TOKENS}], ' ')) AS h
+      FROM t, unnest(range(0, len(toks) // {SPAN_TOKENS})) u(i)),
+    freq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY h),
+    j AS (SELECT s.doc_id, CASE WHEN freq.df > {SPAN_DF_MAX} THEN 1 ELSE 0 END AS boiler
+          FROM s JOIN freq USING (h))
+    SELECT doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(boiler) AS BIGINT) AS n_boiler,
+           ROUND(SUM(boiler) * 1.0 / COUNT(*), 4) AS boiler_ratio
+    FROM j GROUP BY doc_id
+    """,
+)
+
+
+# --- Curated data mixture: exact per-source quota sampling ----------------------
+
+MIX_QUOTAS = {"src0": 30, "src1": 18, "src2": 12}  # 50/30/20 of 60 docs
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curated-mixture sampling: downsample chosen
+    sources to EXACT per-source quotas (the domain-weighting step of a
+    pre-training data recipe — e.g. 50% web / 30% books / 20% code).
+    Rows are ranked per source by a salted md5 of the doc key and the
+    first quota_s rows kept: reproducible on any engine/partitioning,
+    stable under reruns, and exact (rank, not Bernoulli), which is why
+    it hash-matches its oracle while RNG sampling cannot. One window
+    shuffle keyed by source; at scale replace row_number with the
+    hash-threshold variant (q_sample_hash) when approximate counts
+    suffice — that one is shuffle-free."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    word = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    quota = F.create_map(
+        *[F.lit(x) for kv in MIX_QUOTAS.items() for x in kv]
+    )[F.col("source")]
+    w = Window.partitionBy("source").orderBy(F.col("hw"), F.col("doc_id"))
+    ranked = (
+        docs.filter(F.col("source").isin(*MIX_QUOTAS))
+        .select("doc_id", "source", word.alias("hw"))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return ranked.filter(F.col("rk") <= quota).select(
+        "doc_id", "source", F.col("rk").cast("int").alias("rk")
+    )
+
+
+def _mixture_oracle() -> str:
+    src_list = ", ".join(f"'{s}'" for s in MIX_QUOTAS)
+    quota_case = " ".join(
+        f"WHEN source = '{s}' THEN {q}" for s, q in MIX_QUOTAS.items()
+    )
+    return f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                        doc_id) AS rk
+      FROM documents WHERE source IN ({src_list}))
+    SELECT doc_id, source, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= CASE {quota_case} END
+    """
+
+
+register("q_mixture_sample", q_mixture_sample, _mixture_oracle())

@@ -346,3 +346,51 @@ register(
     WHERE sim >= 0.3
     """,
 )
+
+
+# --- tier 5b at scale: sign-LSH banded bucket blocking ------------------------
+
+EMB_LSH_BITS, EMB_LSH_BANDS, EMB_DIMS = 4, 2, 64
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale registered plan for embedding near-dup: no
+    label/metadata blocks, no broadcast — (band, bucket) equi-blocked
+    SMJ over data-independent sign-LSH buckets (operators/dedup.py::
+    embedding_lsh_neardup_pairs). Parallelism = n_bands × 2^n_bits
+    blocks regardless of label skew."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return OD.embedding_lsh_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.3,
+        dims=EMB_DIMS, n_bits=EMB_LSH_BITS, n_bands=EMB_LSH_BANDS,
+    )
+
+
+def _emb_lsh_oracle() -> str:
+    from ..operators.similarity import hyperplane_planes
+
+    rows = []
+    for b, plane in enumerate(hyperplane_planes(EMB_LSH_BANDS * EMB_LSH_BITS, EMB_DIMS)):
+        arr = ",".join(str(x) for x in plane)
+        rows.append(f"({b}, CAST([{arr}] AS DOUBLE[]))")
+    planes_sql = ", ".join(rows)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT * FROM (VALUES {planes_sql}) AS t(b, plane)),
+    bk AS (
+      SELECT vec_id, b // {EMB_LSH_BITS} AS band,
+             CAST(SUM(CASE WHEN ROUND(list_dot_product(v, plane), 6) >= 0
+                           THEN (1 << (b % {EMB_LSH_BITS})) ELSE 0 END) AS INT) AS bucket
+      FROM e CROSS JOIN p GROUP BY vec_id, b // {EMB_LSH_BITS}),
+    eb AS (SELECT e.vec_id, v, band, bucket FROM e JOIN bk USING (vec_id))
+    SELECT DISTINCT id_a, id_b, sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+      FROM eb a JOIN eb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    WHERE sim >= 0.3
+    """
+
+
+register("q_dedup_embedding_lsh", q_dedup_embedding_lsh, _emb_lsh_oracle())
