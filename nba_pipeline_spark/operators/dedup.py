@@ -559,3 +559,106 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    threshold: float,
+    dims: int | None = None,
+) -> DataFrame:
+    """Tier 5c: SemDeDup — semantic dedup via k-means cluster blocking
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540; PAPERS.md).
+
+    Shape: (1) assign every embedding to its nearest centroid — a
+    broadcast cross join over k tiny centroid literals, narrow, no
+    shuffle of the corpus; (2) self-join WITHIN each cell (equi-key =
+    cell id, so Spark shuffles once on the cell and the quadratic term
+    is per-cell only); (3) exact cosine >= threshold marks a semantic
+    duplicate pair. Alongside the pair, each side carries its
+    similarity-to-centroid so the caller can apply the paper's keep
+    policy (drop the example CLOSEST to the centroid — it is the most
+    "typical" and least informative; see ``semdedup_drop_list``).
+
+    Centroids here are deterministically the first ``n_cells`` vectors
+    by id (exactly `ivf_topk`'s replayable 'training'); in production
+    they come from a sampled k-means (`kmeans_cells`) with k sized so
+    cells stay O(10³) rows — the paper runs 50k clusters over 8B docs.
+    At 100 TB the cell id becomes a partitionBy axis (assignment is
+    incremental per ingest batch) and the per-cell join is partition-
+    local; a hot-cell cap (same F.size guard as `minhash_lsh_pairs`)
+    bounds degenerate clusters.
+    """
+    from .similarity import assign_cells
+
+    e = df.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    centroids = (
+        e.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+    )
+    assigned = assign_cells(e, centroids, id_col)
+    # similarity-to-own-centroid, rounded: the keep-policy ranking must
+    # be engine-portable, so the tie axis is (round(csim,6), id)
+    dot_fn = (lambda x, y: dot_fixed(x, y, dims)) if dims else dot
+    with_csim = (
+        assigned.join(F.broadcast(centroids), "cid")
+        .withColumn("nrm", norm(F.col("v")))
+        .withColumn(
+            "csim",
+            F.round(
+                F.try_divide(dot_fn(F.col("v"), F.col("cv")), F.col("nrm") * norm(F.col("cv"))),
+                6,
+            ),
+        )
+        .select(id_col, "cid", "v", "nrm", "csim")
+        .localCheckpoint(eager=False)  # both join sides reference it
+    )
+    a, b = with_csim.alias("a"), with_csim.alias("b")
+    cond = (F.col("a.cid") == F.col("b.cid")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    sim = F.try_divide(
+        dot_fn(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.cid").alias("cell"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.csim").alias("csim_a"),
+            F.col("b.csim").alias("csim_b"),
+            F.round(sim, 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def semdedup_drop_list(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    threshold: float,
+    dims: int | None = None,
+) -> DataFrame:
+    """SemDeDup keep policy over `semdedup_pairs`: in every duplicate
+    pair, drop the side SITTING CLOSER to the cluster centroid (higher
+    csim — the more "typical" example; the paper shows keeping the
+    outliers preserves downstream accuracy). Ties break on the larger
+    id so the drop set is deterministic and oracle-replayable.
+
+    Output: DISTINCT (cell, drop_id) — one shuffle over the (already
+    near-dup-sized) pair set. A doc in many pairs is dropped once.
+    """
+    pairs = semdedup_pairs(df, vec_col, id_col, n_cells, threshold, dims)
+    drop = F.when(
+        (F.col("csim_a") > F.col("csim_b"))
+        | ((F.col("csim_a") == F.col("csim_b")) & (F.col("id_a") > F.col("id_b"))),
+        F.col("id_a"),
+    ).otherwise(F.col("id_b"))
+    return pairs.select(F.col("cell"), drop.alias("drop_id")).distinct()

@@ -394,3 +394,51 @@ def _emb_lsh_oracle() -> str:
 
 
 register("q_dedup_embedding_lsh", q_dedup_embedding_lsh, _emb_lsh_oracle())
+
+
+# --- tier 5c: SemDeDup (k-means cluster blocking, arXiv:2303.09540) -----------
+
+SEMDEDUP_CELLS, SEMDEDUP_THRESHOLD = 8, 0.3
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup drop list: cluster-blocked cosine pairs + the paper's
+    keep policy (drop the side closer to its centroid; ties on larger
+    id). Assignment is a broadcast over SEMDEDUP_CELLS centroid
+    literals; the pair join shuffles once on the cell id — quadratic
+    work is per-cell only (operators/dedup.py::semdedup_pairs)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return OD.semdedup_drop_list(
+        emb, "embedding", "vec_id",
+        n_cells=SEMDEDUP_CELLS, threshold=SEMDEDUP_THRESHOLD, dims=64,
+    )
+
+
+register(
+    "q_semdedup",
+    q_semdedup,
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SEMDEDUP_CELLS}),
+    asg AS (
+      SELECT vec_id, v, cid, cv,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ROUND(list_distance(v, cv), 6) ASC NULLS FIRST,
+                                         cid ASC NULLS FIRST) AS rn
+      FROM e CROSS JOIN c),
+    cells AS (
+      SELECT vec_id, v, cid,
+             ROUND(list_cosine_similarity(v, cv), 6) AS csim
+      FROM asg WHERE rn = 1),
+    pairs AS (
+      SELECT a.cid AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+             a.csim AS ca, b.csim AS cb,
+             ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+    SELECT DISTINCT cell,
+           CASE WHEN ca > cb OR (ca = cb AND id_a > id_b)
+                THEN id_a ELSE id_b END AS drop_id
+    FROM pairs WHERE sim >= {SEMDEDUP_THRESHOLD}
+    """,
+)

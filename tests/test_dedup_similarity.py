@@ -243,3 +243,34 @@ def test_lsh_verified_jaccard_matches_blocked_verify(spark):
     assert got and all(blocked.get(k) == v for k, v in got.items())
     # and the planted identical pair is found by both
     assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_semdedup_drops_centroid_closer_side(spark):
+    from nba_pipeline_spark.operators.dedup import semdedup_drop_list, semdedup_pairs
+
+    # 2 well-separated cells (axis 0 vs axis 1). Cell of vec 0: the
+    # centroid itself (id 0), an exact duplicate (id 2), and a slightly
+    # rotated near-dup (id 3). Cell of vec 1: one lone vector (id 4) —
+    # no pair. Paper policy: in each duplicate pair drop the side
+    # closer to its centroid.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),        # exact dup of centroid 0
+        (3, [0.96, 0.28, 0.0]),      # near-dup, farther from centroid
+        (4, [0.0, 0.9, 0.1]),        # near-dup of centroid 1 (cos .994)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semdedup_pairs(emb, "embedding", "vec_id", n_cells=2, threshold=0.9).collect()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs}
+    # same-cell pairs only; (2,3) rides along since 2 duplicates 0
+    assert got_pairs == {(0, 2), (0, 3), (1, 4), (2, 3)}
+
+    drops = semdedup_drop_list(
+        emb, "embedding", "vec_id", n_cells=2, threshold=0.9
+    ).collect()
+    drop_ids = {r["drop_id"] for r in drops}
+    # (0,2): identical csim=1.0 tie -> larger id 2 dropped.
+    # (0,3): id 0 IS the centroid (csim 1.0) -> 0 dropped, outlier 3 kept.
+    # (1,4): id 1 IS the centroid -> 1 dropped, outlier 4 kept.
+    assert drop_ids == {0, 1, 2}
