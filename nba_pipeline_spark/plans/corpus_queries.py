@@ -371,3 +371,111 @@ def _mixture_oracle() -> str:
 
 
 register("q_mixture_sample", q_mixture_sample, _mixture_oracle())
+
+
+# --- DSIR-style importance resampling (arXiv:2302.03169) ----------------------
+
+DSIR_BUCKETS, DSIR_TARGET, DSIR_KEEP = 256, "src0", 100
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169), deterministically: hashed unigram+bigram
+    features, per-bucket log importance ratio between the target
+    distribution (docs from DSIR_TARGET — the curated corpus) and the
+    raw pool, per-doc score = sum(count_b * lr_b), top-DSIR_KEEP raw
+    docs selected. The paper's Gumbel-noise resampling step is replaced
+    by deterministic rank (score desc, id) so the selection is
+    reproducible and oracle-checkable; plug noise back in by adding a
+    salted-md5 jitter column (q_mixture_sample's trick) if sampling
+    without replacement is wanted.
+
+    Physical shape at 100 TB: ONE explode pass over the corpus feeds
+    (a) the bucket distributions — partial-agg'd map-side into <=
+    DSIR_BUCKETS rows per task, a ~256-row frame after the shuffle —
+    and (b) per-doc bucket counts, map-side combined on (doc_id,
+    bucket) so the doc-score shuffle carries at most docs x
+    min(doc_tokens, 256) skinny rows, NOT the raw token stream. The
+    256-row log-ratio table broadcast-joins back; selection is
+    TakeOrderedAndProject. The target side is typically tiny (curated
+    corpora); nothing here depends on it fitting anywhere special.
+    The exploded feature frame is pinned: three consumers, and
+    un-pinned the tokenize/shingle/md5 chain re-evaluates per consumer.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokenize(F.col("text"))
+    feats = F.concat(toks, TX.shingles(toks, 2))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    ).cast("int")
+    base = (
+        fan_out(docs)
+        .select("doc_id", "source", F.explode(feats).alias("feat"))
+        .select("doc_id", "source", bucket.alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
+    is_t = F.col("source") == DSIR_TARGET
+    dist = base.groupBy("bucket").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    )
+    tot = dist.agg(F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot"))
+    lr = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("r_tot") + DSIR_BUCKETS))
+                / ((F.col("cr") + 1) * (F.col("t_tot") + DSIR_BUCKETS))
+            ),
+            6,
+        ).alias("lr"),
+    )
+    per_doc = (
+        base.filter(~is_t).groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    )
+    scored = (
+        per_doc.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("cnt") * F.col("lr")), 4).alias("dsir_score"))
+    )
+    return scored.orderBy(F.desc("dsir_score"), F.asc("doc_id")).limit(DSIR_KEEP)
+
+
+_DUCK_BIGRAMS = (
+    "list_transform(range(1, greatest(len(toks), 1)), "
+    "i -> concat_ws(' ', toks[i], toks[i+1]))"
+)
+
+register(
+    "q_dsir_sample",
+    q_dsir_sample,
+    f"""
+    WITH t AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+    f AS (SELECT doc_id, source,
+                 unnest(list_concat(toks, {_DUCK_BIGRAMS})) AS feat
+          FROM t),
+    b AS (SELECT doc_id, source,
+                 CAST(CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT)
+                      % {DSIR_BUCKETS} AS INT) AS bucket
+          FROM f),
+    dist AS (SELECT bucket,
+                    SUM(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS ct,
+                    SUM(CASE WHEN source <> '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS cr
+             FROM b GROUP BY bucket),
+    tot AS (SELECT SUM(ct) AS t_tot, SUM(cr) AS r_tot FROM dist),
+    lr AS (SELECT bucket,
+                  ROUND(LN(((ct + 1) * (r_tot + {DSIR_BUCKETS}))
+                           / ((cr + 1) * (t_tot + {DSIR_BUCKETS}))), 6) AS lr
+           FROM dist, tot),
+    pd AS (SELECT doc_id, bucket, COUNT(*) AS cnt
+           FROM b WHERE source <> '{DSIR_TARGET}' GROUP BY doc_id, bucket)
+    SELECT pd.doc_id,
+           ROUND(SUM(pd.cnt * lr.lr), 4) AS dsir_score
+    FROM pd JOIN lr USING (bucket)
+    GROUP BY pd.doc_id
+    ORDER BY dsir_score DESC NULLS LAST, pd.doc_id ASC NULLS FIRST
+    LIMIT {DSIR_KEEP}
+    """,
+)

@@ -274,3 +274,41 @@ def test_semdedup_drops_centroid_closer_side(spark):
     # (0,3): id 0 IS the centroid (csim 1.0) -> 0 dropped, outlier 3 kept.
     # (1,4): id 1 IS the centroid -> 1 dropped, outlier 4 kept.
     assert drop_ids == {0, 1, 2}
+
+
+def test_dsir_ranks_target_like_docs_first(spark, monkeypatch, tmp_path):
+    """DSIR importance weighting must rank raw docs sharing the target
+    corpus's vocabulary above dissimilar ones."""
+    import nba_pipeline_spark.plans.corpus_queries as CQ
+
+    rows = (
+        # target corpus (src0): medical vocabulary
+        [(i, "clinical trial patient dosage outcome measured", "en", "src0", 40)
+         for i in range(4)]
+        # raw pool: 2 target-like, 2 off-domain
+        + [
+            (10, "patient dosage outcome in the clinical trial", "en", "web", 40),
+            (11, "the trial measured patient outcome and dosage", "en", "web", 40),
+            (12, "football match final score highlights tonight", "en", "web", 40),
+            (13, "stock market futures rally on earnings beat", "en", "web", 40),
+        ]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    import nba_pipeline_spark.sources as SRC
+
+    real_load = SRC.load_table
+    monkeypatch.setattr(
+        CQ, "load_table",
+        lambda sp, sf, name: sp.read.parquet(path) if name == "documents"
+        else real_load(sp, sf, name),
+    )
+    got = CQ.q_dsir_sample(spark, str(tmp_path)).collect()
+    ranked = [r["doc_id"] for r in got]
+    assert set(ranked) == {10, 11, 12, 13}  # raw pool only, target excluded
+    assert set(ranked[:2]) == {10, 11}      # target-like docs outscore off-domain
+    scores = {r["doc_id"]: r["dsir_score"] for r in got}
+    assert min(scores[10], scores[11]) > max(scores[12], scores[13])
