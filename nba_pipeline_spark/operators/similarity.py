@@ -272,3 +272,68 @@ def ivf_topk(
         .limit(k)
         .select(id_col, F.round(F.col("sim6"), 4).alias("sim"))
     )
+
+
+def knn_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_bits: int | None = None,
+    dims: int | None = None,
+) -> DataFrame:
+    """Batch k-NN join: the top-k cosine neighbors for EVERY row of a
+    query set at once (retrieval / RAG-index eval / near-dup audit
+    batch shape), not just one probe vector.
+
+    ``queries`` carries (query_id, qv array<double>). Two plans:
+
+    - exact (``n_bits=None``): broadcast the query set and score every
+      (corpus row × query) pair in a narrow map — one corpus scan, no
+      shuffle of the corpus, right while |queries| × dims fits an
+      executor (batch lookups are typically 10²-10⁴ queries).
+    - bucketed (``n_bits`` set): both sides bucket by the same
+      data-independent sign-LSH hyperplanes and the pair space is the
+      bucket EQUI-JOIN — candidates drop to ~|corpus|/2^n_bits per
+      query, the join shuffles on the bucket key (or prunes partitions
+      when the lake is laid out partitionBy(bucket)), and the query
+      set no longer needs to fit anywhere. Approximate: recall follows
+      the sign-LSH collision curve (1 - θ/π)^n_bits.
+
+    Per-query top-k is a row_number window partitioned by query_id —
+    parallelism = |queries|, never a global sort.
+    """
+    from ..functions.vectors import dot as _dot
+    from ..functions.vectors import dot_fixed, norm
+
+    dot_fn = (lambda x, y: dot_fixed(x, y, dims)) if dims else _dot
+    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    q = queries.select(
+        F.col("query_id"), to_double_array(F.col("qv")).alias("qv")
+    ).withColumn("qnrm", norm(F.col("qv")))
+    if n_bits is None:
+        cand = e.crossJoin(F.broadcast(q))
+    else:
+        if dims is None:
+            raise ValueError("bucketed knn_join needs dims for the hyperplanes")
+        planes = hyperplane_planes(n_bits, dims)
+        eb = e.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+        qb = q.withColumn("bucket", hyperplane_bucket(F.col("qv"), planes))
+        cand = eb.join(qb, "bucket")
+    scored = cand.filter(F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col),
+        F.round(
+            F.try_divide(dot_fn(F.col("v"), F.col("qv")), F.col("nrm") * F.col("qnrm")),
+            6,
+        ).alias("sim6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim6"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, F.round(F.col("sim6"), 4).alias("sim"), F.col("rk").cast("int").alias("rk"))
+    )

@@ -122,3 +122,90 @@ register(
     ORDER BY sim6 DESC NULLS LAST, vec_id ASC NULLS FIRST LIMIT {TOP_K}
     """,
 )
+
+
+# --- batch k-NN join (query set, not a single probe) --------------------------
+
+KNN_QUERIES, KNN_K = 5, 5
+
+
+def _knn_queries(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact batch k-NN join: broadcast the query set, one corpus scan,
+    per-query top-k window (operators/similarity.py::knn_join)."""
+    emb = _emb(spark, sf_dir)
+    return SIM.knn_join(emb, _knn_queries(emb), "vec_id", "embedding", KNN_K, dims=64)
+
+
+def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed batch k-NN join: both sides sign-LSH-bucketed, pair
+    space = the bucket equi-join — the plan that survives query sets
+    too big to broadcast."""
+    emb = _emb(spark, sf_dir)
+    return SIM.knn_join(
+        emb, _knn_queries(emb), "vec_id", "embedding", KNN_K, n_bits=N_BITS, dims=DIMS
+    )
+
+
+_KNN_SCORE = """
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(e.v, q.qv), 6) AS sim6
+      FROM e {join} q
+      {where} e.vec_id <> q.query_id
+"""
+
+register(
+    "q_knn_join",
+    q_knn_join,
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+    scored AS ({_KNN_SCORE.format(join=",", where="WHERE")}),
+    ranked AS (
+      SELECT query_id, vec_id, sim6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim6 DESC NULLS LAST,
+                                         vec_id ASC NULLS FIRST) AS rk
+      FROM scored)
+    SELECT query_id, vec_id, ROUND(sim6, 4) AS sim, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {KNN_K}
+    """,
+)
+
+
+def _knn_lsh_oracle() -> str:
+    planes_sql = _planes_sql()
+    return f"""
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT * FROM (VALUES {planes_sql}) AS t(b, plane)),
+    bk AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN ROUND(list_dot_product(v, plane), 6) >= 0
+                           THEN (1 << b) ELSE 0 END) AS INT) AS bucket
+      FROM e0 CROSS JOIN p GROUP BY vec_id),
+    e AS (SELECT e0.vec_id, v, bucket FROM e0 JOIN bk USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket
+          FROM e WHERE vec_id < {KNN_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(e.v, q.qv), 6) AS sim6
+      FROM e JOIN q USING (bucket)
+      WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, sim6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim6 DESC NULLS LAST,
+                                         vec_id ASC NULLS FIRST) AS rk
+      FROM scored)
+    SELECT query_id, vec_id, ROUND(sim6, 4) AS sim, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {KNN_K}
+    """
+
+
+register("q_knn_join_lsh", q_knn_join_lsh, _knn_lsh_oracle())

@@ -312,3 +312,53 @@ def test_dsir_ranks_target_like_docs_first(spark, monkeypatch, tmp_path):
     assert set(ranked[:2]) == {10, 11}      # target-like docs outscore off-domain
     scores = {r["doc_id"]: r["dsir_score"] for r in got}
     assert min(scores[10], scores[11]) > max(scores[12], scores[13])
+
+
+def test_knn_join_exact_matches_per_query_brute_force(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id").isin(3, 5)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from nba_pipeline_spark.operators.similarity import knn_join
+
+    got = knn_join(emb, queries, "vec_id", "embedding", 3).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rk"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert set(by_q) == {3, 5}
+    assert all(len(v) == 3 for v in by_q.values())
+    # per-query result equals the single-probe brute force
+    for qid in (3, 5):
+        q = emb.filter(F.col("vec_id") == qid).select(
+            to_double_array(F.col("embedding")).alias("qv")
+        )
+        brute = [
+            r["vec_id"]
+            for r in brute_force_topk(
+                emb.filter(F.col("vec_id") != qid), q, "vec_id", "embedding", 3
+            ).collect()
+        ]
+        assert by_q[qid] == brute
+    assert 100 in by_q[5]  # planted duplicate of vec 5 retrieved
+
+
+def test_knn_join_bucketed_subset_of_exact(spark):
+    emb = _emb(spark).withColumn(
+        "embedding", to_double_array(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from nba_pipeline_spark.operators.similarity import knn_join
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join(emb, queries, "vec_id", "embedding", 50).collect()
+    }
+    lsh = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join(
+            emb, queries, "vec_id", "embedding", 50, n_bits=3, dims=8
+        ).collect()
+    }
+    assert lsh and lsh.issubset(exact)  # bucket equi-join only prunes
