@@ -191,3 +191,179 @@ register(
     FROM s
     """,
 )
+
+
+# --- unigram-LM perplexity scoring (CCNet-style quality signal) ---------------
+
+# Perplexity-bucket thresholds, the stand-in for CCNet's offline
+# percentile calibration (Wenzek et al. 2020 computes head/middle/tail
+# cutoffs once on a held-out sample, then applies them as constants —
+# exactly what literals are). Chosen inside the testdata's CE range
+# (stable across SFs: median ~4.91, tail up to ~5.8) so every bucket
+# is populated.
+PPL_HEAD, PPL_TAIL = 4.95, 5.1
+
+
+def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under a corpus-trained unigram LM, with
+    CCNet-style head/middle/tail quality buckets (arXiv:1911.00359
+    uses a KenLM 5-gram; the unigram form keeps the exact same
+    pipeline shape and is replayable in SQL).
+
+    ce(doc) = log2(T) - mean(log2 c_tok) where c_tok is the corpus
+    count of each token and T the total token count: low ce = the doc
+    looks like the corpus (head), high ce = rare-token soup (tail).
+
+    Determinism: per-token log2(c_tok) is rounded to 6dp and summed AS
+    DECIMAL — an exact, order-independent integer sum, so the score
+    cannot drift with partitioning (no float-summation-order hash
+    risk). Physical shape at 100 TB: one explode pass; the LM
+    "training" is a token-count groupBy partial-agg'd map-side (vocab-
+    sized result); counts broadcast-join back onto the token stream
+    (vocab tables up to ~100M rows shuffle-join instead — flip the
+    hint); per-doc mean shuffles skinny (doc_id, dec) rows.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select("doc_id", F.explode(TX.tokenize(F.col("text"))).alias("tok"))
+        .localCheckpoint(eager=False)
+    )
+    lm = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.round(F.log2("c"), 6).cast("decimal(28,6)")).alias("s"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    ce = F.round(
+        F.round(F.log2("t"), 6) - F.col("s").cast("double") / F.col("n_tokens"), 4
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        ce.alias("ce"),
+        F.when(ce < PPL_HEAD, "head")
+        .when(ce < PPL_TAIL, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+register(
+    "q_unigram_ppl",
+    q_unigram_ppl,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    lm AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM lm),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             SUM(CAST(ROUND(log2(c), 6) AS DECIMAL(28,6))) AS s
+      FROM toks JOIN lm USING (tok) GROUP BY doc_id),
+    ced AS (
+      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             ROUND(ROUND(log2(t), 6) - CAST(s AS DOUBLE) / n_tokens, 4) AS ce
+      FROM scored, total)
+    SELECT doc_id, n_tokens, ce,
+           CASE WHEN ce < {PPL_HEAD} THEN 'head'
+                WHEN ce < {PPL_TAIL} THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ced
+    """,
+)
+
+
+# --- linear hashed-BoW quality classifier (fastText-style inference) ----------
+
+CLS_BUCKETS = 64
+CLS_BIAS = -0.15
+
+
+def _cls_weights() -> list[float]:
+    """Deterministic stand-in for offline-trained classifier weights
+    (a fastText / logistic-regression doc-quality model ships as a
+    plain weight vector; training happens off-cluster). md5-mixed so
+    they are reproducible anywhere, including inside the oracle SQL."""
+    import hashlib
+
+    out = []
+    for b in range(CLS_BUCKETS):
+        d = hashlib.md5(f"qw|{b}".encode()).digest()
+        out.append(round(int.from_bytes(d[:4], "big") / 2**32 - 0.5, 6))
+    return out
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear classifier inference over hashed bag-of-words features —
+    the quality-model scoring pass every curated-corpus pipeline runs
+    (fastText classifiers in GPT-3/LLaMA data work; arXiv:2005.14165
+    App. A). score = sigmoid(bias + sum_b tf_b * w_b) with tf_b =
+    count_b / n_tokens over CLS_BUCKETS md5-hashed buckets.
+
+    Determinism: the dot product accumulates ROUND(cnt * w_b, 6) AS
+    DECIMAL (exact, order-free) and divides by n_tokens once; only the
+    final sigmoid is float, rounded to 4dp. Physical shape: explode ->
+    map-side combined (doc, bucket) counts -> 64-row broadcast weight
+    join -> per-doc sum. One corpus scan, one skinny shuffle; the
+    model is a literal — inference adds NO distributed state at any
+    scale."""
+    docs = _docs(spark, sf_dir)
+    w = _cls_weights()
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % CLS_BUCKETS
+    ).cast("int")
+    wmap = F.create_map(*[F.lit(x) for b, wt in enumerate(w) for x in (b, wt)])
+    per_bucket = (
+        docs.select("doc_id", F.explode(TX.tokenize(F.col("text"))).alias("tok"))
+        .select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    scored = per_bucket.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.round(F.col("cnt") * wmap[F.col("b")], 6).cast("decimal(28,6)")).alias("dot"),
+    )
+    z = F.lit(CLS_BIAS) + F.col("dot").cast("double") / F.col("n_tokens")
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        score.alias("quality_score"),
+        (score >= 0.5).cast("int").alias("keep"),
+    )
+
+
+def _cls_oracle() -> str:
+    w_rows = ", ".join(f"({b}, {wt})" for b, wt in enumerate(_cls_weights()))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                  % {CLS_BUCKETS} AS INT) AS b
+      FROM toks),
+    pb AS (SELECT doc_id, b, COUNT(*) AS cnt FROM b GROUP BY doc_id, b),
+    w AS (SELECT * FROM (VALUES {w_rows}) AS t(b, wt)),
+    scored AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             SUM(CAST(ROUND(cnt * wt, 6) AS DECIMAL(28,6))) AS dot
+      FROM pb JOIN w USING (b) GROUP BY doc_id),
+    z AS (
+      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             ROUND(1.0 / (1.0 + exp(-({CLS_BIAS} + CAST(dot AS DOUBLE) / n_tokens))), 4)
+               AS quality_score
+      FROM scored)
+    SELECT doc_id, n_tokens, quality_score,
+           CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS keep
+    FROM z
+    """
+
+
+register("q_quality_classifier", q_quality_classifier, _cls_oracle())

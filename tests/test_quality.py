@@ -1,0 +1,87 @@
+"""Behavioral tests for the quality-scoring queries (unigram-LM
+perplexity, linear classifier) on constructed corpora."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _stage_docs(spark, tmp_path, rows):
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+@pytest.fixture()
+def patched_load(monkeypatch):
+    """Route quality_queries' documents load at a staged tmp dir."""
+    import nba_pipeline_spark.plans.quality_queries as QQ
+    import nba_pipeline_spark.sources as SRC
+
+    real = SRC.load_table
+
+    def apply(tmp_dir):
+        monkeypatch.setattr(
+            QQ, "load_table",
+            lambda sp, sf, name: sp.read.parquet(f"{tmp_dir}/documents.parquet")
+            if name == "documents" else real(sp, sf, name),
+        )
+
+    return apply
+
+
+def test_unigram_ppl_rare_tokens_score_higher(spark, tmp_path, patched_load):
+    import nba_pipeline_spark.plans.quality_queries as QQ
+
+    common = "the cat sat on the mat " * 5
+    rows = [(i, common, "en", "web", 10) for i in range(8)]
+    rows.append((100, "zyzzyva qwertyuiop floccinaucinihilipilification", "en", "web", 10))
+    sf = _stage_docs(spark, tmp_path, rows)
+    patched_load(sf)
+    got = {r["doc_id"]: r for r in QQ.q_unigram_ppl(spark, sf).collect()}
+    # the rare-token doc has strictly higher cross-entropy than any
+    # common-token doc, and identical docs share an identical score
+    assert got[100]["ce"] > got[0]["ce"]
+    assert len({got[i]["ce"] for i in range(8)}) == 1
+    # CE of the common docs: every token count is large, so ce ~
+    # log2(T) - mean log2(c) must be finite and positive
+    assert got[0]["ce"] > 0
+
+
+def test_quality_classifier_is_deterministic_and_bounded(spark, tmp_path, patched_load):
+    import nba_pipeline_spark.plans.quality_queries as QQ
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "en", "web", 10),
+        (1, "alpha beta gamma delta epsilon", "en", "web", 10),  # same text
+        (2, "totally different words entirely here", "en", "web", 10),
+    ]
+    sf = _stage_docs(spark, tmp_path, rows)
+    patched_load(sf)
+    got = {r["doc_id"]: r for r in QQ.q_quality_classifier(spark, sf).collect()}
+    assert got[0]["quality_score"] == got[1]["quality_score"]
+    for r in got.values():
+        assert 0.0 < r["quality_score"] < 1.0
+        assert r["keep"] == (1 if r["quality_score"] >= 0.5 else 0)
+    # score = sigmoid(bias + tf·w): replay doc 0 by hand through the
+    # published weight vector to pin the semantics, not just stability
+    import hashlib
+
+    from nba_pipeline_spark.plans.quality_queries import (
+        CLS_BIAS,
+        CLS_BUCKETS,
+        _cls_weights,
+    )
+
+    w = _cls_weights()
+    toks = "alpha beta gamma delta epsilon".split()
+    dot = 0.0
+    for t in toks:
+        b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % CLS_BUCKETS
+        dot += round(1 * w[b], 6)
+    expect = round(1.0 / (1.0 + math.exp(-(CLS_BIAS + dot / len(toks)))), 4)
+    assert abs(got[0]["quality_score"] - expect) < 1e-9
