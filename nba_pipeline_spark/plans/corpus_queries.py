@@ -479,3 +479,122 @@ register(
     LIMIT {DSIR_KEEP}
     """,
 )
+
+
+# --- vocab induction + tokenize-to-ids ----------------------------------------
+
+VOCAB_SIZE, UNK_ID = 200, 0
+
+
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase tokenizer the way a training pipeline ships one:
+    (1) vocab induction — top-VOCAB_SIZE tokens by corpus frequency,
+    ids assigned by (count desc, token) rank; (2) encode — every
+    (doc, pos) token joined against the vocab, OOV -> UNK_ID.
+
+    Scale shape: induction is a token-count groupBy (map-side partials,
+    vocab-cardinality result) followed by orderBy().limit(V) —
+    TakeOrderedAndProject, never a global sort of the corpus; the
+    row_number that assigns ids runs on the V-row survivor frame
+    (bounded by construction, exactly like the k-centroid collects).
+    Encoding is a broadcast join of the V-row vocab against the
+    posexploded token stream — narrow, no shuffle of the corpus. A
+    real BPE would iterate merges; each iteration is this same
+    count+join shape (PAPERS.md: the merge loop is inherently
+    sequential, the counting is what distributes).
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.posexplode(TX.tokenize(F.col("text"))).alias("pos", "tok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    top = counts.orderBy(F.desc("c"), F.asc("tok")).limit(VOCAB_SIZE)
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))  # V-row frame: bounded
+    vocab = top.select("tok", F.row_number().over(w).alias("tid"))
+    enc = toks.join(F.broadcast(vocab), "tok", "left")
+    return enc.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.coalesce(F.col("tid"), F.lit(UNK_ID)).cast("int").alias("tid"),
+        F.col("tid").isNull().cast("int").alias("is_oov"),
+    )
+
+
+register(
+    "q_tokenize_ids",
+    q_tokenize_ids,
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    tk AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
+      FROM t, unnest(range(1, coalesce(len(toks), 0) + 1)) AS r(i)),
+    counts AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+    vocab AS (
+      SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS INT) AS tid
+      FROM counts ORDER BY c DESC, tok ASC LIMIT {VOCAB_SIZE})
+    SELECT tk.doc_id, tk.pos,
+           CAST(COALESCE(vocab.tid, {UNK_ID}) AS INT) AS tid,
+           CASE WHEN vocab.tid IS NULL THEN 1 ELSE 0 END AS is_oov
+    FROM tk LEFT JOIN vocab USING (tok)
+    """,
+)
+
+
+# --- deterministic training-order shuffle -------------------------------------
+
+SHUFFLE_SHARDS = 8
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global example shuffle — the step between curation
+    and training (loaders read shards sequentially, so between-epoch
+    randomness must be baked into the shard layout). Each doc gets
+    shard = md5-hash % SHUFFLE_SHARDS and a position from ranking the
+    salted hash WITHIN its shard: a perfect random permutation under
+    the random-oracle view of md5, yet identical on every engine, rerun
+    and partitioning.
+
+    Scale: NO global sort — one shuffle keyed on the shard id,
+    parallelism = shard count (pick shards >> executors at 100 TB; the
+    per-shard window sorts shard-local data only). Writing
+    partitionBy(shard) turns the result straight into loader files.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    sharded = docs.select("doc_id", h.alias("h")).withColumn(
+        "shard", (F.col("h") % SHUFFLE_SHARDS).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("h"), F.col("doc_id"))
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
+    )
+
+
+register(
+    "q_corpus_shuffle",
+    q_corpus_shuffle,
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shuf|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM documents)
+    SELECT doc_id,
+           CAST(h % {SHUFFLE_SHARDS} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % {SHUFFLE_SHARDS}
+                                   ORDER BY h, doc_id) AS INT) AS pos
+    FROM h
+    """,
+)

@@ -85,3 +85,52 @@ def test_quality_classifier_is_deterministic_and_bounded(spark, tmp_path, patche
         dot += round(1 * w[b], 6)
     expect = round(1.0 / (1.0 + math.exp(-(CLS_BIAS + dot / len(toks)))), 4)
     assert abs(got[0]["quality_score"] - expect) < 1e-9
+
+
+def test_tokenize_ids_vocab_rank_and_oov(spark, tmp_path, monkeypatch):
+    import nba_pipeline_spark.plans.corpus_queries as CQ
+    import nba_pipeline_spark.sources as SRC
+
+    rows = [
+        (0, "aa aa aa bb bb cc", "en", "web", 10),
+        (1, "aa zz", "en", "web", 10),
+    ]
+    sf = _stage_docs(spark, tmp_path, rows)
+    real = SRC.load_table
+    monkeypatch.setattr(
+        CQ, "load_table",
+        lambda sp, s, name: sp.read.parquet(f"{sf}/documents.parquet")
+        if name == "documents" else real(sp, s, name),
+    )
+    monkeypatch.setattr(CQ, "VOCAB_SIZE", 3)
+    got = {(r["doc_id"], r["pos"]): r for r in CQ.q_tokenize_ids(spark, sf).collect()}
+    # vocab by (count desc, token): aa(4)->1, bb(2)->2, cc(1)->3; zz OOV
+    assert [got[(0, p)]["tid"] for p in range(6)] == [1, 1, 1, 2, 2, 3]
+    assert got[(1, 1)]["tid"] == CQ.UNK_ID and got[(1, 1)]["is_oov"] == 1
+    assert got[(1, 0)]["tid"] == 1 and got[(1, 0)]["is_oov"] == 0
+
+
+def test_corpus_shuffle_is_a_permutation(spark, tmp_path, monkeypatch):
+    import nba_pipeline_spark.plans.corpus_queries as CQ
+    import nba_pipeline_spark.sources as SRC
+
+    rows = [(i, f"doc {i}", "en", "web", 5) for i in range(50)]
+    sf = _stage_docs(spark, tmp_path, rows)
+    real = SRC.load_table
+    monkeypatch.setattr(
+        CQ, "load_table",
+        lambda sp, s, name: sp.read.parquet(f"{sf}/documents.parquet")
+        if name == "documents" else real(sp, s, name),
+    )
+    got = CQ.q_corpus_shuffle(spark, sf).collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(50))  # every doc once
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense 1..n
+    # deterministic across reruns
+    again = CQ.q_corpus_shuffle(spark, sf).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in got
+    }
