@@ -90,3 +90,98 @@ def dedup_clusters(
         .otherwise(F.lit(0))
         .alias("keep"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank with a FIXED iteration count, engine-
+    deterministically. Returns (node, rank) after ``iterations`` power
+    steps of rank' = (1-d)/N + d*(in-contributions + dangling/N).
+
+    Determinism contract (the part that makes an iterative float
+    algorithm oracle-checkable): every per-edge contribution is rounded
+    to 12dp and accumulated AS DECIMAL — exact, order-independent —
+    and each iteration's rank is again a rounded quantity, so by
+    induction the fixed point of round-trip arithmetic is identical on
+    any engine/partitioning. Rounding at 12dp leaves ~8 significant
+    digits of headroom over the 4dp the callers compare at.
+
+    Scale shape (the published Pregel/GraphX layout as plain joins):
+    per iteration ONE shuffle join (edges x ranks on src — co-locate by
+    pre-partitioning both on src at 100 TB, or bucket the edge lake) and
+    ONE keyed sum on dst (map-side partials). Degrees are computed once
+    up front; lineage is cut per iteration with localCheckpoint exactly
+    like connected_components; dangling mass is a 1-row aggregate
+    crossed back in (broadcast). Node count N is a driver scalar — the
+    only collect, O(1) rows.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    deg = nodes.join(out_w, nodes["node"] == out_w["src"], "left").select(
+        "node", F.coalesce("out_w", F.lit(0.0)).alias("out_w")
+    ).localCheckpoint(eager=True)
+
+    # base and the uniform init are rounded by the ENGINE's ROUND (not
+    # Python's banker's rounding) so the oracle's SQL ROUND replays them
+    nf = F.lit(float(n))
+    base = F.round((F.lit(1.0) - F.lit(damping)) / nf, 12)
+    ranks = deg.select("node", "out_w", F.round(F.lit(1.0) / nf, 12).alias("rank"))
+    for _ in range(iterations):
+        dangling = ranks.filter(F.col("out_w") == 0).agg(
+            F.coalesce(
+                F.sum(F.round(F.col("rank") / F.lit(float(n)), 12).cast("decimal(38,12)")),
+                F.lit(0).cast("decimal(38,12)"),
+            ).alias("dm")
+        )
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.round(F.col("rank") * F.col("w") / F.col("out_w"), 12)
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("cs"))
+        )
+        ranks = (
+            deg.join(contrib, deg["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "out_w",
+                F.round(
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("cs").cast("double"), F.lit(0.0))
+                        + F.col("dm").cast("double")
+                    ),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")

@@ -368,3 +368,70 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_agg_hll_sketch", q_agg_hll_sketch, None)
+
+
+# --- iterative graph analytics: PageRank over the event-transition graph ------
+
+PR_ITERS, PR_DAMPING = 5, 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the per-user event_type transition graph (edge =
+    consecutive event pair in (ts, event_id) order, weight = transition
+    count) — the iterative-algorithm class, run with the deterministic
+    fixed-point arithmetic of operators/graph.py::pagerank so all 5
+    power iterations replay bit-identically in the oracle."""
+    from ..operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
+    tr = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    edges = tr.groupBy("src", "dst").agg(F.count("*").cast("double").alias("w"))
+    pr = pagerank(edges, iterations=PR_ITERS, damping=PR_DAMPING, weight="w")
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle() -> str:
+    head = f"""
+    WITH tr AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC NULLS FIRST,
+                                            event_id ASC NULLS FIRST) AS src,
+             event_type AS dst
+      FROM events),
+    e AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM tr
+          WHERE src IS NOT NULL AND dst IS NOT NULL GROUP BY src, dst),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (
+      SELECT node, COALESCE((SELECT SUM(w) FROM e WHERE e.src = nodes.node), 0) AS out_w
+      FROM nodes),
+    r0 AS (SELECT node, out_w, ROUND(1.0 / n, 12) AS rank FROM deg, nn)"""
+    its = []
+    for k in range(1, PR_ITERS + 1):
+        p = k - 1
+        its.append(f"""
+    dm{k} AS (
+      SELECT COALESCE(SUM(CAST(ROUND(rank / n, 12) AS DECIMAL(38,12))),
+                      CAST(0 AS DECIMAL(38,12))) AS dm
+      FROM r{p}, nn WHERE out_w = 0),
+    c{k} AS (
+      SELECT dst, SUM(CAST(ROUND(r.rank * e.w / r.out_w, 12) AS DECIMAL(38,12))) AS cs
+      FROM e JOIN r{p} r ON e.src = r.node GROUP BY dst),
+    r{k} AS (
+      SELECT d.node, d.out_w,
+             ROUND(ROUND((1.0 - {PR_DAMPING}) / n, 12)
+                   + {PR_DAMPING} * (COALESCE(CAST(cs AS DOUBLE), 0)
+                                     + CAST(dm AS DOUBLE)), 12) AS rank
+      FROM deg d LEFT JOIN c{k} ON d.node = c{k}.dst CROSS JOIN dm{k} CROSS JOIN nn)""")
+    return (
+        head + "," + ",".join(its)
+        + f"\n    SELECT node, ROUND(rank, 6) AS rank FROM r{PR_ITERS}\n    "
+    )
+
+
+register("q_pagerank", q_pagerank, _pagerank_oracle())

@@ -362,3 +362,24 @@ def test_knn_join_bucketed_subset_of_exact(spark):
         ).collect()
     }
     assert lsh and lsh.issubset(exact)  # bucket equi-join only prunes
+
+
+def test_pagerank_star_graph_and_mass_conservation(spark):
+    from nba_pipeline_spark.operators.graph import pagerank
+
+    # star: 1,2,3 all link to hub 0; hub links back to 1. Node 9 dangles
+    # (edge in, none out) - its mass must redistribute, not vanish.
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1), (1, 9)], "src int, dst int"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+    assert set(got) == {0, 1, 2, 3, 9}
+    # hub 0 collects from 3 leaves; node 1 receives the hub's ENTIRE
+    # rank (its only out-edge) — they dominate the symmetric leaves
+    assert {0, 1} == set(sorted(got, key=got.get, reverse=True)[:2])
+    assert got[2] == got[3]                     # symmetric leaves tie
+    assert got[0] > got[2] and got[1] > got[2]
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+    # deterministic across reruns (fixed-point arithmetic contract)
+    again = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+    assert got == again
