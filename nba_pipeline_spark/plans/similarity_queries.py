@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import to_double_array
@@ -209,3 +209,199 @@ def _knn_lsh_oracle() -> str:
 
 
 register("q_knn_join_lsh", q_knn_join_lsh, _knn_lsh_oracle())
+
+
+# --- lexical BM25 + hybrid retrieval (RRF fusion) -----------------------------
+
+BM25_TERMS = ("table", "scan", "merge")
+BM25_K1, BM25_B = 1.2, 0.75
+RRF_K, RRF_POOL, RRF_TOPK = 60, 50, 10
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scores of every document against the literal query
+    terms. tf/df/dl/avgdl are all exact integers; idf and the per-term
+    contribution are rounded to 6dp and the per-doc sum accumulates AS
+    DECIMAL, so the ranking is engine- and partitioning-independent.
+
+    Scale: the tf stream is the token explode FILTERED to the query
+    terms at the scan (predicate pushdown keeps it near-empty —
+    |terms| per doc at most); df is a |terms|-row aggregate; dl/avgdl
+    one narrow pass + 1-row broadcast. Nothing shuffles more than
+    matched (doc, term) pairs. An inverted-index lake layout
+    (partitionBy(term) posting lists) turns the term filter into
+    partition pruning at 100 TB."""
+    from ..functions import text as TX
+    from ..operators.partitioning import fan_out
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out(docs).select(
+        "doc_id", TX.tokenize(F.col("text")).alias("__toks")
+    )
+    stats = toked.select("doc_id", F.size("__toks").alias("dl")).filter(
+        F.col("dl") > 0
+    ).localCheckpoint(eager=False)
+    g = stats.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    tf = (
+        toked.select("doc_id", F.explode("__toks").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(stats, "doc_id")
+        .crossJoin(F.broadcast(g))
+    )
+    avgdl = F.round(F.col("sum_dl") / F.col("n_docs"), 6)
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        6,
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / avgdl
+    )
+    contrib = F.round(idf * F.col("tf") * (BM25_K1 + 1) / denom, 6).cast(
+        "decimal(28,6)"
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum(contrib).alias("s"))
+        .select("doc_id", F.round(F.col("s").cast("double"), 4).alias("bm25"))
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+    )
+
+
+_BM25_SQL = f"""
+    t AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+    stats AS (SELECT doc_id, len(toks) AS dl FROM t WHERE len(toks) > 0),
+    g AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM stats),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+           WHERE tok IN ({", ".join(f"'{x}'" for x in BM25_TERMS)})
+           GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ROUND(LN(1.0 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6)
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                    + {BM25_B} * stats.dl / ROUND(g.sum_dl * 1.0 / g.n_docs, 6))),
+             6) AS DECIMAL(28,6)) AS c
+      FROM tf JOIN dfreq USING (tok) JOIN stats USING (doc_id) CROSS JOIN g),
+    bm25 AS (
+      SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 4) AS bm25
+      FROM contrib GROUP BY doc_id)
+"""
+
+register(
+    "q_bm25_topk",
+    q_bm25_topk,
+    f"""
+    WITH {_BM25_SQL}
+    SELECT doc_id, bm25 FROM bm25
+    ORDER BY bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST LIMIT {RRF_TOPK}
+    """,
+)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical ranking fused with a dense
+    cosine ranking (query = doc 0's embedding, its lexical face =
+    BM25_TERMS) via Reciprocal Rank Fusion, score = sum over rankings
+    of 1/(RRF_K + rank) (Cormack et al., SIGIR'09 — the fusion TREC
+    and every hybrid-search engine uses; rank-based, so the two score
+    scales never need calibrating).
+
+    Each side first takes its top-RRF_POOL with a deterministic total
+    order (TakeOrderedAndProject at any corpus size); rank assignment
+    then runs on the bounded pool, fusion is a full-outer equi-join of
+    two 50-row frames. Nothing about fusion touches the corpus again.
+    """
+    tune(spark)
+    emb = _emb(spark, sf_dir)
+    lex_pool = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))  # bounded pool
+    lex = lex_pool.select(
+        "doc_id", F.row_number().over(wl).alias("rank_lex")
+    )
+    query = emb.filter(F.col("vec_id") == QUERY_ID).select(
+        to_double_array(F.col("embedding")).alias("qv")
+    )
+    dense_pool = SIM.brute_force_topk(
+        emb.filter(F.col("vec_id") != QUERY_ID), query, "vec_id", "embedding",
+        RRF_POOL,
+    )
+    wd = Window.orderBy(F.desc("sim"), F.asc("vec_id"))  # bounded pool
+    dense = dense_pool.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wd).alias("rank_dense")
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("rank_lex").cast("int").alias("rank_lex"),
+        F.col("rank_dense").cast("int").alias("rank_dense"),
+        F.round(
+            F.coalesce(F.round(F.lit(1.0) / (RRF_K + F.col("rank_lex")), 6), F.lit(0.0))
+            + F.coalesce(
+                F.round(F.lit(1.0) / (RRF_K + F.col("rank_dense")), 6), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPK)
+
+
+register(
+    "q_hybrid_rrf",
+    q_hybrid_rrf,
+    f"""
+    WITH {_BM25_SQL},
+    lex_pool AS (SELECT doc_id, bm25 FROM bm25
+                 ORDER BY bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST
+                 LIMIT {RRF_POOL}),
+    lex AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC NULLS LAST,
+                                           doc_id ASC NULLS FIRST) AS INT) AS rank_lex
+            FROM lex_pool),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_ID}),
+    dense_scored AS (
+      SELECT vec_id, ROUND(list_cosine_similarity(v, q.qv), 6) AS sim6
+      FROM e, q WHERE vec_id <> {QUERY_ID}),
+    dense_pool AS (
+      SELECT vec_id, ROUND(sim6, 4) AS sim FROM dense_scored
+      ORDER BY sim6 DESC NULLS LAST, vec_id ASC NULLS FIRST LIMIT {RRF_POOL}),
+    dense AS (SELECT vec_id AS doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY sim DESC NULLS LAST,
+                                             vec_id ASC NULLS FIRST) AS INT) AS rank_dense
+              FROM dense_pool),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+             lex.rank_lex, dense.rank_dense,
+             ROUND(COALESCE(ROUND(1.0 / ({RRF_K} + lex.rank_lex), 6), 0)
+                   + COALESCE(ROUND(1.0 / ({RRF_K} + dense.rank_dense), 6), 0), 6) AS rrf
+      FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+    SELECT doc_id, rank_lex, rank_dense, rrf FROM fused
+    ORDER BY rrf DESC NULLS LAST, doc_id ASC NULLS FIRST LIMIT {RRF_TOPK}
+    """,
+)

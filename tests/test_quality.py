@@ -134,3 +134,29 @@ def test_corpus_shuffle_is_a_permutation(spark, tmp_path, monkeypatch):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
         (r["doc_id"], r["shard"], r["pos"]) for r in got
     }
+
+
+def test_bm25_rewards_tf_and_idf(spark, tmp_path, monkeypatch):
+    import nba_pipeline_spark.plans.similarity_queries as SQ
+    import nba_pipeline_spark.sources as SRC
+
+    # terms: table scan merge. doc0 saturates 'table'; doc1 has one
+    # 'merge' (rare => high idf); doc2 has none; doc3 has all three.
+    rows = [
+        (0, "table table table table filler words here", "en", "web", 10),
+        (1, "merge appears once in this document only", "en", "web", 10),
+        (2, "nothing relevant in here at all", "en", "web", 10),
+        (3, "table scan merge together in one doc", "en", "web", 10),
+    ]
+    sf = _stage_docs(spark, tmp_path, rows)
+    real = SRC.load_table
+    monkeypatch.setattr(
+        SQ, "load_table",
+        lambda sp, s, name: sp.read.parquet(f"{sf}/documents.parquet")
+        if name == "documents" else real(sp, s, name),
+        raising=False,
+    )
+    got = {r["doc_id"]: r["bm25"] for r in SQ.q_bm25_topk(spark, sf).collect()}
+    assert 2 not in got                     # zero matched terms => no score
+    assert got[3] == max(got.values())      # all three terms dominates
+    assert all(v > 0 for v in got.values())
