@@ -568,6 +568,7 @@ def semdedup_pairs(
     n_cells: int,
     threshold: float,
     dims: int | None = None,
+    broadcast_build: bool | None = None,
 ) -> DataFrame:
     """Tier 5c: SemDeDup — semantic dedup via k-means cluster blocking
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -617,7 +618,28 @@ def semdedup_pairs(
         .select(id_col, "cid", "v", "nrm", "csim")
         .localCheckpoint(eager=False)  # both join sides reference it
     )
-    a, b = with_csim.alias("a"), with_csim.alias("b")
+    # Same small-corpus fast path as embedding_neardup_pairs: the pinned
+    # frame coalesces to O(1) partitions at bench scale, and an SMJ on
+    # n_cells keys then scores every pair on as many cores as CELLS.
+    # Broadcasting the build side and fanning the probe side keeps
+    # scoring at full core width; past the ~64 MB bar the blocked SMJ
+    # is the 100 TB plan (parallelism = #cells, large at scale).
+    if broadcast_build is None:
+        from .partitioning import plan_size_bytes
+
+        broadcast_build = plan_size_bytes(df) <= (64 << 20)
+    if broadcast_build:
+        # Explicit repartition, not fan_out: the lazy checkpoint's plan
+        # still claims its pre-AQE width, but AQE coalesces the tiny
+        # agg output to ONE partition at runtime — fan_out's estimate
+        # can't see that, and an unfanned probe scores every pair on a
+        # single core (measured 4.5 s -> 1.7 s at sf0.1).
+        probe = with_csim.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
+        a, b = probe.alias("a"), F.broadcast(with_csim).alias("b")
+    else:
+        a, b = with_csim.alias("a"), with_csim.alias("b")
     cond = (F.col("a.cid") == F.col("b.cid")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
@@ -645,6 +667,7 @@ def semdedup_drop_list(
     n_cells: int,
     threshold: float,
     dims: int | None = None,
+    broadcast_build: bool | None = None,
 ) -> DataFrame:
     """SemDeDup keep policy over `semdedup_pairs`: in every duplicate
     pair, drop the side SITTING CLOSER to the cluster centroid (higher
@@ -655,7 +678,7 @@ def semdedup_drop_list(
     Output: DISTINCT (cell, drop_id) — one shuffle over the (already
     near-dup-sized) pair set. A doc in many pairs is dropped once.
     """
-    pairs = semdedup_pairs(df, vec_col, id_col, n_cells, threshold, dims)
+    pairs = semdedup_pairs(df, vec_col, id_col, n_cells, threshold, dims, broadcast_build)
     drop = F.when(
         (F.col("csim_a") > F.col("csim_b"))
         | ((F.col("csim_a") == F.col("csim_b")) & (F.col("id_a") > F.col("id_b"))),
