@@ -54,6 +54,13 @@ HEADLINE = [
     "q_skyline",
     "q_gaps_islands",
     "q_hof_funcs",
+    # round-2 session additions (LLM-pipeline + retrieval + graph)
+    "q_dsir_sample",
+    "q_semdedup",
+    "q_unigram_ppl",
+    "q_bm25_topk",
+    "q_hybrid_rrf",
+    "q_pagerank",
 ]
 
 
@@ -81,6 +88,10 @@ def main() -> None:
         "q_text_tokens",
         "q_corpus_pipeline",
     "q_decontaminate",
+        "q_dsir_sample",
+        "q_semdedup",
+        "q_bm25_topk",
+        "q_pagerank",
     ):
         try:
             REGISTRY[warm_q].fn(spark, warm_dir).count()
