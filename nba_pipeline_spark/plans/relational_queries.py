@@ -645,3 +645,34 @@ register(
     "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value, "
     "MAX(user_id) AS max_user FROM events GROUP BY event_type",
 )
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S5 companion for the second columnar lake format: write an
+    ORC stage once (fingerprint-keyed like the csv/jsonl stages), read
+    it back with the explicit schema, and aggregate — results must
+    equal the parquet source exactly. ORC keeps the same predicate-
+    pushdown / column-pruning story as parquet (native vectorized
+    reader), so a lake standardized on either format serves the
+    identical plans."""
+    tune(spark)
+    stage = _stage_dir(sf_dir, "orders", "orders_orc")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").select(*cols).write.mode(
+            "overwrite"
+        ).orc(stage)
+    staged = spark.read.orc(stage)
+    return staged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        F.max("o_custkey").alias("max_cust"),
+    )
+
+
+register(
+    "q_orc_roundtrip",
+    q_orc_roundtrip,
+    "SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS sum_price, "
+    "MAX(o_custkey) AS max_cust FROM orders GROUP BY o_orderstatus",
+)
