@@ -140,3 +140,48 @@ def test_asof_matches_duckdb_native(spark, seed):
         "SELECT l.lid, r.v AS asof_v FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.t ORDER BY lid"
     ).fetchdf()
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()), check_exact=True)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_bm25_matches_pure_python_reference(spark, seed, tmp_path):
+    """BM25 scores from the distributed plan vs a straightforward
+    pure-Python Okapi implementation on random corpora — validates the
+    formula end-to-end, not just cross-engine SQL parity."""
+    import math
+
+    import nba_pipeline_spark.plans.similarity_queries as SQ
+
+    rng = np.random.default_rng(seed)
+    vocab = ["table", "scan", "merge", "filler", "noise", "words"]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(3, 30)).tolist()))
+        for i in range(30)
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs],
+         "lang": "en", "source": "web", "n_chars": 10}
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {r["doc_id"]: r["bm25"] for r in SQ._bm25_scored(spark, sf).collect()}
+
+    # reference implementation
+    toks = {i: t.split() for i, t in docs}
+    dls = {i: len(t) for i, t in toks.items() if t}
+    n, avgdl = len(dls), round(sum(dls.values()) / len(dls), 6)
+    k1, b = SQ.BM25_K1, SQ.BM25_B
+    want = {}
+    for i, t in toks.items():
+        s = 0.0
+        for term in SQ.BM25_TERMS:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            df_ = sum(1 for tt in toks.values() if term in tt)
+            idf = round(math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5)), 6)
+            s += round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl)), 6)
+        if s:
+            want[i] = round(s, 4)
+    assert got == want
