@@ -119,3 +119,41 @@ def test_stream_writes_partitioned_lake(spark, tmp_path):
     got = _norm(back.select("event_id", "event_type", "user_id"))
     want = _norm(batch.select("event_id", "event_type", "user_id"))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_foreach_batch_upsert_sink_idempotent(spark, tmp_path):
+    """foreachBatch + dynamic partition overwrite: streamed lake equals
+    the batch write, and re-running the SAME sink over the same data
+    (the replay case) leaves the lake unchanged — effectively exactly
+    once."""
+    from nba_pipeline_spark.sources import load_table
+    from nba_pipeline_spark.streaming.sinks import (
+        run_foreach_batch,
+        upsert_partitions_sink,
+    )
+    from nba_pipeline_spark.streaming.windows import read_events_stream
+
+    lake = str(tmp_path / "lake")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    cols = ["event_id", "user_id", "event_type", "value"]
+
+    stream = read_events_stream(spark, SF_DIR).select(*cols)
+    run_foreach_batch(stream, upsert_partitions_sink(lake, "event_type"), ck1)
+    got1 = spark.read.parquet(lake).toPandas()
+
+    batch = load_table(spark, SF_DIR, "events").select(*cols).toPandas()
+
+    def norm(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        return pdf.sort_values(by=sorted(pdf.columns), ignore_index=True).astype(
+            {"event_type": str}
+        )
+
+    pd.testing.assert_frame_equal(norm(got1), norm(batch))
+
+    # replay: a FRESH checkpoint re-delivers everything; the dynamic
+    # overwrite must leave the lake identical, not doubled
+    stream2 = read_events_stream(spark, SF_DIR).select(*cols)
+    run_foreach_batch(stream2, upsert_partitions_sink(lake, "event_type"), ck2)
+    got2 = spark.read.parquet(lake).toPandas()
+    pd.testing.assert_frame_equal(norm(got2), norm(batch))
