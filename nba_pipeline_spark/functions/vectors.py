@@ -28,12 +28,14 @@ def dot_fixed(a: Column, b: Column, dims: int) -> Column:
     IDENTICAL to ``dot`` (aggregate's acc chain) — bit-compatible
     results.
 
-    Measured ~2x FASTER than the HOF ``dot`` at dims=64 on the sf0.1
-    near-dup pair join (3.3 s vs 6.5 s): zip_with allocates a 64-elem
-    array per PAIR before aggregating, while the unrolled chain stays
-    in whole-stage codegen with zero allocation. (An earlier measurement
-    on a cold JVM read the opposite — codegen compile time swamped the
-    steady state; warm the plan shape before profiling.)
+    Faster than the HOF ``dot`` ONLY inside whole-stage-codegen'd
+    projections (zero allocation vs a 64-elem zip_with array per row).
+    In INTERPRETED contexts — join conditions, where Catalyst pushes
+    threshold filters — the relationship inverts hard: one
+    zip_with/aggregate loop node beats this 64-term tree with 128
+    getItem nodes ~4-6x (re-measured at sf0.1: 4.4 s vs 0.7 s in the
+    LSH pair join). Rule: unrolled for codegen projects (csim, knn
+    select), HOF for anything that can land in a join condition.
     """
     acc = F.lit(0.0)
     for i in range(dims):

@@ -490,14 +490,33 @@ def embedding_lsh_neardup_pairs(
     bd = fan_out(e).select(
         F.col(id_col), "v", "nrm", F.posexplode(buckets).alias("band", "bucket")
     ).localCheckpoint(eager=False)
-    a, b = bd.alias("a"), bd.alias("b")
+    # Small-corpus fast path (same trap as semdedup_pairs): the SMJ on
+    # (band, bucket) shuffles a tiny frame that AQE byte-coalesces to
+    # ONE partition, serializing every pair dot on one core. Broadcast
+    # the build side and round-robin the probe to core width while the
+    # corpus fits the 64 MB bar; the banded SMJ stays the 100 TB plan
+    # (parallelism = n_bands x 2^n_bits blocks at scale).
+    from .partitioning import plan_size_bytes
+
+    if plan_size_bytes(df) <= (64 << 20):
+        probe = bd.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        a, b = probe.alias("a"), F.broadcast(bd).alias("b")
+    else:
+        a, b = bd.alias("a"), bd.alias("b")
     cond = (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     )
+    # HOF dot, NOT the unrolled chain: Catalyst pushes the threshold
+    # filter into the join condition, which is evaluated by the
+    # INTERPRETED expression path (join conditions sit outside
+    # whole-stage codegen) — there a single zip_with/aggregate loop
+    # node beats a 64-term tree with 128 getItem nodes ~6x (measured
+    # 4.4 s -> 0.7 s at sf0.1; both fold left-to-right from 0.0, so
+    # results are bit-identical).
     sim = F.try_divide(
-        dot_fixed(F.col("a.v"), F.col("b.v"), dims), F.col("a.nrm") * F.col("b.nrm")
+        dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(b, cond)
@@ -548,8 +567,13 @@ def embedding_neardup_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    dot_fn = (lambda x, y: dot_fixed(x, y, dims)) if dims else dot
-    sim = F.try_divide(dot_fn(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm"))
+    # ``dims`` kept for API stability, but the pair dot is ALWAYS the
+    # HOF fold: the threshold filter is pushed into the join condition
+    # (interpreted path), where the unrolled chain is ~4x slower
+    # (re-measured at sf0.1: 2.4 s fixed64 vs 0.5 s HOF, bit-identical
+    # results — the round-1 note claiming the opposite predates the
+    # pushdown and measured the codegen'd project path).
+    sim = F.try_divide(dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, cond)
         .select(
@@ -643,8 +667,11 @@ def semdedup_pairs(
     cond = (F.col("a.cid") == F.col("b.cid")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
+    # pair sim via the HOF fold (the threshold filter lands in the
+    # interpreted join condition — see embedding_neardup_pairs); csim
+    # above stays unrolled (it is evaluated in a codegen'd project)
     sim = F.try_divide(
-        dot_fn(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")
+        dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(b, cond)

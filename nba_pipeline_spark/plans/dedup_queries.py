@@ -316,9 +316,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.partitioning import plan_size_bytes
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # dims=64 (testdata embedding width): the unrolled codegen dot beats
-    # the interpreted zip_with/aggregate pair-dot ~2x at this width
-    # (re-measured; the HOF path allocates a 64-elem array per PAIR).
+    # NB: the pair dot inside embedding_neardup_pairs is the HOF fold
+    # regardless of dims — the threshold filter is pushed into the
+    # interpreted join condition where the unrolled chain is ~4x
+    # slower (see the operator docstring; results bit-identical).
     #
     # broadcast_build only when the whole corpus fits an executor (same
     # 64 MB bar the session sets for dim-table auto-broadcast): the
