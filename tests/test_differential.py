@@ -185,3 +185,58 @@ def test_bm25_matches_pure_python_reference(spark, seed, tmp_path):
         if s:
             want[i] = round(s, 4)
     assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_pagerank_matches_pure_python_reference(spark, seed):
+    """pagerank() vs a straightforward Python power iteration with the
+    identical rounding contract — validates the formula (damping,
+    weighted contributions, dangling redistribution), independent of
+    the SQL oracle replay."""
+    from nba_pipeline_spark.operators.graph import pagerank
+
+    rng = np.random.default_rng(seed)
+    nodes = list(range(10))
+    edges = [
+        (int(rng.integers(0, 10)), int(rng.integers(0, 10)))
+        for _ in range(25)
+    ]
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+
+    # reference: same fixed-point arithmetic in plain Python
+    from collections import Counter
+
+    w = Counter(edges)
+    present = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(present)
+    out_w = Counter()
+    for (s, d), c in w.items():
+        out_w[s] += c
+    # engine ROUND is half-up on the shortest repr; Python round is
+    # banker's — emulate half-up the way both engines behave for these
+    # magnitudes
+    import decimal
+
+    def r12(x):
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("1e-12"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    rank = {v: r12(1.0 / n) for v in present}
+    base = r12((1.0 - 0.85) / n)
+    for _ in range(4):
+        dm = sum(decimal.Decimal(repr(r12(rank[v] / n))) for v in present if out_w[v] == 0)
+        contrib = {v: decimal.Decimal(0) for v in present}
+        for (s, d), c in w.items():
+            contrib[d] += decimal.Decimal(repr(r12(rank[s] * c / out_w[s])))
+        rank = {
+            v: r12(base + 0.85 * (float(contrib[v]) + float(dm))) for v in present
+        }
+    want = {v: round(rank[v], 12) for v in present}
+    assert set(got) == set(want)
+    for v in present:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
