@@ -61,6 +61,7 @@ HEADLINE = [
     "q_bm25_topk",
     "q_hybrid_rrf",
     "q_pagerank",
+    "q_data_recipe",
 ]
 
 
@@ -92,6 +93,7 @@ def main() -> None:
         "q_semdedup",
         "q_bm25_topk",
         "q_pagerank",
+        "q_data_recipe",
     ):
         try:
             REGISTRY[warm_q].fn(spark, warm_dir).count()

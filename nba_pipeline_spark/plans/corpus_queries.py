@@ -598,3 +598,169 @@ register(
     FROM h
     """,
 )
+
+
+# --- the full data recipe as ONE declarative plan -----------------------------
+
+RECIPE_SHARDS = 8
+RECIPE_MIN_TOKENS = 20
+RECIPE_DUP_RATIO = 0.2
+
+
+def q_data_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published pre-training curation pipeline end-to-end, as one
+    Catalyst plan: held-out exclusion -> language gate -> length gate ->
+    repetition gate (Gopher) -> exact dedup (keep min id) ->
+    decontamination vs the held-out set (GPT-3 App. C) -> reproducible
+    shard/position shuffle for the loader. Composes the exact
+    expressions of the standalone queries (each separately
+    oracle-proven), so the composite inherits their parity.
+
+    Physical shape at 100 TB: ONE narrow pass evaluates every per-doc
+    gate (tokenize once; lang/length/repetition all read the same
+    token array, nothing shuffles); exact dedup is one sha-keyed
+    groupBy join; decontamination is a broadcast left-anti against the
+    held-out shingle set (zero train-side shuffle); the shard shuffle
+    is one exchange keyed on the 8-way shard id. Four shuffles total —
+    gates prune the corpus before any of them.
+    """
+    tune(spark)
+    from .quality_queries import TEST_SOURCE
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Gate QUANTITIES are materialized as columns in ONE projection and
+    # the frame pinned BEFORE filtering: four filters referencing a
+    # projected __toks would otherwise each get tokenize() re-inlined
+    # by CollapseProject (and per-element inside the shingle lambdas —
+    # the O(tokens²) pitfall), re-tokenizing every doc per gate.
+    # Measured 19 s -> sub-second for the gate stage at sf0.1.
+    toked = fan_out(docs).withColumn("__toks", TX.tokenize(F.col("text")))
+    sh3 = TX.shingles(F.col("__toks"), 3)
+    scored = toked.select(
+        "doc_id",
+        "source",
+        "text",
+        "__toks",
+        TX.lang_id(F.col("__toks")).alias("__lang"),
+        F.size("__toks").alias("__n"),
+        F.round(
+            F.lit(1.0)
+            - F.try_divide(F.size(F.array_distinct(sh3)) * F.lit(1.0), F.size(sh3)),
+            4,
+        ).alias("__dup"),
+    ).localCheckpoint(eager=False)
+    gated = scored.filter(
+        (F.col("source") != TEST_SOURCE)
+        & (F.col("__lang") == "en")
+        & (F.col("__n") >= RECIPE_MIN_TOKENS)
+        & (F.col("__dup") < RECIPE_DUP_RATIO)
+    ).select("doc_id", "text", "__toks")
+    # exact dedup: keep the min doc id per sha of lowercased text
+    h = F.sha2(F.lower(F.col("text")), 256)
+    keep = (
+        gated.select("doc_id", h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    deduped = (
+        gated.withColumn("__h", h)
+        .join(keep, "__h")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "__toks")
+        .localCheckpoint(eager=False)  # contamination AND the anti-join read it
+    )
+    # decontamination: drop any doc sharing a 5-gram with the held-out set
+    test_sh = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == TEST_SOURCE)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        TX.shingles(TX.tokenize(F.col("text")), 5),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ).alias("sh")
+        )
+        .distinct()
+    )
+    train_sh = deduped.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(TX.shingles(F.col("__toks"), 5), lambda s: F.xxhash64(s))
+            )
+        ).alias("sh"),
+    )
+    contaminated = train_sh.join(F.broadcast(test_sh), "sh").select("doc_id").distinct()
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    # reproducible loader shuffle (same salted-md5 permutation as
+    # q_corpus_shuffle)
+    hw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    sharded = clean.select("doc_id", hw.alias("h")).withColumn(
+        "shard", (F.col("h") % RECIPE_SHARDS).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("h"), F.col("doc_id"))
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
+    )
+
+
+def _recipe_oracle() -> str:
+    from .quality_queries import TEST_SOURCE, _DUCK_SH3, _DUCK_SH5
+    from .text_queries import _marker_hits
+
+    return f"""
+    WITH t0 AS (SELECT doc_id, source, text, {_DUCK_TOKS} AS toks FROM documents),
+    langed AS (
+      SELECT *, {_marker_hits('de')} AS de_h, {_marker_hits('en')} AS en_h,
+             {_marker_hits('es')} AS es_h, {_marker_hits('fr')} AS fr_h,
+             {_DUCK_SH3} AS sh3
+      FROM t0),
+    gated AS (
+      SELECT doc_id, text, toks FROM langed
+      WHERE source <> '{TEST_SOURCE}'
+        AND de_h IS NOT NULL AND greatest(de_h, en_h, es_h, fr_h) > 0
+        AND en_h = greatest(de_h, en_h, es_h, fr_h)
+        AND de_h <> greatest(de_h, en_h, es_h, fr_h)
+        AND len(toks) >= {RECIPE_MIN_TOKENS}
+        AND ROUND(1.0 - len(list_distinct(sh3)) * 1.0 / nullif(len(sh3), 0), 4)
+              < {RECIPE_DUP_RATIO}),
+    keep AS (
+      SELECT sha256(lower(text)) AS h, MIN(doc_id) AS keep_id
+      FROM gated GROUP BY sha256(lower(text))),
+    deduped AS (
+      SELECT g.doc_id, g.toks FROM gated g
+      JOIN keep ON sha256(lower(g.text)) = keep.h AND g.doc_id = keep.keep_id),
+    test_sh AS (
+      SELECT DISTINCT unnest(list_distinct({_DUCK_SH5})) AS sh
+      FROM (SELECT {_DUCK_TOKS} AS toks FROM documents WHERE source = '{TEST_SOURCE}')),
+    contaminated AS (
+      SELECT DISTINCT d.doc_id
+      FROM (SELECT doc_id, unnest(list_distinct(
+              list_transform(range(1, greatest(len(toks) - 3, 1)),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS sh
+            FROM deduped) d
+      JOIN test_sh USING (sh)),
+    clean AS (
+      SELECT doc_id FROM deduped
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shuf|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM clean)
+    SELECT doc_id, CAST(h % {RECIPE_SHARDS} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % {RECIPE_SHARDS}
+                                   ORDER BY h, doc_id) AS INT) AS pos
+    FROM h
+    """
+
+
+register("q_data_recipe", q_data_recipe, _recipe_oracle())
