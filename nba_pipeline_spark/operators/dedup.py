@@ -238,7 +238,8 @@ def minhash_lsh_pairs_ml(
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, text_col: str, id_col: str, hamming_max: int = 3
+    df: DataFrame, text_col: str, id_col: str, hamming_max: int = 3,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Tier 4b: near-duplicate pairs from SimHash via banded buckets.
 
@@ -252,6 +253,13 @@ def simhash_neardup_pairs(
     its nibble buckets are dense (many candidates). Production uses the
     same shape at 64 bits (4×16-bit bands), where buckets are sparse and
     the hamming verify prunes hard.
+
+    ``max_bucket`` is the same hot-bucket cap as ``minhash_lsh_pairs``:
+    a homogeneous corpus concentrates thousands of docs into a nibble
+    bucket whose row-local pair array is m² structs — a row-size blowup
+    (measured: the top sf0.1 bucket holds 2087 docs = 2.2M structs in
+    ONE row). Buckets above the cap are template noise, dropped with
+    observable counts; oracles replay the cap in SQL.
     """
     sims = simhash16(df, text_col, id_col)
     nibbles = F.array(
@@ -263,6 +271,15 @@ def simhash_neardup_pairs(
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        hot = F.size("ids") > max_bucket
+        buckets = buckets.observe(
+            "simhash_bucket_cap",
+            F.coalesce(F.sum(F.when(hot, 1)), F.lit(0)).alias("hot_buckets_dropped"),
+            F.coalesce(F.sum(F.when(hot, F.size("ids"))), F.lit(0)).alias(
+                "docs_in_dropped_buckets"
+            ),
+        ).filter(~hot)
     pair_arr = F.filter(
         F.flatten(
             F.transform(

@@ -39,6 +39,11 @@ def connected_components(
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        # pin BEFORE the symmetric union: both union branches reference
+        # this subtree, and un-pinned the whole upstream pair pipeline
+        # (e.g. simhash banding + verify) executes TWICE (measured
+        # 12.3 s -> 5.6 s edge prep at sf0.1)
+        .localCheckpoint(eager=True)
     )
     e = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

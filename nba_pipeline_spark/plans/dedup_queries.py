@@ -160,8 +160,19 @@ def _simhash_oracle() -> str:
 register("q_dedup_simhash", q_dedup_simhash, _simhash_oracle())
 
 
+# A nibble bucket holding >600 docs (>10% of the sf0.1 corpus) under
+# the 16-bit demo hash is non-discriminative template mass, not near-dup
+# signal — production runs 64-bit simhash where buckets are sparse.
+# 600 leaves every sf0.01 bucket intact (max observed 197) and drops the
+# sf0.1 boilerplate cliques (2087/1511/1346/1012/939/931-doc buckets).
+SIMHASH_MAX_BUCKET = 600
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return OD.simhash_neardup_pairs(_docs(spark, sf_dir), "text", "doc_id", hamming_max=3)
+    return OD.simhash_neardup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", hamming_max=3,
+        max_bucket=SIMHASH_MAX_BUCKET,
+    )
 
 
 def _simhash_pairs_oracle() -> str:
@@ -173,9 +184,12 @@ def _simhash_pairs_oracle() -> str:
     bands AS (
       SELECT doc_id, b.b AS band, (simhash >> (4 * b.b)) & 15 AS nib
       FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+    bsz AS (SELECT band, nib, COUNT(*) AS n FROM bands GROUP BY band, nib),
+    kept AS (SELECT bands.* FROM bands JOIN bsz USING (band, nib)
+             WHERE bsz.n <= {SIMHASH_MAX_BUCKET}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-      FROM bands a JOIN bands c
+      FROM kept a JOIN kept c
         ON a.band = c.band AND a.nib = c.nib AND a.doc_id < c.doc_id)
     SELECT id_a, id_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
     FROM cand
