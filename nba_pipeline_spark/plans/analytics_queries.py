@@ -465,7 +465,11 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", F.substring(F.lower("text"), 1, 40).alias("pfx")
     )
     a, b = docs.alias("a"), docs.alias("b")
-    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    # thresholded levenshtein (Spark 3.5+): banded DP, O(len*k) not
+    # O(len^2), early-exit at distance 9 -> -1. The filter keeps
+    # 0..8, so the -1 early-exits drop exactly the rows the unbounded
+    # distance would have dropped; kept distances are identical.
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), 8)
     return (
         a.join(
             b,
@@ -478,7 +482,7 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             dist.cast("int").alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 8)
+        .filter(F.col("edit_dist").between(0, 8))
     )
 
 
