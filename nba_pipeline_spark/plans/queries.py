@@ -81,7 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_win_rank",
     "q_win_lag",
     "q_win_ntile",
-    "q_win_first_last",
+    "q_data_recipe",
     "q_win_percent_rank",
     "q_win_ordinal",
     "q_skyline",
