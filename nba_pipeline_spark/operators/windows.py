@@ -171,3 +171,52 @@ def skyline_2d(
         )
     )
     return out.drop("__bkt", "__hmax", "__lmax").unionByName(null_rows)
+
+
+def interpolate_linear(
+    df: DataFrame,
+    part: list[str],
+    ts_col: str,
+    value: Column,
+    out: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in a keyed time series — the
+    sensor/feature-prep fill between forward-fill (W2) and model-based
+    imputation. For a NULL at time t between the previous non-null
+    (t0, v0) and the next non-null (t1, v1):
+    v = v0 + (v1 - v0) * (t - t0) / (t1 - t0), rounded to 6dp.
+    Leading/trailing runs (no anchor on one side) stay NULL — callers
+    chain forward_fill/backfill if they want extrapolation.
+
+    Physical shape: two frames over the SAME (keys, ts) window spec —
+    last-non-null looking back, first-non-null looking forward — so
+    Catalyst evaluates both in ONE Window operator, one shuffle on the
+    keys, no self-join, no sort repetition. Scales exactly like W1/W2.
+    ``ts_col`` must be numeric (epoch) — cast timestamps first so the
+    ratio arithmetic is exact and engine-portable.
+    """
+    w = Window.partitionBy(*part).orderBy(ts_col, *(tiebreak or []))
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    t = F.col(ts_col)
+    anchored = F.when(value.isNotNull(), F.struct(t.alias("t"), value.alias("v")))
+    prev = F.last(anchored, ignorenulls=True).over(back)
+    nxt = F.first(anchored, ignorenulls=True).over(fwd)
+    interp = F.round(
+        prev["v"]
+        + (nxt["v"] - prev["v"])
+        * (t - prev["t"])
+        / (nxt["t"] - prev["t"]),
+        6,
+    )
+    filled = F.when(value.isNotNull(), F.round(value, 6)).otherwise(
+        # both anchors present and distinct timestamps -> interpolate;
+        # identical anchor (value non-null would have matched above, so
+        # this is a NULL between two anchors at the same ts) -> prev
+        F.when(
+            prev.isNotNull() & nxt.isNotNull(),
+            F.when(nxt["t"] == prev["t"], F.round(prev["v"], 6)).otherwise(interp),
+        )
+    )
+    return df.withColumn(out, filled)

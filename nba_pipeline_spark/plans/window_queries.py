@@ -552,3 +552,55 @@ register(
                       WHERE p.bal_cents > r.bal_cents AND p.n_orders > r.n_orders)
     """,
 )
+
+
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation over the events series: 'click' values
+    are masked to NULL, then rebuilt from their temporal neighbors per
+    user (operators/windows.py::interpolate_linear). Both direction
+    frames share one window spec — a single shuffle on user_id."""
+    from ..operators.windows import interpolate_linear
+
+    ev = _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_s"),
+        F.when(F.col("event_type") != "click", F.round("value", 6)).alias("v"),
+    )
+    out = interpolate_linear(
+        ev, ["user_id"], "ts_s", F.col("v"), "v_interp", tiebreak=["event_id"]
+    )
+    return out.select("user_id", "event_id", "v_interp")
+
+
+register(
+    "q_interpolate",
+    q_interpolate,
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_s,
+             CASE WHEN event_type <> 'click' THEN ROUND(value, 6) END AS v
+      FROM events),
+    anch AS (
+      SELECT user_id, event_id, ts_s, v,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN ts_s END IGNORE NULLS)
+               OVER wb AS pt,
+             LAST_VALUE(v IGNORE NULLS) OVER wb AS pv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN ts_s END IGNORE NULLS)
+               OVER wf AS nt,
+             FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv
+      FROM e
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, event_id,
+           CASE WHEN v IS NOT NULL THEN ROUND(v, 6)
+                WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+                  CASE WHEN nt = pt THEN ROUND(pv, 6)
+                       ELSE ROUND(pv + (nv - pv) * (ts_s - pt) * 1.0 / (nt - pt), 6)
+                  END
+           END AS v_interp
+    FROM anch
+    """,
+)

@@ -75,3 +75,25 @@ def test_rank_lag_running_sum(spark):
     assert rows(lagged, "seq", "d") == [(1, None), (2, 20.0), (3, -10.0), (4, None)]
     summed = running_sum(df, ["k"], ["seq"], F.col("v"), "s")
     assert rows(summed, "seq", "s") == [(1, 10.0), (2, 40.0), (3, 60.0), (4, 5.0)]
+
+
+def test_interpolate_linear_gap_semantics(spark):
+    from nba_pipeline_spark.operators.windows import interpolate_linear
+    from pyspark.sql import functions as F
+
+    rows = [
+        # key, t, v : gap of two NULLs between v=10 (t=0) and v=40 (t=30)
+        ("a", 0, 10.0), ("a", 10, None), ("a", 20, None), ("a", 30, 40.0),
+        ("a", 40, None),            # trailing NULL: no right anchor
+        ("b", 5, None),             # leading NULL: no left anchor
+        ("b", 6, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        (r["k"], r["t"]): r["vi"]
+        for r in interpolate_linear(df, ["k"], "t", F.col("v"), "vi").collect()
+    }
+    assert got[("a", 10)] == 20.0 and got[("a", 20)] == 30.0  # linear fill
+    assert got[("a", 0)] == 10.0 and got[("a", 30)] == 40.0   # anchors kept
+    assert got[("a", 40)] is None and got[("b", 5)] is None   # no extrapolation
+    assert got[("b", 6)] == 7.0
