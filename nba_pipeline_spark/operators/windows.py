@@ -220,3 +220,20 @@ def interpolate_linear(
         )
     )
     return df.withColumn(out, filled)
+
+
+def backward_fill(
+    df: DataFrame, part: list[str], order: list[str], value: Column, out: str, default=None
+) -> DataFrame:
+    """W2's mirror: first non-null carried BACKWARD (next-observation
+    fill). Same single-Window shape as forward_fill, frame flipped to
+    (current, unbounded following); ``default`` fills the trailing run."""
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = F.first(value, ignorenulls=True).over(w)
+    if default is not None:
+        filled = F.coalesce(filled, F.lit(default))
+    return df.withColumn(out, filled)

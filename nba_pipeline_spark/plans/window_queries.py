@@ -604,3 +604,37 @@ register(
     FROM anch
     """,
 )
+
+
+def q_win_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-fill twin of q_win_ffill: next non-null value carried
+    back per user in event order."""
+    from ..operators.windows import backward_fill
+
+    ev = _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.when(F.col("event_type") != "click", F.round("value", 6)).alias("v"),
+    )
+    out = backward_fill(
+        ev, ["user_id"], ["ts_ms", "event_id"], F.col("v"), "v_bfill", default=-1.0
+    )
+    return out.select("user_id", "event_id", "v_bfill")
+
+
+register(
+    "q_win_bfill",
+    q_win_bfill,
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             CASE WHEN event_type <> 'click' THEN ROUND(value, 6) END AS v
+      FROM events)
+    SELECT user_id, event_id,
+           COALESCE(FIRST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), -1.0) AS v_bfill
+    FROM e
+    """,
+)

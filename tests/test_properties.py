@@ -133,3 +133,38 @@ def test_skyline_equals_brute_force(spark, pts, width):
         if not any(px > x and py > y for px, py in pts)
     )
     assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)),
+        min_size=1, max_size=25,
+    )
+)
+def test_interpolate_properties(spark, vals):
+    """Interpolation invariants on random series: identity on non-null
+    points, interpolated values bounded by their two anchors, NULLs
+    only where an anchor side is missing."""
+    from nba_pipeline_spark.operators.windows import interpolate_linear
+
+    rows = [("k", 10 * i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        r["t"]: r["vi"]
+        for r in interpolate_linear(df, ["k"], "t", F.col("v"), "vi").collect()
+    }
+    nn = [(10 * i, v) for i, v in enumerate(vals) if v is not None]
+    for i, v in enumerate(vals):
+        t = 10 * i
+        if v is not None:
+            assert abs(got[t] - round(v, 6)) < 1e-9  # identity on anchors
+        else:
+            left = [p for p in nn if p[0] < t]
+            right = [p for p in nn if p[0] > t]
+            if left and right:
+                lo = min(left[-1][1], right[0][1]) - 1e-6
+                hi = max(left[-1][1], right[0][1]) + 1e-6
+                assert got[t] is not None and lo <= got[t] <= hi  # bounded
+            else:
+                assert got[t] is None  # no extrapolation
