@@ -289,21 +289,29 @@ register(
 # --- tier 4b: pairs -> clusters (connected components) ------------------------
 
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTER formation: simhash banded pairs fed through
-    iterative min-label connected components (operators/graph.py), the
-    transitive-closure step that turns pairwise matches into keep/drop
-    decisions. Oracle replays it with a DuckDB recursive CTE."""
+    """Near-dup CLUSTER formation: MinHash-LSH candidate pairs fed
+    through iterative min-label connected components
+    (operators/graph.py), the transitive-closure step that turns
+    pairwise matches into keep/drop decisions — the published pipeline
+    order (RefinedWeb/Dolma run CC on tier-3 candidates). Oracle
+    replays it with a DuckDB recursive CTE over the same capped
+    candidate CTEs as q_dedup_minhash. (Round 2: switched the source
+    from the 16-bit simhash pairs — on a homogeneous corpus their
+    nibble buckets emit ~30x more candidate edges, all of which the
+    label propagation then has to traverse; tier-3 minhash candidates
+    are the selective input every published dedup pipeline clusters.)"""
     from ..operators.graph import dedup_clusters
 
-    pairs = OD.simhash_neardup_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", hamming_max=3
+    pairs = OD.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        n_hashes=N_HASHES, band_rows=BAND_ROWS, max_bucket=MAX_BUCKET,
     ).select("id_a", "id_b")
     return dedup_clusters(pairs)
 
 
 def _cluster_oracle() -> str:
     return f"""
-    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_simhash_pairs_oracle()})),
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_minhash_oracle()})),
     edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
     reach AS (
