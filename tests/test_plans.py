@@ -223,3 +223,36 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_single_partition_only_on_bounded_frames(spark):
+    """Scale invariant, registry-wide: an `Exchange SinglePartition`
+    may appear ONLY where the data reaching it is bounded by
+    construction — global aggregates collapsing to O(1) rows, final
+    limits, windows over pool/bucket frames that are capped before the
+    exchange. Any new query that funnels unbounded data through a
+    single partition lands here and must either fix the plan or add
+    itself with a justification."""
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    BOUNDED = {
+        # global aggregates -> O(1) rows at the exchange
+        "q_agg_global", "q_agg_hll_sketch", "q_sketch_theta", "q_profile",
+        "q_heavy_hitters", "q_tpch_q6", "q_tpch_q14", "q_tpch_q15",
+        "q_tpch_q17", "q_tpch_q19", "q_tpch_q22", "q_tpch_q11",
+        # 1-row distribution frames crossed back in (broadcast)
+        "q_dsir_sample", "q_unigram_ppl",
+        # windows over bounded pools/buckets: top-50 RRF pools, value
+        # buckets (|buckets| rows), hourly resample grid
+        "q_bm25_topk", "q_hybrid_rrf", "q_skyline", "q_resample_1h",
+        # documented test-only global ordinal (SURVEY W4)
+        "q_win_ordinal",
+    }
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name in BOUNDED:
+            continue
+        p = plan(spec.fn(spark, SF_DIR))
+        if "Exchange SinglePartition" in p:
+            offenders.append(name)
+    assert not offenders, offenders
