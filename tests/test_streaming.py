@@ -157,3 +157,37 @@ def test_foreach_batch_upsert_sink_idempotent(spark, tmp_path):
     run_foreach_batch(stream2, upsert_partitions_sink(lake, "event_type"), ck2)
     got2 = spark.read.parquet(lake).toPandas()
     pd.testing.assert_frame_equal(norm(got2), norm(batch))
+
+
+def test_foreach_batch_checkpoint_resume_processes_nothing_new(spark, tmp_path):
+    """Resuming with the SAME checkpoint must process zero new batches
+    against an unchanged source (the batch-id ledger, not the sink's
+    idempotency, provides exactly-once here) — the lake stays
+    byte-identical."""
+    from nba_pipeline_spark.streaming.sinks import (
+        run_foreach_batch,
+        upsert_partitions_sink,
+    )
+    from nba_pipeline_spark.streaming.windows import read_events_stream
+
+    lake = str(tmp_path / "lake")
+    ck = str(tmp_path / "ck")
+    cols = ["event_id", "user_id", "event_type", "value"]
+
+    calls = []
+
+    def counting_sink(batch_df, batch_id):
+        calls.append(batch_id)
+        upsert_partitions_sink(lake, "event_type")(batch_df, batch_id)
+
+    stream = read_events_stream(spark, SF_DIR).select(*cols)
+    run_foreach_batch(stream, counting_sink, ck)
+    first_calls = list(calls)
+    assert first_calls  # the initial drain processed at least one batch
+    got1 = spark.read.parquet(lake).count()
+
+    # resume: same checkpoint, unchanged source -> ledger says done
+    stream2 = read_events_stream(spark, SF_DIR).select(*cols)
+    run_foreach_batch(stream2, counting_sink, ck)
+    assert calls == first_calls  # zero new batch deliveries
+    assert spark.read.parquet(lake).count() == got1
