@@ -625,7 +625,7 @@ def q_data_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates prune the corpus before any of them.
     """
     tune(spark)
-    from .quality_queries import TEST_SOURCE
+    TEST_SOURCE = RECIPE_TEST_SOURCE
 
     docs = load_table(spark, sf_dir, "documents")
     # Gate QUANTITIES are materialized as columns in ONE projection and
@@ -713,9 +713,24 @@ def q_data_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Local copies of quality_queries' held-out source and shingle SQL —
+# importing them at module-init would be circular (quality_queries ->
+# registry -> corpus_queries). test_quality asserts they stay in sync.
+RECIPE_TEST_SOURCE = "src0"
+_R_DUCK_SH5 = (
+    "list_transform(range(1, greatest(len(toks) - 3, 1)), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"
+)
+_R_DUCK_SH3 = (
+    "list_transform(range(1, greatest(len(toks) - 1, 1)), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+)
+
+
 def _recipe_oracle() -> str:
-    from .quality_queries import TEST_SOURCE, _DUCK_SH3, _DUCK_SH5
     from .text_queries import _marker_hits
+
+    TEST_SOURCE, _DUCK_SH5, _DUCK_SH3 = RECIPE_TEST_SOURCE, _R_DUCK_SH5, _R_DUCK_SH3
 
     return f"""
     WITH t0 AS (SELECT doc_id, source, text, {_DUCK_TOKS} AS toks FROM documents),

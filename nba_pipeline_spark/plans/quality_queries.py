@@ -367,3 +367,99 @@ def _cls_oracle() -> str:
 
 
 register("q_quality_classifier", q_quality_classifier, _cls_oracle())
+
+
+BLOOM_BITS, BLOOM_K = 1 << 17, 3  # 128k bits / ~30k shingles -> ~1% fp
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase decontamination: a Bloom filter over the held-out
+    shingle set prefilters the train-side stream map-side, then the
+    exact hash join verifies survivors — the published
+    "bloom of test n-grams" shape. False positives only cost verify
+    work, never precision, so the RESULT (and the oracle) is identical
+    to q_decontaminate's exact join.
+
+    The bloom ships as a literal long[] bitset (2048 words = 16 KB —
+    at 100 TB this is the file-sized artifact a decontamination run
+    distributes with the job). Build and probe positions come from the
+    SAME Spark expression, pmod(xxhash64(sh, seed_i), m), so there is
+    no cross-language hash to keep in sync; the build collects only
+    bit POSITIONS (bounded by k x |held-out shingles| — the side that
+    is small by premise). Phase 1 is a pure narrow filter: no shuffle,
+    no join, evaluated at the scan."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles(TX.tokenize(F.col("text")), 5), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("sh"),
+    )
+    test = (
+        sh.filter(F.col("source") == TEST_SOURCE)
+        .groupBy("sh")
+        .agg(F.collect_set("doc_id").alias("test_docs"))
+        .localCheckpoint(eager=False)  # bloom build AND verify join read it
+    )
+
+    def probe(col, i):
+        return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(BLOOM_BITS))
+
+    positions = (
+        test.select(
+            F.explode(F.array(*[probe(F.col("sh"), i) for i in range(BLOOM_K)])).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    # 63 usable bits per word keeps every word non-negative, so the
+    # probe can extract a bit with exact integer math (div by a
+    # power-of-two literal) — PySpark's shift functions only take
+    # Python-int shift amounts, not columns.
+    n_words = (BLOOM_BITS + 62) // 63
+    words = [0] * n_words
+    for r in positions:
+        p = int(r["p"])
+        words[p // 63] |= 1 << (p % 63)
+    bitset = F.array(*[F.lit(w).cast("long") for w in words])
+    train = sh.filter(
+        F.col("source").isNotNull() & (F.col("source") != TEST_SOURCE)
+    ).withColumn("__bf", bitset)
+    hit = None
+    for i in range(BLOOM_K):
+        bit = F.expr(
+            f"(element_at(__bf, CAST(pmod(xxhash64(sh, {i}), {BLOOM_BITS}) DIV 63 AS INT) + 1)"
+            f" DIV CAST(pow(2, pmod(xxhash64(sh, {i}), {BLOOM_BITS}) % 63) AS BIGINT)) % 2 = 1"
+        )
+        hit = bit if hit is None else (hit & bit)
+    train = train.filter(hit).drop("__bf")  # phase 1: narrow map-side prefilter
+    hits = train.join(F.broadcast(test), "sh")  # phase 2: exact verify
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared_ngrams"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("test_docs")))
+        ).cast("long").alias("n_test_docs"),
+    )
+
+
+register(
+    "q_decontaminate_bloom",
+    q_decontaminate_bloom,
+    # identical output to the exact join -> identical oracle
+    f"""
+    WITH t AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, unnest(list_distinct({_DUCK_SH5})) AS sh FROM t),
+    test AS (SELECT sh, doc_id AS test_doc FROM sh WHERE source = '{TEST_SOURCE}'),
+    train AS (SELECT doc_id, sh FROM sh
+              WHERE source IS NOT NULL AND source <> '{TEST_SOURCE}')
+    SELECT train.doc_id, COUNT(DISTINCT train.sh) AS n_shared_ngrams,
+           COUNT(DISTINCT test.test_doc) AS n_test_docs
+    FROM train JOIN test ON train.sh = test.sh
+    GROUP BY train.doc_id
+    """,
+)

@@ -160,3 +160,31 @@ def test_bm25_rewards_tf_and_idf(spark, tmp_path, monkeypatch):
     assert 2 not in got                     # zero matched terms => no score
     assert got[3] == max(got.values())      # all three terms dominates
     assert all(v > 0 for v in got.values())
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """The bloom-prefiltered plan must return exactly the rows of the
+    exact join (false positives die in the verify phase)."""
+    import nba_pipeline_spark.plans.quality_queries as QQ
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["doc_id"], r["n_shared_ngrams"], r["n_test_docs"])
+        for r in QQ.q_decontaminate(spark, sf).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_shared_ngrams"], r["n_test_docs"])
+        for r in QQ.q_decontaminate_bloom(spark, sf).collect()
+    }
+    assert bloom == exact and exact  # identical, and non-trivial
+
+
+def test_recipe_constants_match_quality_module():
+    """corpus_queries keeps local copies to break a circular import;
+    they must never drift from quality_queries' definitions."""
+    import nba_pipeline_spark.plans.corpus_queries as CQ
+    import nba_pipeline_spark.plans.quality_queries as QQ
+
+    assert CQ.RECIPE_TEST_SOURCE == QQ.TEST_SOURCE
+    assert CQ._R_DUCK_SH5 == QQ._DUCK_SH5
+    assert CQ._R_DUCK_SH3 == QQ._DUCK_SH3
