@@ -188,3 +188,43 @@ def test_recipe_constants_match_quality_module():
     assert CQ.RECIPE_TEST_SOURCE == QQ.TEST_SOURCE
     assert CQ._R_DUCK_SH5 == QQ._DUCK_SH5
     assert CQ._R_DUCK_SH3 == QQ._DUCK_SH3
+
+
+def test_data_recipe_each_gate_drops_its_target(spark, tmp_path, monkeypatch):
+    """Golden end-to-end: a corpus with one doc engineered per
+    elimination reason — held-out, wrong language, too short,
+    repetitive, exact duplicate, contaminated — plus two clean
+    survivors. The recipe must drop exactly the engineered docs and
+    shard the survivors."""
+    import nba_pipeline_spark.plans.corpus_queries as CQ
+    import nba_pipeline_spark.sources as SRC
+
+    pad1 = ("the cat and dog is here of course to win in spring that was "
+            "all it gave for today on monday are we as ready with them be kind")
+    pad2 = ("the sun and moon is bright of late to see in autumn that was "
+            "never it took for tuesday on rivers are birds as quiet with song be calm")
+    clean1 = "the quick brown fox jumps over the lazy dog " + pad1
+    clean2 = "a completely different clean document body here " + pad2
+    contaminated = "the held out secret benchmark sentence appears verbatim " + pad1
+    heldout = "the held out secret benchmark sentence appears verbatim too"
+    rows = [
+        (0, clean1, "en", "web", 10),                      # survivor
+        (1, clean2, "en", "web", 10),                      # survivor
+        (2, clean1, "en", "books", 10),                    # exact dup of 0 -> dropped (keep min id)
+        (3, heldout, "en", "src0", 10),                    # held-out set itself
+        (4, contaminated, "en", "web", 10),                # shares a 5-gram with src0
+        (5, "der die das und ist nicht ein mit auch " * 6, "de", "web", 10),  # lang gate
+        (6, "the tiny doc", "en", "web", 10),              # length gate
+        (7, "spam spam spam spam " * 20, "en", "web", 10), # repetition gate
+    ]
+    sf = _stage_docs(spark, tmp_path, rows)
+    real = SRC.load_table
+    monkeypatch.setattr(
+        CQ, "load_table",
+        lambda sp, s, name: sp.read.parquet(f"{sf}/documents.parquet")
+        if name == "documents" else real(sp, s, name),
+    )
+    got = CQ.q_data_recipe(spark, sf).collect()
+    assert sorted(r["doc_id"] for r in got) == [0, 1]
+    for r in got:
+        assert 0 <= r["shard"] < CQ.RECIPE_SHARDS and r["pos"] >= 1
