@@ -109,6 +109,181 @@ def streaming_upsert_sink(
     )
 
 
+def incremental_agg_maintain(
+    mv: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sums: dict[str, F.Column],
+    count_col: str = "cnt",
+    sign_col: str = "__sign",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for SUM/COUNT views.
+
+    `mv` is a pre-aggregated view: one row per `keys` with a row count
+    (`count_col`) and sum measures (the keys of `sums`). `delta` is a
+    changelog of FACT rows carrying `sign_col` = +1 (insert) / -1
+    (delete) plus the source columns each `sums` expression reads.
+    Returns the view as if recomputed over (base rows − deletes +
+    inserts) — without touching the base fact table.
+
+    Why this exists: the reference refreshes aggregates by full rewrite
+    (scrape_data_to_gcs.py:55-90 rm + re-upload per season). At 100 TB
+    a full re-aggregation scans the entire fact table to absorb a few
+    million changed rows; this operator's cost is O(|delta|) + one
+    keyed merge against the view:
+
+      1. delta-aggregate: groupBy(keys) over the changelog with signed
+         measures (sum(sign) for the count, sum(sign·expr) per sum) —
+         map-side partial agg, one shuffle of the CHANGELOG only;
+      2. full-outer merge with the view on null-safe key equality
+         (groupBy groups NULL keys; the merge must too) — AQE
+         broadcasts the delta aggregate when small, which is the
+         common CDC shape; at lake scale bucket the view on `keys`
+         so its side is shuffle-free;
+      3. counts that reach zero drop the row (the group no longer
+         exists in the base).
+
+    Only self-maintainable aggregates are offered: SUM and COUNT (AVG
+    = SUM/COUNT downstream). MIN/MAX are NOT maintainable under
+    deletes without the full group (a deleted max needs the runner-up)
+    — recompute affected groups for those, deliberately unsupported
+    here.
+    """
+    sign = F.col(sign_col).cast("bigint")
+    aggs = [F.sum(sign).alias("__d_cnt")]
+    for out_col, expr in sums.items():
+        aggs.append(F.sum(sign * expr).alias(f"__d_{out_col}"))
+    d = delta.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+    m = mv
+    for k in keys:
+        d = d.withColumnRenamed(k, f"__dk_{k}")
+    cond = None
+    for k in keys:
+        c = m[k].eqNullSafe(d[f"__dk_{k}"])
+        cond = c if cond is None else (cond & c)
+    joined = m.join(d, cond, "full_outer")
+
+    out_keys = [
+        F.coalesce(m[k], d[f"__dk_{k}"]).alias(k) for k in keys
+    ]
+    new_cnt = F.coalesce(m[count_col], F.lit(0)) + F.coalesce(
+        F.col("__d_cnt"), F.lit(0)
+    )
+    out_sums = []
+    for out_col in sums:
+        zero = F.lit(0).cast("decimal(18,4)")
+        out_sums.append(
+            (
+                F.coalesce(m[out_col], zero) + F.coalesce(F.col(f"__d_{out_col}"), zero)
+            ).alias(out_col)
+        )
+    return (
+        joined.select(*out_keys, new_cnt.alias(count_col), *out_sums)
+        .filter(F.col(count_col) > 0)
+    )
+
+
+def minmax_refresh_affected(
+    base: DataFrame,
+    mv: DataFrame,
+    changed_keys: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[F.Column],
+) -> DataFrame:
+    """Partial refresh for NON-self-maintainable aggregates (MIN/MAX,
+    exact distinct counts): recompute ONLY the groups whose key appears
+    in `changed_keys`, re-reading `base` (the fact table AFTER changes)
+    for just those groups; every other view row passes through
+    untouched.
+
+    This is the honest scale answer for deletes under MIN/MAX — a
+    deleted maximum needs the group's runner-up, which no delta can
+    carry. Cost: one semi join of base against the changed-key set
+    (broadcast when the key set is small — the common CDC shape; at
+    lake scale the base side partition-prunes on the same keys) + a
+    groupBy over the affected rows only, instead of a full-table
+    re-aggregation.
+
+    NULL keys use null-safe equality throughout so a NULL-keyed change
+    refreshes the NULL group (groupBy groups NULLs; the joins must
+    agree).
+    """
+    ck = changed_keys.select(*keys).distinct()
+    for k in keys:
+        ck = ck.withColumnRenamed(k, f"__ck_{k}")
+    cond_base = None
+    cond_mv = None
+    for k in keys:
+        cb = base[k].eqNullSafe(ck[f"__ck_{k}"])
+        cm = mv[k].eqNullSafe(ck[f"__ck_{k}"])
+        cond_base = cb if cond_base is None else (cond_base & cb)
+        cond_mv = cm if cond_mv is None else (cond_mv & cm)
+    refreshed = (
+        base.join(ck, cond_base, "left_semi").groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    )
+    untouched = mv.join(ck, cond_mv, "left_anti")
+    return untouched.unionByName(refreshed)
+
+
+def streaming_agg_maintain_sink(
+    changes_stream: DataFrame,
+    view_path: str,
+    keys: Sequence[str],
+    sums: dict[str, F.Column],
+    checkpoint_dir: str,
+    count_col: str = "cnt",
+    sign_col: str = "__sign",
+):
+    """Continuous view maintenance: drain a signed changelog stream into
+    a parquet SUM/COUNT view, one `incremental_agg_maintain` per
+    micro-batch.
+
+    Replay safety: unlike ``streaming_upsert_sink`` (last-writer-wins is
+    idempotent), applying the SAME retraction batch twice double-counts
+    — so this sink keeps its own batch-id ledger next to the view and
+    SKIPS batches at-or-below the last applied id. foreachBatch
+    re-delivers a crashed batch with the same batch_id, which the
+    ledger turns into effectively-exactly-once. The ledger write
+    happens after the swapped view write; a crash between the two
+    replays the batch onto the PRE-batch view (the staging swap is the
+    commit point), never onto a half-applied one.
+    """
+    import os
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = f"{view_path}__applied"
+        last = -1
+        if os.path.exists(ledger):
+            with open(ledger) as fh:
+                last = int(fh.read().strip() or -1)
+        if batch_id <= last:
+            return
+        if os.path.exists(view_path):
+            mv = spark.read.parquet(view_path)
+        else:
+            mv = batch_df.limit(0).groupBy(*[F.col(k) for k in keys]).agg(
+                F.count(F.lit(1)).alias(count_col),
+                *[F.sum(expr).alias(c) for c, expr in sums.items()],
+            )
+        merged = incremental_agg_maintain(
+            mv, batch_df, keys, sums, count_col=count_col, sign_col=sign_col
+        )
+        tmp = f"{view_path}__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(view_path)
+        with open(ledger, "w") as fh:
+            fh.write(str(batch_id))
+
+    return (
+        changes_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def apply_changelog(
     base: DataFrame,
     changelog: DataFrame,

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.cdc import apply_changelog, merge_upsert
+from ..operators.cdc import apply_changelog, incremental_agg_maintain, merge_upsert
 from ..session import tune
 from ..sources import load_table
 from .queries import register
@@ -117,5 +117,94 @@ register(
       WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
       UNION ALL
       SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'delete') t
+    """,
+)
+
+
+def q_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-customer
+    (count, sum) view built over 80% of `orders` absorbs a changelog
+    (the other 20% as inserts, the %10==1 stripe as deletes/retractions)
+    WITHOUT rescanning the base — and must equal a full recompute over
+    the effective row set (oracle). Exercises the self-maintainable-
+    aggregate path: signed delta aggregation + null-safe full-outer
+    merge + zero-count drop. At 100 TB this replaces the reference's
+    rewrite-the-season refresh (scrape_data_to_gcs.py:55-90) with an
+    O(|delta|) merge."""
+    _, orders = _tables(spark, sf_dir)
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    bucket = F.col("o_orderkey") % 10
+    base = orders.filter(bucket < 8)
+    mv = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(price).alias("total")
+    )
+    delta = (
+        orders.filter(bucket >= 8)
+        .withColumn("__sign", F.lit(1))
+        .unionByName(orders.filter(bucket == 1).withColumn("__sign", F.lit(-1)))
+    )
+    out = incremental_agg_maintain(mv, delta, ["o_custkey"], {"total": price})
+    return out.select(
+        "o_custkey",
+        "cnt",
+        F.round(F.col("total"), 4).cast("double").alias("total"),
+    )
+
+
+register(
+    "q_mv_maintain",
+    q_mv_maintain,
+    """
+    SELECT o_custkey, COUNT(*) AS cnt,
+           CAST(COALESCE(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4), 0)
+                AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 10 <> 1
+    GROUP BY o_custkey
+    """,
+)
+
+
+def q_mv_minmax_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial view refresh for non-self-maintainable aggregates: a
+    per-customer (min, max, cnt) view over the 80% base stripe absorbs
+    the same changelog as q_mv_maintain — but MIN/MAX under deletes
+    need the group re-read, so only AFFECTED groups (keys present in
+    the changelog) are recomputed from the post-change base; untouched
+    groups pass through from the stale view. Must equal a full
+    recompute (oracle). At scale the affected-key semi join broadcasts
+    and the base re-read partition-prunes to the touched groups."""
+    _, orders = _tables(spark, sf_dir)
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    bucket = F.col("o_orderkey") % 10
+    aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(price).alias("lo"),
+        F.max(price).alias("hi"),
+    ]
+    mv = orders.filter(bucket < 8).groupBy("o_custkey").agg(*aggs)
+    changed = orders.filter((bucket >= 8) | (bucket == 1)).select("o_custkey")
+    base_after = orders.filter(bucket != 1)
+    from ..operators.cdc import minmax_refresh_affected
+
+    out = minmax_refresh_affected(base_after, mv, changed, ["o_custkey"], aggs)
+    return out.select(
+        "o_custkey",
+        "cnt",
+        F.col("lo").cast("double").alias("lo"),
+        F.col("hi").cast("double").alias("hi"),
+    )
+
+
+register(
+    "q_mv_minmax_refresh",
+    q_mv_minmax_refresh,
+    """
+    SELECT o_custkey, COUNT(*) AS cnt,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS hi
+    FROM orders
+    WHERE o_orderkey % 10 <> 1
+    GROUP BY o_custkey
     """,
 )

@@ -97,3 +97,133 @@ def test_streaming_upsert_sink_converges(spark, tmp_path):
     q.awaitTermination()
     got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
     assert got == {(1, "a3"), (2, "b2"), (3, "c")}  # latest ver wins per key
+
+
+def test_incremental_agg_maintain_matches_full_recompute(spark):
+    """Inserts, deletes, a group driven to zero count, a brand-new
+    group, a NULL key, and an all-NULL measure group — the maintained
+    view must equal a recompute over (base − deletes + inserts)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.operators.cdc import incremental_agg_maintain
+
+    base = spark.createDataFrame(
+        [
+            (1, 10.0), (1, 5.0),          # ordinary group
+            (2, 7.0),                     # fully deleted below
+            (None, 3.0),                  # NULL key group
+            (4, None), (4, None),         # all-NULL measure group
+        ],
+        "k int, x double",
+    )
+    dec = F.col("x").cast("decimal(18,4)")
+    mv = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(dec).alias("total")
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, 2.0, 1),     # insert into existing group
+            (2, 7.0, -1),    # retraction empties group 2
+            (3, 9.0, 1),     # brand-new group
+            (None, 1.0, 1),  # NULL-key insert must merge with NULL group
+            (4, None, -1),   # delete one all-NULL row
+        ],
+        "k int, x double, __sign int",
+    )
+    out = incremental_agg_maintain(mv, delta, ["k"], {"total": dec})
+    got = {
+        r["k"]: (r["cnt"], r["total"]) for r in out.collect()
+    }
+    effective = {  # base − deletes + inserts, aggregated by hand
+        1: (3, Decimal("17.0000")),
+        3: (1, Decimal("9.0000")),
+        None: (2, Decimal("4.0000")),
+        4: (1, Decimal("0.0000")),  # one NULL-measure row left; sum-of-none → 0
+    }
+    assert set(got) == set(effective)
+    for k, (cnt, total) in effective.items():
+        assert got[k][0] == cnt
+        assert got[k][1] == total
+
+
+def test_minmax_refresh_affected_partial_recompute(spark):
+    """Only groups named in changed_keys are recomputed; a stale
+    untouched row must survive VERBATIM (proving no full recompute),
+    and a fully-deleted affected group must vanish."""
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.operators.cdc import minmax_refresh_affected
+
+    base_after = spark.createDataFrame(
+        [(1, 5.0), (1, 9.0), (3, 2.0)], "k int, x double"
+    )
+    # stale view: group 2 is WRONG on purpose (base no longer has k=2
+    # rows but 2 is not in changed_keys, so the stale row must pass
+    # through); group 1's max is stale and must be fixed.
+    mv = spark.createDataFrame(
+        [(1, 2, 99.0), (2, 1, 7.0)], "k int, cnt bigint, hi double"
+    )
+    changed = spark.createDataFrame([(1,), (4,)], "k int")  # 4: deleted away
+    aggs = [F.count(F.lit(1)).alias("cnt"), F.max("x").alias("hi")]
+    got = sorted(
+        tuple(r) for r in minmax_refresh_affected(base_after, mv, changed, ["k"], aggs).collect()
+    )
+    assert got == [(1, 2, 9.0), (2, 1, 7.0)]
+
+
+def test_streaming_agg_maintain_sink_two_batches_and_replay(spark, tmp_path):
+    """Two micro-batches of signed changes equal the batch fold; a
+    second drain of the SAME source (fresh checkpoint, forced same
+    batch ids) is skipped by the ledger — no double-count."""
+    import os, shutil
+
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.operators.cdc import streaming_agg_maintain_sink
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src)
+    batches = [
+        [(1, 10.0, 1), (2, 4.0, 1)],
+        [(1, 3.0, 1), (2, 4.0, -1), (3, 7.0, 1)],
+    ]
+    for i, rows in enumerate(batches):
+        sub = f"{src}/w{i}"
+        spark.createDataFrame(rows, "k int, x double, __sign int").coalesce(1).write.parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(f"{sub}/{part}", f"{src}/{i:03d}.parquet")
+        shutil.rmtree(sub)
+        os.utime(f"{src}/{i:03d}.parquet", (1000 + i, 1000 + i))
+
+    view = str(tmp_path / "view")
+    dec = F.col("x").cast("decimal(18,4)")
+
+    def drain(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema("k int, x double, __sign int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_agg_maintain_sink(
+            stream, view, ["k"], {"total": dec}, str(tmp_path / ckpt)
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    got = {
+        (r["k"], r["cnt"], float(r["total"]))
+        for r in spark.read.parquet(view).collect()
+    }
+    # k=1: 10+3; k=2: inserted then retracted → count 0, row dropped; k=3: new
+    assert got == {(1, 2, 13.0), (3, 1, 7.0)}
+
+    # replay: fresh checkpoint re-delivers batch ids 0 and 1; the
+    # ledger (last applied = 1) must skip both.
+    drain("ckpt2")
+    got2 = {
+        (r["k"], r["cnt"], float(r["total"]))
+        for r in spark.read.parquet(view).collect()
+    }
+    assert got2 == got
