@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .exprs import let
+
 # Tiny per-language marker lists for the n-gram/stopword language ID
 # heuristic. Deliberately small: the point is the Spark shape (array
 # intersection scoring), not linguistic coverage.
@@ -99,16 +101,29 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     The NULL guard matters: ``size(NULL) < n`` is NULL, which a bare
     when() treats as false — NULL-text rows would fall into the build
     branch and emit arrays of NULL shingles (found as an MLlib
-    'at least 1 non zero entry' crash downstream)."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
-    return F.when(tokens.isNull() | (F.size(tokens) < n), F.array().cast("array<string>")).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
-            ),
+    'at least 1 non zero entry' crash downstream).
+
+    The `tokens` expression is LET-BOUND (see functions/exprs.py): the
+    normal call shape passes a computed `tokenize(text)` expression,
+    and this builder references it n+3 times — n of them inside the
+    per-element lambda, i.e. re-evaluated per SHINGLE. Unbound, each
+    document was re-tokenized ~n_shingles×n times (measured
+    10.9 s → 0.6 s for a 5000-doc scan at sf0.1, identical output)."""
+
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+        return F.when(
+            toks.isNull() | (F.size(toks) < n), F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            )
         )
-    )
+
+    return let(tokens, build)
 
 
 def fingerprint(text: Column) -> Column:

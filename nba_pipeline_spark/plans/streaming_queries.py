@@ -176,3 +176,48 @@ register(
     LEFT JOIN hourly h ON h.ws = s.ws AND h.event_type = t.event_type
     """,
 )
+
+
+def _enriched_hourly(ev: DataFrame, dim: DataFrame) -> DataFrame:
+    """Shared stream/batch plan body for q_stream_enrich: dim lookup
+    (user_id -> market segment) then hourly tumbling rollup per
+    segment. Written once so the streaming equivalence test runs the
+    IDENTICAL expressions over read_events_stream."""
+    from ..streaming.windows import enrich_with_dim
+
+    enriched = enrich_with_dim(
+        ev.filter(F.col("ts").isNotNull()),
+        F.broadcast(dim),
+        ev["user_id"] == dim["c_custkey"],
+        "left",
+    ).select(
+        "ts", "value", F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment")
+    )
+    return tumbling_agg(enriched, "ts", "1 hour", ["segment"], AGGS())
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 batch form: stream-static dim enrichment (events joined to the
+    customer dim on user_id, broadcast) followed by the tumbling-hour
+    rollup per market segment. The identical plan body runs as a
+    Structured Streaming job in tests/test_streaming.py — stream-static
+    joins hold no state, so batch == stream exactly. At 100 TB the dim
+    broadcast replaces a shuffle of the full event stream."""
+    ev = _ev(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return _enriched_hourly(ev, dim)
+
+
+register(
+    "q_stream_enrich",
+    q_stream_enrich,
+    """
+    SELECT date_trunc('hour', e.ts) AS ws,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)

@@ -158,6 +158,30 @@ def interval_join(
     return l.join(r, cond, "inner")
 
 
+def enrich_with_dim(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    cond: Column,
+    how: str = "left",
+) -> DataFrame:
+    """T10: stream-static join — enrich a stream with a batch dimension
+    table (the lookup-join J1/J2 shape, applied per micro-batch).
+
+    Stream-static joins need NO watermark and hold NO join state: the
+    static side is just re-planned into every micro-batch, and Spark
+    broadcasts it when small (the normal dim case). Left/inner are the
+    supported directions with the stream on the left — right/full would
+    need to emit "dim rows that never matched", which is unknowable on
+    an unbounded stream. The static frame is bound at plan time; a
+    slowly-changing dim picks up file-level changes only per new
+    micro-batch plan, so SCD-style dims should version via
+    `merge_upsert` and re-start the query on dim reload.
+    """
+    if how not in ("left", "inner", "left_outer"):
+        raise ValueError(f"stream-static join supports left/inner, got {how}")
+    return stream_df.join(dim_df, cond, how)
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

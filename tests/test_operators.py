@@ -197,3 +197,17 @@ def test_interval_overlap_join_canonical_bucket_dedup(spark):
     # (1,10) overlaps over buckets 1..2 of both -> exactly one row;
     # (2,11) no overlap; (3,12) overlaps on k2; cross-key never joins
     assert pairs == [(1, 10), (3, 12)]
+
+
+def test_let_binds_once_and_is_null_safe(spark):
+    """let() must (a) produce identical values to direct nesting and
+    (b) pass a NULL input through as a NULL lambda variable."""
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.functions.exprs import let
+
+    df = spark.createDataFrame([([1, 2, 3],), (None,)], "a array<int>")
+    out = df.select(
+        let(F.col("a"), lambda x: F.when(x.isNull(), -1).otherwise(F.size(x) + F.element_at(x, 1))).alias("r")
+    ).collect()
+    assert [r["r"] for r in out] == [4, -1]

@@ -191,3 +191,27 @@ def test_foreach_batch_checkpoint_resume_processes_nothing_new(spark, tmp_path):
     run_foreach_batch(stream2, counting_sink, ck)
     assert calls == first_calls  # zero new batch deliveries
     assert spark.read.parquet(lake).count() == got1
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    """T10: stream-static dim join (no watermark, no join state) then
+    tumbling rollup — the streamed result must equal the batch plan,
+    sharing the exact same plan body (_enriched_hourly)."""
+    from nba_pipeline_spark.plans.streaming_queries import _enriched_hourly
+
+    dim = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    batch = _enriched_hourly(load_table(spark, SF_DIR, "events"), dim)
+    stream = _enriched_hourly(read_events_stream(spark, SF_DIR), dim)
+    got = run_available_now(stream, "t_enrich")
+    pd.testing.assert_frame_equal(_norm(got), _norm(batch))
+
+
+def test_enrich_with_dim_rejects_unbounded_directions(spark):
+    import pytest
+
+    from nba_pipeline_spark.streaming.windows import enrich_with_dim
+
+    a = spark.createDataFrame([(1,)], "k int")
+    b = spark.createDataFrame([(1,)], "j int")
+    with pytest.raises(ValueError):
+        enrich_with_dim(a, b, a["k"] == b["j"], "full")
