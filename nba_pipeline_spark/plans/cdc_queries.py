@@ -208,3 +208,68 @@ register(
     GROUP BY o_custkey
     """,
 )
+
+
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction ("time travel" over a plain-parquet
+    CDC log): the table state AS OF sequence S is base + only the
+    changelog rows with seq <= S applied — the same delete-aware apply
+    as q_cdc_changelog, with the log truncated at the cut. S is half
+    the max order key, computed IN-PLAN (1-row agg broadcast into the
+    log filter) so the query is a pure function of the inputs on both
+    engines. At scale the seq filter prunes the changelog scan (seq is
+    the natural lake sort/partition axis for a log), and everything
+    downstream costs what the truncated log costs."""
+    cust, orders = _tables(spark, sf_dir)
+    cut = orders.agg(
+        F.floor(F.max("o_orderkey") / 2).cast("bigint").alias("cut")
+    )
+    changelog = (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderpriority").alias("c_name"),
+            F.col("o_totalprice").alias("c_acctbal"),
+            F.col("o_orderkey").alias("seq"),
+            F.when(F.col("o_orderstatus") == "F", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+        )
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("seq") <= F.col("cut"))
+        .drop("cut")
+    )
+    out = apply_changelog(
+        cust,
+        changelog,
+        ["c_custkey"],
+        "seq",
+        "op",
+        tiebreak=("c_acctbal", "c_name"),
+    )
+    return out.select("c_custkey", "c_name", F.round("c_acctbal", 4).alias("acctbal"))
+
+
+register(
+    "q_cdc_time_travel",
+    q_cdc_time_travel,
+    """
+    WITH cut AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 2) AS BIGINT) AS cut FROM orders),
+    latest AS (
+      SELECT * FROM (
+        SELECT o_custkey AS c_custkey, o_orderpriority AS c_name,
+               o_totalprice AS c_acctbal,
+               CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END AS op,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderkey DESC NULLS LAST,
+                          o_totalprice DESC NULLS LAST,
+                          o_orderpriority DESC NULLS LAST) AS rn
+        FROM orders, cut WHERE o_orderkey <= cut) t
+      WHERE rn = 1
+    )
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS acctbal FROM (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'delete') t
+    """,
+)

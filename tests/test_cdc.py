@@ -227,3 +227,31 @@ def test_streaming_agg_maintain_sink_two_batches_and_replay(spark, tmp_path):
         for r in spark.read.parquet(view).collect()
     }
     assert got2 == got
+
+
+def test_incremental_agg_maintain_composes(spark):
+    """Applying a changelog in two halves equals applying it at once
+    (the property that makes per-micro-batch maintenance correct)."""
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.operators.cdc import incremental_agg_maintain
+
+    base = spark.createDataFrame(
+        [(1, 4.0), (2, 6.0), (2, 1.0)], "k int, x double"
+    )
+    dec = F.col("x").cast("decimal(18,4)")
+    mv = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(dec).alias("total")
+    )
+    d1 = spark.createDataFrame([(1, 2.0, 1), (2, 6.0, -1)], "k int, x double, __sign int")
+    d2 = spark.createDataFrame([(3, 5.0, 1), (2, 1.0, -1)], "k int, x double, __sign int")
+    both = d1.unionByName(d2)
+
+    once = incremental_agg_maintain(mv, both, ["k"], {"total": dec})
+    stepped = incremental_agg_maintain(
+        incremental_agg_maintain(mv, d1, ["k"], {"total": dec}), d2, ["k"], {"total": dec}
+    )
+    norm = lambda df: sorted((r["k"], r["cnt"], r["total"]) for r in df.collect())
+    assert norm(once) == norm(stepped)
+    # group 2 fully retracted across the two halves
+    assert [k for k, _, _ in norm(once)] == [1, 3]
