@@ -435,3 +435,120 @@ def _pagerank_oracle() -> str:
 
 
 register("q_pagerank", q_pagerank, _pagerank_oracle())
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count over the part co-occurrence graph (parts
+    appearing in the same order are adjacent) — the classic
+    wedge-join/edge-close algorithm as three DataFrame joins.
+
+    Edges are ORIENTED (p1 < p2) so every triangle is produced exactly
+    once (no /6 correction, no symmetric-edge blowup); the wedge join
+    e1.p2 = e2.p1 then closes against the oriented edge set. At 100 TB
+    the orientation key should be (degree, id) instead of raw id — the
+    standard trick that bounds every wedge fan-out by the smaller
+    degree, turning the worst-case hub quadratic into O(m^1.5) total —
+    same plan, different sort key; raw id keeps the DuckDB oracle
+    trivially identical here. Edge building is one self-join per order
+    (quadratic per ORDER only — baskets are small), then distinct."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+        .join(
+            e3,
+            (F.col("e1.p1") == F.col("e3.p1")) & (F.col("e2.p2") == F.col("e3.p2")),
+        )
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+register(
+    "q_triangle_count",
+    q_triangle_count,
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey)
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+              JOIN e e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2
+    """,
+)
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order line items: pair
+    support from one oriented self-join on the order key, item support
+    from one groupBy, confidence/lift as exact ratios of counts
+    (IEEE-deterministic: same integer operands → same double on every
+    engine). Top 20 pairs by lift. The per-order quadratic term is
+    bounded by basket size; the only corpus-wide shuffles are the two
+    aggregations — the A-Priori first pass, which is all a pair-rule
+    report needs."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    ia, ib = item.alias("ia"), item.alias("ib")
+    out = (
+        pair.join(ia, F.col("p1") == F.col("ia.l_partkey"))
+        .join(ib, F.col("p2") == F.col("ib.l_partkey"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_both",
+            F.round(F.col("n_both") / F.col("ia.cnt"), 6).alias("conf_fwd"),
+            F.round(
+                F.col("n_both") * F.col("n") / (F.col("ia.cnt") * F.col("ib.cnt")), 6
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("lift"), F.desc("n_both"), F.asc("p1"), F.asc("p2")
+    ).limit(20)
+
+
+register(
+    "q_basket_rules",
+    q_basket_rules,
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+    item AS (SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_both
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT p1, p2, n_both,
+           ROUND(n_both / ia.cnt, 6) AS conf_fwd,
+           ROUND(n_both * n.n / (ia.cnt * ib.cnt), 6) AS lift
+    FROM pair JOIN item ia ON p1 = ia.l_partkey
+              JOIN item ib ON p2 = ib.l_partkey
+              CROSS JOIN n
+    ORDER BY lift DESC NULLS LAST, n_both DESC NULLS LAST,
+             p1 ASC NULLS FIRST, p2 ASC NULLS FIRST
+    LIMIT 20
+    """,
+)
