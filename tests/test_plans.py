@@ -242,6 +242,10 @@ def test_single_partition_only_on_bounded_frames(spark):
         "q_tpch_q17", "q_tpch_q19", "q_tpch_q22", "q_tpch_q11",
         # 1-row distribution frames crossed back in (broadcast)
         "q_dsir_sample", "q_unigram_ppl",
+        # global triangle count -> O(1) rows at the final exchange
+        "q_triangle_count",
+        # 1-row scalar frames (basket n_orders; time-travel seq cut)
+        "q_basket_rules", "q_cdc_time_travel",
         # windows over bounded pools/buckets: top-50 RRF pools, value
         # buckets (|buckets| rows), hourly resample grid
         "q_bm25_topk", "q_hybrid_rrf", "q_skyline", "q_resample_1h",
