@@ -261,7 +261,11 @@ def simhash_neardup_pairs(
     ONE row). Buckets above the cap are template noise, dropped with
     observable counts; oracles replay the cap in SQL.
     """
-    sims = simhash16(df, text_col, id_col)
+    # Pinned: `sims` feeds the banding AND both sides of the verify
+    # join — unpinned, the md5-per-token signature scan re-executes
+    # three times (same rationale and shape as the minhash signature
+    # pin; the frame is O(docs × 8 B)).
+    sims = simhash16(df, text_col, id_col).localCheckpoint(eager=False)
     nibbles = F.array(
         *[F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15)) for b in range(4)]
     )
