@@ -240,3 +240,41 @@ def test_pagerank_matches_pure_python_reference(spark, seed):
     assert set(got) == set(want)
     for v in present:
         assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_shingles_match_pure_python_reference(spark, seed):
+    """The let-bound shingle builder vs a direct Python n-gram
+    reference over random texts with whitespace runs, unicode, empty
+    and NULL docs, and sub-shingle lengths — regression net for the
+    expression-binding rewrite (values must be IDENTICAL, not just
+    fast)."""
+    import re
+
+    from nba_pipeline_spark.functions.text import shingles, tokenize
+
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "Beta", "GAMMA", "δélta", "x", "1_2", "..", ""]
+    texts = []
+    for _ in range(80):
+        k = int(rng.integers(0, 9))
+        sep = rng.choice([" ", "  ", "\t", " \n "], k) if k else []
+        texts.append("".join(w + s for w, s in zip(rng.choice(words, k), list(sep) + [" "])))
+    texts += [None, "", "   ", "one two", "one two three four"]
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+
+    def py_sh(text, n=3):
+        if text is None:
+            return []
+        toks = [t for t in re.split(r"\s+", text.lower()) if t != ""]
+        if len(toks) < n:
+            return []
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["i"]: r["sh"]
+        for r in df.select("i", shingles(tokenize(F.col("text")), 3).alias("sh")).collect()
+    }
+    for i, text in enumerate(texts):
+        assert got[i] == py_sh(text), (i, text, got[i], py_sh(text))
