@@ -9,6 +9,7 @@ algorithm.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup as OD
 from ..sources import load_table
@@ -463,5 +464,36 @@ register(
            CASE WHEN ca > cb OR (ca = cb AND id_a > id_b)
                 THEN id_a ELSE id_b END AS drop_id
     FROM pairs WHERE sim >= {SEMDEDUP_THRESHOLD}
+    """,
+)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the %10>=8 stripe of `documents` plays
+    the new batch; candidate pairs must touch it — (old, old) pairs are
+    never generated, and all-old buckets are skipped before pair
+    explode. Same banded structure (and hot-bucket cap) as
+    q_dedup_minhash, so the oracle is the tier-3 candidate set filtered
+    to pairs with a new side. Demonstrates that per-ingest dedup cost
+    scales with the batch, not the settled corpus."""
+    docs = _docs(spark, sf_dir)
+    return OD.minhash_lsh_pairs_incremental(
+        docs.withColumn("is_new", (F.col("doc_id") % 10) >= 8),
+        "text",
+        "doc_id",
+        "is_new",
+        n_hashes=N_HASHES,
+        band_rows=BAND_ROWS,
+        max_bucket=MAX_BUCKET,
+    )
+
+
+register(
+    "q_dedup_incremental",
+    q_dedup_incremental,
+    f"""
+    {_minhash_cand_ctes()}
+    SELECT id_a, id_b FROM cand
+    WHERE id_a % 10 >= 8 OR id_b % 10 >= 8
     """,
 )
