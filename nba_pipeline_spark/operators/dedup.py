@@ -592,7 +592,7 @@ def embedding_lsh_neardup_pairs(
     buckets = F.array(
         *[
             hyperplane_bucket(
-                F.col("v"), all_planes[band * n_bits : (band + 1) * n_bits]
+                "v", all_planes[band * n_bits : (band + 1) * n_bits]
             )
             for band in range(n_bands)
         ]

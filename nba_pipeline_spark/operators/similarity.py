@@ -159,18 +159,46 @@ def hyperplane_planes(n_bits: int, dims: int) -> list[list[float]]:
     ]
 
 
-def _dot_literal(v: Column, plane: list[float]) -> Column:
+def _plane_sql(vals: list[float]) -> str:
+    return "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+
+
+def _dot_literal_sql(col_name: str, plane: list[float]) -> str:
+    # text mirror of _dot_literal: same zip_with/aggregate accumulation
+    return (
+        f"aggregate(zip_with({col_name}, {_plane_sql(plane)}, (x,y)->x*y), "
+        "cast(0.0 as double), (a,w)->a+w)"
+    )
+
+
+def _dot_literal(v: Column | str, plane: list[float]) -> Column:
+    if isinstance(v, str):
+        return F.expr(_dot_literal_sql(v, plane))
     lit = F.array(*[F.lit(x) for x in plane])
     return F.aggregate(
         F.zip_with(v, lit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
 
 
-def hyperplane_bucket(v: Column, planes: list[list[float]]) -> Column:
+def hyperplane_bucket(v: Column | str, planes: list[list[float]]) -> Column:
     """Bucket id = sign bits of the plane projections, packed little-
     endian. The sign test uses the 6dp-rounded projection (NULL-safe:
     a NULL projection contributes bit 0 on both engines) so last-bit
-    float divergence cannot flip a bucket."""
+    float divergence cannot flip a bucket.
+
+    Pass the vector column NAME (string form) wherever possible: it
+    renders the whole bucket as ONE parsed SQL expression instead of a
+    per-element F.lit / per-lambda Py4J forest — measured 2.7 s of
+    pure driver build time per embedding-LSH query in the Column form
+    (SCALE.md "literal forests are Py4J storms"). Values identical:
+    CASE WHEN NULL → ELSE 0 matches when().otherwise(0)."""
+    if isinstance(v, str):
+        bits = " + ".join(
+            f"(CASE WHEN round({_dot_literal_sql(v, plane)}, 6) >= 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b, plane in enumerate(planes)
+        )
+        return F.expr(f"CAST(({bits}) AS INT)")
     bucket = F.lit(0)
     for b, plane in enumerate(planes):
         bit = F.when(F.round(_dot_literal(v, plane), 6) >= 0, F.lit(1 << b)).otherwise(
@@ -200,7 +228,7 @@ def lsh_topk(
     """
     planes = hyperplane_planes(n_bits, dims)
     e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
-    bucketed = e.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    bucketed = e.withColumn("bucket", hyperplane_bucket("v", planes))
     q = bucketed.filter(F.col(id_col) == query_id).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )
@@ -242,14 +270,14 @@ def lsh_topk_multiprobe(
     """
     planes = hyperplane_planes(n_bits, dims)
     e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
-    bucketed = e.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    bucketed = e.withColumn("bucket", hyperplane_bucket("v", planes))
     qrow = (
         bucketed.filter(F.col(id_col) == query_id)
         .select(
             "v",
             "bucket",
             *[
-                F.round(_dot_literal(F.col("v"), p), 6).alias(f"proj{b}")
+                F.round(_dot_literal("v", p), 6).alias(f"proj{b}")
                 for b, p in enumerate(planes)
             ],
         )
@@ -348,8 +376,8 @@ def knn_join(
         if dims is None:
             raise ValueError("bucketed knn_join needs dims for the hyperplanes")
         planes = hyperplane_planes(n_bits, dims)
-        eb = e.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
-        qb = q.withColumn("bucket", hyperplane_bucket(F.col("qv"), planes))
+        eb = e.withColumn("bucket", hyperplane_bucket("v", planes))
+        qb = q.withColumn("bucket", hyperplane_bucket("qv", planes))
         cand = eb.join(qb, "bucket")
     scored = cand.filter(F.col(id_col) != F.col("query_id")).select(
         "query_id",
