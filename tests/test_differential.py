@@ -278,3 +278,62 @@ def test_shingles_match_pure_python_reference(spark, seed):
     }
     for i, text in enumerate(texts):
         assert got[i] == py_sh(text), (i, text, got[i], py_sh(text))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_incremental_agg_maintain_matches_recompute_random(spark, seed):
+    """Random base + random signed changelog (deletes re-send existing
+    base rows, inserts are new): the maintained view must equal a
+    groupBy recompute over the effective row multiset."""
+    from nba_pipeline_spark.operators.cdc import incremental_agg_maintain
+
+    rng = np.random.default_rng(seed)
+    n = 120
+    base = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n),
+            "x": np.where(rng.random(n) < 0.15, np.nan, rng.integers(0, 100, n) / 4.0),
+        }
+    )
+    # deletes: a random subset of base rows re-sent with sign -1
+    del_idx = rng.choice(n, size=n // 4, replace=False)
+    deletes = base.iloc[del_idx].assign(__sign=-1)
+    inserts = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, 40),  # includes brand-new keys 6,7
+            "x": np.where(rng.random(40) < 0.15, np.nan, rng.integers(0, 100, 40) / 4.0),
+            "__sign": 1,
+        }
+    )
+    delta = pd.concat([deletes, inserts], ignore_index=True)
+    effective = pd.concat(
+        [base.drop(index=del_idx), inserts.drop(columns="__sign")], ignore_index=True
+    )
+
+    def to_sdf(pdf, schema):
+        # NaN -> real NULL (Spark NaN is not NULL and ANSI decimal
+        # casts of NaN throw); row tuples with None avoid the coercion
+        rows = [
+            tuple(None if (isinstance(v, float) and np.isnan(v)) else v for v in t)
+            for t in pdf.itertuples(index=False)
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    bdf = to_sdf(base.astype({"k": int}), "k int, x double")
+    ddf = to_sdf(delta.astype({"k": int, "__sign": int}), "k int, x double, __sign int")
+    dec = F.col("x").cast("decimal(18,4)")
+    mv = bdf.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(dec).alias("total")
+    )
+    got = {
+        r["k"]: (r["cnt"], float(r["total"]))
+        for r in incremental_agg_maintain(mv, ddf, ["k"], {"total": dec}).collect()
+    }
+    want = {}
+    for k, grp in effective.groupby("k"):
+        total = grp["x"].dropna().sum()
+        want[int(k)] = (len(grp), round(float(total), 4))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert abs(got[k][1] - want[k][1]) < 1e-9, (k, got[k], want[k])
