@@ -75,7 +75,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_flagship",
     # windows (SURVEY W1-W5 — the semantically hardest ports)
     "q_win_running_sum",
-    "q_win_running_reset",
+    # (q_win_running_reset shares W1 with q_win_running_sum — its slot
+    # goes to the round-2 MV-maintenance family instead)
+    "q_mv_maintain",
     "q_win_ffill",
     "q_win_marker_fill",
     "q_win_rank",
