@@ -54,7 +54,6 @@ def kmeans_cells(
     (deterministic; replayable).
     """
     e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
-    spark = emb.sparkSession
     # first k by id ORDER, not id < k: ids need not be 0-based/contiguous
     centroids = [
         [float(x) for x in r["v"]] for r in e.orderBy(id_col).limit(k).collect()
@@ -64,23 +63,21 @@ def kmeans_cells(
     k = len(centroids)  # fewer rows than k -> shrink
     dims = len(centroids[0])
 
-    def centroid_df(vecs):
-        return spark.createDataFrame(
-            list(enumerate(vecs)), schema="cid int, cv array<double>"
-        )
-
     # per-dim means as ONE array expression (same Py4J-cost rationale as
     # assign_cells; avg(v[i]) ≡ F.avg(F.col("v").getItem(i)))
     mean_arr = F.expr(
         "array(" + ",".join(f"avg(v[{i}])" for i in range(dims)) + ")"
     ).alias("m")
+    # literal-direct assignment: the centroid lists live on the driver
+    # between iterations — building a centroid DataFrame just to
+    # collect it back cost one extra job per iteration
     for _ in range(iterations):
-        assigned = assign_cells(e, centroid_df(centroids), id_col)
+        assigned = _assign_cells_literal(e, id_col, list(enumerate(centroids)))
         new_rows = assigned.groupBy("cid").agg(mean_arr).collect()
         by_cid = {int(r["cid"]): [float(x) for x in r["m"]] for r in new_rows}
         # empty cells keep their previous centroid
         centroids = [by_cid.get(cid, centroids[cid]) for cid in range(k)]
-    return assign_cells(e, centroid_df(centroids), id_col).select(
+    return _assign_cells_literal(e, id_col, list(enumerate(centroids))).select(
         id_col, F.col("cid").alias("cell")
     )
 
@@ -125,25 +122,42 @@ def assign_cells(emb: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame
     rows = sorted(centroids.collect(), key=lambda r: int(r["cid"]))
     if not rows:
         raise ValueError("assign_cells: empty centroid frame")
-    # The distance array is built as ONE SQL string parsed JVM-side: a
-    # k×dims literal forest built with per-element F.lit/lambda calls
-    # costs seconds of Py4J round-trips PER CALL (measured 2.05 s build
-    # + 3.8 s analysis for k=16, dims=64 vs 5 ms + 1.1 s in this form,
-    # bit-identical results) — and k-means pays it every iteration.
-    # The aggregate/zip_with text mirrors vectors.l2_distance exactly
-    # (same accumulation order → same rounded values).
+    cid_type = centroids.schema["cid"].dataType.simpleString()
+    return _assign_cells_literal(
+        emb, id_col, [(int(r["cid"]), r["cv"]) for r in rows], cid_type
+    )
+
+
+def _assign_cells_literal(
+    emb: DataFrame, id_col: str, cells: list, cid_type: str = "int"
+) -> DataFrame:
+    """Literal-direct assignment core: ``cells`` = [(cid, vector), ...]
+    already in driver memory (k-means holds them between iterations —
+    routing them through a DataFrame + collect cost a full job per
+    iteration). Sorted by cid here so the first-match argmin keeps the
+    lowest-cid tiebreak.
+
+    The distance array is built as ONE SQL string parsed JVM-side: a
+    k×dims literal forest built with per-element F.lit/lambda calls
+    costs seconds of Py4J round-trips PER CALL (measured 2.05 s build
+    + 3.8 s analysis for k=16, dims=64 vs 5 ms + 1.1 s in this form,
+    bit-identical results) — and k-means pays it every iteration.
+    The aggregate/zip_with text mirrors vectors.l2_distance exactly
+    (same accumulation order → same rounded values).
+    """
+    cells = sorted(cells, key=lambda c: int(c[0]))
+
     def arr_sql(vals) -> str:
         return "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
 
     dist_sqls = [
-        "round(sqrt(aggregate(zip_with(v, " + arr_sql(r["cv"]) + ", "
+        "round(sqrt(aggregate(zip_with(v, " + arr_sql(cv) + ", "
         "(x,y)->(x-y)*(x-y)), cast(0.0 as double), (acc,w)->acc+w)), 6)"
-        for r in rows
+        for _, cv in cells
     ]
     darr = F.expr("array(" + ",".join(dist_sqls) + ")")
     pos = F.array_position(darr, F.array_min(darr))  # 1-based FIRST match; NULL if all-NULL
-    cid_type = centroids.schema["cid"].dataType.simpleString()
-    cid_arr = F.array(*[F.lit(int(r["cid"])) for r in rows])
+    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in cells])
     cid = F.when(pos > 0, F.element_at(cid_arr, pos.cast("int")))
     return emb.select(F.col(id_col), F.col("v"), cid.cast(cid_type).alias("cid"))
 
