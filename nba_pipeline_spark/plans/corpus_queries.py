@@ -435,10 +435,20 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = (
         base.filter(~is_t).groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
     )
+    # the per-doc score sums cnt*lr over the doc's buckets — as a
+    # DOUBLE sum that is accumulation-order-dependent and the 4dp round
+    # then flips at half-way boundaries across engines (found at
+    # sf0.1). The 6dp-rounded lr casts to DECIMAL(18,6) identically on
+    # both engines; the decimal sum is exact and order-free.
+    lr_dec = F.col("lr").cast("decimal(18,6)")
     scored = (
         per_doc.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
-        .agg(F.round(F.sum(F.col("cnt") * F.col("lr")), 4).alias("dsir_score"))
+        .agg(
+            F.round(F.sum(F.col("cnt") * lr_dec), 4)
+            .cast("double")
+            .alias("dsir_score")
+        )
     )
     return scored.orderBy(F.desc("dsir_score"), F.asc("doc_id")).limit(DSIR_KEEP)
 
@@ -472,7 +482,8 @@ register(
     pd AS (SELECT doc_id, bucket, COUNT(*) AS cnt
            FROM b WHERE source <> '{DSIR_TARGET}' GROUP BY doc_id, bucket)
     SELECT pd.doc_id,
-           ROUND(SUM(pd.cnt * lr.lr), 4) AS dsir_score
+           CAST(ROUND(SUM(pd.cnt * CAST(lr.lr AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS dsir_score
     FROM pd JOIN lr USING (bucket)
     GROUP BY pd.doc_id
     ORDER BY dsir_score DESC NULLS LAST, pd.doc_id ASC NULLS FIRST

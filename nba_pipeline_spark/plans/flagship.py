@@ -58,10 +58,17 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("segment", seg)
         .groupBy("r_name", "segment")
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            # Exact-to-double money out: the scale-8 decimal sum's
+            # unscaled value exceeds 2^53 at sf0.1+, and engines'
+            # decimal->double conversions then disagree by 1 ulp (found
+            # by the sf0.1 oracle sweep). Round to the money grid,
+            # scale to an exactly-representable BIGINT, convert, and
+            # divide once — every step bit-deterministic on any engine.
+            ((F.round(F.sum(revenue), 4) * 10000).cast("bigint").cast("double")
+             / F.lit(10000.0)).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy(F.desc("revenue"), F.asc("r_name"))
+        .orderBy(F.desc("revenue"), F.asc("r_name"), F.asc("segment"))
         .limit(20)
     )
 
@@ -70,8 +77,9 @@ FLAGSHIP_ORACLE = """
 SELECT r_name,
        CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY') THEN 'industrial'
             ELSE 'consumer' END AS segment,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4)
+                 * 10000 AS BIGINT) AS DOUBLE) / 10000.0
          AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
@@ -81,6 +89,6 @@ JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 GROUP BY 1, 2
-ORDER BY revenue DESC NULLS LAST, r_name ASC NULLS FIRST
+ORDER BY revenue DESC NULLS LAST, r_name ASC NULLS FIRST, segment ASC NULLS FIRST
 LIMIT 20
 """

@@ -335,7 +335,13 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "sum_qty": F.round(F.sum("l_quantity"), 4),
             "sum_base_price": F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"),
-            "sum_disc_price": F.sum(disc_price).cast("double"),
+            # scale-8 product sum: exact scaled-bigint conversion — the
+            # raw decimal->double cast diverges 1 ulp across engines
+            # once the unscaled value passes 2^53 (see flagship.py)
+            "sum_disc_price": (F.round(F.sum(disc_price), 4) * 10000)
+            .cast("bigint")
+            .cast("double")
+            / F.lit(10000.0),
             "avg_qty": F.round(F.avg("l_quantity"), 4),
             "avg_price": F.round(F.avg("l_extendedprice"), 4),
             "count_order": F.count(F.lit(1)),
@@ -350,8 +356,9 @@ register(
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4)
+                     * 10000 AS BIGINT) AS DOUBLE) / 10000.0
              AS sum_disc_price,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,

@@ -255,11 +255,19 @@ def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").asc())
+
+    # floor(x*1e6 + 0.5) instead of round(x, 6): rank ratios like
+    # 41/640 are EXACT halves at the 6dp grid, where Spark's HALF_UP
+    # and DuckDB's exact-binary round() disagree (found at sf0.1 —
+    # 0.064063 vs 0.064062). floor of identical doubles is identical.
+    def r6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+
     return cust.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
+        r6(F.percent_rank().over(w)).alias("bal_pct_rank"),
+        r6(F.cume_dist().over(w)).alias("bal_cume"),
     )
 
 
@@ -268,8 +276,8 @@ register(
     q_win_percent_rank,
     """
     SELECT c_custkey, c_nationkey,
-           ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS bal_cume
+           FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) / 1000000.0 AS bal_pct_rank,
+           FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) / 1000000.0 AS bal_cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC NULLS FIRST)
     """,
