@@ -45,13 +45,13 @@ def kmeans_cells(
     """Mini k-means for IVF cell training — the iterative-algorithm class
     the reference lacks, as a pure DataFrame loop.
 
-    Each iteration: broadcast the k centroids (a k×dims literal frame —
-    tiny), assign every vector to its nearest by rounded L2 (engine-
-    deterministic argmin), recompute centroids as per-cell means (one
-    partial+final agg). Driver holds only the k centroids between
-    iterations — the corpus never leaves the cluster, so the loop is
-    O(iterations) scans at any scale. Init: first k vectors by id
-    (deterministic; replayable).
+    Each iteration: embed the k centroids as literal expressions
+    (narrow argmin map — no broadcast, no shuffle), assign every vector
+    to its nearest by rounded L2 (engine-deterministic argmin),
+    recompute centroids as per-cell means (one partial+final agg).
+    Driver holds only the k centroids between iterations — the corpus
+    never leaves the cluster, so the loop is O(iterations) scans at any
+    scale. Init: first k vectors by id (deterministic; replayable).
     """
     e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
     # first k by id ORDER, not id < k: ids need not be 0-based/contiguous
