@@ -24,7 +24,8 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def upsert_partitions_sink(
@@ -45,6 +46,66 @@ def upsert_partitions_sink(
         )
 
     return write_batch
+
+
+def dedup_ingest_sink(
+    lake_path: str,
+    seen_path: str,
+    text_col: str,
+    id_col: str,
+    gate: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: streaming corpus ingestion with
+    CROSS-BATCH exact dedup — the continuous form of the tier-1 dedup
+    + quality-gate front of q_data_recipe.
+
+    Per micro-batch: (optional) quality gate → in-batch exact dedup
+    (sha256 of lowercased text, min-id representative) → anti join
+    against the accumulated seen-hash table → accepted docs land in the
+    lake, their hashes in the seen table. At 100 TB the seen table is
+    the small side of the anti join (32 B per unique doc ever seen) and
+    is bucketable on the hash; per-batch cost is O(batch) + one
+    broadcast-able anti join — settled corpus data is never re-read.
+
+    Crash safety WITHOUT a ledger: both sinks write to a
+    ``batch=<id>`` subdirectory with mode("overwrite"), so a replayed
+    batch overwrites its own previous (possibly partial) output —
+    idempotent by layout. The seen-hash read set is "all batch dirs
+    with id < current", which deterministically EXCLUDES the crashed
+    attempt's own hashes (reading them back would wrongly anti-join the
+    replay's rows away).
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        b = gate(batch_df) if gate is not None else batch_df
+        b = b.withColumn("__h", F.sha2(F.lower(F.col(text_col)), 256))
+        w = Window.partitionBy("__h").orderBy(F.col(id_col).asc_nulls_last())
+        firsts = (
+            b.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        prior = [
+            f"{seen_path}/{d}"
+            for d in sorted(os.listdir(seen_path)) if os.path.isdir(f"{seen_path}/{d}")
+            and d.startswith("batch=") and int(d.split("=")[1]) < batch_id
+        ] if os.path.isdir(seen_path) else []
+        if prior:
+            seen = spark.read.parquet(*prior)
+            accepted = firsts.join(seen, "__h", "left_anti")
+        else:
+            accepted = firsts
+        accepted.drop("__h").write.mode("overwrite").parquet(
+            f"{lake_path}/batch={batch_id}"
+        )
+        accepted.select("__h").write.mode("overwrite").parquet(
+            f"{seen_path}/batch={batch_id}"
+        )
+
+    return _apply
 
 
 def run_foreach_batch(

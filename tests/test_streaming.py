@@ -215,3 +215,52 @@ def test_enrich_with_dim_rejects_unbounded_directions(spark):
     b = spark.createDataFrame([(1,)], "j int")
     with pytest.raises(ValueError):
         enrich_with_dim(a, b, a["k"] == b["j"], "full")
+
+
+def test_dedup_ingest_sink_cross_batch_and_replay(spark, tmp_path):
+    """Streaming corpus ingestion: duplicates WITHIN a batch collapse to
+    the min-id representative, duplicates ACROSS batches are rejected by
+    the seen-hash anti join, a gate filters pre-dedup, and a full replay
+    (fresh checkpoint, same batch ids) converges to the same lake."""
+    import os, shutil
+
+    from nba_pipeline_spark.streaming.sinks import dedup_ingest_sink, run_foreach_batch
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    batches = [
+        [(1, "Alpha text"), (2, "alpha TEXT"), (3, "beta")],   # 2 dups of 1
+        [(4, "ALPHA text"), (5, "gamma"), (6, "")],            # 4 dups batch-0's 1; 6 gated
+        [(7, "beta"), (8, "delta")],                           # 7 dups batch-0's 3
+    ]
+    for i, rows in enumerate(batches):
+        sub = f"{src}/w{i}"
+        spark.createDataFrame(rows, "doc_id int, text string").coalesce(1).write.parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(f"{sub}/{part}", f"{src}/{i:03d}.parquet")
+        shutil.rmtree(sub)
+        os.utime(f"{src}/{i:03d}.parquet", (1000 + i, 1000 + i))
+
+    lake = str(tmp_path / "lake")
+    seen = str(tmp_path / "seen")
+    gate = lambda df: df.filter(F.length("text") > 0)
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id int, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_foreach_batch(
+            stream,
+            dedup_ingest_sink(lake, seen, "text", "doc_id", gate=gate),
+            str(tmp_path / ckpt),
+        )
+
+    drain("ckpt1")
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(lake).collect()}
+    assert got == {(1, "Alpha text"), (3, "beta"), (5, "gamma"), (8, "delta")}
+
+    drain("ckpt2")  # replay: overwrite-by-batch-dir layout must converge
+    got2 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(lake).collect()}
+    assert got2 == got
