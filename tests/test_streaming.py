@@ -264,3 +264,45 @@ def test_dedup_ingest_sink_cross_batch_and_replay(spark, tmp_path):
     drain("ckpt2")  # replay: overwrite-by-batch-dir layout must converge
     got2 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(lake).collect()}
     assert got2 == got
+
+
+def test_dedup_ingest_sink_overwrites_crashed_attempt(spark, tmp_path):
+    """A crashed attempt leaves partial batch=0 output in BOTH sinks;
+    the retry must overwrite it and must NOT let the stale seen-hashes
+    anti-join the retry's own rows away."""
+    import os, shutil
+
+    from nba_pipeline_spark.streaming.sinks import dedup_ingest_sink, run_foreach_batch
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    sub = f"{src}/w0"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id int, text string"
+    ).coalesce(1).write.parquet(sub)
+    part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+    shutil.move(f"{sub}/{part}", f"{src}/000.parquet")
+    shutil.rmtree(sub)
+
+    lake, seen = str(tmp_path / "lake"), str(tmp_path / "seen")
+    # fabricate the crashed attempt: batch=0 already holds this batch's
+    # hashes (the dangerous case) plus a junk lake row
+    from pyspark.sql import functions as SF
+
+    spark.createDataFrame([(99, "junk")], "doc_id int, text string").write.parquet(
+        f"{lake}/batch=0"
+    )
+    spark.createDataFrame([("alpha",), ("beta",)], "t string").select(
+        SF.sha2(SF.lower(SF.col("t")), 256).alias("__h")
+    ).write.parquet(f"{seen}/batch=0")
+
+    stream = (
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_foreach_batch(
+        stream, dedup_ingest_sink(lake, seen, "text", "doc_id"), str(tmp_path / "ckpt")
+    )
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(lake).collect()}
+    assert got == {(1, "alpha"), (2, "beta")}  # junk gone, rows not self-excluded
