@@ -33,6 +33,24 @@ DOCS = [
     (6, "the quick brown fox jumps over the lazy dog near the old mill house today", "en", "s1", 74),
 ]
 
+# Boilerplate storm: 1200 byte-identical docs (one LSH bucket holding
+# 1200 ids — ABOVE both hot-bucket caps: minhash 1000, simhash 600) +
+# 20 near-identical variants that stay under the caps. Exercises the
+# cap's drop path AND its oracle replay (both engines must drop the
+# same buckets), the all-dropped/empty-result edge, tier-1 collapse of
+# a 1200-dup group, and the blocked quadratic tiers on a 1200-doc
+# metadata block.
+_BOILER = (
+    "subscribe to our newsletter for the latest updates and offers "
+    "terms of service privacy policy all rights reserved contact us"
+)
+DOCS += [(100 + i, _BOILER, "en", "s2", len(_BOILER)) for i in range(1200)]
+DOCS += [
+    (2000 + i, _BOILER.replace("offers", f"offers v{i}"), "en", "s2",
+     len(_BOILER) + 3)
+    for i in range(20)
+]
+
 EVENTS = [
     (0, "2024-01-01 00:00:01", 1, "click", 10.5, '{"k": 87}'),
     (1, "2024-01-01 00:00:02", 1, "purchase", 20.0, '{"k": "7"}'),
