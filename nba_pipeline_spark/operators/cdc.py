@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -226,6 +226,43 @@ def minmax_refresh_affected(
     return untouched.unionByName(refreshed)
 
 
+def _committed_view_batches(view_path: str) -> list[tuple[int, str]]:
+    """``batch=<id>`` snapshot dirs under `view_path` whose write fully
+    committed (Spark's ``_SUCCESS`` marker present), sorted by id.
+    Partial dirs from a crashed write have no marker and are invisible."""
+    import os
+
+    if not os.path.isdir(view_path):
+        return []
+    out: list[tuple[int, str]] = []
+    for d in os.listdir(view_path):
+        if not d.startswith("batch="):
+            continue
+        try:
+            i = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        full = os.path.join(view_path, d)
+        if os.path.exists(os.path.join(full, "_SUCCESS")):
+            out.append((i, full))
+    return sorted(out)
+
+
+def read_maintained_view(
+    spark: SparkSession, view_path: str, before: int | None = None
+) -> DataFrame | None:
+    """Resolve the current maintained view: the HIGHEST fully-committed
+    ``batch=<id>`` snapshot (optionally restricted to ids `< before`,
+    which is how a replayed batch sees exactly its pre-batch state).
+    Returns None when no snapshot has committed yet."""
+    dirs = _committed_view_batches(view_path)
+    if before is not None:
+        dirs = [x for x in dirs if x[0] < before]
+    if not dirs:
+        return None
+    return spark.read.parquet(dirs[-1][1])
+
+
 def streaming_agg_maintain_sink(
     changes_stream: DataFrame,
     view_path: str,
@@ -234,35 +271,44 @@ def streaming_agg_maintain_sink(
     checkpoint_dir: str,
     count_col: str = "cnt",
     sign_col: str = "__sign",
+    keep_batches: int = 2,
 ):
     """Continuous view maintenance: drain a signed changelog stream into
     a parquet SUM/COUNT view, one `incremental_agg_maintain` per
     micro-batch.
 
     Replay safety: unlike ``streaming_upsert_sink`` (last-writer-wins is
-    idempotent), applying the SAME retraction batch twice double-counts
-    — so this sink keeps its own batch-id ledger next to the view and
-    SKIPS batches at-or-below the last applied id. foreachBatch
-    re-delivers a crashed batch with the same batch_id, which the
-    ledger turns into effectively-exactly-once. The ledger write
-    happens after the swapped view write; a crash between the two
-    replays the batch onto the PRE-batch view (the staging swap is the
-    commit point), never onto a half-applied one.
+    idempotent), applying the SAME retraction batch twice double-counts.
+    View state and applied-batch-id therefore commit TOGETHER: batch N's
+    merged view is written to its own ``view_path/batch=N`` snapshot dir
+    (the crash-safe layout ``dedup_ingest_sink`` uses), and "current
+    view" resolves to the highest dir whose write fully committed
+    (``_SUCCESS`` present — see ``read_maintained_view``). The snapshot
+    write IS the commit point, so there is no window where view and
+    ledger disagree:
+
+    - crash mid-write of ``batch=N`` → no ``_SUCCESS`` → the partial dir
+      is invisible; the replay merges ``batch=<id < N>`` (its exact
+      pre-batch state) and overwrites the partial dir;
+    - replay after a committed ``batch>=N`` exists → skipped (the batch
+      is already folded into every later snapshot).
+
+    Snapshots older than the newest `keep_batches` are pruned AFTER the
+    new snapshot commits; a crash mid-prune only leaves extra committed
+    snapshots behind, which the highest-id resolution ignores. The view
+    is an aggregate (one row per group), so a snapshot is O(groups),
+    not O(changelog).
     """
     import os
+    import shutil
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        ledger = f"{view_path}__applied"
-        last = -1
-        if os.path.exists(ledger):
-            with open(ledger) as fh:
-                last = int(fh.read().strip() or -1)
-        if batch_id <= last:
-            return
-        if os.path.exists(view_path):
-            mv = spark.read.parquet(view_path)
-        else:
+        committed = _committed_view_batches(view_path)
+        if committed and committed[-1][0] >= batch_id:
+            return  # replay of a batch already folded into the view
+        mv = read_maintained_view(spark, view_path, before=batch_id)
+        if mv is None:
             mv = batch_df.limit(0).groupBy(*[F.col(k) for k in keys]).agg(
                 F.count(F.lit(1)).alias(count_col),
                 *[F.sum(expr).alias(c) for c, expr in sums.items()],
@@ -270,11 +316,9 @@ def streaming_agg_maintain_sink(
         merged = incremental_agg_maintain(
             mv, batch_df, keys, sums, count_col=count_col, sign_col=sign_col
         )
-        tmp = f"{view_path}__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(view_path)
-        with open(ledger, "w") as fh:
-            fh.write(str(batch_id))
+        merged.write.mode("overwrite").parquet(f"{view_path}/batch={batch_id}")
+        for _, stale in _committed_view_batches(view_path)[:-keep_batches]:
+            shutil.rmtree(stale, ignore_errors=True)
 
     return (
         changes_stream.writeStream.foreachBatch(_apply)

@@ -62,76 +62,75 @@ from . import fold_profile_queries  # noqa: E402,F401
 
 
 # The driver's per-round CORRECTNESS check records only the FIRST 50
-# registry entries (dict order).  Round 1 spent that window on the
-# relational/scalar/join/agg families (all green in CORRECTNESS_r01);
-# promote one-or-more representatives of every remaining SURVEY §2
-# family — windows (W1-W5), semi-structured (X1-X3), text (X5), dedup
-# (X6), similarity (X4), streaming (T2-T4), multimodal, CDC, corpus,
-# quality, TPC-H — into the window so every family gets a driver-green
-# row.  Names not present in the registry are skipped (lets the list
-# reference queries added later in the round without import-order
-# coupling); everything else keeps its original import order.
+# registry entries (dict order).  Round 1 covered relational/scalar/
+# join/agg (CORRECTNESS_r01 green), round 2 covered windows/semi-
+# structured/text/dedup/ANN/streaming/multimodal/CDC/corpus/quality
+# (CORRECTNESS_r02 50/50 green).  Round 3 rotates onto the families
+# never sampled by either window: the remaining 20 TPC-H report
+# shapes, sketches/robust stats, skew/graph/retrieval plans
+# (q_skew_join, q_pagerank, q_semdedup, q_dsir_sample, q_bm25_topk,
+# q_hybrid_rrf), scalar-function breadth, the never-checked dedup/ANN
+# tiers, and the canonicalizer-fixed q_agg_approx_percentile.  Names
+# not present in the registry are skipped (lets the list reference
+# queries added later in the round without import-order coupling);
+# everything else keeps its original import order.
 _PRIORITY: tuple[str, ...] = (
-    "q_flagship",
-    # windows (SURVEY W1-W5 — the semantically hardest ports)
-    "q_win_running_sum",
-    # (q_win_running_reset shares W1 with q_win_running_sum — its slot
-    # goes to the round-2 MV-maintenance family instead)
-    "q_mv_maintain",
-    "q_win_ffill",
-    "q_win_marker_fill",
-    "q_win_rank",
-    "q_win_lag",
-    "q_win_ntile",
-    "q_data_recipe",
-    "q_win_percent_rank",
-    "q_win_ordinal",
-    "q_skyline",
-    "q_gaps_islands",
-    "q_scd2_intervals",
-    "q_funnel",
-    "q_cohort_retention",
-    # semi-structured (X1-X3)
-    "q_json_extract",
-    "q_array_ops",
-    "q_map_ops",
-    "q_hof_funcs",
-    "q_variant_extract",
-    # text analysis (X5)
-    "q_text_tokens",
-    "q_token_count",
-    "q_text_quality",
-    "q_lang_id",
-    "q_fingerprint",
-    # dedup (X6)
-    "q_dedup_exact",
-    "q_dedup_fingerprint",
-    "q_dedup_minhash",
-    "q_dedup_simhash_pairs",
-    "q_dedup_ngram_lsh",
-    "q_dedup_ngram_jaccard",
-    "q_winnow_fingerprint",
-    "q_dedup_cluster",
-    "q_dedup_embedding",
-    # similarity / ANN (X4)
-    "q_cosine_topk",
-    "q_ann_ivf",
-    "q_ann_lsh",
-    # streaming windows (T2-T4)
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_interval_join",
-    "q_resample_1h",
-    # multimodal / CDC / corpus / quality
-    "q_multimodal_meta",
-    "q_multimodal_chunks",
-    "q_cdc_upsert",
-    "q_cdc_changelog",
-    "q_corpus_pipeline",
-    "q_decontaminate",
-    # warehouse report shape
-    "q_tpch_q5",
+    # warehouse report shapes (TPC-H; q1/q5 already driver-green r1/r2)
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    # r1 harness crash, fixed (scalar quantile projection): rows-only
+    "q_agg_approx_percentile",
+    # skew / graph / corpus-scale plans the judge called out
+    "q_skew_join",
+    "q_pagerank",
+    "q_semdedup",
+    "q_dsir_sample",
+    "q_bm25_topk",
+    "q_hybrid_rrf",
+    # sketches / robust stats / profiling
+    "q_sketch_theta",
+    "q_heavy_hitters",
+    "q_agg_bitmap_distinct",
+    "q_agg_median",
+    "q_ewma",
+    "q_profile",
+    "q_agg_salted",
+    "q_rfm",
+    "q_sample_hash",
+    "q_table_checksum",
+    "q_zorder_key",
+    # scalar-function breadth
+    "q_date_funcs",
+    "q_str_funcs",
+    "q_num_funcs",
+    "q_try_funcs",
+    "q_collation",
+    # never-checked dedup / ANN tiers
+    "q_dedup_simhash",
+    "q_dedup_embedding_lsh",
+    "q_dedup_incremental",
+    "q_knn_join",
+    "q_knn_join_lsh",
+    "q_dedup_levenshtein",
+    "q_triangle_count",
 )
 
 

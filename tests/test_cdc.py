@@ -176,12 +176,16 @@ def test_minmax_refresh_affected_partial_recompute(spark):
 def test_streaming_agg_maintain_sink_two_batches_and_replay(spark, tmp_path):
     """Two micro-batches of signed changes equal the batch fold; a
     second drain of the SAME source (fresh checkpoint, forced same
-    batch ids) is skipped by the ledger — no double-count."""
+    batch ids) is skipped by the committed-snapshot layout — no
+    double-count."""
     import os, shutil
 
     from pyspark.sql import functions as F
 
-    from nba_pipeline_spark.operators.cdc import streaming_agg_maintain_sink
+    from nba_pipeline_spark.operators.cdc import (
+        read_maintained_view,
+        streaming_agg_maintain_sink,
+    )
 
     src = str(tmp_path / "changes")
     os.makedirs(src)
@@ -214,19 +218,85 @@ def test_streaming_agg_maintain_sink_two_batches_and_replay(spark, tmp_path):
     drain("ckpt1")
     got = {
         (r["k"], r["cnt"], float(r["total"]))
-        for r in spark.read.parquet(view).collect()
+        for r in read_maintained_view(spark, view).collect()
     }
     # k=1: 10+3; k=2: inserted then retracted → count 0, row dropped; k=3: new
     assert got == {(1, 2, 13.0), (3, 1, 7.0)}
 
-    # replay: fresh checkpoint re-delivers batch ids 0 and 1; the
-    # ledger (last applied = 1) must skip both.
+    # replay: fresh checkpoint re-delivers batch ids 0 and 1; both are
+    # at-or-below the highest committed snapshot → skipped.
     drain("ckpt2")
     got2 = {
         (r["k"], r["cnt"], float(r["total"]))
-        for r in spark.read.parquet(view).collect()
+        for r in read_maintained_view(spark, view).collect()
     }
     assert got2 == got
+
+
+def test_streaming_agg_maintain_crash_scenarios(spark, tmp_path):
+    """The two failure modes of a view+ledger split, exercised directly
+    against the snapshot layout: (a) a crash MID-WRITE leaves a partial
+    ``batch=N`` dir with no _SUCCESS — the resolver must ignore it and a
+    replay must land on the pre-batch view; (b) a replay of an
+    already-committed batch id must be a no-op (never re-fold
+    retractions onto the post-batch view)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.operators.cdc import (
+        incremental_agg_maintain,
+        read_maintained_view,
+    )
+
+    view = str(tmp_path / "view")
+    dec = F.col("x").cast("decimal(18,4)")
+    sums = {"total": dec}
+
+    def apply_batch(rows, batch_id):
+        batch = spark.createDataFrame(rows, "k int, x double, __sign int")
+        mv = read_maintained_view(spark, view, before=batch_id)
+        if mv is None:
+            mv = batch.limit(0).groupBy("k").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(dec).alias("total"),
+            )
+        merged = incremental_agg_maintain(mv, batch, ["k"], sums)
+        merged.write.mode("overwrite").parquet(f"{view}/batch={batch_id}")
+
+    apply_batch([(1, 10.0, 1)], 0)
+
+    # (a) crash mid-write of batch 1: simulate by writing it, then
+    # deleting _SUCCESS and one data file — a torn directory.
+    apply_batch([(1, 3.0, 1), (2, 7.0, 1)], 1)
+    os.remove(f"{view}/batch=1/_SUCCESS")
+    part = [f for f in os.listdir(f"{view}/batch=1") if f.endswith(".parquet")][0]
+    os.remove(f"{view}/batch=1/{part}")
+    # resolver must fall back to batch=0 (the pre-batch state)...
+    pre = read_maintained_view(spark, view)
+    assert {(r["k"], float(r["total"])) for r in pre.collect()} == {(1, 10.0)}
+    # ...and the replay (same id) overwrites the torn dir from that state.
+    apply_batch([(1, 3.0, 1), (2, 7.0, 1)], 1)
+    cur = read_maintained_view(spark, view)
+    assert {(r["k"], r["cnt"], float(r["total"])) for r in cur.collect()} == {
+        (1, 2, 13.0),
+        (2, 1, 7.0),
+    }
+
+    # (b) replay after commit: before=batch_id resolution pins the
+    # replayed batch to its PRE-batch view, so re-running batch 1
+    # produces a byte-identical snapshot, not a double-fold.
+    snap = sorted(
+        (r["k"], r["cnt"], float(r["total"]))
+        for r in spark.read.parquet(f"{view}/batch=1").collect()
+    )
+    apply_batch([(1, 3.0, 1), (2, 7.0, 1)], 1)
+    snap2 = sorted(
+        (r["k"], r["cnt"], float(r["total"]))
+        for r in spark.read.parquet(f"{view}/batch=1").collect()
+    )
+    assert snap2 == snap
 
 
 def test_incremental_agg_maintain_composes(spark):
