@@ -564,6 +564,8 @@ def embedding_lsh_neardup_pairs(
     dims: int,
     n_bits: int = 4,
     n_bands: int = 2,
+    max_bucket: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Tier 5b at corpus scale: sign-LSH banded bucket blocking.
 
@@ -582,6 +584,15 @@ def embedding_lsh_neardup_pairs(
 
     Norms are hoisted per-row; the bucketed frame is pinned so the
     projection doesn't re-evaluate per join side.
+
+    ``max_bucket`` (default None = exact replay) drops (band, bucket)
+    groups holding more than that many vectors before the pair join —
+    sign-LSH cannot pre-collapse byte-identical boilerplate the way
+    tier-1 text dedup can, so one degenerate cluster of m identical
+    embeddings is an O(m²·bands) join otherwise. Probe-side gate only
+    (pair-exact for an equi-join); drops observable via ``observation``
+    (``hot_buckets_dropped`` / ``docs_in_dropped_buckets``) or a named
+    observe.
     """
     from .similarity import hyperplane_bucket, hyperplane_planes
 
@@ -600,6 +611,24 @@ def embedding_lsh_neardup_pairs(
     bd = fan_out(e).select(
         F.col(id_col), "v", "nrm", F.posexplode(buckets).alias("band", "bucket")
     ).localCheckpoint(eager=False)
+    probe_side = bd
+    if max_bucket is not None:
+        counts = bd.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+        hot = F.col("__n") > max_bucket
+        metrics = (
+            F.coalesce(F.sum(F.when(hot, 1)), F.lit(0)).alias("hot_buckets_dropped"),
+            F.coalesce(F.sum(F.when(hot, F.col("__n"))), F.lit(0)).alias(
+                "docs_in_dropped_buckets"
+            ),
+        )
+        if observation is not None:
+            counts = counts.observe(observation, *metrics)
+        else:
+            counts = counts.observe("embedding_lsh_bucket_cap", *metrics)
+        probe_side = bd.join(
+            F.broadcast(counts.filter(~hot).select("band", "bucket")),
+            ["band", "bucket"],
+        )
     # Small-corpus fast path (same trap as semdedup_pairs): the SMJ on
     # (band, bucket) shuffles a tiny frame that AQE byte-coalesces to
     # ONE partition, serializing every pair dot on one core. Broadcast
@@ -609,10 +638,10 @@ def embedding_lsh_neardup_pairs(
     from .partitioning import plan_size_bytes
 
     if plan_size_bytes(df) <= (64 << 20):
-        probe = bd.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        probe = probe_side.repartition(df.sparkSession.sparkContext.defaultParallelism)
         a, b = probe.alias("a"), F.broadcast(bd).alias("b")
     else:
-        a, b = bd.alias("a"), bd.alias("b")
+        a, b = probe_side.alias("a"), bd.alias("b")
     cond = (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bucket") == F.col("b.bucket"))
@@ -648,6 +677,8 @@ def embedding_neardup_pairs(
     threshold: float,
     dims: int | None = None,
     broadcast_build: bool = False,
+    max_block: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Tier 5b: cosine near-duplicates within blocks (label / IVF cell).
 
@@ -665,13 +696,40 @@ def embedding_neardup_pairs(
     shuffle. Leave False when the corpus doesn't fit an executor; the
     blocked SMJ is the 100 TB path (parallelism = #blocks, which is
     large at scale).
+
+    ``max_block`` is the hot-block cap (see ``semdedup_pairs``): blocks
+    holding more than `max_block` rows — one degenerate IVF cell /
+    label of m boilerplate embeddings is an O(m²) self-join — are
+    dropped before the pair join via a tiny per-block count that gates
+    the probe side only (pair-exact for an equi-join). Drops are
+    observable (``hot_blocks_dropped`` / ``docs_in_dropped_blocks``
+    via ``observation`` or a named observe). Default None: exact
+    replay, the registered oracles' contract.
     """
     # Norms are per-ROW quantities: materialize them before the pair
     # join so each is computed n times, not n² times per pair.
     docs = df.select(
         F.col(id_col), *block_cols, to_double_array(F.col(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
-    probe = fan_out(docs) if broadcast_build else docs
+    if max_block is not None:
+        counts = docs.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__n"))
+        hot = F.col("__n") > max_block
+        metrics = (
+            F.coalesce(F.sum(F.when(hot, 1)), F.lit(0)).alias("hot_blocks_dropped"),
+            F.coalesce(F.sum(F.when(hot, F.col("__n"))), F.lit(0)).alias(
+                "docs_in_dropped_blocks"
+            ),
+        )
+        if observation is not None:
+            counts = counts.observe(observation, *metrics)
+        else:
+            counts = counts.observe("embedding_block_cap", *metrics)
+        docs_gated = docs.join(
+            F.broadcast(counts.filter(~hot).select(*block_cols)), list(block_cols)
+        )
+    else:
+        docs_gated = docs
+    probe = fan_out(docs_gated) if broadcast_build else docs_gated
     a = probe.alias("a")
     b = (F.broadcast(docs) if broadcast_build else docs).alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -703,6 +761,9 @@ def semdedup_pairs(
     threshold: float,
     dims: int | None = None,
     broadcast_build: bool | None = None,
+    max_cell: int | None = 1000,
+    observation=None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Tier 5c: SemDeDup — semantic dedup via k-means cluster blocking
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -724,17 +785,34 @@ def semdedup_pairs(
     cells stay O(10³) rows — the paper runs 50k clusters over 8B docs.
     At 100 TB the cell id becomes a partitionBy axis (assignment is
     incremental per ingest batch) and the per-cell join is partition-
-    local; a hot-cell cap (same F.size guard as `minhash_lsh_pairs`)
-    bounds degenerate clusters.
+    local.
+
+    Hot-cell cap (the minhash_lsh_pairs guard, cell-shaped): one
+    degenerate cluster of m boilerplate embeddings is an O(m²) per-cell
+    self-join — the same blowup class as a hot LSH bucket. Cells whose
+    population exceeds ``max_cell`` are dropped BEFORE the pair join:
+    a tiny groupBy(cid) count (O(cells) rows) anti-gates the PROBE side
+    only — an equi-join can't emit a pair from a cell absent on one
+    side, so single-side filtering is pair-exact while keeping the
+    metrics node out of the self-join's doubled subtree. Drops are
+    observable: pass a ``pyspark.sql.Observation`` (metrics
+    ``hot_cells_dropped`` / ``docs_in_dropped_cells``); a named observe
+    is attached otherwise. ``max_cell=None`` disables the cap
+    (oracle-exact replay); a capped run's oracle replays the same
+    HAVING count(*) <= max_cell gate.
     """
     from .similarity import assign_cells
 
     e = df.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
-    centroids = (
-        e.orderBy(id_col)
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
-    )
+    if centroids is None:
+        # deterministic replayable 'training': first n_cells vectors by
+        # id; pass `centroids` (cid, cv — e.g. similarity.kmeans_centroids)
+        # for trained cells
+        centroids = (
+            e.orderBy(id_col)
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+        )
     assigned = assign_cells(e, centroids, id_col)
     # similarity-to-own-centroid, rounded: the keep-policy ranking must
     # be engine-portable, so the tie axis is (round(csim,6), id)
@@ -752,6 +830,21 @@ def semdedup_pairs(
         .select(id_col, "cid", "v", "nrm", "csim")
         .localCheckpoint(eager=False)  # both join sides reference it
     )
+    probe_gate = None
+    if max_cell is not None:
+        counts = with_csim.groupBy("cid").agg(F.count(F.lit(1)).alias("__n"))
+        hot = F.col("__n") > max_cell
+        metrics = (
+            F.coalesce(F.sum(F.when(hot, 1)), F.lit(0)).alias("hot_cells_dropped"),
+            F.coalesce(F.sum(F.when(hot, F.col("__n"))), F.lit(0)).alias(
+                "docs_in_dropped_cells"
+            ),
+        )
+        if observation is not None:
+            counts = counts.observe(observation, *metrics)
+        else:
+            counts = counts.observe("semdedup_cell_cap", *metrics)
+        probe_gate = F.broadcast(counts.filter(~hot).select("cid"))
     # Same small-corpus fast path as embedding_neardup_pairs: the pinned
     # frame coalesces to O(1) partitions at bench scale, and an SMJ on
     # n_cells keys then scores every pair on as many cores as CELLS.
@@ -762,18 +855,19 @@ def semdedup_pairs(
         from .partitioning import plan_size_bytes
 
         broadcast_build = plan_size_bytes(df) <= (64 << 20)
+    kept = with_csim if probe_gate is None else with_csim.join(probe_gate, "cid")
     if broadcast_build:
         # Explicit repartition, not fan_out: the lazy checkpoint's plan
         # still claims its pre-AQE width, but AQE coalesces the tiny
         # agg output to ONE partition at runtime — fan_out's estimate
         # can't see that, and an unfanned probe scores every pair on a
         # single core (measured 4.5 s -> 1.7 s at sf0.1).
-        probe = with_csim.repartition(
+        probe = kept.repartition(
             df.sparkSession.sparkContext.defaultParallelism
         )
         a, b = probe.alias("a"), F.broadcast(with_csim).alias("b")
     else:
-        a, b = with_csim.alias("a"), with_csim.alias("b")
+        a, b = kept.alias("a"), with_csim.alias("b")
     cond = (F.col("a.cid") == F.col("b.cid")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
@@ -805,6 +899,9 @@ def semdedup_drop_list(
     threshold: float,
     dims: int | None = None,
     broadcast_build: bool | None = None,
+    max_cell: int | None = 1000,
+    observation=None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup keep policy over `semdedup_pairs`: in every duplicate
     pair, drop the side SITTING CLOSER to the cluster centroid (higher
@@ -815,7 +912,10 @@ def semdedup_drop_list(
     Output: DISTINCT (cell, drop_id) — one shuffle over the (already
     near-dup-sized) pair set. A doc in many pairs is dropped once.
     """
-    pairs = semdedup_pairs(df, vec_col, id_col, n_cells, threshold, dims, broadcast_build)
+    pairs = semdedup_pairs(
+        df, vec_col, id_col, n_cells, threshold, dims, broadcast_build,
+        max_cell=max_cell, observation=observation, centroids=centroids,
+    )
     drop = F.when(
         (F.col("csim_a") > F.col("csim_b"))
         | ((F.col("csim_a") == F.col("csim_b")) & (F.col("id_a") > F.col("id_b"))),

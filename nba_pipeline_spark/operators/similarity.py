@@ -39,20 +39,12 @@ from pyspark.sql.window import Window
 from ..functions.vectors import cosine, l2_distance, to_double_array
 
 
-def kmeans_cells(
+def _kmeans_centroid_lists(
     emb: DataFrame, id_col: str, vec_col: str, k: int, iterations: int = 5
-) -> DataFrame:
-    """Mini k-means for IVF cell training — the iterative-algorithm class
-    the reference lacks, as a pure DataFrame loop.
-
-    Each iteration: embed the k centroids as literal expressions
-    (narrow argmin map — no broadcast, no shuffle), assign every vector
-    to its nearest by rounded L2 (engine-deterministic argmin),
-    recompute centroids as per-cell means (one partial+final agg).
-    Driver holds only the k centroids between iterations — the corpus
-    never leaves the cluster, so the loop is O(iterations) scans at any
-    scale. Init: first k vectors by id (deterministic; replayable).
-    """
+) -> list[list[float]]:
+    """Lloyd-iteration core shared by `kmeans_cells` (assignment output)
+    and `kmeans_centroids` (centroid-frame output). Driver holds only
+    the k centroid lists between iterations."""
     e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
     # first k by id ORDER, not id < k: ids need not be 0-based/contiguous
     centroids = [
@@ -77,8 +69,42 @@ def kmeans_cells(
         by_cid = {int(r["cid"]): [float(x) for x in r["m"]] for r in new_rows}
         # empty cells keep their previous centroid
         centroids = [by_cid.get(cid, centroids[cid]) for cid in range(k)]
+    return centroids
+
+
+def kmeans_cells(
+    emb: DataFrame, id_col: str, vec_col: str, k: int, iterations: int = 5
+) -> DataFrame:
+    """Mini k-means for IVF cell training — the iterative-algorithm class
+    the reference lacks, as a pure DataFrame loop.
+
+    Each iteration: embed the k centroids as literal expressions
+    (narrow argmin map — no broadcast, no shuffle), assign every vector
+    to its nearest by rounded L2 (engine-deterministic argmin),
+    recompute centroids as per-cell means (one partial+final agg).
+    Driver holds only the k centroids between iterations — the corpus
+    never leaves the cluster, so the loop is O(iterations) scans at any
+    scale. Init: first k vectors by id (deterministic; replayable).
+    """
+    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    centroids = _kmeans_centroid_lists(emb, id_col, vec_col, k, iterations)
     return _assign_cells_literal(e, id_col, list(enumerate(centroids))).select(
         id_col, F.col("cid").alias("cell")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame, id_col: str, vec_col: str, k: int, iterations: int = 5
+) -> DataFrame:
+    """Trained centroids as a (cid, cv) frame — the IVF/SemDeDup
+    'training' artifact. k rows, built from the driver-held lists (the
+    frame a production run would persist next to the cell layout and
+    feed to `assign_cells` / `semdedup_pairs(centroids=...)` on every
+    ingest batch without retraining)."""
+    centroids = _kmeans_centroid_lists(emb, id_col, vec_col, k, iterations)
+    return emb.sparkSession.createDataFrame(
+        [(cid, cv) for cid, cv in enumerate(centroids)],
+        "cid int, cv array<double>",
     )
 
 
@@ -148,7 +174,18 @@ def _assign_cells_literal(
     cells = sorted(cells, key=lambda c: int(c[0]))
 
     def arr_sql(vals) -> str:
-        return "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+        # repr(nan/inf) renders 'nanD'/'infD', which fails SQL parsing
+        # with an opaque analysis error — fail loudly instead (a NaN
+        # vector poisoning a k-means cell mean is the realistic source)
+        import math
+
+        vals = [float(x) for x in vals]
+        if not all(math.isfinite(x) for x in vals):
+            raise ValueError(
+                "assign_cells: non-finite centroid component (NaN/Inf "
+                "vector data poisoned a centroid?)"
+            )
+        return "array(" + ",".join(repr(x) + "D" for x in vals) + ")"
 
     dist_sqls = [
         "round(sqrt(aggregate(zip_with(v, " + arr_sql(cv) + ", "
@@ -174,7 +211,12 @@ def hyperplane_planes(n_bits: int, dims: int) -> list[list[float]]:
 
 
 def _plane_sql(vals: list[float]) -> str:
-    return "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+    import math
+
+    vals = [float(x) for x in vals]
+    if not all(math.isfinite(x) for x in vals):  # 'nanD' fails SQL parsing
+        raise ValueError("hyperplane literal has a non-finite component")
+    return "array(" + ",".join(repr(x) + "D" for x in vals) + ")"
 
 
 def _dot_literal_sql(col_name: str, plane: list[float]) -> str:

@@ -422,7 +422,7 @@ register("q_dedup_embedding_lsh", q_dedup_embedding_lsh, _emb_lsh_oracle())
 
 # --- tier 5c: SemDeDup (k-means cluster blocking, arXiv:2303.09540) -----------
 
-SEMDEDUP_CELLS, SEMDEDUP_THRESHOLD = 8, 0.3
+SEMDEDUP_CELLS, SEMDEDUP_THRESHOLD, SEMDEDUP_MAX_CELL = 8, 0.3, 1000
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,12 +430,16 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep policy (drop the side closer to its centroid; ties on larger
     id). Assignment is a broadcast over SEMDEDUP_CELLS centroid
     literals; the pair join shuffles once on the cell id — quadratic
-    work is per-cell only (operators/dedup.py::semdedup_pairs)."""
+    work is per-cell only, and cells over SEMDEDUP_MAX_CELL rows (a
+    degenerate boilerplate cluster would be an O(m²) cell self-join)
+    are dropped before the pair join; the oracle replays the cap
+    (operators/dedup.py::semdedup_pairs)."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return OD.semdedup_drop_list(
         emb, "embedding", "vec_id",
         n_cells=SEMDEDUP_CELLS, threshold=SEMDEDUP_THRESHOLD, dims=64,
+        max_cell=SEMDEDUP_MAX_CELL,
     )
 
 
@@ -455,17 +459,45 @@ register(
       SELECT vec_id, v, cid,
              ROUND(list_cosine_similarity(v, cv), 6) AS csim
       FROM asg WHERE rn = 1),
+    ok AS (SELECT cid FROM cells GROUP BY cid HAVING COUNT(*) <= {SEMDEDUP_MAX_CELL}),
     pairs AS (
       SELECT a.cid AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
              a.csim AS ca, b.csim AS cb,
              ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
-      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+      FROM cells a JOIN ok ON a.cid = ok.cid
+      JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id)
     SELECT DISTINCT cell,
            CASE WHEN ca > cb OR (ca = cb AND id_a > id_b)
                 THEN id_a ELSE id_b END AS drop_id
     FROM pairs WHERE sim >= {SEMDEDUP_THRESHOLD}
     """,
 )
+
+
+def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-centroid SemDeDup end-to-end: `kmeans_centroids` (Lloyd
+    iterations, k centroids held driver-side, one scan per iteration)
+    feeds `semdedup_drop_list` through its `centroids` parameter — the
+    production shape where the cell layout is trained once and every
+    ingest batch assigns against the persisted centroid frame. Rows-only
+    (k-means training is engine-specific); pair-set parity with the
+    first-k-centroid variant on seeded clusters is pinned in
+    tests/test_dedup_similarity.py."""
+    tune(spark)
+    from nba_pipeline_spark.operators.similarity import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(
+        emb, "vec_id", "embedding", k=SEMDEDUP_CELLS, iterations=3
+    )
+    return OD.semdedup_drop_list(
+        emb, "embedding", "vec_id",
+        n_cells=SEMDEDUP_CELLS, threshold=SEMDEDUP_THRESHOLD, dims=64,
+        max_cell=SEMDEDUP_MAX_CELL, centroids=cents,
+    )
+
+
+register("q_semdedup_trained", q_semdedup_trained, None)
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -383,3 +383,120 @@ def test_pagerank_star_graph_and_mass_conservation(spark):
     # deterministic across reruns (fixed-point arithmetic contract)
     again = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
     assert got == again
+
+
+def test_semdedup_hot_cell_cap_bounds_boilerplate(spark):
+    """One m-embedding degenerate cluster must NOT emit an O(m²)
+    per-cell self-join: with max_cell set, the cell is dropped before
+    the pair join and the drop is observable (VERDICT r2 #1 — the same
+    blowup class minhash_lsh_pairs caps for text)."""
+    from pyspark.sql import Observation
+
+    from nba_pipeline_spark.operators.dedup import semdedup_pairs
+
+    dims, m = 8, 40
+    c0 = [1.0] + [0.0] * (dims - 1)   # centroid 0 (vec_id 0)
+    c1 = [0.0, 1.0] + [0.0] * (dims - 2)  # centroid 1 (vec_id 1)
+    rows = [(0, c0), (1, c1)]
+    # degenerate boilerplate cluster: m identical vectors in cell 0
+    rows += [(100 + i, [0.9, 0.1] + [0.0] * (dims - 2)) for i in range(m)]
+    # legit small near-dup pair in cell 1 that must SURVIVE the cap
+    rows += [(500, [0.05, 0.95] + [0.0] * (dims - 2)),
+             (501, [0.06, 0.94] + [0.0] * (dims - 2))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    obs = Observation("hot_cell_cap")
+    pairs = semdedup_pairs(
+        emb, "embedding", "vec_id", n_cells=2, threshold=0.5,
+        max_cell=10, observation=obs,
+    ).collect()
+    metrics = obs.get
+    assert metrics["hot_cells_dropped"] >= 1
+    assert metrics["docs_in_dropped_cells"] >= m
+    # no pair from the capped cell; the legit cell-1 pairs survive
+    assert pairs and all(r["id_a"] >= 1 and r["id_b"] >= 1 for r in pairs)
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(500, 501)}
+    # uncapped control: the same corpus explodes into >= m*(m-1)/2 pairs
+    uncapped = semdedup_pairs(
+        emb, "embedding", "vec_id", n_cells=2, threshold=0.5, max_cell=None
+    ).count()
+    assert uncapped >= m * (m - 1) // 2
+
+
+def test_embedding_block_cap_bounds_hot_block(spark):
+    """Same guard on the metadata/IVF-cell blocked tier: a hot block is
+    dropped probe-side before the pair join, small blocks survive."""
+    from pyspark.sql import Observation
+
+    from nba_pipeline_spark.operators.dedup import embedding_neardup_pairs
+
+    dims, m = 8, 30
+    rows = [(100 + i, "hot", [0.9, 0.1] + [0.0] * (dims - 2)) for i in range(m)]
+    rows += [(500, "ok", [0.05, 0.95] + [0.0] * (dims - 2)),
+             (501, "ok", [0.06, 0.94] + [0.0] * (dims - 2))]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+
+    obs = Observation("hot_block_cap")
+    pairs = embedding_neardup_pairs(
+        emb, "embedding", "vec_id", ["label"], threshold=0.5,
+        max_block=10, observation=obs,
+    ).collect()
+    metrics = obs.get
+    assert metrics["hot_blocks_dropped"] == 1
+    assert metrics["docs_in_dropped_blocks"] == m
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(500, 501)}
+    uncapped = embedding_neardup_pairs(
+        emb, "embedding", "vec_id", ["label"], threshold=0.5
+    ).count()
+    assert uncapped >= m * (m - 1) // 2
+
+
+def test_semdedup_trained_centroids_parity_on_seeded_clusters(spark):
+    """Trained-centroid SemDeDup (kmeans_centroids → semdedup_pairs)
+    must produce the SAME pair set as the first-k variant when the
+    first k vectors already sit at the true cluster centers (Lloyd
+    iterations then leave assignments unchanged)."""
+    from nba_pipeline_spark.operators.dedup import semdedup_pairs
+    from nba_pipeline_spark.operators.similarity import kmeans_centroids
+
+    dims = 8
+    c0 = [1.0] + [0.0] * (dims - 1)
+    c1 = [0.0, 1.0] + [0.0] * (dims - 2)
+    rows = [(0, c0), (1, c1)]
+    # tight, symmetric clusters around each seed (mean stays on-center
+    # in the non-perturbed dims; k-means converges to ~the same cells)
+    rows += [(10, [0.98, 0.02] + [0.0] * (dims - 2)),
+             (11, [0.98, -0.02] + [0.0] * (dims - 2)),
+             (20, [0.02, 0.98] + [0.0] * (dims - 2)),
+             (21, [-0.02, 0.98] + [0.0] * (dims - 2))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairset(centroids=None):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in semdedup_pairs(
+                emb, "embedding", "vec_id", n_cells=2, threshold=0.8,
+                centroids=centroids,
+            ).collect()
+        }
+
+    trained = kmeans_centroids(emb, "vec_id", "embedding", k=2, iterations=3)
+    assert pairset(trained) == pairset(None)
+    assert pairset(None)  # non-vacuous: the clusters do pair
+
+
+def test_assign_cells_rejects_non_finite_centroid(spark):
+    """A NaN-poisoned centroid must raise a clear ValueError, not an
+    opaque SQL analysis error from a 'nanD' literal (ADVICE r2)."""
+    import pytest
+
+    from nba_pipeline_spark.operators.similarity import assign_cells
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, v array<double>"
+    )
+    bad = spark.createDataFrame(
+        [(0, [float("nan"), 0.5])], "cid int, cv array<double>"
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        assign_cells(emb, bad, "vec_id")

@@ -89,9 +89,27 @@ LINEITEM = [
 def main() -> None:
     shutil.rmtree(DEST, ignore_errors=True)
     os.makedirs(DEST)
-    for t in ["region", "nation", "supplier", "part", "embeddings"]:
+    for t in ["region", "nation", "supplier", "part"]:
         os.symlink(f"{BASE}/{t}.parquet", f"{DEST}/{t}.parquet")
     con = duckdb.connect()
+    # Embedding boilerplate storm: base vectors + 1200 byte-identical
+    # embeddings (one SemDeDup cell / one sign-LSH bucket holding 1200
+    # ids — ABOVE the semdedup hot-cell cap of 1000). Labels spread
+    # 0..9 so the label-BLOCKED tier isn't quadratic-swamped; the
+    # degenerate mass hits exactly the cell/bucket tiers, exercising
+    # the cap's drop path and its oracle replay on both engines.
+    con.execute(
+        f"""
+        CREATE TABLE emb AS
+        SELECT * FROM '{BASE}/embeddings.parquet'
+        UNION ALL
+        SELECT 10000 + i AS vec_id,
+               CAST([0.5 FOR _ IN RANGE(64)] AS FLOAT[]) AS embedding,
+               CAST(i % 10 AS INTEGER) AS label
+        FROM RANGE(1200) t(i)
+        """
+    )
+    con.execute(f"COPY emb TO '{DEST}/embeddings.parquet' (FORMAT PARQUET)")
     con.execute(
         "CREATE TABLE c (c_custkey BIGINT, c_name VARCHAR, c_nationkey INTEGER, "
         "c_acctbal DOUBLE, c_mktsegment VARCHAR)"
