@@ -226,25 +226,41 @@ def minmax_refresh_affected(
     return untouched.unionByName(refreshed)
 
 
-def _committed_view_batches(view_path: str) -> list[tuple[int, str]]:
+def _view_fs(spark: SparkSession, view_path: str):
+    """(Hadoop FileSystem, Path) for `view_path`, resolved through the
+    session's Hadoop conf so ``file:``, ``hdfs:`` and ``s3a:`` URIs all
+    work — a driver-local ``os.listdir`` would silently see nothing on
+    an object store and break the replay skip-guard."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(view_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _committed_view_batches(
+    spark: SparkSession, view_path: str
+) -> list[tuple[int, str]]:
     """``batch=<id>`` snapshot dirs under `view_path` whose write fully
     committed (Spark's ``_SUCCESS`` marker present), sorted by id.
-    Partial dirs from a crashed write have no marker and are invisible."""
-    import os
+    Partial dirs from a crashed write have no marker and are invisible.
 
-    if not os.path.isdir(view_path):
+    Listed via the Hadoop FileSystem API so the commit protocol holds on
+    any URI scheme the cluster can write, not just driver-local disk."""
+    fs, jpath = _view_fs(spark, view_path)
+    if not fs.exists(jpath):
         return []
+    jvm = spark._jvm
     out: list[tuple[int, str]] = []
-    for d in os.listdir(view_path):
-        if not d.startswith("batch="):
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not name.startswith("batch="):
             continue
         try:
-            i = int(d.split("=", 1)[1])
+            i = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        full = os.path.join(view_path, d)
-        if os.path.exists(os.path.join(full, "_SUCCESS")):
-            out.append((i, full))
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            out.append((i, st.getPath().toString()))
     return sorted(out)
 
 
@@ -255,7 +271,7 @@ def read_maintained_view(
     ``batch=<id>`` snapshot (optionally restricted to ids `< before`,
     which is how a replayed batch sees exactly its pre-batch state).
     Returns None when no snapshot has committed yet."""
-    dirs = _committed_view_batches(view_path)
+    dirs = _committed_view_batches(spark, view_path)
     if before is not None:
         dirs = [x for x in dirs if x[0] < before]
     if not dirs:
@@ -299,12 +315,9 @@ def streaming_agg_maintain_sink(
     is an aggregate (one row per group), so a snapshot is O(groups),
     not O(changelog).
     """
-    import os
-    import shutil
-
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        committed = _committed_view_batches(view_path)
+        committed = _committed_view_batches(spark, view_path)
         if committed and committed[-1][0] >= batch_id:
             return  # replay of a batch already folded into the view
         mv = read_maintained_view(spark, view_path, before=batch_id)
@@ -317,8 +330,20 @@ def streaming_agg_maintain_sink(
             mv, batch_df, keys, sums, count_col=count_col, sign_col=sign_col
         )
         merged.write.mode("overwrite").parquet(f"{view_path}/batch={batch_id}")
-        for _, stale in _committed_view_batches(view_path)[:-keep_batches]:
-            shutil.rmtree(stale, ignore_errors=True)
+        after = _committed_view_batches(spark, view_path)
+        if not any(i == batch_id for i, _ in after):
+            # e.g. mapreduce.fileoutputcommitter.marksuccessfuljobs=false:
+            # the skip-guard would never fire and every replay would
+            # rebuild from the pre-batch view — fail loudly instead.
+            raise RuntimeError(
+                f"view snapshot batch={batch_id} wrote but is not visible "
+                f"as committed under {view_path}; the maintenance sink "
+                "requires _SUCCESS markers (marksuccessfuljobs=true)"
+            )
+        fs, _ = _view_fs(spark, view_path)
+        jvm = spark._jvm
+        for _, stale in after[:-keep_batches]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(stale), True)
 
     return (
         changes_stream.writeStream.foreachBatch(_apply)

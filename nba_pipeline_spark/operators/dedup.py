@@ -591,8 +591,9 @@ def embedding_lsh_neardup_pairs(
     tier-1 text dedup can, so one degenerate cluster of m identical
     embeddings is an O(m²·bands) join otherwise. Probe-side gate only
     (pair-exact for an equi-join); drops observable via ``observation``
-    (``hot_buckets_dropped`` / ``docs_in_dropped_buckets``) or a named
-    observe.
+    (``hot_buckets_dropped`` / ``bucket_rows_dropped`` — the latter
+    counts exploded (doc, band) rows, NOT distinct docs: a 30-doc hot
+    cluster hit over 2 bands reports 60) or a named observe.
     """
     from .similarity import hyperplane_bucket, hyperplane_planes
 
@@ -617,8 +618,10 @@ def embedding_lsh_neardup_pairs(
         hot = F.col("__n") > max_bucket
         metrics = (
             F.coalesce(F.sum(F.when(hot, 1)), F.lit(0)).alias("hot_buckets_dropped"),
+            # exploded (doc, band) rows — a doc in k hot bands counts k
+            # times; named accordingly (was docs_in_dropped_buckets)
             F.coalesce(F.sum(F.when(hot, F.col("__n"))), F.lit(0)).alias(
-                "docs_in_dropped_buckets"
+                "bucket_rows_dropped"
             ),
         )
         if observation is not None:
@@ -761,7 +764,7 @@ def semdedup_pairs(
     threshold: float,
     dims: int | None = None,
     broadcast_build: bool | None = None,
-    max_cell: int | None = 1000,
+    max_cell: int | None = None,
     observation=None,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
@@ -797,9 +800,12 @@ def semdedup_pairs(
     metrics node out of the self-join's doubled subtree. Drops are
     observable: pass a ``pyspark.sql.Observation`` (metrics
     ``hot_cells_dropped`` / ``docs_in_dropped_cells``); a named observe
-    is attached otherwise. ``max_cell=None`` disables the cap
-    (oracle-exact replay); a capped run's oracle replays the same
-    HAVING count(*) <= max_cell gate.
+    is attached otherwise. Default ``max_cell=None`` — no cap, exact
+    replay: the same contract as the sibling tiers' ``max_block`` /
+    ``max_bucket`` (an un-opted-in caller must never silently lose
+    pairs from >N-row cells). Production callers and the registered
+    q_semdedup pass an explicit cap; a capped run's oracle replays the
+    same HAVING count(*) <= max_cell gate.
     """
     from .similarity import assign_cells
 
@@ -899,7 +905,7 @@ def semdedup_drop_list(
     threshold: float,
     dims: int | None = None,
     broadcast_build: bool | None = None,
-    max_cell: int | None = 1000,
+    max_cell: int | None = None,
     observation=None,
     centroids: DataFrame | None = None,
 ) -> DataFrame:

@@ -450,11 +450,15 @@ register(
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SEMDEDUP_CELLS}),
     asg AS (
+      -- v IS NOT NULL mirrors Spark's inner join on cid: unassignable
+      -- (NULL-vector) rows get cid NULL there and never reach a cell,
+      -- while NULLS FIRST here would lump them into the lowest cid and
+      -- could flip a cell across the max_cell cap.
       SELECT vec_id, v, cid, cv,
              ROW_NUMBER() OVER (PARTITION BY vec_id
                                 ORDER BY ROUND(list_distance(v, cv), 6) ASC NULLS FIRST,
                                          cid ASC NULLS FIRST) AS rn
-      FROM e CROSS JOIN c),
+      FROM e CROSS JOIN c WHERE v IS NOT NULL),
     cells AS (
       SELECT vec_id, v, cid,
              ROUND(list_cosine_similarity(v, cv), 6) AS csim

@@ -186,9 +186,12 @@ register(
     q_table_checksum,
     """
     SELECT c_nationkey,
-           SUM(CAST(('0x' || substr(md5(concat_ws('|', CAST(c_custkey AS VARCHAR),
+           -- outer CAST: DuckDB SUM(BIGINT) returns HUGEINT, which pandas
+           -- fetches as float64 — cast back so the oracle frame is int64
+           -- like Spark's LongType (values fit: 25k rows x 2^32 < 2^63).
+           CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|', CAST(c_custkey AS VARCHAR),
                                                   c_name, c_mktsegment)), 1, 8))
-                    AS BIGINT)) AS checksum,
+                    AS BIGINT)) AS BIGINT) AS checksum,
            COUNT(*) AS n_rows
     FROM customer
     GROUP BY c_nationkey

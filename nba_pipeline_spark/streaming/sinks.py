@@ -77,7 +77,7 @@ def dedup_ingest_sink(
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        import os
+        from ..operators.cdc import _view_fs
 
         spark = batch_df.sparkSession
         b = gate(batch_df) if gate is not None else batch_df
@@ -88,11 +88,23 @@ def dedup_ingest_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        prior = [
-            f"{seen_path}/{d}"
-            for d in sorted(os.listdir(seen_path)) if os.path.isdir(f"{seen_path}/{d}")
-            and d.startswith("batch=") and int(d.split("=")[1]) < batch_id
-        ] if os.path.isdir(seen_path) else []
+        # Hadoop FS listing, not os.listdir: seen_path may be an object
+        # store / HDFS URI; a driver-local listing would see nothing and
+        # silently stop deduplicating across batches.
+        fs, jpath = _view_fs(spark, seen_path)
+        prior = []
+        if fs.exists(jpath):
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                if not name.startswith("batch="):
+                    continue
+                try:
+                    i = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if i < batch_id:
+                    prior.append(st.getPath().toString())
+        prior.sort()
         if prior:
             seen = spark.read.parquet(*prior)
             accepted = firsts.join(seen, "__h", "left_anti")

@@ -451,6 +451,41 @@ def test_embedding_block_cap_bounds_hot_block(spark):
     assert uncapped >= m * (m - 1) // 2
 
 
+def test_embedding_lsh_bucket_cap_bounds_hot_cluster(spark):
+    """max_bucket on the banded sign-LSH tier: a degenerate cluster of m
+    identical embeddings (m² pairs per band otherwise) is dropped before
+    the pair join; a distant legit near-dup pair survives. The row
+    metric counts exploded (doc, band) rows — m docs hot in all n_bands
+    bands report m*n_bands, by contract."""
+    from pyspark.sql import Observation
+
+    from nba_pipeline_spark.operators.dedup import embedding_lsh_neardup_pairs
+
+    dims, m, n_bands = 8, 30, 2
+    rows = [(100 + i, [0.9, 0.1] + [0.0] * (dims - 2)) for i in range(m)]
+    rows += [(500, [-0.95, -0.05] + [0.0] * (dims - 2)),
+             (501, [-0.94, -0.06] + [0.0] * (dims - 2))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    obs = Observation("hot_lsh_bucket_cap")
+    pairs = embedding_lsh_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.5, dims=dims,
+        n_bits=4, n_bands=n_bands, max_bucket=10, observation=obs,
+    ).collect()
+    metrics = obs.get
+    assert metrics["hot_buckets_dropped"] >= 1
+    # identical vectors share a bucket in EVERY band: m rows per band
+    assert metrics["bucket_rows_dropped"] >= m * n_bands
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got and all(a >= 500 for a, _ in got)
+    assert (500, 501) in got
+    uncapped = embedding_lsh_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.5, dims=dims,
+        n_bits=4, n_bands=n_bands,
+    ).count()
+    assert uncapped >= m * (m - 1) // 2
+
+
 def test_semdedup_trained_centroids_parity_on_seeded_clusters(spark):
     """Trained-centroid SemDeDup (kmeans_centroids → semdedup_pairs)
     must produce the SAME pair set as the first-k variant when the

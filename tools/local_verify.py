@@ -53,6 +53,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv):
+            # int64-vs-float64 column: values may compare equal as floats,
+            # but the driver hashes the rendered frame ('42' vs '42.0') —
+            # always a hash mismatch. Seen live: q_table_checksum r3 (DuckDB
+            # SUM(BIGINT) -> HUGEINT -> float64 vs Spark long).
+            problems.append(
+                f"col {c}: dtype mismatch spark={av.dtype} duck={bv.dtype} — HASH RISK"
+            )
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             avf = av.astype(float).to_numpy()
             bvf = bv.astype(float).to_numpy()
