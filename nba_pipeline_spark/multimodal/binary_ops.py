@@ -59,9 +59,23 @@ def attach_binary(df: DataFrame, text_col: str, modality: str = "image") -> Data
     return df.withColumn("content", content).withColumn("meta", meta)
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Real decode entry point. In production: PIL.Image.open(BytesIO(payload))."""
-    raise NotImplementedError("image codec not available in this environment")
+try:  # import-guarded: the container has no image codec
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - exercised only where PIL exists
+    _PILImage = None
+
+
+def decode_image(payload: bytes):
+    """Real decode entry point: PIL-backed when Pillow is installed
+    (returns (width, height, mode)), NotImplementedError otherwise —
+    callers on the hot path use `fake_decode_meta` in this container
+    and swap this in where the codec exists."""
+    if _PILImage is None:  # pragma: no cover - stub branch by design
+        raise NotImplementedError("image codec not available in this environment")
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:  # pragma: no cover
+        return im.width, im.height, im.mode
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int, int]:

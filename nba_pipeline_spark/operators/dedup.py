@@ -241,6 +241,53 @@ def minhash_lsh_pairs_incremental(
         fan_out(df.withColumn("__new", flag)), text_col, id_col, n_hashes,
         carry_cols=["__new"],
     ).localCheckpoint(eager=False)
+    return _mixed_bucket_pairs(sigs, id_col, n_hashes, band_rows, max_bucket)
+
+
+def minhash_lsh_pairs_from_signatures(
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    old_sigs: DataFrame,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Tier 3 incremental ingest against a PERSISTED signature table —
+    the storage contract ``minhash_lsh_pairs_incremental`` documents,
+    made literal: the settled corpus arrives as `old_sigs` (the
+    ``with_minhash_signatures`` output a previous run wrote to the
+    lake, read back as (id, mh0..mhk)), so an ingest batch costs
+    signatures-of-batch + one bucket groupBy — the old side is never
+    re-read as text, never re-tokenized, never re-hashed. Produces
+    exactly the pairs ``minhash_lsh_pairs_incremental`` produces when
+    both sides are recomputed from text (pinned by the lake round-trip
+    test in tests/test_dedup_similarity.py)."""
+    new_sigs = with_minhash_signatures(
+        fan_out(new_df), text_col, id_col, n_hashes
+    ).withColumn("__new", F.lit(True))
+    sig_cols = [f"mh{s}" for s in range(n_hashes)]
+    old = old_sigs.select(
+        F.col(id_col), *[F.col(c) for c in sig_cols]
+    ).withColumn("__new", F.lit(False))
+    sigs = new_sigs.select(id_col, *sig_cols, "__new").unionByName(old)
+    return _mixed_bucket_pairs(
+        sigs.localCheckpoint(eager=False), id_col, n_hashes, band_rows, max_bucket
+    )
+
+
+def _mixed_bucket_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    band_rows: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Shared back half of the incremental tier: band the tagged
+    signature frame (id, mh*, __new), keep buckets with >1 member AND
+    at least one new member, emit (id_a < id_b) pairs touching the new
+    side. All-old buckets die at the groupBy; (old, old) pairs die in
+    the row-local filter — per-batch pair cost is O(batch × bucket)."""
     n_bands = n_hashes // band_rows
     band_arr = F.array(
         *[

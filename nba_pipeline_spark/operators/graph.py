@@ -79,6 +79,114 @@ def connected_components(
     return comp
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds on ANY graph shape, vs min-label
+    propagation's O(diameter). Use this for deep graphs (web-link
+    chains, citation paths); `connected_components` stays the default
+    for near-dup clusters, whose diameter is small and whose per-round
+    constant is lower.
+
+    Both stars are expressed as ONE groupBy (per-node min neighbor —
+    map-side partial, no collect_list, so a hot node never materializes
+    its neighborhood in a row) plus ONE equi-join back to the edge
+    list:
+
+    - large-star: every neighbor v > u repoints to
+      m(u) = min(N(u) ∪ {u}) — neighborhoods taken over the
+      SYMMETRIZED edge set;
+    - small-star: edges oriented to the larger endpoint; every
+      neighbor v < u (all are, after orientation) plus u itself
+      repoints to m(u) = min(N(u)).
+
+    Fixpoint = the small-star output is a star forest pointing each
+    node at its component minimum (checked with one subtract-count per
+    round, same convergence probe as min-label). Lineage is cut per
+    round with localCheckpoint. Raises after `max_iter` rounds without
+    convergence — at ~⌈log₂ n⌉ + c expected rounds, hitting 20 means
+    the input is pathological, not slow.
+
+    Returns (node, comp) for every non-NULL node incident to an edge,
+    self-loops included (a self-loop names the node), matching
+    `connected_components` exactly.
+    """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
+    # every incident node is a row in the result, even self-loop-only
+    # nodes whose edges the u != v filter below discards
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical big -> small orientation (small-star form)
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large(ed: DataFrame) -> DataFrame:
+        g = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = g.groupBy("u").agg(F.min("v").alias("__mv")).select(
+            "u", F.least(F.col("__mv"), F.col("u")).alias("m")
+        )
+        return (
+            g.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small(ed: DataFrame) -> DataFrame:
+        g = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = g.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            g.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        new = _small(_large(e)).localCheckpoint(eager=True)
+        # fixpoint when the oriented edge sets are identical
+        if (
+            new.subtract(e).limit(1).count() == 0
+            and e.subtract(new).limit(1).count() == 0
+        ):
+            converged = True
+            e = new
+            break
+        e = new
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — expected O(log n); check the input for NULL-key "
+            "explosion or raise max_iter"
+        )
+    comp_map = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    return nodes.join(comp_map, "node", "left").select(
+        "node", F.coalesce("comp", "node").alias("comp")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

@@ -332,6 +332,41 @@ def _cluster_oracle() -> str:
 register("q_dedup_cluster", q_dedup_cluster, _cluster_oracle())
 
 
+def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive closure as q_dedup_cluster, computed with the
+    alternating large-star/small-star algorithm (Kiveris et al.
+    SoCC'14, operators/graph.py::connected_components_star) — O(log n)
+    rounds on ANY graph depth, the variant you run when dup chains are
+    long (web-link graphs). Same recursive-CTE oracle: both algorithms
+    must land on identical (node, min-id) components."""
+    from ..operators.graph import connected_components_star
+
+    pairs = OD.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        n_hashes=N_HASHES, band_rows=BAND_ROWS, max_bucket=MAX_BUCKET,
+    ).select("id_a", "id_b")
+    return connected_components_star(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+register(
+    "q_dedup_cluster_star",
+    q_dedup_cluster_star,
+    f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_minhash_oracle()})),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src AS node, src AS comp FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+
+
 # --- tier 5b: blocked embedding cosine ----------------------------------------
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
