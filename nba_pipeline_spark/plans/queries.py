@@ -62,75 +62,79 @@ from . import fold_profile_queries  # noqa: E402,F401
 
 
 # The driver's per-round CORRECTNESS check records only the FIRST 50
-# registry entries (dict order).  Round 1 covered relational/scalar/
-# join/agg (CORRECTNESS_r01 green), round 2 covered windows/semi-
-# structured/text/dedup/ANN/streaming/multimodal/CDC/corpus/quality
-# (CORRECTNESS_r02 50/50 green).  Round 3 rotates onto the families
-# never sampled by either window: the remaining 20 TPC-H report
-# shapes, sketches/robust stats, skew/graph/retrieval plans
-# (q_skew_join, q_pagerank, q_semdedup, q_dsir_sample, q_bm25_topk,
-# q_hybrid_rrf), scalar-function breadth, the never-checked dedup/ANN
-# tiers, and the canonicalizer-fixed q_agg_approx_percentile.  Names
-# not present in the registry are skipped (lets the list reference
-# queries added later in the round without import-order coupling);
-# everything else keeps its original import order.
+# registry entries (dict order).  Rounds 1-3 cumulatively sampled 148
+# distinct queries (relational/scalar/join/agg; windows/semi-
+# structured/text/dedup/ANN/streaming/multimodal/CDC/corpus/quality;
+# TPC-H/sketches/skew/graph/retrieval — r3 49/50 green, the one
+# q_table_checksum hash miss fixed this round with an oracle-side
+# BIGINT cast).  Round 4 rotates onto the 50 remaining DuckDB-oracled
+# never-sampled queries: corpus/LLM-pipeline plans, SQL-surface
+# breadth, quality gates, window/agg long tail, and the round-4
+# q_dedup_cluster_star.  Deferred to round 5: q_orc_roundtrip (the
+# round-trip family is driver-green via q_csv_roundtrip r1) and the
+# six rows-only sketches/ML-path entries.  Names not present in the
+# registry are skipped (lets the list reference queries added later
+# in the round without import-order coupling); everything else keeps
+# its original import order.
 _PRIORITY: tuple[str, ...] = (
-    # warehouse report shapes (TPC-H; q1/q5 already driver-green r1/r2)
-    "q_tpch_q2",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # r1 harness crash, fixed (scalar quantile projection): rows-only
-    "q_agg_approx_percentile",
-    # skew / graph / corpus-scale plans the judge called out
-    "q_skew_join",
-    "q_pagerank",
-    "q_semdedup",
-    "q_dsir_sample",
-    "q_bm25_topk",
-    "q_hybrid_rrf",
-    # sketches / robust stats / profiling
-    "q_sketch_theta",
-    "q_heavy_hitters",
-    "q_agg_bitmap_distinct",
-    "q_agg_median",
-    "q_ewma",
-    "q_profile",
-    "q_agg_salted",
-    "q_rfm",
-    "q_sample_hash",
-    "q_table_checksum",
-    "q_zorder_key",
-    # scalar-function breadth
-    "q_date_funcs",
-    "q_str_funcs",
-    "q_num_funcs",
-    "q_try_funcs",
-    "q_collation",
-    # never-checked dedup / ANN tiers
-    "q_dedup_simhash",
-    "q_dedup_embedding_lsh",
-    "q_dedup_incremental",
-    "q_knn_join",
-    "q_knn_join_lsh",
-    "q_dedup_levenshtein",
-    "q_triangle_count",
+    # corpus / LLM-pipeline plans
+    "q_paragraph_dedup",
+    "q_mixture_sample",
+    "q_tokenize_ids",
+    "q_corpus_shuffle",
+    "q_chunk_docs",
+    "q_seq_pack",
+    "q_split_assign",
+    "q_dedup_cluster_star",
+    # quality gates
+    "q_pii_redact",
+    "q_repetition_filter",
+    "q_unigram_ppl",
+    "q_quality_classifier",
+    "q_decontaminate_bloom",
+    # multimodal / streaming / CDC long tail
+    "q_multimodal_frames",
+    "q_stream_enrich",
+    "q_mv_minmax_refresh",
+    "q_cdc_time_travel",
+    # SQL-surface breadth
+    "q_sql_pricing_summary",
+    "q_sql_grouping_sets",
+    "q_sql_lateral_topn",
+    "q_sql_scalar_subquery",
+    "q_sql_pivot",
+    "q_sql_unpivot",
+    "q_sql_exists",
+    "q_sql_not_in",
+    "q_sql_recursive",
+    # join / set-op long tail
+    "q_join_full",
+    "q_join_cross",
+    "q_join_interval_overlap",
+    "q_intersect_all",
+    "q_except_all",
+    # agg long tail
+    "q_agg_unpivot",
+    "q_agg_histogram",
+    "q_agg_listagg",
+    "q_agg_stats",
+    "q_agg_argminmax",
+    "q_agg_bool_bit",
+    "q_basket_rules",
+    # window / sessionization long tail
+    "q_win_running_reset",
+    "q_win_first_last",
+    "q_win_distinct",
+    "q_win_bfill",
+    "q_win_range_frame",
+    "q_win_nth_value",
+    "q_interpolate",
+    "q_sessionize",
+    # scalar / generator long tail
+    "q_date_trunc",
+    "q_posexplode",
+    "q_explode_outer",
+    "q_regexp_extract_all",
 )
 
 
