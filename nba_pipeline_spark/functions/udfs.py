@@ -41,6 +41,21 @@ def normalize_embedding(batch: pd.Series) -> pd.Series:
     return batch.map(norm_one)
 
 
+@F.pandas_udf(T.StringType())
+def nfc_normalize(batch: pd.Series) -> pd.Series:
+    """Unicode NFC normalization, one Arrow batch at a time — a
+    GENUINE UDF requirement: Spark SQL has no ICU normalizer builtin
+    (collations compare normalized, but no function returns the
+    normalized string). Every serious text pipeline canonicalizes
+    unicode before hashing/dedup, else 'café' (NFC) and 'café' (NFD)
+    land in different dedup buckets. NULL in -> NULL out."""
+    import unicodedata
+
+    return batch.map(
+        lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+    )
+
+
 def zscore_per_group(df: DataFrame, keys: list[str], value_col: str, out: str) -> DataFrame:
     """Grouped-map applyInPandas: z-score within each group.
 

@@ -276,18 +276,81 @@ def minhash_lsh_pairs_from_signatures(
     )
 
 
+def fuzzy_decontaminate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_col: str,
+    threshold: float,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Fuzzy (near-duplicate) decontamination: train docs whose 3-gram
+    jaccard against ANY eval doc clears `threshold` — the companion to
+    exact n-gram decontamination (plans/quality_queries.py): exact
+    overlap misses paraphrased/reformatted leakage; published pipelines
+    (GPT-3 appendix C, FLAN) therefore also strip fuzzy matches.
+
+    Shape: ONE signature pass over train ∪ eval (the eval set rides the
+    same scan, flagged by `eval_col`); banding keeps only MIXED buckets
+    (an all-train or all-eval bucket can't produce a contamination
+    pair — skipped before the row-local pair explode, so at 100 TB the
+    train-side quadratic term never materializes); candidates are
+    verified with exact jaccard via two id equi-joins (the
+    `lsh_verified_jaccard_pairs` back half). Returns
+    (id_a < id_b, jaccard) with exactly one eval side per pair; the
+    caller orients train/eval.
+    """
+    flag = F.col(eval_col).cast("boolean")
+    sigs = with_minhash_signatures(
+        fan_out(df.withColumn("__new", flag)), text_col, id_col, n_hashes,
+        carry_cols=["__new"],
+    ).localCheckpoint(eager=False)
+    cand = _mixed_bucket_pairs(
+        sigs, id_col, n_hashes, band_rows, max_bucket, cross_only=True
+    )
+    docs = (
+        fan_out(df)
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        .select(
+            id_col, F.array_distinct(shingles(F.col("__toks"), shingle_n)).alias("sh")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sa"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    union = F.size("__sa") + F.size("__sb") - inter
+    jac = F.try_divide(inter * F.lit(1.0), union)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _mixed_bucket_pairs(
     sigs: DataFrame,
     id_col: str,
     n_hashes: int,
     band_rows: int,
     max_bucket: int | None,
+    cross_only: bool = False,
 ) -> DataFrame:
     """Shared back half of the incremental tier: band the tagged
     signature frame (id, mh*, __new), keep buckets with >1 member AND
     at least one new member, emit (id_a < id_b) pairs touching the new
     side. All-old buckets die at the groupBy; (old, old) pairs die in
-    the row-local filter — per-batch pair cost is O(batch × bucket)."""
+    the row-local filter — per-batch pair cost is O(batch × bucket).
+
+    ``cross_only=True`` is the two-corpus form (fuzzy decontamination:
+    train vs eval): only pairs with EXACTLY one flagged side are
+    emitted, and single-side buckets (all-train or all-eval) are
+    skipped before pair generation."""
     n_bands = n_hashes // band_rows
     band_arr = F.array(
         *[
@@ -305,8 +368,14 @@ def _mixed_bucket_pairs(
                 F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__new")))
             ).alias("ids"),
             F.max(F.col("__new")).alias("has_new"),
+            F.min(F.col("__new")).alias("all_new"),
         )
-        .filter((F.size("ids") > 1) & F.col("has_new"))
+        .filter(F.size("ids") > 1)
+        .filter(
+            (F.col("has_new") & ~F.col("all_new"))
+            if cross_only
+            else F.col("has_new")
+        )
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket)
@@ -319,12 +388,16 @@ def _mixed_bucket_pairs(
                     lambda b: F.struct(
                         a["id"].alias("id_a"),
                         b["id"].alias("id_b"),
-                        (a["__new"] | b["__new"]).alias("touch_new"),
+                        (
+                            (a["__new"] != b["__new"])
+                            if cross_only
+                            else (a["__new"] | b["__new"])
+                        ).alias("emit"),
                     ),
                 ),
             )
         ),
-        lambda p: (p["id_a"] < p["id_b"]) & p["touch_new"],
+        lambda p: (p["id_a"] < p["id_b"]) & p["emit"],
     )
     return (
         buckets.select(F.explode(pair_arr).alias("p"))

@@ -313,6 +313,170 @@ register(
 )
 
 
+# --- Intra-document span dedup (CCNet line-dedup, span form) --------------------
+
+def q_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition removal — the CCNet/Gopher "drop
+    duplicated lines inside the doc" preprocessing step, over fixed
+    token spans (the synthetic docs carry no newline structure): keep
+    the FIRST occurrence of each distinct span in document order,
+    reassemble the text. q_repetition_filter SCORES intra-doc
+    repetition; this query REMOVES it.
+
+    Scale shape: entirely narrow — one pass of array HOFs per row,
+    zero shuffles (the `.explain` shows no Exchange). The keep-first
+    filter is O(spans²) per document via an indexed lambda
+    (array_position over the preceding prefix), bounded by per-doc
+    span counts, never by corpus size."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", TX.tokenize(F.col("text")).alias("__toks"))
+    n_full = F.expr(f"size(__toks) div {SPAN_TOKENS}")
+    idx = F.when(
+        F.size("__toks") >= SPAN_TOKENS, F.sequence(F.lit(0), n_full - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = staged.select(
+        "doc_id",
+        F.transform(
+            idx,
+            lambda i: F.array_join(
+                F.slice(F.col("__toks"), i * SPAN_TOKENS + 1, SPAN_TOKENS), " "
+            ),
+        ).alias("sp"),
+    )
+    kept = F.filter(
+        F.col("sp"),
+        lambda x, i: F.array_position(F.slice(F.col("sp"), F.lit(1), i), x) == 0,
+    )
+    return spans.select(
+        "doc_id",
+        F.size("sp").alias("n_spans"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, " ").alias("dedup_text"),
+    )
+
+
+register(
+    "q_intradoc_dedup",
+    q_intradoc_dedup,
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN toks IS NULL OR len(toks) < {SPAN_TOKENS} THEN []
+                  ELSE list_transform(range(0, len(toks) // {SPAN_TOKENS}),
+                       i -> array_to_string(toks[i*{SPAN_TOKENS}+1:i*{SPAN_TOKENS}+{SPAN_TOKENS}], ' '))
+             END AS sp
+      FROM t),
+    k AS (SELECT doc_id, sp,
+                 -- list_position = 0 when absent (NOT NULL, unlike SQL
+                 -- NULLs) — mirrors Spark array_position == 0
+                 list_filter(sp, (x, i) -> list_position(sp[1:i-1], x) = 0) AS kept
+          FROM s)
+    SELECT doc_id, len(sp) AS n_spans, len(kept) AS n_kept,
+           -- array_to_string([]) is NULL in DuckDB but '' in Spark
+           COALESCE(array_to_string(kept, ' '), '') AS dedup_text
+    FROM k
+    """,
+)
+
+
+# --- Token-budget allocator (data-recipe mixing math) ----------------------------
+
+TOKEN_BUDGET, EPOCH_CAP = 100_000, 2
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget allocation — the arithmetic behind a
+    training-data recipe: give each source a share of TOKEN_BUDGET
+    proportional to its token count, cap any source at EPOCH_CAP
+    epochs (alloc <= cap × its own tokens), and redistribute the
+    capped sources' surplus proportionally across the uncapped ones
+    (one waterfill round). ALL integer arithmetic (BIGINT floor-div),
+    so the result is hash-exact across engines and partitionings —
+    the property a recipe gate needs (re-sharding the corpus must
+    never change the mix).
+
+    Scale shape: one partial-agg'd groupBy(source) over the corpus
+    (the only corpus-sized work), then two 1-row aggregates broadcast
+    back over the O(sources) frame — no global window, no collect."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(TX.tokenize(F.col("text")))).cast("bigint").alias("n_tokens")
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("__total"))
+    j = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "__alloc1",
+        F.least(
+            F.expr(f"(cast({TOKEN_BUDGET} as bigint) * n_tokens) div __total"),
+            F.lit(EPOCH_CAP).cast("bigint") * F.col("n_tokens"),
+        ),
+    )
+    sums = j.agg(
+        F.sum("__alloc1").alias("__alloc_sum"),
+        F.sum(
+            F.when(
+                F.col("__alloc1") < F.lit(EPOCH_CAP).cast("bigint") * F.col("n_tokens"),
+                F.col("n_tokens"),
+            )
+        ).alias("__u_tot"),
+    )
+    capped = F.col("__alloc1") >= F.lit(EPOCH_CAP).cast("bigint") * F.col("n_tokens")
+    spill_share = F.expr(
+        f"((cast({TOKEN_BUDGET} as bigint) - __alloc_sum) * n_tokens) div __u_tot"
+    )
+    alloc = F.col("__alloc1") + F.when(
+        ~capped & F.col("__u_tot").isNotNull() & (F.col("__u_tot") > 0), spill_share
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        j.crossJoin(F.broadcast(sums))
+        .withColumn("alloc_tokens", alloc)
+        .select(
+            "source",
+            "n_tokens",
+            "alloc_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(alloc_tokens * 10000) div n_tokens"),
+            ).alias("epochs_bp"),
+        )
+    )
+
+
+register(
+    "q_token_budget",
+    q_token_budget,
+    f"""
+    WITH t AS (SELECT source, {_DUCK_TOKS} AS toks FROM documents),
+    per_src AS (SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+                FROM t GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS total FROM per_src),
+    a1 AS (SELECT source, n_tokens,
+                  LEAST((CAST({TOKEN_BUDGET} AS BIGINT) * n_tokens) // total,
+                        CAST({EPOCH_CAP} AS BIGINT) * n_tokens) AS alloc1
+           FROM per_src, tot),
+    s AS (SELECT CAST(SUM(alloc1) AS BIGINT) AS alloc_sum,
+                 CAST(SUM(CASE WHEN alloc1 < {EPOCH_CAP} * n_tokens
+                               THEN n_tokens END) AS BIGINT) AS u_tot
+          FROM a1),
+    fin AS (SELECT source, n_tokens,
+                   alloc1 + CASE WHEN alloc1 < {EPOCH_CAP} * n_tokens
+                                      AND u_tot IS NOT NULL AND u_tot > 0
+                                 THEN ((CAST({TOKEN_BUDGET} AS BIGINT) - alloc_sum)
+                                       * n_tokens) // u_tot
+                                 ELSE 0 END AS alloc_tokens
+            FROM a1, s)
+    -- outer CASTs: DuckDB integer ops promote through HUGEINT, which
+    -- pandas fetches as float64 (the q_table_checksum lesson)
+    SELECT source, n_tokens, CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN n_tokens > 0
+                THEN (alloc_tokens * 10000) // n_tokens END AS BIGINT) AS epochs_bp
+    FROM fin
+    """,
+)
+
+
 # --- Curated data mixture: exact per-source quota sampling ----------------------
 
 MIX_QUOTAS = {"src0": 30, "src1": 18, "src2": 12}  # 50/30/20 of 60 docs

@@ -261,6 +261,55 @@ register(
 )
 
 
+# --- fuzzy decontamination (cross-corpus near-dup) ------------------------------
+
+FUZZY_EVAL_MOD, FUZZY_J = 10, 0.5
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: train docs near-duplicating an eval doc
+    (3-gram jaccard >= {FUZZY_J} via MinHash-LSH candidates) — the
+    paraphrase-robust companion to exact n-gram q_decontaminate. The
+    doc_id % {FUZZY_EVAL_MOD} stripe plays the eval set; only MIXED
+    LSH buckets generate pairs (operators/dedup.py::
+    fuzzy_decontaminate_pairs), so the train-side quadratic term never
+    materializes at corpus scale."""
+    docs = _docs(spark, sf_dir)
+    pairs = OD.fuzzy_decontaminate_pairs(
+        docs.withColumn("is_eval", F.col("doc_id") % FUZZY_EVAL_MOD == 0),
+        "text", "doc_id", "is_eval", threshold=FUZZY_J,
+        n_hashes=N_HASHES, band_rows=BAND_ROWS, max_bucket=MAX_BUCKET,
+    )
+    is_a_eval = F.col("id_a") % FUZZY_EVAL_MOD == 0
+    return pairs.select(
+        F.when(is_a_eval, F.col("id_b")).otherwise(F.col("id_a")).alias("train_id"),
+        F.when(is_a_eval, F.col("id_a")).otherwise(F.col("id_b")).alias("eval_id"),
+        "jaccard",
+    )
+
+
+register(
+    "q_decontaminate_fuzzy",
+    q_decontaminate_fuzzy,
+    f"""
+    {_minhash_cand_ctes()},
+    d AS (SELECT doc_id, list_distinct(sh) AS sh FROM shing),
+    x AS (
+      SELECT cand.id_a, cand.id_b,
+             ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+      FROM cand
+      JOIN d a ON cand.id_a = a.doc_id
+      JOIN d b ON cand.id_b = b.doc_id
+      WHERE (cand.id_a % {FUZZY_EVAL_MOD} = 0) <> (cand.id_b % {FUZZY_EVAL_MOD} = 0))
+    SELECT CASE WHEN id_a % {FUZZY_EVAL_MOD} = 0 THEN id_b ELSE id_a END AS train_id,
+           CASE WHEN id_a % {FUZZY_EVAL_MOD} = 0 THEN id_a ELSE id_b END AS eval_id,
+           jaccard
+    FROM x WHERE jaccard >= {FUZZY_J}
+    """,
+)
+
+
 # --- winnowing fingerprints ---------------------------------------------------
 
 WINNOW_W = 4

@@ -122,6 +122,48 @@ _EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
 _LONGNUM = "[0-9][0-9][0-9]+"
 
 
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization before hashing/dedup — without it,
+    NFC 'café' and NFD 'café' get different sha256s and near-dup
+    pipelines silently miss pairs. Spark has no builtin that RETURNS a
+    normalized string, so this is the sanctioned Arrow-vectorized UDF
+    escape (functions/udfs.py::nfc_normalize, SURVEY §2.12); the
+    DuckDB oracle replays it with its native nfc_normalize. The
+    testdata is pure ASCII, so each text gets a decomposed suffix
+    appended (e + COMBINING ACUTE) that NFC must compose — the changed
+    flag proves the normalizer ran, not just passed bytes through.
+
+    Scale shape: narrow map over the scan (one Python worker batch per
+    Arrow chunk, no shuffle); at 100 TB this is scan-bound and the
+    Arrow transfer is the known UDF tax (SURVEY §2.12's 'when you
+    must' path)."""
+    from ..functions.udfs import nfc_normalize
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # 'e' + U+0301 (combining acute): NFC composes it to U+00E9
+    decomposed = F.concat(F.col("text"), F.lit(" cafe\u0301"))
+    normalized = nfc_normalize(decomposed)
+    return docs.select(
+        "doc_id",
+        normalized.alias("text_nfc"),
+        (F.length(normalized) < F.length(decomposed)).alias("changed"),
+    )
+
+
+register(
+    "q_unicode_normalize",
+    q_unicode_normalize,
+    """
+    SELECT doc_id,
+           nfc_normalize(text || ' caf' || 'e' || chr(769)) AS text_nfc,
+           length(nfc_normalize(text || ' caf' || 'e' || chr(769)))
+             < length(text || ' caf' || 'e' || chr(769)) AS changed
+    FROM documents
+    """,
+)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass: count + redact emails and long digit runs.
     Result hashed (md5 of redacted text) so the gate proves the exact
