@@ -402,9 +402,13 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     back over the O(sources) frame — no global window, no collect."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # Pinned: per_src is referenced by the total aggregate, the spill
+    # aggregate AND the final projection — un-pinned, each reference
+    # re-derives from the corpus scan (8 scans in the dumped plan).
+    # The pinned frame is O(sources) rows; the corpus is scanned ONCE.
     per_src = docs.groupBy("source").agg(
         F.sum(F.size(TX.tokenize(F.col("text")))).cast("bigint").alias("n_tokens")
-    )
+    ).localCheckpoint(eager=False)
     tot = per_src.agg(F.sum("n_tokens").alias("__total"))
     j = per_src.crossJoin(F.broadcast(tot)).withColumn(
         "__alloc1",

@@ -143,11 +143,18 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # 'e' + U+0301 (combining acute): NFC composes it to U+00E9
     decomposed = F.concat(F.col("text"), F.lit(" cafe\u0301"))
-    normalized = nfc_normalize(decomposed)
-    return docs.select(
+    # materialize the UDF output as a column FIRST: referencing the
+    # expression twice would run the Python worker twice per row
+    # (verified: 2 ArrowEvalPython nodes before this split, 1 after)
+    staged = docs.select(
         "doc_id",
-        normalized.alias("text_nfc"),
-        (F.length(normalized) < F.length(decomposed)).alias("changed"),
+        F.length(decomposed).alias("__len_in"),
+        nfc_normalize(decomposed).alias("text_nfc"),
+    )
+    return staged.select(
+        "doc_id",
+        "text_nfc",
+        (F.length("text_nfc") < F.col("__len_in")).alias("changed"),
     )
 
 
