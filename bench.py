@@ -62,6 +62,11 @@ HEADLINE = [
     "q_hybrid_rrf",
     "q_pagerank",
     "q_data_recipe",
+    # round-4 session additions (fuzzy decontamination + star CC +
+    # intra-doc dedup)
+    "q_decontaminate_fuzzy",
+    "q_dedup_cluster_star",
+    "q_intradoc_dedup",
 ]
 
 
@@ -94,6 +99,8 @@ def main() -> None:
         "q_bm25_topk",
         "q_pagerank",
         "q_data_recipe",
+        "q_decontaminate_fuzzy",
+        "q_dedup_cluster_star",
     ):
         try:
             REGISTRY[warm_q].fn(spark, warm_dir).count()

@@ -56,6 +56,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         msgs = e.join(comp, e["src"] == comp["node"]).select(
             e["dst"].alias("node"), F.col("comp")
@@ -75,7 +76,16 @@ def connected_components(
         )
         comp = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning the partial labeling would silently split one
+        # component into several — a WRONG dedup answer, not a slow one
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds the iteration budget) — use "
+            "connected_components_star (O(log n) rounds) for deep graphs"
+        )
     return comp
 
 
@@ -142,12 +152,14 @@ def connected_components_star(
         mins = g.groupBy("u").agg(F.min("v").alias("__mv")).select(
             "u", F.least(F.col("__mv"), F.col("u")).alias("m")
         )
+        # NO distinct here: duplicate edges are harmless to _small's
+        # min-aggregation and its final distinct collapses them — one
+        # fewer shuffle per round
         return (
             g.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small(ed: DataFrame) -> DataFrame:
@@ -164,16 +176,30 @@ def connected_components_star(
         )
 
     converged = False
+    prev_n = e.count()
     for _ in range(max_iter):
         new = _small(_large(e)).localCheckpoint(eager=True)
-        # fixpoint when the oriented edge sets are identical
-        if (
-            new.subtract(e).limit(1).count() == 0
-            and e.subtract(new).limit(1).count() == 0
-        ):
-            converged = True
-            e = new
-            break
+        # fixpoint when the oriented edge sets are identical. Cheap
+        # necessary condition first (row counts — metadata-cheap on the
+        # just-materialized checkpoint); only on a count match run the
+        # exact set compare, as ONE union+groupBy job (a row appearing
+        # once is in exactly one side — both inputs are distinct),
+        # instead of two subtract anti-joins.
+        n = new.count()
+        if n == prev_n:
+            diff = (
+                new.union(e)
+                .groupBy("u", "v")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") == 1)
+                .limit(1)
+                .count()
+            )
+            if diff == 0:
+                converged = True
+                e = new
+                break
+        prev_n = n
         e = new
     if not converged:
         raise RuntimeError(

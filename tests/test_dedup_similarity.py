@@ -200,6 +200,21 @@ def test_cc_star_raises_when_budget_exhausted(spark):
         connected_components_star(edges, max_iter=1)
 
 
+def test_minlabel_cc_raises_instead_of_partial_labels(spark):
+    """min-label propagation on a graph deeper than its iteration
+    budget must raise (a partial labeling splits components — a wrong
+    dedup answer), pointing at the star variant."""
+    from nba_pipeline_spark.operators.graph import connected_components
+
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src int, dst int"
+    )
+    with _pytest.raises(RuntimeError, match="connected_components_star"):
+        connected_components(edges, max_iter=3)
+
+
 def test_lsh_topk_finds_near_duplicates(spark):
     """Sign-LSH collision probability (1 - theta/pi)^bits -> 1 as
     theta -> 0: near-identical vectors MUST share the query's bucket
