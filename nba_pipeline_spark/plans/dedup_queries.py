@@ -261,6 +261,72 @@ register(
 )
 
 
+# --- quality-aware canonical selection ------------------------------------------
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the member with the MOST tokens (tie: lowest id) — the keep
+    policy web pipelines actually ship (the min-id rule of
+    q_dedup_cluster is arbitrary; keep-longest retains the most
+    content when near-dups are truncations of each other).
+
+    Scale shape: clusters from the tier-3 candidate graph (min-label
+    CC over capped LSH pairs), one equi-join to attach per-doc token
+    counts, and a rank window PARTITIONED BY cluster — frames are
+    cluster-sized (near-dup clusters are small by construction; the
+    hot-bucket cap bounds the degenerate case), never global."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize
+    from ..operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = OD.minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        n_hashes=N_HASHES, band_rows=BAND_ROWS, max_bucket=MAX_BUCKET,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    counts = docs.select(
+        F.col("doc_id"), F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    j = comp.join(counts, comp["node"] == counts["doc_id"]).select(
+        "doc_id", F.col("comp").alias("cluster_id"), "n_tokens"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )
+
+
+register(
+    "q_dedup_keep_best",
+    q_dedup_keep_best,
+    f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_minhash_oracle()})),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src AS node, src AS comp FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+    tl AS (SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents)
+    SELECT cc.node AS doc_id, cc.comp AS cluster_id,
+           CAST(tl.n_tokens AS INT) AS n_tokens,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY cc.comp
+                                        ORDER BY tl.n_tokens DESC, cc.node ASC) = 1
+                THEN 1 ELSE 0 END AS keep
+    FROM cc JOIN tl ON cc.node = tl.doc_id
+    """,
+)
+
+
 # --- fuzzy decontamination (cross-corpus near-dup) ------------------------------
 
 FUZZY_EVAL_MOD, FUZZY_J = 10, 0.5

@@ -228,3 +228,52 @@ def test_data_recipe_each_gate_drops_its_target(spark, tmp_path, monkeypatch):
     assert sorted(r["doc_id"] for r in got) == [0, 1]
     for r in got:
         assert 0 <= r["shard"] < CQ.RECIPE_SHARDS and r["pos"] >= 1
+
+
+def test_token_budget_allocator_invariants(spark, tmp_path):
+    """Waterfill allocator contracts on a skewed corpus: total alloc
+    never exceeds the budget, no source exceeds EPOCH_CAP epochs, a
+    capped giant's surplus flows to the small sources, and the whole
+    allocation is reproducible (integer arithmetic)."""
+    from nba_pipeline_spark.plans import corpus_queries as CQ
+
+    rows = []
+    did = 0
+    # source A: huge (gets capped share), B/C: small (receive spill)
+    for src, n_docs, words in (("a", 60, 40), ("b", 6, 30), ("c", 3, 20)):
+        for _ in range(n_docs):
+            rows.append((did, "tok " * words, "en", src, 10))
+            did += 1
+    sf = _stage_docs(spark, tmp_path, rows)
+    got = {r["source"]: r for r in CQ.q_token_budget(spark, sf).collect()}
+
+    total_alloc = sum(r["alloc_tokens"] for r in got.values())
+    assert total_alloc <= CQ.TOKEN_BUDGET
+    for r in got.values():
+        assert r["alloc_tokens"] <= CQ.EPOCH_CAP * r["n_tokens"]
+        assert r["epochs_bp"] <= CQ.EPOCH_CAP * 10000
+    # budget (100k) >> corpus (~2.8k tokens): every source caps out
+    assert all(
+        r["alloc_tokens"] == CQ.EPOCH_CAP * r["n_tokens"] for r in got.values()
+    )
+
+    # scarce-budget variant via a bigger corpus: proportional + spill
+    rows2 = []
+    did = 0
+    for src, n_docs, words in (("a", 3000, 40), ("b", 300, 30), ("c", 150, 20)):
+        for _ in range(n_docs):
+            rows2.append((did, "tok " * words, "en", src, 10))
+            did += 1
+    sf2 = _stage_docs(spark, tmp_path / "v2", rows2)
+    got2 = {r["source"]: r for r in CQ.q_token_budget(spark, sf2).collect()}
+    total2 = sum(r["n_tokens"] for r in got2.values())
+    assert total2 > CQ.TOKEN_BUDGET  # genuinely scarce
+    alloc2 = sum(r["alloc_tokens"] for r in got2.values())
+    assert alloc2 <= CQ.TOKEN_BUDGET
+    # floor-div slack only: within n_sources of the full budget unless capped
+    if all(r["alloc_tokens"] < CQ.EPOCH_CAP * r["n_tokens"] for r in got2.values()):
+        assert alloc2 >= CQ.TOKEN_BUDGET - 2 * len(got2)
+    # deterministic across re-evaluation
+    again = {r["source"]: r["alloc_tokens"]
+             for r in CQ.q_token_budget(spark, sf2).collect()}
+    assert again == {s: r["alloc_tokens"] for s, r in got2.items()}
