@@ -337,3 +337,42 @@ def test_incremental_agg_maintain_matches_recompute_random(spark, seed):
     for k in want:
         assert got[k][0] == want[k][0], (k, got[k], want[k])
         assert abs(got[k][1] - want[k][1]) < 1e-9, (k, got[k], want[k])
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_intradoc_dedup_matches_python_reference(spark, seed, tmp_path):
+    """q_intradoc_dedup's indexed-HOF keep-first-span filter vs a plain
+    Python reference on random repetitive token streams (small alphabet
+    so intra-doc span repeats actually occur)."""
+    from nba_pipeline_spark.plans import corpus_queries as CQ
+
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "b", "c"]
+    rows = []
+    for doc_id in range(40):
+        n = int(rng.integers(0, 20))
+        toks = [vocab[i] for i in rng.integers(0, len(vocab), n)]
+        rows.append((doc_id, " ".join(toks), "en", "s", n))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["dedup_text"])
+        for r in CQ.q_intradoc_dedup(spark, str(tmp_path)).collect()
+    }
+
+    S = CQ.SPAN_TOKENS
+    for doc_id, text, *_ in rows:
+        toks = text.split()
+        spans = [
+            " ".join(toks[i * S:(i + 1) * S]) for i in range(len(toks) // S)
+        ]
+        kept, seen = [], set()
+        for sp in spans:
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        assert got[doc_id] == (len(spans), len(kept), " ".join(kept)), doc_id
