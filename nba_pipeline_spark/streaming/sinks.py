@@ -48,6 +48,29 @@ def upsert_partitions_sink(
     return write_batch
 
 
+def _prior_batch_dirs(spark, path: str, before: int) -> list[str]:
+    """Committed ``batch=<id>`` dirs under `path` with id < `before`,
+    listed via the Hadoop FileSystem API (object-store-safe — a
+    driver-local listdir silently sees nothing on s3a/hdfs)."""
+    from ..operators.cdc import _view_fs
+
+    fs, jpath = _view_fs(spark, path)
+    out: list[str] = []
+    if fs.exists(jpath):
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if not name.startswith("batch="):
+                continue
+            try:
+                i = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if i < before:
+                out.append(st.getPath().toString())
+    out.sort()
+    return out
+
+
 def dedup_ingest_sink(
     lake_path: str,
     seen_path: str,
@@ -77,8 +100,6 @@ def dedup_ingest_sink(
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.cdc import _view_fs
-
         spark = batch_df.sparkSession
         b = gate(batch_df) if gate is not None else batch_df
         b = b.withColumn("__h", F.sha2(F.lower(F.col(text_col)), 256))
@@ -88,23 +109,7 @@ def dedup_ingest_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        # Hadoop FS listing, not os.listdir: seen_path may be an object
-        # store / HDFS URI; a driver-local listing would see nothing and
-        # silently stop deduplicating across batches.
-        fs, jpath = _view_fs(spark, seen_path)
-        prior = []
-        if fs.exists(jpath):
-            for st in fs.listStatus(jpath):
-                name = st.getPath().getName()
-                if not name.startswith("batch="):
-                    continue
-                try:
-                    i = int(name.split("=", 1)[1])
-                except ValueError:
-                    continue
-                if i < batch_id:
-                    prior.append(st.getPath().toString())
-        prior.sort()
+        prior = _prior_batch_dirs(spark, seen_path, batch_id)
         if prior:
             seen = spark.read.parquet(*prior)
             accepted = firsts.join(seen, "__h", "left_anti")
@@ -116,6 +121,88 @@ def dedup_ingest_sink(
         accepted.select("__h").write.mode("overwrite").parquet(
             f"{seen_path}/batch={batch_id}"
         )
+
+    return _apply
+
+
+def neardup_ingest_sink(
+    lake_path: str,
+    sig_path: str,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    max_bucket: int | None = 1000,
+    gate: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: streaming corpus ingestion with
+    CROSS-BATCH NEAR-dup rejection — the fuzzy companion to
+    ``dedup_ingest_sink`` and the production wiring of
+    ``minhash_lsh_pairs_from_signatures``: each micro-batch computes
+    signatures for ITS OWN docs only and generates tier-3 candidates
+    against the persisted signature table (settled corpus never
+    re-tokenized, never re-hashed; per-batch cost O(batch × bucket)).
+
+    Drop policy (greedy, deterministic): a new doc is rejected when a
+    candidate pair links it to any settled doc, or to a smaller-id doc
+    of its own batch — chains collapse toward the smallest id, the
+    same direction as the exact sink's min-id rule. Only ACCEPTED
+    docs' signatures persist (mirroring the exact sink's seen-hash
+    contract), so a rejected doc never blocks future docs its kept
+    representative wouldn't also block... except long chains, which
+    within a batch are cut greedily (documented trade: candidate
+    pairs, not transitive closure, decide — run q_dedup_cluster over
+    the lake for exact components).
+
+    Crash safety: identical ``batch=<id>`` overwrite layout as the
+    exact sink — prior-signature read set is batch dirs ``< current``,
+    so a replay resolves its exact pre-batch state and never
+    self-excludes.
+    """
+    from ..operators.dedup import (
+        minhash_lsh_pairs_from_signatures,
+        with_minhash_signatures,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = gate(batch_df) if gate is not None else batch_df
+        prior = _prior_batch_dirs(spark, sig_path, batch_id)
+        if prior:
+            old_sigs = spark.read.parquet(*prior)
+        else:
+            old_sigs = with_minhash_signatures(
+                b.limit(0), text_col, id_col, n_hashes
+            )
+        pairs = minhash_lsh_pairs_from_signatures(
+            b, text_col, id_col, old_sigs,
+            n_hashes=n_hashes, band_rows=band_rows, max_bucket=max_bucket,
+        )
+        bid = b.select(F.col(id_col).alias("__bid")).distinct()
+        flagged = (
+            pairs.join(
+                F.broadcast(bid), pairs["id_a"] == F.col("__bid"), "left"
+            )
+            .withColumn("__new_a", F.col("__bid").isNotNull())
+            .drop("__bid")
+            .join(F.broadcast(bid), pairs["id_b"] == F.col("__bid"), "left")
+            .withColumn("__new_b", F.col("__bid").isNotNull())
+            .drop("__bid")
+        )
+        # pair (a < b): both new -> drop b; one old -> drop the new side
+        dropped = flagged.select(
+            F.when(F.col("__new_a") & F.col("__new_b"), F.col("id_b"))
+            .when(F.col("__new_a") & ~F.col("__new_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("__drop_id")
+        ).distinct()
+        accepted = b.join(
+            dropped, b[id_col] == dropped["__drop_id"], "left_anti"
+        )
+        accepted.write.mode("overwrite").parquet(f"{lake_path}/batch={batch_id}")
+        with_minhash_signatures(accepted, text_col, id_col, n_hashes).write.mode(
+            "overwrite"
+        ).parquet(f"{sig_path}/batch={batch_id}")
 
     return _apply
 

@@ -306,3 +306,65 @@ def test_dedup_ingest_sink_overwrites_crashed_attempt(spark, tmp_path):
     )
     got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(lake).collect()}
     assert got == {(1, "alpha"), (2, "beta")}  # junk gone, rows not self-excluded
+
+
+def test_neardup_ingest_sink_cross_batch_and_replay(spark, tmp_path):
+    """Streaming NEAR-dup ingestion: batch N+1's docs are rejected when
+    they near-duplicate (tier-3 MinHash candidates on shared shingles)
+    a SETTLED doc — whose text was never re-read: the decision runs
+    against the persisted signature table. In-batch near-dups collapse
+    toward the min id; a replay with a fresh checkpoint converges."""
+    import os, shutil
+
+    from nba_pipeline_spark.streaming.sinks import (
+        neardup_ingest_sink,
+        run_foreach_batch,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    near = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest today")   # near-dup of base
+    other = ("completely different subject matter entirely about spark "
+             "partitions shuffles joins aggregates and windows at scale")
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    batches = [
+        [(1, base), (2, near)],            # 2 near-dups 1 in-batch -> dropped
+        [(3, near), (4, other)],           # 3 near-dups SETTLED 1 -> dropped
+        [(5, other + " again today")],     # 5 near-dups settled 4 -> dropped
+    ]
+    for i, rows in enumerate(batches):
+        sub = f"{src}/w{i}"
+        spark.createDataFrame(rows, "doc_id int, text string").coalesce(1).write.parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(f"{sub}/{part}", f"{src}/{i:03d}.parquet")
+        shutil.rmtree(sub)
+        os.utime(f"{src}/{i:03d}.parquet", (1000 + i, 1000 + i))
+
+    lake = str(tmp_path / "lake")
+    sigs = str(tmp_path / "sigs")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id int, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_foreach_batch(
+            stream,
+            neardup_ingest_sink(lake, sigs, "text", "doc_id"),
+            str(tmp_path / ckpt),
+        )
+
+    drain("ckpt1")
+    got = {r["doc_id"] for r in spark.read.parquet(lake).collect()}
+    assert got == {1, 4}
+    # the signature lake holds exactly the accepted docs' signatures
+    sig_ids = {r["doc_id"] for r in spark.read.parquet(f"{sigs}/batch=0").collect()}
+    assert sig_ids == {1}
+
+    drain("ckpt2")  # replay converges on the same lake
+    got2 = {r["doc_id"] for r in spark.read.parquet(lake).collect()}
+    assert got2 == got
