@@ -1,0 +1,98 @@
+"""Spark 4 Python DataSource wrapping the recorded-HTML edge
+(SURVEY §2.1 S1/S2) — the idiomatic way to mount the reference's
+scrape layer (playerInfo.py:8, games.py:23, coaches.py:15-19) INTO the
+engine: ``spark.read.format("html_tables").load(dir)`` instead of a
+driver-side parse loop.
+
+Why a DataSource and not a helper function: the reads become part of
+the plan — Spark schedules ONE INPUT PARTITION PER PAGE FILE, so a
+backfill over thousands of recorded pages parses across the cluster
+(the reference's process-per-season Airflow fan-out, §3 EP2, executed
+as ordinary task parallelism), and the result is a DataFrame from the
+first operator on.
+
+Schema is the fixed row-wise shape every page reduces to (one row per
+<tr>, cells as an array, header rows flagged); `cells_to_columns`
+(edge_ingest.py) lifts it to named columns downstream — the same
+two-step the pandas reference does with read_html + column fixes. The
+network fetch stays out of scope (sandbox: recorded bytes; production
+swaps the file open for an HTTP GET inside `read`, which then runs ON
+EXECUTORS — the scrape itself parallelizes).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# Repo root pinned at import time so executor-side read() can restore
+# sys.path when the worker process lacks the driver's path mutations.
+_ROOT = str(Path(__file__).resolve().parents[2])
+
+
+class HtmlTablesDataSource(DataSource):
+    """``format("html_tables")``: one row per <tr> of every <table> in
+    every .html file under ``path`` (file or directory)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "html_tables"
+
+    def schema(self) -> str:
+        return (
+            "file string, table_idx int, row_idx int, "
+            "is_header boolean, cells array<string>"
+        )
+
+    def reader(self, schema) -> "HtmlTablesReader":
+        return HtmlTablesReader(self.options)
+
+
+class HtmlTablesReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("html_tables requires a path (option or load(path))")
+        self._path = path
+
+    def partitions(self):
+        # one partition per page file: a 10k-page backfill parses on
+        # 10k tasks, not one driver loop
+        p = self._path
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".html")
+            )
+        else:
+            files = [p]
+        if not files:
+            raise ValueError(f"no .html files under {p}")
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        import sys
+
+        if _ROOT not in sys.path:  # executor process: restore the path
+            sys.path.insert(0, _ROOT)
+        from nba_pipeline_spark.sources.html_parse import parse_tables
+
+        fname = partition.value
+        with open(fname, "rb") as fh:
+            raw = fh.read()
+        base = os.path.basename(fname)
+        for t_idx, table in enumerate(parse_tables(raw)):
+            header = table.get("header")
+            if header is not None:
+                # header travels as row_idx -1 so downstream
+                # cells_to_columns can name the data columns
+                yield (base, t_idx, -1, True, list(header))
+            for r_idx, cells in enumerate(table["rows"]):
+                yield (base, t_idx, r_idx, False, list(cells))
+
+
+def register_html_source(spark) -> None:
+    """Idempotent registration: after this,
+    ``spark.read.format("html_tables").load(path)`` works."""
+    spark.dataSource.register(HtmlTablesDataSource)

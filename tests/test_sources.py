@@ -132,3 +132,28 @@ def test_observe_metrics_piggyback_on_action(spark):
     assert m["n_rows"] == direct[0]
     assert m["sum_bal"] == direct[1]
     assert m["null_names"] == 0
+
+
+def test_html_tables_python_datasource(spark):
+    """Spark-4 Python DataSource over recorded pages: one input
+    partition per file (the parse runs on executors), rows match a
+    direct parse_tables call, header rows carry row_idx -1."""
+    from nba_pipeline_spark.sources.html_parse import parse_tables
+    from nba_pipeline_spark.sources.python_datasource import register_html_source
+
+    register_html_source(spark)
+    fixdir = "tests/fixtures/html"
+    df = spark.read.format("html_tables").load(fixdir)
+
+    import os
+    n_files = len([f for f in os.listdir(fixdir) if f.endswith(".html")])
+    assert df.rdd.getNumPartitions() == n_files  # partition-per-page
+
+    got = df.filter("file = 'games_NBA_1997.html' AND table_idx = 0").collect()
+    with open(f"{fixdir}/games_NBA_1997.html", "rb") as fh:
+        want = parse_tables(fh.read())[0]
+    hdr = [r for r in got if r["is_header"]]
+    data = sorted((r for r in got if not r["is_header"]), key=lambda r: r["row_idx"])
+    assert len(hdr) == 1 and hdr[0]["row_idx"] == -1
+    assert list(hdr[0]["cells"]) == want["header"]
+    assert [list(r["cells"]) for r in data] == [list(r) for r in want["rows"]]
