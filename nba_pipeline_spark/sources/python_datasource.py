@@ -25,7 +25,12 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 # Repo root pinned at import time so executor-side read() can restore
 # sys.path when the worker process lacks the driver's path mutations.
@@ -48,6 +53,9 @@ class HtmlTablesDataSource(DataSource):
 
     def reader(self, schema) -> "HtmlTablesReader":
         return HtmlTablesReader(self.options)
+
+    def streamReader(self, schema) -> "HtmlTablesStreamReader":
+        return HtmlTablesStreamReader(self.options)
 
 
 class HtmlTablesReader(DataSourceReader):
@@ -92,7 +100,66 @@ class HtmlTablesReader(DataSourceReader):
                 yield (base, t_idx, r_idx, False, list(cells))
 
 
+class HtmlTablesStreamReader(DataSourceStreamReader):
+    """Streaming form: the page directory is an append-only feed (the
+    reference's scheduled incremental scrape, §3 EP2/EP3 — each DAG run
+    drops one new page); every micro-batch picks up files that arrived
+    since the last committed offset.
+
+    Offset = the sorted file-name high-water mark, JSON-serialized by
+    the engine into the checkpoint — a restart resumes after the last
+    committed page with no ledger of our own. Page order rides the
+    file NAME (the scrape stamps season/date into it), not mtime,
+    so the offset is total-ordered and replay-stable."""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("html_tables requires a path option")
+        self._dir = path
+
+    def _files(self) -> list[str]:
+        if not os.path.isdir(self._dir):
+            return []
+        return sorted(f for f in os.listdir(self._dir) if f.endswith(".html"))
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        files = self._files()
+        return {"last": files[-1] if files else ""}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        batch = [f for f in self._files() if lo < f <= hi]
+        # one partition per newly-arrived page, same as the batch reader
+        return [InputPartition(os.path.join(self._dir, f)) for f in batch]
+
+    def read(self, partition):
+        import sys
+
+        if _ROOT not in sys.path:
+            sys.path.insert(0, _ROOT)
+        from nba_pipeline_spark.sources.html_parse import parse_tables
+
+        fname = partition.value
+        with open(fname, "rb") as fh:
+            raw = fh.read()
+        base = os.path.basename(fname)
+        for t_idx, table in enumerate(parse_tables(raw)):
+            header = table.get("header")
+            if header is not None:
+                yield (base, t_idx, -1, True, list(header))
+            for r_idx, cells in enumerate(table["rows"]):
+                yield (base, t_idx, r_idx, False, list(cells))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: the offset IS the directory state
+
+
 def register_html_source(spark) -> None:
     """Idempotent registration: after this,
-    ``spark.read.format("html_tables").load(path)`` works."""
+    ``spark.read.format("html_tables").load(path)`` and
+    ``spark.readStream.format("html_tables")...`` both work."""
     spark.dataSource.register(HtmlTablesDataSource)

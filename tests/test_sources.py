@@ -157,3 +157,51 @@ def test_html_tables_python_datasource(spark):
     assert len(hdr) == 1 and hdr[0]["row_idx"] == -1
     assert list(hdr[0]["cells"]) == want["header"]
     assert [list(r["cells"]) for r in data] == [list(r) for r in want["rows"]]
+
+
+def test_html_tables_stream_source_incremental_pages(spark, tmp_path):
+    """Custom streaming source: pages arriving between micro-batches
+    are picked up exactly once (file-name high-water-mark offset in
+    the checkpoint); a restart resumes AFTER the committed offset."""
+    import shutil
+
+    from nba_pipeline_spark.sources.python_datasource import register_html_source
+
+    register_html_source(spark)
+    fixdir = "tests/fixtures/html"
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+    os.makedirs(feed)
+
+    def drain():
+        q = (
+            spark.readStream.format("html_tables").option("path", feed).load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    shutil.copy(f"{fixdir}/games_NBA_1997.html", f"{feed}/a_1997.html")
+    drain()
+    files1 = {r["file"] for r in spark.read.parquet(out).select("file").distinct().collect()}
+    assert files1 == {"a_1997.html"}
+
+    shutil.copy(f"{fixdir}/games_NBA_2019.html", f"{feed}/b_2019.html")
+    drain()  # same checkpoint: only the NEW page is read
+    rows = spark.read.parquet(out).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file"], 0)
+        by_file[r["file"]] += 1
+    assert set(by_file) == {"a_1997.html", "b_2019.html"}
+    # exactly-once: page A's rows were not re-emitted by batch 2
+    from nba_pipeline_spark.sources.html_parse import parse_tables
+    with open(f"{fixdir}/games_NBA_1997.html", "rb") as fh:
+        tables = parse_tables(fh.read())
+    want_a = sum(len(t["rows"]) + (1 if t["header"] else 0) for t in tables)
+    assert by_file["a_1997.html"] == want_a
