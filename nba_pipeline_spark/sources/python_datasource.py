@@ -64,6 +64,26 @@ class HtmlTablesReader(DataSourceReader):
         if not path:
             raise ValueError("html_tables requires a path (option or load(path))")
         self._path = path
+        self._file_eq: str | None = None
+
+    def pushFilters(self, filters):
+        # Partition pruning through the Python source: a `file = X`
+        # equality prunes the page list BEFORE any file is opened —
+        # the custom-source analog of parquet partition filters. All
+        # other filters are returned for Spark to evaluate post-scan.
+        from pyspark.sql.datasource import EqualTo
+
+        remaining = []
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and tuple(f.attribute) == ("file",)
+                and isinstance(f.value, str)
+            ):
+                self._file_eq = f.value
+            else:
+                remaining.append(f)
+        return remaining
 
     def partitions(self):
         # one partition per page file: a 10k-page backfill parses on
@@ -75,8 +95,10 @@ class HtmlTablesReader(DataSourceReader):
             )
         else:
             files = [p]
+        if self._file_eq is not None:
+            files = [f for f in files if os.path.basename(f) == self._file_eq]
         if not files:
-            raise ValueError(f"no .html files under {p}")
+            raise ValueError(f"no matching .html files under {p}")
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
@@ -161,5 +183,10 @@ class HtmlTablesStreamReader(DataSourceStreamReader):
 def register_html_source(spark) -> None:
     """Idempotent registration: after this,
     ``spark.read.format("html_tables").load(path)`` and
-    ``spark.readStream.format("html_tables")...`` both work."""
+    ``spark.readStream.format("html_tables")...`` both work.
+
+    Python-source filter pushdown is opt-in engine-wide; a reader that
+    implements pushFilters FAILS ANALYSIS while the flag is off, so
+    registration turns it on (runtime-settable SQL conf)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(HtmlTablesDataSource)

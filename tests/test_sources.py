@@ -205,3 +205,19 @@ def test_html_tables_stream_source_incremental_pages(spark, tmp_path):
         tables = parse_tables(fh.read())
     want_a = sum(len(t["rows"]) + (1 if t["header"] else 0) for t in tables)
     assert by_file["a_1997.html"] == want_a
+
+
+def test_html_tables_pushdown_prunes_partitions(spark):
+    """file = 'X' equality reaches the Python source's pushFilters and
+    prunes the partition list to ONE page — no other file is opened."""
+    from nba_pipeline_spark.sources.python_datasource import register_html_source
+
+    register_html_source(spark)
+    fixdir = "tests/fixtures/html"
+    df = (
+        spark.read.format("html_tables").load(fixdir)
+        .filter("file = 'games_NBA_2019.html'")
+    )
+    assert df.rdd.getNumPartitions() == 1  # pruned from 7 pages
+    files = {r["file"] for r in df.select("file").distinct().collect()}
+    assert files == {"games_NBA_2019.html"}
