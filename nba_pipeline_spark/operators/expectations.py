@@ -1,0 +1,68 @@
+"""Declarative data-quality expectations — the contract-check pass an
+ingest pipeline runs before publishing a drop (the Delta Live Tables /
+Great Expectations shape, engine-native).
+
+One table scan evaluates EVERY row rule: each rule is a boolean Column
+that must hold per row, violations are counted map-side into a single
+aggregate row, then unpivoted to one row per rule. NULL rule results
+count as violations (a rule that can't be evaluated did not pass —
+matching SQL CHECK-constraint pragmatics would instead pass them;
+callers opting into that wrap their rule in coalesce(rule, TRUE)).
+
+Referential rules (FK orphans) need the dimension side, so they run as
+a separate anti-join aggregate unioned into the report — still
+O(fact + dim) with the dim side broadcastable.
+
+Scale: the row-rule pass is ONE partial-agg'd scan regardless of rule
+count (rules are columns of the same aggregate); the report is
+O(rules) rows. Gate-on-failure is a driver-side decision over that
+tiny frame, or `observe`-based for zero extra actions in streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def expectations_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """(rule, n_violations, passed) — one scan, all rules."""
+    if not rules:
+        raise ValueError("expectations_report requires at least one rule")
+    counts = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(rule, F.lit(False)), 1).otherwise(0)
+            ).cast("long").alias(f"__v_{name}")
+            for name, rule in rules.items()
+        ]
+    )
+    report = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(f"__v_{name}").alias("n_violations"),
+                    )
+                    for name in rules
+                ]
+            )
+        ).alias("r")
+    ).select("r.rule", "r.n_violations")
+    return report.withColumn("passed", (F.col("n_violations") == 0).cast("int"))
+
+
+def fk_orphans(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str, rule: str
+) -> DataFrame:
+    """Referential expectation: fact rows whose key misses the dim —
+    one anti join + count, same report schema as expectations_report."""
+    orphans = fact.join(
+        dim, fact[fact_key] == dim[dim_key], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_violations"))
+    return orphans.select(
+        F.lit(rule).alias("rule"),
+        F.col("n_violations"),
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )

@@ -412,3 +412,65 @@ register(
                AS BIGINT) % 10 = 0
     """,
 )
+
+
+# --- Declarative expectations (ingest contract checks) -------------------------
+
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations over lineitem in ONE scan (operators/
+    expectations.py): per-rule violation counts + pass flags, plus a
+    referential orphan check against orders as a second tiny
+    aggregate. The publish gate every ingest pipeline runs — NULL rule
+    results count as violations."""
+    from ..operators.expectations import expectations_report, fk_orphans
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rules = {
+        "qty_positive": F.col("l_quantity") > 0,
+        "discount_range": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+        "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        "tax_range": (F.col("l_tax") >= 0) & (F.col("l_tax") <= 1),
+    }
+    report = expectations_report(li, rules)
+    fk = fk_orphans(li, orders, "l_orderkey", "o_orderkey", "fk_orderkey")
+    return report.unionByName(fk)
+
+
+register(
+    "q_expectations",
+    q_expectations,
+    """
+    SELECT 'qty_positive' AS rule,
+           CAST(SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           CASE WHEN SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_range',
+           CAST(SUM(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+           CASE WHEN SUM(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 1, FALSE) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+    FROM lineitem
+    UNION ALL
+    SELECT 'shipdate_not_null',
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CASE WHEN SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_domain',
+           CAST(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+           CASE WHEN SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+    FROM lineitem
+    UNION ALL
+    SELECT 'tax_range',
+           CAST(SUM(CASE WHEN NOT COALESCE(l_tax >= 0 AND l_tax <= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+           CASE WHEN SUM(CASE WHEN NOT COALESCE(l_tax >= 0 AND l_tax <= 1, FALSE) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+    FROM lineitem
+    UNION ALL
+    SELECT 'fk_orderkey',
+           CAST(COUNT(*) AS BIGINT),
+           CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)

@@ -98,3 +98,30 @@ def test_median_interpolates_even_counts(spark):
     )
     got = {r["g"]: r["m"] for r in df.groupBy("g").agg(F.median("v").alias("m")).collect()}
     assert got == {"a": 3.0, "b": 5.0}
+
+
+def test_expectations_report_counts_planted_violations(spark):
+    """Rules evaluate in one aggregate; NULL rule results count as
+    violations; the FK check reports orphans."""
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.operators.expectations import (
+        expectations_report,
+        fk_orphans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (4, 0.5)], "k int, v double"
+    )
+    rep = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in expectations_report(
+            df, {"v_pos": F.col("v") > 0, "k_small": F.col("k") < 10}
+        ).collect()
+    }
+    assert rep["v_pos"] == (2, 0)   # -1 fails, NULL counts as violation
+    assert rep["k_small"] == (0, 1)
+
+    dim = spark.createDataFrame([(1,), (2,)], "dk int")
+    fk = fk_orphans(df, dim, "k", "dk", "fk_k").collect()[0]
+    assert (fk["rule"], fk["n_violations"], fk["passed"]) == ("fk_k", 2, 0)
