@@ -254,6 +254,8 @@ def test_single_partition_only_on_bounded_frames(spark):
         "q_basket_rules", "q_cdc_time_travel",
         # budget/spill totals: O(sources)-row frame -> 1-row aggregates
         "q_token_budget",
+        # expectations: global aggregates -> O(1)-row rule report
+        "q_expectations",
         # windows over bounded pools/buckets: top-50 RRF pools, value
         # buckets (|buckets| rows), hourly resample grid
         "q_bm25_topk", "q_hybrid_rrf", "q_skyline", "q_resample_1h",
