@@ -168,3 +168,29 @@ def test_interpolate_properties(spark, vals):
                 assert got[t] is not None and lo <= got[t] <= hi  # bounded
             else:
                 assert got[t] is None  # no extrapolation
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1, max_size=20,
+    )
+)
+def test_cc_star_equals_minlabel_on_random_graphs(spark, edges):
+    """Alternating large/small-star and min-label propagation must
+    produce identical components on arbitrary small graphs (self-loops
+    and duplicate edges included — node range 0..15 keeps diameters
+    within min-label's default budget)."""
+    from nba_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    star = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
+    label = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert star == label
