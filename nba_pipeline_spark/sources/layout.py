@@ -64,3 +64,89 @@ def compact(spark_df: DataFrame, path: str, target_files: int) -> None:
     needs: thousands of per-trigger files → scheduler-friendly
     ~128 MB-1 GB objects, same rows."""
     spark_df.coalesce(target_files).write.mode("overwrite").parquet(path)
+
+
+def _fs_path(spark, p: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(p)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _recover_compaction(spark, path: str) -> None:
+    """Finish (or roll back) an interrupted `compact_batch_dirs` swap:
+    a ``_compact_tmp_<ik>`` dir WITH ``_SUCCESS`` holds the complete
+    consolidated state through id ik — delete the superseded batch
+    dirs and rename it into place; one WITHOUT the marker is a dead
+    partial write — delete it. Idempotent; crash-safe to re-run."""
+    jvm = spark._jvm
+    fs, jpath = _fs_path(spark, path)
+    if not fs.exists(jpath):
+        return
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not name.startswith("_compact_tmp_"):
+            continue
+        ok = fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        if not ok:
+            fs.delete(st.getPath(), True)
+            continue
+        ik = int(name.rsplit("_", 1)[1])
+        for st2 in fs.listStatus(jpath):
+            n2 = st2.getPath().getName()
+            if n2.startswith("batch="):
+                try:
+                    i = int(n2.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if i <= ik:
+                    fs.delete(st2.getPath(), True)
+        fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(jpath, f"batch={ik}"))
+
+
+def compact_batch_dirs(spark, path: str, target_files: int = 1) -> int:
+    """Consolidate a streaming sink's ``batch=<id>`` dirs (the layout
+    dedup_ingest_sink / neardup_ingest_sink / the MV snapshots write —
+    one dir per trigger) into a single ``batch=<max id>`` dir with
+    `target_files` files. Returns the number of dirs consolidated.
+
+    Crash safety by RECOVERY, not atomicity (plain parquet has no
+    multi-dir atomic commit — that's what table formats add): the
+    consolidated state is first fully written to ``_compact_tmp_<ik>``
+    (its ``_SUCCESS`` is the commit point), and only then are the
+    source dirs deleted and the tmp renamed to ``batch=<ik>``. A crash
+    anywhere leaves either (a) a markerless tmp — rolled back on the
+    next run, sources untouched — or (b) a marked tmp — the next run
+    completes the swap. Single-writer contract: run between triggers
+    (ingest appending ids > ik concurrently is safe; concurrent
+    READERS of ids <= ik during the swap window are not — the same
+    maintenance-window rule as any manifest-less lake)."""
+    _recover_compaction(spark, path)
+    jvm = spark._jvm
+    fs, jpath = _fs_path(spark, path)
+    if not fs.exists(jpath):
+        return 0
+    dirs = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("batch="):
+            try:
+                dirs.append((int(name.split("=", 1)[1]), st.getPath().toString()))
+            except ValueError:
+                continue
+    if len(dirs) <= 1:
+        return len(dirs)
+    dirs.sort()
+    ik = dirs[-1][0]
+    tmp = f"{path}/_compact_tmp_{ik}"
+    spark.read.parquet(*[d for _, d in dirs]).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{tmp}/_SUCCESS")):
+        raise RuntimeError(f"compaction write to {tmp} did not commit (_SUCCESS missing)")
+    for _, d in dirs:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp),
+        jvm.org.apache.hadoop.fs.Path(f"{path}/batch={ik}"),
+    )
+    return len(dirs)

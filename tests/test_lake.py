@@ -116,3 +116,67 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     got = {(r["id"], r["yr"], r["v"]) for r in spark.read.parquet(path).collect()}
     # 1997 and 1999 intact; 1998 replaced wholesale
     assert got == {(1, 1997, "a"), (2, 1997, "b"), (30, 1998, "c2"), (4, 1999, "d")}
+
+
+def test_compact_batch_dirs_consolidates_and_preserves_rows(spark, tmp_path):
+    """Three trigger dirs -> one batch=<max> dir, identical row set;
+    re-running is a no-op; ingest can continue with higher ids."""
+    from nba_pipeline_spark.sources.layout import compact_batch_dirs
+
+    lake = str(tmp_path / "lake")
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, f"doc{i}-{j}") for j in range(4)], "id int, t string"
+        ).write.parquet(f"{lake}/batch={i}")
+    before = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=*").collect()}
+
+    assert compact_batch_dirs(spark, lake) == 3
+    import os
+    dirs = [d for d in os.listdir(lake) if d.startswith("batch=")]
+    assert dirs == ["batch=2"]
+    after = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=2").collect()}
+    assert after == before
+
+    assert compact_batch_dirs(spark, lake) == 1  # no-op on a single dir
+
+    # ingest continues: a later trigger appends batch=3; next compact folds it
+    spark.createDataFrame([(99, "late")], "id int, t string").write.parquet(
+        f"{lake}/batch=3"
+    )
+    assert compact_batch_dirs(spark, lake) == 2
+    final = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=3").collect()}
+    assert final == before | {(99, "late")}
+
+
+def test_compact_batch_dirs_recovers_from_crash_windows(spark, tmp_path):
+    """(a) markerless tmp = dead partial write -> rolled back, sources
+    intact; (b) marked tmp = committed -> swap completed on next run."""
+    import os
+    import shutil
+
+    from nba_pipeline_spark.sources.layout import compact_batch_dirs
+
+    lake = str(tmp_path / "lake")
+    for i in range(2):
+        spark.createDataFrame([(i, f"d{i}")], "id int, t string").write.parquet(
+            f"{lake}/batch={i}"
+        )
+    rows = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=*").collect()}
+
+    # (a) crash mid-write: tmp without _SUCCESS
+    spark.createDataFrame([(7, "junk")], "id int, t string").write.parquet(
+        f"{lake}/_compact_tmp_1"
+    )
+    os.remove(f"{lake}/_compact_tmp_1/_SUCCESS")
+    assert compact_batch_dirs(spark, lake) == 2  # rollback, then real compact
+    got = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=1").collect()}
+    assert got == rows
+
+    # (b) crash after commit, before deletes/rename: marked tmp + stale dirs
+    shutil.move(f"{lake}/batch=1", f"{lake}/_compact_tmp_1")
+    spark.createDataFrame([(0, "stale")], "id int, t string").write.parquet(
+        f"{lake}/batch=0"
+    )
+    assert compact_batch_dirs(spark, lake) == 1  # recovery completed the swap
+    got2 = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=1").collect()}
+    assert got2 == rows  # consolidated state won; stale batch=0 gone
