@@ -325,3 +325,51 @@ def test_incremental_agg_maintain_composes(spark):
     assert norm(once) == norm(stepped)
     # group 2 fully retracted across the two halves
     assert [k for k, _, _ in norm(once)] == [1, 3]
+
+
+def test_maintain_sink_works_on_uri_scheme_view_path(spark, tmp_path):
+    """Regression for the round-3 advisory: with view_path given as a
+    file: URI (the shape an hdfs:/s3a: deployment passes), snapshot
+    resolution must still see committed batches — the old os.listdir
+    protocol returned [] for any URI and silently rebuilt the view
+    from empty on every replay."""
+    import os, shutil
+
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.operators.cdc import (
+        read_maintained_view,
+        streaming_agg_maintain_sink,
+    )
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src)
+    for i, rows in enumerate([[(1, 5.0, 1)], [(1, 2.0, 1)]]):
+        sub = f"{src}/w{i}"
+        spark.createDataFrame(rows, "k int, x double, __sign int").coalesce(1).write.parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(f"{sub}/{part}", f"{src}/{i:03d}.parquet")
+        shutil.rmtree(sub)
+        os.utime(f"{src}/{i:03d}.parquet", (1000 + i, 1000 + i))
+
+    view_uri = "file:" + str(tmp_path / "view")  # URI form, not a bare path
+    dec = F.col("x").cast("decimal(18,4)")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("k int, x double, __sign int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        streaming_agg_maintain_sink(
+            stream, view_uri, ["k"], {"total": dec}, str(tmp_path / ckpt)
+        ).awaitTermination()
+
+    drain("c1")
+    got = {(r["k"], r["cnt"], float(r["total"]))
+           for r in read_maintained_view(spark, view_uri).collect()}
+    assert got == {(1, 2, 7.0)}
+    drain("c2")  # replay against the URI path must SKIP, not re-apply
+    got2 = {(r["k"], r["cnt"], float(r["total"]))
+            for r in read_maintained_view(spark, view_uri).collect()}
+    assert got2 == got
