@@ -76,6 +76,14 @@ from . import fold_profile_queries  # noqa: E402,F401
 # registry are skipped (lets the list reference queries added later
 # in the round without import-order coupling); everything else keeps
 # its original import order.
+# ROUND-5 ROTATION TODO (only after the driver records CORRECTNESS_r04
+# for this window): promote the still-unsampled set — q_orc_roundtrip,
+# the six rows-only entries (q_dedup_minhash_ml, q_semdedup_trained,
+# q_kmeans_cells, q_multimodal_embed_ann, q_agg_hll_sketch,
+# q_sketch_cms), and the round-4 registrations (q_dedup_keep_best,
+# q_decontaminate_fuzzy, q_intradoc_dedup, q_token_budget,
+# q_unicode_normalize, q_expectations) — then backfill to 50 with the
+# oldest r1 greens as regression re-samples.
 _PRIORITY: tuple[str, ...] = (
     # corpus / LLM-pipeline plans
     "q_paragraph_dedup",
