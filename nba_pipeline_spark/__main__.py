@@ -1,0 +1,148 @@
+"""CLI entry point — the scheduler-boundary wrapper the reference
+exposes through Airflow DAG triggers (scrape_data_to_gcs.py:199-215:
+one DAG per dataset, PythonOperator chains). Here the same boundary is
+``spark-submit -m nba_pipeline_spark`` / ``python -m nba_pipeline_spark``:
+
+    python -m nba_pipeline_spark query q_flagship [sf_dir] [-n 20]
+    python -m nba_pipeline_spark list
+    python -m nba_pipeline_spark pipeline all --out /tmp/lake
+    python -m nba_pipeline_spark pipeline games --out /tmp/lake
+
+``pipeline`` runs the dataset builders through the dependency-ordered
+runner (pipelines/runner.py — retries, upstream-failed skip) over the
+recorded fixture frames, writing the partitioned lake the reference's
+DAGs produce in GCS/BigQuery. ``query`` executes any registered plan
+against a testdata scale dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark():
+    from .session import get_spark
+
+    return get_spark("nba-pipeline-cli")
+
+
+def cmd_list(_args) -> int:
+    from .plans.queries import REGISTRY
+
+    for name, spec in REGISTRY.items():
+        kind = "oracle" if spec.oracle else "rows-only"
+        print(f"{name}\t{kind}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .plans.queries import REGISTRY
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r} — see `list`", file=sys.stderr)
+        return 2
+    spark = _spark()
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    df.show(args.n, truncate=False)
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    from .pipelines import fixtures as FX
+    from .pipelines.lake import build_lake
+    from .pipelines.runner import Dag, Task
+
+    spark = _spark()
+
+    def run_lake(_ctx) -> int:
+        frames = build_lake(
+            spark,
+            args.out,
+            FX.games_raw(spark),
+            FX.playbyplay_raw(spark),
+            FX.boxscores_raw(spark),
+            FX.coaches_raw(spark),
+            FX.salary_raw_current(spark),
+            FX.salary_raw_history(spark),
+            FX.players_info_raw(spark),
+        )
+        return sum(df.count() for df in frames.values())
+
+    if args.dataset == "all":
+        dag = Dag("lake", [Task("build_lake", run_lake, retries=1)])
+    else:
+        builders = {
+            "games": lambda c: FX.games_raw(spark),
+            "playbyplay": lambda c: FX.playbyplay_raw(spark),
+            "boxscores": lambda c: FX.boxscores_raw(spark),
+            "coaches": lambda c: FX.coaches_raw(spark),
+            "salary": lambda c: FX.salary_raw_current(spark),
+            "players": lambda c: FX.players_info_raw(spark),
+        }
+        if args.dataset not in builders:
+            print(f"unknown dataset {args.dataset!r}", file=sys.stderr)
+            return 2
+        transforms = {
+            "games": lambda c: __import__(
+                "nba_pipeline_spark.pipelines.games", fromlist=["build_games"]
+            ).build_games(c["ingest"], spark),
+            "playbyplay": lambda c: __import__(
+                "nba_pipeline_spark.pipelines.playbyplay", fromlist=["build_playbyplay"]
+            ).build_playbyplay(c["ingest"]),
+            "boxscores": lambda c: __import__(
+                "nba_pipeline_spark.pipelines.boxscores", fromlist=["build_boxscores"]
+            ).build_boxscores(c["ingest"]),
+            "coaches": lambda c: __import__(
+                "nba_pipeline_spark.pipelines.coaches", fromlist=["build_coaches"]
+            ).build_coaches(c["ingest"]),
+            "salary": lambda c: __import__(
+                "nba_pipeline_spark.pipelines.salary", fromlist=["build_salaries"]
+            ).build_salaries(c["ingest"], FX.salary_raw_history(spark), 1997),
+            "players": lambda c: __import__(
+                "nba_pipeline_spark.pipelines.player_info", fromlist=["build_players"]
+            ).build_players(c["ingest"]),
+        }
+
+        def write(c):
+            out = c["transform"]
+            frames = out if isinstance(out, tuple) else (out,)
+            n = 0
+            for i, df in enumerate(frames):
+                df.write.mode("overwrite").parquet(
+                    f"{args.out}/{args.dataset}" + (f"_{i}" if i else "")
+                )
+                n += df.count()
+            return n
+
+        dag = Dag(
+            args.dataset,
+            [
+                Task("ingest", builders[args.dataset], retries=1),
+                Task("transform", transforms[args.dataset], deps=("ingest",)),
+                Task("write", write, deps=("transform",)),
+            ],
+        )
+    run = dag.run()
+    for tr in run.runs.values():
+        print(f"{tr.name}: {tr.state}")
+    return 0 if run.ok else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="nba_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list")
+    q = sub.add_parser("query")
+    q.add_argument("name")
+    q.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    q.add_argument("-n", type=int, default=20)
+    pl = sub.add_parser("pipeline")
+    pl.add_argument("dataset", help="games|playbyplay|boxscores|coaches|salary|players|all")
+    pl.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+    return {"list": cmd_list, "query": cmd_query, "pipeline": cmd_pipeline}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -87,3 +87,17 @@ def test_backfill_isolates_failed_seasons():
     runs = dag.backfill([1996, 1997, 1998, 1999])
     assert [r.ok for r in runs] == [True, True, False, True]
     assert runs[3].context["ingest"] == 19990
+
+
+def test_cli_pipeline_and_query(spark, tmp_path):
+    """python -m nba_pipeline_spark: the scheduler-boundary CLI runs a
+    dataset pipeline end-to-end (ingest -> transform -> write states
+    all success, parquet lands) and rejects unknown names."""
+    from nba_pipeline_spark.__main__ import main
+
+    out = str(tmp_path / "lake")
+    assert main(["pipeline", "games", "--out", out]) == 0
+    assert spark.read.parquet(f"{out}/games").count() > 0
+    assert main(["pipeline", "nope", "--out", out]) == 2
+    assert main(["query", "not_a_query"]) == 2
+    assert main(["list"]) == 0
