@@ -327,6 +327,103 @@ register(
 )
 
 
+# --- curriculum ordering (difficulty-staged training order) --------------------
+
+CURR_SHARDS, CURR_SALT = 8, "curr1"
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: easy→hard training order from the
+    unigram-LM difficulty signal (the q_unigram_ppl score — curriculum
+    learning orders examples by a competence proxy; Bengio et al. 2009,
+    and LM variants order by perplexity). Stage 1 = head (corpus-like),
+    2 = middle, 3 = tail; WITHIN a stage the order is a reproducible
+    salted-hash shuffle sharded CURR_SHARDS ways — the loader streams
+    stage 1's shards (in parallel), then stage 2's, then 3's.
+
+    Scale shape: the CE pass is q_unigram_ppl's (one explode, vocab
+    broadcast, skinny per-doc shuffle); ordering adds ONE window
+    partitioned by (stage, shard) — shards bound every sort frame at
+    corpus/(stages×shards), so no global sort exists anywhere (the
+    same trick as q_corpus_shuffle). Deterministic end to end: same
+    corpus + salt → identical order on any partitioning."""
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select("doc_id", F.explode(TX.tokenize(F.col("text"))).alias("tok"))
+        .localCheckpoint(eager=False)
+    )
+    lm = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.round(F.log2("c"), 6).cast("decimal(28,6)")).alias("s"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    ce = F.round(
+        F.round(F.log2("t"), 6) - F.col("s").cast("double") / F.col("n_tokens"), 4
+    )
+    staged = scored.select(
+        "doc_id",
+        ce.alias("ce"),
+        F.when(ce < PPL_HEAD, 1).when(ce < PPL_TAIL, 2).otherwise(3).alias("stage"),
+        F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(CURR_SALT))).alias(
+            "__h"
+        ),
+    )
+    shard = (
+        F.conv(F.substring(F.col("__h"), 1, 8), 16, 10).cast("long") % CURR_SHARDS
+    ).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("stage", "shard").orderBy("__h", "doc_id")
+    return (
+        staged.withColumn("shard", shard)
+        .select(
+            "doc_id",
+            "ce",
+            "stage",
+            "shard",
+            F.row_number().over(w).alias("pos"),
+        )
+    )
+
+
+register(
+    "q_curriculum_order",
+    q_curriculum_order,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    lm AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM lm),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             SUM(CAST(ROUND(log2(c), 6) AS DECIMAL(28,6))) AS s
+      FROM toks JOIN lm USING (tok) GROUP BY doc_id),
+    staged AS (
+      SELECT doc_id,
+             ROUND(ROUND(log2(t), 6) - CAST(s AS DOUBLE) / n_tokens, 4) AS ce,
+             md5(concat_ws('|', CAST(doc_id AS VARCHAR), '{CURR_SALT}')) AS h
+      FROM scored, total),
+    st AS (
+      SELECT doc_id, ce,
+             CASE WHEN ce < {PPL_HEAD} THEN 1
+                  WHEN ce < {PPL_TAIL} THEN 2 ELSE 3 END AS stage,
+             h,
+             CAST(CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % {CURR_SHARDS} AS INT) AS shard
+      FROM staged)
+    SELECT doc_id, ce, stage, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY stage, shard
+                                   ORDER BY h, doc_id) AS INT) AS pos
+    FROM st
+    """,
+)
+
+
 # --- linear hashed-BoW quality classifier (fastText-style inference) ----------
 
 CLS_BUCKETS = 64
