@@ -31,8 +31,14 @@ def expectations_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         raise ValueError("expectations_report requires at least one rule")
     counts = df.agg(
         *[
-            F.sum(
-                F.when(~F.coalesce(rule, F.lit(False)), 1).otherwise(0)
+            # outer coalesce: SUM over zero rows is NULL — an empty
+            # table must report 0 violations / passed=1 (and match the
+            # oracle's CASE), not a NULL the gate can't read
+            F.coalesce(
+                F.sum(
+                    F.when(~F.coalesce(rule, F.lit(False)), 1).otherwise(0)
+                ),
+                F.lit(0),
             ).cast("long").alias(f"__v_{name}")
             for name, rule in rules.items()
         ]

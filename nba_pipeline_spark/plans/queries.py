@@ -76,73 +76,82 @@ from . import fold_profile_queries  # noqa: E402,F401
 # registry are skipped (lets the list reference queries added later
 # in the round without import-order coupling); everything else keeps
 # its original import order.
-# ROUND-5 ROTATION TODO (only after the driver records CORRECTNESS_r04
-# for this window): promote the still-unsampled set — q_orc_roundtrip,
-# the six rows-only entries (q_dedup_minhash_ml, q_semdedup_trained,
-# q_kmeans_cells, q_multimodal_embed_ann, q_agg_hll_sketch,
-# q_sketch_cms), and the round-4 registrations (q_dedup_keep_best,
-# q_decontaminate_fuzzy, q_intradoc_dedup, q_token_budget,
-# q_unicode_normalize, q_expectations) — then backfill to 50 with the
-# oldest r1 greens as regression re-samples.
+# ROUND-5 ROTATION (executed; CORRECTNESS_r04 recorded the r4 window
+# 50/50 green): the window now covers every entry that has never had —
+# or whose fix has never re-had — a driver row.  Leading: the round-3
+# q_table_checksum oracle-cast fix re-sample, q_orc_roundtrip, the
+# seven round-4 registrations, the six rows-only sketch/ML entries plus
+# the four rows-only sampling re-records, then the round-5
+# registrations (manifest lake time-travel, expectations quarantine,
+# streaming token tallies).  Backfill to 50 = the oldest r1 greens in
+# their original order as regression re-samples.  Names not present in
+# the registry are skipped (round-5 names can appear here before their
+# module lands); everything else keeps its original import order.
 _PRIORITY: tuple[str, ...] = (
-    # corpus / LLM-pipeline plans
-    "q_paragraph_dedup",
-    "q_mixture_sample",
-    "q_tokenize_ids",
-    "q_corpus_shuffle",
-    "q_chunk_docs",
-    "q_seq_pack",
-    "q_split_assign",
-    "q_dedup_cluster_star",
-    # quality gates
-    "q_pii_redact",
-    "q_repetition_filter",
-    "q_unigram_ppl",
-    "q_quality_classifier",
-    "q_decontaminate_bloom",
-    # multimodal / streaming / CDC long tail
-    "q_multimodal_frames",
-    "q_stream_enrich",
-    "q_mv_minmax_refresh",
-    "q_cdc_time_travel",
-    # SQL-surface breadth
-    "q_sql_pricing_summary",
-    "q_sql_grouping_sets",
-    "q_sql_lateral_topn",
-    "q_sql_scalar_subquery",
-    "q_sql_pivot",
-    "q_sql_unpivot",
-    "q_sql_exists",
-    "q_sql_not_in",
-    "q_sql_recursive",
-    # join / set-op long tail
-    "q_join_full",
-    "q_join_cross",
-    "q_join_interval_overlap",
-    "q_intersect_all",
-    "q_except_all",
-    # agg long tail
-    "q_agg_unpivot",
-    "q_agg_histogram",
-    "q_agg_listagg",
-    "q_agg_stats",
-    "q_agg_argminmax",
-    "q_agg_bool_bit",
-    "q_basket_rules",
-    # window / sessionization long tail
-    "q_win_running_reset",
-    "q_win_first_last",
-    "q_win_distinct",
-    "q_win_bfill",
-    "q_win_range_frame",
-    "q_win_nth_value",
-    "q_interpolate",
-    "q_sessionize",
-    # scalar / generator long tail
-    "q_date_trunc",
-    "q_posexplode",
-    "q_explode_outer",
-    "q_regexp_extract_all",
+    # never/not-re-confirmed: the hard-signal gap from VERDICT r4
+    "q_table_checksum",
+    "q_orc_roundtrip",
+    "q_decontaminate_fuzzy",
+    "q_intradoc_dedup",
+    "q_token_budget",
+    "q_unicode_normalize",
+    "q_dedup_keep_best",
+    "q_expectations",
+    "q_curriculum_order",
+    # rows-only entries: first driver rows-only record
+    "q_dedup_minhash_ml",
+    "q_semdedup_trained",
+    "q_kmeans_cells",
+    "q_multimodal_embed_ann",
+    "q_agg_hll_sketch",
+    "q_sketch_cms",
+    "q_sample",
+    "q_sample_stratified",
+    "q_agg_approx_distinct",
+    "q_agg_approx_percentile",
+    # round-5 registrations (skipped until their modules land)
+    "q_manifest_snapshot",
+    "q_manifest_time_travel",
+    "q_expectations_quarantine",
+    "q_quarantine_rows",
+    "q_stream_token_tally",
+    "q_manifest_compact_read",
+    # backfill: oldest r1 greens, original order (driver keeps first 50)
+    "q_flagship",
+    "q_project_rename",
+    "q_with_literal",
+    "q_struct_flatten",
+    "q_filter_basic",
+    "q_filter_null",
+    "q_filter_isin",
+    "q_filter_or",
+    "q_filter_split",
+    "q_filter_trycast",
+    "q_case_when",
+    "q_trycast_case",
+    "q_str_split",
+    "q_str_time",
+    "q_date_parts",
+    "q_date_parse",
+    "q_math",
+    "q_surrogate_key",
+    "q_regex_filter",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_sort",
+    "q_limit",
+    "q_topk",
+    "q_partition_prune",
+    "q_csv_roundtrip",
+    "q_jsonl_roundtrip",
+    "q_lookup_join",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
 )
 
 

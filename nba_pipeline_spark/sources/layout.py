@@ -119,7 +119,17 @@ def compact_batch_dirs(spark, path: str, target_files: int = 1) -> int:
     completes the swap. Single-writer contract: run between triggers
     (ingest appending ids > ik concurrently is safe; concurrent
     READERS of ids <= ik during the swap window are not — the same
-    maintenance-window rule as any manifest-less lake)."""
+    maintenance-window rule as any manifest-less lake; the manifest
+    lake in ``manifest.py`` removes that window).
+
+    Replay safety: only dirs WITH ``_SUCCESS`` are compaction sources
+    (a markerless dir is an uncommitted partial write — left alone),
+    and the NEWEST committed id is deliberately excluded from
+    consolidation. If the stream crashed before checkpointing its last
+    batch, the restart replays it with ``mode('overwrite')`` on its
+    own ``batch=<id>`` dir; because that id is never a consolidation
+    target, the replay can only clobber itself, never the compacted
+    history of earlier batches."""
     _recover_compaction(spark, path)
     jvm = spark._jvm
     fs, jpath = _fs_path(spark, path)
@@ -130,12 +140,20 @@ def compact_batch_dirs(spark, path: str, target_files: int = 1) -> int:
         name = st.getPath().getName()
         if name.startswith("batch="):
             try:
-                dirs.append((int(name.split("=", 1)[1]), st.getPath().toString()))
+                i = int(name.split("=", 1)[1])
             except ValueError:
                 continue
+            committed = fs.exists(
+                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            )
+            if not committed:
+                continue  # partial/uncommitted dir: never a source
+            dirs.append((i, st.getPath().toString()))
+    dirs.sort()
+    # keep the newest committed dir out of the consolidation set
+    dirs = dirs[:-1]
     if len(dirs) <= 1:
         return len(dirs)
-    dirs.sort()
     ik = dirs[-1][0]
     tmp = f"{path}/_compact_tmp_{ik}"
     spark.read.parquet(*[d for _, d in dirs]).coalesce(target_files).write.mode(

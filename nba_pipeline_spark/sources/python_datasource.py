@@ -89,6 +89,9 @@ class HtmlTablesReader(DataSourceReader):
         # one partition per page file: a 10k-page backfill parses on
         # 10k tasks, not one driver loop
         p = self._path
+        if not os.path.exists(p):
+            # genuinely missing root: fail analysis loudly
+            raise ValueError(f"html_tables path does not exist: {p}")
         if os.path.isdir(p):
             files = sorted(
                 os.path.join(p, f) for f in os.listdir(p) if f.endswith(".html")
@@ -97,8 +100,11 @@ class HtmlTablesReader(DataSourceReader):
             files = [p]
         if self._file_eq is not None:
             files = [f for f in files if os.path.basename(f) == self._file_eq]
+        # Empty page dir / pushdown pruned to zero files → empty result,
+        # same semantics the filter would have post-scan. One no-op
+        # partition because Spark's Python source requires ≥1 partition.
         if not files:
-            raise ValueError(f"no matching .html files under {p}")
+            return [InputPartition(None)]
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
@@ -109,6 +115,8 @@ class HtmlTablesReader(DataSourceReader):
         from nba_pipeline_spark.sources.html_parse import parse_tables
 
         fname = partition.value
+        if fname is None:  # pruned-to-zero sentinel partition
+            return
         with open(fname, "rb") as fh:
             raw = fh.read()
         base = os.path.basename(fname)

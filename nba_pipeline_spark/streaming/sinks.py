@@ -51,10 +51,15 @@ def upsert_partitions_sink(
 def _prior_batch_dirs(spark, path: str, before: int) -> list[str]:
     """Committed ``batch=<id>`` dirs under `path` with id < `before`,
     listed via the Hadoop FileSystem API (object-store-safe — a
-    driver-local listdir silently sees nothing on s3a/hdfs)."""
+    driver-local listdir silently sees nothing on s3a/hdfs). Only dirs
+    carrying ``_SUCCESS`` count: a markerless dir (interrupted
+    compaction, manual copy) is an uncommitted partial write, and
+    reading it as settled seen-hashes/signatures would wrongly
+    anti-join fresh rows away."""
     from ..operators.cdc import _view_fs
 
     fs, jpath = _view_fs(spark, path)
+    jvm = spark._jvm
     out: list[str] = []
     if fs.exists(jpath):
         for st in fs.listStatus(jpath):
@@ -65,7 +70,9 @@ def _prior_batch_dirs(spark, path: str, before: int) -> list[str]:
                 i = int(name.split("=", 1)[1])
             except ValueError:
                 continue
-            if i < before:
+            if i < before and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            ):
                 out.append(st.getPath().toString())
     out.sort()
     return out

@@ -119,8 +119,10 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
 
 
 def test_compact_batch_dirs_consolidates_and_preserves_rows(spark, tmp_path):
-    """Three trigger dirs -> one batch=<max> dir, identical row set;
-    re-running is a no-op; ingest can continue with higher ids."""
+    """Trigger dirs below the newest -> one batch=<max-compacted> dir,
+    identical row set; the NEWEST committed dir is deliberately left
+    un-compacted (replay safety); re-running is a no-op; ingest can
+    continue with higher ids."""
     from nba_pipeline_spark.sources.layout import compact_batch_dirs
 
     lake = str(tmp_path / "lake")
@@ -130,22 +132,64 @@ def test_compact_batch_dirs_consolidates_and_preserves_rows(spark, tmp_path):
         ).write.parquet(f"{lake}/batch={i}")
     before = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=*").collect()}
 
-    assert compact_batch_dirs(spark, lake) == 3
+    assert compact_batch_dirs(spark, lake) == 2  # 0,1 -> batch=1; newest kept
     import os
-    dirs = [d for d in os.listdir(lake) if d.startswith("batch=")]
-    assert dirs == ["batch=2"]
-    after = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=2").collect()}
+    dirs = sorted(d for d in os.listdir(lake) if d.startswith("batch="))
+    assert dirs == ["batch=1", "batch=2"]
+    after = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=*").collect()}
     assert after == before
 
-    assert compact_batch_dirs(spark, lake) == 1  # no-op on a single dir
+    # only one dir below the newest -> nothing to consolidate
+    assert compact_batch_dirs(spark, lake) == 1
 
-    # ingest continues: a later trigger appends batch=3; next compact folds it
+    # ingest continues: a later trigger appends batch=3; next compact
+    # folds 1,2 -> batch=2 and leaves 3 as the protected newest
     spark.createDataFrame([(99, "late")], "id int, t string").write.parquet(
         f"{lake}/batch=3"
     )
     assert compact_batch_dirs(spark, lake) == 2
-    final = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=3").collect()}
+    final = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=*").collect()}
     assert final == before | {(99, "late")}
+    dirs2 = sorted(d for d in os.listdir(lake) if d.startswith("batch="))
+    assert dirs2 == ["batch=2", "batch=3"]
+
+
+def test_compact_batch_dirs_replay_safe_with_uncommitted_newest(spark, tmp_path):
+    """A markerless (crashed mid-write) newest dir is never a
+    consolidation source; a stream replay that mode('overwrite')s it
+    can only clobber its own dir, never compacted history."""
+    import os
+
+    from nba_pipeline_spark.sources.layout import compact_batch_dirs
+
+    lake = str(tmp_path / "lake")
+    for i in range(2):
+        spark.createDataFrame([(i, f"d{i}")], "id int, t string").write.parquet(
+            f"{lake}/batch={i}"
+        )
+    settled = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=*").collect()}
+    # crash mid-batch 2: dir exists, no _SUCCESS
+    spark.createDataFrame([(2, "partial")], "id int, t string").write.parquet(
+        f"{lake}/batch=2"
+    )
+    os.remove(f"{lake}/batch=2/_SUCCESS")
+
+    # committed sources are 0,1 -> newest committed (1) excluded, so
+    # only batch=0 is below it: nothing to consolidate, partial intact
+    assert compact_batch_dirs(spark, lake) == 1
+    assert os.path.isdir(f"{lake}/batch=2")
+    assert sorted(d for d in os.listdir(lake) if d.startswith("batch=")) == [
+        "batch=0",
+        "batch=1",
+        "batch=2",
+    ]
+
+    # replay: restart rewrites batch 2 over its own dir only
+    spark.createDataFrame([(2, "replayed")], "id int, t string").write.mode(
+        "overwrite"
+    ).parquet(f"{lake}/batch=2")
+    got = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=*").collect()}
+    assert got == settled | {(2, "replayed")}
 
 
 def test_compact_batch_dirs_recovers_from_crash_windows(spark, tmp_path):
@@ -157,7 +201,7 @@ def test_compact_batch_dirs_recovers_from_crash_windows(spark, tmp_path):
     from nba_pipeline_spark.sources.layout import compact_batch_dirs
 
     lake = str(tmp_path / "lake")
-    for i in range(2):
+    for i in range(3):
         spark.createDataFrame([(i, f"d{i}")], "id int, t string").write.parquet(
             f"{lake}/batch={i}"
         )
@@ -168,8 +212,8 @@ def test_compact_batch_dirs_recovers_from_crash_windows(spark, tmp_path):
         f"{lake}/_compact_tmp_1"
     )
     os.remove(f"{lake}/_compact_tmp_1/_SUCCESS")
-    assert compact_batch_dirs(spark, lake) == 2  # rollback, then real compact
-    got = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=1").collect()}
+    assert compact_batch_dirs(spark, lake) == 2  # rollback, then compact 0,1
+    got = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=*").collect()}
     assert got == rows
 
     # (b) crash after commit, before deletes/rename: marked tmp + stale dirs
@@ -177,6 +221,8 @@ def test_compact_batch_dirs_recovers_from_crash_windows(spark, tmp_path):
     spark.createDataFrame([(0, "stale")], "id int, t string").write.parquet(
         f"{lake}/batch=0"
     )
-    assert compact_batch_dirs(spark, lake) == 1  # recovery completed the swap
-    got2 = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=1").collect()}
+    # recovery deletes superseded ids <= 1 and renames the tmp into
+    # place; afterwards only batch=1 sits below the newest -> no-op
+    assert compact_batch_dirs(spark, lake) == 1
+    got2 = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=*").collect()}
     assert got2 == rows  # consolidated state won; stale batch=0 gone

@@ -221,3 +221,24 @@ def test_html_tables_pushdown_prunes_partitions(spark):
     assert df.rdd.getNumPartitions() == 1  # pruned from 7 pages
     files = {r["file"] for r in df.select("file").distinct().collect()}
     assert files == {"games_NBA_2019.html"}
+
+
+def test_html_tables_pushdown_zero_match_returns_empty(spark, tmp_path):
+    """A pushed file-equality that matches NO file (or an empty page
+    dir) yields an empty DataFrame — pushdown must not change the
+    semantics from empty-result to AnalysisException."""
+    from nba_pipeline_spark.sources.python_datasource import register_html_source
+
+    register_html_source(spark)
+    fixdir = "tests/fixtures/html"
+    df = (
+        spark.read.format("html_tables").load(fixdir)
+        .filter("file = 'does_not_exist.html'")
+    )
+    assert df.count() == 0
+    assert df.columns == ["file", "table_idx", "row_idx", "is_header", "cells"]
+
+    empty_dir = str(tmp_path / "no_pages")
+    import os
+    os.makedirs(empty_dir)
+    assert spark.read.format("html_tables").load(empty_dir).count() == 0
