@@ -1,0 +1,113 @@
+"""Manifest-lake registry queries: snapshot reads, time travel, and
+reader-equivalence across compaction, oracled against DuckDB over the
+same source parquet (the lake is a deterministic staging of `orders`).
+
+The staged lake (fingerprint-keyed like the csv/jsonl/orc stages) is
+built once per testdata generation:
+
+    v1  append  orders with o_orderkey % 4 IN (0, 1)
+    v2  append  orders with o_orderkey % 4 IN (2, 3)
+    v3  compact (same rows as v2's snapshot, one segment)
+
+so every version's contents are a pure predicate over `orders` — which
+is exactly what the oracle recomputes. Reference analog: the BigQuery
+warehouse intent (IaC/main.tf:45-55) — a transactional table readers
+can query at a version while writers commit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..sources import load_table
+from ..sources import manifest as M
+from .queries import register
+from .relational_queries import _stage_dir
+
+
+def _manifest_lake(spark: SparkSession, sf_dir: str) -> str:
+    lake = _stage_dir(sf_dir, "orders", "manifest_lake")
+    if M.current_version(spark, lake) != 3:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        M.commit_append(spark, lake, orders.filter(F.col("o_orderkey") % 4 <= 1))
+        M.commit_append(spark, lake, orders.filter(F.col("o_orderkey") % 4 >= 2))
+        M.compact(spark, lake, target_files=4)
+    return lake
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        # exact-decimal sum: order-independent across engines
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.max("o_custkey").alias("max_cust"),
+    )
+
+
+_AGG_ORACLE = (
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
+    "MAX(o_custkey) AS max_cust FROM orders{where} GROUP BY o_orderstatus"
+)
+
+
+def q_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest snapshot (v3, post-compaction) == the full orders set."""
+    tune(spark)
+    lake = _manifest_lake(spark, sf_dir)
+    return _agg(M.read_snapshot(spark, lake))
+
+
+register(
+    "q_manifest_snapshot",
+    q_manifest_snapshot,
+    _AGG_ORACLE.format(where=""),
+)
+
+
+def q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF version 1: only the first append's rows are visible even
+    though two later commits (append + compact) exist."""
+    tune(spark)
+    lake = _manifest_lake(spark, sf_dir)
+    return _agg(M.read_snapshot(spark, lake, version=1))
+
+
+register(
+    "q_manifest_time_travel",
+    q_manifest_time_travel,
+    _AGG_ORACLE.format(where=" WHERE o_orderkey % 4 <= 1"),
+)
+
+
+def q_manifest_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader equivalence across compaction: v2 (two appended segments)
+    and v3 (one compacted segment) aggregate identically — the commit
+    changed the layout, never the contents. Two rows per status, one
+    per version, both equal to the full-orders aggregate."""
+    tune(spark)
+    lake = _manifest_lake(spark, sf_dir)
+    v2 = _agg(M.read_snapshot(spark, lake, version=2)).withColumn(
+        "version", F.lit(2)
+    )
+    v3 = _agg(M.read_snapshot(spark, lake, version=3)).withColumn(
+        "version", F.lit(3)
+    )
+    return v2.unionByName(v3)
+
+
+register(
+    "q_manifest_compact_read",
+    q_manifest_compact_read,
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
+    "MAX(o_custkey) AS max_cust, v.version AS version "
+    "FROM orders CROSS JOIN (SELECT 2 AS version UNION ALL SELECT 3) v "
+    "GROUP BY o_orderstatus, v.version",
+)

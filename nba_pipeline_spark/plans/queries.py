@@ -59,6 +59,7 @@ from . import breadth_queries  # noqa: E402,F401
 from . import tpch_more_queries  # noqa: E402,F401
 from . import scalar_breadth_queries  # noqa: E402,F401
 from . import fold_profile_queries  # noqa: E402,F401
+from . import lake_queries  # noqa: E402,F401
 
 
 # The driver's per-round CORRECTNESS check records only the FIRST 50

@@ -1,0 +1,264 @@
+"""Minimal snapshot/manifest table format over the parquet lake —
+atomic multi-file commits, lock-free snapshot-isolated readers, and
+time travel, the slice of Iceberg/Delta semantics the batch-dir lake
+needs (SCALE.md "Batch-dir compaction": plain dir swaps give readers
+a maintenance window; a manifest removes it). The reference's own
+warehouse intent is a transactional store (BigQuery, IaC/main.tf:45-55);
+this is the lake-native equivalent.
+
+Layout::
+
+    lake/
+      data/<segment>/          immutable parquet dirs (_SUCCESS-committed)
+      _manifests/v<NNNNNNNN>.json   one JSON file per table version
+
+A manifest lists the data segments that make up one table version.
+Segments are IMMUTABLE once referenced: every operation (append,
+replace, compact) writes NEW segment dirs and then publishes a new
+manifest; nothing a committed manifest points at is ever rewritten.
+
+**Commit = one atomic file rename.** The manifest is written to a tmp
+name and renamed to ``v<version>.json``. Rename-if-absent doubles as
+optimistic concurrency control: if two writers race to version N, one
+rename fails (destination exists), and the loser re-reads the latest
+version, re-points its parent list, and retries with N+1 — its already
+written data segment is reused, only the pointer retries. (Atomic on
+HDFS/ABFS/posix; on S3 swap the rename for a conditional PUT
+``If-None-Match:*`` — same one-object commit point.)
+
+**Snapshot isolation for free.** A reader resolves ONE manifest file
+and plans over the segments it lists. Compaction publishes a new
+manifest pointing at the consolidated segment but deletes nothing, so
+an in-flight reader of the old version keeps scanning the old segments
+untouched — no maintenance window. Old segments die only in `vacuum`,
+which retains the last ``keep_versions`` manifests and removes
+segments no retained manifest references (plus dead partial writes).
+
+**Crash anywhere is safe**: a crash before the rename leaves an orphan
+segment and/or tmp manifest that no committed manifest references —
+invisible to every reader, reclaimed by vacuum. A crash after the
+rename is a completed commit.
+
+At 100 TB: the manifest holds directory names, not per-file entries, so
+it stays KB-sized; resolution is one small-file read on the driver;
+scan planning over the listed dirs is Spark's normal file-index path
+(partition pruning and predicate pushdown still apply per segment).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _jpath(spark: SparkSession, p: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(p)
+
+
+def _fs(spark: SparkSession, p: str):
+    jp = _jpath(spark, p)
+    return jp.getFileSystem(spark._jsc.hadoopConfiguration()), jp
+
+
+def _manifest_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed versions, ascending. A ``.tmp`` file is an
+    uncommitted write in flight — never listed."""
+    mdir = f"{path}/{_MANIFEST_DIR}"
+    fs, jp = _fs(spark, mdir)
+    if not fs.exists(jp):
+        return []
+    out = []
+    for st in fs.listStatus(jp):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    mfile = f"{path}/{_MANIFEST_DIR}/v{version:08d}.json"
+    fs, jp = _fs(spark, mfile)
+    stream = fs.open(jp)
+    try:
+        # py4j byte[] args are pass-by-value (a Python-side buffer
+        # never sees Java-side writes), so drain via commons-io
+        content = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(content)
+
+
+def _rename_no_overwrite(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic rename that FAILS if `dst` exists — the commit primitive.
+    ``FileSystem.rename`` can't be trusted for this (RawLocalFileSystem
+    delegates to POSIX rename(2), which silently replaces the
+    destination); ``FileContext.rename`` without the OVERWRITE option
+    enforces fail-on-existing on every implementation (atomic on
+    HDFS/ABFS — the same primitive Delta's HDFSLogStore commits with)."""
+    jvm = spark._jvm
+    jdst = _jpath(spark, dst)
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        jdst.toUri(), spark._jsc.hadoopConfiguration()
+    )
+    opts = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 0
+    )
+    try:
+        fc.rename(_jpath(spark, src), jdst, opts)
+        return True
+    except Exception as e:  # Py4JJavaError: lost the CAS race
+        msg = str(e)
+        if "AlreadyExists" in msg or "already exists" in msg:
+            return False
+        raise
+
+
+def _write_segment(df: DataFrame, path: str, target_files: int | None) -> str:
+    seg = f"seg-{uuid.uuid4().hex[:12]}"
+    writer = df.coalesce(target_files) if target_files else df
+    writer.write.mode("overwrite").parquet(f"{path}/{_DATA_DIR}/{seg}")
+    return seg
+
+
+def _commit(
+    spark: SparkSession, path: str, op: str, segments_fn, max_tries: int = 20
+) -> int:
+    """Publish a new manifest via rename-if-absent CAS.
+
+    ``segments_fn(parent_manifest | None) -> list[str]`` computes the
+    new live segment list from the parent snapshot; it re-runs on CAS
+    retry so the parent is always the version actually superseded."""
+    mdir = f"{path}/{_MANIFEST_DIR}"
+    fs, jmdir = _fs(spark, mdir)
+    fs.mkdirs(jmdir)
+    for _ in range(max_tries):
+        versions = _manifest_versions(spark, path)
+        parent = versions[-1] if versions else 0
+        parent_m = _read_manifest(spark, path, parent) if versions else None
+        version = parent + 1
+        manifest = {
+            "version": version,
+            "parent": parent if versions else None,
+            "op": op,
+            "segments": segments_fn(parent_m),
+        }
+        tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
+        out = fs.create(_jpath(spark, tmp), True)
+        try:
+            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        finally:
+            out.close()
+        # the commit point: atomic, fails if the version was taken
+        if _rename_no_overwrite(spark, tmp, f"{mdir}/v{version:08d}.json"):
+            return version
+        fs.delete(_jpath(spark, tmp), False)  # lost the race: retry on new parent
+    raise RuntimeError(f"manifest commit lost the CAS race {max_tries} times: {path}")
+
+
+def commit_append(
+    spark: SparkSession, path: str, df: DataFrame, target_files: int | None = None
+) -> int:
+    """Append `df` as a new segment; returns the committed version."""
+    seg = _write_segment(df, path, target_files)
+    return _commit(
+        spark, path, "append",
+        lambda parent: (parent["segments"] if parent else []) + [seg],
+    )
+
+
+def commit_replace(
+    spark: SparkSession, path: str, df: DataFrame, target_files: int | None = None
+) -> int:
+    """Replace the table contents wholesale (snapshot overwrite)."""
+    seg = _write_segment(df, path, target_files)
+    return _commit(spark, path, "replace", lambda parent: [seg])
+
+
+def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """Consolidate the CURRENT snapshot into one segment and commit.
+    Concurrent readers are unaffected: their resolved manifests keep
+    pointing at the old segments, which remain on disk until vacuum.
+    A concurrent append CAS-races the compaction; whichever commits
+    second re-reads the other's manifest, so no rows are lost — the
+    compacted segment list is recomputed from the actual parent."""
+    versions = _manifest_versions(spark, path)
+    if not versions:
+        raise ValueError(f"cannot compact an empty manifest lake: {path}")
+    base = _read_manifest(spark, path, versions[-1])
+    df = _read_segments(spark, path, base["segments"])
+    seg = _write_segment(df, path, target_files)
+
+    def _segments(parent):
+        # appends that landed after `base` survive the compaction
+        extra = [s for s in (parent["segments"] if parent else []) if s not in set(base["segments"])]
+        return [seg] + extra
+
+    return _commit(spark, path, "compact", _segments)
+
+
+def _read_segments(spark: SparkSession, path: str, segments: list[str]) -> DataFrame:
+    if not segments:
+        raise ValueError("manifest lists no segments (empty table version)")
+    return spark.read.parquet(*[f"{path}/{_DATA_DIR}/{s}" for s in segments])
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table AS OF `version` (default: latest). One manifest read,
+    then a plain multi-dir parquet scan — pushdown/pruning intact."""
+    versions = _manifest_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no committed manifest under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in committed versions {versions}")
+    return _read_segments(spark, path, _read_manifest(spark, path, v)["segments"])
+
+
+def current_version(spark: SparkSession, path: str) -> int | None:
+    versions = _manifest_versions(spark, path)
+    return versions[-1] if versions else None
+
+
+def vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> int:
+    """Drop manifests older than the newest `keep_versions` and delete
+    every data segment no retained manifest references — including
+    orphans from crashed writers. Returns segments deleted. Run only
+    when no reader can be pinned to an expired version (the usual
+    table-format retention contract)."""
+    versions = _manifest_versions(spark, path)
+    if not versions:
+        return 0
+    keep = versions[-keep_versions:]
+    fs, _ = _fs(spark, path)
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(spark, path, v)["segments"])
+    for v in versions:
+        if v not in keep:
+            fs.delete(_jpath(spark, f"{path}/{_MANIFEST_DIR}/v{v:08d}.json"), False)
+    # stray tmp manifests from crashed commits
+    mdir = f"{path}/{_MANIFEST_DIR}"
+    for st in fs.listStatus(_jpath(spark, mdir)):
+        if st.getPath().getName().startswith(".tmp-"):
+            fs.delete(st.getPath(), False)
+    ddir = f"{path}/{_DATA_DIR}"
+    jddir = _jpath(spark, ddir)
+    n = 0
+    if fs.exists(jddir):
+        for st in fs.listStatus(jddir):
+            if st.getPath().getName() not in live:
+                fs.delete(st.getPath(), True)
+                n += 1
+    return n

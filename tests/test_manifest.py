@@ -1,0 +1,169 @@
+"""Manifest/snapshot lake: atomic multi-file commits, snapshot-isolated
+readers (no maintenance window during compaction), time travel, CAS
+writer races, crash recovery, vacuum retention."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from nba_pipeline_spark.sources import manifest as M
+
+
+def _rows(df):
+    return {(r["id"], r["t"]) for r in df.collect()}
+
+
+def _mk(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"d{i}") for i in range(lo, hi)], "id int, t string"
+    )
+
+
+def test_append_replace_compact_versions(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    v1 = M.commit_append(spark, lake, _mk(spark, 0, 4))
+    v2 = M.commit_append(spark, lake, _mk(spark, 4, 8))
+    assert (v1, v2) == (1, 2)
+    assert _rows(M.read_snapshot(spark, lake)) == _rows(_mk(spark, 0, 8))
+
+    v3 = M.compact(spark, lake, target_files=1)
+    assert v3 == 3
+    assert _rows(M.read_snapshot(spark, lake)) == _rows(_mk(spark, 0, 8))
+    # compacted snapshot is one segment
+    m3 = M._read_manifest(spark, lake, 3)
+    assert len(m3["segments"]) == 1 and m3["op"] == "compact"
+
+    v4 = M.commit_replace(spark, lake, _mk(spark, 100, 102))
+    assert v4 == 4
+    assert _rows(M.read_snapshot(spark, lake)) == _rows(_mk(spark, 100, 102))
+
+
+def test_time_travel_reads_every_version(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 3))
+    M.commit_append(spark, lake, _mk(spark, 3, 6))
+    M.commit_replace(spark, lake, _mk(spark, 9, 10))
+    assert _rows(M.read_snapshot(spark, lake, version=1)) == _rows(_mk(spark, 0, 3))
+    assert _rows(M.read_snapshot(spark, lake, version=2)) == _rows(_mk(spark, 0, 6))
+    assert _rows(M.read_snapshot(spark, lake, version=3)) == _rows(_mk(spark, 9, 10))
+    assert M.current_version(spark, lake) == 3
+    with pytest.raises(ValueError):
+        M.read_snapshot(spark, lake, version=7)
+
+
+def test_reader_during_compaction_sees_one_snapshot(spark, tmp_path):
+    """A reader that resolved its manifest BEFORE compaction keeps
+    scanning the old segments (still on disk) — never a mix of old and
+    new; a reader resolving AFTER sees exactly the new snapshot."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 5))
+    M.commit_append(spark, lake, _mk(spark, 5, 10))
+    expected = _rows(_mk(spark, 0, 10))
+
+    pinned = M.read_snapshot(spark, lake)  # resolves v2's segment list now
+    old_segs = M._read_manifest(spark, lake, 2)["segments"]
+
+    M.compact(spark, lake)
+
+    # old segments untouched by the commit -> the pinned plan still scans them
+    for s in old_segs:
+        assert os.path.exists(f"{lake}/data/{s}/_SUCCESS")
+    assert _rows(pinned) == expected
+    assert _rows(M.read_snapshot(spark, lake)) == expected
+    assert len(M._read_manifest(spark, lake, 3)["segments"]) == 1
+
+
+def test_compact_concurrent_append_loses_no_rows(spark, tmp_path):
+    """An append that lands between compaction's snapshot read and its
+    commit survives: the CAS makes the second committer re-point at the
+    actual parent, so the compacted list keeps the interleaved segment."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 4))
+    base = M._read_manifest(spark, lake, 1)
+
+    # simulate: compaction computed its consolidated segment from v1...
+    df = M._read_segments(spark, lake, base["segments"])
+    seg = M._write_segment(df, lake, 1)
+    # ...but an append commits v2 first
+    M.commit_append(spark, lake, _mk(spark, 4, 6))
+
+    def _segments(parent):
+        extra = [s for s in (parent["segments"] if parent else [])
+                 if s not in set(base["segments"])]
+        return [seg] + extra
+
+    v = M._commit(spark, lake, "compact", _segments)
+    assert v == 3
+    assert _rows(M.read_snapshot(spark, lake)) == _rows(_mk(spark, 0, 6))
+
+
+def test_crash_mid_commit_is_invisible_and_vacuumable(spark, tmp_path):
+    """Orphan segment + tmp manifest (crash before rename) are invisible
+    to readers and reclaimed by vacuum; a committed rename is durable."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 4))
+    expected = _rows(_mk(spark, 0, 4))
+
+    # crash: segment written, manifest only as tmp (never renamed)
+    M._write_segment(_mk(spark, 50, 60), lake, None)
+    with open(f"{lake}/_manifests/.tmp-deadbeef.json", "w") as fh:
+        json.dump({"version": 2, "segments": ["seg-zzz"]}, fh)
+
+    assert M.current_version(spark, lake) == 1
+    assert _rows(M.read_snapshot(spark, lake)) == expected
+
+    n = M.vacuum(spark, lake, keep_versions=1)
+    assert n == 1  # the orphan segment
+    assert not os.path.exists(f"{lake}/_manifests/.tmp-deadbeef.json")
+    assert _rows(M.read_snapshot(spark, lake)) == expected
+
+
+def test_vacuum_retains_recent_versions_only(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 2))
+    M.commit_append(spark, lake, _mk(spark, 2, 4))
+    M.compact(spark, lake)
+    # keep v2,v3: v1's manifest goes; v3's compacted seg + v2's segs stay
+    M.vacuum(spark, lake, keep_versions=2)
+    assert M._manifest_versions(spark, lake) == [2, 3]
+    assert _rows(M.read_snapshot(spark, lake, version=2)) == _rows(_mk(spark, 0, 4))
+    assert _rows(M.read_snapshot(spark, lake, version=3)) == _rows(_mk(spark, 0, 4))
+
+    # now drop to 1 version: v2-only segments are reclaimed
+    M.vacuum(spark, lake, keep_versions=1)
+    assert M._manifest_versions(spark, lake) == [3]
+    segs = set(os.listdir(f"{lake}/data"))
+    assert segs == set(M._read_manifest(spark, lake, 3)["segments"])
+    assert _rows(M.read_snapshot(spark, lake)) == _rows(_mk(spark, 0, 4))
+
+
+def test_cas_version_collision_retries(spark, tmp_path):
+    """A competing writer that grabs the target version BETWEEN the
+    parent read and the rename makes the rename fail; the loop re-reads
+    the new parent and lands on the next version with both segment sets
+    intact. (segments_fn runs inside the loop before the rename — the
+    plant lands in exactly the race window.)"""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 2))
+    seg_mine = M._write_segment(_mk(spark, 4, 6), lake, None)
+    seg_theirs = M._write_segment(_mk(spark, 2, 4), lake, None)
+    planted = {"done": False}
+
+    def segments_fn(parent):
+        if not planted["done"]:
+            planted["done"] = True
+            with open(f"{lake}/_manifests/v00000002.json", "w") as fh:
+                json.dump(
+                    {"version": 2, "parent": 1, "op": "append",
+                     "segments": M._read_manifest(spark, lake, 1)["segments"]
+                     + [seg_theirs]},
+                    fh,
+                )
+        return (parent["segments"] if parent else []) + [seg_mine]
+
+    v = M._commit(spark, lake, "append", segments_fn)
+    assert v == 3  # first attempt at v2 lost; retried on the new parent
+    assert _rows(M.read_snapshot(spark, lake)) == _rows(_mk(spark, 0, 6))
