@@ -59,6 +59,78 @@ def expectations_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     return report.withColumn("passed", (F.col("n_violations") == 0).cast("int"))
 
 
+def tag_violations(
+    df: DataFrame, rules: dict[str, Column], tag_col: str = "failed_rules"
+) -> DataFrame:
+    """Per-row rule tags: `tag_col` = array of the rule names this row
+    violates, in rule (dict) order — deterministic, so the tag column
+    is hashable cross-engine. One projection, no shuffle."""
+    if not rules:
+        raise ValueError("tag_violations requires at least one rule")
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(rule, F.lit(False)), F.lit(name))
+                for name, rule in rules.items()
+            ]
+        )
+    )
+    return df.withColumn(tag_col, tags)
+
+
+def split_quarantine(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """(passed, quarantined): rows violating no rule vs rows violating
+    at least one, the latter carrying their `failed_rules` tags — the
+    dual-channel publish gate that replaces swallow-and-continue error
+    handling (reference: the try/except-continue at games.py:21-27
+    silently drops bad rows; a quarantine channel keeps them auditable
+    and replayable)."""
+    tagged = tag_violations(df, rules)
+    passed = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+    quarantined = tagged.filter(F.size("failed_rules") > 0)
+    return passed, quarantined
+
+
+def publish_with_quarantine(
+    df: DataFrame,
+    rules: dict[str, Column],
+    lake_path: str,
+    quarantine_path: str,
+) -> dict[str, int]:
+    """Gate + dual-sink + report off ONE source scan: tag, persist the
+    tagged frame (so the source is read once, not three times), write
+    pass rows to the lake and fail rows (with rule tags) to quarantine,
+    and return {rule: n_violations, "__passed": n, "__quarantined": n}.
+
+    Scale: the persist holds only the batch being published (ingest
+    granularity, not the corpus); both writes and the report reuse it.
+    Works unchanged as a foreachBatch body — paths become
+    ``.../batch=<id>`` for the replay-idempotent layout."""
+    tagged = tag_violations(df, rules).persist()
+    try:
+        passed = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+        quarantined = tagged.filter(F.size("failed_rules") > 0)
+        passed.write.mode("overwrite").parquet(lake_path)
+        quarantined.write.mode("overwrite").parquet(quarantine_path)
+        counts = {
+            r["rule"]: r["n"]
+            for r in quarantined.select(
+                F.explode("failed_rules").alias("rule")
+            )
+            .groupBy("rule")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        report = {name: int(counts.get(name, 0)) for name in rules}
+        report["__quarantined"] = quarantined.count()
+        report["__passed"] = passed.count()
+        return report
+    finally:
+        tagged.unpersist()
+
+
 def fk_orphans(
     fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str, rule: str
 ) -> DataFrame:

@@ -229,7 +229,7 @@ register(
     q_profile,
     """
     SELECT COUNT(*) AS n_rows,
-           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
              AS null_shipdate,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d_orderkey,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d_partkey,
@@ -443,28 +443,28 @@ register(
     q_expectations,
     """
     SELECT 'qty_positive' AS rule,
-           CAST(SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-           CASE WHEN SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS passed
+           CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations,
+           CASE WHEN COALESCE(SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE) THEN 1 ELSE 0 END), 0) = 0 THEN 1 ELSE 0 END AS passed
     FROM lineitem
     UNION ALL
     SELECT 'discount_range',
-           CAST(SUM(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
-           CASE WHEN SUM(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 1, FALSE) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+           CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 1, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CASE WHEN COALESCE(SUM(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 1, FALSE) THEN 1 ELSE 0 END), 0) = 0 THEN 1 ELSE 0 END
     FROM lineitem
     UNION ALL
     SELECT 'shipdate_not_null',
-           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           CASE WHEN SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+           CAST(COALESCE(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CASE WHEN COALESCE(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), 0) = 0 THEN 1 ELSE 0 END
     FROM lineitem
     UNION ALL
     SELECT 'returnflag_domain',
-           CAST(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT),
-           CASE WHEN SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+           CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CASE WHEN COALESCE(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END), 0) = 0 THEN 1 ELSE 0 END
     FROM lineitem
     UNION ALL
     SELECT 'tax_range',
-           CAST(SUM(CASE WHEN NOT COALESCE(l_tax >= 0 AND l_tax <= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
-           CASE WHEN SUM(CASE WHEN NOT COALESCE(l_tax >= 0 AND l_tax <= 1, FALSE) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+           CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(l_tax >= 0 AND l_tax <= 1, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CASE WHEN COALESCE(SUM(CASE WHEN NOT COALESCE(l_tax >= 0 AND l_tax <= 1, FALSE) THEN 1 ELSE 0 END), 0) = 0 THEN 1 ELSE 0 END
     FROM lineitem
     UNION ALL
     SELECT 'fk_orderkey',
@@ -472,5 +472,129 @@ register(
            CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END
     FROM lineitem l WHERE NOT EXISTS
       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+
+
+# --- Quarantine channel (expectations dual-sink, round 5) ---------------------
+
+_QUAR_RULES_SQL = {
+    "qty_le_45": "l_quantity <= 45",
+    "disc_le_008": "l_discount <= 0.08",
+    "tax_le_006": "l_tax <= 0.06",
+}
+
+
+def _quarantine_rules():
+    return {
+        "qty_le_45": F.col("l_quantity") <= 45,
+        "disc_le_008": F.col("l_discount") <= 0.08,
+        "tax_le_006": F.col("l_tax") <= 0.06,
+    }
+
+
+def q_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine channel itself: rows failing >=1 expectation with
+    their rule tags (deterministic rule order -> hashable string). The
+    dual-sink publish gate's reject stream, kept auditable instead of
+    swallowed (reference anti-pattern: games.py:21-27 try/except-
+    continue)."""
+    from ..operators.expectations import split_quarantine
+
+    li = _t(spark, sf_dir, "lineitem")
+    _, quarantined = split_quarantine(
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"),
+        _quarantine_rules(),
+    )
+    return quarantined.withColumn(
+        "failed_rules", F.array_join("failed_rules", ",")
+    )
+
+
+register(
+    "q_quarantine_rows",
+    q_quarantine_rows,
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,
+           array_to_string(list_filter([
+               CASE WHEN NOT (l_quantity <= 45) THEN 'qty_le_45' END,
+               CASE WHEN NOT (l_discount <= 0.08) THEN 'disc_le_008' END,
+               CASE WHEN NOT (l_tax <= 0.06) THEN 'tax_le_006' END
+           ], x -> x IS NOT NULL), ',') AS failed_rules
+    FROM lineitem
+    WHERE NOT (l_quantity <= 45) OR NOT (l_discount <= 0.08)
+       OR NOT (l_tax <= 0.06)
+    """,
+)
+
+
+def q_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split summary off the SAME single tagged scan the dual sink
+    writes from: per-rule violation counts plus the __passed /
+    __quarantined totals — the report a publish gate reads to decide
+    ship-or-hold."""
+    from ..operators.expectations import tag_violations
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax"
+    )
+    tagged = tag_violations(li, _quarantine_rules())
+    names = list(_quarantine_rules())
+    counts = tagged.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.array_contains("failed_rules", n), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias(f"__v_{n}")
+            for n in names
+        ],
+        F.coalesce(
+            F.sum(F.when(F.size("failed_rules") > 0, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("__v___quarantined"),
+        F.coalesce(
+            F.sum(F.when(F.size("failed_rules") == 0, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("__v___passed"),
+    )
+    rows = names + ["__quarantined", "__passed"]
+    return counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("rule"),
+                        F.col(f"__v_{n}").alias("n_rows"),
+                    )
+                    for n in rows
+                ]
+            )
+        ).alias("r")
+    ).select("r.rule", "r.n_rows")
+
+
+register(
+    "q_expectations_quarantine",
+    q_expectations_quarantine,
+    """
+    SELECT 'qty_le_45' AS rule,
+           CAST(COALESCE(SUM(CASE WHEN NOT (l_quantity <= 45) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rows
+    FROM lineitem
+    UNION ALL
+    SELECT 'disc_le_008',
+           CAST(COALESCE(SUM(CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'tax_le_006',
+           CAST(COALESCE(SUM(CASE WHEN NOT (l_tax <= 0.06) THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT '__quarantined',
+           CAST(COALESCE(SUM(CASE WHEN NOT (l_quantity <= 45) OR NOT (l_discount <= 0.08)
+                                    OR NOT (l_tax <= 0.06) THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT '__passed',
+           CAST(COALESCE(SUM(CASE WHEN (l_quantity <= 45) AND (l_discount <= 0.08)
+                                   AND (l_tax <= 0.06) THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM lineitem
     """,
 )

@@ -277,3 +277,54 @@ def test_token_budget_allocator_invariants(spark, tmp_path):
     again = {r["source"]: r["alloc_tokens"]
              for r in CQ.q_token_budget(spark, sf2).collect()}
     assert again == {s: r["alloc_tokens"] for s, r in got2.items()}
+
+
+def test_publish_with_quarantine_dual_sink(spark, tmp_path):
+    """One tagged scan feeds both sinks + the report: pass rows land in
+    the lake untagged, fail rows land in quarantine with their rule
+    tags, counts reconcile, and pass ∪ quarantine == input."""
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.operators.expectations import publish_with_quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "A"), (3, 20.0, "Z"), (4, -1.0, "Z"), (5, 7.0, "N")],
+        "id int, qty double, flag string",
+    )
+    rules = {
+        "qty_positive": F.col("qty") > 0,
+        "flag_domain": F.col("flag").isin("A", "N", "R"),
+    }
+    lake = str(tmp_path / "lake")
+    quar = str(tmp_path / "quarantine")
+    report = publish_with_quarantine(df, rules, lake, quar)
+
+    assert report == {
+        "qty_positive": 2,
+        "flag_domain": 2,
+        "__quarantined": 3,
+        "__passed": 2,
+    }
+    passed = spark.read.parquet(lake)
+    assert set(passed.columns) == {"id", "qty", "flag"}
+    assert {r["id"] for r in passed.collect()} == {1, 5}
+    q = spark.read.parquet(quar)
+    tags = {r["id"]: list(r["failed_rules"]) for r in q.collect()}
+    assert tags == {
+        2: ["qty_positive"],
+        3: ["flag_domain"],
+        4: ["qty_positive", "flag_domain"],  # rule-order deterministic
+    }
+
+
+def test_expectations_report_empty_input_passes(spark):
+    """Empty table -> 0 violations / passed=1 (not NULL): the gate and
+    the oracle agree on vacuously-true expectations."""
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.operators.expectations import expectations_report
+
+    empty = spark.createDataFrame([], "id int, qty double")
+    rows = expectations_report(empty, {"qty_positive": F.col("qty") > 0}).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_violations"] == 0 and rows[0]["passed"] == 1
