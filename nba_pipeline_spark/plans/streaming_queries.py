@@ -221,3 +221,42 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+def token_tally_batch(docs: DataFrame) -> DataFrame:
+    """Shared stream/batch plan body for q_stream_token_tally: the
+    per-source (n_docs, n_tokens) tally the streaming sink
+    (streaming.sinks.token_tally_sink) maintains incrementally —
+    written once so the equivalence test runs IDENTICAL expressions."""
+    from ..functions.text import tokenize
+
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokenize(F.col("text"))).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+def q_stream_token_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the continuous token-accounting view: per-source
+    document and token tallies. The streaming twin folds each
+    micro-batch into a snapshot-committed view via
+    incremental_agg_maintain (O(batch) tokenize + O(sources) merge per
+    trigger — the settled corpus is never re-tokenized);
+    tests/test_streaming.py pins stream == this batch plan after N
+    batches and across a replay."""
+    tune(spark)
+    return token_tally_batch(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "q_stream_token_tally",
+    q_stream_token_tally,
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+    """,
+)

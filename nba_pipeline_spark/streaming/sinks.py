@@ -228,3 +228,38 @@ def run_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+def token_tally_sink(
+    docs_stream: DataFrame,
+    view_path: str,
+    checkpoint_dir: str,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Continuous per-source token accounting — the streaming twin of
+    the batch token-budget allocator (q_token_budget): as documents
+    arrive, a (source, n_docs, n_tokens) view is maintained
+    incrementally through ``streaming_agg_maintain_sink`` (snapshot-
+    committed, replay-skipping — operators/cdc.py). A recipe gate reads
+    the view between triggers to re-run the waterfill over CURRENT
+    tallies instead of re-tokenizing the corpus: per-trigger cost is
+    O(batch) tokenize + an O(sources) keyed merge — the settled corpus
+    is never touched, which is the 100 TB shape for "how many tokens
+    per source so far?".
+
+    Returns the streaming query (availableNow trigger; await it)."""
+    from ..functions.text import tokenize
+    from ..operators.cdc import streaming_agg_maintain_sink
+
+    stream = docs_stream.withColumn("__sign", F.lit(1)).withColumn(
+        "__ntok", F.size(tokenize(F.col(text_col))).cast("bigint")
+    )
+    return streaming_agg_maintain_sink(
+        stream,
+        view_path,
+        [source_col],
+        {"n_tokens": F.col("__ntok")},
+        checkpoint_dir,
+        count_col="n_docs",
+    )

@@ -368,3 +368,64 @@ def test_neardup_ingest_sink_cross_batch_and_replay(spark, tmp_path):
     drain("ckpt2")  # replay converges on the same lake
     got2 = {r["doc_id"] for r in spark.read.parquet(lake).collect()}
     assert got2 == got
+
+
+def test_token_tally_sink_stream_equals_batch_and_replay(spark, tmp_path):
+    """Per-source token tallies maintained incrementally over 3
+    micro-batches equal the one-shot batch aggregate over the same
+    docs; a full replay (fresh checkpoint, same batch ids) is skipped
+    by the snapshot-commit layout — no double count."""
+    import os, shutil
+
+    from nba_pipeline_spark.operators.cdc import read_maintained_view
+    from nba_pipeline_spark.plans.streaming_queries import token_tally_batch
+    from nba_pipeline_spark.streaming.sinks import token_tally_sink
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    batches = [
+        [(1, "web", "alpha beta gamma"), (2, "books", "one two")],
+        [(3, "web", "delta"), (4, "code", "x = 1")],
+        [(5, "books", "three four five six"), (6, "web", "")],
+    ]
+    for i, rows in enumerate(batches):
+        sub = f"{src}/w{i}"
+        spark.createDataFrame(
+            rows, "doc_id int, source string, text string"
+        ).coalesce(1).write.parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(f"{sub}/{part}", f"{src}/{i:03d}.parquet")
+        shutil.rmtree(sub)
+        os.utime(f"{src}/{i:03d}.parquet", (1000 + i, 1000 + i))
+
+    view = str(tmp_path / "view")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id int, source string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        token_tally_sink(stream, view, str(tmp_path / ckpt)).awaitTermination()
+
+    drain("ckpt1")
+    got = {
+        (r["source"], r["n_docs"], int(r["n_tokens"]))
+        for r in read_maintained_view(spark, view).collect()
+    }
+    batch = {
+        (r["source"], r["n_docs"], int(r["n_tokens"]))
+        for r in token_tally_batch(spark.read.parquet(src)).collect()
+    }
+    assert got == batch == {
+        ("web", 3, 4),    # 3 + 1 + 0 tokens
+        ("books", 2, 6),  # 2 + 4
+        ("code", 1, 3),   # "x", "=", "1"
+    }
+
+    drain("ckpt2")  # replay converges
+    got2 = {
+        (r["source"], r["n_docs"], int(r["n_tokens"]))
+        for r in read_maintained_view(spark, view).collect()
+    }
+    assert got2 == got
