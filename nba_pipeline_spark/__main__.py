@@ -129,6 +129,64 @@ def cmd_pipeline(args) -> int:
     return 0 if run.ok else 1
 
 
+def cmd_publish(args) -> int:
+    """Gated publish: expectations over the input, pass rows to the
+    lake (a manifest-lake commit with --manifest, else plain parquet),
+    fail rows to quarantine with their rule tags, report to stdout.
+    The production replacement for swallow-and-continue ingest error
+    handling (reference: games.py:21-27)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .operators.expectations import split_quarantine
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    rules = {}
+    for spec in args.rule:
+        name, _, expr = spec.partition(":")
+        if not expr:
+            print(f"bad --rule {spec!r} (want name:sql_expr)", file=sys.stderr)
+            return 2
+        rules[name] = F.expr(expr)
+    if not rules:
+        rules = {f"{c}_not_null": F.col(c).isNotNull() for c in df.columns}
+
+    tagged_pass, quarantined = split_quarantine(df, rules)
+    tagged_pass = tagged_pass.persist()
+    quarantined = quarantined.persist()
+    try:
+        if args.manifest:
+            from .sources.manifest import commit_append
+
+            version = commit_append(spark, args.lake, tagged_pass)
+        else:
+            version = None
+            tagged_pass.write.mode("overwrite").parquet(args.lake)
+        quarantined.write.mode("overwrite").parquet(args.quarantine)
+        report = {
+            "passed": tagged_pass.count(),
+            "quarantined": quarantined.count(),
+            "rules": {
+                r["rule"]: r["n"]
+                for r in quarantined.select(F.explode("failed_rules").alias("rule"))
+                .groupBy("rule")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            },
+        }
+        if version is not None:
+            report["lake_version"] = version
+        print(json.dumps(report))
+    finally:
+        tagged_pass.unpersist()
+        quarantined.unpersist()
+    if args.strict and report["quarantined"] > 0:
+        return 3
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="nba_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -140,8 +198,31 @@ def main(argv: list[str] | None = None) -> int:
     pl = sub.add_parser("pipeline")
     pl.add_argument("dataset", help="games|playbyplay|boxscores|coaches|salary|players|all")
     pl.add_argument("--out", required=True)
+    pub = sub.add_parser("publish")
+    pub.add_argument("input", help="parquet path to publish")
+    pub.add_argument("--lake", required=True)
+    pub.add_argument("--quarantine", required=True)
+    pub.add_argument(
+        "--rule",
+        action="append",
+        default=[],
+        help="name:sql_expr expectation (repeatable); default: NOT NULL on every column",
+    )
+    pub.add_argument(
+        "--manifest",
+        action="store_true",
+        help="commit pass rows to a manifest lake (atomic, time-travelable)",
+    )
+    pub.add_argument(
+        "--strict", action="store_true", help="exit 3 when any row quarantines"
+    )
     args = p.parse_args(argv)
-    return {"list": cmd_list, "query": cmd_query, "pipeline": cmd_pipeline}[args.cmd](args)
+    return {
+        "list": cmd_list,
+        "query": cmd_query,
+        "pipeline": cmd_pipeline,
+        "publish": cmd_publish,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph `edges` with the
     minimum node id reachable from it. Returns (node, comp). NULL
@@ -57,7 +58,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         msgs = e.join(comp, e["src"] == comp["node"]).select(
             e["dst"].alias("node"), F.col("comp")
         )
@@ -78,6 +81,8 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         # returning the partial labeling would silently split one
         # component into several — a WRONG dedup answer, not a slow one
@@ -94,6 +99,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -176,8 +182,10 @@ def connected_components_star(
         )
 
     converged = False
+    rounds = 0
     prev_n = e.count()
     for _ in range(max_iter):
+        rounds += 1
         new = _small(_large(e)).localCheckpoint(eager=True)
         # fixpoint when the oriented edge sets are identical. Cheap
         # necessary condition first (row counts — metadata-cheap on the
@@ -201,6 +209,8 @@ def connected_components_star(
                 break
         prev_n = n
         e = new
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "

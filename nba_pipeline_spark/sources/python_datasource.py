@@ -86,8 +86,20 @@ class HtmlTablesReader(DataSourceReader):
         return remaining
 
     def partitions(self):
-        # one partition per page file: a 10k-page backfill parses on
-        # 10k tasks, not one driver loop
+        # One partition per page file: a 10k-page backfill parses on
+        # 10k tasks, not one driver loop.
+        #
+        # Split granularity (deliberate): pages are NOT byte-split into
+        # row-group-style chunks. An HTML document can't be parsed from
+        # a byte offset — tag scopes (<table>, rowspans, the header
+        # <thead>) span arbitrary byte ranges, so a chunk parser would
+        # need the whole page anyway. Pages are also small by
+        # construction (a stats table page is KBs–low MBs; the scrape
+        # writes one page per season/date), so the parallelism lever at
+        # scale is PAGE COUNT, which this already maximizes. A
+        # pathological multi-GB page would make one long task, not an
+        # OOM (the parser streams rows out lazily) — acceptable for a
+        # shape the edge never produces.
         p = self._path
         if not os.path.exists(p):
             # genuinely missing root: fail analysis loudly

@@ -702,3 +702,32 @@ def test_assign_cells_rejects_non_finite_centroid(spark):
     )
     with pytest.raises(ValueError, match="non-finite"):
         assign_cells(emb, bad, "vec_id")
+
+
+import pytest as _pytest_mod
+
+
+@_pytest_mod.mark.slow
+def test_star_cc_round_count_logarithmic_at_10x(spark):
+    """Scale-ramp evidence (round-5 verdict task 4): on a PATH graph —
+    the worst case for min-label (diameter = n) — star-CC's round count
+    stays <= ceil(log2(n)) + 4 when n grows 10x (1k -> 10k nodes).
+    tools/scale_ramp.py records the same curve with wall times at 100k
+    in SCALE.md."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.operators.graph import connected_components_star
+
+    for n in (1_000, 10_000):
+        edges = (
+            spark.range(n - 1)
+            .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+            .localCheckpoint(eager=True)
+        )
+        stats: dict = {}
+        comp = connected_components_star(edges, stats=stats)
+        assert comp.select("comp").distinct().count() == 1
+        bound = math.ceil(math.log2(n)) + 4
+        assert stats["rounds"] <= bound, (n, stats["rounds"], bound)

@@ -101,3 +101,32 @@ def test_cli_pipeline_and_query(spark, tmp_path):
     assert main(["pipeline", "nope", "--out", out]) == 2
     assert main(["query", "not_a_query"]) == 2
     assert main(["list"]) == 0
+
+
+def test_cli_publish_manifest_and_quarantine(spark, tmp_path, capsys):
+    """`publish` verb: expectations gate + dual sink + manifest commit;
+    strict mode exits non-zero when rows quarantine."""
+    import json
+
+    from nba_pipeline_spark.__main__ import main
+    from nba_pipeline_spark.sources.manifest import current_version, read_snapshot
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, 5.0)], "id int, qty double"
+    ).write.parquet(src)
+    lake = str(tmp_path / "lake")
+    quar = str(tmp_path / "quar")
+
+    rc = main([
+        "publish", src, "--lake", lake, "--quarantine", quar,
+        "--rule", "qty_positive:qty > 0", "--manifest", "--strict",
+    ])
+    assert rc == 3  # strict: one row quarantined
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["passed"] == 2 and report["quarantined"] == 1
+    assert report["rules"] == {"qty_positive": 1}
+    assert report["lake_version"] == 1 == current_version(spark, lake)
+    assert {r["id"] for r in read_snapshot(spark, lake).collect()} == {1, 3}
+    q = spark.read.parquet(quar).collect()
+    assert [(r["id"], list(r["failed_rules"])) for r in q] == [(2, ["qty_positive"])]

@@ -242,3 +242,23 @@ def test_html_tables_pushdown_zero_match_returns_empty(spark, tmp_path):
     import os
     os.makedirs(empty_dir)
     assert spark.read.format("html_tables").load(empty_dir).count() == 0
+
+
+def test_html_tables_large_page_single_partition_streams_rows(spark, tmp_path):
+    """Split granularity is the PAGE (documented in partitions()):
+    a page with thousands of rows is still one input partition — the
+    parser yields rows lazily, so a big page is a long task, never a
+    buffered-whole-page blowup; parallelism scales with page count."""
+    from nba_pipeline_spark.sources.python_datasource import register_html_source
+
+    register_html_source(spark)
+    pages = str(tmp_path / "pages")
+    import os
+    os.makedirs(pages)
+    rows = "".join(f"<tr><td>r{i}</td><td>{i}</td></tr>" for i in range(2000))
+    with open(f"{pages}/big.html", "w") as fh:
+        fh.write(f"<html><table><thead><tr><th>a</th><th>b</th></tr></thead>{rows}</table></html>")
+
+    df = spark.read.format("html_tables").load(pages)
+    assert df.rdd.getNumPartitions() == 1
+    assert df.filter("NOT is_header").count() == 2000
