@@ -67,6 +67,11 @@ HEADLINE = [
     "q_decontaminate_fuzzy",
     "q_dedup_cluster_star",
     "q_intradoc_dedup",
+    # round-5 session additions (manifest lake + quarantine gate +
+    # streaming token accounting batch twin)
+    "q_manifest_snapshot",
+    "q_quarantine_rows",
+    "q_stream_token_tally",
 ]
 
 
