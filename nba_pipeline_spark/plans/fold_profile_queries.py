@@ -517,13 +517,14 @@ register(
     """
     SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,
            array_to_string(list_filter([
-               CASE WHEN NOT (l_quantity <= 45) THEN 'qty_le_45' END,
-               CASE WHEN NOT (l_discount <= 0.08) THEN 'disc_le_008' END,
-               CASE WHEN NOT (l_tax <= 0.06) THEN 'tax_le_006' END
+               CASE WHEN NOT COALESCE(l_quantity <= 45, FALSE) THEN 'qty_le_45' END,
+               CASE WHEN NOT COALESCE(l_discount <= 0.08, FALSE) THEN 'disc_le_008' END,
+               CASE WHEN NOT COALESCE(l_tax <= 0.06, FALSE) THEN 'tax_le_006' END
            ], x -> x IS NOT NULL), ',') AS failed_rules
     FROM lineitem
-    WHERE NOT (l_quantity <= 45) OR NOT (l_discount <= 0.08)
-       OR NOT (l_tax <= 0.06)
+    WHERE NOT COALESCE(l_quantity <= 45, FALSE)
+       OR NOT COALESCE(l_discount <= 0.08, FALSE)
+       OR NOT COALESCE(l_tax <= 0.06, FALSE)
     """,
 )
 
@@ -576,25 +577,27 @@ register(
     q_expectations_quarantine,
     """
     SELECT 'qty_le_45' AS rule,
-           CAST(COALESCE(SUM(CASE WHEN NOT (l_quantity <= 45) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rows
+           CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(l_quantity <= 45, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rows
     FROM lineitem
     UNION ALL
     SELECT 'disc_le_008',
-           CAST(COALESCE(SUM(CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END), 0) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(l_discount <= 0.08, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'tax_le_006',
-           CAST(COALESCE(SUM(CASE WHEN NOT (l_tax <= 0.06) THEN 1 ELSE 0 END), 0) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(l_tax <= 0.06, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT '__quarantined',
-           CAST(COALESCE(SUM(CASE WHEN NOT (l_quantity <= 45) OR NOT (l_discount <= 0.08)
-                                    OR NOT (l_tax <= 0.06) THEN 1 ELSE 0 END), 0) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(l_quantity <= 45, FALSE)
+                                    OR NOT COALESCE(l_discount <= 0.08, FALSE)
+                                    OR NOT COALESCE(l_tax <= 0.06, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT '__passed',
-           CAST(COALESCE(SUM(CASE WHEN (l_quantity <= 45) AND (l_discount <= 0.08)
-                                   AND (l_tax <= 0.06) THEN 1 ELSE 0 END), 0) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN COALESCE(l_quantity <= 45, FALSE)
+                                   AND COALESCE(l_discount <= 0.08, FALSE)
+                                   AND COALESCE(l_tax <= 0.06, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM lineitem
     """,
 )
