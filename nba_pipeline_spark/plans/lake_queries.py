@@ -111,3 +111,117 @@ register(
     "FROM orders CROSS JOIN (SELECT 2 AS version UNION ALL SELECT 3) v "
     "GROUP BY o_orderstatus, v.version",
 )
+
+
+def _upsert_lake(spark: SparkSession, sf_dir: str) -> str:
+    """v1: orders with o_orderkey % 4 <= 1; v2: MERGE of changes for
+    % 4 IN (1, 2) with o_custkey shifted +1,000,000 (update for 1,
+    insert for 2). Every version's contents stay a pure predicate over
+    `orders` — recomputable by the oracle."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_upsert")
+    if M.current_version(spark, lake) != 2:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        M.commit_append(spark, lake, orders.filter(F.col("o_orderkey") % 4 <= 1))
+        changes = orders.filter((F.col("o_orderkey") % 4).isin(1, 2)).select(
+            "o_orderkey",
+            (F.col("o_custkey") + 1_000_000).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit(1).alias("ver"),
+        )
+        M.commit_upsert(spark, lake, changes, ["o_orderkey"], "ver")
+    return lake
+
+
+def q_manifest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE into the manifest lake (SCD1 last-writer-wins, CAS on the
+    parent snapshot): updated keys take the change row, new keys
+    insert, untouched rows persist — aggregated per status."""
+    tune(spark)
+    lake = _upsert_lake(spark, sf_dir)
+    t = M.read_snapshot(spark, lake)
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+register(
+    "q_manifest_upsert",
+    q_manifest_upsert,
+    """
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 IN (1, 2)
+                  THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+             o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 <= 2
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+
+
+def _evolution_lake(spark: SparkSession, sf_dir: str) -> str:
+    """v1: (o_orderkey, o_orderstatus) for % 4 = 0; v2 appends the
+    WIDER (…, o_totalprice) segment for % 4 = 1 — additive schema
+    evolution on immutable segments."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_evolution")
+    if M.current_version(spark, lake) != 2:
+        orders = load_table(spark, sf_dir, "orders")
+        M.commit_append(
+            spark,
+            lake,
+            orders.filter(F.col("o_orderkey") % 4 == 0).select(
+                "o_orderkey", "o_orderstatus"
+            ),
+        )
+        M.commit_append(
+            spark,
+            lake,
+            orders.filter(F.col("o_orderkey") % 4 == 1).select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            ),
+        )
+    return lake
+
+
+def q_manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_schema read over schema-evolved segments: rows from the
+    narrow segment surface NULL for the later-added column; the
+    aggregate counts both populations per status."""
+    tune(spark)
+    lake = _evolution_lake(spark, sf_dir)
+    t = M.read_snapshot(spark, lake, merge_schema=True)
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_totalprice").alias("n_with_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+register(
+    "q_manifest_schema_evolution",
+    q_manifest_schema_evolution,
+    """
+    WITH t AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 <= 1
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           COUNT(o_totalprice) AS n_with_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM t GROUP BY o_orderstatus
+    """,
+)

@@ -117,6 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_quarantine_rows",
     "q_stream_token_tally",
     "q_manifest_compact_read",
+    "q_manifest_upsert",
+    "q_manifest_schema_evolution",
     # backfill: oldest r1 greens, original order (driver keeps first 50)
     "q_flagship",
     "q_project_rename",

@@ -130,27 +130,59 @@ def _write_segment(df: DataFrame, path: str, target_files: int | None) -> str:
     return seg
 
 
+class CommitConflict(RuntimeError):
+    """Raised when `expected_parent` no longer matches the latest
+    version — the caller's data segment was derived from a superseded
+    snapshot and must be recomputed (see commit_upsert)."""
+
+
 def _commit(
-    spark: SparkSession, path: str, op: str, segments_fn, max_tries: int = 20
+    spark: SparkSession,
+    path: str,
+    op: str,
+    segments_fn,
+    max_tries: int = 20,
+    tag: str | None = None,
+    expected_parent: int | None = None,
 ) -> int:
     """Publish a new manifest via rename-if-absent CAS.
 
     ``segments_fn(parent_manifest | None) -> list[str]`` computes the
     new live segment list from the parent snapshot; it re-runs on CAS
-    retry so the parent is always the version actually superseded."""
+    retry so the parent is always the version actually superseded.
+
+    `tag` is an idempotency token: it joins the manifest's CUMULATIVE
+    ``tags`` list (parent tags + this one), so `committed_tags` answers
+    "was this commit already applied?" from the latest manifest alone —
+    the streaming sink's replay guard survives vacuum (which keeps the
+    newest manifests, whose tag set is complete by construction).
+
+    `expected_parent` turns the commit into a strict compare-and-swap
+    on a SPECIFIC snapshot: if the latest version moved past it, raise
+    CommitConflict instead of committing data derived from a stale
+    read (required for read-modify-write ops like upsert, where the
+    new segment's CONTENT depends on the parent)."""
     mdir = f"{path}/{_MANIFEST_DIR}"
     fs, jmdir = _fs(spark, mdir)
     fs.mkdirs(jmdir)
     for _ in range(max_tries):
         versions = _manifest_versions(spark, path)
         parent = versions[-1] if versions else 0
+        if expected_parent is not None and parent != expected_parent:
+            raise CommitConflict(
+                f"expected parent v{expected_parent}, latest is v{parent}: {path}"
+            )
         parent_m = _read_manifest(spark, path, parent) if versions else None
         version = parent + 1
+        tags = list(parent_m.get("tags", [])) if parent_m else []
+        if tag is not None:
+            tags.append(tag)
         manifest = {
             "version": version,
             "parent": parent if versions else None,
             "op": op,
             "segments": segments_fn(parent_m),
+            "tags": tags,
         }
         tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
         out = fs.create(_jpath(spark, tmp), True)
@@ -165,14 +197,29 @@ def _commit(
     raise RuntimeError(f"manifest commit lost the CAS race {max_tries} times: {path}")
 
 
+def committed_tags(spark: SparkSession, path: str) -> set[str]:
+    """Idempotency tags of every commit folded into the current
+    snapshot (cumulative in each manifest — one small-file read)."""
+    versions = _manifest_versions(spark, path)
+    if not versions:
+        return set()
+    return set(_read_manifest(spark, path, versions[-1]).get("tags", []))
+
+
 def commit_append(
-    spark: SparkSession, path: str, df: DataFrame, target_files: int | None = None
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    target_files: int | None = None,
+    tag: str | None = None,
 ) -> int:
-    """Append `df` as a new segment; returns the committed version."""
+    """Append `df` as a new segment; returns the committed version.
+    Pass `tag` for an idempotency token (see `_commit`/`committed_tags`)."""
     seg = _write_segment(df, path, target_files)
     return _commit(
         spark, path, "append",
         lambda parent: (parent["segments"] if parent else []) + [seg],
+        tag=tag,
     )
 
 
@@ -195,7 +242,9 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     if not versions:
         raise ValueError(f"cannot compact an empty manifest lake: {path}")
     base = _read_manifest(spark, path, versions[-1])
-    df = _read_segments(spark, path, base["segments"])
+    # merge_schema: consolidating schema-evolved segments must keep the
+    # union schema, not silently drop later-added columns
+    df = _read_segments(spark, path, base["segments"], merge_schema=True)
     seg = _write_segment(df, path, target_files)
 
     def _segments(parent):
@@ -206,24 +255,119 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     return _commit(spark, path, "compact", _segments)
 
 
-def _read_segments(spark: SparkSession, path: str, segments: list[str]) -> DataFrame:
+def _read_segments(
+    spark: SparkSession,
+    path: str,
+    segments: list[str],
+    merge_schema: bool = False,
+) -> DataFrame:
     if not segments:
         raise ValueError("manifest lists no segments (empty table version)")
-    return spark.read.parquet(*[f"{path}/{_DATA_DIR}/{s}" for s in segments])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[f"{path}/{_DATA_DIR}/{s}" for s in segments])
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """The table AS OF `version` (default: latest). One manifest read,
-    then a plain multi-dir parquet scan — pushdown/pruning intact."""
+    then a plain multi-dir parquet scan — pushdown/pruning intact.
+
+    Schema evolution: segments are immutable, so adding a column is
+    just appending segments with the wider schema; `merge_schema=True`
+    unions footers across segments (old segments surface NULLs for new
+    columns — additive evolution only, the parquet mergeSchema
+    contract)."""
     versions = _manifest_versions(spark, path)
     if not versions:
         raise ValueError(f"no committed manifest under {path}")
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in committed versions {versions}")
-    return _read_segments(spark, path, _read_manifest(spark, path, v)["segments"])
+    return _read_segments(
+        spark, path, _read_manifest(spark, path, v)["segments"], merge_schema
+    )
+
+
+def commit_upsert(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    version_col: str,
+    target_files: int | None = None,
+    max_tries: int = 5,
+) -> int:
+    """MERGE (SCD1 last-writer-wins upsert) into the manifest lake:
+    read the current snapshot, fold `changes` with
+    ``operators.cdc.merge_upsert``, publish the merged table as a new
+    snapshot. Because the new segment's CONTENT depends on the parent
+    snapshot, the commit is a strict CAS on that parent
+    (`expected_parent`); losing the race re-reads and re-merges rather
+    than committing stale data — the orphaned segment of a lost
+    attempt is invisible and vacuumable.
+
+    Scale note (documented trade): this rewrites the TABLE as one
+    consolidated snapshot — correct and simple, right for dimension
+    tables and MV publishes. A fact-scale MERGE needs file-level
+    skipping (rewrite only segments containing touched keys), which is
+    the step up to a full table format; partition the lake and upsert
+    per partition to approximate it here."""
+    from ..operators.cdc import merge_upsert
+
+    last_err: Exception | None = None
+    for _ in range(max_tries):
+        base_version = current_version(spark, path)
+        if base_version is None:
+            # empty lake: an upsert is just the changes, latest per key
+            merged = merge_upsert(
+                changes.limit(0).drop(version_col), changes, keys, version_col
+            )
+        else:
+            base = read_snapshot(spark, path, version=base_version)
+            merged = merge_upsert(base, changes, keys, version_col)
+        seg = _write_segment(merged, path, target_files)
+        try:
+            return _commit(
+                spark,
+                path,
+                "upsert",
+                lambda parent: [seg],
+                expected_parent=base_version or 0,
+            )
+        except CommitConflict as e:
+            last_err = e  # re-read the moved snapshot and re-merge
+    raise RuntimeError(
+        f"commit_upsert lost the snapshot race {max_tries} times: {path}"
+    ) from last_err
+
+
+def manifest_append_sink(path: str, target_files: int | None = None):
+    """foreachBatch function: EXACTLY-ONCE streaming append into the
+    manifest lake. Each micro-batch commits as one atomic manifest
+    version carrying the idempotency tag ``batch=<id>``; a replayed
+    batch (at-least-once delivery after a crash between the commit and
+    the checkpoint write) finds its tag in the cumulative tag set and
+    skips — no double-append, no partial visibility (a crash before
+    the manifest rename leaves only an invisible orphan segment).
+
+    This is the missing half of the batch-dir sinks: readers of the
+    manifest lake see each batch atomically and never need the
+    maintenance-window rule; compaction/vacuum run concurrently."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"batch={batch_id}"
+        if tag in committed_tags(spark, path):
+            return  # replay of an already-committed batch
+        commit_append(spark, path, batch_df, target_files=target_files, tag=tag)
+
+    return _apply
 
 
 def current_version(spark: SparkSession, path: str) -> int | None:

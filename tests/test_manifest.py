@@ -167,3 +167,111 @@ def test_cas_version_collision_retries(spark, tmp_path):
     v = M._commit(spark, lake, "append", segments_fn)
     assert v == 3  # first attempt at v2 lost; retried on the new parent
     assert _rows(M.read_snapshot(spark, lake)) == _rows(_mk(spark, 0, 6))
+
+
+def test_manifest_append_sink_exactly_once(spark, tmp_path):
+    """Streaming append into the manifest lake: each micro-batch is one
+    atomic manifest commit; a full replay (fresh checkpoint, same batch
+    ids) finds its tags and skips — no double-append."""
+    import os
+    import shutil
+
+    lake = str(tmp_path / "lake")
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    batches = [[(1, "a"), (2, "b")], [(3, "c")], [(4, "d"), (5, "e")]]
+    for i, rows in enumerate(batches):
+        sub = f"{src}/w{i}"
+        spark.createDataFrame(rows, "id int, t string").coalesce(1).write.parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(f"{sub}/{part}", f"{src}/{i:03d}.parquet")
+        shutil.rmtree(sub)
+        os.utime(f"{src}/{i:03d}.parquet", (1000 + i, 1000 + i))
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("id int, t string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(M.manifest_append_sink(lake))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    assert M.current_version(spark, lake) == 3
+    expected = {(i, t) for rows in batches for i, t in rows}
+    assert _rows(M.read_snapshot(spark, lake)) == expected
+    assert M.committed_tags(spark, lake) == {"batch=0", "batch=1", "batch=2"}
+
+    drain("ckpt2")  # replay: all three tags present -> zero new commits
+    assert M.current_version(spark, lake) == 3
+    assert _rows(M.read_snapshot(spark, lake)) == expected
+
+
+def test_manifest_tags_survive_vacuum(spark, tmp_path):
+    """Tags are cumulative per manifest, so the replay guard works from
+    the latest manifest even after vacuum dropped the earlier ones."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 2), tag="batch=0")
+    M.commit_append(spark, lake, _mk(spark, 2, 4), tag="batch=1")
+    M.commit_append(spark, lake, _mk(spark, 4, 6), tag="batch=2")
+    M.vacuum(spark, lake, keep_versions=1)
+    assert M._manifest_versions(spark, lake) == [3]
+    assert M.committed_tags(spark, lake) == {"batch=0", "batch=1", "batch=2"}
+
+
+def test_commit_upsert_merges_and_retries_on_conflict(spark, tmp_path):
+    """SCD1 MERGE into the lake: updates win per key by version,
+    inserts land, untouched rows persist; a snapshot that moves between
+    the read and the commit forces a re-merge (CommitConflict path) so
+    no concurrent append is lost."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark,
+        lake,
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k int, v string, x int"),
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", 21, 5), (3, "c", 30, 5)], "k int, v string, x int, ver int"
+    )
+    v = M.commit_upsert(spark, lake, changes, ["k"], "ver")
+    assert v == 2
+    got = {(r["k"], r["v"], r["x"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {(1, "a", 10), (2, "b2", 21), (3, "c", 30)}
+
+    # conflict path: CAS against a stale parent raises CommitConflict
+    import pytest
+
+    with pytest.raises(M.CommitConflict):
+        M._commit(spark, lake, "upsert", lambda p: [], expected_parent=1)
+
+    # time travel still sees the pre-merge table
+    pre = {(r["k"], r["v"], r["x"]) for r in M.read_snapshot(spark, lake, 1).collect()}
+    assert pre == {(1, "a", 10), (2, "b", 20)}
+
+
+def test_schema_evolution_additive_columns(spark, tmp_path):
+    """Appending a wider segment evolves the table; merge_schema reads
+    surface NULLs for old segments, and compaction preserves the union
+    schema instead of dropping the new column."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, spark.createDataFrame([(1, "a")], "id int, t string"))
+    M.commit_append(
+        spark,
+        lake,
+        spark.createDataFrame([(2, "b", "en")], "id int, t string, lang string"),
+    )
+    df = M.read_snapshot(spark, lake, merge_schema=True)
+    assert set(df.columns) == {"id", "t", "lang"}
+    got = {(r["id"], r["t"], r["lang"]) for r in df.collect()}
+    assert got == {(1, "a", None), (2, "b", "en")}
+
+    M.compact(spark, lake)
+    df2 = M.read_snapshot(spark, lake)  # one segment now: plain read suffices
+    assert set(df2.columns) == {"id", "t", "lang"}
+    assert {(r["id"], r["t"], r["lang"]) for r in df2.collect()} == got
