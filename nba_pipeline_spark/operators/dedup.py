@@ -1048,3 +1048,69 @@ def semdedup_drop_list(
         F.col("id_a"),
     ).otherwise(F.col("id_b"))
     return pairs.select(F.col("cell"), drop.alias("drop_id")).distinct()
+
+
+def lsh_verified_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_bp: int = 5000,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle-set CONTAINMENT
+    |A∩B| / min(|A|, |B|) over MinHash-LSH candidates — catches the
+    doc-contains-doc shape (a page embedding another page, a long doc
+    wrapping a short one) that symmetric jaccard scores low: a 100-line
+    doc containing a 10-line doc verbatim has jaccard ≈ 0.1 but
+    containment = 1.0. Published web-corpus dedups (e.g. The Pile's
+    suffix-containment pass) run this as a distinct tier for exactly
+    that reason.
+
+    Same 100 TB shape as `lsh_verified_jaccard_pairs`: tier-3 LSH
+    candidates (O(docs × bands), capped buckets) + two id equi-joins
+    against the pinned shingle-set frame. Scoring is pure BIGINT
+    arithmetic (basis points via floor-div) — hash-exact across
+    engines and partitionings.
+
+    Recall caveat (documented): MinHash estimates JACCARD, so a
+    small-in-big containment pair has low bucket-collision probability;
+    candidates here catch moderate-size-ratio containments. Full
+    small-in-big recall needs shingle-partitioned candidate generation
+    (join on individual shingle hits) — O(shingles) shuffle, the
+    documented step up.
+    """
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, n_hashes=n_hashes, band_rows=band_rows,
+        max_bucket=max_bucket,
+    )
+    docs = (
+        fan_out(df)
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        .select(
+            id_col, F.array_distinct(shingles(F.col("__toks"), shingle_n)).alias("sh")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sa"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("bigint")
+    smaller = F.least(F.size("__sa"), F.size("__sb")).cast("bigint")
+    cont_bp = F.expr("(__n_common * 10000) div __n_small")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__n_common", inter)
+        .withColumn("__n_small", smaller)
+        .filter(F.col("__n_small") > 0)
+        .withColumn("containment_bp", cont_bp)
+        .filter(F.col("containment_bp") >= threshold_bp)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__n_common").alias("n_common"),
+            "containment_bp",
+        )
+    )

@@ -683,3 +683,35 @@ register(
     WHERE id_a % 10 >= 8 OR id_b % 10 >= 8
     """,
 )
+
+
+# --- Containment (asymmetric) near-dup tier (round 5) -------------------------
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set containment |A∩B|/min(|A|,|B|) over the tier-3 LSH
+    candidate set — the doc-contains-doc detector symmetric jaccard
+    misses (operators/dedup.py::lsh_verified_containment_pairs).
+    BIGINT basis-point scoring: hash-exact on any engine."""
+    return OD.lsh_verified_containment_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", threshold_bp=5000,
+        n_hashes=N_HASHES, band_rows=BAND_ROWS, max_bucket=MAX_BUCKET,
+    )
+
+
+register(
+    "q_dedup_containment",
+    q_dedup_containment,
+    f"""
+    {_minhash_cand_ctes()},
+    d AS (SELECT doc_id, list_distinct(sh) AS sh FROM shing)
+    SELECT id_a, id_b, n_common, containment_bp FROM (
+      SELECT cand.id_a, cand.id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+             (CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 10000) //
+               CAST(least(len(a.sh), len(b.sh)) AS BIGINT) AS containment_bp
+      FROM cand JOIN d a ON cand.id_a = a.doc_id
+                JOIN d b ON cand.id_b = b.doc_id
+      WHERE least(len(a.sh), len(b.sh)) > 0)
+    WHERE containment_bp >= 5000
+    """,
+)

@@ -119,6 +119,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_compact_read",
     "q_manifest_upsert",
     "q_manifest_schema_evolution",
+    "q_dedup_containment",
+    "q_tfidf_keywords",
+    "q_inverted_index",
     # backfill: oldest r1 greens, original order (driver keeps first 50)
     "q_flagship",
     "q_project_rename",

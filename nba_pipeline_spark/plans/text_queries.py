@@ -155,3 +155,118 @@ register(
     FROM documents
     """,
 )
+
+
+# --- TF-IDF keyword extraction + inverted index (round 5) ---------------------
+
+def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf) off one explode of the tokenized corpus —
+    map-side partial-agg'd; the shared front of the retrieval pair."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokenize(F.col("text"))).alias("term")
+    )
+    return tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by an integer-exact
+    tf-idf surrogate — score_ppm = (tf × 1e6) div df (term frequency
+    up-weighted, document frequency down-weighted; BIGINT floor-div so
+    the ranking is hash-exact on any engine — a float idf log would sit
+    on rounding grids). Scale: one corpus explode + a (doc,term) agg, a
+    vocab-sized df frame joined back on term (AQE broadcasts small
+    vocabularies), and a per-doc window bounded at 3 — no global sort."""
+    from pyspark.sql import Window
+
+    tf = _tf(spark, sf_dir)
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfq, "term").withColumn(
+        "score_ppm", F.expr("(tf * CAST(1000000 AS BIGINT)) div df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_ppm")
+    )
+
+
+register(
+    "q_tfidf_keywords",
+    q_tfidf_keywords,
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+               WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                 (tf.tf * CAST(1000000 AS BIGINT)) // dfq.df AS score_ppm
+          FROM tf JOIN dfq USING (term)),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_ppm DESC, term ASC) AS rn
+          FROM s)
+    SELECT doc_id, term, tf, df, score_ppm FROM r WHERE rn <= 3
+    """,
+)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index: per term, document frequency, total
+    term frequency, and the first-10 posting list (sorted doc ids,
+    comma-joined). The capped postings are built through a per-term
+    row_number window BEFORE any collect — a stopword's full posting
+    list (O(corpus) docs at 100 TB) is never materialized in one row;
+    full stats come from the uncapped aggregate, joined on term."""
+    from pyspark.sql import Window
+
+    tf = _tf(spark, sf_dir)
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    w = Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+    capped = tf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    postings = capped.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return stats.join(postings, "term").select("term", "df", "total_tf", "postings")
+
+
+register(
+    "q_inverted_index",
+    q_inverted_index,
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+               WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                     CAST(SUM(tf) AS BIGINT) AS total_tf
+              FROM tf GROUP BY 1),
+    r AS (SELECT term, doc_id,
+                 row_number() OVER (PARTITION BY term ORDER BY doc_id ASC) AS rn
+          FROM tf),
+    p AS (SELECT term,
+                 array_to_string(
+                   list_transform(list_sort(list(doc_id)), x -> CAST(x AS VARCHAR)),
+                   ',') AS postings
+          FROM r WHERE rn <= 10 GROUP BY term)
+    SELECT s.term, s.df, s.total_tf, p.postings
+    FROM stats s JOIN p USING (term)
+    """,
+)

@@ -731,3 +731,36 @@ def test_star_cc_round_count_logarithmic_at_10x(spark):
         assert comp.select("comp").distinct().count() == 1
         bound = math.ceil(math.log2(n)) + 4
         assert stats["rounds"] <= bound, (n, stats["rounds"], bound)
+
+
+def test_containment_catches_doc_contains_doc(spark):
+    """A short doc embedded verbatim in a long doc: symmetric jaccard
+    scores low (small intersection over big union) but containment is
+    ~1.0 — the asymmetric tier exists for exactly this shape."""
+    from nba_pipeline_spark.operators.dedup import (
+        lsh_verified_containment_pairs,
+        lsh_verified_jaccard_pairs,
+    )
+
+    # moderate size ratio: LSH (which estimates JACCARD) still buckets
+    # the pair, but symmetric jaccard scores below the usual 0.5 gate
+    # while containment is exactly 1.0 — the shape this tier exists for.
+    # (Extreme small-in-big ratios need shingle-partitioned candidates;
+    # documented recall caveat on the operator.)
+    short = " ".join(f"word{i}" for i in range(22))
+    long = short + " " + " ".join(f"filler{i}" for i in range(26))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words here entirely")],
+        "doc_id int, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment_bp"]
+        for r in lsh_verified_containment_pairs(
+            df, "text", "doc_id", threshold_bp=9000, n_hashes=32
+        ).collect()
+    }
+    assert cont.get((1, 2), 0) == 10000  # full containment, exact bp
+    jac = lsh_verified_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.5, n_hashes=32
+    ).collect()
+    assert not any(r["id_a"] == 1 and r["id_b"] == 2 for r in jac)
