@@ -1114,3 +1114,75 @@ def lsh_verified_containment_pairs(
             "containment_bp",
         )
     )
+
+
+def shingle_partitioned_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_bp: int = 8000,
+    shingle_n: int = 3,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """FULL-recall containment detection via the inverted shingle
+    index — the documented step up from `lsh_verified_containment_pairs`
+    (whose MinHash candidates estimate JACCARD and therefore miss
+    extreme small-in-big pairs): candidates come from joining docs on
+    INDIVIDUAL shingles, so any pair sharing one surviving shingle is
+    scored, and a 10-line doc inside a 10,000-line doc is found.
+
+    Shape: explode distinct shingles (O(total shingles) rows), drop
+    shingles with document frequency > `max_shingle_df` (stopword-like
+    shingles are non-discriminative and quadratic — the standard cap in
+    suffix/substring dedup), self-join on the shingle hash, count
+    shared shingles per pair (map-side partial agg), join back the full
+    per-doc shingle counts for the exact denominator. Pair volume is
+    Σ min(df, cap)² per shingle — bounded by the cap, never by corpus
+    size. The intersection COUNT is computed by the join itself: no
+    second verify pass.
+
+    Exactness contract: the numerator omits capped shingles, so the
+    score is a LOWER BOUND on true containment — a pair is never
+    over-scored, and it is exact whenever no shared shingle was capped
+    (containment-heavy pairs share mostly rare shingles, so the bound
+    is tight in practice). All arithmetic BIGINT basis points.
+    """
+    sh = (
+        fan_out(df)
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(shingles(F.col("__toks"), shingle_n))
+            ).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_shingle_df)
+        .select("sh")
+    )
+    kept = sh.join(hot, "sh", "left_anti")
+    a = kept.select(F.col(id_col).alias("id_a"), "sh")
+    b = kept.select(F.col(id_col).alias("id_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("__nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment_bp",
+            F.expr("(n_common * 10000) div least(__na, __nb)"),
+        )
+        .filter(F.col("containment_bp") >= threshold_bp)
+        .select("id_a", "id_b", "n_common", "containment_bp")
+    )

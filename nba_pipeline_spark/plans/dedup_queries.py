@@ -715,3 +715,39 @@ register(
     WHERE containment_bp >= 5000
     """,
 )
+
+
+def q_dedup_containment_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-recall containment via the inverted shingle index (df-capped
+    hot shingles) — finds small-in-big pairs the jaccard-LSH candidate
+    path cannot; score is an exact lower bound in BIGINT basis points.
+    operators/dedup.py::shingle_partitioned_containment_pairs."""
+    return OD.shingle_partitioned_containment_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", threshold_bp=8000,
+        max_shingle_df=50,
+    )
+
+
+register(
+    "q_dedup_containment_full",
+    q_dedup_containment_full,
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    shing AS (SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM t),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+    sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM shing),
+    hot AS (SELECT s FROM e GROUP BY s HAVING COUNT(*) > 50),
+    kept AS (SELECT doc_id, s FROM e WHERE s NOT IN (SELECT s FROM hot)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           (n_common * 10000) // least(sa.n_sh, sb.n_sh) AS containment_bp
+    FROM shared
+    JOIN sizes sa ON shared.id_a = sa.doc_id
+    JOIN sizes sb ON shared.id_b = sb.doc_id
+    WHERE (n_common * 10000) // least(sa.n_sh, sb.n_sh) >= 8000
+    """,
+)

@@ -122,6 +122,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_containment",
     "q_tfidf_keywords",
     "q_inverted_index",
+    "q_dedup_containment_full",
+    "q_embed_quantize",
     # backfill: oldest r1 greens, original order (driver keeps first 50)
     "q_flagship",
     "q_project_rename",

@@ -405,3 +405,69 @@ register(
     ORDER BY rrf DESC NULLS LAST, doc_id ASC NULLS FIRST LIMIT {RRF_TOPK}
     """,
 )
+
+
+# --- int8 scalar quantization (vector compression, round 5) -------------------
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization — the 4× compression step a
+    100 TB ANN index runs before storage (float32 → uint8 codes +
+    per-vector (min, max) for dequantization). Entirely array-HOF
+    elementwise arithmetic: a pure narrow map, no shuffle, no UDF.
+
+    Determinism: each code is floor((x−mn)·255/(mx−mn) + 0.5) over
+    exactly-widened float32 inputs — every step a single correctly-
+    rounded IEEE op (no accumulation, no rounding-grid round()), so the
+    codes are bit-identical on any engine; code_sum is an integer sum
+    (order-free)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    mn, mx = F.array_min(v), F.array_max(v)
+    code = lambda x: F.floor((x - mn) * F.lit(255.0) / (mx - mn) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    codes = F.when(mx > mn, F.transform(v, code)).otherwise(
+        F.transform(v, lambda x: F.lit(0).cast("bigint"))
+    )
+    t = emb.select(
+        "vec_id",
+        mn.alias("mn"),
+        mx.alias("mx"),
+        codes.alias("__codes"),
+    )
+    return t.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.size("__codes").alias("n_dims"),
+        F.aggregate(
+            "__codes", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+        F.array_join(
+            F.transform(F.slice("__codes", 1, 8), lambda x: x.cast("string")), ","
+        ).alias("codes_head"),
+    )
+
+
+register(
+    "q_embed_quantize",
+    q_embed_quantize,
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+    q AS (SELECT vec_id, mn, mx,
+                 CASE WHEN mx > mn
+                      THEN list_transform(v, x ->
+                             CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))
+                      ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+          FROM m)
+    SELECT vec_id, mn, mx, len(codes) AS n_dims,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           array_to_string(list_transform(codes[1:8], x -> CAST(x AS VARCHAR)), ',')
+             AS codes_head
+    FROM q
+    """,
+)

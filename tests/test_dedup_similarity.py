@@ -764,3 +764,26 @@ def test_containment_catches_doc_contains_doc(spark):
         df, "text", "doc_id", threshold=0.5, n_hashes=32
     ).collect()
     assert not any(r["id_a"] == 1 and r["id_b"] == 2 for r in jac)
+
+
+def test_shingle_partitioned_containment_full_recall(spark):
+    """The inverted-index path finds the extreme small-in-big pair the
+    jaccard-LSH candidates miss (the scenario from the operator's
+    recall caveat), with exact bp scoring."""
+    from nba_pipeline_spark.operators.dedup import (
+        shingle_partitioned_containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words here entirely")],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment_bp"]
+        for r in shingle_partitioned_containment_pairs(
+            df, "text", "doc_id", threshold_bp=9000
+        ).collect()
+    }
+    assert got == {(1, 2): 10000}  # jaccard here is ~0.09 — LSH missed it
