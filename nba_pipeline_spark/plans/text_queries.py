@@ -161,14 +161,23 @@ register(
 
 def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, term, tf) off one explode of the tokenized corpus —
-    map-side partial-agg'd; the shared front of the retrieval pair."""
+    map-side partial-agg'd; the shared front of the retrieval pair.
+
+    Pinned: both consumers reference it twice (the per-doc frame AND
+    its term-level aggregate) — un-pinned, Catalyst re-derives the
+    whole tokenize+explode corpus pass per reference (2 scans in the
+    dumped plan). The pinned frame is the deduped (doc, term) surface,
+    re-tokenizing beats re-scanning only when tokenization is free —
+    it is not at 100 TB."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     tok = docs.select(
         "doc_id", F.explode(TX.tokenize(F.col("text"))).alias("term")
     )
-    return tok.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    return (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
 
 
