@@ -194,3 +194,78 @@ def test_cc_star_equals_minlabel_on_random_graphs(spark, edges):
     star = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
     label = {r["node"]: r["comp"] for r in connected_components(df).collect()}
     assert star == label
+
+
+@_slow
+@given(
+    vec=st.lists(
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False, width=32),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_quantize_codes_bounded_and_reconstruction(spark, vec):
+    """int8 quantization invariants for arbitrary float32 vectors:
+    codes in [0, 255]; dequantized values within half a step of the
+    original (the scalar-quantization error bound); degenerate
+    constant vectors quantize to all zeros."""
+    df = spark.createDataFrame([(0, vec)], "vec_id int, embedding array<float>")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    mn, mx = F.array_min(v), F.array_max(v)
+    code = lambda x: F.floor((x - mn) * F.lit(255.0) / (mx - mn) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    codes_col = F.when(mx > mn, F.transform(v, code)).otherwise(
+        F.transform(v, lambda x: F.lit(0).cast("bigint"))
+    )
+    r = df.select(
+        codes_col.alias("codes"), mn.alias("mn"), mx.alias("mx")
+    ).collect()[0]
+    codes, lo, hi = r["codes"], r["mn"], r["mx"]
+    assert all(0 <= c <= 255 for c in codes)
+    if hi > lo:
+        step = (hi - lo) / 255.0
+        originals = [float(x) for x in df.collect()[0]["embedding"]]
+        for c, x in zip(codes, originals):
+            assert abs((lo + c * step) - x) <= step / 2 + 1e-9 * max(abs(hi), abs(lo), 1)
+    else:
+        assert set(codes) == {0}
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=4, max_size=12).map(
+            lambda ws: " ".join(f"tok{w}" for w in ws)
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_containment_bp_bounds_and_symmetry_floor(spark, docs):
+    """Containment invariants on arbitrary corpora: 0 <= bp <= 10000,
+    and containment_bp >= the jaccard-equivalent bp for every emitted
+    pair (containment dominates jaccard by definition)."""
+    from nba_pipeline_spark.operators.dedup import (
+        shingle_partitioned_containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+    )
+    rows = shingle_partitioned_containment_pairs(
+        df, "text", "doc_id", threshold_bp=0, max_shingle_df=1000
+    ).collect()
+    toks = {i: t.lower().split() for i, t in enumerate(docs)}
+    sh = {
+        i: {tuple(t[j : j + 3]) for j in range(len(t) - 2)} for i, t in toks.items()
+    }
+    for r in rows:
+        a, b = r["id_a"], r["id_b"]
+        assert 0 <= r["containment_bp"] <= 10000
+        inter = len(sh[a] & sh[b])
+        small = min(len(sh[a]), len(sh[b]))
+        union = len(sh[a] | sh[b])
+        assert r["n_common"] == inter  # uncapped: the join IS the intersection
+        assert r["containment_bp"] == (inter * 10000) // small
+        assert r["containment_bp"] >= (inter * 10000) // union  # dominates jaccard
