@@ -275,3 +275,37 @@ def test_schema_evolution_additive_columns(spark, tmp_path):
     df2 = M.read_snapshot(spark, lake)  # one segment now: plain read suffices
     assert set(df2.columns) == {"id", "t", "lang"}
     assert {(r["id"], r["t"], r["lang"]) for r in df2.collect()} == got
+
+
+@pytest.mark.slow
+def test_manifest_many_commits_resolution_and_vacuum(spark, tmp_path):
+    """60 commits: resolution stays a single small-file read (latest
+    manifest lists all segments), every historical version remains
+    readable until vacuum, and vacuum reclaims exactly the expired
+    segments while keeping tag history intact."""
+    lake = str(tmp_path / "lake")
+    for i in range(60):
+        M.commit_append(
+            spark,
+            lake,
+            spark.createDataFrame([(i, f"d{i}")], "id int, t string"),
+            tag=f"batch={i}",
+        )
+    assert M.current_version(spark, lake) == 60
+    assert M.read_snapshot(spark, lake).count() == 60
+    # spot-check time travel depth
+    assert M.read_snapshot(spark, lake, version=1).count() == 1
+    assert M.read_snapshot(spark, lake, version=30).count() == 30
+
+    # compact + vacuum to 2 versions: only the compacted segment (+ the
+    # still-referenced pre-compaction segments of the retained parent)
+    M.compact(spark, lake, target_files=2)
+    M.vacuum(spark, lake, keep_versions=1)
+    assert M._manifest_versions(spark, lake) == [61]
+    import os
+    live = set(M._read_manifest(spark, lake, 61)["segments"])
+    assert set(os.listdir(f"{lake}/data")) == live
+    assert len(live) == 1
+    assert M.read_snapshot(spark, lake).count() == 60
+    # tag history survives vacuum (cumulative in the latest manifest)
+    assert M.committed_tags(spark, lake) == {f"batch={i}" for i in range(60)}
