@@ -43,6 +43,17 @@ At 100 TB: the manifest holds directory names, not per-file entries, so
 it stays KB-sized; resolution is one small-file read on the driver;
 scan planning over the listed dirs is Spark's normal file-index path
 (partition pruning and predicate pushdown still apply per segment).
+
+**Segment metadata → manifest-level data skipping.** A commit may tag
+its segment with a partition value (``partition={col: val}``) and/or
+min/max column stats (``stats_cols=[...]``, one extra agg job at write
+time). The metadata lives in the manifest (``meta``), so the DRIVER
+prunes segments before Spark ever lists their files: a point lookup on
+a partition-tagged lake opens one segment's directory, not a thousand
+(`read_snapshot(part_eq=...)` / `ranges=...`). Segments without
+metadata are never pruned (no information → must scan) — skipping is
+always sound. ``commit_upsert_partitioned`` builds on the same tags to
+MERGE facts by rewriting only the touched partitions' segments.
 """
 
 from __future__ import annotations
@@ -144,6 +155,7 @@ def _commit(
     max_tries: int = 20,
     tag: str | None = None,
     expected_parent: int | None = None,
+    meta_fn=None,
 ) -> int:
     """Publish a new manifest via rename-if-absent CAS.
 
@@ -161,7 +173,12 @@ def _commit(
     on a SPECIFIC snapshot: if the latest version moved past it, raise
     CommitConflict instead of committing data derived from a stale
     read (required for read-modify-write ops like upsert, where the
-    new segment's CONTENT depends on the parent)."""
+    new segment's CONTENT depends on the parent).
+
+    `meta_fn(parent_manifest | None, segments) -> dict` supplies the
+    per-segment metadata map ({seg: {"part": ..., "stats": ...}}); by
+    default parent metadata is carried forward for surviving segments
+    (new segments start meta-less = never pruned)."""
     mdir = f"{path}/{_MANIFEST_DIR}"
     fs, jmdir = _fs(spark, mdir)
     fs.mkdirs(jmdir)
@@ -177,12 +194,19 @@ def _commit(
         tags = list(parent_m.get("tags", [])) if parent_m else []
         if tag is not None:
             tags.append(tag)
+        segments = segments_fn(parent_m)
+        parent_meta = dict(parent_m.get("meta", {})) if parent_m else {}
+        if meta_fn is not None:
+            meta = meta_fn(parent_m, segments)
+        else:
+            meta = {s: parent_meta[s] for s in segments if s in parent_meta}
         manifest = {
             "version": version,
             "parent": parent if versions else None,
             "op": op,
-            "segments": segments_fn(parent_m),
+            "segments": segments,
             "tags": tags,
+            "meta": meta,
         }
         tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
         out = fs.create(_jpath(spark, tmp), True)
@@ -206,20 +230,60 @@ def committed_tags(spark: SparkSession, path: str) -> set[str]:
     return set(_read_manifest(spark, path, versions[-1]).get("tags", []))
 
 
+def _json_safe(v):
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)  # dates/timestamps: ISO str (lexicographic-comparable)
+
+
+def _segment_stats(df: DataFrame, stats_cols: list[str]) -> dict:
+    """Per-column [min, max] for the written frame — ONE agg job
+    (numeric / string / date columns; the write-time cost of read-time
+    data skipping)."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        *[F.min(c).alias(f"__mn_{c}") for c in stats_cols],
+        *[F.max(c).alias(f"__mx_{c}") for c in stats_cols],
+    ).collect()[0]
+    return {
+        c: [_json_safe(row[f"__mn_{c}"]), _json_safe(row[f"__mx_{c}"])]
+        for c in stats_cols
+    }
+
+
 def commit_append(
     spark: SparkSession,
     path: str,
     df: DataFrame,
     target_files: int | None = None,
     tag: str | None = None,
+    partition: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Append `df` as a new segment; returns the committed version.
-    Pass `tag` for an idempotency token (see `_commit`/`committed_tags`)."""
+    Pass `tag` for an idempotency token (see `_commit`/`committed_tags`),
+    `partition` ({col: value}) and/or `stats_cols` to record manifest
+    metadata for segment-level pruning (`read_snapshot(part_eq=...)`)."""
     seg = _write_segment(df, path, target_files)
+    seg_meta: dict = {}
+    if partition is not None:
+        seg_meta["part"] = {k: _json_safe(v) for k, v in partition.items()}
+    if stats_cols:
+        seg_meta["stats"] = _segment_stats(df, stats_cols)
+
+    def meta_fn(parent, segments):
+        pm = dict(parent.get("meta", {})) if parent else {}
+        out = {s: pm[s] for s in segments if s in pm}
+        if seg_meta:
+            out[seg] = seg_meta
+        return out
+
     return _commit(
         spark, path, "append",
         lambda parent: (parent["segments"] if parent else []) + [seg],
         tag=tag,
+        meta_fn=meta_fn,
     )
 
 
@@ -269,11 +333,65 @@ def _read_segments(
     return reader.parquet(*[f"{path}/{_DATA_DIR}/{s}" for s in segments])
 
 
+def _prune_segments(
+    manifest: dict, part_eq: dict | None, ranges: dict | None
+) -> list[str]:
+    """Manifest-level data skipping: drop segments whose metadata PROVES
+    they can't match. A segment without the relevant metadata is always
+    kept — skipping is sound, never lossy."""
+    segs = manifest["segments"]
+    meta = manifest.get("meta", {})
+    out = []
+    for s in segs:
+        m = meta.get(s, {})
+        keep = True
+        if part_eq:
+            part = m.get("part", {})
+            for col, want in part_eq.items():
+                if col in part and part[col] != _json_safe(want):
+                    keep = False
+                    break
+        if keep and ranges:
+            stats = m.get("stats", {})
+            for col, (lo, hi) in ranges.items():
+                if col in stats:
+                    mn, mx = stats[col]
+                    if mn is not None and hi is not None and hi < mn:
+                        keep = False
+                        break
+                    if mx is not None and lo is not None and lo > mx:
+                        keep = False
+                        break
+        if keep:
+            out.append(s)
+    return out
+
+
+def resolve_segments(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    part_eq: dict | None = None,
+    ranges: dict | None = None,
+) -> list[str]:
+    """The segment list a read would scan after manifest-level pruning
+    (exposed for tests/introspection — the pruning IS the point)."""
+    versions = _manifest_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no committed manifest under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in committed versions {versions}")
+    return _prune_segments(_read_manifest(spark, path, v), part_eq, ranges)
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     merge_schema: bool = False,
+    part_eq: dict | None = None,
+    ranges: dict | None = None,
 ) -> DataFrame:
     """The table AS OF `version` (default: latest). One manifest read,
     then a plain multi-dir parquet scan — pushdown/pruning intact.
@@ -282,16 +400,21 @@ def read_snapshot(
     just appending segments with the wider schema; `merge_schema=True`
     unions footers across segments (old segments surface NULLs for new
     columns — additive evolution only, the parquet mergeSchema
-    contract)."""
+    contract).
+
+    `part_eq` / `ranges` prune segments through manifest metadata
+    BEFORE Spark lists any file (driver-side skipping); they are hints
+    only — rows from kept segments are NOT re-filtered, so apply the
+    same predicate in the plan too (Catalyst then also pushes it into
+    the surviving scans)."""
     versions = _manifest_versions(spark, path)
     if not versions:
         raise ValueError(f"no committed manifest under {path}")
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in committed versions {versions}")
-    return _read_segments(
-        spark, path, _read_manifest(spark, path, v)["segments"], merge_schema
-    )
+    segs = _prune_segments(_read_manifest(spark, path, v), part_eq, ranges)
+    return _read_segments(spark, path, segs, merge_schema)
 
 
 def commit_upsert(
@@ -344,6 +467,99 @@ def commit_upsert(
             last_err = e  # re-read the moved snapshot and re-merge
     raise RuntimeError(
         f"commit_upsert lost the snapshot race {max_tries} times: {path}"
+    ) from last_err
+
+
+def commit_upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    version_col: str,
+    part_col: str,
+    target_files: int | None = None,
+    max_tries: int = 5,
+) -> int:
+    """Fact-scale MERGE: rewrite ONLY the partitions the changes touch.
+    Requires every current segment to carry ``part`` metadata for
+    `part_col` (i.e. the lake was written partition-tagged) — raises
+    otherwise, because an untagged segment could hide rows of a touched
+    partition and silently survive un-merged.
+
+    Shape: the touched partition set is an O(partitions-in-batch)
+    driver list (one distinct job over the CHANGES, which are
+    batch-sized by premise); untouched segments transfer into the new
+    manifest by name — zero data movement; touched partitions read ←
+    merge_upsert ← write one fresh tagged segment each. The commit is
+    the same strict parent CAS as `commit_upsert`: racing commits force
+    a re-read + re-merge, so concurrent appends are never lost. This is
+    the file-level-skipping MERGE that `commit_upsert`'s docstring
+    points to — at 100 TB a CDC batch touching 3 of 10,000 daily
+    partitions rewrites 3."""
+    from pyspark.sql import functions as F
+
+    from ..operators.cdc import merge_upsert
+
+    last_err: Exception | None = None
+    for _ in range(max_tries):
+        base_version = current_version(spark, path)
+        parts = [
+            _json_safe(r[part_col])
+            for r in changes.select(part_col).distinct().collect()
+        ]
+        touched: list[str] = []
+        untouched: list[str] = []
+        meta: dict = {}
+        if base_version is not None:
+            m = _read_manifest(spark, path, base_version)
+            meta = m.get("meta", {})
+            for s in m["segments"]:
+                part = meta.get(s, {}).get("part", {})
+                if part_col not in part:
+                    raise ValueError(
+                        f"segment {s} lacks '{part_col}' partition metadata — "
+                        "partitioned upsert requires a fully partition-tagged "
+                        "lake (write with commit_append(partition=...))"
+                    )
+                (touched if part[part_col] in parts else untouched).append(s)
+        if touched:
+            base = _read_segments(spark, path, touched)
+            merged = merge_upsert(base, changes, keys, version_col)
+        else:
+            merged = merge_upsert(
+                changes.limit(0).drop(version_col), changes, keys, version_col
+            )
+        merged = merged.localCheckpoint(eager=True)  # read before any delete
+        new_segs: dict[str, dict] = {}
+        for p in parts:
+            seg = _write_segment(  # eqNullSafe: NULL is a valid partition
+                merged.filter(F.col(part_col).eqNullSafe(F.lit(p))),
+                path,
+                target_files,
+            )
+            new_segs[seg] = {"part": {part_col: p}}
+
+        def _segments(parent):
+            return untouched + list(new_segs)
+
+        def _meta(parent, segments):
+            out = {s: meta[s] for s in untouched if s in meta}
+            out.update(new_segs)
+            return out
+
+        try:
+            return _commit(
+                spark,
+                path,
+                "upsert_partitioned",
+                _segments,
+                expected_parent=base_version or 0,
+                meta_fn=_meta,
+            )
+        except CommitConflict as e:
+            last_err = e
+    raise RuntimeError(
+        f"commit_upsert_partitioned lost the snapshot race {max_tries} times: {path}"
     ) from last_err
 
 

@@ -309,3 +309,81 @@ def test_manifest_many_commits_resolution_and_vacuum(spark, tmp_path):
     assert M.read_snapshot(spark, lake).count() == 60
     # tag history survives vacuum (cumulative in the latest manifest)
     assert M.committed_tags(spark, lake) == {f"batch={i}" for i in range(60)}
+
+
+def test_manifest_partition_and_stats_pruning(spark, tmp_path):
+    """Manifest-level data skipping: partition tags and min/max stats
+    prune segments on the DRIVER before any file listing; untagged
+    segments are never pruned (no info -> must scan)."""
+    lake = str(tmp_path / "lake")
+    for yr in (1997, 1998, 1999):
+        M.commit_append(
+            spark,
+            lake,
+            spark.createDataFrame(
+                [(yr * 10 + j, yr, float(j)) for j in range(4)],
+                "id int, yr int, v double",
+            ),
+            partition={"yr": yr},
+            stats_cols=["id"],
+        )
+    # untagged segment: joins every pruned read
+    M.commit_append(
+        spark, lake, spark.createDataFrame([(7, 2005, 0.5)], "id int, yr int, v double")
+    )
+
+    all_segs = M.resolve_segments(spark, lake)
+    assert len(all_segs) == 4
+    pruned = M.resolve_segments(spark, lake, part_eq={"yr": 1998})
+    assert len(pruned) == 2  # the 1998 segment + the untagged one
+    got = M.read_snapshot(spark, lake, part_eq={"yr": 1998}).filter("yr = 1998")
+    assert {r["id"] for r in got.collect()} == {19980, 19981, 19982, 19983}
+
+    # stats ranges: id in [19970, 19973] only lives in the 1997 segment
+    by_range = M.resolve_segments(spark, lake, ranges={"id": (19970, 19973)})
+    assert len(by_range) == 2  # 1997 segment + untagged
+    # a range matching nothing tagged still keeps the untagged segment
+    none_tagged = M.resolve_segments(spark, lake, ranges={"id": (1, 2)})
+    assert len(none_tagged) == 1
+
+
+def test_commit_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
+    """Partition-scoped MERGE: untouched partitions' segments transfer
+    by NAME (zero data movement), touched ones are re-merged; new
+    partitions insert; an untagged segment fails loudly."""
+    lake = str(tmp_path / "lake")
+    for yr in (1997, 1998):
+        M.commit_append(
+            spark,
+            lake,
+            spark.createDataFrame(
+                [(yr * 10 + j, yr, f"v{j}") for j in range(3)],
+                "id int, yr int, t string",
+            ),
+            partition={"yr": yr},
+        )
+    before = M.resolve_segments(spark, lake, part_eq={"yr": 1997})
+    assert len(before) == 1
+    seg_1997 = before[0]
+
+    changes = spark.createDataFrame(
+        [(19980, 1998, "UPDATED", 5), (20000, 2000, "NEW", 5)],
+        "id int, yr int, t string, ver int",
+    )
+    M.commit_upsert_partitioned(spark, lake, changes, ["id"], "ver", "yr")
+
+    after = M.resolve_segments(spark, lake)
+    assert seg_1997 in after  # untouched partition: same segment, no rewrite
+    got = {(r["id"], r["yr"], r["t"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {
+        (19970, 1997, "v0"), (19971, 1997, "v1"), (19972, 1997, "v2"),
+        (19980, 1998, "UPDATED"), (19981, 1998, "v1"), (19982, 1998, "v2"),
+        (20000, 2000, "NEW"),
+    }
+    # the new 2000 partition is tagged and prunable
+    assert len(M.resolve_segments(spark, lake, part_eq={"yr": 2000})) == 1
+
+    # untagged segment poisons partitioned MERGE -> loud failure
+    M.commit_append(spark, lake, spark.createDataFrame([(1, 1, "x")], "id int, yr int, t string"))
+    with pytest.raises(ValueError, match="partition metadata"):
+        M.commit_upsert_partitioned(spark, lake, changes, ["id"], "ver", "yr")
