@@ -225,3 +225,61 @@ register(
     FROM t GROUP BY o_orderstatus
     """,
 )
+
+
+def _partitioned_lake(spark: SparkSession, sf_dir: str) -> str:
+    """One partition-tagged, stats-carrying segment per order year —
+    the layout q_manifest_pruned_read skips through."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_partitioned")
+    if M.current_version(spark, lake) is None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        years = sorted(
+            r["o_year"] for r in orders.select("o_year").distinct().collect()
+        )
+        for yr in years:
+            M.commit_append(
+                spark,
+                lake,
+                orders.filter(F.col("o_year") == yr),
+                partition={"o_year": yr},
+                stats_cols=["o_orderkey"],
+            )
+    return lake
+
+
+def q_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level data skipping end-to-end: a year-equality read
+    resolves ONE segment out of the whole lake (asserted — the pruning
+    is the result, not a hint) and aggregates it. At 100 TB this is the
+    difference between listing one partition's files and listing the
+    table."""
+    tune(spark)
+    lake = _partitioned_lake(spark, sf_dir)
+    segs = M.resolve_segments(spark, lake, part_eq={"o_year": 1997})
+    assert len(segs) == 1, f"pruning failed: {len(segs)} segments"
+    t = M.read_snapshot(spark, lake, part_eq={"o_year": 1997}).filter(
+        F.col("o_year") == 1997
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("o_custkey").alias("max_cust"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+register(
+    "q_manifest_pruned_read",
+    q_manifest_pruned_read,
+    """
+    SELECT COUNT(*) AS n, MAX(o_custkey) AS max_cust,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)

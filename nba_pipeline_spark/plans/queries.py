@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_inverted_index",
     "q_dedup_containment_full",
     "q_embed_quantize",
+    "q_manifest_pruned_read",
     # backfill: oldest r1 greens, original order (driver keeps first 50)
     "q_flagship",
     "q_project_rename",
