@@ -187,6 +187,42 @@ def cmd_publish(args) -> int:
     return 0
 
 
+def cmd_lake(args) -> int:
+    """Manifest-lake maintenance: history / compact / vacuum — the
+    table-format operator's toolbox (run between or during reads; no
+    maintenance window thanks to snapshot isolation)."""
+    import json
+
+    from .sources import manifest as M
+
+    spark = _spark()
+    if args.action == "history":
+        out = []
+        for v in M._manifest_versions(spark, args.path):
+            m = M._read_manifest(spark, args.path, v)
+            out.append(
+                {
+                    "version": v,
+                    "op": m.get("op"),
+                    "parent": m.get("parent"),
+                    "n_segments": len(m.get("segments", [])),
+                    "n_tags": len(m.get("tags", [])),
+                }
+            )
+        print(json.dumps(out))
+        return 0
+    if args.action == "compact":
+        v = M.compact(spark, args.path, target_files=args.target_files)
+        print(json.dumps({"committed_version": v}))
+        return 0
+    if args.action == "vacuum":
+        n = M.vacuum(spark, args.path, keep_versions=args.keep_versions)
+        print(json.dumps({"segments_deleted": n}))
+        return 0
+    print(f"unknown lake action {args.action!r}", file=sys.stderr)
+    return 2
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="nba_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -216,12 +252,18 @@ def main(argv: list[str] | None = None) -> int:
     pub.add_argument(
         "--strict", action="store_true", help="exit 3 when any row quarantines"
     )
+    lk = sub.add_parser("lake")
+    lk.add_argument("action", help="history|compact|vacuum")
+    lk.add_argument("path", help="manifest lake root")
+    lk.add_argument("--target-files", type=int, default=1)
+    lk.add_argument("--keep-versions", type=int, default=2)
     args = p.parse_args(argv)
     return {
         "list": cmd_list,
         "query": cmd_query,
         "pipeline": cmd_pipeline,
         "publish": cmd_publish,
+        "lake": cmd_lake,
     }[args.cmd](args)
 
 

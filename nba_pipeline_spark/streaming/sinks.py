@@ -263,3 +263,35 @@ def token_tally_sink(
         checkpoint_dir,
         count_col="n_docs",
     )
+
+
+def quarantine_ingest_sink(
+    lake_path: str,
+    quarantine_path: str,
+    rules_fn: Callable[[], dict],
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: the expectations gate as a CONTINUOUS
+    dual sink — per micro-batch, rows are rule-tagged once
+    (operators/expectations.tag_violations), pass rows land in the
+    lake, fail rows land in quarantine with their tags. Both sinks use
+    the replay-idempotent ``batch=<id>`` overwrite layout (a replayed
+    batch can only rewrite its own dirs). `rules_fn` is a zero-arg
+    callable returning {name: Column} — Columns need an active session,
+    so the dict is built inside the micro-batch, not at wiring time.
+
+    This is the streaming form of the `publish` CLI verb: the
+    reference's scheduled ingest swallows bad rows inside
+    try/except-continue (games.py:21-27); here every rejected row stays
+    addressable, per batch, with the rules it broke."""
+    from ..operators.expectations import split_quarantine
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        passed, quarantined = split_quarantine(batch_df, rules_fn())
+        passed.write.mode("overwrite").parquet(f"{lake_path}/batch={batch_id}")
+        quarantined.withColumn(
+            "failed_rules", F.array_join("failed_rules", ",")
+        ).write.mode("overwrite").parquet(
+            f"{quarantine_path}/batch={batch_id}"
+        )
+
+    return _apply

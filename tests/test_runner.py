@@ -130,3 +130,32 @@ def test_cli_publish_manifest_and_quarantine(spark, tmp_path, capsys):
     assert {r["id"] for r in read_snapshot(spark, lake).collect()} == {1, 3}
     q = spark.read.parquet(quar).collect()
     assert [(r["id"], list(r["failed_rules"])) for r in q] == [(2, ["qty_positive"])]
+
+
+def test_cli_lake_history_compact_vacuum(spark, tmp_path, capsys):
+    import json
+
+    from nba_pipeline_spark.__main__ import main
+    from nba_pipeline_spark.sources.manifest import commit_append, read_snapshot
+
+    lake = str(tmp_path / "lake")
+    for i in range(3):
+        commit_append(
+            spark,
+            lake,
+            spark.createDataFrame([(i, f"d{i}")], "id int, t string"),
+        )
+
+    assert main(["lake", "history", lake]) == 0
+    hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert hist[-1]["n_segments"] == 3
+
+    assert main(["lake", "compact", lake]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {
+        "committed_version": 4
+    }
+    assert main(["lake", "vacuum", lake, "--keep-versions", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["segments_deleted"] == 3
+    assert read_snapshot(spark, lake).count() == 3

@@ -429,3 +429,63 @@ def test_token_tally_sink_stream_equals_batch_and_replay(spark, tmp_path):
         for r in read_maintained_view(spark, view).collect()
     }
     assert got2 == got
+
+
+def test_quarantine_ingest_sink_dual_channel_and_replay(spark, tmp_path):
+    """Streaming expectations gate: pass rows -> lake, fail rows ->
+    quarantine with rule tags, per batch; a full replay converges (the
+    batch-dir overwrite layout is idempotent)."""
+    import os, shutil
+
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.streaming.sinks import (
+        quarantine_ingest_sink,
+        run_foreach_batch,
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    batches = [
+        [(1, 10.0, "A"), (2, -5.0, "A")],
+        [(3, 7.0, "Z"), (4, 1.0, "N")],
+    ]
+    for i, rows in enumerate(batches):
+        sub = f"{src}/w{i}"
+        spark.createDataFrame(rows, "id int, qty double, flag string").coalesce(
+            1
+        ).write.parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(f"{sub}/{part}", f"{src}/{i:03d}.parquet")
+        shutil.rmtree(sub)
+        os.utime(f"{src}/{i:03d}.parquet", (1000 + i, 1000 + i))
+
+    lake = str(tmp_path / "lake")
+    quar = str(tmp_path / "quar")
+    rules_fn = lambda: {
+        "qty_positive": F.col("qty") > 0,
+        "flag_domain": F.col("flag").isin("A", "N", "R"),
+    }
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("id int, qty double, flag string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_foreach_batch(
+            stream, quarantine_ingest_sink(lake, quar, rules_fn), str(tmp_path / ckpt)
+        )
+
+    drain("ckpt1")
+    ok = {r["id"] for r in spark.read.parquet(f"{lake}/batch=*").collect()}
+    assert ok == {1, 4}
+    bad = {
+        r["id"]: r["failed_rules"]
+        for r in spark.read.parquet(f"{quar}/batch=*").collect()
+    }
+    assert bad == {2: "qty_positive", 3: "flag_domain"}
+
+    drain("ckpt2")  # replay: same dirs rewritten, same contents
+    ok2 = {r["id"] for r in spark.read.parquet(f"{lake}/batch=*").collect()}
+    assert ok2 == ok
