@@ -125,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_containment_full",
     "q_embed_quantize",
     "q_manifest_pruned_read",
+    "q_ann_quantized",
     # backfill: oldest r1 greens, original order (driver keeps first 50)
     "q_flagship",
     "q_project_rename",

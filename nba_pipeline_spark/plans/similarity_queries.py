@@ -471,3 +471,79 @@ register(
     FROM q
     """,
 )
+
+
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval over int8 codes with a PROPER asymmetric score — the
+    compressed scan an IVF-PQ index runs against quantized storage
+    (4× less IO; candidates then re-ranked exact).
+
+    Scheme: symmetric scale-only quantization, code_i = floor(x_i/s +
+    0.5) with s = max|x|/127 per vector (no offset — an affine offset
+    breaks dot-product ranking, which is why the STORAGE scheme of
+    q_embed_quantize is not the SCAN scheme here). Score = (codes_a ·
+    codes_q) · s_a · s_q ≈ a · q: the dot is a BIGINT zip-sum and the
+    two scale multiplies are single correctly-rounded IEEE ops on
+    exactly-derived doubles — bit-deterministic cross-engine with no
+    float ACCUMULATION anywhere. Ties break on vec_id.
+    tests/test_dedup_similarity.py measures recall vs the exact-dot
+    top-10."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    codes = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("bigint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("bigint")))
+    q = emb.select("vec_id", codes.alias("codes"), scale.alias("s")).localCheckpoint(
+        eager=False
+    )
+    qv = q.filter(F.col("vec_id") == QUERY_ID).select(
+        F.col("codes").alias("qcodes"), F.col("s").alias("qs")
+    )
+    others = q.filter(F.col("vec_id") != QUERY_ID)
+    qdot = F.aggregate(
+        F.zip_with("codes", "qcodes", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        others.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            qdot.alias("qdot"),
+            (F.col("s") * F.col("qs")).alias("__ss"),
+        )
+        .select("vec_id", "qdot", (F.col("qdot") * F.col("__ss")).alias("score"))
+        .orderBy(F.col("score").desc_nulls_last(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+register(
+    "q_ann_quantized",
+    q_ann_quantized,
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+          FROM e),
+    q AS (SELECT vec_id, s,
+                 CASE WHEN s > 0
+                      THEN list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT))
+                      ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+          FROM m),
+    qv AS (SELECT codes AS qcodes, s AS qs FROM q WHERE vec_id = {{QUERY_ID}}),
+    scored AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, len(codes) + 1),
+                    i -> codes[i] * qcodes[i])) AS BIGINT) AS qdot,
+             s * qs AS ss
+      FROM q, qv WHERE vec_id <> {{QUERY_ID}})
+    SELECT vec_id, qdot, qdot * ss AS score FROM scored
+    ORDER BY score DESC NULLS LAST, vec_id ASC LIMIT {{TOP_K}}
+    """.format(QUERY_ID=QUERY_ID, TOP_K=TOP_K),
+)

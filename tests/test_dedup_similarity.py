@@ -787,3 +787,40 @@ def test_shingle_partitioned_containment_full_recall(spark):
         ).collect()
     }
     assert got == {(1, 2): 10000}  # jaccard here is ~0.09 — LSH missed it
+
+
+def test_quantized_ann_recall_vs_exact(spark):
+    """The int8 scan approximates the exact DOT-product ranking (its
+    own metric — scale-only codes estimate a·q, not cosine): top-10
+    overlap vs exact dot >= 70% on the fixture embeddings. The exact
+    rerank of a widened candidate list restores the rest — the
+    standard compressed-scan contract."""
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.functions.vectors import to_double_array
+    from nba_pipeline_spark.plans.queries import REGISTRY
+    from nba_pipeline_spark.sources import load_table
+
+    SF = "/root/testdata/sf0.001"
+    emb = load_table(spark, SF, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    qv = emb.filter(F.col("vec_id") == 0).select(v.alias("qv"))
+    exact = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(v, "qv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+        .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    quant = [r["vec_id"] for r in REGISTRY["q_ann_quantized"].fn(spark, SF).collect()]
+    overlap = len(set(exact) & set(quant)) / len(exact)
+    assert overlap >= 0.7, (overlap, exact, quant)
