@@ -290,3 +290,24 @@ register(
     FROM orders WHERE year(o_orderdate) = 1997
     """,
 )
+
+
+def q_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed v1→v2 on the upsert lake: the MERGE's effect
+    read back as one (key, op) row per change — updates for the keys
+    the change set modified, inserts for the new keys, nothing for
+    untouched rows (sources/manifest.py::snapshot_diff)."""
+    tune(spark)
+    lake = _upsert_lake(spark, sf_dir)
+    return M.snapshot_diff(spark, lake, 1, 2, ["o_orderkey"])
+
+
+register(
+    "q_manifest_diff",
+    q_manifest_diff,
+    """
+    SELECT o_orderkey, 'update' AS op FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT o_orderkey, 'insert' AS op FROM orders WHERE o_orderkey % 4 = 2
+    """,
+)

@@ -428,3 +428,30 @@ def test_concurrent_appenders_all_rows_survive(spark, tmp_path):
         segs = set(M._read_manifest(spark, lake, v)["segments"])
         assert prev < segs
         prev = segs
+
+
+def test_snapshot_diff_ops(spark, tmp_path):
+    """CDF between versions: inserts, deletes (via replace), updates,
+    NULL-valued columns compared null-safely, unchanged rows absent."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark,
+        lake,
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c"), (4, "d")], "k int, v string"
+        ),
+    )
+    M.commit_replace(
+        spark,
+        lake,
+        spark.createDataFrame(
+            [(1, "a"), (2, "now-set"), (3, None), (5, "new")], "k int, v string"
+        ),
+    )
+    got = {(r["k"], r["op"]) for r in M.snapshot_diff(spark, lake, 1, 2, ["k"]).collect()}
+    assert got == {
+        (2, "update"),   # NULL -> value
+        (3, "update"),   # value -> NULL
+        (4, "delete"),
+        (5, "insert"),
+    }  # k=1 unchanged: absent
