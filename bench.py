@@ -68,10 +68,12 @@ HEADLINE = [
     "q_dedup_cluster_star",
     "q_intradoc_dedup",
     # round-5 session additions (manifest lake + quarantine gate +
-    # streaming token accounting batch twin)
+    # streaming token accounting batch twin + compressed ANN + CDF)
     "q_manifest_snapshot",
     "q_quarantine_rows",
     "q_stream_token_tally",
+    "q_ann_quantized",
+    "q_manifest_diff",
 ]
 
 
