@@ -654,10 +654,16 @@ def vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> int:
     for v in versions:
         if v not in keep:
             fs.delete(_jpath(spark, f"{path}/{_MANIFEST_DIR}/v{v:08d}.json"), False)
-    # stray tmp manifests from crashed commits
+    # stray tmp manifests from crashed commits — but only STALE ones:
+    # a fresh .tmp may belong to an in-flight concurrent commit whose
+    # rename hasn't happened yet; deleting it would turn that writer's
+    # clean CAS loss into a FileNotFound error. 10 minutes is far past
+    # any write-to-rename window (the tmp write is one small file).
+    now_ms = spark._jvm.java.lang.System.currentTimeMillis()
     mdir = f"{path}/{_MANIFEST_DIR}"
     for st in fs.listStatus(_jpath(spark, mdir)):
-        if st.getPath().getName().startswith(".tmp-"):
+        name = st.getPath().getName()
+        if name.startswith(".tmp-") and now_ms - st.getModificationTime() > 600_000:
             fs.delete(st.getPath(), False)
     ddir = f"{path}/{_DATA_DIR}"
     jddir = _jpath(spark, ddir)

@@ -115,8 +115,13 @@ def test_crash_mid_commit_is_invisible_and_vacuumable(spark, tmp_path):
     assert M.current_version(spark, lake) == 1
     assert _rows(M.read_snapshot(spark, lake)) == expected
 
+    # a FRESH tmp could be an in-flight concurrent commit: kept
     n = M.vacuum(spark, lake, keep_versions=1)
     assert n == 1  # the orphan segment
+    assert os.path.exists(f"{lake}/_manifests/.tmp-deadbeef.json")
+    # ...a STALE tmp (crashed writer) is reclaimed
+    os.utime(f"{lake}/_manifests/.tmp-deadbeef.json", (1000, 1000))
+    M.vacuum(spark, lake, keep_versions=1)
     assert not os.path.exists(f"{lake}/_manifests/.tmp-deadbeef.json")
     assert _rows(M.read_snapshot(spark, lake)) == expected
 
