@@ -437,10 +437,12 @@ def commit_upsert(
 
     Scale note (documented trade): this rewrites the TABLE as one
     consolidated snapshot — correct and simple, right for dimension
-    tables and MV publishes. A fact-scale MERGE needs file-level
-    skipping (rewrite only segments containing touched keys), which is
-    the step up to a full table format; partition the lake and upsert
-    per partition to approximate it here."""
+    tables and MV publishes. For fact tables use
+    `commit_upsert_partitioned`, which rewrites only touched
+    partitions. The two don't mix: this op's consolidated segment is
+    UNTAGGED, so running it on a partition-tagged lake forfeits
+    pruning and partitioned MERGE until the lake is rewritten
+    tagged."""
     from ..operators.cdc import merge_upsert
 
     last_err: Exception | None = None
