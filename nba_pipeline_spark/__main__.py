@@ -139,7 +139,7 @@ def cmd_publish(args) -> int:
 
     from pyspark.sql import functions as F
 
-    from .operators.expectations import split_quarantine
+    from .operators.expectations import publish_with_quarantine
 
     spark = _spark()
     df = spark.read.parquet(args.input)
@@ -153,35 +153,23 @@ def cmd_publish(args) -> int:
     if not rules:
         rules = {f"{c}_not_null": F.col(c).isNotNull() for c in df.columns}
 
-    tagged_pass, quarantined = split_quarantine(df, rules)
-    tagged_pass = tagged_pass.persist()
-    quarantined = quarantined.persist()
-    try:
-        if args.manifest:
-            from .sources.manifest import commit_append
+    writer = None
+    if args.manifest:
+        from .sources.manifest import commit_append
 
-            version = commit_append(spark, args.lake, tagged_pass)
-        else:
-            version = None
-            tagged_pass.write.mode("overwrite").parquet(args.lake)
-        quarantined.write.mode("overwrite").parquet(args.quarantine)
-        report = {
-            "passed": tagged_pass.count(),
-            "quarantined": quarantined.count(),
-            "rules": {
-                r["rule"]: r["n"]
-                for r in quarantined.select(F.explode("failed_rules").alias("rule"))
-                .groupBy("rule")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            },
-        }
-        if version is not None:
-            report["lake_version"] = version
-        print(json.dumps(report))
-    finally:
-        tagged_pass.unpersist()
-        quarantined.unpersist()
+        writer = lambda passed: commit_append(spark, args.lake, passed)
+
+    rep = publish_with_quarantine(
+        df, rules, args.lake, args.quarantine, lake_writer=writer
+    )
+    report = {
+        "passed": rep["__passed"],
+        "quarantined": rep["__quarantined"],
+        "rules": {k: v for k, v in rep.items() if not k.startswith("__") and v > 0},
+    }
+    if "__lake_version" in rep:
+        report["lake_version"] = rep["__lake_version"]
+    print(json.dumps(report))
     if args.strict and report["quarantined"] > 0:
         return 3
     return 0

@@ -98,11 +98,17 @@ def publish_with_quarantine(
     rules: dict[str, Column],
     lake_path: str,
     quarantine_path: str,
+    lake_writer=None,
 ) -> dict[str, int]:
     """Gate + dual-sink + report off ONE source scan: tag, persist the
     tagged frame (so the source is read once, not three times), write
     pass rows to the lake and fail rows (with rule tags) to quarantine,
     and return {rule: n_violations, "__passed": n, "__quarantined": n}.
+
+    `lake_writer(passed_df) -> version | None` overrides the pass-side
+    sink (e.g. a manifest-lake `commit_append` for an atomic,
+    time-travelable publish — the CLI's --manifest path); a returned
+    version lands in the report as "__lake_version".
 
     Scale: the persist holds only the batch being published (ingest
     granularity, not the corpus); both writes and the report reuse it.
@@ -112,7 +118,11 @@ def publish_with_quarantine(
     try:
         passed = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
         quarantined = tagged.filter(F.size("failed_rules") > 0)
-        passed.write.mode("overwrite").parquet(lake_path)
+        version = None
+        if lake_writer is not None:
+            version = lake_writer(passed)
+        else:
+            passed.write.mode("overwrite").parquet(lake_path)
         quarantined.write.mode("overwrite").parquet(quarantine_path)
         counts = {
             r["rule"]: r["n"]
@@ -126,6 +136,8 @@ def publish_with_quarantine(
         report = {name: int(counts.get(name, 0)) for name in rules}
         report["__quarantined"] = quarantined.count()
         report["__passed"] = passed.count()
+        if version is not None:
+            report["__lake_version"] = version
         return report
     finally:
         tagged.unpersist()

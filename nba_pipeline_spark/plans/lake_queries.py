@@ -27,16 +27,38 @@ from .queries import register
 from .relational_queries import _stage_dir
 
 
+
+def _ensure_stage(lake: str, build) -> str:
+    """Crash-safe staging: the lake is complete only when the
+    ``_STAGE_COMPLETE`` marker exists (written strictly AFTER the
+    build); any partial state from an interrupted build is wiped and
+    rebuilt rather than appended onto — version-count guards alone
+    mis-handle a crash between commits (re-appending duplicates or
+    never completing)."""
+    import os
+    import shutil
+
+    marker = os.path.join(lake, "_STAGE_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(lake, ignore_errors=True)
+        build()
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return lake
+
+
 def _manifest_lake(spark: SparkSession, sf_dir: str) -> str:
     lake = _stage_dir(sf_dir, "orders", "manifest_lake")
-    if M.current_version(spark, lake) != 3:
+
+    def build():
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
         )
         M.commit_append(spark, lake, orders.filter(F.col("o_orderkey") % 4 <= 1))
         M.commit_append(spark, lake, orders.filter(F.col("o_orderkey") % 4 >= 2))
         M.compact(spark, lake, target_files=4)
-    return lake
+
+    return _ensure_stage(lake, build)
 
 
 def _agg(df: DataFrame) -> DataFrame:
@@ -119,7 +141,8 @@ def _upsert_lake(spark: SparkSession, sf_dir: str) -> str:
     insert for 2). Every version's contents stay a pure predicate over
     `orders` — recomputable by the oracle."""
     lake = _stage_dir(sf_dir, "orders", "manifest_upsert")
-    if M.current_version(spark, lake) != 2:
+
+    def build():
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
         )
@@ -132,7 +155,8 @@ def _upsert_lake(spark: SparkSession, sf_dir: str) -> str:
             F.lit(1).alias("ver"),
         )
         M.commit_upsert(spark, lake, changes, ["o_orderkey"], "ver")
-    return lake
+
+    return _ensure_stage(lake, build)
 
 
 def q_manifest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,7 +199,8 @@ def _evolution_lake(spark: SparkSession, sf_dir: str) -> str:
     WIDER (…, o_totalprice) segment for % 4 = 1 — additive schema
     evolution on immutable segments."""
     lake = _stage_dir(sf_dir, "orders", "manifest_evolution")
-    if M.current_version(spark, lake) != 2:
+
+    def build():
         orders = load_table(spark, sf_dir, "orders")
         M.commit_append(
             spark,
@@ -191,7 +216,8 @@ def _evolution_lake(spark: SparkSession, sf_dir: str) -> str:
                 "o_orderkey", "o_orderstatus", "o_totalprice"
             ),
         )
-    return lake
+
+    return _ensure_stage(lake, build)
 
 
 def q_manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,7 +257,8 @@ def _partitioned_lake(spark: SparkSession, sf_dir: str) -> str:
     """One partition-tagged, stats-carrying segment per order year —
     the layout q_manifest_pruned_read skips through."""
     lake = _stage_dir(sf_dir, "orders", "manifest_partitioned")
-    if M.current_version(spark, lake) is None:
+
+    def build():
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey",
             "o_custkey",
@@ -252,7 +279,8 @@ def _partitioned_lake(spark: SparkSession, sf_dir: str) -> str:
                 partition={"o_year": yr},
                 stats_cols=["o_orderkey"],
             )
-    return lake
+
+    return _ensure_stage(lake, build)
 
 
 def q_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -153,7 +153,7 @@ def compact_batch_dirs(spark, path: str, target_files: int = 1) -> int:
     # keep the newest committed dir out of the consolidation set
     dirs = dirs[:-1]
     if len(dirs) <= 1:
-        return len(dirs)
+        return 0  # nothing consolidated (contract: count of dirs folded)
     ik = dirs[-1][0]
     tmp = f"{path}/_compact_tmp_{ik}"
     spark.read.parquet(*[d for _, d in dirs]).coalesce(target_files).write.mode(

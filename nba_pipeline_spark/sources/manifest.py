@@ -65,6 +65,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+# Idempotency-tag retention: each manifest keeps the most recent
+# _MAX_TAGS tags (insertion order). Replay guards only need to cover
+# the possible redelivery horizon — a handful of batches — so 10k is
+# orders of magnitude past any real window while keeping the manifest
+# KB-sized at unbounded commit counts.
+_MAX_TAGS = 10_000
 
 
 def _jpath(spark: SparkSession, p: str):
@@ -193,7 +199,16 @@ def _commit(
         version = parent + 1
         tags = list(parent_m.get("tags", [])) if parent_m else []
         if tag is not None:
+            # atomic idempotency: the check runs INSIDE the CAS loop on
+            # the freshly-read parent, so two racing replays of the same
+            # tagged commit can't both land — the loser sees the
+            # winner's tag here on retry and returns its version (the
+            # loser's pre-written segment becomes a vacuumable orphan)
+            if tag in tags:
+                return parent
             tags.append(tag)
+            if len(tags) > _MAX_TAGS:
+                tags = tags[-_MAX_TAGS:]
         segments = segments_fn(parent_m)
         parent_meta = dict(parent_m.get("meta", {})) if parent_m else {}
         if meta_fn is not None:
@@ -295,28 +310,90 @@ def commit_replace(
     return _commit(spark, path, "replace", lambda parent: [seg])
 
 
-def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+def compact(
+    spark: SparkSession, path: str, target_files: int = 1, max_tries: int = 5
+) -> int:
     """Consolidate the CURRENT snapshot into one segment and commit.
     Concurrent readers are unaffected: their resolved manifests keep
     pointing at the old segments, which remain on disk until vacuum.
-    A concurrent append CAS-races the compaction; whichever commits
-    second re-reads the other's manifest, so no rows are lost — the
-    compacted segment list is recomputed from the actual parent."""
-    versions = _manifest_versions(spark, path)
-    if not versions:
-        raise ValueError(f"cannot compact an empty manifest lake: {path}")
-    base = _read_manifest(spark, path, versions[-1])
-    # merge_schema: consolidating schema-evolved segments must keep the
-    # union schema, not silently drop later-added columns
-    df = _read_segments(spark, path, base["segments"], merge_schema=True)
-    seg = _write_segment(df, path, target_files)
 
-    def _segments(parent):
-        # appends that landed after `base` survive the compaction
-        extra = [s for s in (parent["segments"] if parent else []) if s not in set(base["segments"])]
-        return [seg] + extra
+    Concurrency: a concurrent APPEND survives — the committed segment
+    list is recomputed from the actual parent, keeping the interleaved
+    segment. Any NON-append commit landing after the compaction's base
+    (replace/upsert — ops that REMOVE rows) invalidates the
+    consolidated segment; the lineage walk below detects it and the
+    whole consolidation re-runs against the new snapshot, so compact
+    can never resurrect replaced rows.
 
-    return _commit(spark, path, "compact", _segments)
+    Partition-tagged lakes keep their tags: when EVERY base segment
+    carries a ``part`` tag, consolidation runs PER PARTITION VALUE
+    (one tagged output segment each), so manifest-level pruning and
+    `commit_upsert_partitioned` survive maintenance. Min/max stats are
+    not recomputed for compacted segments (the stats columns aren't
+    known here — re-append with `stats_cols` to restore skipping on a
+    compacted segment)."""
+    last_err: Exception | None = None
+    for _ in range(max_tries):
+        versions = _manifest_versions(spark, path)
+        if not versions:
+            raise ValueError(f"cannot compact an empty manifest lake: {path}")
+        base_version = versions[-1]
+        base = _read_manifest(spark, path, base_version)
+        base_segs = set(base["segments"])
+        base_meta = base.get("meta", {})
+        part_tags = [base_meta.get(s, {}).get("part") for s in base["segments"]]
+        if base["segments"] and all(p is not None for p in part_tags):
+            by_part: dict = {}
+            for s, p in zip(base["segments"], part_tags):
+                by_part.setdefault(tuple(sorted(p.items())), []).append(s)
+            groups = [(dict(k), segs) for k, segs in by_part.items()]
+        else:
+            groups = [(None, list(base["segments"]))]
+        new_segs: dict[str, dict] = {}
+        for part, group in groups:
+            # merge_schema: consolidating schema-evolved segments must
+            # keep the union schema, not drop later-added columns
+            df = _read_segments(spark, path, group, merge_schema=True)
+            seg = _write_segment(df, path, target_files)
+            new_segs[seg] = {"part": part} if part is not None else {}
+
+        def _segments(parent):
+            # verify every commit since `base` was an append; the
+            # segment-list diff below is only sound for appends
+            m, v = parent, (parent["version"] if parent else 0)
+            while v > base_version:
+                if m is None or m.get("op") != "append":
+                    raise CommitConflict(
+                        f"non-append commit v{v} landed after compaction "
+                        f"base v{base_version}: re-consolidate"
+                    )
+                v = m.get("parent") or 0
+                try:
+                    m = _read_manifest(spark, path, v) if v else None
+                except Exception as e:  # intermediate manifest vacuumed
+                    raise CommitConflict(str(e))
+            extra = [
+                s
+                for s in (parent["segments"] if parent else [])
+                if s not in base_segs
+            ]
+            return list(new_segs) + extra
+
+        def _meta(parent, segments):
+            pm = dict(parent.get("meta", {})) if parent else {}
+            out = {s: m for s, m in new_segs.items() if m}
+            for s in segments:
+                if s not in out and s in pm:
+                    out[s] = pm[s]
+            return out
+
+        try:
+            return _commit(spark, path, "compact", _segments, meta_fn=_meta)
+        except CommitConflict as e:
+            last_err = e  # snapshot moved non-append-wise: redo
+    raise RuntimeError(
+        f"compact lost the snapshot race {max_tries} times: {path}"
+    ) from last_err
 
 
 def _read_segments(
@@ -651,8 +728,12 @@ def vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> int:
     keep = versions[-keep_versions:]
     fs, _ = _fs(spark, path)
     live: set[str] = set()
-    for v in keep:
-        live.update(_read_manifest(spark, path, v)["segments"])
+    ever_committed: set[str] = set()  # referenced by ANY manifest, incl. expired
+    for v in versions:
+        segs = _read_manifest(spark, path, v)["segments"]
+        ever_committed.update(segs)
+        if v in keep:
+            live.update(segs)
     for v in versions:
         if v not in keep:
             fs.delete(_jpath(spark, f"{path}/{_MANIFEST_DIR}/v{v:08d}.json"), False)
@@ -665,14 +746,39 @@ def vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> int:
     mdir = f"{path}/{_MANIFEST_DIR}"
     for st in fs.listStatus(_jpath(spark, mdir)):
         name = st.getPath().getName()
-        if name.startswith(".tmp-") and now_ms - st.getModificationTime() > 600_000:
+        if not name.startswith(".tmp-"):
+            continue
+        if now_ms - st.getModificationTime() > 600_000:
             fs.delete(st.getPath(), False)
+        else:
+            # surviving fresh tmp: whatever segments it references may
+            # commit any moment — treat them as live
+            try:
+                stream = fs.open(st.getPath())
+                try:
+                    content = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    )
+                finally:
+                    stream.close()
+                live.update(json.loads(content).get("segments", []))
+            except Exception:
+                pass  # torn/unreadable tmp: its segments stay age-guarded
     ddir = f"{path}/{_DATA_DIR}"
     jddir = _jpath(spark, ddir)
     n = 0
     if fs.exists(jddir):
         for st in fs.listStatus(jddir):
-            if st.getPath().getName() not in live:
+            name = st.getPath().getName()
+            if name in live:
+                continue
+            # expired-version segments (were committed, their manifest
+            # just aged out) reclaim immediately; a NEVER-referenced
+            # segment is deleted only when stale — a fresh one is
+            # (likely) an in-flight commit between its data write and
+            # its manifest rename, and deleting it would dangle the
+            # winner's manifest.
+            if name in ever_committed or now_ms - st.getModificationTime() > 600_000:
                 fs.delete(st.getPath(), True)
                 n += 1
     return n

@@ -140,7 +140,7 @@ def test_compact_batch_dirs_consolidates_and_preserves_rows(spark, tmp_path):
     assert after == before
 
     # only one dir below the newest -> nothing to consolidate
-    assert compact_batch_dirs(spark, lake) == 1
+    assert compact_batch_dirs(spark, lake) == 0
 
     # ingest continues: a later trigger appends batch=3; next compact
     # folds 1,2 -> batch=2 and leaves 3 as the protected newest
@@ -176,7 +176,7 @@ def test_compact_batch_dirs_replay_safe_with_uncommitted_newest(spark, tmp_path)
 
     # committed sources are 0,1 -> newest committed (1) excluded, so
     # only batch=0 is below it: nothing to consolidate, partial intact
-    assert compact_batch_dirs(spark, lake) == 1
+    assert compact_batch_dirs(spark, lake) == 0
     assert os.path.isdir(f"{lake}/batch=2")
     assert sorted(d for d in os.listdir(lake) if d.startswith("batch=")) == [
         "batch=0",
@@ -223,6 +223,6 @@ def test_compact_batch_dirs_recovers_from_crash_windows(spark, tmp_path):
     )
     # recovery deletes superseded ids <= 1 and renames the tmp into
     # place; afterwards only batch=1 sits below the newest -> no-op
-    assert compact_batch_dirs(spark, lake) == 1
+    assert compact_batch_dirs(spark, lake) == 0
     got2 = {(r["id"], r["t"]) for r in spark.read.parquet(f"{lake}/batch=*").collect()}
     assert got2 == rows  # consolidated state won; stale batch=0 gone

@@ -115,13 +115,17 @@ def test_crash_mid_commit_is_invisible_and_vacuumable(spark, tmp_path):
     assert M.current_version(spark, lake) == 1
     assert _rows(M.read_snapshot(spark, lake)) == expected
 
-    # a FRESH tmp could be an in-flight concurrent commit: kept
+    # FRESH tmp + FRESH never-referenced segment could be an in-flight
+    # concurrent commit: both kept
     n = M.vacuum(spark, lake, keep_versions=1)
-    assert n == 1  # the orphan segment
+    assert n == 0
     assert os.path.exists(f"{lake}/_manifests/.tmp-deadbeef.json")
-    # ...a STALE tmp (crashed writer) is reclaimed
+    # ...STALE tmp + STALE orphan (crashed writer) are reclaimed
     os.utime(f"{lake}/_manifests/.tmp-deadbeef.json", (1000, 1000))
-    M.vacuum(spark, lake, keep_versions=1)
+    for d in os.listdir(f"{lake}/data"):
+        os.utime(f"{lake}/data/{d}", (1000, 1000))
+    n2 = M.vacuum(spark, lake, keep_versions=1)
+    assert n2 == 1  # the orphan segment (live one untouched)
     assert not os.path.exists(f"{lake}/_manifests/.tmp-deadbeef.json")
     assert _rows(M.read_snapshot(spark, lake)) == expected
 
@@ -460,3 +464,57 @@ def test_snapshot_diff_ops(spark, tmp_path):
         (4, "delete"),
         (5, "insert"),
     }  # k=1 unchanged: absent
+
+
+def test_compact_racing_replace_does_not_resurrect(spark, tmp_path, monkeypatch):
+    """A replace that lands between compaction's snapshot read and its
+    commit invalidates the consolidated segment: the lineage walk sees
+    a non-append commit, compaction re-runs against the new snapshot,
+    and the replaced rows stay gone."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 4))  # rows A
+
+    replacement = _mk(spark, 100, 103)  # rows B
+    orig_write = M._write_segment
+    state = {"raced": False}
+
+    def hooked(df, path, tf):
+        seg = orig_write(df, path, tf)
+        if not state["raced"]:
+            state["raced"] = True  # the race window: replace commits now
+            M.commit_replace(spark, lake, replacement)
+        return seg
+
+    monkeypatch.setattr(M, "_write_segment", hooked)
+    v = M.compact(spark, lake)
+    assert v == 3  # v2 = the raced replace; v3 = re-consolidated compact
+    assert _rows(M.read_snapshot(spark, lake)) == _rows(replacement)
+    assert M._read_manifest(spark, lake, 3)["op"] == "compact"
+
+
+def test_compact_preserves_partition_tags(spark, tmp_path):
+    """Compacting a fully partition-tagged lake consolidates PER
+    partition and keeps the tags: pruning and partitioned MERGE still
+    work after maintenance."""
+    lake = str(tmp_path / "lake")
+    for yr in (1997, 1998):
+        for batch in range(2):
+            M.commit_append(
+                spark,
+                lake,
+                spark.createDataFrame(
+                    [(yr * 100 + batch * 10 + j, yr) for j in range(2)],
+                    "id int, yr int",
+                ),
+                partition={"yr": yr},
+            )
+    assert len(M.resolve_segments(spark, lake)) == 4
+    M.compact(spark, lake)
+    segs = M.resolve_segments(spark, lake)
+    assert len(segs) == 2  # one per partition
+    assert len(M.resolve_segments(spark, lake, part_eq={"yr": 1997})) == 1
+    assert M.read_snapshot(spark, lake).count() == 8
+    # partitioned MERGE still accepted post-compaction
+    changes = spark.createDataFrame([(199700, 1997, 1)], "id int, yr int, ver int")
+    M.commit_upsert_partitioned(spark, lake, changes, ["id"], "ver", "yr")
+    assert M.read_snapshot(spark, lake).count() == 8  # update, not insert
