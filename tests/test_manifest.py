@@ -518,3 +518,16 @@ def test_compact_preserves_partition_tags(spark, tmp_path):
     changes = spark.createDataFrame([(199700, 1997, 1)], "id int, yr int, ver int")
     M.commit_upsert_partitioned(spark, lake, changes, ["id"], "ver", "yr")
     assert M.read_snapshot(spark, lake).count() == 8  # update, not insert
+
+
+def test_commit_tag_idempotent_inside_cas(spark, tmp_path):
+    """The idempotency check lives INSIDE the commit CAS loop: a second
+    commit with an already-applied tag returns the existing version and
+    publishes nothing — no double-append even without the sink's
+    pre-check."""
+    lake = str(tmp_path / "lake")
+    v1 = M.commit_append(spark, lake, _mk(spark, 0, 2), tag="batch=0")
+    v_again = M.commit_append(spark, lake, _mk(spark, 50, 60), tag="batch=0")
+    assert v1 == v_again == 1
+    assert M.current_version(spark, lake) == 1
+    assert _rows(M.read_snapshot(spark, lake)) == _rows(_mk(spark, 0, 2))
