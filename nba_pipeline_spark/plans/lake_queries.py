@@ -339,3 +339,79 @@ register(
     SELECT o_orderkey, 'insert' AS op FROM orders WHERE o_orderkey % 4 = 2
     """,
 )
+
+
+def _bloom_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Year segments with per-segment blooms on o_orderkey — the layout
+    q_manifest_bloom_read point-skips through (a uniform key spans
+    every segment's min/max range but lives in exactly one)."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_bloom2")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        years = sorted(
+            (r["o_year"] for r in orders.select("o_year").distinct().collect()),
+            key=lambda y: (y is None, y),
+        )
+        if not years:
+            M.commit_append(spark, lake, orders.limit(0))
+        for yr in years:
+            M.commit_append(
+                spark,
+                lake,
+                orders.filter(F.col("o_year").eqNullSafe(F.lit(yr))),
+                partition={"o_year": yr},
+                bloom_cols=["o_orderkey"],
+            )
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom point-skip end-to-end: a key-equality lookup prunes the
+    year segments through per-segment blooms (min/max stats CANNOT
+    prune here — o_orderkey is uniform across years) and returns the
+    one matching order. Pruning quality asserted: at most 2 of N
+    segments survive (true segment + rare false positives)."""
+    tune(spark)
+    lake = _bloom_lake(spark, sf_dir)
+    key = 7  # exists at every TPC-H scale
+    segs = M.resolve_segments(spark, lake, bloom_eq={"o_orderkey": key})
+    all_segs = M.resolve_segments(spark, lake)
+    n_all = len(all_segs)
+    meta = M._read_manifest(spark, lake, M.current_version(spark, lake)).get(
+        "meta", {}
+    )
+    has_blooms = all("bloom" in meta.get(s, {}) for s in all_segs)
+    # pruning is only claimable where blooms exist (oversize segments
+    # legitimately omit them — that regime is parquet file-level bloom
+    # territory); where they do, a point probe must hit <=2 segments
+    if n_all > 2 and has_blooms:
+        assert len(segs) <= 2, f"bloom pruning failed: {len(segs)}/{n_all}"
+    if segs:
+        t = M.read_snapshot(spark, lake, bloom_eq={"o_orderkey": key})
+    else:  # absent key at this scale: empty aggregate input
+        t = M.read_snapshot(spark, lake)
+    t = t.filter(F.col("o_orderkey") == key)
+    return t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("o_custkey").alias("max_cust"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+register(
+    "q_manifest_bloom_read",
+    q_manifest_bloom_read,
+    """
+    SELECT COUNT(*) AS n, MAX(o_custkey) AS max_cust,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey = 7
+    """,
+)

@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_pruned_read",
     "q_ann_quantized",
     "q_manifest_diff",
+    "q_manifest_bloom_read",
     # backfill: oldest r1 greens, original order (driver keeps first 50)
     "q_flagship",
     "q_project_rename",

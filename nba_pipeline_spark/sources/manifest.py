@@ -251,6 +251,97 @@ def _json_safe(v):
     return str(v)  # dates/timestamps: ISO str (lexicographic-comparable)
 
 
+# Per-segment bloom filters, ADAPTIVELY sized: ~16 bits per distinct
+# key (≈0.5% FP at 7 hashes), bitmap between 2^14 bits (2 KB) and
+# 2^19 bits (~87 KB base64 in the manifest). Above ~32k distinct keys
+# the manifest-level bloom is omitted (never-pruned, always sound) —
+# that regime belongs to FILE-level blooms, which parquet itself
+# provides (`parquet.bloom.filter.enabled#col` write option; Spark's
+# reader consumes them on point predicates inside the segments this
+# manifest keeps). Point lookups on high-cardinality keys prune
+# segments min/max stats can't: uniformly distributed keys span every
+# segment's range but live in exactly one.
+_BLOOM_MIN_BITS = 1 << 14
+_BLOOM_MAX_BITS = 1 << 19
+_BLOOM_BITS_PER_KEY = 16
+_BLOOM_HASHES = 7
+
+
+def _bloom_hash_cols(col):
+    from pyspark.sql import functions as F
+
+    # canonicalize through STRING before hashing: the probe side builds
+    # a literal whose numeric TYPE (int vs long) the driver can't know,
+    # and xxhash64 hashes int 2017 and long 2017 differently — a silent
+    # false NEGATIVE. String form is type-stable for integer/string
+    # keys (the bloom's use case; don't bloom float keys).
+    s = col.cast("string")
+    return [F.xxhash64(s, F.lit(seed)) for seed in range(_BLOOM_HASHES)]
+
+
+def _segment_bloom(df: DataFrame, col: str) -> dict | None:
+    """{"bits": m, "b64": bitmap} sized to the segment's distinct key
+    count (two agg jobs at commit time), or None when the segment is
+    too large for a useful manifest-level bloom."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    n = df.select(col).distinct().count()
+    want = max(_BLOOM_MIN_BITS, n * _BLOOM_BITS_PER_KEY)
+    if want > _BLOOM_MAX_BITS:
+        return None  # saturated bloom prunes nothing: omit, stay sound
+    m = _BLOOM_MIN_BITS
+    while m < want:
+        m <<= 1
+    rows = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[F.pmod(h, F.lit(m)) for h in _bloom_hash_cols(F.col(col))]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = 0
+    for r in rows:
+        bitmap |= 1 << int(r["p"])
+    return {
+        "bits": m,
+        "b64": base64.b64encode(bitmap.to_bytes(m // 8, "little")).decode(),
+    }
+
+
+def _bloom_probe_hashes(spark: SparkSession, value) -> list[int]:
+    """The k FULL 64-bit hashes for a probe value — computed with the
+    SAME engine hash (xxhash64) that built the segment blooms, via a
+    1-row job (milliseconds; a Python reimplementation would have to
+    track Spark's exact seed/serialization semantics). Positions are
+    taken per segment as hash mod that segment's bitmap size."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(*[
+            c.alias(f"h{i}")
+            for i, c in enumerate(_bloom_hash_cols(F.lit(value)))
+        ])
+        .collect()[0]
+    )
+    return [int(row[f"h{i}"]) for i in range(_BLOOM_HASHES)]
+
+
+def _bloom_maybe_contains(entry: dict, hashes: list[int]) -> bool:
+    import base64
+
+    m = int(entry["bits"])
+    bitmap = int.from_bytes(base64.b64decode(entry["b64"]), "little")
+    # Python % on a negative int is floor-mod == Spark's pmod
+    return all((bitmap >> (h % m)) & 1 for h in hashes)
+
+
 def _segment_stats(df: DataFrame, stats_cols: list[str]) -> dict:
     """Per-column [min, max] for the written frame — ONE agg job
     (numeric / string / date columns; the write-time cost of read-time
@@ -275,17 +366,25 @@ def commit_append(
     tag: str | None = None,
     partition: dict | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Append `df` as a new segment; returns the committed version.
     Pass `tag` for an idempotency token (see `_commit`/`committed_tags`),
-    `partition` ({col: value}) and/or `stats_cols` to record manifest
-    metadata for segment-level pruning (`read_snapshot(part_eq=...)`)."""
+    `partition` ({col: value}) / `stats_cols` / `bloom_cols` to record
+    manifest metadata for segment-level pruning: partition equality,
+    min/max ranges, and bloom point lookups respectively
+    (`read_snapshot(part_eq= / ranges= / bloom_eq=)`)."""
     seg = _write_segment(df, path, target_files)
     seg_meta: dict = {}
     if partition is not None:
         seg_meta["part"] = {k: _json_safe(v) for k, v in partition.items()}
     if stats_cols:
         seg_meta["stats"] = _segment_stats(df, stats_cols)
+    if bloom_cols:
+        blooms = {c: _segment_bloom(df, c) for c in bloom_cols}
+        blooms = {c: b for c, b in blooms.items() if b is not None}
+        if blooms:
+            seg_meta["bloom"] = blooms
 
     def meta_fn(parent, segments):
         pm = dict(parent.get("meta", {})) if parent else {}
@@ -411,11 +510,15 @@ def _read_segments(
 
 
 def _prune_segments(
-    manifest: dict, part_eq: dict | None, ranges: dict | None
+    manifest: dict,
+    part_eq: dict | None,
+    ranges: dict | None,
+    bloom_probes: dict | None = None,
 ) -> list[str]:
     """Manifest-level data skipping: drop segments whose metadata PROVES
     they can't match. A segment without the relevant metadata is always
-    kept — skipping is sound, never lossy."""
+    kept — skipping is sound, never lossy. `bloom_probes` maps column →
+    precomputed probe hashes (see `_bloom_probe_hashes`)."""
     segs = manifest["segments"]
     meta = manifest.get("meta", {})
     out = []
@@ -426,6 +529,14 @@ def _prune_segments(
             part = m.get("part", {})
             for col, want in part_eq.items():
                 if col in part and part[col] != _json_safe(want):
+                    keep = False
+                    break
+        if keep and bloom_probes:
+            blooms = m.get("bloom", {})
+            for col, positions in bloom_probes.items():
+                if col in blooms and not _bloom_maybe_contains(
+                    blooms[col], positions
+                ):
                     keep = False
                     break
         if keep and ranges:
@@ -450,6 +561,7 @@ def resolve_segments(
     version: int | None = None,
     part_eq: dict | None = None,
     ranges: dict | None = None,
+    bloom_eq: dict | None = None,
 ) -> list[str]:
     """The segment list a read would scan after manifest-level pruning
     (exposed for tests/introspection — the pruning IS the point)."""
@@ -459,7 +571,12 @@ def resolve_segments(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in committed versions {versions}")
-    return _prune_segments(_read_manifest(spark, path, v), part_eq, ranges)
+    probes = (
+        {c: _bloom_probe_hashes(spark, val) for c, val in bloom_eq.items()}
+        if bloom_eq
+        else None
+    )
+    return _prune_segments(_read_manifest(spark, path, v), part_eq, ranges, probes)
 
 
 def read_snapshot(
@@ -469,6 +586,7 @@ def read_snapshot(
     merge_schema: bool = False,
     part_eq: dict | None = None,
     ranges: dict | None = None,
+    bloom_eq: dict | None = None,
 ) -> DataFrame:
     """The table AS OF `version` (default: latest). One manifest read,
     then a plain multi-dir parquet scan — pushdown/pruning intact.
@@ -490,7 +608,12 @@ def read_snapshot(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in committed versions {versions}")
-    segs = _prune_segments(_read_manifest(spark, path, v), part_eq, ranges)
+    probes = (
+        {c: _bloom_probe_hashes(spark, val) for c, val in bloom_eq.items()}
+        if bloom_eq
+        else None
+    )
+    segs = _prune_segments(_read_manifest(spark, path, v), part_eq, ranges, probes)
     return _read_segments(spark, path, segs, merge_schema)
 
 

@@ -531,3 +531,33 @@ def test_commit_tag_idempotent_inside_cas(spark, tmp_path):
     assert v1 == v_again == 1
     assert M.current_version(spark, lake) == 1
     assert _rows(M.read_snapshot(spark, lake)) == _rows(_mk(spark, 0, 2))
+
+
+def test_bloom_segment_skipping_point_lookup(spark, tmp_path):
+    """Bloom metadata prunes segments for point lookups where min/max
+    can't (uniform keys span every segment's range but live in one);
+    probing an absent key prunes everything bloom-tagged; untagged
+    segments always survive."""
+    lake = str(tmp_path / "lake")
+    for i in range(4):
+        M.commit_append(
+            spark,
+            lake,
+            spark.createDataFrame(
+                [(i * 1000 + j,) for j in range(50)], "k long"
+            ),
+            bloom_cols=["k"],
+        )
+    # key 2017 lives only in segment 2
+    segs = M.resolve_segments(spark, lake, bloom_eq={"k": 2017})
+    assert len(segs) <= 2  # 1 true hit + at most ~1 false positive
+    got = M.read_snapshot(spark, lake, bloom_eq={"k": 2017}).filter("k = 2017")
+    assert got.count() == 1
+
+    # absent key: everything bloom-tagged prunes away (allow rare FPs)
+    assert len(M.resolve_segments(spark, lake, bloom_eq={"k": 999_999})) <= 1
+
+    # untagged segment joins every probe (no info -> must scan)
+    M.commit_append(spark, lake, spark.createDataFrame([(7,)], "k long"))
+    segs2 = M.resolve_segments(spark, lake, bloom_eq={"k": 999_999})
+    assert any(s in segs2 for s in M._read_manifest(spark, lake, 5)["segments"])
