@@ -256,8 +256,8 @@ def test_single_partition_only_on_bounded_frames(spark):
         "q_token_budget",
         # expectations: global aggregates -> O(1)-row rule report
         "q_expectations", "q_expectations_quarantine",
-        # one-partition-of-one-segment global aggregate (pruned read)
-        "q_manifest_pruned_read",
+        # one-partition-of-one-segment global aggregates (pruned reads)
+        "q_manifest_pruned_read", "q_manifest_bloom_read",
         # windows over bounded pools/buckets: top-50 RRF pools, value
         # buckets (|buckets| rows), hourly resample grid
         "q_bm25_topk", "q_hybrid_rrf", "q_skyline", "q_resample_1h",
