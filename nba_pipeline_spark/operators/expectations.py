@@ -21,6 +21,8 @@ tiny frame, or `observe`-based for zero extra actions in streaming.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -108,7 +110,14 @@ def publish_with_quarantine(
     `lake_writer(passed_df) -> version | None` overrides the pass-side
     sink (e.g. a manifest-lake `commit_append` for an atomic,
     time-travelable publish — the CLI's --manifest path); a returned
-    version lands in the report as "__lake_version".
+    version lands in the report as "__lake_version". On that path the
+    pass side ACCUMULATES across publishes, so the quarantine side must
+    too: fail rows land in a per-run ``run=<lake version>`` subdir
+    (key=value layout — a parquet read of `quarantine_path` surfaces
+    `run` as a partition column for auditing), never overwriting
+    earlier runs' rejects. A REPLAYED publish (idempotency-tagged
+    commit_append returning the already-committed version) rewrites
+    its own run's subdir only — idempotent, still no cross-run loss.
 
     Scale: the persist holds only the batch being published (ingest
     granularity, not the corpus); both writes and the report reuse it.
@@ -121,9 +130,14 @@ def publish_with_quarantine(
         version = None
         if lake_writer is not None:
             version = lake_writer(passed)
+            run = version if version is not None else uuid.uuid4().hex[:12]
+            quarantined.write.mode("overwrite").parquet(
+                f"{quarantine_path}/run={run}"
+            )
         else:
+            # single-drop publish: both sides replace wholesale
             passed.write.mode("overwrite").parquet(lake_path)
-        quarantined.write.mode("overwrite").parquet(quarantine_path)
+            quarantined.write.mode("overwrite").parquet(quarantine_path)
         counts = {
             r["rule"]: r["n"]
             for r in quarantined.select(

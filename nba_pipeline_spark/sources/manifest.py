@@ -23,8 +23,11 @@ optimistic concurrency control: if two writers race to version N, one
 rename fails (destination exists), and the loser re-reads the latest
 version, re-points its parent list, and retries with N+1 — its already
 written data segment is reused, only the pointer retries. (Atomic on
-HDFS/ABFS/posix; on S3 swap the rename for a conditional PUT
-``If-None-Match:*`` — same one-object commit point.)
+HDFS/ABFS, where FileContext.rename without OVERWRITE is a single
+atomic fail-on-existing namespace op; on S3 swap the rename for a
+conditional PUT ``If-None-Match:*`` — same one-object commit point.
+On a LOCAL filesystem the fail-on-existing check is exists+rename(2),
+not atomic — test-grade only, one writer per host.)
 
 **Snapshot isolation for free.** A reader resolves ONE manifest file
 and plans over the segments it lists. Compaction publishes a new
@@ -251,6 +254,35 @@ def _json_safe(v):
     return str(v)  # dates/timestamps: ISO str (lexicographic-comparable)
 
 
+def _comparable(a, b) -> bool:
+    """True when a Python comparison between `a` and `b` provably
+    mirrors the engine's: same type, or both non-bool numerics (Python
+    int/float cross-compare by VALUE, matching Spark's implicit numeric
+    widening). A str-vs-int probe against an int-tagged segment is NOT
+    provable either way (Spark would cast; Python would call 2017 !=
+    '2017' "different") — the caller must KEEP the segment, because
+    skipping must stay sound under type drift between the write-time
+    tag and the read-time probe."""
+    num = (int, float)
+    a_num = isinstance(a, num) and not isinstance(a, bool)
+    b_num = isinstance(b, num) and not isinstance(b, bool)
+    if a_num and b_num:
+        return True
+    return type(a) is type(b)
+
+
+def _provably_lt(a, b) -> bool:
+    """a < b when both sides are present and comparably typed; False
+    (= "can't prove, keep the segment") otherwise — never raises on a
+    str-vs-int stats/probe mismatch."""
+    if a is None or b is None or not _comparable(a, b):
+        return False
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
 # Per-segment bloom filters, ADAPTIVELY sized: ~16 bits per distinct
 # key (≈0.5% FP at 7 hashes), bitmap between 2^14 bits (2 KB) and
 # 2^19 bits (~87 KB base64 in the manifest). Above ~32k distinct keys
@@ -410,7 +442,12 @@ def commit_replace(
 
 
 def compact(
-    spark: SparkSession, path: str, target_files: int = 1, max_tries: int = 5
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    max_tries: int = 5,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Consolidate the CURRENT snapshot into one segment and commit.
     Concurrent readers are unaffected: their resolved manifests keep
@@ -427,10 +464,13 @@ def compact(
     Partition-tagged lakes keep their tags: when EVERY base segment
     carries a ``part`` tag, consolidation runs PER PARTITION VALUE
     (one tagged output segment each), so manifest-level pruning and
-    `commit_upsert_partitioned` survive maintenance. Min/max stats are
-    not recomputed for compacted segments (the stats columns aren't
-    known here — re-append with `stats_cols` to restore skipping on a
-    compacted segment)."""
+    `commit_upsert_partitioned` survive maintenance. Min/max stats and
+    per-segment BLOOMS are dropped for compacted segments by default
+    (the skipping columns aren't recorded in the manifest) — point
+    lookups degrade to full-segment scans after maintenance unless the
+    caller passes `stats_cols` / `bloom_cols`, which regenerate the
+    skipping metadata for each consolidated segment at the usual
+    commit-time cost (one agg job per kind)."""
     last_err: Exception | None = None
     for _ in range(max_tries):
         versions = _manifest_versions(spark, path)
@@ -454,7 +494,15 @@ def compact(
             # keep the union schema, not drop later-added columns
             df = _read_segments(spark, path, group, merge_schema=True)
             seg = _write_segment(df, path, target_files)
-            new_segs[seg] = {"part": part} if part is not None else {}
+            seg_meta: dict = {"part": part} if part is not None else {}
+            if stats_cols:
+                seg_meta["stats"] = _segment_stats(df, stats_cols)
+            if bloom_cols:
+                blooms = {c: _segment_bloom(df, c) for c in bloom_cols}
+                blooms = {c: b for c, b in blooms.items() if b is not None}
+                if blooms:
+                    seg_meta["bloom"] = blooms
+            new_segs[seg] = seg_meta
 
         def _segments(parent):
             # verify every commit since `base` was an append; the
@@ -528,9 +576,21 @@ def _prune_segments(
         if part_eq:
             part = m.get("part", {})
             for col, want in part_eq.items():
-                if col in part and part[col] != _json_safe(want):
+                if col not in part:
+                    continue
+                have, want_c = part[col], _json_safe(want)
+                if have is None or want_c is None:
+                    # NULL is its own partition: prune iff exactly one
+                    # side is NULL (NULL tag can't hold a non-NULL key
+                    # and vice versa)
+                    if (have is None) != (want_c is None):
+                        keep = False
+                        break
+                elif _comparable(have, want_c) and have != want_c:
                     keep = False
                     break
+                # type-drifted probe (e.g. str '1997' vs int tag): not
+                # provably disjoint -> keep, never prune
         if keep and bloom_probes:
             blooms = m.get("bloom", {})
             for col, positions in bloom_probes.items():
@@ -544,10 +604,13 @@ def _prune_segments(
             for col, (lo, hi) in ranges.items():
                 if col in stats:
                     mn, mx = stats[col]
-                    if mn is not None and hi is not None and hi < mn:
+                    # _provably_lt keeps the segment (returns False) on
+                    # any None or write-vs-probe type drift — a str
+                    # range against int stats must not raise or prune
+                    if _provably_lt(_json_safe(hi), mn):
                         keep = False
                         break
-                    if mx is not None and lo is not None and lo > mx:
+                    if _provably_lt(mx, _json_safe(lo)):
                         keep = False
                         break
         if keep:
@@ -625,6 +688,7 @@ def commit_upsert(
     version_col: str,
     target_files: int | None = None,
     max_tries: int = 5,
+    allow_untag: bool = False,
 ) -> int:
     """MERGE (SCD1 last-writer-wins upsert) into the manifest lake:
     read the current snapshot, fold `changes` with
@@ -638,16 +702,32 @@ def commit_upsert(
     Scale note (documented trade): this rewrites the TABLE as one
     consolidated snapshot — correct and simple, right for dimension
     tables and MV publishes. For fact tables use
-    `commit_upsert_partitioned`, which rewrites only touched
-    partitions. The two don't mix: this op's consolidated segment is
-    UNTAGGED, so running it on a partition-tagged lake forfeits
-    pruning and partitioned MERGE until the lake is rewritten
-    tagged."""
+    `commit_upsert_partitioned` (touched partitions only) or
+    `commit_upsert_pruned` (stats-overlap segments only). The
+    full-rewrite op doesn't mix with a tagged layout: its consolidated
+    segment is UNTAGGED, so running it on a partition-tagged lake
+    FORFEITS pruning and partitioned MERGE — that's a hard error now
+    (quiet pruning regressions on a fact table are worse than a
+    retried call); pass ``allow_untag=True`` to opt into the
+    downgrade deliberately."""
     from ..operators.cdc import merge_upsert
 
     last_err: Exception | None = None
     for _ in range(max_tries):
         base_version = current_version(spark, path)
+        if base_version is not None and not allow_untag:
+            m = _read_manifest(spark, path, base_version)
+            tagged = [
+                s for s in m["segments"]
+                if "part" in m.get("meta", {}).get(s, {})
+            ]
+            if tagged:
+                raise ValueError(
+                    f"commit_upsert on a partition-tagged lake ({len(tagged)} "
+                    "tagged segments) would forfeit partition pruning and "
+                    "partitioned MERGE — use commit_upsert_partitioned, or "
+                    f"pass allow_untag=True to untag deliberately: {path}"
+                )
         if base_version is None:
             # empty lake: an upsert is just the changes, latest per key
             merged = merge_upsert(
@@ -681,12 +761,24 @@ def commit_upsert_partitioned(
     part_col: str,
     target_files: int | None = None,
     max_tries: int = 5,
+    check_stable_partitions: bool = True,
 ) -> int:
     """Fact-scale MERGE: rewrite ONLY the partitions the changes touch.
     Requires every current segment to carry ``part`` metadata for
     `part_col` (i.e. the lake was written partition-tagged) — raises
     otherwise, because an untagged segment could hide rows of a touched
     partition and silently survive un-merged.
+
+    **`part_col` must be immutable per key** (the standard
+    partition-scoped-MERGE contract): a change row that moves a key to
+    a different partition would leave the stale row alive in its old,
+    untouched partition — two rows per key. With
+    `check_stable_partitions=True` (default) that is ENFORCED: one
+    key-columns-only semi-join of the change keys against the
+    untouched segments (column-pruned scan) raises on any hit. At
+    fact scale, callers whose pipeline guarantees key→partition
+    stability (e.g. the partition is derived from the key) pass
+    ``check_stable_partitions=False`` to skip the scan.
 
     Shape: the touched partition set is an O(partitions-in-batch)
     driver list (one distinct job over the CHANGES, which are
@@ -724,6 +816,23 @@ def commit_upsert_partitioned(
                         "lake (write with commit_append(partition=...))"
                     )
                 (touched if part[part_col] in parts else untouched).append(s)
+        if untouched and check_stable_partitions:
+            stray = (
+                _read_segments(spark, path, untouched)
+                .select(*keys)
+                .join(changes.select(*keys).distinct(), on=list(keys), how="left_semi")
+                .limit(1)
+                .count()
+            )
+            if stray:
+                raise ValueError(
+                    "partition-scoped MERGE key-stability violation: a change "
+                    f"key exists in an untouched partition of {path} — the "
+                    f"change row moves the key across '{part_col}' values, "
+                    "which would leave its stale row alive. Partition values "
+                    "must be immutable per key; delete+insert across "
+                    "partitions explicitly, or fix the change batch."
+                )
         if touched:
             base = _read_segments(spark, path, touched)
             merged = merge_upsert(base, changes, keys, version_col)

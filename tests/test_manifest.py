@@ -561,3 +561,114 @@ def test_bloom_segment_skipping_point_lookup(spark, tmp_path):
     M.commit_append(spark, lake, spark.createDataFrame([(7,)], "k long"))
     segs2 = M.resolve_segments(spark, lake, bloom_eq={"k": 999_999})
     assert any(s in segs2 for s in M._read_manifest(spark, lake, 5)["segments"])
+
+
+def test_upsert_refuses_partition_tagged_lake(spark, tmp_path):
+    """Full-rewrite MERGE on a partition-tagged lake would silently
+    forfeit pruning and partitioned MERGE — hard error unless the
+    caller opts in with allow_untag=True."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark,
+        lake,
+        spark.createDataFrame([(1, 1997, "a")], "id int, yr int, t string"),
+        partition={"yr": 1997},
+    )
+    changes = spark.createDataFrame(
+        [(1, 1997, "a2", 5)], "id int, yr int, t string, ver int"
+    )
+    with pytest.raises(ValueError, match="allow_untag"):
+        M.commit_upsert(spark, lake, changes, ["id"], "ver")
+    # explicit opt-in still works (and untags, as documented)
+    v = M.commit_upsert(spark, lake, changes, ["id"], "ver", allow_untag=True)
+    assert v == 2
+    got = {(r["id"], r["t"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {(1, "a2")}
+
+
+def test_partitioned_upsert_rejects_partition_moving_key(spark, tmp_path):
+    """part_col is immutable per key: a change row that moves a key to
+    a different partition would leave the stale row alive in its old,
+    untouched partition — enforced by the change-keys-vs-untouched
+    semi-join (check_stable_partitions default)."""
+    lake = str(tmp_path / "lake")
+    for yr in (1997, 1998):
+        M.commit_append(
+            spark,
+            lake,
+            spark.createDataFrame(
+                [(yr * 10 + j, yr, f"v{j}") for j in range(2)],
+                "id int, yr int, t string",
+            ),
+            partition={"yr": yr},
+        )
+    # key 19970 lives in 1997 but the change claims yr=1998
+    moving = spark.createDataFrame(
+        [(19970, 1998, "MOVED", 5)], "id int, yr int, t string, ver int"
+    )
+    with pytest.raises(ValueError, match="key-stability"):
+        M.commit_upsert_partitioned(spark, lake, moving, ["id"], "ver", "yr")
+    # table unchanged (the check runs before any commit)
+    assert M.read_snapshot(spark, lake).count() == 4
+    # a stable change (same-partition update) still merges fine
+    stable = spark.createDataFrame(
+        [(19970, 1997, "UPDATED", 5)], "id int, yr int, t string, ver int"
+    )
+    M.commit_upsert_partitioned(spark, lake, stable, ["id"], "ver", "yr")
+    got = {(r["id"], r["t"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert (19970, "UPDATED") in got and len(got) == 4
+
+
+def test_pruning_type_drift_is_sound(spark, tmp_path):
+    """Skipping stays sound under write-vs-probe type drift: a str
+    probe against an int tag (or vice versa) KEEPS the segment (Spark's
+    own filter would match via implicit cast); int-vs-float numeric
+    probes compare by value; str-vs-int range probes never raise."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark,
+        lake,
+        spark.createDataFrame([(19970, 1997)], "id int, yr int"),
+        partition={"yr": 1997},
+        stats_cols=["id"],
+    )
+    # str probe vs int tag: NOT provably disjoint -> kept
+    assert len(M.resolve_segments(spark, lake, part_eq={"yr": "1997"})) == 1
+    assert len(M.resolve_segments(spark, lake, part_eq={"yr": "1998"})) == 1
+    # float probe vs int tag: numeric value-compare (prunable both ways)
+    assert len(M.resolve_segments(spark, lake, part_eq={"yr": 1997.0})) == 1
+    assert len(M.resolve_segments(spark, lake, part_eq={"yr": 1998.0})) == 0
+    # same-type mismatch still prunes
+    assert len(M.resolve_segments(spark, lake, part_eq={"yr": 1998})) == 0
+    # str range vs int stats: unprovable -> kept, and never a TypeError
+    assert len(M.resolve_segments(spark, lake, ranges={"id": ("a", "b")})) == 1
+    # int range that misses the int stats still prunes
+    assert len(M.resolve_segments(spark, lake, ranges={"id": (1, 2)})) == 0
+    # float range overlapping int stats keeps
+    assert len(M.resolve_segments(spark, lake, ranges={"id": (19969.5, 19970.5)})) == 1
+
+
+def test_compact_regenerates_skipping_metadata(spark, tmp_path):
+    """compact(stats_cols=, bloom_cols=) rebuilds min/max stats and
+    point-lookup blooms for the consolidated segments, so routine
+    maintenance doesn't silently degrade data skipping."""
+    lake = str(tmp_path / "lake")
+    for yr in (1997, 1998):
+        M.commit_append(
+            spark,
+            lake,
+            spark.createDataFrame(
+                [(yr * 10 + j, yr) for j in range(3)], "id long, yr int"
+            ),
+            partition={"yr": yr},
+            stats_cols=["id"],
+            bloom_cols=["id"],
+        )
+    M.compact(spark, lake, stats_cols=["id"], bloom_cols=["id"])
+    m = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    for s in m["segments"]:
+        assert "stats" in m["meta"][s] and "bloom" in m["meta"][s]
+    # stats pruning works post-compaction: 1997 ids live in [19970,19972]
+    assert len(M.resolve_segments(spark, lake, ranges={"id": (19970, 19971)})) == 1
+    # bloom point lookup prunes to the one holding segment
+    assert len(M.resolve_segments(spark, lake, bloom_eq={"id": 19981})) == 1

@@ -328,3 +328,32 @@ def test_expectations_report_empty_input_passes(spark):
     rows = expectations_report(empty, {"qty_positive": F.col("qty") > 0}).collect()
     assert len(rows) == 1
     assert rows[0]["n_violations"] == 0 and rows[0]["passed"] == 1
+
+
+def test_publish_quarantine_accumulates_with_lake_writer(spark, tmp_path):
+    """Repeated manifest-backed publishes ACCUMULATE on both channels:
+    the pass side as lake commits, the fail side as per-run
+    ``run=<version>`` subdirs — a later publish never destroys an
+    earlier run's rejected rows (they stay auditable/replayable)."""
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.operators.expectations import publish_with_quarantine
+    from nba_pipeline_spark.sources.manifest import commit_append, read_snapshot
+
+    lake = str(tmp_path / "lake")
+    quar = str(tmp_path / "quarantine")
+    rules = {"qty_positive": F.col("qty") > 0}
+
+    def writer(passed):
+        return commit_append(spark, lake, passed)
+
+    b1 = spark.createDataFrame([(1, 10.0), (2, -5.0)], "id int, qty double")
+    b2 = spark.createDataFrame([(3, 7.0), (4, -1.0)], "id int, qty double")
+    r1 = publish_with_quarantine(b1, rules, lake, quar, lake_writer=writer)
+    r2 = publish_with_quarantine(b2, rules, lake, quar, lake_writer=writer)
+    assert r1["__lake_version"] == 1 and r2["__lake_version"] == 2
+
+    assert {r["id"] for r in read_snapshot(spark, lake).collect()} == {1, 3}
+    q = spark.read.parquet(quar)  # run= discovered as a partition column
+    got = {(r["id"], int(r["run"])) for r in q.collect()}
+    assert got == {(2, 1), (4, 2)}  # run 1's reject survived run 2
