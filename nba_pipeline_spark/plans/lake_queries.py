@@ -415,3 +415,216 @@ register(
     FROM orders WHERE o_orderkey = 7
     """,
 )
+
+
+def _band_stage(spark: SparkSession, sf_dir: str, kind: str, mutate) -> str:
+    """Key-range-clustered lake: four orderkey quartile bands, one
+    stats-tagged segment each (band width = ceil(max_key/4), so the
+    band of every key is a pure function of `orders` that the oracle
+    recomputes from its own MAX(o_orderkey)), then `mutate(lake,
+    banded_df, maxk)` applies the op under test. Layout for the
+    stats-pruned MERGE / row-delete queries."""
+    import math
+
+    lake = _stage_dir(sf_dir, "orders", kind)
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        maxk = orders.agg(F.max("o_orderkey")).collect()[0][0] or 1
+        w = math.ceil((maxk + 1) / 4)  # keys are 0-based: band 0..3 total
+        banded = orders.withColumn(
+            "band", F.floor(F.col("o_orderkey") / F.lit(w)).cast("int")
+        )
+        for b in range(4):
+            part = banded.filter(F.col("band") == b)
+            if not part.isEmpty():
+                M.commit_append(spark, lake, part, stats_cols=["o_orderkey"])
+        mutate(lake, banded, maxk)
+
+    return _ensure_stage(lake, build)
+
+
+def _assert_pruned_commit(spark: SparkSession, lake: str) -> None:
+    """The op under test must have REWRITTEN at most one segment: every
+    other base segment transfers into the final manifest by name (the
+    pruning is the result, not a hint)."""
+    v = M.current_version(spark, lake)
+    base = set(M._read_manifest(spark, lake, v - 1)["segments"])
+    final = set(M._read_manifest(spark, lake, v)["segments"])
+    if len(base) >= 2:
+        rewritten = base - final
+        assert len(rewritten) <= 1, (
+            f"segment skipping failed: {len(rewritten)}/{len(base)} rewritten"
+        )
+
+
+_BAND_AGG_ORACLE = """
+    WITH mx AS (SELECT MAX(o_orderkey) AS maxk,
+                       CAST(ceil((MAX(o_orderkey) + 1)/4.0) AS BIGINT) AS w
+                FROM orders),
+    base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                    CAST(floor(o_orderkey / (SELECT w FROM mx)) AS INT) AS band
+             FROM orders),
+    final AS ({final})
+    SELECT band, COUNT(*) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MAX(o_orderkey) AS max_key
+    FROM final GROUP BY band
+"""
+
+
+def _band_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def q_manifest_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-skipping MERGE end-to-end
+    (sources/manifest.py::commit_upsert_pruned): a change batch whose
+    keys live in ONE orderkey band (updates: band-1 custkeys +1M;
+    inserts: band-1 keys shifted past max, band sentinel 7) rewrites
+    only that band's segment — the other three transfer by name
+    (asserted). At 100 TB this is a CDC batch rewriting 3 of 10,000
+    key-range segments instead of the table."""
+    tune(spark)
+
+    def mutate(lake, banded, maxk):
+        b1 = banded.filter(F.col("band") == 1)
+        updates = b1.select(
+            "o_orderkey",
+            (F.col("o_custkey") + 1_000_000).alias("o_custkey"),
+            "o_totalprice",
+            "band",
+            F.lit(1).alias("ver"),
+        )
+        inserts = b1.select(
+            (F.col("o_orderkey") + maxk).alias("o_orderkey"),
+            (F.col("o_custkey") + 2_000_000).alias("o_custkey"),
+            "o_totalprice",
+            F.lit(7).cast("int").alias("band"),
+            F.lit(1).alias("ver"),
+        )
+        M.commit_upsert_pruned(
+            spark, lake, updates.unionByName(inserts), ["o_orderkey"], "ver"
+        )
+
+    lake = _band_stage(spark, sf_dir, "manifest_merge_pruned", mutate)
+    _assert_pruned_commit(spark, lake)
+    return _band_agg(M.read_snapshot(spark, lake))
+
+
+register(
+    "q_manifest_merge_pruned",
+    q_manifest_merge_pruned,
+    _BAND_AGG_ORACLE.format(
+        final="""
+      SELECT o_orderkey,
+             CASE WHEN band = 1 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+             o_totalprice, band
+      FROM base
+      UNION ALL
+      SELECT o_orderkey + (SELECT maxk FROM mx), o_custkey + 2000000,
+             o_totalprice, 7
+      FROM base WHERE band = 1"""
+    ),
+)
+
+
+def q_manifest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE, copy-on-write
+    (sources/manifest.py::commit_delete): delete keys all live in
+    band 2, so only that segment is anti-joined and rewritten — bands
+    0/1/3 transfer by name (asserted). The takedown/GDPR path that
+    rewrites the few holding segments, not the table."""
+    tune(spark)
+
+    def mutate(lake, banded, maxk):
+        dels = banded.filter(
+            (F.col("band") == 2) & (F.col("o_orderkey") % 3 == 0)
+        ).select("o_orderkey")
+        M.commit_delete(spark, lake, dels, ["o_orderkey"])
+
+    lake = _band_stage(spark, sf_dir, "manifest_delete", mutate)
+    _assert_pruned_commit(spark, lake)
+    return _band_agg(M.read_snapshot(spark, lake))
+
+
+register(
+    "q_manifest_delete",
+    q_manifest_delete,
+    _BAND_AGG_ORACLE.format(
+        final="""
+      SELECT o_orderkey, o_custkey, o_totalprice, band FROM base
+      WHERE NOT (band = 2 AND o_orderkey % 3 = 0)"""
+    ),
+)
+
+
+def q_manifest_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE, merge-on-read
+    (sources/manifest.py::commit_delete_mor): the tombstone commit
+    moves ZERO data (asserted: segment list unchanged, one pending
+    tombstone) and the snapshot read applies it as an anti join —
+    the O(batch) takedown shape whose rewrite cost is deferred to
+    compaction."""
+    tune(spark)
+    lake = _stage_dir(sf_dir, "orders", "manifest_delete_mor")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        M.commit_append(spark, lake, orders.filter(F.col("o_orderkey") % 4 <= 1))
+        M.commit_append(spark, lake, orders.filter(F.col("o_orderkey") % 4 >= 2))
+        M.commit_delete_mor(
+            spark,
+            lake,
+            orders.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey"),
+            ["o_orderkey"],
+        )
+
+    _ensure_stage(lake, build)
+    m = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    assert len(m["segments"]) == 2, "MoR delete must not rewrite data"
+    assert len(m.get("deletes", [])) == 1, "expected one pending tombstone"
+    return _agg(M.read_snapshot(spark, lake))
+
+
+register(
+    "q_manifest_delete_mor",
+    q_manifest_delete_mor,
+    _AGG_ORACLE.format(where=" WHERE o_orderkey % 10 <> 3"),
+)
+
+
+def q_manifest_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change-data-feed over the upsert lake
+    (sources/manifest.py::read_feed — the batch twin of the
+    checkpointed `consume_feed` consumer): every commit's changes
+    attributed to its version — v1 surfaces the first append as
+    inserts, v2 the MERGE's updates (custkey shift) and inserts."""
+    tune(spark)
+    lake = _upsert_lake(spark, sf_dir)
+    return M.read_feed(spark, lake, ["o_orderkey"], 0)
+
+
+register(
+    "q_manifest_feed",
+    q_manifest_feed,
+    """
+    SELECT o_orderkey, 'insert' AS op, 1 AS version FROM orders WHERE o_orderkey % 4 <= 1
+    UNION ALL
+    SELECT o_orderkey, 'update' AS op, 2 AS version FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT o_orderkey, 'insert' AS op, 2 AS version FROM orders WHERE o_orderkey % 4 = 2
+    """,
+)

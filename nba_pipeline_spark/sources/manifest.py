@@ -56,7 +56,17 @@ a partition-tagged lake opens one segment's directory, not a thousand
 (`read_snapshot(part_eq=...)` / `ranges=...`). Segments without
 metadata are never pruned (no information → must scan) — skipping is
 always sound. ``commit_upsert_partitioned`` builds on the same tags to
-MERGE facts by rewriting only the touched partitions' segments.
+MERGE facts by rewriting only the touched partitions' segments;
+``commit_upsert_pruned`` does the same through min/max KEY stats for
+key-range-clustered lakes (only stats-overlapping segments rewrite).
+
+**Row-level deletes**, both flavors: ``commit_delete`` is copy-on-write
+(stats-classified touched segments anti-joined and rewritten in place
+in the layout; untouched transfer by name) and ``commit_delete_mor`` is
+merge-on-read (an O(batch) tombstone commit; readers anti-join pending
+tombstones, sequence-scoped so later appends are never retro-masked;
+``compact`` materializes them) — the takedown/GDPR obligations a
+100 TB training corpus carries.
 """
 
 from __future__ import annotations
@@ -165,6 +175,7 @@ def _commit(
     tag: str | None = None,
     expected_parent: int | None = None,
     meta_fn=None,
+    deletes_fn=None,
 ) -> int:
     """Publish a new manifest via rename-if-absent CAS.
 
@@ -187,7 +198,14 @@ def _commit(
     `meta_fn(parent_manifest | None, segments) -> dict` supplies the
     per-segment metadata map ({seg: {"part": ..., "stats": ...}}); by
     default parent metadata is carried forward for surviving segments
-    (new segments start meta-less = never pruned)."""
+    (new segments start meta-less = never pruned).
+
+    `deletes_fn(parent_manifest | None) -> list[str]` supplies the
+    merge-on-read TOMBSTONE segment list (see commit_delete_mor); by
+    default the parent's tombstones carry forward unchanged — an
+    append must never resurrect rows a tombstone killed. Tombstone
+    segments always keep their parent metadata (their ``delete_keys``
+    is what makes them applicable at read time)."""
     mdir = f"{path}/{_MANIFEST_DIR}"
     fs, jmdir = _fs(spark, mdir)
     fs.mkdirs(jmdir)
@@ -214,10 +232,24 @@ def _commit(
                 tags = tags[-_MAX_TAGS:]
         segments = segments_fn(parent_m)
         parent_meta = dict(parent_m.get("meta", {})) if parent_m else {}
+        if deletes_fn is not None:
+            deletes = list(deletes_fn(parent_m))
+        else:
+            deletes = list(parent_m.get("deletes", [])) if parent_m else []
         if meta_fn is not None:
             meta = meta_fn(parent_m, segments)
         else:
             meta = {s: parent_meta[s] for s in segments if s in parent_meta}
+        for s in deletes:  # tombstones keep their delete_keys metadata
+            if s not in meta and s in parent_meta:
+                meta[s] = parent_meta[s]
+        # stamp commit sequence on GENUINELY NEW segments (data and
+        # tombstone alike): the scope fence for merge-on-read deletes.
+        # Carried segments keep their original seq via carried meta.
+        prior = set(parent_m["segments"]) | set(parent_m.get("deletes", [])) if parent_m else set()
+        for s in list(segments) + deletes:
+            if s not in prior:
+                meta.setdefault(s, {}).setdefault("seq", version)
         manifest = {
             "version": version,
             "parent": parent if versions else None,
@@ -226,6 +258,8 @@ def _commit(
             "tags": tags,
             "meta": meta,
         }
+        if deletes:
+            manifest["deletes"] = deletes
         tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
         out = fs.create(_jpath(spark, tmp), True)
         try:
@@ -436,9 +470,13 @@ def commit_append(
 def commit_replace(
     spark: SparkSession, path: str, df: DataFrame, target_files: int | None = None
 ) -> int:
-    """Replace the table contents wholesale (snapshot overwrite)."""
+    """Replace the table contents wholesale (snapshot overwrite).
+    Pending merge-on-read tombstones are dropped — the new contents
+    supersede everything they applied to."""
     seg = _write_segment(df, path, target_files)
-    return _commit(spark, path, "replace", lambda parent: [seg])
+    return _commit(
+        spark, path, "replace", lambda parent: [seg], deletes_fn=lambda p: []
+    )
 
 
 def compact(
@@ -456,10 +494,15 @@ def compact(
     Concurrency: a concurrent APPEND survives — the committed segment
     list is recomputed from the actual parent, keeping the interleaved
     segment. Any NON-append commit landing after the compaction's base
-    (replace/upsert — ops that REMOVE rows) invalidates the
+    (replace/upsert/delete — ops that REMOVE rows) invalidates the
     consolidated segment; the lineage walk below detects it and the
     whole consolidation re-runs against the new snapshot, so compact
-    can never resurrect replaced rows.
+    can never resurrect replaced or deleted rows.
+
+    Merge-on-read tombstones MATERIALIZE here: the consolidation read
+    applies them (anti join per key group), and the new manifest clears
+    the ``deletes`` list — compact is the "apply delete vectors" step
+    of the MoR contract, after which reads pay no anti join.
 
     Partition-tagged lakes keep their tags: when EVERY base segment
     carries a ``part`` tag, consolidation runs PER PARTITION VALUE
@@ -492,7 +535,9 @@ def compact(
         for part, group in groups:
             # merge_schema: consolidating schema-evolved segments must
             # keep the union schema, not drop later-added columns
-            df = _read_segments(spark, path, group, merge_schema=True)
+            df = _read_with_tombstones(
+                spark, path, group, base, merge_schema=True
+            )
             seg = _write_segment(df, path, target_files)
             seg_meta: dict = {"part": part} if part is not None else {}
             if stats_cols:
@@ -535,7 +580,14 @@ def compact(
             return out
 
         try:
-            return _commit(spark, path, "compact", _segments, meta_fn=_meta)
+            # deletes cleared: the consolidation read materialized them
+            # (appends interleaved after base carry the SAME tombstone
+            # list forward, so clearing is exact; any other op after
+            # base trips the lineage walk and the whole compact re-runs)
+            return _commit(
+                spark, path, "compact", _segments,
+                meta_fn=_meta, deletes_fn=lambda p: [],
+            )
         except CommitConflict as e:
             last_err = e  # snapshot moved non-append-wise: redo
     raise RuntimeError(
@@ -555,6 +607,76 @@ def _read_segments(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*[f"{path}/{_DATA_DIR}/{s}" for s in segments])
+
+
+def _require_no_tombstones(manifest: dict, path: str, op: str) -> None:
+    """Segment-transferring ops (partitioned/pruned MERGE, CoW delete)
+    move untouched segments by NAME, which cannot carry a pending
+    anti-join — materialize tombstones first (compact) so the transfer
+    stays sound."""
+    if manifest.get("deletes"):
+        raise ValueError(
+            f"{op} on a lake with pending merge-on-read tombstones would "
+            f"transfer masked rows by name — run compact() to materialize "
+            f"the deletes first: {path}"
+        )
+
+
+def _read_with_tombstones(
+    spark: SparkSession,
+    path: str,
+    segments: list[str],
+    manifest: dict,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Merge-on-read scan: anti-join the data segments against the
+    manifest's pending tombstone segments (see commit_delete_mor).
+
+    Tombstones are SEQUENCE-SCOPED, the Iceberg equality-delete rule:
+    a tombstone masks only rows of segments committed BEFORE it
+    (``meta[seg]["seq"]``, stamped at commit). A key re-inserted after
+    its delete stays visible, and a concurrent append racing a
+    compaction is never masked by tombstones the compaction
+    materializes. Segments with no seq stamp are treated as oldest
+    (every tombstone applies — sound for pre-feature segments).
+
+    Plan shape: data segments group by their applicable-tombstone set
+    — in the common case (all data predates all deletes) that is ONE
+    group and ONE anti join per key-column set (usually one). Delete
+    batches are small next to the table by premise; AQE picks
+    broadcast for the key side when it is. NULL delete keys follow SQL
+    semantics: they match no row."""
+    dels = list(manifest.get("deletes", []))
+    if not dels:
+        return _read_segments(spark, path, segments, merge_schema)
+    meta = manifest.get("meta", {})
+
+    def seq(s: str) -> int:
+        return int(meta.get(s, {}).get("seq", 0))
+
+    groups: dict[tuple, list[str]] = {}
+    for s in segments:
+        applicable = tuple(t for t in dels if seq(s) < seq(t))
+        groups.setdefault(applicable, []).append(s)
+    parts = []
+    for applicable, group in groups.items():
+        df = _read_segments(spark, path, group, merge_schema)
+        by_keys: dict[tuple, list[str]] = {}
+        for t in applicable:
+            kcols = tuple(meta.get(t, {}).get("delete_keys", ()))
+            if not kcols:
+                raise ValueError(
+                    f"tombstone segment {t} lacks delete_keys metadata: {path}"
+                )
+            by_keys.setdefault(kcols, []).append(t)
+        for kcols, tsegs in by_keys.items():
+            tomb = _read_segments(spark, path, tsegs).select(*kcols).distinct()
+            df = df.join(tomb, on=list(kcols), how="left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=merge_schema)
+    return out
 
 
 def _prune_segments(
@@ -676,8 +798,9 @@ def read_snapshot(
         if bloom_eq
         else None
     )
-    segs = _prune_segments(_read_manifest(spark, path, v), part_eq, ranges, probes)
-    return _read_segments(spark, path, segs, merge_schema)
+    m = _read_manifest(spark, path, v)
+    segs = _prune_segments(m, part_eq, ranges, probes)
+    return _read_with_tombstones(spark, path, segs, m, merge_schema)
 
 
 def commit_upsert(
@@ -738,12 +861,15 @@ def commit_upsert(
             merged = merge_upsert(base, changes, keys, version_col)
         seg = _write_segment(merged, path, target_files)
         try:
+            # tombstones cleared: the snapshot read above applied them,
+            # and the strict parent CAS forbids interleaved commits
             return _commit(
                 spark,
                 path,
                 "upsert",
                 lambda parent: [seg],
                 expected_parent=base_version or 0,
+                deletes_fn=lambda p: [],
             )
         except CommitConflict as e:
             last_err = e  # re-read the moved snapshot and re-merge
@@ -806,6 +932,7 @@ def commit_upsert_partitioned(
         meta: dict = {}
         if base_version is not None:
             m = _read_manifest(spark, path, base_version)
+            _require_no_tombstones(m, path, "commit_upsert_partitioned")
             meta = m.get("meta", {})
             for s in m["segments"]:
                 part = meta.get(s, {}).get("part", {})
@@ -874,6 +1001,268 @@ def commit_upsert_partitioned(
     ) from last_err
 
 
+def _segments_overlapping_keys(
+    spark: SparkSession, manifest: dict, key_df: DataFrame, key_col: str
+) -> tuple[list[str], list[str]]:
+    """(touched, untouched): classify the manifest's data segments by
+    PROVABLE key-range overlap with the batch's keys — ONE agg job over
+    the batch regardless of segment count (each segment's recorded
+    [min,max] becomes one flag column; the manifest is KB-sized by
+    construction so the column list is bounded). A segment without
+    min/max stats on `key_col` is always touched — no information must
+    mean "assume overlap", never "skip". Soundness is inherited from
+    the stats themselves: a range that excludes every batch key
+    PROVES the segment holds none of them."""
+    from pyspark.sql import functions as F
+
+    meta = manifest.get("meta", {})
+    touched: list[str] = []
+    untouched: list[str] = []
+    candidates: list[tuple[str, object, object]] = []
+    for s in manifest["segments"]:
+        st = meta.get(s, {}).get("stats", {}).get(key_col)
+        if st is None or st[0] is None or st[1] is None:
+            touched.append(s)
+        else:
+            candidates.append((s, st[0], st[1]))
+    if candidates:
+        row = key_df.select(F.col(key_col).alias("__k")).agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("__k").between(F.lit(mn), F.lit(mx)), 1
+                    ).otherwise(0)
+                ).alias(f"__s{i}")
+                for i, (_, mn, mx) in enumerate(candidates)
+            ]
+        ).collect()[0]
+        for i, (s, _, _) in enumerate(candidates):
+            # NULL flag = empty batch: provably no overlap
+            (touched if row[f"__s{i}"] == 1 else untouched).append(s)
+    return touched, untouched
+
+
+def commit_upsert_pruned(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    version_col: str,
+    stats_key: str | None = None,
+    target_files: int | None = None,
+    max_tries: int = 5,
+) -> int:
+    """Segment-skipping MERGE — the documented step up from
+    `commit_upsert`'s full-table rewrite for fact tables that are
+    key-range clustered rather than partition-tagged: only segments
+    whose recorded ``stats`` range on `stats_key` (default: first merge
+    key) OVERLAPS the change batch are read, merged, and rewritten;
+    every other segment transfers into the new manifest BY NAME — zero
+    data movement. At 100 TB a CDC batch touching 3 of 10,000
+    key-range segments rewrites 3.
+
+    Soundness: pruning is keyed on the MERGE KEY itself, so an
+    untouched segment provably contains no change key — unlike the
+    partitioned variant there is no "key moved partitions" hazard.
+    Contract (documented, not scanned-for): each key lives in at most
+    one segment — the invariant this op maintains (the merged output
+    is one consolidated segment whose stats are recorded for the next
+    round of pruning) and key-disjoint `commit_append`s preserve.
+    Stats-less segments are always merged (no info -> must assume
+    overlap). Partition-tagged lakes must use
+    `commit_upsert_partitioned` (this op's merged segment carries
+    stats, not partition tags); pending MoR tombstones must be
+    compacted first. Strict parent CAS like `commit_upsert`."""
+    from ..operators.cdc import merge_upsert
+
+    stats_key = stats_key or keys[0]
+    if stats_key not in keys:
+        raise ValueError(f"stats_key {stats_key!r} must be one of the merge keys {keys}")
+    last_err: Exception | None = None
+    for _ in range(max_tries):
+        base_version = current_version(spark, path)
+        touched: list[str] = []
+        untouched: list[str] = []
+        meta: dict = {}
+        if base_version is not None:
+            m = _read_manifest(spark, path, base_version)
+            _require_no_tombstones(m, path, "commit_upsert_pruned")
+            meta = m.get("meta", {})
+            if any("part" in meta.get(s, {}) for s in m["segments"]):
+                raise ValueError(
+                    "commit_upsert_pruned on a partition-tagged lake would "
+                    "strand an untagged merged segment — use "
+                    f"commit_upsert_partitioned: {path}"
+                )
+            touched, untouched = _segments_overlapping_keys(
+                spark, m, changes.select(stats_key).distinct(), stats_key
+            )
+        if touched:
+            base = _read_segments(spark, path, touched)
+            merged = merge_upsert(base, changes, keys, version_col)
+        else:
+            merged = merge_upsert(
+                changes.limit(0).drop(version_col), changes, keys, version_col
+            )
+        seg = _write_segment(merged, path, target_files)
+        # stats for the NEXT merge's pruning, computed from the written
+        # files (cheap rescan; re-running the merge plan would be worse)
+        new_stats = _segment_stats(
+            _read_segments(spark, path, [seg]), [stats_key]
+        )
+
+        def _segments(parent):
+            return untouched + [seg]
+
+        def _meta(parent, segments):
+            out = {s: meta[s] for s in untouched if s in meta}
+            out[seg] = {"stats": new_stats}
+            return out
+
+        try:
+            return _commit(
+                spark,
+                path,
+                "upsert_pruned",
+                _segments,
+                expected_parent=base_version or 0,
+                meta_fn=_meta,
+            )
+        except CommitConflict as e:
+            last_err = e
+    raise RuntimeError(
+        f"commit_upsert_pruned lost the snapshot race {max_tries} times: {path}"
+    ) from last_err
+
+
+def commit_delete(
+    spark: SparkSession,
+    path: str,
+    deletes: DataFrame,
+    keys: list[str],
+    stats_key: str | None = None,
+    target_files: int | None = None,
+    max_tries: int = 5,
+) -> int:
+    """Row-level DELETE, copy-on-write: rewrite ONLY the segments whose
+    key range can contain a delete key (same one-job stats
+    classification as `commit_upsert_pruned`); each touched segment is
+    anti-joined against the delete keys and rewritten IN PLACE in the
+    layout (its partition/stats/bloom metadata carries over — still
+    sound: deletion only shrinks a segment, so recorded bounds and
+    blooms stay supersets); a segment emptied entirely just drops from
+    the manifest. Untouched segments transfer by name — the
+    takedown/GDPR path on a 100 TB lake rewrites the few segments that
+    hold the keys, not the table. NULL delete keys match no row (SQL
+    semantics). Strict parent CAS; time travel keeps pre-delete
+    versions readable until vacuum (point-in-time obligations are the
+    caller's retention policy).
+
+    For O(batch)-latency deletes that defer the rewrite entirely, see
+    `commit_delete_mor`."""
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ siblings)
+
+    stats_key = stats_key or keys[0]
+    if stats_key not in keys:
+        raise ValueError(f"stats_key {stats_key!r} must be one of the delete keys {keys}")
+    last_err: Exception | None = None
+    key_df = deletes.select(*keys).distinct().localCheckpoint(eager=True)
+    for _ in range(max_tries):
+        base_version = current_version(spark, path)
+        if base_version is None:
+            raise ValueError(f"cannot delete from an empty manifest lake: {path}")
+        m = _read_manifest(spark, path, base_version)
+        _require_no_tombstones(m, path, "commit_delete")
+        meta = m.get("meta", {})
+        touched, untouched = _segments_overlapping_keys(
+            spark, m, key_df.select(stats_key), stats_key
+        )
+        new_segs: dict[str, dict] = {}
+        for s in touched:
+            remaining = _read_segments(spark, path, [s]).join(
+                key_df, on=list(keys), how="left_anti"
+            )
+            if remaining.isEmpty():
+                continue  # fully-deleted segment: drop from the manifest
+            ns = _write_segment(remaining, path, target_files)
+            new_segs[ns] = {
+                k: v for k, v in meta.get(s, {}).items() if k != "seq"
+            }
+
+        def _segments(parent):
+            return untouched + list(new_segs)
+
+        def _meta(parent, segments):
+            out = {s: meta[s] for s in untouched if s in meta}
+            out.update({s: mm for s, mm in new_segs.items() if mm})
+            return out
+
+        try:
+            return _commit(
+                spark,
+                path,
+                "delete",
+                _segments,
+                expected_parent=base_version,
+                meta_fn=_meta,
+            )
+        except CommitConflict as e:
+            last_err = e
+    raise RuntimeError(
+        f"commit_delete lost the snapshot race {max_tries} times: {path}"
+    ) from last_err
+
+
+def commit_delete_mor(
+    spark: SparkSession,
+    path: str,
+    deletes: DataFrame,
+    keys: list[str],
+    tag: str | None = None,
+) -> int:
+    """Row-level DELETE, merge-on-read: write the delete KEYS as a
+    tombstone segment and record it in the manifest's ``deletes`` list
+    — an O(batch) commit with ZERO data rewritten. Readers anti-join
+    pending tombstones at scan time (`_read_with_tombstones`); the
+    next `compact` materializes them and clears the list. This is the
+    takedown/GDPR shape for hot ingest paths: the obligation lands
+    immediately and atomically, the rewrite cost is deferred to
+    maintenance.
+
+    Tombstones are sequence-scoped: they mask only segments committed
+    BEFORE them, so re-appending a deleted key later works, and racing
+    appends are never retro-masked. No parent CAS needed — the
+    tombstone's content doesn't depend on the snapshot it lands on.
+    `tag` gives streaming replays the usual idempotency token. The
+    physical delete happens at compact+vacuum; until then deleted rows
+    remain on disk (and in time-travel versions) — retention policy
+    governs the actual erasure deadline."""
+    seg = _write_segment(deletes.select(*keys).distinct(), path, 1)
+
+    def _segments(parent):
+        return list(parent["segments"]) if parent else []
+
+    def _deletes(parent):
+        prior = list(parent.get("deletes", [])) if parent else []
+        return prior + [seg]
+
+    def _meta(parent, segments):
+        pm = dict(parent.get("meta", {})) if parent else {}
+        out = {s: pm[s] for s in segments if s in pm}
+        out[seg] = {"delete_keys": list(keys)}
+        return out
+
+    return _commit(
+        spark,
+        path,
+        "delete_mor",
+        _segments,
+        tag=tag,
+        meta_fn=_meta,
+        deletes_fn=_deletes,
+    )
+
+
 def manifest_append_sink(path: str, target_files: int | None = None):
     """foreachBatch function: EXACTLY-ONCE streaming append into the
     manifest lake. Each micro-batch commits as one atomic manifest
@@ -918,8 +1307,15 @@ def snapshot_diff(
     join's filter — the output is O(changes)."""
     from pyspark.sql import functions as F
 
-    a = read_snapshot(spark, path, version=v_from).withColumn("__in_a", F.lit(1))
     b = read_snapshot(spark, path, version=v_to).withColumn("__in_b", F.lit(1))
+    if v_from == 0:  # version 0 = the empty table before the first commit
+        # fresh lineage (createDataFrame, not b.limit(0)) so the join
+        # below isn't a self-join with ambiguous column references
+        a = spark.createDataFrame(
+            [], read_snapshot(spark, path, version=v_to).schema
+        ).withColumn("__in_a", F.lit(1))
+    else:
+        a = read_snapshot(spark, path, version=v_from).withColumn("__in_a", F.lit(1))
     val_cols = [c for c in b.columns if c not in keys and c != "__in_b"]
     cond = None
     for k in keys:
@@ -943,6 +1339,114 @@ def snapshot_diff(
     )
 
 
+def read_feed(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Change data feed for every commit in (v_from, v_to]: the batch
+    twin of `consume_feed` — one (key..., op, version) row per change,
+    one `snapshot_diff` per version step so each change attributes to
+    the commit that made it. ``v_from=0`` means "from the beginning"
+    (the first commit's rows all surface as inserts). Raises if a
+    needed manifest was vacuumed — an incremental consumer that fell
+    behind retention must re-bootstrap from a full snapshot, not
+    silently skip changes."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    versions = _manifest_versions(spark, path)
+    if v_to is None:
+        v_to = versions[-1] if versions else 0
+    needed = [v for v in range(max(v_from, 1), v_to + 1)]
+    missing = [v for v in needed if v not in versions]
+    if missing:
+        raise ValueError(
+            f"feed range ({v_from}, {v_to}] needs vacuumed versions "
+            f"{missing}: re-bootstrap from a snapshot ({path})"
+        )
+    parts = [
+        snapshot_diff(spark, path, v - 1, v, keys).withColumn(
+            "version", F.lit(v)
+        )
+        for v in range(v_from + 1, v_to + 1)
+    ]
+    if not parts:
+        raise ValueError(f"empty feed range ({v_from}, {v_to}]: {path}")
+    return reduce(lambda x, y: x.unionByName(y), parts)
+
+
+def consume_feed(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    state_path: str,
+    process,
+    max_versions: int | None = None,
+) -> int:
+    """Incremental change-feed consumer with a checkpointed high-water
+    version — the AvailableNow-trigger shape over the manifest lake's
+    CDF (the streaming half of `snapshot_diff`; mirrors the
+    python_datasource streamReader pattern of offset-checkpointed
+    pull). Per new commit: compute its delta (`snapshot_diff(v-1, v)`),
+    call ``process(delta_df, v)``, then advance the checkpoint
+    ATOMICALLY (tmp write + rename). Returns versions processed.
+
+    Delivery contract: a crash between `process` and the checkpoint
+    write redelivers that version (at-least-once); a `process` that
+    lands its output with an idempotency token — e.g.
+    ``commit_append(..., tag=f"feed={version}")`` into a downstream
+    manifest lake — is exactly-once end-to-end, the same tag discipline
+    as `manifest_append_sink`. One consumer per `state_path` (the
+    checkpoint is last-writer-wins by design, like a streaming query's
+    checkpoint dir)."""
+    import os
+
+    state_file = f"{state_path}/high_water.json"
+    hw = 0
+    if os.path.exists(state_file):
+        with open(state_file) as fh:
+            hw = int(json.load(fh)["version"])
+    latest = current_version(spark, path) or 0
+    done = 0
+    for v in range(hw + 1, latest + 1):
+        if max_versions is not None and done >= max_versions:
+            break
+        from pyspark.sql import functions as F
+
+        delta = snapshot_diff(spark, path, v - 1, v, keys).withColumn(
+            "version", F.lit(v)
+        )  # same (key..., op, version) schema as read_feed
+        process(delta, v)
+        os.makedirs(state_path, exist_ok=True)
+        tmp = f"{state_file}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": v}, fh)
+        os.replace(tmp, state_file)  # atomic on POSIX: the commit point
+        done += 1
+    return done
+
+
+def feed_to_lake_sink(spark: SparkSession, dst_path: str, target_files: int | None = None):
+    """`process` function for `consume_feed` that lands each version's
+    delta in a downstream manifest lake with the ``feed=<version>``
+    idempotency tag — redelivered versions find their tag and skip, so
+    the source-lake → CDF → destination-lake pipeline is exactly-once
+    under any crash/replay (the CDC-export twin of
+    `manifest_append_sink`)."""
+
+    def _apply(delta: DataFrame, version: int) -> None:
+        commit_append(
+            spark, dst_path, delta, target_files=target_files,
+            tag=f"feed={version}",
+        )
+
+    return _apply
+
+
 def current_version(spark: SparkSession, path: str) -> int | None:
     versions = _manifest_versions(spark, path)
     return versions[-1] if versions else None
@@ -962,7 +1466,10 @@ def vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> int:
     live: set[str] = set()
     ever_committed: set[str] = set()  # referenced by ANY manifest, incl. expired
     for v in versions:
-        segs = _read_manifest(spark, path, v)["segments"]
+        m = _read_manifest(spark, path, v)
+        # tombstone segments are as live as data segments: a retained
+        # manifest's reads depend on them for the merge-on-read anti join
+        segs = list(m["segments"]) + list(m.get("deletes", []))
         ever_committed.update(segs)
         if v in keep:
             live.update(segs)
@@ -993,7 +1500,9 @@ def vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> int:
                     )
                 finally:
                     stream.close()
-                live.update(json.loads(content).get("segments", []))
+                pending = json.loads(content)
+                live.update(pending.get("segments", []))
+                live.update(pending.get("deletes", []))
             except Exception:
                 pass  # torn/unreadable tmp: its segments stay age-guarded
     ddir = f"{path}/{_DATA_DIR}"

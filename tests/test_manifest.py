@@ -672,3 +672,287 @@ def test_compact_regenerates_skipping_metadata(spark, tmp_path):
     assert len(M.resolve_segments(spark, lake, ranges={"id": (19970, 19971)})) == 1
     # bloom point lookup prunes to the one holding segment
     assert len(M.resolve_segments(spark, lake, bloom_eq={"id": 19981})) == 1
+
+
+def _stats_lake(spark, tmp_path):
+    """Three key-range segments [0,100), [100,200), [200,300) with
+    min/max stats on k — the clustered layout pruned MERGE/DELETE skip
+    through."""
+    lake = str(tmp_path / "lake")
+    for lo in (0, 100, 200):
+        M.commit_append(
+            spark,
+            lake,
+            spark.createDataFrame(
+                [(lo + j, f"d{lo + j}") for j in range(0, 100, 10)],
+                "k int, t string",
+            ),
+            stats_cols=["k"],
+        )
+    return lake
+
+
+def test_commit_upsert_pruned_rewrites_only_overlapping(spark, tmp_path):
+    """Stats-pruned MERGE: segments whose key range excludes every
+    change key transfer by NAME; the overlapping segment re-merges;
+    out-of-range keys insert; the merged segment records fresh stats so
+    the NEXT merge prunes too."""
+    lake = _stats_lake(spark, tmp_path)
+    before = M.resolve_segments(spark, lake)
+    assert len(before) == 3
+    seg_0, seg_100, seg_200 = before  # manifest order = commit order
+
+    changes = spark.createDataFrame(
+        [(110, "UPDATED", 5), (555, "NEW", 5)], "k int, t string, ver int"
+    )
+    v = M.commit_upsert_pruned(spark, lake, changes, ["k"], "ver")
+    assert v == 4
+    after = M.resolve_segments(spark, lake)
+    assert seg_0 in after and seg_200 in after      # untouched, by name
+    assert seg_100 not in after                     # merged away
+    assert len(after) == 3                          # 2 carried + 1 merged
+
+    got = {(r["k"], r["t"]) for r in M.read_snapshot(spark, lake).collect()}
+    expect = {(k, f"d{k}") for lo in (0, 100, 200) for k in range(lo, lo + 100, 10)}
+    expect -= {(110, "d110")}
+    expect |= {(110, "UPDATED"), (555, "NEW")}
+    assert got == expect
+
+    # the merged segment is stats-tagged: a later far-range merge skips it?
+    # its range is [100,555] (spans the insert), so probe 555 touches it
+    # while seg_0/seg_200 stay untouched
+    m = M._read_manifest(spark, lake, 4)
+    merged_seg = next(s for s in after if s not in (seg_0, seg_200))
+    assert m["meta"][merged_seg]["stats"]["k"] == [100, 555]
+
+    # a second pruned merge hitting only [200,300) leaves seg_0 alone
+    changes2 = spark.createDataFrame([(210, "UP2", 6)], "k int, t string, ver int")
+    M.commit_upsert_pruned(spark, lake, changes2, ["k"], "ver")
+    after2 = M.resolve_segments(spark, lake)
+    assert seg_0 in after2
+    got2 = {(r["k"], r["t"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert (210, "UP2") in got2 and len(got2) == len(expect)
+
+
+def test_commit_upsert_pruned_stats_less_and_tagged_guards(spark, tmp_path):
+    """A stats-less segment is always merged (no info -> assume
+    overlap); a partition-tagged lake is refused."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark, lake, spark.createDataFrame([(1, "a")], "k int, t string")
+    )  # no stats
+    changes = spark.createDataFrame([(999, "z", 5)], "k int, t string, ver int")
+    M.commit_upsert_pruned(spark, lake, changes, ["k"], "ver")
+    got = {(r["k"], r["t"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {(1, "a"), (999, "z")}
+    # one consolidated segment now (the stats-less one was merged in)
+    assert len(M.resolve_segments(spark, lake)) == 1
+
+    tagged = str(tmp_path / "tagged")
+    M.commit_append(
+        spark,
+        tagged,
+        spark.createDataFrame([(1, 1997, "a")], "k int, yr int, t string"),
+        partition={"yr": 1997},
+    )
+    with pytest.raises(ValueError, match="partition-tagged"):
+        M.commit_upsert_pruned(
+            spark,
+            tagged,
+            spark.createDataFrame([(1, 1997, "b", 5)], "k int, yr int, t string, ver int"),
+            ["k"],
+            "ver",
+        )
+
+
+def test_commit_delete_cow_prunes_and_drops_empty(spark, tmp_path):
+    """CoW delete: only stats-overlapping segments rewrite (others
+    transfer by name, metadata carried); a fully-deleted segment drops
+    from the manifest; NULL delete keys match nothing; time travel
+    keeps the pre-delete version."""
+    lake = _stats_lake(spark, tmp_path)
+    seg_0, seg_100, seg_200 = M.resolve_segments(spark, lake)
+
+    dels = spark.createDataFrame([(110,), (150,), (None,)], "k int")
+    v = M.commit_delete(spark, lake, dels, ["k"])
+    assert v == 4
+    after = M.resolve_segments(spark, lake)
+    assert seg_0 in after and seg_200 in after and seg_100 not in after
+    got = {r["k"] for r in M.read_snapshot(spark, lake).collect()}
+    assert 110 not in got and 150 not in got
+    assert len(got) == 28  # 30 rows - 2 deleted
+    # rewritten segment kept its stats metadata (sound superset bounds)
+    m = M._read_manifest(spark, lake, 4)
+    rewritten = next(s for s in after if s not in (seg_0, seg_200))
+    assert m["meta"][rewritten]["stats"]["k"] == [100, 190]
+    # pre-delete version still readable
+    assert len({r["k"] for r in M.read_snapshot(spark, lake, 3).collect()}) == 30
+
+    # delete the whole [200,300) range: its segment disappears entirely
+    all_200 = spark.createDataFrame([(k,) for k in range(200, 300, 10)], "k int")
+    M.commit_delete(spark, lake, all_200, ["k"])
+    after2 = M.resolve_segments(spark, lake)
+    assert seg_200 not in after2 and len(after2) == 2
+    assert {r["k"] for r in M.read_snapshot(spark, lake).collect()} == (
+        {k for k in range(0, 100, 10)} | {k for k in range(100, 200, 10)} - {110, 150}
+    )
+
+
+def test_commit_delete_mor_tombstones(spark, tmp_path):
+    """MoR delete: O(batch) commit, no data rewritten (segment list
+    unchanged); reads anti-join the tombstone; compact materializes it
+    and clears the deletes list; vacuum never reclaims a referenced
+    tombstone."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 5))
+    M.commit_append(spark, lake, _mk(spark, 5, 10))
+    segs_before = M.resolve_segments(spark, lake)
+
+    dels = spark.createDataFrame([(3,), (7,)], "id int")
+    v = M.commit_delete_mor(spark, lake, dels, ["id"])
+    assert v == 3
+    m = M._read_manifest(spark, lake, 3)
+    assert m["segments"] == segs_before          # zero data movement
+    assert len(m.get("deletes", [])) == 1
+    tomb = m["deletes"][0]
+    assert m["meta"][tomb]["delete_keys"] == ["id"]
+
+    got = {r["id"] for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {0, 1, 2, 4, 5, 6, 8, 9}
+    # time travel to v2: pre-delete rows intact
+    assert len({r["id"] for r in M.read_snapshot(spark, lake, 2).collect()}) == 10
+
+    # vacuum with the tombstone still referenced: tombstone survives
+    M.vacuum(spark, lake, keep_versions=1)
+    assert os.path.exists(f"{lake}/data/{tomb}")
+    assert {r["id"] for r in M.read_snapshot(spark, lake).collect()} == got
+
+    # compact materializes: deletes cleared, physical rows gone
+    M.compact(spark, lake)
+    m4 = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    assert not m4.get("deletes")
+    assert {r["id"] for r in M.read_snapshot(spark, lake).collect()} == got
+    # post-vacuum, the tombstone and old segments are reclaimable
+    M.vacuum(spark, lake, keep_versions=1)
+    assert not os.path.exists(f"{lake}/data/{tomb}")
+
+
+def test_delete_mor_sequence_scoping(spark, tmp_path):
+    """A tombstone masks only segments committed BEFORE it: re-appending
+    a deleted key makes it visible again (the new segment's seq is past
+    the tombstone's), while the original row stays masked."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 4))          # v1: ids 0-3
+    M.commit_delete_mor(
+        spark, lake, spark.createDataFrame([(2,)], "id int"), ["id"]
+    )                                                        # v2: kill id=2
+    assert {r["id"] for r in M.read_snapshot(spark, lake).collect()} == {0, 1, 3}
+    # re-insert id=2 with new payload AFTER the delete
+    M.commit_append(
+        spark, lake, spark.createDataFrame([(2, "reborn")], "id int, t string")
+    )                                                        # v3
+    got = {(r["id"], r["t"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert (2, "reborn") in got and (2, "d2") not in got
+    assert {i for i, _ in got} == {0, 1, 2, 3}
+    # compact materializes exactly that view
+    M.compact(spark, lake)
+    got2 = {(r["id"], r["t"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got2 == got
+
+
+def test_delete_mor_blocks_segment_transfer_ops(spark, tmp_path):
+    """Pending tombstones poison by-name segment transfers: partitioned
+    and pruned MERGE and CoW delete all refuse until compact
+    materializes."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark,
+        lake,
+        spark.createDataFrame([(1, 1997, "a")], "k int, yr int, t string"),
+        partition={"yr": 1997},
+        stats_cols=["k"],
+    )
+    M.commit_delete_mor(
+        spark, lake, spark.createDataFrame([(1,)], "k int"), ["k"]
+    )
+    changes = spark.createDataFrame(
+        [(1, 1997, "b", 5)], "k int, yr int, t string, ver int"
+    )
+    with pytest.raises(ValueError, match="tombstones"):
+        M.commit_upsert_partitioned(spark, lake, changes, ["k"], "ver", "yr")
+    with pytest.raises(ValueError, match="tombstones"):
+        M.commit_delete(
+            spark, lake, spark.createDataFrame([(1,)], "k int"), ["k"]
+        )
+    # compact clears the block (and applies the delete)
+    M.compact(spark, lake)
+    assert M.read_snapshot(spark, lake).count() == 0 or {
+        r["k"] for r in M.read_snapshot(spark, lake).collect()
+    } == set()
+
+
+def test_read_feed_attributes_changes_per_version(spark, tmp_path):
+    """Batch CDF over a version range: each commit's changes carry its
+    version; v_from=0 surfaces the first commit as inserts; vacuumed
+    gaps fail loudly."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 3))            # v1
+    M.commit_append(spark, lake, _mk(spark, 3, 5))            # v2
+    M.commit_replace(spark, lake, _mk(spark, 4, 6))           # v3: 0-3 die, 5 born
+
+    got = {
+        (r["id"], r["op"], r["version"])
+        for r in M.read_feed(spark, lake, ["id"], 0).collect()
+    }
+    expect = (
+        {(i, "insert", 1) for i in range(3)}
+        | {(i, "insert", 2) for i in (3, 4)}
+        | {(i, "delete", 3) for i in (0, 1, 2, 3)}
+        | {(5, "insert", 3)}
+    )
+    assert got == expect
+    # partial range: only v3's changes
+    v3 = {(r["id"], r["op"]) for r in M.read_feed(spark, lake, ["id"], 2).collect()}
+    assert v3 == {(0, "delete"), (1, "delete"), (2, "delete"), (3, "delete"), (5, "insert")}
+
+    M.vacuum(spark, lake, keep_versions=1)
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        M.read_feed(spark, lake, ["id"], 0)
+
+
+def test_consume_feed_exactly_once_into_lake(spark, tmp_path):
+    """Checkpointed CDF consumer: drains new versions once each; a lost
+    checkpoint (crash-replay) redelivers but the feed=<v> tags dedupe
+    in the destination lake — exactly-once end-to-end; later commits
+    drain incrementally."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    state = str(tmp_path / "state")
+    M.commit_append(spark, src, _mk(spark, 0, 3))             # v1
+    M.commit_append(spark, src, _mk(spark, 3, 5))             # v2
+
+    sink = M.feed_to_lake_sink(spark, dst)
+    n = M.consume_feed(spark, src, ["id"], state, sink)
+    assert n == 2
+    assert M.current_version(spark, dst) == 2
+    got = {(r["id"], r["op"], r["version"]) for r in M.read_snapshot(spark, dst).collect()}
+    assert got == {(i, "insert", 1) for i in range(3)} | {(i, "insert", 2) for i in (3, 4)}
+
+    # crash-replay: checkpoint gone, same feed re-pulled -> tags skip
+    shutil.rmtree(state)
+    n2 = M.consume_feed(spark, src, ["id"], state, sink)
+    assert n2 == 2  # redelivered to the sink...
+    assert M.current_version(spark, dst) == 2  # ...but zero new commits
+
+    # incremental: one more source commit -> exactly one more batch
+    M.commit_replace(spark, src, _mk(spark, 4, 6))            # v3
+    n3 = M.consume_feed(spark, src, ["id"], state, sink)
+    assert n3 == 1
+    assert M.current_version(spark, dst) == 3
+    v3_rows = {
+        (r["id"], r["op"]) for r in M.read_snapshot(spark, dst).collect()
+        if r["version"] == 3
+    }
+    assert v3_rows == {(0, "delete"), (1, "delete"), (2, "delete"), (3, "delete"), (5, "insert")}
