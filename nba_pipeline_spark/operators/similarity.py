@@ -449,3 +449,149 @@ def knn_join(
         .filter(F.col("rk") <= k)
         .select("query_id", id_col, F.round(F.col("sim6"), 4).alias("sim"), F.col("rk").cast("int").alias("rk"))
     )
+
+
+def int8_codes(v: Column) -> tuple[Column, Column]:
+    """(codes, scale): symmetric scale-only int8 quantization of a
+    double array — code_i = floor(x_i/s + 0.5), s = max|x|/127 per
+    vector. No affine offset (an offset breaks dot-product ranking);
+    every step is one correctly-rounded IEEE op on exactly-derived
+    doubles, so codes are bit-identical cross-engine. The scan-side
+    scheme of the quantized ANN family (storage-side quantization with
+    per-vector (min,max) lives in q_embed_quantize)."""
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    codes = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("bigint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("bigint")))
+    return codes, scale
+
+
+def quantized_dot(codes_a: Column, codes_b: Column) -> Column:
+    """BIGINT zip-sum of two code arrays — the integer-exact core of
+    the asymmetric quantized score (codes_a · codes_b) · s_a · s_b."""
+    return F.aggregate(
+        F.zip_with(codes_a, codes_b, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def build_ivf_quantized_index(
+    spark,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    centroids_path: str,
+    codes_path: str,
+) -> None:
+    """IVF-PQ-style index AS TABLES (the Jégou et al. inverted-file +
+    quantization layout, index-as-manifest-lake): persist (cid, cv)
+    centroids and per-cell int8 code segments into two manifest lakes.
+
+    The codes lake commits ONE PARTITION-TAGGED SEGMENT PER CELL with a
+    bloom on the id column, so the search composes three prunes before
+    touching data: manifest part_eq prunes to the probe cell's segment
+    (1/k of the codes), the id bloom answers the query-row point lookup,
+    and the quantized scan reads 4x less than float32. Centroids are
+    deterministically the first `n_cells` vectors by id (the oracle can
+    replay it; production swaps in k-means centroids — same layout,
+    see kmeans_cells). Rebuild = re-run (commit_replace per lake keeps
+    readers snapshot-isolated during refresh)."""
+    from ..sources import manifest as M
+
+    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    centroids = e.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = assign_cells(e, centroids, id_col)
+    codes, scale = int8_codes(F.col("v"))
+    code_rows = assigned.select(
+        F.col(id_col),
+        F.col("cid"),
+        scale.alias("s"),
+        codes.alias("codes"),
+    ).localCheckpoint(eager=True)  # one assignment pass, k per-cell writes
+    M.commit_replace(spark, centroids_path, centroids)
+    cids = sorted(
+        r["cid"] for r in code_rows.select("cid").distinct().collect()
+        if r["cid"] is not None
+    )
+    for cid in cids:
+        M.commit_append(
+            spark,
+            codes_path,
+            code_rows.filter(F.col("cid") == cid),
+            partition={"cid": int(cid)},
+            bloom_cols=[id_col],
+        )
+
+
+def ivf_quantized_topk(
+    spark,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id,
+    k: int,
+    centroids_path: str,
+    codes_path: str,
+    pool: int = 50,
+) -> DataFrame:
+    """IVF-PQ search end-to-end over the persisted index: (1) the query
+    row's cell + codes come from the codes lake via a BLOOM point
+    lookup (manifest prunes to ~1 segment); (2) the probe cell's
+    segment — and only it, via part_eq manifest pruning — is scanned
+    with the integer asymmetric score; (3) the top-`pool` candidates
+    are RERANKED EXACT: a broadcast-sized id join fetches the original
+    vectors and exact cosine orders the final top-k. Every stage is
+    deterministic (BIGINT dot, 6dp-rounded cosine, id tiebreaks) so the
+    whole path is oracle-replayable — no recall pin needed, the result
+    is exact over the probed cell."""
+    from ..sources import manifest as M
+
+    qrow = (
+        M.read_snapshot(spark, codes_path, bloom_eq={id_col: query_id})
+        .filter(F.col(id_col) == query_id)
+        .select(
+            F.col("cid").alias("qcid"),
+            F.col("s").alias("qs"),
+            F.col("codes").alias("qcodes"),
+        )
+    )
+    qcid = qrow.collect()
+    if not qcid:
+        raise ValueError(f"query id {query_id!r} not in the codes index")
+    qcid_val = qcid[0]["qcid"]
+    cand = (
+        M.read_snapshot(spark, codes_path, part_eq={"cid": int(qcid_val)})
+        .filter(F.col("cid") == int(qcid_val))
+        .filter(F.col(id_col) != query_id)
+    )
+    qb = F.broadcast(qrow)
+    pooled = (
+        cand.crossJoin(qb)
+        .select(
+            F.col(id_col),
+            (quantized_dot(F.col("codes"), F.col("qcodes"))
+             * (F.col("s") * F.col("qs"))).alias("qscore"),
+        )
+        .orderBy(F.col("qscore").desc_nulls_last(), F.col(id_col).asc())
+        .limit(pool)
+    )
+    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    qv = e.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    reranked = (
+        e.join(F.broadcast(pooled.select(id_col)), on=id_col)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"),
+        )
+    )
+    return (
+        reranked.orderBy(F.desc("sim6"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round(F.col("sim6"), 4).alias("sim"))
+    )

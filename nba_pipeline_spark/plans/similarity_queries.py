@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import to_double_array
+from ..functions.vectors import cosine, to_double_array
 from ..operators import similarity as SIM
 from ..sources import load_table
 from ..session import tune
@@ -546,4 +546,176 @@ register(
     SELECT vec_id, qdot, qdot * ss AS score FROM scored
     ORDER BY score DESC NULLS LAST, vec_id ASC LIMIT {{TOP_K}}
     """.format(QUERY_ID=QUERY_ID, TOP_K=TOP_K),
+)
+
+
+RERANK_POOL = 50
+
+
+def q_ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented FINISH of q_ann_quantized: the compressed scan
+    picks a top-{RERANK_POOL} candidate pool by the integer asymmetric
+    score (4x less IO than float32), then the pool — and only the pool
+    — is reranked with EXACT cosine. The result is exact-at-the-top
+    whenever the true top-k survives the pool cut (pool >> k), so the
+    oracle hash-matches instead of pinning recall: candidate selection
+    (BIGINT dot, deterministic scale multiplies, id tiebreak) and the
+    6dp-rounded cosine rerank replay identically in SQL. Plan shape:
+    one narrow quantize scan + TakeOrderedAndProject to 50 rows +
+    O(pool) rerank — at 100 TB the rerank's vector fetches are 50
+    point reads, not a second scan."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    codes, scale = SIM.int8_codes(v)
+    q = emb.select(
+        "vec_id", v.alias("v"), codes.alias("codes"), scale.alias("s")
+    ).localCheckpoint(eager=False)
+    qv = q.filter(F.col("vec_id") == QUERY_ID).select(
+        F.col("codes").alias("qcodes"), F.col("s").alias("qs"),
+        F.col("v").alias("qv"),
+    )
+    others = q.filter(F.col("vec_id") != QUERY_ID)
+    pool = (
+        others.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "v",
+            "qv",
+            (SIM.quantized_dot(F.col("codes"), F.col("qcodes"))
+             * (F.col("s") * F.col("qs"))).alias("qscore"),
+        )
+        .orderBy(F.col("qscore").desc_nulls_last(), F.col("vec_id").asc())
+        .limit(RERANK_POOL)
+    )
+    reranked = pool.select(
+        "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6")
+    )
+    return (
+        reranked.orderBy(F.desc("sim6"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round(F.col("sim6"), 4).alias("sim"))
+    )
+
+
+register(
+    "q_ann_quantized_rerank",
+    q_ann_quantized_rerank,
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+          FROM e),
+    c AS (SELECT vec_id, v, s,
+                 CASE WHEN s > 0
+                      THEN list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT))
+                      ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+          FROM m),
+    qv AS (SELECT codes AS qcodes, s AS qs, v AS qv FROM c WHERE vec_id = {QUERY_ID}),
+    pool AS (
+      SELECT c.vec_id, c.v, qv.qv AS qvv,
+             CAST(list_sum(list_transform(range(1, len(c.codes) + 1),
+                    i -> c.codes[i] * qv.qcodes[i])) AS BIGINT) * (c.s * qv.qs) AS qscore
+      FROM c, qv WHERE c.vec_id <> {QUERY_ID}
+      ORDER BY qscore DESC NULLS LAST, c.vec_id ASC LIMIT {RERANK_POOL}),
+    rr AS (SELECT vec_id, ROUND(list_cosine_similarity(v, qvv), 6) AS sim6 FROM pool)
+    SELECT vec_id, ROUND(sim6, 4) AS sim FROM rr
+    ORDER BY sim6 DESC NULLS LAST, vec_id ASC LIMIT {TOP_K}
+    """,
+)
+
+
+def _ivfq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once IVF-PQ index lakes (centroids + per-cell int8 codes)
+    for this testdata generation (operators/similarity.py::
+    build_ivf_quantized_index)."""
+    from .relational_queries import _stage_dir
+
+    root = _stage_dir(sf_dir, "embeddings", "ivfq_index")
+    centroids_path = f"{root}/centroids"
+    codes_path = f"{root}/codes"
+
+    import os
+    import shutil
+
+    marker = os.path.join(root, "_STAGE_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        SIM.build_ivf_quantized_index(
+            spark,
+            load_table(spark, sf_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            N_CELLS,
+            centroids_path,
+            codes_path,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return centroids_path, codes_path
+
+
+def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end over a PERSISTED index (index-as-table on the
+    manifest lake): bloom point-lookup finds the query's codes row,
+    part_eq manifest pruning scans only the probe cell's segment,
+    the integer asymmetric score cuts a 50-candidate pool, and exact
+    cosine reranks the pool — cell pruning x 4x-compressed scan x
+    O(pool) rerank, each stage deterministic, so the whole path is
+    oracled exact (no recall pin). Composes q_kmeans_cells' layout
+    with q_embed_quantize's storage story; centroids here are the
+    deterministic first-N so DuckDB can replay the assignment."""
+    tune(spark)
+    centroids_path, codes_path = _ivfq_index(spark, sf_dir)
+    return SIM.ivf_quantized_topk(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        QUERY_ID,
+        TOP_K,
+        centroids_path,
+        codes_path,
+        pool=RERANK_POOL,
+    )
+
+
+register(
+    "q_ann_ivf_quantized",
+    q_ann_ivf_quantized,
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ctr AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+            ORDER BY vec_id ASC LIMIT {N_CELLS}),
+    asg AS (
+      SELECT e.vec_id, e.v, ctr.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ROUND(list_distance(e.v, ctr.cv), 6) ASC NULLS FIRST,
+                                         ctr.cid ASC) AS rn
+      FROM e CROSS JOIN ctr),
+    cells AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+    m AS (SELECT vec_id, v, cid,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+          FROM cells),
+    cds AS (SELECT vec_id, v, cid, s,
+                   CASE WHEN s > 0
+                        THEN list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT))
+                        ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+            FROM m),
+    qq AS (SELECT codes AS qcodes, s AS qs, v AS qv, cid AS qcid
+           FROM cds WHERE vec_id = {QUERY_ID}),
+    pool AS (
+      SELECT cds.vec_id, cds.v, qq.qv AS qvv,
+             CAST(list_sum(list_transform(range(1, len(cds.codes) + 1),
+                    i -> cds.codes[i] * qq.qcodes[i])) AS BIGINT) * (cds.s * qq.qs) AS qscore
+      FROM cds, qq WHERE cds.cid = qq.qcid AND cds.vec_id <> {QUERY_ID}
+      ORDER BY qscore DESC NULLS LAST, cds.vec_id ASC LIMIT {RERANK_POOL}),
+    rr AS (SELECT vec_id, ROUND(list_cosine_similarity(v, qvv), 6) AS sim6 FROM pool)
+    SELECT vec_id, ROUND(sim6, 4) AS sim FROM rr
+    ORDER BY sim6 DESC NULLS LAST, vec_id ASC LIMIT {TOP_K}
+    """,
 )

@@ -824,3 +824,117 @@ def test_quantized_ann_recall_vs_exact(spark):
     quant = [r["vec_id"] for r in REGISTRY["q_ann_quantized"].fn(spark, SF).collect()]
     overlap = len(set(exact) & set(quant)) / len(exact)
     assert overlap >= 0.7, (overlap, exact, quant)
+
+
+def test_quantized_rerank_is_exact_when_pool_covers(spark):
+    """With corpus <= pool size, the quantized candidate cut is a
+    no-op and the exact-cosine rerank must EQUAL brute force — the
+    rerank retires the recall pin for this path (its top-k is exact
+    whenever the true top-k survives the 5x-overprovisioned pool)."""
+    import numpy as np
+
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(16)])
+        for i in range(40)  # 40 < RERANK_POOL=50: pool covers everything
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from nba_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        int8_codes,
+        quantized_dot,
+    )
+
+    v = to_double_array(F.col("embedding"))
+    qv = emb.filter(F.col("vec_id") == 0).select(v.alias("qv"))
+    exact = brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), qv, "vec_id", "embedding", 10
+    ).collect()
+
+    codes, scale = int8_codes(v)
+    q = emb.select("vec_id", v.alias("v"), codes.alias("codes"), scale.alias("s"))
+    qrow = q.filter(F.col("vec_id") == 0).select(
+        F.col("codes").alias("qcodes"), F.col("s").alias("qs"), F.col("v").alias("qv")
+    )
+    pool = (
+        q.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id", "v", "qv",
+            (quantized_dot(F.col("codes"), F.col("qcodes"))
+             * (F.col("s") * F.col("qs"))).alias("qscore"),
+        )
+        .orderBy(F.col("qscore").desc_nulls_last(), F.col("vec_id").asc())
+        .limit(50)
+    )
+    from nba_pipeline_spark.functions.vectors import cosine
+
+    rer = (
+        pool.select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"))
+        .orderBy(F.desc("sim6"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round(F.col("sim6"), 4).alias("sim"))
+        .collect()
+    )
+    assert [(r["vec_id"], r["sim"]) for r in rer] == [
+        (r["vec_id"], r["sim"]) for r in exact
+    ]
+
+
+def test_ivf_quantized_index_prunes_segments(spark, tmp_path):
+    """The persisted IVF-PQ codes lake prunes at the manifest: the
+    probe cell's part_eq resolves to ONE segment of k, and the bloom
+    point lookup for the query row resolves to <=2; the search result
+    matches exact cosine within the probed cell."""
+    import numpy as np
+
+    from nba_pipeline_spark.operators.similarity import (
+        assign_cells,
+        build_ivf_quantized_index,
+        ivf_quantized_topk,
+    )
+    from nba_pipeline_spark.sources import manifest as M
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cpath = str(tmp_path / "centroids")
+    kpath = str(tmp_path / "codes")
+    build_ivf_quantized_index(spark, emb, "vec_id", "embedding", 4, cpath, kpath)
+
+    all_segs = M.resolve_segments(spark, kpath)
+    assert len(all_segs) == 4  # one tagged segment per cell
+    # cell pruning: each cell's probe opens exactly one segment
+    for cid in range(4):
+        assert len(M.resolve_segments(spark, kpath, part_eq={"cid": cid})) == 1
+    # bloom point lookup on the id column
+    assert len(M.resolve_segments(spark, kpath, bloom_eq={"vec_id": 137})) <= 2
+
+    got = ivf_quantized_topk(
+        spark, emb, "vec_id", "embedding", 5, 10, cpath, kpath, pool=300
+    ).collect()
+    # ground truth: exact cosine within query 5's assigned cell
+    e = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    cents = M.read_snapshot(spark, cpath)
+    assigned = assign_cells(e, cents, "vec_id")
+    qcid = assigned.filter(F.col("vec_id") == 5).collect()[0]["cid"]
+    cell = assigned.filter((F.col("cid") == qcid) & (F.col("vec_id") != 5))
+    from nba_pipeline_spark.functions.vectors import cosine
+
+    qv = e.filter(F.col("vec_id") == 5).select(F.col("v").alias("qv"))
+    truth = (
+        cell.crossJoin(F.broadcast(qv))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"))
+        .orderBy(F.desc("sim6"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round(F.col("sim6"), 4).alias("sim"))
+        .collect()
+    )
+    assert [(r["vec_id"], r["sim"]) for r in got] == [
+        (r["vec_id"], r["sim"]) for r in truth
+    ]
