@@ -347,33 +347,66 @@ def _bloom_hash_cols(col):
 
 def _segment_bloom(df: DataFrame, col: str) -> dict | None:
     """{"bits": m, "b64": bitmap} sized to the segment's distinct key
-    count (two agg jobs at commit time), or None when the segment is
-    too large for a useful manifest-level bloom."""
+    count, or None when the segment is too large for a useful
+    manifest-level bloom.
+
+    ONE aggregation pass over the segment (AQE runs it as at most two
+    scheduler jobs — shuffle materialize + final): bit positions are
+    computed at the MAX bitmap size and partial-aggregated map-side
+    into 64-bit words (``bit_or`` per word), so at most 2^19/64 = 8192
+    (word, bits) rows reach the driver — no distinct-count pre-job
+    (which scanned the data a second time), no 0.5 M-row position
+    collect.
+    The distinct-key count is then ESTIMATED from the fill ratio
+    (n ≈ -(m/k)·ln(1−t/m), the standard bloom-occupancy inversion) to
+    pick the adaptive target size, and the bitmap FOLDS down by
+    OR-halving: with power-of-two sizes, (h mod M) mod (M/2) ==
+    h mod (M/2), so folding preserves membership EXACTLY — the folded
+    bloom equals the one built directly at the target size."""
     import base64
+    import math
 
     from pyspark.sql import functions as F
 
-    n = df.select(col).distinct().count()
-    want = max(_BLOOM_MIN_BITS, n * _BLOOM_BITS_PER_KEY)
+    m_max = _BLOOM_MAX_BITS
+    rows = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[F.pmod(h, F.lit(m_max)) for h in _bloom_hash_cols(F.col(col))]
+                )
+            ).alias("p")
+        )
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            # shiftleft via expr: the F.shiftleft wrapper takes only a
+            # literal int shift, the SQL function takes a column
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    bitmap = 0
+    t = 0  # set-bit count at max size
+    for r in rows:
+        word = int(r["bits"]) & 0xFFFFFFFFFFFFFFFF  # two's-complement -> unsigned
+        bitmap |= word << (64 * int(r["w"]))
+        t += word.bit_count()
+    if t >= m_max:
+        return None  # fully saturated (cannot happen below ~75k keys)
+    n_est = -(m_max / _BLOOM_HASHES) * math.log1p(-t / m_max)
+    want = max(_BLOOM_MIN_BITS, int(n_est * _BLOOM_BITS_PER_KEY))
     if want > _BLOOM_MAX_BITS:
         return None  # saturated bloom prunes nothing: omit, stay sound
     m = _BLOOM_MIN_BITS
     while m < want:
         m <<= 1
-    rows = (
-        df.select(
-            F.explode(
-                F.array(
-                    *[F.pmod(h, F.lit(m)) for h in _bloom_hash_cols(F.col(col))]
-                )
-            ).alias("p")
-        )
-        .distinct()
-        .collect()
-    )
-    bitmap = 0
-    for r in rows:
-        bitmap |= 1 << int(r["p"])
+    size = m_max
+    while size > m:
+        half = size // 2
+        bitmap = (bitmap & ((1 << half) - 1)) | (bitmap >> half)
+        size = half
     return {
         "bits": m,
         "b64": base64.b64encode(bitmap.to_bytes(m // 8, "little")).decode(),

@@ -956,3 +956,53 @@ def test_consume_feed_exactly_once_into_lake(spark, tmp_path):
         if r["version"] == 3
     }
     assert v3_rows == {(0, "delete"), (1, "delete"), (2, "delete"), (3, "delete"), (5, "insert")}
+
+
+def test_bloom_build_is_one_extra_pass(spark, tmp_path):
+    """The per-segment bloom costs ONE extra aggregation pass at commit
+    time (word-grouped map-side bit_or; no distinct-count pre-job, no
+    mass position collect — at most 8192 word rows reach the driver).
+    AQE materializes the shuffle as its own scheduler job, so the job
+    budget is +2 max, never the old +2-jobs-plus-0.5M-row-collect
+    shape (which also scanned the segment data TWICE)."""
+    sc = spark.sparkContext
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+
+    sc.setJobGroup("plain_commit", "baseline")
+    M.commit_append(spark, str(tmp_path / "plain"), df)
+    sc.setJobGroup("bloom_commit", "bloomed")
+    M.commit_append(spark, str(tmp_path / "bloomed"), df, bloom_cols=["k"])
+    sc.setJobGroup("done", "done")
+
+    st = sc.statusTracker()
+    plain = len(st.getJobIdsForGroup("plain_commit"))
+    bloomed = len(st.getJobIdsForGroup("bloom_commit"))
+    assert bloomed - plain <= 2, (plain, bloomed)
+
+
+def test_bloom_fold_equivalence(spark, tmp_path):
+    """The folded bloom behaves like one built at the target size:
+    every committed key probes positive (no false negatives — the
+    soundness contract) and an absent-key probe prunes."""
+    lake = str(tmp_path / "lake")
+    keys = list(range(0, 3000, 7))  # ~429 keys -> folds 2^19 -> 2^14
+    M.commit_append(
+        spark,
+        lake,
+        spark.createDataFrame([(k,) for k in keys], "k long"),
+        bloom_cols=["k"],
+    )
+    m = M._read_manifest(spark, lake, 1)
+    seg = m["segments"][0]
+    entry = m["meta"][seg]["bloom"]["k"]
+    assert entry["bits"] == 1 << 14  # adaptive size after folding
+    # no false negatives, ever (spot-check a spread of committed keys)
+    for k in keys[::37]:
+        assert M.resolve_segments(spark, lake, bloom_eq={"k": k}) == [seg]
+    # absent keys overwhelmingly prune (allow the rare FP)
+    misses = sum(
+        1
+        for k in range(100_001, 100_031)
+        if M.resolve_segments(spark, lake, bloom_eq={"k": k})
+    )
+    assert misses <= 1
