@@ -606,6 +606,66 @@ register(
 )
 
 
+def _zorder_lake(spark: SparkSession, sf_dir: str) -> str:
+    """orders appended as one unclustered segment, then OPTIMIZE
+    ZORDER'd by (o_custkey, o_orderkey) into 16 z-run segments with
+    per-segment min/max stats on both keys."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_zorder")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        M.commit_append(spark, lake, orders)
+        M.cluster(
+            spark, lake, ["o_custkey", "o_orderkey"],
+            target_segments=16, bits_per_col=8,
+        )
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering end-to-end (sources/manifest.py::cluster —
+    the OPTIMIZE ZORDER maintenance op): after ONE rewrite by the
+    Morton interleave of (o_custkey, o_orderkey) quantile buckets, a
+    narrow range on o_custkey prunes most of the 16 segments through
+    manifest min/max stats (asserted), where the original single-sort
+    layout could skip on the leading key only. At 100 TB this is the
+    layout behind multi-dimensional range workloads: both probe
+    columns get bounded-segment scans from one clustering pass."""
+    tune(spark)
+    lake = _zorder_lake(spark, sf_dir)
+    all_segs = M.resolve_segments(spark, lake)
+    lo, hi = 100, 250
+    segs = M.resolve_segments(spark, lake, ranges={"o_custkey": (lo, hi)})
+    if len(all_segs) >= 8:
+        assert len(segs) <= len(all_segs) // 2, (
+            f"z-order pruning failed: {len(segs)}/{len(all_segs)}"
+        )
+    t = M.read_snapshot(spark, lake, ranges={"o_custkey": (lo, hi)}).filter(
+        F.col("o_custkey").between(lo, hi)
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+register(
+    "q_manifest_zorder",
+    q_manifest_zorder,
+    """
+    SELECT COUNT(*) AS n, MAX(o_orderkey) AS max_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_custkey BETWEEN 100 AND 250
+    """,
+)
+
+
 def q_manifest_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental change-data-feed over the upsert lake
     (sources/manifest.py::read_feed — the batch twin of the

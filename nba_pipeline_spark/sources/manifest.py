@@ -512,6 +512,36 @@ def commit_replace(
     )
 
 
+def _appends_since(
+    spark: SparkSession,
+    path: str,
+    parent: dict | None,
+    base_version: int,
+    base_segs: set[str],
+) -> list[str]:
+    """Segments appended between a rewrite's base snapshot and the
+    commit-time parent. Verifies every intervening commit was an
+    APPEND (the segment-list diff is only sound for appends — any op
+    that removes rows invalidates the rewritten data) and raises
+    CommitConflict otherwise, forcing the whole rewrite to re-run
+    against the new snapshot."""
+    m, v = parent, (parent["version"] if parent else 0)
+    while v > base_version:
+        if m is None or m.get("op") != "append":
+            raise CommitConflict(
+                f"non-append commit v{v} landed after rewrite "
+                f"base v{base_version}: re-run against the new snapshot"
+            )
+        v = m.get("parent") or 0
+        try:
+            m = _read_manifest(spark, path, v) if v else None
+        except Exception as e:  # intermediate manifest vacuumed
+            raise CommitConflict(str(e))
+    return [
+        s for s in (parent["segments"] if parent else []) if s not in base_segs
+    ]
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -583,25 +613,7 @@ def compact(
             new_segs[seg] = seg_meta
 
         def _segments(parent):
-            # verify every commit since `base` was an append; the
-            # segment-list diff below is only sound for appends
-            m, v = parent, (parent["version"] if parent else 0)
-            while v > base_version:
-                if m is None or m.get("op") != "append":
-                    raise CommitConflict(
-                        f"non-append commit v{v} landed after compaction "
-                        f"base v{base_version}: re-consolidate"
-                    )
-                v = m.get("parent") or 0
-                try:
-                    m = _read_manifest(spark, path, v) if v else None
-                except Exception as e:  # intermediate manifest vacuumed
-                    raise CommitConflict(str(e))
-            extra = [
-                s
-                for s in (parent["segments"] if parent else [])
-                if s not in base_segs
-            ]
+            extra = _appends_since(spark, path, parent, base_version, base_segs)
             return list(new_segs) + extra
 
         def _meta(parent, segments):
@@ -625,6 +637,196 @@ def compact(
             last_err = e  # snapshot moved non-append-wise: redo
     raise RuntimeError(
         f"compact lost the snapshot race {max_tries} times: {path}"
+    ) from last_err
+
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
+def _zorder_exprs(df: DataFrame, cluster_cols: list[str], bits_per_col: int):
+    """(z_column, n_z_values): rank-space Morton (Z-order) value over
+    `cluster_cols`, entirely as JVM Column expressions.
+
+    Per-column bucket ids are RANK-space, not value-space — cut points
+    come from one driver-side `approxQuantile` (O(2^bits) metadata per
+    column, never data-scale), so skewed distributions still fill all
+    buckets and every z-cell carries comparable row mass. Each row's
+    bucket is the count of cut points <= value, computed by an
+    `aggregate` HOF over the broadcast cut array (O(2^bits) comparisons
+    per row, whole-stage-codegen'd — no Python, no shuffle). Buckets
+    then interleave bitwise (shiftleft/shiftright/bitwiseAND) into the
+    Morton code, so a RANGE on ANY clustered column maps to a bounded
+    set of z-runs — the property segment min/max stats exploit after
+    the range-partitioned rewrite. NULLs bucket to 0 (cluster low;
+    min/max stats ignore them, so skipping stays sound)."""
+    from pyspark.sql import functions as F
+
+    nb = 1 << bits_per_col
+    if bits_per_col * len(cluster_cols) > 62:
+        raise ValueError(
+            f"z-value would need {bits_per_col * len(cluster_cols)} bits; "
+            f"lower bits_per_col or cluster on fewer columns (<= 62 total)"
+        )
+    for c in cluster_cols:
+        dt = dict(df.dtypes).get(c)
+        if dt is None:
+            raise ValueError(f"cluster column {c!r} not in table schema")
+        if not dt.startswith(_NUMERIC_PREFIXES):
+            raise ValueError(
+                f"cluster column {c!r} has non-numeric type {dt}; z-order "
+                f"clustering buckets by quantile rank and needs numeric "
+                f"(cast dates to days/epoch first)"
+            )
+    probs = [i / nb for i in range(1, nb)]
+    dfq = df.select(*[F.col(c).cast("double").alias(c) for c in cluster_cols])
+    all_cuts = dfq.stat.approxQuantile(cluster_cols, probs, 1.0 / (4 * nb))
+    k = len(cluster_cols)
+    z = F.lit(0).cast("long")
+    for j, (c, cuts) in enumerate(zip(cluster_cols, all_cuts)):
+        if not cuts:  # 0-row snapshot: every bucket is 0
+            bucket = F.lit(0)
+        else:
+            bucket = F.aggregate(
+                F.array(*[F.lit(float(x)) for x in cuts]),
+                F.lit(0),
+                lambda acc, cut: acc
+                + F.when(F.col(c).cast("double") >= cut, 1).otherwise(0),
+            )
+        for i in range(bits_per_col):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, i).bitwiseAND(F.lit(1)).cast("long"),
+                i * k + j,
+            )
+    return z, 1 << (bits_per_col * k)
+
+
+def cluster(
+    spark: SparkSession,
+    path: str,
+    cluster_cols: list[str],
+    target_segments: int = 16,
+    bits_per_col: int = 8,
+    max_tries: int = 5,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE ZORDER for the manifest lake: rewrite the current
+    snapshot into `target_segments` segments ordered by the Morton
+    (Z-order) interleave of `cluster_cols`' quantile-rank buckets, and
+    record per-segment min/max stats on those columns (plus any extra
+    `stats_cols`). Afterwards a range probe on ANY clustered column
+    prunes most segments through `read_snapshot(ranges=...)` — the
+    multi-column data-skipping layout a single sort key cannot give
+    (sorting by (a, b) skips on `a` only; z-order skips on both).
+
+    At 100 TB this is the standard maintenance op behind multi-dim
+    point/range workloads (Delta/Iceberg OPTIMIZE ZORDER): one
+    range-shuffle rewrite whose cost is paid once, against every
+    subsequent scan touching a fraction of the key space.
+
+    Execution: ONE pass computes z (pure bitwise/HOF Column exprs) and
+    range-partitions by z-run; the write lands all segments in a single
+    job via `partitionBy` on the z-run id (renamed into place as
+    ordinary segments), and one grouped aggregation over the persisted
+    shuffle output records per-segment stats. Merge-on-read tombstones
+    MATERIALIZE here (the rewrite read applies them and clears the
+    ``deletes`` list), like compact. Concurrency contract is compact's:
+    interleaved appends survive via the append-only lineage walk; any
+    row-removing commit after the base forces a re-run."""
+    from pyspark.sql import functions as F
+
+    all_stats = list(dict.fromkeys(list(cluster_cols) + list(stats_cols or [])))
+    last_err: Exception | None = None
+    for _ in range(max_tries):
+        versions = _manifest_versions(spark, path)
+        if not versions:
+            raise ValueError(f"cannot cluster an empty manifest lake: {path}")
+        base_version = versions[-1]
+        base = _read_manifest(spark, path, base_version)
+        base_segs = set(base["segments"])
+        new_segs: dict[str, dict] = {}
+        if base["segments"]:
+            df = _read_with_tombstones(
+                spark, path, base["segments"], base, merge_schema=True
+            )
+            z, n_z = _zorder_exprs(df, list(cluster_cols), bits_per_col)
+            prepared = (
+                df.withColumn("__z", z)
+                .withColumn(
+                    "__zrun",
+                    F.least(
+                        F.lit(target_segments - 1),
+                        F.floor(F.col("__z") * target_segments / F.lit(n_z)),
+                    ).cast("int"),
+                )
+                .repartitionByRange(target_segments, "__zrun", "__z")
+                .sortWithinPartitions("__zrun", "__z")
+                .persist()
+            )
+            tmp = f"{path}/{_DATA_DIR}/.cluster-{uuid.uuid4().hex[:12]}"
+            prepared.drop("__z").write.partitionBy("__zrun").mode(
+                "overwrite"
+            ).parquet(tmp)
+            stats = {
+                int(r["__zrun"]): {
+                    c: [_json_safe(r[f"__mn_{c}"]), _json_safe(r[f"__mx_{c}"])]
+                    for c in all_stats
+                }
+                for r in prepared.groupBy("__zrun")
+                .agg(
+                    *[F.min(c).alias(f"__mn_{c}") for c in all_stats],
+                    *[F.max(c).alias(f"__mx_{c}") for c in all_stats],
+                )
+                .collect()
+            }
+            prepared.unpersist()
+            fs, jtmp = _fs(spark, tmp)
+            runs = sorted(
+                int(st.getPath().getName().split("=", 1)[1])
+                for st in fs.listStatus(jtmp)
+                if st.isDirectory() and st.getPath().getName().startswith("__zrun=")
+            )
+            if not runs:
+                # 0-row snapshot (e.g. all rows tombstoned): keep one
+                # empty schema-preserving segment so reads stay valid
+                seg = _write_segment(df.limit(0), path, 1)
+                new_segs[seg] = {}
+            for run in runs:
+                seg = f"seg-{uuid.uuid4().hex[:12]}"
+                ok = fs.rename(
+                    _jpath(spark, f"{tmp}/__zrun={run}"),
+                    _jpath(spark, f"{path}/{_DATA_DIR}/{seg}"),
+                )
+                if not ok:
+                    raise RuntimeError(f"failed to place segment for z-run {run}")
+                new_segs[seg] = {
+                    "stats": stats[run],
+                    "cluster": {"cols": list(cluster_cols)},
+                }
+            fs.delete(jtmp, True)
+
+        def _segments(parent):
+            extra = _appends_since(spark, path, parent, base_version, base_segs)
+            return list(new_segs) + extra
+
+        def _meta(parent, segments):
+            pm = dict(parent.get("meta", {})) if parent else {}
+            out = {s: m for s, m in new_segs.items() if m}
+            for s in segments:
+                if s not in out and s in pm:
+                    out[s] = pm[s]
+            return out
+
+        try:
+            # deletes cleared: the rewrite read materialized them (same
+            # append-only lineage argument as compact)
+            return _commit(
+                spark, path, "cluster", _segments,
+                meta_fn=_meta, deletes_fn=lambda p: [],
+            )
+        except CommitConflict as e:
+            last_err = e
+    raise RuntimeError(
+        f"cluster lost the snapshot race {max_tries} times: {path}"
     ) from last_err
 
 

@@ -1006,3 +1006,94 @@ def test_bloom_fold_equivalence(spark, tmp_path):
         if M.resolve_segments(spark, lake, bloom_eq={"k": k})
     )
     assert misses <= 1
+
+
+def _grid(spark, n=48):
+    """n x n uniform grid over two independent keys — the shape where a
+    single sort key cannot skip on the second dimension."""
+    return spark.createDataFrame(
+        [(a, b, a * n + b) for a in range(n) for b in range(n)],
+        "a int, b int, payload long",
+    )
+
+
+def test_cluster_zorder_prunes_both_dimensions(spark, tmp_path):
+    """After cluster(["a","b"]) a narrow range on EITHER column prunes
+    most segments via manifest min/max stats — the multi-dim skipping
+    property a plain (a, b) sort lacks (it skips on `a` only). And the
+    rewrite moves no rows: full read == original contents."""
+    lake = str(tmp_path / "lake")
+    g = _grid(spark)
+    M.commit_append(spark, lake, g)
+    v = M.cluster(spark, lake, ["a", "b"], target_segments=16, bits_per_col=6)
+    assert v == 2
+    m = M._read_manifest(spark, lake, v)
+    assert len(m["segments"]) == 16
+    # every segment carries stats on both cluster columns
+    for s in m["segments"]:
+        st = m["meta"][s]["stats"]
+        assert set(st) == {"a", "b"}
+    total = len(M.resolve_segments(spark, lake))
+    # a range covering ~1/8 of one dimension's key space
+    for col in ("a", "b"):
+        kept = len(M.resolve_segments(spark, lake, ranges={col: (8, 13)}))
+        assert kept <= total // 2, f"{col}: {kept}/{total} segments survived"
+    # soundness: the clustered table holds exactly the original rows
+    got = {tuple(r) for r in M.read_snapshot(spark, lake).collect()}
+    want = {tuple(r) for r in g.collect()}
+    assert got == want
+    # and a pruned read + real filter equals the direct filter
+    pruned = (
+        M.read_snapshot(spark, lake, ranges={"b": (8, 13)})
+        .filter("b between 8 and 13")
+        .collect()
+    )
+    assert {tuple(r) for r in pruned} == {t for t in want if 8 <= t[1] <= 13}
+
+
+def test_cluster_materializes_tombstones_and_survives_append(spark, tmp_path):
+    """cluster() applies pending merge-on-read tombstones (deletes list
+    clears — it is a compaction) and an append racing the rewrite
+    survives through the CAS retry, like compact."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _grid(spark, 12))
+    M.commit_delete_mor(
+        spark,
+        lake,
+        spark.createDataFrame([(3,)], "a int"),
+        ["a"],
+    )
+    M.cluster(spark, lake, ["a", "b"], target_segments=4, bits_per_col=4)
+    m = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    assert not m.get("deletes"), "cluster must materialize MoR tombstones"
+    got = {(r["a"], r["b"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {(a, b) for a in range(12) for b in range(12) if a != 3}
+
+    # racing append: commit lands between the rewrite read and commit
+    orig_commit = M._commit
+    appended = []
+
+    def racy_commit(spark_, path_, op, segments_fn, **kw):
+        if op == "cluster" and not appended:
+            appended.append(True)
+            M.commit_append(
+                spark_, path_, spark_.createDataFrame([(99, 99, 0)], "a int, b int, payload long")
+            )
+        return orig_commit(spark_, path_, op, segments_fn, **kw)
+
+    M._commit = racy_commit
+    try:
+        M.cluster(spark, lake, ["a", "b"], target_segments=4, bits_per_col=4)
+    finally:
+        M._commit = orig_commit
+    got = {(r["a"], r["b"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert (99, 99) in got and (3, 0) not in got and (4, 4) in got
+
+
+def test_cluster_rejects_non_numeric_and_overwide(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 8))
+    with pytest.raises(ValueError, match="non-numeric"):
+        M.cluster(spark, lake, ["id", "t"])
+    with pytest.raises(ValueError, match="62"):
+        M.cluster(spark, lake, ["id"], bits_per_col=63)
