@@ -159,3 +159,62 @@ def test_cli_lake_history_compact_vacuum(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["segments_deleted"] == 3
     assert read_snapshot(spark, lake).count() == 3
+
+
+def test_submit_main_builds_lake_and_reports(spark, tmp_path, capsys):
+    """spark-submit seam end-to-end: @once DAG + two-season backfill,
+    per-season partition dirs on disk, JSON report per run, exit 0,
+    warehouse tables registered — and a re-run is idempotent."""
+    import json
+
+    from nba_pipeline_spark.pipelines.submit import main
+
+    out = str(tmp_path / "lake")
+    rc = main(["--out-dir", out, "--seasons", "1996,2018"], spark=spark)
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0
+    dag_lines = [l for l in lines if "dag" in l]
+    assert [l["dag"] for l in dag_lines] == ["nba_once", "nba_seasonal", "nba_seasonal"]
+    assert all(l["ok"] for l in dag_lines)
+    assert [l["params"] for l in dag_lines[1:]] == [1996, 2018]
+    wh = [l for l in lines if "warehouse" in l]
+    assert wh and set(wh[0]["warehouse"]) >= {"wh_games", "wh_salaries"}
+
+    for season in (1996, 2018):
+        d = tmp_path / "lake" / "raw" / "games" / f"seasonStartYear={season}"
+        assert d.is_dir(), f"missing season partition {d}"
+    # partition-inferred read over the season dirs
+    games = spark.read.parquet(f"{out}/raw/games")
+    assert set(r["seasonStartYear"] for r in games.select("seasonStartYear").distinct().collect()) == {1996, 2018}
+    n_before = games.count()
+    assert n_before > 0
+    assert spark.table("wh_games").count() == n_before
+
+    # idempotent backfill re-run of one season: no dup rows
+    rc2 = main(["--out-dir", out, "--seasons", "1996", "--skip-once"], spark=spark)
+    assert rc2 == 0
+    assert spark.read.parquet(f"{out}/raw/games").count() == n_before
+
+
+def test_submit_main_fails_nonzero(spark, tmp_path, capsys, monkeypatch):
+    """A task that exhausts retries fails the run -> exit code 1 and
+    the failure is visible in the report (Airflow default_args parity)."""
+    import json
+
+    from nba_pipeline_spark.pipelines import submit
+
+    monkeypatch.setattr(
+        submit.fixtures, "games_raw",
+        lambda s: (_ for _ in ()).throw(RuntimeError("edge page 404")),
+    )
+    rc = submit.main(
+        ["--out-dir", str(tmp_path / "lake"), "--seasons", "1996", "--skip-once"],
+        spark=spark,
+    )
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 1
+    run = lines[0]
+    assert not run["ok"]
+    assert run["tasks"]["ingest_games"]["state"] == "failed"
+    assert run["tasks"]["ingest_games"]["attempts"] == 2  # 1 retry
+    assert run["tasks"]["build_games"]["state"] == "upstream_failed"
