@@ -606,6 +606,116 @@ register(
 )
 
 
+def q_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY (sources/manifest.py::history + timestamp
+    time travel): the commit log of the staged lake — version lineage,
+    op, tombstone count — joined with each snapshot's row count, and
+    the AS-OF-timestamp resolution asserted against the recorded commit
+    clocks (ts of v_i resolves to exactly v_i: monotone-clamped
+    commit timestamps make the lookup exact). Metadata-scale by
+    construction: the history scan reads KB manifests, never data."""
+    tune(spark)
+    lake = _manifest_lake(spark, sf_dir)
+    h_rows = M.history(spark, lake).collect()
+    for r in h_rows:  # ts time travel: each commit's own ts resolves to it
+        # (ts == 0 marks a stage written before commit clocks existed)
+        if r["ts"] > 0:
+            assert M.version_as_of_timestamp(spark, lake, r["ts"]) == r["version"]
+    counts = {
+        r["version"]: M.read_snapshot(spark, lake, version=r["version"]).count()
+        for r in h_rows
+    }
+    return spark.createDataFrame(
+        [
+            (r["version"], r["parent"], r["op"], r["n_tombstones"], counts[r["version"]])
+            for r in h_rows
+        ],
+        "version int, parent int, op string, n_tombstones int, n_rows long",
+    )
+
+
+register(
+    "q_manifest_history",
+    q_manifest_history,
+    """
+    SELECT CAST(1 AS INT) AS version, CAST(NULL AS INT) AS parent,
+           'append' AS op, CAST(0 AS INT) AS n_tombstones,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 <= 1) AS n_rows
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST(1 AS INT), 'append', CAST(0 AS INT),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT CAST(3 AS INT), CAST(2 AS INT), 'compact', CAST(0 AS INT),
+           (SELECT COUNT(*) FROM orders)
+    """,
+)
+
+
+def _replace_where_lake(spark: SparkSession, sf_dir: str) -> str:
+    """orders appended as three o_orderstatus-tagged partitions, then
+    the 'P' partition re-stated via replace_where with doubled
+    totalprice (exact: double*2 is an exponent bump, cross-engine)."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_replace_where")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        for st in ("O", "F", "P"):
+            M.commit_append(
+                spark, lake,
+                orders.filter(F.col("o_orderstatus") == st),
+                partition={"o_orderstatus": st},
+            )
+        repl = orders.filter(F.col("o_orderstatus") == "P").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        M.commit_replace_where(
+            spark, lake, repl,
+            eq={"o_orderstatus": "P"},
+            partition_by="o_orderstatus",
+        )
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped overwrite (sources/manifest.py::
+    commit_replace_where — Delta replaceWhere / INSERT OVERWRITE WHERE):
+    the 'P' partition is re-stated (totalprice doubled) in ONE commit
+    that drops the scoped segment wholesale and transfers the 'O'/'F'
+    segments BY NAME — asserted against the pre-replace manifest, the
+    zero-data-movement property that makes nightly partition
+    restatement an O(changed-partition) op at 100 TB. The re-stated
+    partition stays tagged, so scoped reads keep pruning (asserted)."""
+    tune(spark)
+    lake = _replace_where_lake(spark, sf_dir)
+    before = M._read_manifest(spark, lake, 3)  # last append
+    after = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    untouched = {
+        s for s in before["segments"]
+        if before["meta"][s]["part"]["o_orderstatus"] != "P"
+    }
+    assert untouched < set(after["segments"]), "untouched segments must transfer by name"
+    assert len(M.resolve_segments(spark, lake, part_eq={"o_orderstatus": "P"})) == 1
+    return _agg(M.read_snapshot(spark, lake))
+
+
+register(
+    "q_manifest_replace_where",
+    q_manifest_replace_where,
+    _AGG_ORACLE.format(
+        where=""
+    ).replace(
+        "FROM orders",
+        "FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderstatus <> 'P' "
+        "UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "o_totalprice * 2 AS o_totalprice FROM orders WHERE o_orderstatus = 'P')",
+    ),
+)
+
+
 def _zorder_lake(spark: SparkSession, sf_dir: str) -> str:
     """orders appended as one unclustered segment, then OPTIMIZE
     ZORDER'd by (o_custkey, o_orderkey) into 16 z-run segments with

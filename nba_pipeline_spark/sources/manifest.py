@@ -72,6 +72,7 @@ tombstones, sequence-scoped so later appends are never retro-masked;
 from __future__ import annotations
 
 import json
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -250,10 +251,18 @@ def _commit(
         for s in list(segments) + deletes:
             if s not in prior:
                 meta.setdefault(s, {}).setdefault("seq", version)
+        # commit timestamp, clamped STRICTLY increasing across versions
+        # (wall clocks jitter and sub-ms commits tie; AS OF needs ts
+        # order == version order — the Delta timestampAsOf adjustment)
+        ts = max(
+            time.time(),
+            (float(parent_m.get("ts", 0.0)) if parent_m else 0.0) + 1e-6,
+        )
         manifest = {
             "version": version,
             "parent": parent if versions else None,
             "op": op,
+            "ts": ts,
             "segments": segments,
             "tags": tags,
             "meta": meta,
@@ -313,6 +322,16 @@ def _provably_lt(a, b) -> bool:
         return False
     try:
         return a < b
+    except TypeError:
+        return False
+
+
+def _provably_le(a, b) -> bool:
+    """a <= b under the same provability contract as `_provably_lt`."""
+    if a is None or b is None or not _comparable(a, b):
+        return False
+    try:
+        return a <= b
     except TypeError:
         return False
 
@@ -510,6 +529,175 @@ def commit_replace(
     return _commit(
         spark, path, "replace", lambda parent: [seg], deletes_fn=lambda p: []
     )
+
+
+def _scope_pred(eq: dict | None, ranges: dict | None):
+    """The row-level predicate a replaceWhere scope denotes: AND of
+    null-safe equalities and inclusive BETWEENs. NULL range columns
+    fall outside the scope (SQL three-valued logic: a NULL o_year row
+    does not belong to `o_year BETWEEN lo AND hi`)."""
+    from pyspark.sql import functions as F
+
+    p = F.lit(True)
+    for c, v in (eq or {}).items():
+        p = p & F.col(c).eqNullSafe(F.lit(v))
+    for c, (lo, hi) in (ranges or {}).items():
+        p = p & F.coalesce(F.col(c).between(F.lit(lo), F.lit(hi)), F.lit(False))
+    return p
+
+
+def _provably_all_match(meta: dict, eq: dict | None, ranges: dict | None) -> bool:
+    """True when a segment's manifest metadata PROVES every row
+    satisfies the scope — the whole-segment-drop fast path of
+    `commit_replace_where`. Unprovable (missing tag/stats, type drift
+    between write-time tag and probe) means False: the segment falls
+    back to the always-sound row-level rewrite."""
+    part = meta.get("part", {})
+    for c, want in (eq or {}).items():
+        have, want_c = part.get(c), _json_safe(want)
+        if c not in part:
+            return False
+        if have is None or want_c is None:
+            if (have is None) != (want_c is None):
+                return False
+            continue
+        if not (_comparable(have, want_c) and have == want_c):
+            return False
+    stats = meta.get("stats", {})
+    for c, (lo, hi) in (ranges or {}).items():
+        if c not in stats:
+            return False
+        mn, mx = stats[c]
+        if not (_provably_le(_json_safe(lo), mn) and _provably_le(mx, _json_safe(hi))):
+            return False
+    return True
+
+
+def commit_replace_where(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    eq: dict | None = None,
+    ranges: dict | None = None,
+    partition_by: str | None = None,
+    target_files: int | None = None,
+    allow_nonmatching_rows: bool = False,
+    max_tries: int = 5,
+) -> int:
+    """Predicate-scoped overwrite (Delta's ``replaceWhere`` /
+    INSERT OVERWRITE ... WHERE): atomically swap the rows matching the
+    scope for `df`, leaving every row outside the scope untouched.
+
+    Scope = AND of `eq` ({col: value}, null-safe — a None value names
+    the NULL partition) and `ranges` ({col: (lo, hi)} inclusive).
+    Every row of `df` must satisfy the scope — rows outside it would
+    silently survive the NEXT replace of their own scope, so this
+    raises (Delta parity) unless ``allow_nonmatching_rows=True``
+    explicitly filters them out instead.
+
+    Segment handling is three-way, driver-side, from manifest metadata
+    alone:
+
+    - provably disjoint from the scope (partition tag mismatch, stats
+      range disjoint — the `_prune_segments` proof) -> transfers into
+      the new manifest BY NAME, zero data movement;
+    - provably all-matching (tag equality on every `eq` col, stats
+      fully inside every range) -> dropped wholesale, zero reads;
+    - anything else -> rewritten keeping only ``NOT scope`` rows. The
+      surviving rows are a subset, so the old tag/stats/bloom metadata
+      stays a SOUND (superset) bound and carries forward unchanged.
+
+    At 100 TB with date-partitioned segments, re-stating one day is
+    one dropped segment + one appended segment and a KB manifest swap —
+    the restatement pattern warehouses run nightly. `partition_by`
+    splits the incoming rows into one partition-tagged segment per
+    value (keeping a tagged lake tagged); the commit is a strict
+    parent CAS like MERGE (content depends on the base snapshot).
+    Pending merge-on-read tombstones must be compacted first."""
+    from pyspark.sql import functions as F
+
+    if not eq and not ranges:
+        raise ValueError("replace_where needs a scope: pass eq= and/or ranges=")
+    pred = _scope_pred(eq, ranges)
+    stray = df.filter(~F.coalesce(pred, F.lit(False))).limit(1).count()
+    if stray:
+        if allow_nonmatching_rows:
+            df = df.filter(pred)
+        else:
+            raise ValueError(
+                "replace_where: incoming rows fall outside the scope "
+                f"(eq={eq}, ranges={ranges}); fix the batch or pass "
+                "allow_nonmatching_rows=True to filter them"
+            )
+
+    last_err: Exception | None = None
+    for _ in range(max_tries):
+        base_version = current_version(spark, path)
+        untouched: list[str] = []
+        dropped: list[str] = []
+        rewrite: list[str] = []
+        meta: dict = {}
+        if base_version is not None:
+            m = _read_manifest(spark, path, base_version)
+            _require_no_tombstones(m, path, "commit_replace_where")
+            meta = m.get("meta", {})
+            might = set(_prune_segments(m, eq, ranges))
+            for s in m["segments"]:
+                if s not in might:
+                    untouched.append(s)
+                elif _provably_all_match(meta.get(s, {}), eq, ranges):
+                    dropped.append(s)
+                else:
+                    rewrite.append(s)
+        new_segs: dict[str, dict] = {}
+        for s in rewrite:
+            kept = _read_segments(spark, path, [s]).filter(
+                ~F.coalesce(pred, F.lit(False))
+            )
+            seg = _write_segment(kept, path, target_files)
+            # subset rows: old tag/stats/bloom remain sound superset
+            # bounds (seq is restamped by _commit for the new name)
+            new_segs[seg] = {
+                k: v for k, v in meta.get(s, {}).items() if k != "seq"
+            }
+        if partition_by is not None:
+            parts = [
+                _json_safe(r[partition_by])
+                for r in df.select(partition_by).distinct().collect()
+            ]
+            for p in parts:
+                seg = _write_segment(
+                    df.filter(F.col(partition_by).eqNullSafe(F.lit(p))),
+                    path,
+                    target_files,
+                )
+                new_segs[seg] = {"part": {partition_by: p}}
+        elif df.limit(1).count():
+            seg = _write_segment(df, path, target_files)
+            new_segs[seg] = {}
+
+        def _segments(parent):
+            return untouched + list(new_segs)
+
+        def _meta(parent, segments):
+            out = {s: meta[s] for s in untouched if s in meta}
+            out.update({s: sm for s, sm in new_segs.items() if sm})
+            return out
+
+        try:
+            return _commit(
+                spark,
+                path,
+                "replace_where",
+                _segments,
+                expected_parent=base_version or 0,
+                meta_fn=_meta,
+            )
+        except CommitConflict as e:
+            last_err = e
+    raise RuntimeError(
+        f"commit_replace_where lost the snapshot race {max_tries} times: {path}"
+    ) from last_err
 
 
 def _appends_since(
@@ -1007,6 +1195,7 @@ def read_snapshot(
     part_eq: dict | None = None,
     ranges: dict | None = None,
     bloom_eq: dict | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """The table AS OF `version` (default: latest). One manifest read,
     then a plain multi-dir parquet scan — pushdown/pruning intact.
@@ -1021,7 +1210,15 @@ def read_snapshot(
     BEFORE Spark lists any file (driver-side skipping); they are hints
     only — rows from kept segments are NOT re-filtered, so apply the
     same predicate in the plan too (Catalyst then also pushes it into
-    the surviving scans)."""
+    the surviving scans).
+
+    `as_of_ts` (epoch seconds) is timestamp time travel — resolved to
+    the newest commit at-or-before that instant via
+    `version_as_of_timestamp`; mutually exclusive with `version`."""
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = version_as_of_timestamp(spark, path, as_of_ts)
     versions = _manifest_versions(spark, path)
     if not versions:
         raise ValueError(f"no committed manifest under {path}")
@@ -1685,6 +1882,56 @@ def feed_to_lake_sink(spark: SparkSession, dst_path: str, target_files: int | No
 def current_version(spark: SparkSession, path: str) -> int | None:
     versions = _manifest_versions(spark, path)
     return versions[-1] if versions else None
+
+
+def version_as_of_timestamp(spark: SparkSession, path: str, ts: float) -> int:
+    """The newest version whose commit timestamp is <= `ts` (epoch
+    seconds) — Delta's ``timestampAsOf`` resolution. Commit timestamps
+    are clamped monotone at write time, so a linear scan over the
+    retained manifests (KB-sized JSON each) is exact. Raises when `ts`
+    predates the oldest RETAINED commit: vacuum may have dropped the
+    manifest that covered it, and silently answering with a later
+    snapshot would misattribute history."""
+    versions = _manifest_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no committed manifest under {path}")
+    best: int | None = None
+    for v in versions:
+        m_ts = float(_read_manifest(spark, path, v).get("ts", 0.0))
+        if m_ts <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the oldest retained commit of {path} "
+            f"(v{versions[0]}); the covering manifest may have been vacuumed"
+        )
+    return best
+
+
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per retained commit — version, parent,
+    op, commit timestamp, live segment/tombstone counts. Driver-side
+    over the KB manifests (never data-scale), returned as a DataFrame
+    so it composes with SQL like any table."""
+    versions = _manifest_versions(spark, path)
+    rows = []
+    for v in versions:
+        m = _read_manifest(spark, path, v)
+        rows.append(
+            (
+                v,
+                m.get("parent"),
+                str(m.get("op", "")),
+                float(m.get("ts", 0.0)),
+                len(m.get("segments", [])),
+                len(m.get("deletes", [])),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, parent int, op string, ts double, "
+        "n_segments int, n_tombstones int",
+    )
 
 
 def vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> int:

@@ -1097,3 +1097,155 @@ def test_cluster_rejects_non_numeric_and_overwide(spark, tmp_path):
         M.cluster(spark, lake, ["id", "t"])
     with pytest.raises(ValueError, match="62"):
         M.cluster(spark, lake, ["id"], bits_per_col=63)
+
+
+def test_replace_where_partition_scope_zero_movement(spark, tmp_path):
+    """Partition-tagged lake: replace one partition's rows. The scoped
+    segment drops wholesale, every other segment transfers BY NAME
+    (zero data movement), and the table equals untouched + new rows."""
+    lake = str(tmp_path / "lake")
+    for grp in ("a", "b", "c"):
+        M.commit_append(
+            spark, lake,
+            spark.createDataFrame(
+                [(grp, i, i * 10) for i in range(4)], "grp string, id int, v int"
+            ),
+            partition={"grp": grp},
+        )
+    before = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    keep_names = {
+        s for s in before["segments"]
+        if before["meta"][s]["part"]["grp"] != "b"
+    }
+    new_b = spark.createDataFrame(
+        [("b", 99, 1)], "grp string, id int, v int"
+    )
+    v = M.commit_replace_where(
+        spark, lake, new_b, eq={"grp": "b"}, partition_by="grp"
+    )
+    after = M._read_manifest(spark, lake, v)
+    assert after["op"] == "replace_where"
+    assert keep_names < set(after["segments"]), "untouched segments must transfer by name"
+    assert len(after["segments"]) == 3  # a, c untouched + 1 new b
+    got = {(r["grp"], r["id"], r["v"]) for r in M.read_snapshot(spark, lake).collect()}
+    want = {(g, i, i * 10) for g in ("a", "c") for i in range(4)} | {("b", 99, 1)}
+    assert got == want
+    # the new segment stays partition-tagged: a later scoped op still prunes
+    assert len(M.resolve_segments(spark, lake, part_eq={"grp": "b"})) == 1
+
+
+def test_replace_where_range_scope_three_way(spark, tmp_path):
+    """Stats-range scope classifies segments three ways: provably
+    inside -> dropped unread, provably disjoint -> transferred by name,
+    overlapping -> rewritten keeping only out-of-scope rows (and the
+    rewritten segment carries the old stats forward as a sound bound)."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 10), stats_cols=["id"])      # disjoint
+    M.commit_append(spark, lake, _mk(spark, 20, 30), stats_cols=["id"])    # inside
+    M.commit_append(spark, lake, _mk(spark, 28, 40), stats_cols=["id"])    # overlap
+    before = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    seg_disjoint, seg_inside, seg_overlap = before["segments"]
+    repl = spark.createDataFrame([(25, "new")], "id int, t string")
+    v = M.commit_replace_where(spark, lake, repl, ranges={"id": (15, 34)})
+    after = M._read_manifest(spark, lake, v)
+    assert seg_disjoint in after["segments"]
+    assert seg_inside not in after["segments"]
+    assert seg_overlap not in after["segments"]
+    got = _rows(M.read_snapshot(spark, lake))
+    want = (
+        {(i, f"d{i}") for i in range(0, 10)}
+        | {(i, f"d{i}") for i in range(35, 40)}
+        | {(25, "new")}
+    )
+    assert got == want
+    # rewritten segment kept stats: a probe above the old max still prunes it
+    rewritten = [
+        s for s in after["segments"]
+        if s != seg_disjoint and after["meta"].get(s, {}).get("stats")
+    ]
+    assert rewritten, "rewrite must carry stats forward"
+    assert all(
+        s not in M.resolve_segments(spark, lake, ranges={"id": (50, 60)})
+        for s in rewritten
+    )
+
+
+def test_replace_where_enforces_scope_on_input(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 10), stats_cols=["id"])
+    stray = spark.createDataFrame([(5, "x"), (50, "stray")], "id int, t string")
+    with pytest.raises(ValueError, match="outside the scope"):
+        M.commit_replace_where(spark, lake, stray, ranges={"id": (0, 9)})
+    # escape hatch filters instead of raising
+    M.commit_replace_where(
+        spark, lake, stray, ranges={"id": (4, 6)}, allow_nonmatching_rows=True
+    )
+    got = _rows(M.read_snapshot(spark, lake))
+    assert got == {(i, f"d{i}") for i in range(10) if not 4 <= i <= 6} | {(5, "x")}
+    with pytest.raises(ValueError, match="needs a scope"):
+        M.commit_replace_where(spark, lake, stray)
+
+
+def test_replace_where_null_partition_and_tombstone_guard(spark, tmp_path):
+    """eq={col: None} names the NULL partition; pending MoR tombstones
+    refuse the op (compact first)."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame([(None, 1)], "grp string, id int"),
+        partition={"grp": None},
+    )
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame([("a", 2)], "grp string, id int"),
+        partition={"grp": "a"},
+    )
+    v = M.commit_replace_where(
+        spark, lake,
+        spark.createDataFrame([(None, 9)], "grp string, id int"),
+        eq={"grp": None},
+    )
+    got = {(r["grp"], r["id"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {(None, 9), ("a", 2)}
+    m = M._read_manifest(spark, lake, v)
+    assert m["op"] == "replace_where"
+    M.commit_delete_mor(
+        spark, lake, spark.createDataFrame([(2,)], "id int"), ["id"]
+    )
+    with pytest.raises(ValueError, match="tombstone"):
+        M.commit_replace_where(
+            spark, lake,
+            spark.createDataFrame([("a", 3)], "grp string, id int"),
+            eq={"grp": "a"},
+        )
+
+
+def test_timestamp_time_travel_and_history(spark, tmp_path):
+    """AS OF timestamp resolves to the newest commit at-or-before the
+    instant (monotone-clamped commit clocks); history() lists every
+    retained commit with op + counts."""
+    import time as _t
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 4))
+    t_between = _t.time()
+    _t.sleep(0.01)
+    M.commit_append(spark, lake, _mk(spark, 4, 8))
+
+    assert M.version_as_of_timestamp(spark, lake, t_between) == 1
+    assert M.version_as_of_timestamp(spark, lake, _t.time()) == 2
+    assert _rows(M.read_snapshot(spark, lake, as_of_ts=t_between)) == _rows(
+        _mk(spark, 0, 4)
+    )
+    # predating the oldest retained commit is an error, not a guess
+    with pytest.raises(ValueError, match="predates"):
+        M.version_as_of_timestamp(spark, lake, t_between - 1e6)
+    with pytest.raises(ValueError, match="not both"):
+        M.read_snapshot(spark, lake, version=1, as_of_ts=t_between)
+
+    h = {r["version"]: r for r in M.history(spark, lake).collect()}
+    assert set(h) == {1, 2}
+    assert h[1]["op"] == "append" and h[1]["parent"] is None
+    assert h[2]["op"] == "append" and h[2]["parent"] == 1
+    assert h[2]["n_segments"] == 2 and h[2]["n_tombstones"] == 0
+    assert h[1]["ts"] <= h[2]["ts"]
