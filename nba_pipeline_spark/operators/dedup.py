@@ -1186,3 +1186,92 @@ def shingle_partitioned_containment_pairs(
         .filter(F.col("containment_bp") >= threshold_bp)
         .select("id_a", "id_b", "n_common", "containment_bp")
     )
+
+
+def dedup_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN removal — the exact-substring
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (arXiv:2107.06499), re-expressed as sliding k-token
+    windows instead of a suffix array: every k-token window whose exact
+    text occurs at another (doc, pos) keeps only its GLOBAL FIRST
+    occurrence (min (id, pos)); all other occurrences mark their k
+    token positions covered, and each document is reassembled from its
+    uncovered tokens. Returns (id, text_clean, n_removed).
+
+    Distributed shape (the suffix-array equivalent Spark can run):
+    - window extraction is one narrow pass of array HOFs per row
+      (slice/array_join over the token array — no Python, no shuffle);
+    - the canonical-occurrence reduction is a groupBy on the window
+      text with a map-side-combinable min(struct(id, pos)) — hot
+      boilerplate windows collapse in the combiner, so skew never
+      concentrates rows;
+    - occurrences join canon back on the window key (1 row per key on
+      the build side; AQE splits residual skew), explode to covered
+      positions, and ONE per-doc collect_set feeds the rebuild — an
+      indexed array filter, again narrow.
+    Total shuffle volume is O(total windows) ≈ O(corpus tokens), the
+    floor for exact substring matching without a global suffix sort.
+
+    NULL/short texts: tokens coalesce to empty — a doc shorter than k
+    tokens has no windows and passes through intact (n_removed = 0).
+    """
+    toks = F.coalesce(
+        tokenize(F.col(text_col)), F.array().cast("array<string>")
+    )
+    staged = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    n = F.size("__toks")
+    starts = F.when(
+        n >= k, F.sequence(F.lit(1), n - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    occ = staged.select(
+        "__id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    (i - 1).alias("pos"),
+                    F.array_join(F.slice(F.col("__toks"), i, k), " ").alias("w"),
+                ),
+            )
+        ).alias("s"),
+    ).select("__id", F.col("s.pos").alias("pos"), F.col("s.w").alias("w"))
+    canon = occ.groupBy("w").agg(
+        F.min(F.struct(F.col("__id"), F.col("pos"))).alias("first")
+    )
+    covered = (
+        occ.join(canon, "w")
+        .filter(
+            ~(
+                (F.col("__id") == F.col("first.__id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select(
+            "__id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cp"),
+        )
+        .groupBy("__id")
+        .agg(F.collect_set("cp").alias("__cov"))
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: F.col("__cov").isNull() | ~F.array_contains("__cov", s["i"]),
+    )
+    return (
+        staged.join(covered, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
+                "text_clean"
+            ),
+            F.coalesce(F.size("__cov"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )

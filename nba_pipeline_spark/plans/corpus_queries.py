@@ -958,3 +958,71 @@ def _recipe_oracle() -> str:
 
 
 register("q_data_recipe", q_data_recipe, _recipe_oracle())
+
+
+SPAN_DEDUP_K = 8
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document duplicated-span removal (operators/dedup.py::
+    dedup_duplicated_spans) — the exact-substring dedup of Lee et al.
+    2107.06499 as sliding 8-token windows: only the global first
+    occurrence of each duplicated window survives; every other
+    occurrence's span is cut and the documents reassembled.
+    q_intradoc_dedup removes repetition WITHIN a doc; this removes the
+    boilerplate shared ACROSS docs (licence headers, templates) that
+    MinHash-level dedup keeps because the documents differ overall.
+
+    Scale shape: shuffle volume is O(corpus tokens) — one
+    map-side-combinable min-reduction over window text, one join back,
+    one per-doc set — the distributed floor for exact substring
+    matching (the suffix-array pass of the paper, without a global
+    sort)."""
+    from ..operators.dedup import dedup_duplicated_spans
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_duplicated_spans(
+        docs, id_col="doc_id", text_col="text", k=SPAN_DEDUP_K
+    )
+
+
+register(
+    "q_dedup_spans",
+    q_dedup_spans,
+    f"""
+    WITH arr AS (
+      SELECT doc_id, COALESCE({_DUCK_TOKS}, []) AS ts FROM documents),
+    occ AS (
+      SELECT doc_id, s.pos AS pos, s.w AS w FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ts) < {SPAN_DEDUP_K} THEN []
+                           ELSE list_transform(range(1, len(ts) - {SPAN_DEDUP_K} + 2),
+                                i -> struct_pack(pos := i - 1,
+                                     w := array_to_string(ts[i:i+{SPAN_DEDUP_K}-1], ' ')))
+                      END) AS s
+        FROM arr)),
+    ranked AS (
+      SELECT doc_id, pos, w,
+             row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+      FROM occ),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + {SPAN_DEDUP_K})) AS cp
+      FROM ranked WHERE rn > 1),
+    toks AS (
+      SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tok
+      FROM arr),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cp
+      WHERE c.cp IS NULL),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id),
+    ncov AS (
+      SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY doc_id)
+    SELECT a.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+           CAST(COALESCE(n.n_removed, 0) AS BIGINT) AS n_removed
+    FROM arr a LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN ncov n USING (doc_id)
+    """,
+)

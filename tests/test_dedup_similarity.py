@@ -938,3 +938,38 @@ def test_ivf_quantized_index_prunes_segments(spark, tmp_path):
     assert [(r["vec_id"], r["sim"]) for r in got] == [
         (r["vec_id"], r["sim"]) for r in truth
     ]
+
+
+def test_dedup_duplicated_spans_semantics(spark):
+    """Exact-substring span dedup: the global first occurrence (min
+    (id, pos)) survives, every other occurrence's k-token cover is cut,
+    overlapping duplicated windows merge their covers, and short/NULL
+    docs pass through intact."""
+    from nba_pipeline_spark.operators.dedup import dedup_duplicated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail one"),
+            (2, "prefix a b c d e f g h tail two"),  # shares a 9-token run
+            (3, "a b c d e f g h"),                   # exactly one dup window
+            (4, None),
+            (5, "short text"),
+            (6, "x " * 7 + "y"),                      # 8 tokens, unique window
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_duplicated_spans(df, k=8).collect()}
+    assert len(out) == 6
+    # doc 1 is the canonical first occurrence: untouched
+    assert out[1]["text_clean"] == "a b c d e f g h tail one"
+    assert out[1]["n_removed"] == 0
+    # doc 2: windows (a..h)@1 and (b..tail)@2 both duplicated -> cover 1..9
+    assert out[2]["text_clean"] == "prefix two"
+    assert out[2]["n_removed"] == 9
+    # doc 3: its only window duplicates doc 1's -> whole doc removed
+    assert out[3]["text_clean"] == ""
+    assert out[3]["n_removed"] == 8
+    # NULL and sub-k docs survive untouched
+    assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 0
+    assert out[5]["text_clean"] == "short text" and out[5]["n_removed"] == 0
+    assert out[6]["n_removed"] == 0
