@@ -74,6 +74,14 @@ HEADLINE = [
     "q_stream_token_tally",
     "q_ann_quantized",
     "q_manifest_diff",
+    # round-6 session additions (segment-skipping MERGE + row deletes +
+    # z-order clustering + replaceWhere on the lake; IVF-PQ rerank ANN;
+    # cross-doc exact-substring span dedup)
+    "q_manifest_merge_pruned",
+    "q_manifest_replace_where",
+    "q_manifest_zorder",
+    "q_ann_ivf_quantized",
+    "q_dedup_spans",
 ]
 
 

@@ -258,6 +258,9 @@ def test_single_partition_only_on_bounded_frames(spark):
         "q_expectations", "q_expectations_quarantine",
         # one-partition-of-one-segment global aggregates (pruned reads)
         "q_manifest_pruned_read", "q_manifest_bloom_read",
+        # z-order range probe -> global 3-column aggregate (O(1) rows
+        # cross the exchange after partial agg on the pruned segments)
+        "q_manifest_zorder",
         # windows over bounded pools/buckets: top-50 RRF pools, value
         # buckets (|buckets| rows), hourly resample grid
         "q_bm25_topk", "q_hybrid_rrf", "q_skyline", "q_resample_1h",
