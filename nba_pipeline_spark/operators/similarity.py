@@ -528,6 +528,52 @@ def build_ivf_quantized_index(
         )
 
 
+def update_ivf_quantized_index(
+    spark,
+    emb_delta: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids_path: str,
+    codes_path: str,
+) -> int:
+    """INCREMENTAL maintenance of the persisted IVF-PQ index: fold a
+    batch of new/re-embedded vectors into the codes lake without a
+    rebuild. Assignment against the EXISTING centroids (read once from
+    the centroids lake, broadcast as literals — the IVF contract:
+    centroids move only on retrain), int8 codes per row, then ONE
+    partition-scoped MERGE (`commit_upsert_partitioned`) that rewrites
+    only the cells the batch touches and regenerates their id blooms —
+    point lookups keep pruning after maintenance. Untouched cell
+    segments transfer by name: at 100 TB an ingest batch touching 3 of
+    4096 cells rewrites 3 segments and a KB manifest.
+
+    A re-embedded vector that MOVES cells is refused by the MERGE's
+    key-stability check (its stale row would survive in the old cell);
+    delete it first or retrain. Returns the committed version."""
+    from ..sources import manifest as M
+
+    centroids = M.read_snapshot(spark, centroids_path).select("cid", "cv")
+    e = emb_delta.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    assigned = assign_cells(e, centroids, id_col)
+    codes, scale = int8_codes(F.col("v"))
+    change_rows = assigned.select(
+        F.col(id_col),
+        F.col("cid"),
+        scale.alias("s"),
+        codes.alias("codes"),
+        F.lit(1).alias("__ver"),
+    )
+    return M.commit_upsert_partitioned(
+        spark,
+        codes_path,
+        change_rows,
+        keys=[id_col],
+        version_col="__ver",
+        part_col="cid",
+        bloom_cols=[id_col],
+    )
+
+
 def ivf_quantized_topk(
     spark,
     emb: DataFrame,

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, to_double_array
 from ..operators import similarity as SIM
 from ..sources import load_table
+from ..sources import manifest as M
 from ..session import tune
 from .queries import register
 
@@ -682,10 +683,10 @@ def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "q_ann_ivf_quantized",
-    q_ann_ivf_quantized,
-    f"""
+# shared by the full-build and incremental-maintenance queries: the
+# incremental path converges to the identical index state (same
+# centroids, per-cell merged codes), so one exact oracle covers both
+_IVFQ_ORACLE = f"""
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
@@ -717,5 +718,92 @@ register(
     rr AS (SELECT vec_id, ROUND(list_cosine_similarity(v, qvv), 6) AS sim6 FROM pool)
     SELECT vec_id, ROUND(sim6, 4) AS sim FROM rr
     ORDER BY sim6 DESC NULLS LAST, vec_id ASC LIMIT {TOP_K}
-    """,
+    """
+
+
+register(
+    "q_ann_ivf_quantized",
+    q_ann_ivf_quantized,
+    _IVFQ_ORACLE,
+)
+
+
+IVFQ_SPLIT = 250
+
+
+def _ivfq_incr_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Index built on vec_id < IVFQ_SPLIT, then INCREMENTALLY folded
+    forward with the rest (operators/similarity.py::
+    update_ivf_quantized_index). Centroids are the first N_CELLS ids,
+    all < IVFQ_SPLIT, so the final state is bit-identical to a full
+    rebuild — which is exactly what the oracle replays."""
+    from .relational_queries import _stage_dir
+
+    root = _stage_dir(sf_dir, "embeddings", "ivfq_incr")
+    centroids_path = f"{root}/centroids"
+    codes_path = f"{root}/codes"
+
+    import os
+    import shutil
+
+    marker = os.path.join(root, "_STAGE_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        SIM.build_ivf_quantized_index(
+            spark,
+            emb.filter(F.col("vec_id") < IVFQ_SPLIT),
+            "vec_id",
+            "embedding",
+            N_CELLS,
+            centroids_path,
+            codes_path,
+        )
+        SIM.update_ivf_quantized_index(
+            spark,
+            emb.filter(F.col("vec_id") >= IVFQ_SPLIT),
+            "vec_id",
+            "embedding",
+            centroids_path,
+            codes_path,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return centroids_path, codes_path
+
+
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance (operators/similarity.py::
+    update_ivf_quantized_index): the codes lake is built on half the
+    corpus and folded forward with the rest via ONE partition-scoped
+    MERGE that rewrites only touched cells and REGENERATES their id
+    blooms — the search that follows is byte-for-byte the full-rebuild
+    search (same centroids by construction), so the oracle is the exact
+    full-index SQL, no recall pin. Asserted here: every live cell
+    segment still carries a bloom after maintenance (point lookups keep
+    pruning — the metadata-freshness property compaction-style rewrites
+    usually lose). At 100 TB this is ingest-rate index maintenance:
+    touched cells only, KB manifest CAS, readers snapshot-isolated."""
+    tune(spark)
+    centroids_path, codes_path = _ivfq_incr_index(spark, sf_dir)
+    m = M._read_manifest(spark, codes_path, M.current_version(spark, codes_path))
+    for s in m["segments"]:
+        assert "bloom" in m["meta"].get(s, {}), f"segment {s} lost its bloom"
+    return SIM.ivf_quantized_topk(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        QUERY_ID,
+        TOP_K,
+        centroids_path,
+        codes_path,
+        pool=RERANK_POOL,
+    )
+
+
+register(
+    "q_ann_ivf_incremental",
+    q_ann_ivf_incremental,
+    _IVFQ_ORACLE,
 )

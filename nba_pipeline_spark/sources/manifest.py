@@ -1244,6 +1244,7 @@ def commit_upsert(
     target_files: int | None = None,
     max_tries: int = 5,
     allow_untag: bool = False,
+    tag: str | None = None,
 ) -> int:
     """MERGE (SCD1 last-writer-wins upsert) into the manifest lake:
     read the current snapshot, fold `changes` with
@@ -1302,6 +1303,7 @@ def commit_upsert(
                 lambda parent: [seg],
                 expected_parent=base_version or 0,
                 deletes_fn=lambda p: [],
+                tag=tag,
             )
         except CommitConflict as e:
             last_err = e  # re-read the moved snapshot and re-merge
@@ -1320,6 +1322,8 @@ def commit_upsert_partitioned(
     target_files: int | None = None,
     max_tries: int = 5,
     check_stable_partitions: bool = True,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Fact-scale MERGE: rewrite ONLY the partitions the changes touch.
     Requires every current segment to carry ``part`` metadata for
@@ -1402,12 +1406,22 @@ def commit_upsert_partitioned(
         merged = merged.localCheckpoint(eager=True)  # read before any delete
         new_segs: dict[str, dict] = {}
         for p in parts:
-            seg = _write_segment(  # eqNullSafe: NULL is a valid partition
-                merged.filter(F.col(part_col).eqNullSafe(F.lit(p))),
-                path,
-                target_files,
+            part_df = merged.filter(  # eqNullSafe: NULL is a valid partition
+                F.col(part_col).eqNullSafe(F.lit(p))
             )
-            new_segs[seg] = {"part": {part_col: p}}
+            seg = _write_segment(part_df, path, target_files)
+            seg_meta: dict = {"part": {part_col: p}}
+            # regenerate skipping metadata on the rewritten partitions
+            # (index-maintenance callers keep blooms/stats fresh so
+            # point lookups survive MERGE, like compact's stats_cols)
+            if stats_cols:
+                seg_meta["stats"] = _segment_stats(part_df, stats_cols)
+            if bloom_cols:
+                blooms = {c: _segment_bloom(part_df, c) for c in bloom_cols}
+                blooms = {c: b for c, b in blooms.items() if b is not None}
+                if blooms:
+                    seg_meta["bloom"] = blooms
+            new_segs[seg] = seg_meta
 
         def _segments(parent):
             return untouched + list(new_segs)
@@ -1714,6 +1728,46 @@ def manifest_append_sink(path: str, target_files: int | None = None):
         if tag in committed_tags(spark, path):
             return  # replay of an already-committed batch
         commit_append(spark, path, batch_df, target_files=target_files, tag=tag)
+
+    return _apply
+
+
+def manifest_upsert_sink(
+    path: str,
+    keys: list[str],
+    version_col: str,
+    target_files: int | None = None,
+):
+    """foreachBatch function: EXACTLY-ONCE streaming MERGE into the
+    manifest lake — the CDC-apply sink. Each micro-batch of change rows
+    folds into the table via `commit_upsert` (SCD1 last-writer-wins on
+    `keys` by `version_col`) in ONE atomic manifest version tagged
+    ``upsert_batch=<id>``; a replayed batch (at-least-once delivery
+    after a crash between commit and checkpoint write) is skipped by
+    the cumulative tag set — and even a replay that races past the
+    pre-check is absorbed inside the commit CAS, whose tag check runs
+    on the freshly-read parent.
+
+    This completes the streaming story: `manifest_append_sink` for
+    insert-only feeds, this for keyed CDC streams (Debezium-shaped
+    upserts), `feed_to_lake_sink` for lake→lake replication. Downstream
+    readers always see a consistent keyed snapshot; `read_feed`
+    consumers see each batch as one version delta."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"upsert_batch={batch_id}"
+        if tag in committed_tags(spark, path):
+            return  # replay of an already-committed batch
+        commit_upsert(
+            spark,
+            path,
+            batch_df,
+            keys,
+            version_col,
+            target_files=target_files,
+            tag=tag,
+        )
 
     return _apply
 

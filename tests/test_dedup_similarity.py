@@ -973,3 +973,56 @@ def test_dedup_duplicated_spans_semantics(spark):
     assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 0
     assert out[5]["text_clean"] == "short text" and out[5]["n_removed"] == 0
     assert out[6]["n_removed"] == 0
+
+
+def test_update_ivf_quantized_index_incremental(spark, tmp_path):
+    """Incremental IVF-PQ maintenance: a delta touching one cell
+    rewrites only that cell's segment (the other transfers BY NAME,
+    bloom intact), regenerates the touched cell's bloom, converges to
+    the full-rebuild state, and refuses a cell-moving re-embed."""
+    import pytest as _pt
+
+    from nba_pipeline_spark.operators import similarity as SIM
+    from nba_pipeline_spark.sources import manifest as M
+
+    def emb(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # ids 0/1 are the centroids (first 2 by id), one per cluster
+    base = emb([
+        (0, [10.0, 0.0]), (1, [0.0, 10.0]),
+        (2, [9.0, 1.0]), (3, [1.0, 9.0]),
+    ])
+    delta = emb([(4, [0.5, 8.0]), (5, [1.5, 9.5])])  # cluster of id 1 only
+
+    c_inc, k_inc = str(tmp_path / "c_inc"), str(tmp_path / "k_inc")
+    SIM.build_ivf_quantized_index(spark, base, "vec_id", "embedding", 2, c_inc, k_inc)
+    before = M._read_manifest(spark, k_inc, M.current_version(spark, k_inc))
+    cell0_seg = [
+        s for s in before["segments"] if before["meta"][s]["part"]["cid"] == 0
+    ]
+    SIM.update_ivf_quantized_index(spark, delta, "vec_id", "embedding", c_inc, k_inc)
+    after = M._read_manifest(spark, k_inc, M.current_version(spark, k_inc))
+    assert set(cell0_seg) < set(after["segments"]), "untouched cell must transfer by name"
+    for s in after["segments"]:
+        assert "bloom" in after["meta"].get(s, {}), "every cell keeps a bloom"
+
+    # convergence: incremental state == full rebuild over base+delta
+    c_full, k_full = str(tmp_path / "c_full"), str(tmp_path / "k_full")
+    SIM.build_ivf_quantized_index(
+        spark, base.unionByName(delta), "vec_id", "embedding", 2, c_full, k_full
+    )
+    inc = {
+        (r["vec_id"], r["cid"], tuple(r["codes"]))
+        for r in M.read_snapshot(spark, k_inc).collect()
+    }
+    full = {
+        (r["vec_id"], r["cid"], tuple(r["codes"]))
+        for r in M.read_snapshot(spark, k_full).collect()
+    }
+    assert inc == full
+
+    # a re-embed that moves id 2 into the other cell is refused
+    mover = emb([(2, [0.0, 9.9])])
+    with _pt.raises(ValueError, match="key-stability"):
+        SIM.update_ivf_quantized_index(spark, mover, "vec_id", "embedding", c_inc, k_inc)

@@ -1249,3 +1249,61 @@ def test_timestamp_time_travel_and_history(spark, tmp_path):
     assert h[2]["op"] == "append" and h[2]["parent"] == 1
     assert h[2]["n_segments"] == 2 and h[2]["n_tombstones"] == 0
     assert h[1]["ts"] <= h[2]["ts"]
+
+
+def test_manifest_upsert_sink_exactly_once_cdc(spark, tmp_path):
+    """Streaming CDC MERGE into the lake: keyed change batches fold via
+    last-writer-wins upsert, each batch one atomic version; a full
+    replay (fresh checkpoint, same batch ids) skips on tags — the table
+    stays the keyed SCD1 snapshot, never doubled."""
+    import os
+    import shutil
+
+    lake = str(tmp_path / "lake")
+    src = str(tmp_path / "cdc")
+    os.makedirs(src)
+    # batch 0 inserts k1/k2 (k1 twice: version decides WITHIN a batch);
+    # batch 1 updates k1 + inserts k3; batch 2 updates k2 (arrival
+    # order decides ACROSS batches — the changelog contract)
+    batches = [
+        [(1, "v1-old", 5), (1, "v1a", 10), (2, "v2a", 10)],
+        [(1, "v1b", 20), (3, "v3a", 20)],
+        [(2, "v2b", 30)],
+    ]
+    for i, rows in enumerate(batches):
+        sub = f"{src}/w{i}"
+        spark.createDataFrame(rows, "k int, val string, ver int").coalesce(1).write.parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(f"{sub}/{part}", f"{src}/{i:03d}.parquet")
+        shutil.rmtree(sub)
+        os.utime(f"{src}/{i:03d}.parquet", (1000 + i, 1000 + i))
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("k int, val string, ver int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                M.manifest_upsert_sink(lake, keys=["k"], version_col="ver")
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    assert M.current_version(spark, lake) == 3
+    # merge_upsert drops version_col: the table is the keyed snapshot
+    got = {(r["k"], r["val"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {(1, "v1b"), (2, "v2b"), (3, "v3a")}
+    assert M.committed_tags(spark, lake) == {
+        "upsert_batch=0", "upsert_batch=1", "upsert_batch=2"
+    }
+
+    drain("ckpt2")  # replay: zero new versions, identical snapshot
+    assert M.current_version(spark, lake) == 3
+    got2 = {(r["k"], r["val"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got2 == got
