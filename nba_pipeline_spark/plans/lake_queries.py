@@ -655,18 +655,15 @@ def _replace_where_lake(spark: SparkSession, sf_dir: str) -> str:
     """orders appended as three o_orderstatus-tagged partitions, then
     the 'P' partition re-stated via replace_where with doubled
     totalprice (exact: double*2 is an exponent bump, cross-engine)."""
-    lake = _stage_dir(sf_dir, "orders", "manifest_replace_where")
+    lake = _stage_dir(sf_dir, "orders", "manifest_replace_where_v2")
 
     def build():
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
         )
-        for st in ("O", "F", "P"):
-            M.commit_append(
-                spark, lake,
-                orders.filter(F.col("o_orderstatus") == st),
-                partition={"o_orderstatus": st},
-            )
+        # one ATOMIC commit, one tagged segment per status (the
+        # multi-partition append readers can never observe partially)
+        M.commit_append_partitioned(spark, lake, orders, "o_orderstatus")
         repl = orders.filter(F.col("o_orderstatus") == "P").withColumn(
             "o_totalprice", F.col("o_totalprice") * 2
         )
@@ -690,7 +687,7 @@ def q_manifest_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition stays tagged, so scoped reads keep pruning (asserted)."""
     tune(spark)
     lake = _replace_where_lake(spark, sf_dir)
-    before = M._read_manifest(spark, lake, 3)  # last append
+    before = M._read_manifest(spark, lake, 1)  # the atomic 3-way append
     after = M._read_manifest(spark, lake, M.current_version(spark, lake))
     untouched = {
         s for s in before["segments"]

@@ -519,6 +519,61 @@ def commit_append(
     )
 
 
+def commit_append_partitioned(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    part_col: str,
+    target_files: int | None = None,
+    tag: str | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> int:
+    """Append `df` as ONE atomic commit carrying one partition-tagged
+    segment per distinct `part_col` value (NULL is a valid partition).
+    The multi-segment twin of `commit_append(partition=...)`: callers
+    previously looped one commit per value, which exposes readers to
+    partial states between loop iterations and burns a manifest CAS per
+    partition — here the batch lands all-or-nothing in a single
+    version, ready for partition-scoped MERGE / replaceWhere / pruning.
+    The distinct-value job is O(partitions in the batch) driver-side
+    metadata, batch-sized by premise (a 100 TB daily load appends a
+    handful of date partitions)."""
+    from pyspark.sql import functions as F
+
+    parts = [
+        _json_safe(r[part_col]) for r in df.select(part_col).distinct().collect()
+    ]
+    new_segs: dict[str, dict] = {}
+    for p in parts:
+        part_df = df.filter(F.col(part_col).eqNullSafe(F.lit(p)))
+        seg = _write_segment(part_df, path, target_files)
+        seg_meta: dict = {"part": {part_col: p}}
+        if stats_cols:
+            seg_meta["stats"] = _segment_stats(part_df, stats_cols)
+        if bloom_cols:
+            blooms = {c: _segment_bloom(part_df, c) for c in bloom_cols}
+            blooms = {c: b for c, b in blooms.items() if b is not None}
+            if blooms:
+                seg_meta["bloom"] = blooms
+        new_segs[seg] = seg_meta
+
+    def meta_fn(parent, segments):
+        pm = dict(parent.get("meta", {})) if parent else {}
+        out = {s: pm[s] for s in segments if s in pm}
+        out.update(new_segs)
+        return out
+
+    return _commit(
+        spark,
+        path,
+        "append",
+        lambda parent: (parent["segments"] if parent else []) + list(new_segs),
+        tag=tag,
+        meta_fn=meta_fn,
+    )
+
+
 def commit_replace(
     spark: SparkSession, path: str, df: DataFrame, target_files: int | None = None
 ) -> int:
@@ -1988,16 +2043,30 @@ def history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> int:
-    """Drop manifests older than the newest `keep_versions` and delete
-    every data segment no retained manifest references — including
-    orphans from crashed writers. Returns segments deleted. Run only
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 2,
+    older_than_ts: float | None = None,
+) -> int:
+    """Drop expired manifests and delete every data segment no retained
+    manifest references — including orphans from crashed writers.
+    Returns segments deleted. Retention is the UNION of two guards:
+    the newest `keep_versions` versions, plus (when `older_than_ts` is
+    given) every version committed at-or-after that epoch timestamp —
+    the Delta ``RETAIN n HOURS`` contract, now that commits carry
+    monotone clocks. Timestamp time travel (`as_of_ts`) keeps working
+    for any instant at-or-after the oldest retained commit. Run only
     when no reader can be pinned to an expired version (the usual
     table-format retention contract)."""
     versions = _manifest_versions(spark, path)
     if not versions:
         return 0
-    keep = versions[-keep_versions:]
+    keep = set(versions[-keep_versions:])
+    if older_than_ts is not None:
+        for v in versions:
+            if float(_read_manifest(spark, path, v).get("ts", 0.0)) >= older_than_ts:
+                keep.add(v)
     fs, _ = _fs(spark, path)
     live: set[str] = set()
     ever_committed: set[str] = set()  # referenced by ANY manifest, incl. expired

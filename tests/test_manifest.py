@@ -1307,3 +1307,62 @@ def test_manifest_upsert_sink_exactly_once_cdc(spark, tmp_path):
     assert M.current_version(spark, lake) == 3
     got2 = {(r["k"], r["val"]) for r in M.read_snapshot(spark, lake).collect()}
     assert got2 == got
+
+
+def test_commit_append_partitioned_atomic(spark, tmp_path):
+    """Multi-partition append lands as ONE version: one tagged segment
+    per distinct value (incl. NULL), skipping metadata attached, and
+    downstream partition-scoped ops accept the layout."""
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 30), (None, 4, 40)],
+        "grp string, id int, v int",
+    )
+    v = M.commit_append_partitioned(
+        spark, lake, df, "grp", stats_cols=["id"], bloom_cols=["id"]
+    )
+    assert v == 1
+    m = M._read_manifest(spark, lake, 1)
+    assert m["op"] == "append" and len(m["segments"]) == 3
+    tags = sorted(
+        str(m["meta"][s]["part"]["grp"]) for s in m["segments"]
+    )
+    assert tags == ["None", "a", "b"]
+    for s in m["segments"]:
+        assert "stats" in m["meta"][s] and "bloom" in m["meta"][s]
+    # pruning works immediately
+    assert len(M.resolve_segments(spark, lake, part_eq={"grp": "a"})) == 1
+    assert len(M.resolve_segments(spark, lake, part_eq={"grp": None})) == 1
+    got = {(r["grp"], r["id"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {("a", 1), ("a", 2), ("b", 3), (None, 4)}
+    # partitioned MERGE accepts the layout
+    M.commit_upsert_partitioned(
+        spark, lake,
+        spark.createDataFrame([("b", 3, 99, 1)], "grp string, id int, v int, ver int"),
+        keys=["id"], version_col="ver", part_col="grp",
+    )
+    got = {(r["grp"], r["id"], r["v"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert ("b", 3, 99) in got and len(got) == 4
+
+
+def test_vacuum_older_than_ts_retention(spark, tmp_path):
+    """Age-based retention: versions committed at-or-after the cutoff
+    survive (plus the keep_versions floor); AS OF still works for every
+    retained instant, and the expired manifest is gone."""
+    import time as _t
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 2))
+    _t.sleep(0.02)
+    cutoff = _t.time()
+    _t.sleep(0.02)
+    M.commit_append(spark, lake, _mk(spark, 2, 4))
+    M.commit_append(spark, lake, _mk(spark, 4, 6))
+    # keep_versions=1 would retain only v3, but the age guard keeps
+    # everything committed after `cutoff` (v2, v3); v1 expires
+    M.vacuum(spark, lake, keep_versions=1, older_than_ts=cutoff)
+    assert M._manifest_versions(spark, lake) == [2, 3]
+    assert M.version_as_of_timestamp(spark, lake, _t.time()) == 3
+    with pytest.raises(ValueError, match="predates"):
+        M.version_as_of_timestamp(spark, lake, cutoff - 1e6)
+    assert _rows(M.read_snapshot(spark, lake, version=2)) == _rows(_mk(spark, 0, 4))
