@@ -82,6 +82,7 @@ HEADLINE = [
     "q_manifest_zorder",
     "q_ann_ivf_quantized",
     "q_dedup_spans",
+    "q_bigram_ppl",
 ]
 
 

@@ -618,3 +618,87 @@ register(
     GROUP BY train.doc_id
     """,
 )
+
+
+def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under a corpus-trained BIGRAM LM with
+    add-one smoothing — the n-gram-context step up from q_unigram_ppl
+    toward the CCNet KenLM filter (arXiv:1911.00359): repeated-phrase
+    soup that unigram ce scores as "head" (common tokens) surfaces here
+    because its CONTEXTS are unusual.
+
+    p(w|h) = (c(h,w) + 1) / (c(h) + V), all exact integers, so the
+    per-position log2 is the same deterministic shape the unigram query
+    pinned: round to 6dp, sum AS DECIMAL (order-independent), divide
+    once at the end. Physical shape at 100 TB: bigram extraction is a
+    narrow arrays_zip over the token array (no Python); LM training is
+    one partial-agg'd groupBy per order (bigram table ~O(vocab²)
+    bounded by corpus, unigram vocab-sized); counts join back onto the
+    bigram stream (broadcast at bench scale, shuffle-join at cluster
+    scale — flip the hint); the per-doc mean shuffles skinny rows."""
+    docs = _docs(spark, sf_dir)
+    ts = TX.tokenize(F.col("text"))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))).alias("h"),
+                F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))).alias("w"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.h").alias("h"), F.col("b.w").alias("w"))
+    pairs = pairs.localCheckpoint(eager=False)
+    uni = pairs.groupBy("h").agg(F.count("*").alias("ch"))
+    bi = pairs.groupBy("h", "w").agg(F.count("*").alias("cb"))
+    vocab = (
+        docs.select(F.explode(ts).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    lp = F.round(
+        F.log2((F.col("cb") + 1) / (F.col("ch") + F.col("v"))), 6
+    ).cast("decimal(28,6)")
+    scored = (
+        pairs.join(F.broadcast(bi), ["h", "w"])
+        .join(F.broadcast(uni), "h")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum(lp).alias("s"))
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        F.round(-F.col("s").cast("double") / F.col("n_bigrams"), 4).alias("ce"),
+    )
+
+
+register(
+    "q_bigram_ppl",
+    q_bigram_ppl,
+    f"""
+    WITH arr AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    pairs AS (
+      SELECT doc_id, b.h AS h, b.w AS w FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN ts IS NULL OR len(ts) < 2 THEN []
+                           ELSE list_transform(range(1, len(ts)),
+                                i -> struct_pack(h := ts[i], w := ts[i+1]))
+                      END) AS b
+        FROM arr)),
+    uni AS (SELECT h, COUNT(*) AS ch FROM pairs GROUP BY h),
+    bi AS (SELECT h, w, COUNT(*) AS cb FROM pairs GROUP BY h, w),
+    vocab AS (SELECT COUNT(DISTINCT tok) AS v
+              FROM (SELECT unnest(ts) AS tok FROM arr)),
+    scored AS (
+      SELECT p.doc_id, COUNT(*) AS n_bigrams,
+             SUM(CAST(ROUND(log2((bi.cb + 1) / (uni.ch + vocab.v)), 6)
+                      AS DECIMAL(28,6))) AS s
+      FROM pairs p
+      JOIN bi ON p.h = bi.h AND p.w = bi.w
+      JOIN uni ON p.h = uni.h
+      CROSS JOIN vocab
+      GROUP BY p.doc_id)
+    SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+           ROUND(-CAST(s AS DOUBLE) / n_bigrams, 4) AS ce
+    FROM scored
+    """,
+)

@@ -247,7 +247,8 @@ def test_single_partition_only_on_bounded_frames(spark):
         "q_heavy_hitters", "q_tpch_q6", "q_tpch_q14", "q_tpch_q15",
         "q_tpch_q17", "q_tpch_q19", "q_tpch_q22", "q_tpch_q11",
         # 1-row distribution frames crossed back in (broadcast)
-        "q_dsir_sample", "q_unigram_ppl", "q_curriculum_order",
+        "q_dsir_sample", "q_unigram_ppl", "q_bigram_ppl",
+        "q_curriculum_order",
         # global triangle count -> O(1) rows at the final exchange
         "q_triangle_count",
         # 1-row scalar frames (basket n_orders; time-travel seq cut)
