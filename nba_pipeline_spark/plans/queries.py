@@ -77,72 +77,42 @@ from . import lake_queries  # noqa: E402,F401
 # registry are skipped (lets the list reference queries added later
 # in the round without import-order coupling); everything else keeps
 # its original import order.
-# ROUND-5 ROTATION (executed; CORRECTNESS_r04 recorded the r4 window
-# 50/50 green): the window now covers every entry that has never had —
-# or whose fix has never re-had — a driver row.  Leading: the round-3
-# q_table_checksum oracle-cast fix re-sample, q_orc_roundtrip, the
-# seven round-4 registrations, the six rows-only sketch/ML entries plus
-# the four rows-only sampling re-records, then the round-5
-# registrations (manifest lake time-travel, expectations quarantine,
-# streaming token tallies).  Backfill to 50 = the oldest r1 greens in
-# their original order as regression re-samples.  Names not present in
-# the registry are skipped (round-5 names can appear here before their
-# module lands); everything else keeps its original import order.
+# ROUND-6 ROTATION (CORRECTNESS_r05 recorded the r5 window 50/50
+# green, cutting at q_str_time; the union of r1-r5 windows covers the
+# whole pre-round-6 registry).  Leading: the round-6 registrations
+# (segment-skipping MERGE, row deletes CoW+MoR, change-feed consumer,
+# quantized-ANN rerank, IVF-PQ index-as-table + incremental
+# maintenance, replaceWhere, z-order, timestamp history, span dedup,
+# bigram perplexity) so every query registered this round ships inside
+# the r6 window per the round-5 protocol; then this session's planned
+# registrations (skipped until their modules land).  Backfill to 50 =
+# the oldest r1 greens whose r5 re-sample was cut by the 50-entry
+# window (q_date_parts onward, original order).  Names not present in
+# the registry are skipped; everything else keeps import order.
 _PRIORITY: tuple[str, ...] = (
-    # never/not-re-confirmed: the hard-signal gap from VERDICT r4
-    "q_table_checksum",
-    "q_orc_roundtrip",
-    "q_decontaminate_fuzzy",
-    "q_intradoc_dedup",
-    "q_token_budget",
-    "q_unicode_normalize",
-    "q_dedup_keep_best",
-    "q_expectations",
-    "q_curriculum_order",
-    # rows-only entries: first driver rows-only record
-    "q_dedup_minhash_ml",
-    "q_semdedup_trained",
-    "q_kmeans_cells",
-    "q_multimodal_embed_ann",
-    "q_agg_hll_sketch",
-    "q_sketch_cms",
-    "q_sample",
-    "q_sample_stratified",
-    "q_agg_approx_distinct",
-    "q_agg_approx_percentile",
-    # round-5 registrations (skipped until their modules land)
-    "q_manifest_snapshot",
-    "q_manifest_time_travel",
-    "q_expectations_quarantine",
-    "q_quarantine_rows",
-    "q_stream_token_tally",
-    "q_manifest_compact_read",
-    "q_manifest_upsert",
-    "q_manifest_schema_evolution",
-    "q_dedup_containment",
-    "q_tfidf_keywords",
-    "q_inverted_index",
-    "q_dedup_containment_full",
-    "q_embed_quantize",
-    "q_manifest_pruned_read",
-    "q_ann_quantized",
-    "q_manifest_diff",
-    "q_manifest_bloom_read",
-    # backfill: oldest r1 greens, original order (driver keeps first 50)
-    "q_flagship",
-    "q_project_rename",
-    "q_with_literal",
-    "q_struct_flatten",
-    "q_filter_basic",
-    "q_filter_null",
-    "q_filter_isin",
-    "q_filter_or",
-    "q_filter_split",
-    "q_filter_trycast",
-    "q_case_when",
-    "q_trycast_case",
-    "q_str_split",
-    "q_str_time",
+    # round-6 registrations already landed
+    "q_manifest_merge_pruned",
+    "q_manifest_delete",
+    "q_manifest_delete_mor",
+    "q_manifest_feed",
+    "q_ann_quantized_rerank",
+    "q_ann_ivf_quantized",
+    "q_ann_ivf_incremental",
+    "q_manifest_replace_where",
+    "q_manifest_zorder",
+    "q_manifest_history",
+    "q_dedup_spans",
+    "q_bigram_ppl",
+    # round-6 session additions (skipped until registered)
+    "q_bpe_train",
+    "q_bpe_encode",
+    "q_manifest_matview",
+    "q_decontaminate_semantic",
+    "q_resample_timeseries",
+    "q_manifest_restore",
+    "q_manifest_clone",
+    "q_manifest_constraints",
+    # backfill: r1 greens cut from the r5 window, original order
     "q_date_parts",
     "q_date_parse",
     "q_math",
@@ -164,6 +134,19 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_semi",
     "q_join_anti",
     "q_join_range",
+    "q_join_asof",
+    "q_join_interval_overlap",
+    "q_join_full",
+    "q_join_cross",
+    "q_agg_global",
+    "q_distinct",
+    "q_agg_group",
+    "q_agg_countdistinct",
+    "q_rollup",
+    "q_cube",
+    "q_pivot",
+    "q_win_running_sum",
+    "q_win_ffill",
 )
 
 
