@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..operators import bpe as BPE
 from ..operators.partitioning import fan_out, under_parallelized
 from ..session import tune
 from ..sources import load_table
@@ -1026,3 +1027,69 @@ register(
     FROM arr a LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN ncov n USING (doc_id)
     """,
 )
+
+
+# --- BPE tokenizer training (distributed merge learning) ----------------------
+
+BPE_MERGES = 24
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fan_out(docs)
+        .select(F.explode(TX.tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE_MERGES byte-pair merges from the documents corpus
+    (operators/bpe.py — Sennrich et al. 1508.07909 on the word-freq
+    table). Rows-only by design: the merge loop is argmax-iterate,
+    not SQL-expressible; the merge sequence is golden-tested against
+    a pure-Python reference implementation (tests/test_bpe.py) and is
+    a deterministic function of the corpus (ties break on pair order),
+    so the driver's rows/schema check is stable across runs.
+
+    Scale: ONE corpus-scale shuffle (word-count groupBy); every merge
+    round then touches only the distinct-word table — pair-count
+    partial aggs + a 1-row TakeOrdered collect + a narrow fold."""
+    tune(spark)
+    merges, _ = BPE.train_bpe(_word_freqs(spark, sf_dir), BPE_MERGES)
+    return BPE.merges_df(spark, merges).orderBy("rank")
+
+
+register("q_bpe_train", q_bpe_train, None)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the merges learned by q_bpe_train: the
+    DISTINCT-word table is symbolized once (trainer's final state —
+    apply_merges equivalence is pytest-pinned), then broadcast-joined
+    back to the per-doc word stream; per-doc token/char tallies come
+    out of one partial-agg'd groupBy. The corpus itself is never
+    folded — at 100 TB the fold cost is O(distinct words), the join is
+    narrow. Rows-only for the same reason as q_bpe_train; the
+    concat-roundtrip invariant (decode == original word) is the
+    correctness anchor, tested in tests/test_bpe.py."""
+    tune(spark)
+    _, word_syms = BPE.train_bpe(_word_freqs(spark, sf_dir), BPE_MERGES)
+    docs = load_table(spark, sf_dir, "documents")
+    words = fan_out(docs).select(
+        "doc_id", F.explode(TX.tokenize(F.col("text"))).alias("w")
+    )
+    enc = words.join(F.broadcast(word_syms.select("w", "syms")), "w")
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("syms")).alias("n_bpe_tokens"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register("q_bpe_encode", q_bpe_encode, None)

@@ -108,7 +108,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_bpe_encode",
     "q_manifest_matview",
     "q_decontaminate_semantic",
-    "q_resample_timeseries",
     "q_manifest_restore",
     "q_manifest_clone",
     "q_manifest_constraints",
