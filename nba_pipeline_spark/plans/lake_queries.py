@@ -795,3 +795,81 @@ register(
     SELECT o_orderkey, 'insert' AS op, 2 AS version FROM orders WHERE o_orderkey % 4 = 2
     """,
 )
+
+
+def _matview_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Source lake + incrementally-maintained MV, staged together:
+    v1 append (% 4 <= 1), v2 MERGE (% 4 IN (1, 2), custkey +1M;
+    status flipped to 'M' for the updated keys — a group-MOVING
+    update, the case naive per-group recompute-from-inserts gets
+    wrong), v3 copy-on-write DELETE (% 4 = 0 AND % 3 = 0). The MV
+    (count + custkey sum per status) is folded forward one source
+    version at a time by operators/matview.py over the valued CDF."""
+    from ..operators import matview as MV
+
+    root = _stage_dir(sf_dir, "orders", "manifest_matview")
+
+    def build():
+        import os
+
+        src, mv, state = f"{root}/src", f"{root}/mv", f"{root}/state"
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        M.commit_append(spark, src, orders.filter(F.col("o_orderkey") % 4 <= 1))
+        changes = orders.filter((F.col("o_orderkey") % 4).isin(1, 2)).select(
+            "o_orderkey",
+            (F.col("o_custkey") + 1_000_000).alias("o_custkey"),
+            F.lit("M").alias("o_orderstatus"),
+            F.lit(1).alias("ver"),
+        )
+        M.commit_upsert(spark, src, changes, ["o_orderkey"], "ver")
+        dels = orders.filter(
+            ((F.col("o_orderkey") % 4) == 0) & ((F.col("o_orderkey") % 3) == 0)
+        ).select("o_orderkey")
+        M.commit_delete(spark, src, dels, ["o_orderkey"])
+        n = MV.maintain_matview(
+            spark, src, ["o_orderkey"], mv, ["o_orderstatus"],
+            ["o_custkey"], state,
+        )
+        assert n == 3, f"matview consumed {n} versions, want 3"
+
+    return _ensure_stage(root, build)
+
+
+def q_manifest_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized view
+    (operators/matview.py): three source commits (append, group-moving
+    MERGE, delete) folded into a per-status count/sum view via the
+    valued change feed — each refresh reads O(delta) + O(MV), never
+    the source table. The oracle recomputes the view from scratch over
+    the source's final state: incremental == full recompute is the
+    IVM correctness contract."""
+    tune(spark)
+    root = _matview_stage(spark, sf_dir)
+    return M.read_snapshot(spark, f"{root}/mv").select(
+        "o_orderstatus",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("sum_o_custkey").cast("bigint").alias("sum_cust"),
+    )
+
+
+register(
+    "q_manifest_matview",
+    q_manifest_matview,
+    """
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 IN (1, 2)
+                  THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+             CASE WHEN o_orderkey % 4 IN (1, 2)
+                  THEN 'M' ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 4 <= 2
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+    FROM merged
+    WHERE NOT (o_orderkey % 4 = 0 AND o_orderkey % 3 = 0)
+    GROUP BY o_orderstatus
+    """,
+)

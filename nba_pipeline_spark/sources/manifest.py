@@ -575,14 +575,21 @@ def commit_append_partitioned(
 
 
 def commit_replace(
-    spark: SparkSession, path: str, df: DataFrame, target_files: int | None = None
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    target_files: int | None = None,
+    tag: str | None = None,
 ) -> int:
     """Replace the table contents wholesale (snapshot overwrite).
     Pending merge-on-read tombstones are dropped — the new contents
-    supersede everything they applied to."""
+    supersede everything they applied to. `tag` is the usual commit
+    idempotency token (a replayed replace with a seen tag is a no-op
+    returning the existing version — the MV-publish replay guard)."""
     seg = _write_segment(df, path, target_files)
     return _commit(
-        spark, path, "replace", lambda parent: [seg], deletes_fn=lambda p: []
+        spark, path, "replace", lambda parent: [seg],
+        deletes_fn=lambda p: [], tag=tag,
     )
 
 
@@ -1833,11 +1840,20 @@ def snapshot_diff(
     v_from: int,
     v_to: int,
     keys: list[str],
+    include_values: bool = False,
 ) -> DataFrame:
     """Change data feed between two table versions: one row per changed
     key with op ∈ {insert, delete, update} — what a downstream
     incremental consumer (MV maintenance, replication, CDC export)
     reads INSTEAD of diffing full snapshots itself.
+
+    ``include_values=True`` adds ``old`` / ``new`` structs of the
+    non-key columns (NULL on the side that doesn't exist — old for
+    inserts, new for deletes): the valued feed an incremental
+    aggregate maintainer needs to RETRACT the old contribution and add
+    the new one (operators/matview.py). Default stays keys+op — the
+    replication/export consumers don't pay for values they re-read
+    anyway.
 
     Shape: ONE null-safe full-outer join of the two snapshots on the
     key (both sides prune/pushdown as normal scans), per-column
@@ -1874,8 +1890,24 @@ def snapshot_diff(
         .when(changed if changed is not None else F.lit(False), F.lit("update"))
     )
     out_keys = [F.coalesce(a[k], b[k]).alias(k) for k in keys]
+    extra = []
+    if include_values:
+        old_struct = F.when(
+            a["__in_a"].isNotNull(),
+            F.struct(
+                *[
+                    (a[c] if c in a.columns else F.lit(None)).alias(c)
+                    for c in val_cols
+                ]
+            ),
+        )
+        new_struct = F.when(
+            b["__in_b"].isNotNull(),
+            F.struct(*[b[c].alias(c) for c in val_cols]),
+        )
+        extra = [old_struct.alias("old"), new_struct.alias("new")]
     return (
-        j.select(*out_keys, op.alias("op"))
+        j.select(*out_keys, op.alias("op"), *extra)
         .filter(F.col("op").isNotNull())
     )
 
@@ -1927,6 +1959,7 @@ def consume_feed(
     state_path: str,
     process,
     max_versions: int | None = None,
+    include_values: bool = False,
 ) -> int:
     """Incremental change-feed consumer with a checkpointed high-water
     version — the AvailableNow-trigger shape over the manifest lake's
@@ -1958,7 +1991,9 @@ def consume_feed(
             break
         from pyspark.sql import functions as F
 
-        delta = snapshot_diff(spark, path, v - 1, v, keys).withColumn(
+        delta = snapshot_diff(
+            spark, path, v - 1, v, keys, include_values=include_values
+        ).withColumn(
             "version", F.lit(v)
         )  # same (key..., op, version) schema as read_feed
         process(delta, v)
