@@ -1275,3 +1275,79 @@ def dedup_duplicated_spans(
             F.coalesce(F.size("__cov"), F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Semantic decontamination: train items whose embedding cosine
+    against ANY eval item clears `threshold` — the third decontamination
+    tier after exact n-gram (plans/quality_queries.py) and fuzzy
+    jaccard (`fuzzy_decontaminate_pairs`): paraphrase AND translation /
+    re-write leakage that shares no surface n-grams still lands near
+    the eval item in embedding space (the SemDeDup observation applied
+    train-vs-eval).
+
+    Scale shape: eval benchmarks are BOUNDED (thousands of rows at any
+    corpus scale), so the eval side collapses to ONE row — a sorted
+    array of (eid, vec) structs — broadcast to every executor; scoring
+    is a NARROW per-train-row pass (transform + argmax over the eval
+    array), zero shuffle of the train corpus, no row blowup (the
+    explode alternative materializes |train| x |eval| rows for the
+    same FLOPs). The 1-row cross-in is the q_cosine_topk bounded-frame
+    pattern. For an eval set too large to broadcast, fall back to the
+    cluster-blocked join (`semdedup` layout) — same verdict semantics.
+
+    Determinism: sims round to 6dp before the argmax; ties take the
+    LOWEST eval id (the struct array is sorted by eid, array_position
+    returns the first match) — engine-portable, mirrored by the
+    oracle's (sim6 DESC, eid ASC) row_number."""
+    is_eval = F.col(eval_col).cast("boolean")
+    ev = (
+        emb.filter(is_eval)
+        .select(
+            F.struct(
+                F.col(id_col).alias("eid"),
+                to_double_array(F.col(vec_col)).alias("evv"),
+            ).alias("e")
+        )
+        .agg(F.sort_array(F.collect_list("e")).alias("evals"))
+    )
+    tr = emb.filter(~is_eval)
+    from ..functions.vectors import cosine
+
+    scored = (
+        tr.crossJoin(F.broadcast(ev))
+        .select(
+            F.col(id_col),
+            F.col("evals"),
+            F.transform(
+                "evals",
+                lambda e: F.round(
+                    cosine(to_double_array(F.col(vec_col)), e["evv"]), 6
+                ),
+            ).alias("sims"),
+        )
+        .withColumn("sim6", F.array_max("sims"))
+    )
+    return (
+        scored.filter(F.col("sim6") >= F.lit(threshold))
+        .select(
+            F.col(id_col).alias("train_id"),
+            F.element_at(
+                F.col("evals"),
+                F.array_position(F.col("sims"), F.col("sim6")).cast("int"),
+            )["eid"].alias("eval_id"),
+            # scaled-integer score: round(x, 4) on doubles splits
+            # engines at .xxx5 grid points (SCALE.md "Numeric
+            # determinism"); floor(x*1e4 + 0.5) is pure IEEE ops both
+            # engines execute identically
+            F.floor(F.col("sim6") * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("sim_e4"),
+        )
+    )

@@ -751,3 +751,45 @@ register(
     WHERE (n_common * 10000) // least(sa.n_sh, sb.n_sh) >= 8000
     """,
 )
+
+
+# --- semantic decontamination (embedding tier) ---------------------------------
+
+SEM_EVAL_MOD, SEM_THRESH = 20, 0.35
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine decontamination (operators/dedup.py::
+    semantic_decontaminate): train vectors within {SEM_THRESH} cosine
+    of ANY eval vector (vec_id % {SEM_EVAL_MOD} stripe plays the eval
+    benchmark) — catches re-written leakage that shares no n-grams
+    with the eval set. Eval side is one broadcast row; the train
+    corpus is never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return OD.semantic_decontaminate(
+        emb.withColumn("is_eval", F.col("vec_id") % SEM_EVAL_MOD == 0),
+        "vec_id", "embedding", "is_eval", SEM_THRESH,
+    )
+
+
+register(
+    "q_decontaminate_semantic",
+    q_decontaminate_semantic,
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ev AS (SELECT vec_id AS eid, v AS evv FROM e WHERE vec_id % {SEM_EVAL_MOD} = 0),
+    tr AS (SELECT vec_id, v FROM e WHERE vec_id % {SEM_EVAL_MOD} <> 0),
+    scored AS (
+      SELECT tr.vec_id, ev.eid,
+             ROUND(list_cosine_similarity(tr.v, ev.evv), 6) AS sim6
+      FROM tr CROSS JOIN ev),
+    best AS (
+      SELECT vec_id, eid, sim6,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim6 DESC NULLS LAST, eid ASC) AS rn
+      FROM scored)
+    SELECT vec_id AS train_id, eid AS eval_id,
+           CAST(FLOOR(sim6 * 10000 + 0.5) AS BIGINT) AS sim_e4
+    FROM best WHERE rn = 1 AND sim6 >= {SEM_THRESH}
+    """,
+)

@@ -249,6 +249,9 @@ def test_single_partition_only_on_bounded_frames(spark):
         # 1-row distribution frames crossed back in (broadcast)
         "q_dsir_sample", "q_unigram_ppl", "q_bigram_ppl",
         "q_curriculum_order",
+        # eval-benchmark set collapsed to one broadcast row (O(eval)
+        # bounded by contract — benchmarks don't grow with the corpus)
+        "q_decontaminate_semantic",
         # global triangle count -> O(1) rows at the final exchange
         "q_triangle_count",
         # 1-row scalar frames (basket n_orders; time-travel seq cut)
