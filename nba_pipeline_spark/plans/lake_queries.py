@@ -873,3 +873,102 @@ register(
     GROUP BY o_orderstatus
     """,
 )
+
+
+def _restore_lake(spark: SparkSession, sf_dir: str) -> str:
+    """v1 append (% 4 <= 1), v2 MERGE (custkey shift for % 4 IN (1,2)),
+    v3 RESTORE to v1 — the metadata-only rollback commit."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_restore")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        M.commit_append(spark, lake, orders.filter(F.col("o_orderkey") % 4 <= 1))
+        changes = orders.filter((F.col("o_orderkey") % 4).isin(1, 2)).select(
+            "o_orderkey",
+            (F.col("o_custkey") + 1_000_000).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit(1).alias("ver"),
+        )
+        M.commit_upsert(spark, lake, changes, ["o_orderkey"], "ver")
+        v = M.restore(spark, lake, version=1)
+        assert v == 3
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE (sources/manifest.py::restore): after a MERGE
+    mutated the table, a metadata-only restore commit re-publishes
+    v1's segment list — the latest snapshot must equal v1 exactly,
+    with the mutated v2 still retained in history (rollback is a new
+    version, not an erasure)."""
+    tune(spark)
+    lake = _restore_lake(spark, sf_dir)
+    ops = {r["version"]: r["op"] for r in M.history(spark, lake).collect()}
+    assert ops[3] == "restore" and ops[2] == "upsert", ops
+    return _agg(M.read_snapshot(spark, lake))
+
+
+register(
+    "q_manifest_restore",
+    q_manifest_restore,
+    _AGG_ORACLE.format(where=" WHERE o_orderkey % 4 <= 1"),
+)
+
+
+def _clone_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Shallow clone of the shared manifest lake (zero-copy absolute
+    references) + one divergent append landing locally in the clone —
+    the source must stay untouched (asserted by the query)."""
+    root = _stage_dir(sf_dir, "orders", "manifest_clone")
+
+    def build():
+        src = _manifest_lake(spark, sf_dir)
+        dst = f"{root}/clone"
+        M.clone(spark, src, dst)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        extra = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+            "o_orderkey",
+            (F.col("o_custkey") + 2_000_000).alias("o_custkey"),
+            F.lit("X").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        M.commit_append(spark, dst, extra)
+
+    return _ensure_stage(root, build)
+
+
+def q_manifest_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow CLONE (sources/manifest.py::clone): the clone reads the
+    source's segments by absolute reference (zero copy — no data dir
+    until the first local write), then diverges with its own append;
+    the source lake's version and contents are unaffected (asserted
+    against the shared stage's expected v3)."""
+    tune(spark)
+    root = _clone_lake(spark, sf_dir)
+    src = _manifest_lake(spark, sf_dir)
+    assert M.current_version(spark, src) == 3, "clone mutated its source"
+    return _agg(M.read_snapshot(spark, f"{root}/clone"))
+
+
+register(
+    "q_manifest_clone",
+    q_manifest_clone,
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_custkey + 2000000, 'X', o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MAX(o_custkey) AS max_cust
+    FROM t GROUP BY o_orderstatus
+    """,
+)

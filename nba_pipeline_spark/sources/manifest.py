@@ -1080,6 +1080,13 @@ def cluster(
     ) from last_err
 
 
+def _seg_path(path: str, s: str) -> str:
+    """Resolve a manifest segment reference: plain names live in this
+    lake's data dir; absolute references (shallow clones — see `clone`)
+    resolve as written."""
+    return s if ("://" in s or s.startswith("/")) else f"{path}/{_DATA_DIR}/{s}"
+
+
 def _read_segments(
     spark: SparkSession,
     path: str,
@@ -1091,7 +1098,7 @@ def _read_segments(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[f"{path}/{_DATA_DIR}/{s}" for s in segments])
+    return reader.parquet(*[_seg_path(path, s) for s in segments])
 
 
 def _require_no_tombstones(manifest: dict, path: str, op: str) -> None:
@@ -2075,6 +2082,116 @@ def history(spark: SparkSession, path: str) -> DataFrame:
         rows,
         "version int, parent int, op string, ts double, "
         "n_segments int, n_tombstones int",
+    )
+
+
+def _state_meta(target: dict) -> dict:
+    """A manifest's per-segment metadata for restore/clone carries,
+    with missing ``seq`` pinned to 0 (= oldest, the pre-feature
+    reading) so `_commit`'s new-segment seq stamping can't reinterpret
+    an old segment as newer than the tombstones that mask it."""
+    meta = dict(target.get("meta", {}))
+    out = {}
+    for s in list(target["segments"]) + list(target.get("deletes", [])):
+        m = dict(meta.get(s, {}))
+        m.setdefault("seq", 0)
+        out[s] = m
+    return out
+
+
+def restore(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    ts: float | None = None,
+) -> int:
+    """RESTORE TABLE — roll the table back (or forward) to a prior
+    version's state as a NEW commit: metadata-only (the target's
+    segment/tombstone lists and their metadata are re-published
+    verbatim), zero data movement, history preserved — a mistaken
+    restore is itself restorable. Delta parity: ``RESTORE TABLE t TO
+    VERSION AS OF v`` / ``TIMESTAMP AS OF ts``.
+
+    Safety: the target manifest must still be retained (reading it
+    raises otherwise), and vacuum keeps every segment a retained
+    manifest references — so a restorable version's data is present by
+    the retention invariant, no existence probe needed."""
+    if (version is None) == (ts is None):
+        raise ValueError("restore: pass exactly one of version= / ts=")
+    if ts is not None:
+        version = version_as_of_timestamp(spark, path, ts)
+    target = _read_manifest(spark, path, version)  # raises if vacuumed
+    carried = _state_meta(target)
+    return _commit(
+        spark,
+        path,
+        "restore",
+        lambda parent: list(target["segments"]),
+        meta_fn=lambda parent, segments: carried,
+        deletes_fn=lambda parent: list(target.get("deletes", [])),
+    )
+
+
+def clone(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    deep: bool = False,
+) -> int:
+    """CLONE a table version into a fresh lake. Shallow (default):
+    the new manifest references the source's segment files by ABSOLUTE
+    path — a zero-copy, KB-sized commit; writes to the clone land as
+    normal local segments next to the absolute references, and
+    maintenance (compact / z-order) rewrites references into local
+    segments, detaching the clone over time. Delta-parity caveat,
+    same as Delta shallow clones: `vacuum` on the SOURCE doesn't know
+    about clones — run it only past every clone's lifetime, or clone
+    deep. Deep: segment directories are copied byte-for-byte into the
+    clone's own data dir (same names — the destination is fresh), so
+    the clone is fully self-contained.
+
+    The destination must be empty: a clone is a table-create, not a
+    merge (mirror of Delta's CREATE TABLE ... CLONE)."""
+    if current_version(spark, dst_path) is not None:
+        raise ValueError(f"clone destination already has commits: {dst_path}")
+    if version is None:
+        version = current_version(spark, src_path)
+        if version is None:
+            raise ValueError(f"clone source has no commits: {src_path}")
+    target = _read_manifest(spark, src_path, version)
+    src_meta = _state_meta(target)
+
+    def ref(s: str) -> str:
+        return s if deep else _seg_path(src_path, s)
+
+    if deep:
+        fs, _ = _fs(spark, dst_path)
+        FileUtil = spark._jvm.org.apache.hadoop.fs.FileUtil
+        conf = spark._jsc.hadoopConfiguration()
+        fs.mkdirs(_jpath(spark, f"{dst_path}/{_DATA_DIR}"))
+        for s in list(target["segments"]) + list(target.get("deletes", [])):
+            ok = FileUtil.copy(
+                fs,
+                _jpath(spark, _seg_path(src_path, s)),
+                fs,
+                _jpath(spark, f"{dst_path}/{_DATA_DIR}/{s}"),
+                False,
+                conf,
+            )
+            if not ok:
+                raise RuntimeError(f"deep clone failed copying segment {s}")
+
+    segs = [ref(s) for s in target["segments"]]
+    dels = [ref(s) for s in target.get("deletes", [])]
+    meta = {ref(s): m for s, m in src_meta.items()}
+    return _commit(
+        spark,
+        dst_path,
+        "clone",
+        lambda parent: segs,
+        meta_fn=lambda parent, segments: meta,
+        deletes_fn=lambda parent: dels,
     )
 
 

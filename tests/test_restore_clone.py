@@ -1,0 +1,106 @@
+"""RESTORE and CLONE (shallow/deep) on the manifest lake."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nba_pipeline_spark.sources import manifest as M
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, ver int")
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    """v1: k 1-3; v2: upsert k=2 -> 'b2', insert k=4."""
+    p = str(tmp_path / "lake")
+    M.commit_append(spark, p, _rows(spark, [(1, "a", 0), (2, "b", 0), (3, "c", 0)]))
+    M.commit_upsert(spark, p, _rows(spark, [(2, "b2", 1), (4, "d", 1)]), ["k"], "ver")
+    return p
+
+
+def _kv(spark, path, **kw):
+    return {(r["k"], r["v"]) for r in M.read_snapshot(spark, path, **kw).collect()}
+
+
+V1 = {(1, "a"), (2, "b"), (3, "c")}
+V2 = {(1, "a"), (2, "b2"), (3, "c"), (4, "d")}
+
+
+def test_restore_rolls_back_and_forward(spark, lake):
+    v3 = M.restore(spark, lake, version=1)
+    assert v3 == 3
+    assert _kv(spark, lake) == V1
+    # history preserved: the restore is itself a version; roll forward
+    ops = {r["version"]: r["op"] for r in M.history(spark, lake).collect()}
+    assert ops[3] == "restore"
+    M.restore(spark, lake, version=2)
+    assert _kv(spark, lake) == V2
+
+
+def test_restore_by_timestamp(spark, lake):
+    ts1 = M.history(spark, lake).filter(F.col("version") == 1).collect()[0]["ts"]
+    M.restore(spark, lake, ts=ts1)
+    assert _kv(spark, lake) == V1
+
+
+def test_restore_arg_validation(spark, lake):
+    with pytest.raises(ValueError):
+        M.restore(spark, lake)
+    with pytest.raises(ValueError):
+        M.restore(spark, lake, version=1, ts=0.0)
+
+
+def test_restore_replays_tombstones(spark, lake):
+    M.commit_delete_mor(spark, lake, spark.createDataFrame([(3,)], "k int"), ["k"])
+    assert _kv(spark, lake) == V2 - {(3, "c")}
+    M.restore(spark, lake, version=2)  # before the MoR delete
+    assert _kv(spark, lake) == V2
+    M.restore(spark, lake, version=3)  # back to the tombstoned state
+    assert _kv(spark, lake) == V2 - {(3, "c")}
+
+
+def test_shallow_clone_zero_copy(spark, lake, tmp_path):
+    dst = str(tmp_path / "clone")
+    M.clone(spark, lake, dst)
+    assert _kv(spark, dst) == V2
+    # zero copy: no data directory materialized in the clone
+    assert not os.path.exists(os.path.join(dst, "data"))
+    # writes to the clone don't touch the source
+    M.commit_append(spark, dst, _rows(spark, [(9, "z", 2)]))
+    assert _kv(spark, dst) == V2 | {(9, "z")}
+    assert _kv(spark, lake) == V2
+    assert M.current_version(spark, lake) == 2
+
+
+def test_shallow_clone_at_version(spark, lake, tmp_path):
+    dst = str(tmp_path / "clone1")
+    M.clone(spark, lake, dst, version=1)
+    assert _kv(spark, dst) == V1
+
+
+def test_clone_carries_tombstones(spark, lake, tmp_path):
+    M.commit_delete_mor(spark, lake, spark.createDataFrame([(1,)], "k int"), ["k"])
+    dst = str(tmp_path / "clonem")
+    M.clone(spark, lake, dst)
+    assert _kv(spark, dst) == V2 - {(1, "a")}
+
+
+def test_deep_clone_survives_source_removal(spark, lake, tmp_path):
+    dst = str(tmp_path / "deep")
+    M.clone(spark, lake, dst, deep=True)
+    assert _kv(spark, dst) == V2
+    shutil.rmtree(lake)  # source gone entirely
+    assert _kv(spark, dst) == V2
+
+
+def test_clone_requires_empty_destination(spark, lake, tmp_path):
+    dst = str(tmp_path / "dst")
+    M.commit_append(spark, dst, _rows(spark, [(1, "x", 0)]))
+    with pytest.raises(ValueError):
+        M.clone(spark, lake, dst)
