@@ -972,3 +972,69 @@ register(
     FROM t GROUP BY o_orderstatus
     """,
 )
+
+
+def _constraints_lake(spark: SparkSession, sf_dir: str) -> str:
+    """CHECK-constrained lake: constraint added after v1, a violating
+    append is REFUSED (asserted — no version lands), a conforming
+    append (o_totalprice forced positive via abs) succeeds. Final
+    contents = % 4 <= 1 plus the abs()-fixed % 4 = 2 stripe."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_constraints")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        M.commit_append(spark, lake, orders.filter(F.col("o_orderkey") % 4 <= 1))
+        M.set_constraint(
+            spark, lake, "price_pos", "o_totalprice > 0 AND o_orderstatus IS NOT NULL"
+        )
+        bad = orders.filter(F.col("o_orderkey") % 4 == 2).withColumn(
+            "o_totalprice", -F.abs(F.col("o_totalprice"))
+        )
+        v = M.current_version(spark, lake)
+        try:
+            M.commit_append(spark, lake, bad)
+            raise AssertionError("violating append was not refused")
+        except M.ConstraintViolation:
+            pass
+        assert M.current_version(spark, lake) == v, "refused commit left a version"
+        good = orders.filter(F.col("o_orderkey") % 4 == 2).withColumn(
+            "o_totalprice", F.abs(F.col("o_totalprice"))
+        )
+        M.commit_append(spark, lake, good)
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints enforced at commit (sources/manifest.py::
+    set_constraint/_check_constraints): a violating append is refused
+    atomically (no version, no partial data — asserted in staging); the
+    surviving contents are exactly the conforming commits. One
+    partial-agg'd O(batch) validation job per write; constraints ride
+    the manifest's carried props."""
+    tune(spark)
+    lake = _constraints_lake(spark, sf_dir)
+    assert M.table_constraints(spark, lake) == {
+        "price_pos": "o_totalprice > 0 AND o_orderstatus IS NOT NULL"
+    }
+    return _agg(M.read_snapshot(spark, lake))
+
+
+register(
+    "q_manifest_constraints",
+    q_manifest_constraints,
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 4 = 2 THEN ABS(o_totalprice)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 <= 2
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MAX(o_custkey) AS max_cust
+    FROM t GROUP BY o_orderstatus
+    """,
+)

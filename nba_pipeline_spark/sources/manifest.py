@@ -177,6 +177,7 @@ def _commit(
     expected_parent: int | None = None,
     meta_fn=None,
     deletes_fn=None,
+    props_fn=None,
 ) -> int:
     """Publish a new manifest via rename-if-absent CAS.
 
@@ -269,6 +270,13 @@ def _commit(
         }
         if deletes:
             manifest["deletes"] = deletes
+        # table properties (constraints, owner-defined config) carry
+        # forward verbatim; props_fn(props) -> props mutates them
+        props = dict(parent_m.get("props", {})) if parent_m else {}
+        if props_fn is not None:
+            props = props_fn(props)
+        if props:
+            manifest["props"] = props
         tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
         out = fs.create(_jpath(spark, tmp), True)
         try:
@@ -289,6 +297,108 @@ def committed_tags(spark: SparkSession, path: str) -> set[str]:
     if not versions:
         return set()
     return set(_read_manifest(spark, path, versions[-1]).get("tags", []))
+
+
+class ConstraintViolation(ValueError):
+    """A commit's incoming rows violate a table CHECK constraint."""
+
+
+def table_constraints(spark: SparkSession, path: str) -> dict[str, str]:
+    """Name -> SQL expression of the table's CHECK constraints (empty
+    for a fresh or constraint-less lake)."""
+    versions = _manifest_versions(spark, path)
+    if not versions:
+        return {}
+    props = _read_manifest(spark, path, versions[-1]).get("props", {})
+    return dict(props.get("constraints", {}))
+
+
+def set_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
+    """ADD CONSTRAINT name CHECK (expr) — Delta parity. The EXISTING
+    snapshot is validated first (one partial-agg'd violation count;
+    adding a constraint historical data breaks is refused), then the
+    constraint lands as a metadata-only commit and every subsequent
+    write validates its incoming rows against it (`_check_constraints`
+    in the append/replace/merge paths)."""
+    from pyspark.sql import functions as F
+
+    if current_version(spark, path) is not None:
+        bad = (
+            read_snapshot(spark, path)
+            .filter(~F.coalesce(F.expr(expr), F.lit(False)))
+            .count()
+        )
+        if bad:
+            raise ConstraintViolation(
+                f"cannot add constraint {name}: {bad} existing rows "
+                f"violate CHECK ({expr}) in {path}"
+            )
+
+    def props_fn(props):
+        cons = dict(props.get("constraints", {}))
+        cons[name] = expr
+        return {**props, "constraints": cons}
+
+    return _commit(
+        spark, path, "set_constraint",
+        lambda parent: list(parent["segments"]) if parent else [],
+        props_fn=props_fn,
+    )
+
+
+def drop_constraint(spark: SparkSession, path: str, name: str) -> int:
+    """DROP CONSTRAINT name (raises if absent — a typo'd drop that
+    silently succeeds leaves the caller believing a gate is gone)."""
+    if name not in table_constraints(spark, path):
+        raise ValueError(f"no such constraint {name!r} on {path}")
+
+    def props_fn(props):
+        cons = dict(props.get("constraints", {}))
+        cons.pop(name, None)
+        out = {**props, "constraints": cons}
+        if not cons:
+            out.pop("constraints")
+        return out
+
+    return _commit(
+        spark, path, "drop_constraint",
+        lambda parent: list(parent["segments"]) if parent else [],
+        props_fn=props_fn,
+    )
+
+
+def _check_constraints(spark: SparkSession, path: str, df: DataFrame) -> None:
+    """Validate a commit's INCOMING rows against the table's CHECK
+    constraints — one combined partial-agg'd count job when any exist
+    (retained rows were validated by their own writing commit, so
+    write paths only pay O(batch)). A NULL predicate result counts as
+    a violation (CHECK must be provably true, the SQL standard's
+    WITH CHECK OPTION reading — looser than Delta, which lets NULL
+    through; explicitly OR IS NULL in the expression to allow it).
+
+    Raced against a concurrent `set_constraint` the check uses the
+    constraints read at commit START (documented: a constraint becomes
+    binding for commits that begin after it lands — same read-time
+    semantics as the snapshot the commit builds on)."""
+    from pyspark.sql import functions as F
+
+    cons = table_constraints(spark, path)
+    if not cons:
+        return
+    counts = df.agg(
+        *[
+            F.sum(
+                (~F.coalesce(F.expr(expr), F.lit(False))).cast("long")
+            ).alias(name)
+            for name, expr in cons.items()
+        ]
+    ).collect()[0]
+    bad = {n: int(counts[n]) for n in cons if counts[n]}
+    if bad:
+        detail = ", ".join(
+            f"{n}: {c} rows violate CHECK ({cons[n]})" for n, c in bad.items()
+        )
+        raise ConstraintViolation(f"commit rejected on {path}: {detail}")
 
 
 def _json_safe(v):
@@ -492,6 +602,7 @@ def commit_append(
     manifest metadata for segment-level pruning: partition equality,
     min/max ranges, and bloom point lookups respectively
     (`read_snapshot(part_eq= / ranges= / bloom_eq=)`)."""
+    _check_constraints(spark, path, df)
     seg = _write_segment(df, path, target_files)
     seg_meta: dict = {}
     if partition is not None:
@@ -539,6 +650,7 @@ def commit_append_partitioned(
     The distinct-value job is O(partitions in the batch) driver-side
     metadata, batch-sized by premise (a 100 TB daily load appends a
     handful of date partitions)."""
+    _check_constraints(spark, path, df)
     from pyspark.sql import functions as F
 
     parts = [
@@ -586,6 +698,7 @@ def commit_replace(
     supersede everything they applied to. `tag` is the usual commit
     idempotency token (a replayed replace with a seen tag is a no-op
     returning the existing version — the MV-publish replay guard)."""
+    _check_constraints(spark, path, df)
     seg = _write_segment(df, path, target_files)
     return _commit(
         spark, path, "replace", lambda parent: [seg],
@@ -676,6 +789,7 @@ def commit_replace_where(
     value (keeping a tagged lake tagged); the commit is a strict
     parent CAS like MERGE (content depends on the base snapshot).
     Pending merge-on-read tombstones must be compacted first."""
+    _check_constraints(spark, path, df)
     from pyspark.sql import functions as F
 
     if not eq and not ranges:
@@ -1335,6 +1449,7 @@ def commit_upsert(
     (quiet pruning regressions on a fact table are worse than a
     retried call); pass ``allow_untag=True`` to opt into the
     downgrade deliberately."""
+    _check_constraints(spark, path, changes)
     from ..operators.cdc import merge_upsert
 
     last_err: Exception | None = None
@@ -1421,6 +1536,7 @@ def commit_upsert_partitioned(
     the file-level-skipping MERGE that `commit_upsert`'s docstring
     points to — at 100 TB a CDC batch touching 3 of 10,000 daily
     partitions rewrites 3."""
+    _check_constraints(spark, path, changes)
     from pyspark.sql import functions as F
 
     from ..operators.cdc import merge_upsert
@@ -1588,6 +1704,7 @@ def commit_upsert_pruned(
     `commit_upsert_partitioned` (this op's merged segment carries
     stats, not partition tags); pending MoR tombstones must be
     compacted first. Strict parent CAS like `commit_upsert`."""
+    _check_constraints(spark, path, changes)
     from ..operators.cdc import merge_upsert
 
     stats_key = stats_key or keys[0]
