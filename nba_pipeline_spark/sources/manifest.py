@@ -303,6 +303,89 @@ class ConstraintViolation(ValueError):
     """A commit's incoming rows violate a table CHECK constraint."""
 
 
+class SchemaDrift(ValueError):
+    """A commit's incoming schema conflicts with the table schema."""
+
+
+def table_schema(spark: SparkSession, path: str) -> list[list[str]] | None:
+    """The table schema as ordered [name, type] pairs from the latest
+    manifest (None for fresh/pre-feature lakes — stamped forward on the
+    next write)."""
+    versions = _manifest_versions(spark, path)
+    if not versions:
+        return None
+    props = _read_manifest(spark, path, versions[-1]).get("props", {})
+    sch = props.get("schema")
+    return [list(p) for p in sch["cols"]] if sch else None
+
+
+def _df_schema_pairs(df: DataFrame) -> list[list[str]]:
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def _merge_schema_pairs(
+    current: list[list[str]], incoming: list[list[str]], path: str
+) -> list[list[str]]:
+    """Additive schema evolution with strict type stability: columns
+    shared with the table must match types EXACTLY (a drifted type
+    poisons every later scan of the mixed segments — refuse at the
+    write, not at some future read); new columns append (readers see
+    them as NULL on old segments under merge-schema reads); columns
+    missing from the batch are fine (NULL for its rows)."""
+    cur = {n: t for n, t in current}
+    for n, t in incoming:
+        if n in cur and cur[n] != t:
+            raise SchemaDrift(
+                f"column {n!r} is {cur[n]} in the table but {t} in the "
+                f"incoming batch — casts must happen before the write: {path}"
+            )
+    known = set(cur)
+    return [list(p) for p in current] + [
+        [n, t] for n, t in incoming if n not in known
+    ]
+
+
+def _schema_props_fn(
+    spark: SparkSession, path: str, df: DataFrame, replace: bool = False
+):
+    """``props_fn`` for a data-writing commit: validates the incoming
+    schema against the table's and records the evolved schema in the
+    manifest. The merge re-runs inside the commit CAS loop on the
+    freshly-read parent props, so a racing additive writer's columns
+    are never lost (and a racing type conflict is caught on retry).
+    ``replace=True`` resets the schema to the batch's (snapshot
+    overwrite supersedes all prior segments)."""
+    incoming = _df_schema_pairs(df)
+
+    def props_fn(props):
+        if replace:
+            return {**props, "schema": {"cols": incoming}}
+        sch = props.get("schema")
+        if sch is not None:
+            current = [list(p) for p in sch["cols"]]
+        else:
+            current = _probe_schema(spark, path) or []
+        merged = _merge_schema_pairs(current, incoming, path)
+        return {**props, "schema": {"cols": merged}}
+
+    return props_fn
+
+
+def _probe_schema(spark: SparkSession, path: str) -> list[list[str]] | None:
+    """Pre-feature lake: recover the table schema from segment footers
+    once (driver-side metadata read, no data scan); it is stamped into
+    the manifest by the calling commit and never probed again."""
+    versions = _manifest_versions(spark, path)
+    if not versions:
+        return None
+    m = _read_manifest(spark, path, versions[-1])
+    if not m["segments"]:
+        return None
+    return _df_schema_pairs(
+        _read_segments(spark, path, m["segments"], merge_schema=True)
+    )
+
+
 def table_constraints(spark: SparkSession, path: str) -> dict[str, str]:
     """Name -> SQL expression of the table's CHECK constraints (empty
     for a fresh or constraint-less lake)."""
@@ -399,6 +482,16 @@ def _check_constraints(spark: SparkSession, path: str, df: DataFrame) -> None:
             f"{n}: {c} rows violate CHECK ({cons[n]})" for n, c in bad.items()
         )
         raise ConstraintViolation(f"commit rejected on {path}: {detail}")
+
+
+def _check_schema(spark: SparkSession, path: str, df: DataFrame) -> None:
+    """Eager pre-write schema validation (same merge the commit's
+    props_fn re-runs CAS-consistently): a drifting batch fails BEFORE
+    its segment is written, not as a commit-time orphan."""
+    cur = table_schema(spark, path)
+    if cur is None:
+        cur = _probe_schema(spark, path) or []
+    _merge_schema_pairs(cur, _df_schema_pairs(df), path)
 
 
 def _json_safe(v):
@@ -603,6 +696,7 @@ def commit_append(
     min/max ranges, and bloom point lookups respectively
     (`read_snapshot(part_eq= / ranges= / bloom_eq=)`)."""
     _check_constraints(spark, path, df)
+    _check_schema(spark, path, df)
     seg = _write_segment(df, path, target_files)
     seg_meta: dict = {}
     if partition is not None:
@@ -627,6 +721,7 @@ def commit_append(
         lambda parent: (parent["segments"] if parent else []) + [seg],
         tag=tag,
         meta_fn=meta_fn,
+        props_fn=_schema_props_fn(spark, path, df),
     )
 
 
@@ -651,6 +746,7 @@ def commit_append_partitioned(
     metadata, batch-sized by premise (a 100 TB daily load appends a
     handful of date partitions)."""
     _check_constraints(spark, path, df)
+    _check_schema(spark, path, df)
     from pyspark.sql import functions as F
 
     parts = [
@@ -683,6 +779,7 @@ def commit_append_partitioned(
         lambda parent: (parent["segments"] if parent else []) + list(new_segs),
         tag=tag,
         meta_fn=meta_fn,
+        props_fn=_schema_props_fn(spark, path, df),
     )
 
 
@@ -703,6 +800,7 @@ def commit_replace(
     return _commit(
         spark, path, "replace", lambda parent: [seg],
         deletes_fn=lambda p: [], tag=tag,
+        props_fn=_schema_props_fn(spark, path, df, replace=True),
     )
 
 
@@ -790,6 +888,7 @@ def commit_replace_where(
     parent CAS like MERGE (content depends on the base snapshot).
     Pending merge-on-read tombstones must be compacted first."""
     _check_constraints(spark, path, df)
+    _check_schema(spark, path, df)
     from pyspark.sql import functions as F
 
     if not eq and not ranges:
@@ -868,6 +967,7 @@ def commit_replace_where(
                 _segments,
                 expected_parent=base_version or 0,
                 meta_fn=_meta,
+                props_fn=_schema_props_fn(spark, path, df),
             )
         except CommitConflict as e:
             last_err = e
@@ -1450,6 +1550,7 @@ def commit_upsert(
     retried call); pass ``allow_untag=True`` to opt into the
     downgrade deliberately."""
     _check_constraints(spark, path, changes)
+    _check_schema(spark, path, changes.drop(version_col))
     from ..operators.cdc import merge_upsert
 
     last_err: Exception | None = None
@@ -1488,6 +1589,7 @@ def commit_upsert(
                 expected_parent=base_version or 0,
                 deletes_fn=lambda p: [],
                 tag=tag,
+                props_fn=_schema_props_fn(spark, path, merged),
             )
         except CommitConflict as e:
             last_err = e  # re-read the moved snapshot and re-merge
@@ -1537,6 +1639,7 @@ def commit_upsert_partitioned(
     points to — at 100 TB a CDC batch touching 3 of 10,000 daily
     partitions rewrites 3."""
     _check_constraints(spark, path, changes)
+    _check_schema(spark, path, changes.drop(version_col))
     from pyspark.sql import functions as F
 
     from ..operators.cdc import merge_upsert
@@ -1624,6 +1727,7 @@ def commit_upsert_partitioned(
                 _segments,
                 expected_parent=base_version or 0,
                 meta_fn=_meta,
+                props_fn=_schema_props_fn(spark, path, changes.drop(version_col)),
             )
         except CommitConflict as e:
             last_err = e
@@ -1705,6 +1809,7 @@ def commit_upsert_pruned(
     stats, not partition tags); pending MoR tombstones must be
     compacted first. Strict parent CAS like `commit_upsert`."""
     _check_constraints(spark, path, changes)
+    _check_schema(spark, path, changes.drop(version_col))
     from ..operators.cdc import merge_upsert
 
     stats_key = stats_key or keys[0]
@@ -1759,6 +1864,7 @@ def commit_upsert_pruned(
                 _segments,
                 expected_parent=base_version or 0,
                 meta_fn=_meta,
+                props_fn=_schema_props_fn(spark, path, changes.drop(version_col)),
             )
         except CommitConflict as e:
             last_err = e
