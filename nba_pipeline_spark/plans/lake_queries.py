@@ -982,15 +982,22 @@ def _constraints_lake(spark: SparkSession, sf_dir: str) -> str:
     lake = _stage_dir(sf_dir, "orders", "manifest_constraints")
 
     def build():
+        # normalized so the constraint holds by construction even on
+        # adversarial source shapes (NULL status / non-positive price)
         orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce(F.col("o_orderstatus"), F.lit("U")).alias("o_orderstatus"),
+            (F.abs(F.coalesce(F.col("o_totalprice"), F.lit(1))) + 1).alias(
+                "o_totalprice"
+            ),
         )
         M.commit_append(spark, lake, orders.filter(F.col("o_orderkey") % 4 <= 1))
         M.set_constraint(
             spark, lake, "price_pos", "o_totalprice > 0 AND o_orderstatus IS NOT NULL"
         )
         bad = orders.filter(F.col("o_orderkey") % 4 == 2).withColumn(
-            "o_totalprice", -F.abs(F.col("o_totalprice"))
+            "o_totalprice", -F.col("o_totalprice")
         )
         v = M.current_version(spark, lake)
         try:
@@ -999,10 +1006,7 @@ def _constraints_lake(spark: SparkSession, sf_dir: str) -> str:
         except M.ConstraintViolation:
             pass
         assert M.current_version(spark, lake) == v, "refused commit left a version"
-        good = orders.filter(F.col("o_orderkey") % 4 == 2).withColumn(
-            "o_totalprice", F.abs(F.col("o_totalprice"))
-        )
-        M.commit_append(spark, lake, good)
+        M.commit_append(spark, lake, orders.filter(F.col("o_orderkey") % 4 == 2))
 
     return _ensure_stage(lake, build)
 
@@ -1027,14 +1031,83 @@ register(
     q_manifest_constraints,
     """
     WITH t AS (
-      SELECT o_orderkey, o_custkey, o_orderstatus,
-             CASE WHEN o_orderkey % 4 = 2 THEN ABS(o_totalprice)
-                  ELSE o_totalprice END AS o_totalprice
+      SELECT o_orderkey, o_custkey,
+             COALESCE(o_orderstatus, 'U') AS o_orderstatus,
+             ABS(COALESCE(o_totalprice, 1)) + 1 AS o_totalprice
       FROM orders WHERE o_orderkey % 4 <= 2
     )
     SELECT o_orderstatus, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            MAX(o_custkey) AS max_cust
     FROM t GROUP BY o_orderstatus
+    """,
+)
+
+
+def _evolved_partition_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Partition evolution: gen-1 segments tagged on {band} only
+    (band = o_orderkey % 4 ∈ {0, 1}); gen-2 evolves the spec to the
+    finer {band, sub} (bands 2-3, sub = (o_orderkey div 4) % 2).
+    Rows with a NULL band/sub land untagged (never pruned — sound)."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_part_evolution")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            (F.col("o_orderkey") % 4).alias("band"),
+            F.expr("(o_orderkey div 4) % 2").alias("sub"),
+        )
+        for b in (0, 1):
+            M.commit_append(
+                spark, lake, orders.filter(F.col("band") == b),
+                partition={"band": b},
+            )
+        for b in (2, 3):
+            for s in (0, 1):
+                M.commit_append(
+                    spark, lake,
+                    orders.filter((F.col("band") == b) & (F.col("sub") == s)),
+                    partition={"band": b, "sub": s},
+                )
+        rest = orders.filter(F.col("band").isNull() | F.col("sub").isNull())
+        if rest.limit(1).count():
+            M.commit_append(spark, lake, rest)
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution (Iceberg-style spec change without
+    rewriting history): old segments tagged on the coarse spec {band},
+    new segments on the finer {band, sub}. A probe on the NEW column
+    keeps the untagged-by-sub gen-1 segments (provably-unknowable is
+    never pruned) and drops the provably-disjoint sub partitions —
+    asserted; the filtered read recomputes exactly."""
+    tune(spark)
+    lake = _evolved_partition_lake(spark, sf_dir)
+    segs = M.resolve_segments(spark, lake, part_eq={"sub": 1})
+    all_segs = M.resolve_segments(spark, lake)
+    # of the 4 gen-2 segments the two sub=0 ones are pruned (when their
+    # partitions exist at this scale); gen-1 stays
+    assert len(segs) < len(all_segs) or len(all_segs) <= 4, (segs, all_segs)
+    t = M.read_snapshot(spark, lake, part_eq={"sub": 1}).filter(F.col("sub") == 1)
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.max("o_custkey").alias("max_cust"),
+    )
+
+
+register(
+    "q_manifest_partition_evolution",
+    q_manifest_partition_evolution,
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MAX(o_custkey) AS max_cust
+    FROM orders WHERE (o_orderkey // 4) % 2 = 1
+    GROUP BY o_orderstatus
     """,
 )
