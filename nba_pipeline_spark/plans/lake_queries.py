@@ -1069,7 +1069,10 @@ def _evolved_partition_lake(spark: SparkSession, sf_dir: str) -> str:
                     orders.filter((F.col("band") == b) & (F.col("sub") == s)),
                     partition={"band": b, "sub": s},
                 )
-        rest = orders.filter(F.col("band").isNull() | F.col("sub").isNull())
+        covered = (F.col("band").isin(0, 1)) | (
+            F.col("band").isin(2, 3) & F.col("sub").isin(0, 1)
+        )
+        rest = orders.filter(~F.coalesce(covered, F.lit(False)))
         if rest.limit(1).count():
             M.commit_append(spark, lake, rest)
 
@@ -1109,5 +1112,55 @@ register(
            MAX(o_custkey) AS max_cust
     FROM orders WHERE (o_orderkey // 4) % 2 = 1
     GROUP BY o_orderstatus
+    """,
+)
+
+
+def q_manifest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables (sources/manifest.py::files/partitions — the
+    Iceberg ``table.partitions`` analog): per partition-tag segment
+    and row counts from manifest metadata + parquet footers, no data
+    pages read. Runs on the evolved-spec lake, so both generations'
+    tag shapes appear; the oracle recomputes each tag's census from
+    the staging predicates (empty staged partitions included)."""
+    tune(spark)
+    lake = _evolved_partition_lake(spark, sf_dir)
+    return M.partitions(spark, lake).select(
+        "part",
+        F.col("n_segments").cast("bigint").alias("n_segments"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+register(
+    "q_manifest_files",
+    q_manifest_files,
+    """
+    WITH o AS (
+      SELECT o_orderkey % 4 AS band, (o_orderkey // 4) % 2 AS sub FROM orders
+    ),
+    b01 AS (
+      SELECT '{"band": ' || b.band || '}' AS part, COALESCE(c.n, 0) AS n_rows
+      FROM (VALUES (0), (1)) b(band)
+      LEFT JOIN (SELECT band, COUNT(*) AS n FROM o WHERE band IN (0, 1)
+                 GROUP BY band) c USING (band)
+    ),
+    b23 AS (
+      SELECT '{"band": ' || g.band || ', "sub": ' || g.sub || '}' AS part,
+             COALESCE(c.n, 0) AS n_rows
+      FROM (VALUES (2, 0), (2, 1), (3, 0), (3, 1)) g(band, sub)
+      LEFT JOIN (SELECT band, sub, COUNT(*) AS n FROM o
+                 WHERE band IN (2, 3) AND sub IN (0, 1)
+                 GROUP BY band, sub) c ON g.band = c.band AND g.sub = c.sub
+    ),
+    rest AS (
+      SELECT '{}' AS part, COUNT(*) AS n_rows FROM o
+      WHERE NOT COALESCE(band IN (0, 1) OR (band IN (2, 3) AND sub IN (0, 1)),
+                         FALSE)
+      HAVING COUNT(*) > 0
+    ),
+    u AS (SELECT * FROM b01 UNION ALL SELECT * FROM b23 UNION ALL SELECT * FROM rest)
+    SELECT part, CAST(1 AS BIGINT) AS n_segments, CAST(n_rows AS BIGINT) AS n_rows
+    FROM u
     """,
 )

@@ -111,6 +111,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_restore",
     "q_manifest_clone",
     "q_manifest_constraints",
+    "q_manifest_partition_evolution",
+    "q_manifest_files",
     # backfill: r1 greens cut from the r5 window, original order
     "q_date_parts",
     "q_date_parse",

@@ -2308,6 +2308,57 @@ def history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def files(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Metadata table (Iceberg ``table.files`` analog): one row per
+    live segment with its partition tags, stat'd columns, bloom'd
+    columns, commit sequence, and row count. Everything except
+    ``n_rows`` comes from the KB-sized manifest alone; row counts are
+    parquet FOOTER sums (``count(*)`` compiles to a metadata-only
+    LocalTableScan per segment — no data pages read)."""
+    if version is None:
+        version = current_version(spark, path)
+        if version is None:
+            raise ValueError(f"no commits: {path}")
+    m = _read_manifest(spark, path, version)
+    meta = m.get("meta", {})
+    rows = []
+    for s in m["segments"]:
+        sm = meta.get(s, {})
+        n = _read_segments(spark, path, [s]).count()  # footer-only job
+        rows.append(
+            (
+                s,
+                json.dumps(sm.get("part", {}), sort_keys=True),
+                sorted(sm.get("stats", {}).keys()),
+                sorted(sm.get("bloom", {}).keys()),
+                int(sm.get("seq", 0)),
+                n,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "segment string, part string, stats_cols array<string>, "
+        "bloom_cols array<string>, seq int, n_rows bigint",
+    )
+
+
+def partitions(spark: SparkSession, path: str) -> DataFrame:
+    """Metadata table (``table.partitions``): per partition-tag value,
+    segment and row counts — the partition census a maintenance job
+    reads to find skew/small-partition compaction targets. Untagged
+    segments aggregate under the empty tag '{}'."""
+    from pyspark.sql import functions as F
+
+    return (
+        files(spark, path)
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
 def _state_meta(target: dict) -> dict:
     """A manifest's per-segment metadata for restore/clone carries,
     with missing ``seq`` pinned to 0 (= oldest, the pre-feature

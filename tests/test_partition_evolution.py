@@ -50,3 +50,14 @@ def test_probe_on_new_column_keeps_untagged_old_segments(spark, lake):
 def test_combined_probe(spark, lake):
     segs = M.resolve_segments(spark, lake, part_eq={"g": 3, "h": "y"})
     assert len(segs) == 1
+
+
+def test_files_and_partitions_metadata_tables(spark, lake):
+    f = {r["segment"]: r for r in M.files(spark, lake).collect()}
+    assert len(f) == 4
+    assert all(r["n_rows"] == 3 for r in f.values())
+    assert sorted(r["seq"] for r in f.values()) == [1, 2, 3, 4]
+    p = {r["part"]: (r["n_segments"], r["n_rows"])
+         for r in M.partitions(spark, lake).collect()}
+    assert p['{"g": 1}'] == (1, 3)
+    assert p['{"g": 3, "h": "x"}'] == (1, 3)
