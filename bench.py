@@ -83,6 +83,14 @@ HEADLINE = [
     "q_ann_ivf_quantized",
     "q_dedup_spans",
     "q_bigram_ppl",
+    # round-6 continuation (BPE trainer, incremental MV over the CDF,
+    # semantic decontamination, lake restore/clone/constraints/metadata)
+    "q_bpe_train",
+    "q_manifest_matview",
+    "q_decontaminate_semantic",
+    "q_manifest_restore",
+    "q_manifest_constraints",
+    "q_manifest_files",
 ]
 
 

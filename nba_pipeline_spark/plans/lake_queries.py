@@ -705,8 +705,11 @@ register(
         where=""
     ).replace(
         "FROM orders",
+        # IS DISTINCT FROM: NULL-status rows are OUTSIDE the replace
+        # scope (null-safe _scope_pred) and must be retained — plain <>
+        # silently drops them (adversarial-sweep find, round 6)
         "FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
-        "FROM orders WHERE o_orderstatus <> 'P' "
+        "FROM orders WHERE o_orderstatus IS DISTINCT FROM 'P' "
         "UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, "
         "o_totalprice * 2 AS o_totalprice FROM orders WHERE o_orderstatus = 'P')",
     ),

@@ -80,3 +80,32 @@ def test_pre_feature_lake_probes_and_stamps(spark, tmp_path):
         )
     M.commit_append(spark, p, spark.createDataFrame([(2, "b")], "k int, v string"))
     assert M.table_schema(spark, p) == [["k", "int"], ["v", "string"]]
+
+
+def test_racing_additive_writers_schemas_both_recorded(spark, tmp_path):
+    """The schema merge re-runs inside the commit CAS on the freshly
+    read parent props: two writers racing appends with DIFFERENT new
+    columns must both land, and the final recorded schema must contain
+    both columns regardless of commit order."""
+    import threading
+
+    p = str(tmp_path / "race")
+    M.commit_append(spark, p, spark.createDataFrame([(1,)], "k int"))
+    errs = []
+
+    def writer(col):
+        try:
+            df = spark.createDataFrame([(2, "v")], f"k int, {col} string")
+            M.commit_append(spark, p, df)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(c,)) for c in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    cols = {n for n, _ in M.table_schema(spark, p)}
+    assert cols == {"k", "a", "b"}
+    assert M.read_snapshot(spark, p, merge_schema=True).count() == 3
