@@ -1306,20 +1306,28 @@ def semantic_decontaminate(
     LOWEST eval id (the struct array is sorted by eid, array_position
     returns the first match) — engine-portable, mirrored by the
     oracle's (sim6 DESC, eid ASC) row_number."""
+    from ..functions.vectors import dot, norm
+
     is_eval = F.col(eval_col).cast("boolean")
+    # eval norms precomputed once in the broadcast structs; train norm
+    # computed once per row — identical arithmetic (dot / (na * nb),
+    # try_divide NULL-safety on zero norms) to functions.vectors.cosine
+    # with the two norm aggregates hoisted out of the per-eval loop
     ev = (
         emb.filter(is_eval)
+        .select(to_double_array(F.col(vec_col)).alias("v"), F.col(id_col))
         .select(
             F.struct(
                 F.col(id_col).alias("eid"),
-                to_double_array(F.col(vec_col)).alias("evv"),
+                F.col("v").alias("evv"),
+                norm(F.col("v")).alias("en"),
             ).alias("e")
         )
         .agg(F.sort_array(F.collect_list("e")).alias("evals"))
     )
-    tr = emb.filter(~is_eval)
-    from ..functions.vectors import cosine
-
+    tr = emb.filter(~is_eval).select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", norm(F.col("__v")))
     scored = (
         tr.crossJoin(F.broadcast(ev))
         .select(
@@ -1328,7 +1336,10 @@ def semantic_decontaminate(
             F.transform(
                 "evals",
                 lambda e: F.round(
-                    cosine(to_double_array(F.col(vec_col)), e["evv"]), 6
+                    F.try_divide(
+                        dot(F.col("__v"), e["evv"]), F.col("__n") * e["en"]
+                    ),
+                    6,
                 ),
             ).alias("sims"),
         )

@@ -100,3 +100,22 @@ def test_early_stop_fully_merged(spark):
     merges, tbl = bpe.train_bpe(_spark_words(spark, {"ab": 3}), 10)
     assert [(m.left, m.right) for m in merges] == [("a", "b")]
     assert tbl.collect()[0]["syms"] == ["ab"]
+
+
+def test_randomized_corpora_match_reference(spark):
+    # seeded randomized corpora: adversarial word shapes (repeats,
+    # single chars, shared prefixes/suffixes, unicode) — the Spark
+    # trainer must reproduce the reference merge sequence exactly
+    import random
+
+    rng = random.Random(61)
+    alphabet = "abcdefgé中"
+    for case in range(3):
+        words = {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7))):
+                rng.randint(1, 9)
+            for _ in range(40)
+        }
+        got, _ = bpe.train_bpe(_spark_words(spark, words), 10)
+        want, _ = ref_bpe(words, 10)
+        assert [(m.left, m.right, m.count) for m in got] == want, f"case {case}"
