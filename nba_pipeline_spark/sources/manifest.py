@@ -2474,6 +2474,7 @@ def vacuum(
     path: str,
     keep_versions: int = 2,
     older_than_ts: float | None = None,
+    dry_run: bool = False,
 ) -> int:
     """Drop expired manifests and delete every data segment no retained
     manifest references — including orphans from crashed writers.
@@ -2505,7 +2506,7 @@ def vacuum(
         if v in keep:
             live.update(segs)
     for v in versions:
-        if v not in keep:
+        if v not in keep and not dry_run:
             fs.delete(_jpath(spark, f"{path}/{_MANIFEST_DIR}/v{v:08d}.json"), False)
     # stray tmp manifests from crashed commits — but only STALE ones:
     # a fresh .tmp may belong to an in-flight concurrent commit whose
@@ -2551,6 +2552,7 @@ def vacuum(
             # its manifest rename, and deleting it would dangle the
             # winner's manifest.
             if name in ever_committed or now_ms - st.getModificationTime() > 600_000:
-                fs.delete(st.getPath(), True)
+                if not dry_run:
+                    fs.delete(st.getPath(), True)
                 n += 1
     return n

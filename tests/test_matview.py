@@ -100,3 +100,30 @@ def test_valued_diff_sides(spark, tmp_path, src):
     (del_row,) = d3.collect()
     assert del_row["op"] == "delete" and del_row["new"] is None
     assert del_row["old"]["v"] == 10
+
+
+def test_stream_sink_to_matview_exactly_once(spark, tmp_path):
+    """End-to-end composition: foreachBatch appends (idempotency-tagged
+    via manifest_append_sink) -> valued CDF -> incremental MV. A
+    replayed micro-batch (same batch id, the foreachBatch crash
+    contract) must change NOTHING downstream: no lake version, no feed
+    delta, no MV drift."""
+    lake, mv, state = (str(tmp_path / d) for d in ("lake", "mv", "state"))
+    sink = M.manifest_append_sink(lake)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k int, grp string, v bigint")
+
+    sink(batch([(1, "a", 10), (2, "b", 20)]), 0)
+    sink(batch([(3, "a", 30)]), 1)
+    MV.maintain_matview(spark, lake, ["k"], mv, ["grp"], ["v"], state)
+    before = _mv_rows(spark, mv)
+
+    sink(batch([(3, "a", 30)]), 1)  # replayed micro-batch: tag hit, no-op
+    assert M.current_version(spark, lake) == 2
+    n = MV.maintain_matview(spark, lake, ["k"], mv, ["grp"], ["v"], state)
+    assert n == 0 and _mv_rows(spark, mv) == before
+
+    sink(batch([(4, "b", 40)]), 2)  # genuinely new batch flows through
+    MV.maintain_matview(spark, lake, ["k"], mv, ["grp"], ["v"], state)
+    assert _mv_rows(spark, mv) == _expected(spark, lake)

@@ -104,3 +104,17 @@ def test_clone_requires_empty_destination(spark, lake, tmp_path):
     M.commit_append(spark, dst, _rows(spark, [(1, "x", 0)]))
     with pytest.raises(ValueError):
         M.clone(spark, lake, dst)
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, lake):
+    import os
+
+    M.compact(spark, lake)  # makes v1/v2 segments reclaimable
+    segs_before = set(os.listdir(os.path.join(lake, "data")))
+    n = M.vacuum(spark, lake, keep_versions=1, dry_run=True)
+    assert n > 0
+    assert set(os.listdir(os.path.join(lake, "data"))) == segs_before
+    assert M.current_version(spark, lake) == 3  # manifests intact
+    assert M.read_snapshot(spark, lake, version=1).count() == 3
+    # the real pass reclaims exactly what the dry run reported
+    assert M.vacuum(spark, lake, keep_versions=1) == n
