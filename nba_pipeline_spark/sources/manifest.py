@@ -2315,16 +2315,33 @@ def files(spark: SparkSession, path: str, version: int | None = None) -> DataFra
     ``n_rows`` comes from the KB-sized manifest alone; row counts are
     parquet FOOTER sums (``count(*)`` compiles to a metadata-only
     LocalTableScan per segment — no data pages read)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
     if version is None:
         version = current_version(spark, path)
         if version is None:
             raise ValueError(f"no commits: {path}")
     m = _read_manifest(spark, path, version)
     meta = m.get("meta", {})
+    # ONE job for every segment's row count: a union of per-segment
+    # count aggregates — each subtree is a footer-only count, and they
+    # run as parallel stages of a single action instead of O(segments)
+    # sequential driver round-trips
+    counts_df = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            _read_segments(spark, path, [s])
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(s).alias("segment"), "n")
+            for s in m["segments"]
+        ],
+    )
+    counts = {r["segment"]: int(r["n"]) for r in counts_df.collect()}
     rows = []
     for s in m["segments"]:
         sm = meta.get(s, {})
-        n = _read_segments(spark, path, [s]).count()  # footer-only job
         rows.append(
             (
                 s,
@@ -2332,7 +2349,7 @@ def files(spark: SparkSession, path: str, version: int | None = None) -> DataFra
                 sorted(sm.get("stats", {}).keys()),
                 sorted(sm.get("bloom", {}).keys()),
                 int(sm.get("seq", 0)),
-                n,
+                counts[s],
             )
         )
     return spark.createDataFrame(
