@@ -1167,3 +1167,69 @@ register(
     FROM u
     """,
 )
+
+
+def _stream_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Two append commits over orders key-stripes — the feed the
+    manifest_stream source replays by version."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_stream")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        M.commit_append(spark, lake, orders.filter(F.col("o_orderkey") % 4 <= 1))
+        M.commit_append(spark, lake, orders.filter(F.col("o_orderkey") % 4 >= 2))
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over the lake
+    (sources/lake_stream.py — spark.readStream.format(
+    "manifest_stream")): version offsets checkpointed by the engine,
+    one input partition per newly-appended parquet file, rows carry
+    _commit_version. The query runs the REAL stream (availableNow) with
+    a streaming groupBy into a memory sink; the oracle recomputes each
+    commit's census from the staging stripes — exactly-once delivery
+    is the equality."""
+    import uuid
+
+    from ..sources.lake_stream import register_lake_stream
+
+    tune(spark)
+    register_lake_stream(spark)
+    lake = _stream_lake(spark, sf_dir)
+    name = f"mstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", lake)
+        .load()
+        .groupBy("_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("_commit_version").cast("int").alias("version"), "n", "sum_cust"
+    )
+
+
+register(
+    "q_manifest_stream",
+    q_manifest_stream,
+    """
+    SELECT 1 AS version, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders WHERE o_orderkey % 4 <= 1
+    UNION ALL
+    SELECT 2, COUNT(*), CAST(SUM(o_custkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 4 >= 2
+    """,
+)

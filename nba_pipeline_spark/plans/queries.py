@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_constraints",
     "q_manifest_partition_evolution",
     "q_manifest_files",
+    "q_manifest_stream",
     # backfill: r1 greens cut from the r5 window, original order
     "q_date_parts",
     "q_date_parse",

@@ -1,0 +1,89 @@
+"""spark.readStream.format("manifest_stream") over the manifest lake:
+version-offset micro-batches, restart continuation from the engine
+checkpoint, commit-version attribution, and the non-append contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nba_pipeline_spark.sources import manifest as M
+from nba_pipeline_spark.sources.lake_stream import register_lake_stream
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def _run_available(spark, lake, ckpt, out: list, **opts):
+    reader = spark.readStream.format("manifest_stream").option("path", lake)
+    for k, val in opts.items():
+        reader = reader.option(k, val)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_appends_stream_with_version_attribution(spark, tmp_path):
+    register_lake_stream(spark)
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a"), (2, "b")]))
+    M.commit_append(spark, lake, _rows(spark, [(3, "c")]))
+    got: list = []
+    _run_available(spark, lake, ckpt, got)
+    assert {(r["k"], r["v"], r["_commit_version"]) for r in got} == {
+        (1, "a", 1), (2, "b", 1), (3, "c", 2),
+    }
+    # restart with the same checkpoint: only the NEW commit arrives
+    M.commit_append(spark, lake, _rows(spark, [(4, "d")]))
+    got2: list = []
+    _run_available(spark, lake, ckpt, got2)
+    assert {(r["k"], r["_commit_version"]) for r in got2} == {(4, 3)}
+    # nothing new: empty batch, no duplicates
+    got3: list = []
+    _run_available(spark, lake, ckpt, got3)
+    assert got3 == []
+
+
+def test_non_append_commit_fails_stream(spark, tmp_path):
+    register_lake_stream(spark)
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a")]))
+    M.commit_replace(spark, lake, _rows(spark, [(1, "z")]))
+    got: list = []
+    with pytest.raises(Exception, match="not[ -]append"):
+        _run_available(spark, lake, ckpt, got)
+
+
+def test_ignore_changes_skips_non_append(spark, tmp_path):
+    register_lake_stream(spark)
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a")]))
+    M.commit_replace(spark, lake, _rows(spark, [(1, "z")]))
+    M.commit_append(spark, lake, _rows(spark, [(2, "b")]))
+    got: list = []
+    _run_available(spark, lake, ckpt, got, ignore_changes="true")
+    # v1 append + v3 append flow; the replace (v2) is skipped wholesale
+    # (v2's consolidated segment is NOT an append -> nothing from it;
+    # v3's new segment still arrives)
+    assert {(r["k"], r["_commit_version"]) for r in got} == {(1, 1), (2, 3)}
+
+
+def test_batch_of_only_skipped_versions_is_empty(spark, tmp_path):
+    # a planned range containing ONLY a skipped (non-append) version
+    # exercises the placeholder-partition path and yields zero rows
+    register_lake_stream(spark)
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a")]))
+    got: list = []
+    _run_available(spark, lake, ckpt, got, ignore_changes="true")
+    assert len(got) == 1
+    M.commit_replace(spark, lake, _rows(spark, [(1, "z")]))
+    got2: list = []
+    _run_available(spark, lake, ckpt, got2, ignore_changes="true")
+    assert got2 == []
