@@ -1172,6 +1172,7 @@ def cluster(
     bits_per_col: int = 8,
     max_tries: int = 5,
     stats_cols: list[str] | None = None,
+    allow_untag: bool = False,
 ) -> int:
     """OPTIMIZE ZORDER for the manifest lake: rewrite the current
     snapshot into `target_segments` segments ordered by the Morton
@@ -1195,7 +1196,14 @@ def cluster(
     MATERIALIZE here (the rewrite read applies them and clears the
     ``deletes`` list), like compact. Concurrency contract is compact's:
     interleaved appends survive via the append-only lineage walk; any
-    row-removing commit after the base forces a re-run."""
+    row-removing commit after the base forces a re-run.
+
+    The z-run output segments are UNTAGGED, so clustering a
+    partition-tagged lake forfeits partition pruning and partitioned
+    MERGE — a hard error (the commit_upsert contract; quiet pruning
+    regressions are worse than a refused call) unless
+    ``allow_untag=True`` opts into the trade (z-range skipping
+    replacing partition skipping is sometimes the point)."""
     from pyspark.sql import functions as F
 
     all_stats = list(dict.fromkeys(list(cluster_cols) + list(stats_cols or [])))
@@ -1206,6 +1214,18 @@ def cluster(
             raise ValueError(f"cannot cluster an empty manifest lake: {path}")
         base_version = versions[-1]
         base = _read_manifest(spark, path, base_version)
+        if not allow_untag:
+            tagged = [
+                s for s in base["segments"]
+                if "part" in base.get("meta", {}).get(s, {})
+            ]
+            if tagged:
+                raise ValueError(
+                    f"cluster on a partition-tagged lake ({len(tagged)} "
+                    "tagged segments) would forfeit partition pruning and "
+                    "partitioned MERGE — pass allow_untag=True to trade "
+                    f"partition skipping for z-range skipping: {path}"
+                )
         base_segs = set(base["segments"])
         new_segs: dict[str, dict] = {}
         if base["segments"]:

@@ -61,3 +61,20 @@ def test_files_and_partitions_metadata_tables(spark, lake):
          for r in M.partitions(spark, lake).collect()}
     assert p['{"g": 1}'] == (1, 3)
     assert p['{"g": 3, "h": "x"}'] == (1, 3)
+
+
+def test_cluster_refuses_tagged_lake_unless_opted_in(spark, tmp_path):
+    import pytest as _pytest
+
+    p = str(tmp_path / "zlake")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)], "k int, p int, v string"
+    )
+    M.commit_append_partitioned(spark, p, df, "p")
+    with _pytest.raises(ValueError, match="allow_untag"):
+        M.cluster(spark, p, ["k"], target_segments=4)
+    # tags intact after the refusal
+    assert len(M.resolve_segments(spark, p, part_eq={"p": 1})) == 1
+    # explicit opt-in performs the trade
+    M.cluster(spark, p, ["k"], target_segments=4, allow_untag=True)
+    assert M.read_snapshot(spark, p).count() == 30
