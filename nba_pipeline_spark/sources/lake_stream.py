@@ -24,9 +24,11 @@ source, minus its unbounded seen-file ledger (the version offset IS
 the ledger).
 
 Schema comes from the manifest's recorded schema (commit-time schema
-enforcement stamps it; sources/manifest.py). Segments whose parquet
-columns diverge from the table schema fail loudly — stream+evolve
-requires a restart, the usual streaming-source contract.
+enforcement stamps it; sources/manifest.py). Files predating an
+additive evolution null-fill the missing columns with their
+manifest-recorded types (failing would wedge the stream permanently);
+the stream's OWN output schema is pinned at start — widen it by
+restarting, the usual streaming-source contract.
 """
 
 from __future__ import annotations
@@ -42,6 +44,33 @@ from pyspark.sql.datasource import (
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+
+# Spark simpleString -> pyarrow type, for null-filling columns a
+# pre-evolution file lacks. Exotic nested types raise — a lake whose
+# evolution adds nested columns needs a re-bootstrap, stated loudly.
+_PA_TYPES = {
+    "tinyint": "int8", "smallint": "int16", "int": "int32",
+    "bigint": "int64", "float": "float32", "double": "float64",
+    "string": "string", "boolean": "bool_", "date": "date32",
+    "binary": "binary",
+}
+
+
+def _pa_type(simple: str, fname: str, col: str):
+    import pyarrow as pa
+
+    if simple in _PA_TYPES:
+        return getattr(pa, _PA_TYPES[simple])()
+    if simple.startswith("decimal("):
+        p, sc = simple[8:-1].split(",")
+        return pa.decimal128(int(p), int(sc))
+    if simple.startswith("timestamp"):
+        return pa.timestamp("us")
+    raise ValueError(
+        f"manifest_stream: cannot null-fill column {col!r} of type "
+        f"{simple!r} missing from pre-evolution file {fname} — "
+        "re-bootstrap the stream from a snapshot"
+    )
 
 
 def _versions(path: str) -> list[int]:
@@ -165,20 +194,22 @@ class ManifestStreamReader(DataSourceStreamReader):
         sch = _manifest(self._path, _versions(self._path)[-1]).get(
             "props", {}
         ).get("schema")
-        want = [n for n, _ in sch["cols"]]
         have = set(t.column_names)
-        missing = [c for c in want if c not in have]
-        if missing:
-            raise ValueError(
-                f"manifest_stream: segment file {fname} lacks columns "
-                f"{missing} vs the table schema — restart the stream "
-                "after schema evolution"
-            )
-        t = t.select(want)
-        t = t.append_column(
+        cols = []
+        for n, typ in sch["cols"]:
+            if n in have:
+                cols.append(t.column(n))
+            else:
+                # file predates an additive evolution: null-fill with
+                # the manifest-recorded type (failing here would wedge
+                # the stream permanently — no restart can add columns
+                # to an old file)
+                cols.append(pa.nulls(t.num_rows, _pa_type(typ, fname, n)))
+        out = pa.table(cols, names=[n for n, _ in sch["cols"]])
+        out = out.append_column(
             "_commit_version", pa.array([version] * t.num_rows, pa.int32())
         )
-        yield from t.to_batches()
+        yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # the engine's checkpointed offset is the only state

@@ -2426,7 +2426,13 @@ def restore(
     Safety: the target manifest must still be retained (reading it
     raises otherwise), and vacuum keeps every segment a retained
     manifest references — so a restorable version's data is present by
-    the retention invariant, no existence probe needed."""
+    the retention invariant, no existence probe needed.
+
+    Table properties are NOT restored (Delta parity): the latest
+    schema and CHECK constraints stay in force, and restored rows are
+    not re-validated against constraints added after the target
+    version — re-run the constraint's expression over the snapshot if
+    the rollback must prove compliance."""
     if (version is None) == (ts is None):
         raise ValueError("restore: pass exactly one of version= / ts=")
     if ts is not None:
@@ -2496,6 +2502,7 @@ def clone(
     segs = [ref(s) for s in target["segments"]]
     dels = [ref(s) for s in target.get("deletes", [])]
     meta = {ref(s): m for s, m in src_meta.items()}
+    src_props = dict(target.get("props", {}))
     return _commit(
         spark,
         dst_path,
@@ -2503,6 +2510,10 @@ def clone(
         lambda parent: segs,
         meta_fn=lambda parent, segments: meta,
         deletes_fn=lambda parent: dels,
+        # table properties travel with the clone (CREATE TABLE CLONE
+        # copies properties): schema enforcement and CHECK constraints
+        # keep applying to writes against the cloned table
+        props_fn=lambda props: src_props,
     )
 
 

@@ -87,3 +87,16 @@ def test_batch_of_only_skipped_versions_is_empty(spark, tmp_path):
     got2: list = []
     _run_available(spark, lake, ckpt, got2, ignore_changes="true")
     assert got2 == []
+
+
+def test_pre_evolution_files_null_fill(spark, tmp_path):
+    register_lake_stream(spark)
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a")]))
+    M.commit_append(
+        spark, lake, spark.createDataFrame([(2, "b", 9)], "k int, v string, w int")
+    )
+    got: list = []
+    _run_available(spark, lake, ckpt, got)
+    rows = {r["k"]: (r["v"], r["w"]) for r in got}
+    assert rows == {1: ("a", None), 2: ("b", 9)}

@@ -118,3 +118,13 @@ def test_vacuum_dry_run_reports_without_deleting(spark, lake):
     assert M.read_snapshot(spark, lake, version=1).count() == 3
     # the real pass reclaims exactly what the dry run reported
     assert M.vacuum(spark, lake, keep_versions=1) == n
+
+
+def test_clone_carries_schema_and_constraints(spark, lake, tmp_path):
+    M.set_constraint(spark, lake, "k_pos", "k > 0")
+    dst = str(tmp_path / "clonep")
+    M.clone(spark, lake, dst)
+    assert M.table_constraints(spark, dst) == {"k_pos": "k > 0"}
+    assert M.table_schema(spark, dst) == M.table_schema(spark, lake)
+    with pytest.raises(M.ConstraintViolation):
+        M.commit_append(spark, dst, _rows(spark, [(-1, "x", 9)]))
