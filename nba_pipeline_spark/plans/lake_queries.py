@@ -1233,3 +1233,64 @@ register(
     FROM orders WHERE o_orderkey % 4 >= 2
     """,
 )
+
+
+def _zorder_part_lake(spark: SparkSession, sf_dir: str) -> str:
+    """band-tagged lake (band = o_orderkey % 3) z-ordered WITHIN
+    partitions by o_custkey — tags survive, per-segment custkey stats
+    land."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_zorder_part")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            (F.col("o_orderkey") % 3).alias("band"),
+        ).filter(F.col("o_orderkey").isNotNull())
+        M.commit_append_partitioned(spark, lake, orders, "band")
+        M.cluster_partitioned(
+            spark, lake, "band", ["o_custkey"],
+            target_segments_per_partition=4, bits_per_col=8,
+        )
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_zorder_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-preserving OPTIMIZE ZORDER (sources/manifest.py::
+    cluster_partitioned — Delta's within-partition semantics): after
+    maintenance the partition probe still prunes to one partition's
+    segments AND a custkey range probe prunes z-runs within it
+    (asserted when the partition has rows); the scoped aggregate
+    recomputes exactly."""
+    tune(spark)
+    lake = _zorder_part_lake(spark, sf_dir)
+    all_segs = M.resolve_segments(spark, lake)
+    band1 = M.resolve_segments(spark, lake, part_eq={"band": 1})
+    assert len(band1) < len(all_segs) or len(all_segs) <= 1, (band1, all_segs)
+    if band1:
+        lo = 0
+        ranged = M.resolve_segments(
+            spark, lake, part_eq={"band": 1}, ranges={"o_custkey": (lo, lo + 5)}
+        )
+        assert len(ranged) <= len(band1)
+    t = M.read_snapshot(spark, lake, part_eq={"band": 1}).filter(
+        F.col("band") == 1
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("o_custkey").alias("max_cust"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+register(
+    "q_manifest_zorder_partitioned",
+    q_manifest_zorder_partitioned,
+    """
+    SELECT COUNT(*) AS n, MAX(o_custkey) AS max_cust,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)

@@ -1314,6 +1314,152 @@ def cluster(
     ) from last_err
 
 
+def cluster_partitioned(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    cluster_cols: list[str],
+    target_segments_per_partition: int = 4,
+    bits_per_col: int = 8,
+    max_tries: int = 5,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE ZORDER *within partitions* — the Delta semantics on a
+    partitioned table: each partition value's segments rewrite into
+    z-ordered, stats'd segments that KEEP their partition tag, so
+    partition pruning, partitioned MERGE, and z-range skipping all
+    coexist (plain `cluster` would untag; it hard-errors on tagged
+    lakes for exactly that reason).
+
+    One pass over the table: the z interleave and the per-partition
+    z-run id are computed as Column exprs, the write lands every
+    (partition, z-run) directory in a single `partitionBy` job, and
+    one grouped aggregation records per-segment min/max stats on the
+    cluster columns. Partition values map through a driver-built dense
+    id (O(partitions) metadata), so directory naming never has to
+    round-trip typed values through Hive path encoding. Concurrency =
+    `cluster`'s: interleaved appends survive via the append-only
+    lineage walk; row-removing commits force a re-run. Requires a
+    fully `part_col`-tagged lake and no pending tombstones (same
+    contract as partitioned MERGE)."""
+    from pyspark.sql import functions as F
+
+    all_stats = list(dict.fromkeys(list(cluster_cols) + list(stats_cols or [])))
+    n_per = target_segments_per_partition
+    last_err: Exception | None = None
+    for _ in range(max_tries):
+        versions = _manifest_versions(spark, path)
+        if not versions:
+            raise ValueError(f"cannot cluster an empty manifest lake: {path}")
+        base_version = versions[-1]
+        base = _read_manifest(spark, path, base_version)
+        _require_no_tombstones(base, path, "cluster_partitioned")
+        meta0 = base.get("meta", {})
+        untagged = [
+            s for s in base["segments"]
+            if part_col not in meta0.get(s, {}).get("part", {})
+        ]
+        if untagged:
+            raise ValueError(
+                f"cluster_partitioned requires every segment tagged on "
+                f"{part_col!r} ({len(untagged)} untagged): {path}"
+            )
+        base_segs = set(base["segments"])
+        df = _read_segments(spark, path, base["segments"], merge_schema=True)
+        parts = [
+            r[part_col]
+            for r in df.select(part_col).distinct().collect()
+        ]
+        pid_df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(parts)],
+            schema=df.select(
+                F.lit(0).alias("__pid"), F.col(part_col)
+            ).schema,
+        )
+        z, n_z = _zorder_exprs(df, list(cluster_cols), bits_per_col)
+        prepared = (
+            df.join(
+                F.broadcast(pid_df),
+                on=df[part_col].eqNullSafe(pid_df[part_col]),
+            )
+            .drop(pid_df[part_col])
+            .withColumn("__z", z)
+            .withColumn(
+                "__zrun",
+                F.least(
+                    F.lit(n_per - 1),
+                    F.floor(F.col("__z") * n_per / F.lit(n_z)),
+                ).cast("int"),
+            )
+            .repartitionByRange(
+                max(1, len(parts)) * n_per, "__pid", "__zrun", "__z"
+            )
+            .sortWithinPartitions("__pid", "__zrun", "__z")
+            .persist()
+        )
+        tmp = f"{path}/{_DATA_DIR}/.clusterp-{uuid.uuid4().hex[:12]}"
+        prepared.drop("__z").write.partitionBy("__pid", "__zrun").mode(
+            "overwrite"
+        ).parquet(tmp)
+        stats = {
+            (int(r["__pid"]), int(r["__zrun"])): {
+                c: [_json_safe(r[f"__mn_{c}"]), _json_safe(r[f"__mx_{c}"])]
+                for c in all_stats
+            }
+            for r in prepared.groupBy("__pid", "__zrun")
+            .agg(
+                *[F.min(c).alias(f"__mn_{c}") for c in all_stats],
+                *[F.max(c).alias(f"__mx_{c}") for c in all_stats],
+            )
+            .collect()
+        }
+        prepared.unpersist()
+        fs, jtmp = _fs(spark, tmp)
+        new_segs: dict[str, dict] = {}
+        for (pid, run), seg_stats in sorted(stats.items()):
+            seg = f"seg-{uuid.uuid4().hex[:12]}"
+            ok = fs.rename(
+                _jpath(spark, f"{tmp}/__pid={pid}/__zrun={run}"),
+                _jpath(spark, f"{path}/{_DATA_DIR}/{seg}"),
+            )
+            if not ok:
+                raise RuntimeError(
+                    f"failed to place segment for partition {pid} z-run {run}"
+                )
+            new_segs[seg] = {
+                "part": {part_col: _json_safe(parts[pid])},
+                "stats": seg_stats,
+                "cluster": {"cols": list(cluster_cols)},
+            }
+        fs.delete(jtmp, True)
+        if not new_segs:  # 0-row snapshot: keep reads valid
+            seg = _write_segment(df.limit(0), path, 1)
+            new_segs[seg] = {}
+
+        def _segments(parent):
+            extra = _appends_since(spark, path, parent, base_version, base_segs)
+            return list(new_segs) + extra
+
+        def _meta(parent, segments):
+            pm = dict(parent.get("meta", {})) if parent else {}
+            out = {s: m for s, m in new_segs.items() if m}
+            for s in segments:
+                if s not in out and s in pm:
+                    out[s] = pm[s]
+            return out
+
+        try:
+            return _commit(
+                spark, path, "cluster_partitioned", _segments,
+                meta_fn=_meta, deletes_fn=lambda p: [],
+            )
+        except CommitConflict as e:
+            last_err = e
+    raise RuntimeError(
+        f"cluster_partitioned lost the snapshot race {max_tries} times: {path}"
+    ) from last_err
+
+
 def _seg_path(path: str, s: str) -> str:
     """Resolve a manifest segment reference: plain names live in this
     lake's data dir; absolute references (shallow clones — see `clone`)

@@ -78,3 +78,38 @@ def test_cluster_refuses_tagged_lake_unless_opted_in(spark, tmp_path):
     # explicit opt-in performs the trade
     M.cluster(spark, p, ["k"], target_segments=4, allow_untag=True)
     assert M.read_snapshot(spark, p).count() == 30
+
+
+def test_cluster_partitioned_keeps_tags_and_skips_on_both(spark, tmp_path):
+    p = str(tmp_path / "zp")
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(90)], "k int, band int, val int"
+    )
+    M.commit_append_partitioned(spark, p, df, "band")
+    v = M.cluster_partitioned(spark, p, "band", ["k"], target_segments_per_partition=3)
+    m = M._read_manifest(spark, p, v)
+    tagged = [s for s in m["segments"] if "part" in m["meta"].get(s, {})]
+    assert len(tagged) == 9  # 3 partitions x 3 z-runs, all tagged
+    # partition pruning still works
+    assert len(M.resolve_segments(spark, p, part_eq={"band": 1})) == 3
+    # z-range skipping works WITHIN the partition probe
+    segs = M.resolve_segments(
+        spark, p, part_eq={"band": 1}, ranges={"k": (0, 10)}
+    )
+    assert len(segs) < 3
+    # contents intact
+    got = {r["k"] for r in M.read_snapshot(spark, p).collect()}
+    assert got == set(range(90))
+    # partitioned MERGE still available after maintenance
+    ch = spark.createDataFrame([(1, 1, 999, 1)], "k int, band int, val int, ver int")
+    M.commit_upsert_partitioned(spark, p, ch, ["k"], "ver", "band")
+    assert M.read_snapshot(spark, p).filter("k = 1").collect()[0]["val"] == 999
+
+
+def test_cluster_partitioned_requires_full_tags(spark, tmp_path):
+    p = str(tmp_path / "zp2")
+    M.commit_append(
+        spark, p, spark.createDataFrame([(1, 0, 1)], "k int, band int, val int")
+    )
+    with pytest.raises(ValueError, match="tagged"):
+        M.cluster_partitioned(spark, p, "band", ["k"])
