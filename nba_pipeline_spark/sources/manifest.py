@@ -2525,6 +2525,48 @@ def files(spark: SparkSession, path: str, version: int | None = None) -> DataFra
     )
 
 
+def describe_detail(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE DETAIL (Delta parity): one row with the table's
+    current version, commit timestamp, segment/tombstone counts, total
+    live bytes (filesystem metadata walk — no data read), recorded
+    schema DDL, constraint count, and partition-tag columns in use."""
+    version = current_version(spark, path)
+    if version is None:
+        raise ValueError(f"no commits: {path}")
+    m = _read_manifest(spark, path, version)
+    meta = m.get("meta", {})
+    props = m.get("props", {})
+    fs, _ = _fs(spark, path)
+    total = 0
+    for s in list(m["segments"]) + list(m.get("deletes", [])):
+        p = _jpath(spark, _seg_path(path, s))
+        if fs.exists(p):
+            total += fs.getContentSummary(p).getLength()
+    part_cols = sorted(
+        {c for s in m["segments"] for c in meta.get(s, {}).get("part", {})}
+    )
+    sch = props.get("schema")
+    ddl = ", ".join(f"{n} {t}" for n, t in sch["cols"]) if sch else None
+    return spark.createDataFrame(
+        [
+            (
+                version,
+                float(m.get("ts", 0.0)),
+                m.get("op"),
+                len(m["segments"]),
+                len(m.get("deletes", [])),
+                total,
+                ddl,
+                len(props.get("constraints", {})),
+                part_cols,
+            )
+        ],
+        "version int, ts double, last_op string, n_segments int, "
+        "n_tombstones int, size_bytes bigint, schema string, "
+        "n_constraints int, partition_cols array<string>",
+    )
+
+
 def partitions(spark: SparkSession, path: str) -> DataFrame:
     """Metadata table (``table.partitions``): per partition-tag value,
     segment and row counts — the partition census a maintenance job

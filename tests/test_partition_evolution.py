@@ -113,3 +113,13 @@ def test_cluster_partitioned_requires_full_tags(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="tagged"):
         M.cluster_partitioned(spark, p, "band", ["k"])
+
+
+def test_describe_detail(spark, lake):
+    d = M.describe_detail(spark, lake).collect()[0]
+    assert d["version"] == 4 and d["last_op"] == "append"
+    assert d["n_segments"] == 4 and d["n_tombstones"] == 0
+    assert d["size_bytes"] > 0
+    assert d["schema"] == "k int, g int, h string"
+    assert d["partition_cols"] == ["g", "h"]
+    assert d["n_constraints"] == 0
