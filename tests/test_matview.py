@@ -127,3 +127,51 @@ def test_stream_sink_to_matview_exactly_once(spark, tmp_path):
     sink(batch([(4, "b", 40)]), 2)  # genuinely new batch flows through
     MV.maintain_matview(spark, lake, ["k"], mv, ["grp"], ["v"], state)
     assert _mv_rows(spark, mv) == _expected(spark, lake)
+
+
+def test_randomized_commit_sequences_match_recompute(spark, tmp_path):
+    """Seeded random op sequences (append / upsert with group moves /
+    delete) — after every fold the MV must equal a from-scratch
+    recompute of the source's current snapshot."""
+    import random
+
+    rng = random.Random(66)
+    for case in range(2):
+        src = str(tmp_path / f"src{case}")
+        mv = str(tmp_path / f"mv{case}")
+        state = str(tmp_path / f"state{case}")
+        live = {}
+        nxt = 0
+        for step in range(4):
+            op = rng.choice(["append", "upsert", "delete"] if live else ["append"])
+            if op == "append":
+                rows = [
+                    (nxt + i, rng.choice("abc"), rng.randint(1, 99), step)
+                    for i in range(rng.randint(1, 4))
+                ]
+                for k, g, v, _ in rows:
+                    live[k] = (g, v)
+                nxt += len(rows)
+                M.commit_append(spark, src, _rows(spark, rows))
+            elif op == "upsert":
+                ks = rng.sample(sorted(live), min(2, len(live)))
+                rows = [
+                    (k, rng.choice("abc"), rng.randint(1, 99), step) for k in ks
+                ] + [(nxt, rng.choice("abc"), rng.randint(1, 99), step)]
+                for k, g, v, _ in rows:
+                    live[k] = (g, v)
+                nxt += 1
+                M.commit_upsert(spark, src, _rows(spark, rows), ["k"], "ver")
+            else:
+                ks = rng.sample(sorted(live), min(2, len(live)))
+                for k in ks:
+                    live.pop(k)
+                M.commit_delete(
+                    spark, src,
+                    spark.createDataFrame([(k,) for k in ks], "k int"), ["k"],
+                )
+            MV.maintain_matview(spark, src, ["k"], mv, ["grp"], ["v"], state)
+            if live:
+                assert _mv_rows(spark, mv) == _expected(spark, src), (
+                    f"case {case} step {step} op {op}"
+                )
