@@ -2620,7 +2620,9 @@ def restore(
     schema and CHECK constraints stay in force, and restored rows are
     not re-validated against constraints added after the target
     version — re-run the constraint's expression over the snapshot if
-    the rollback must prove compliance."""
+    the rollback must prove compliance. A write racing the restore
+    resolves by version order (the restore SETS the table state —
+    last writer wins, Delta RESTORE semantics)."""
     if (version is None) == (ts is None):
         raise ValueError("restore: pass exactly one of version= / ts=")
     if ts is not None:
@@ -2702,6 +2704,9 @@ def clone(
         # copies properties): schema enforcement and CHECK constraints
         # keep applying to writes against the cloned table
         props_fn=lambda props: src_props,
+        # strict CAS on the empty table: a writer racing the clone into
+        # the same destination must fail it, not be silently replaced
+        expected_parent=0,
     )
 
 

@@ -128,3 +128,39 @@ def test_clone_carries_schema_and_constraints(spark, lake, tmp_path):
     assert M.table_schema(spark, dst) == M.table_schema(spark, lake)
     with pytest.raises(M.ConstraintViolation):
         M.commit_append(spark, dst, _rows(spark, [(-1, "x", 9)]))
+
+
+def test_clone_loses_race_to_concurrent_writer(spark, lake, tmp_path):
+    # simulate the race: destination gains a commit between clone's
+    # empty check and its commit by monkeypatching the manifest read
+    dst = str(tmp_path / "raced")
+    orig = M._write_segment
+    state = {"done": False}
+
+    def hijack(df, path, target_files):
+        if path == dst and not state["done"]:
+            state["done"] = True
+            M.commit_append(spark, dst, _rows(spark, [(7, "q", 0)]))
+        return orig(df, path, target_files)
+
+    # clone (shallow) writes no segment; hook the CAS instead by
+    # pre-committing after the check via a wrapped current_version
+    orig_cv = M.current_version
+    calls = {"n": 0}
+
+    def cv(spark_, path):
+        v = orig_cv(spark_, path)
+        if path == dst and calls["n"] == 0:
+            calls["n"] += 1
+            M.commit_append(spark_, dst, _rows(spark_, [(7, "q", 0)]))
+            return None  # what the pre-race check observed
+        return orig_cv(spark_, path)
+
+    M.current_version = cv
+    try:
+        with pytest.raises(Exception, match="expected parent|lost the CAS"):
+            M.clone(spark, lake, dst)
+    finally:
+        M.current_version = orig_cv
+    # the racer's table is intact, not silently replaced
+    assert {(r["k"], r["v"]) for r in M.read_snapshot(spark, dst).collect()} == {(7, "q")}
