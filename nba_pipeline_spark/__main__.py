@@ -204,8 +204,52 @@ def cmd_lake(args) -> int:
         print(json.dumps({"committed_version": v}))
         return 0
     if args.action == "vacuum":
-        n = M.vacuum(spark, args.path, keep_versions=args.keep_versions)
-        print(json.dumps({"segments_deleted": n}))
+        n = M.vacuum(
+            spark, args.path, keep_versions=args.keep_versions,
+            dry_run=args.dry_run,
+        )
+        key = "segments_reclaimable" if args.dry_run else "segments_deleted"
+        print(json.dumps({key: n}))
+        return 0
+    if args.action == "describe":
+        row = M.describe_detail(spark, args.path).collect()[0]
+        print(json.dumps(row.asDict()))
+        return 0
+    if args.action == "restore":
+        if args.version is None:
+            print("restore requires --version", file=sys.stderr)
+            return 2
+        v = M.restore(spark, args.path, version=args.version)
+        print(json.dumps({"committed_version": v}))
+        return 0
+    if args.action == "clone":
+        if not args.dest:
+            print("clone requires --dest", file=sys.stderr)
+            return 2
+        v = M.clone(spark, args.path, args.dest, deep=args.deep)
+        print(json.dumps({"clone_version": v, "dest": args.dest}))
+        return 0
+    if args.action == "constraint":
+        if args.drop:
+            v = M.drop_constraint(spark, args.path, args.drop)
+        elif args.rule:
+            name, expr = args.rule.split(":", 1)
+            v = M.set_constraint(spark, args.path, name, expr)
+        else:
+            print(json.dumps(M.table_constraints(spark, args.path)))
+            return 0
+        print(json.dumps({"committed_version": v}))
+        return 0
+    if args.action == "zorder":
+        if not args.by:
+            print("zorder requires --by col[,col...]", file=sys.stderr)
+            return 2
+        cols = args.by.split(",")
+        if args.partition:
+            v = M.cluster_partitioned(spark, args.path, args.partition, cols)
+        else:
+            v = M.cluster(spark, args.path, cols, allow_untag=args.allow_untag)
+        print(json.dumps({"committed_version": v}))
         return 0
     print(f"unknown lake action {args.action!r}", file=sys.stderr)
     return 2
@@ -241,10 +285,22 @@ def main(argv: list[str] | None = None) -> int:
         "--strict", action="store_true", help="exit 3 when any row quarantines"
     )
     lk = sub.add_parser("lake")
-    lk.add_argument("action", help="history|compact|vacuum")
+    lk.add_argument(
+        "action",
+        help="history|compact|vacuum|describe|restore|clone|constraint|zorder",
+    )
     lk.add_argument("path", help="manifest lake root")
     lk.add_argument("--target-files", type=int, default=1)
     lk.add_argument("--keep-versions", type=int, default=2)
+    lk.add_argument("--dry-run", action="store_true", help="vacuum: audit only")
+    lk.add_argument("--version", type=int, default=None, help="restore target")
+    lk.add_argument("--dest", default=None, help="clone destination")
+    lk.add_argument("--deep", action="store_true", help="clone: copy segments")
+    lk.add_argument("--rule", default=None, help="constraint: name:sql_expr to add")
+    lk.add_argument("--drop", default=None, help="constraint: name to drop")
+    lk.add_argument("--by", default=None, help="zorder: comma-separated columns")
+    lk.add_argument("--partition", default=None, help="zorder: within-partition col")
+    lk.add_argument("--allow-untag", action="store_true", help="zorder: untag trade")
     args = p.parse_args(argv)
     return {
         "list": cmd_list,
