@@ -1144,6 +1144,18 @@ def _zorder_exprs(df: DataFrame, cluster_cols: list[str], bits_per_col: int):
     probs = [i / nb for i in range(1, nb)]
     dfq = df.select(*[F.col(c).cast("double").alias(c) for c in cluster_cols])
     all_cuts = dfq.stat.approxQuantile(cluster_cols, probs, 1.0 / (4 * nb))
+    z, n_z = _zorder_from_cuts(cluster_cols, bits_per_col, all_cuts)
+    return z, n_z, all_cuts
+
+
+def _zorder_from_cuts(
+    cluster_cols: list[str], bits_per_col: int, all_cuts: list[list[float]]
+):
+    """The z Column expression for FIXED cut points — the incremental
+    path recomputes the exact mapping the original cluster used from
+    the manifest-persisted cuts, so new rows route to the same z-runs."""
+    from pyspark.sql import functions as F
+
     k = len(cluster_cols)
     z = F.lit(0).cast("long")
     for j, (c, cuts) in enumerate(zip(cluster_cols, all_cuts)):
@@ -1228,11 +1240,12 @@ def cluster(
                 )
         base_segs = set(base["segments"])
         new_segs: dict[str, dict] = {}
+        zcuts: list[list[float]] = [[] for _ in cluster_cols]
         if base["segments"]:
             df = _read_with_tombstones(
                 spark, path, base["segments"], base, merge_schema=True
             )
-            z, n_z = _zorder_exprs(df, list(cluster_cols), bits_per_col)
+            z, n_z, zcuts = _zorder_exprs(df, list(cluster_cols), bits_per_col)
             prepared = (
                 df.withColumn("__z", z)
                 .withColumn(
@@ -1284,7 +1297,7 @@ def cluster(
                     raise RuntimeError(f"failed to place segment for z-run {run}")
                 new_segs[seg] = {
                     "stats": stats[run],
-                    "cluster": {"cols": list(cluster_cols)},
+                    "cluster": {"cols": list(cluster_cols), "zrun": run},
                 }
             fs.delete(jtmp, True)
 
@@ -1300,17 +1313,146 @@ def cluster(
                     out[s] = pm[s]
             return out
 
+        # the layout spec rides the manifest so cluster_incremental can
+        # reproduce the EXACT z mapping (same cuts -> same runs)
+        zspec = {
+            "cols": list(cluster_cols),
+            "bits": bits_per_col,
+            "cuts": [[float(x) for x in cc] for cc in zcuts],
+            "target_segments": target_segments,
+            "stats_cols": all_stats,
+        }
+
         try:
             # deletes cleared: the rewrite read materialized them (same
             # append-only lineage argument as compact)
             return _commit(
                 spark, path, "cluster", _segments,
                 meta_fn=_meta, deletes_fn=lambda p: [],
+                props_fn=lambda props: {**props, "zorder": zspec},
             )
         except CommitConflict as e:
             last_err = e
     raise RuntimeError(
         f"cluster lost the snapshot race {max_tries} times: {path}"
+    ) from last_err
+
+
+def cluster_incremental(
+    spark: SparkSession,
+    path: str,
+    max_tries: int = 5,
+) -> int:
+    """Incremental OPTIMIZE: fold segments appended SINCE the last
+    `cluster` into the existing z-layout without rewriting settled
+    runs — the liquid-clustering maintenance shape. New rows compute
+    their z with the manifest-persisted cut points (identical mapping
+    to the original layout), route to their run by the same
+    ``floor(z * N / n_z)`` formula, and only runs that RECEIVE rows
+    are rewritten (merged + re-sorted, stats refreshed); every other
+    clustered segment transfers by name. Returns the committed version
+    (the current one when there is nothing to fold).
+
+    Repeated increments preserve query-time skipping exactly, but run
+    sizes drift toward the hot z-cells; re-run full `cluster` when
+    `files()` shows the spread (the cuts are quantiles of the ORIGINAL
+    distribution — a distribution shift is what full re-clustering is
+    for). Concurrency contract = cluster's: interleaved appends stay
+    unclustered for the next increment; row-removing commits force a
+    re-run."""
+    from pyspark.sql import functions as F
+
+    last_err: Exception | None = None
+    for _ in range(max_tries):
+        versions = _manifest_versions(spark, path)
+        if not versions:
+            raise ValueError(f"cannot cluster an empty manifest lake: {path}")
+        base_version = versions[-1]
+        base = _read_manifest(spark, path, base_version)
+        spec = base.get("props", {}).get("zorder")
+        if not spec:
+            raise ValueError(
+                f"cluster_incremental needs a prior cluster() commit "
+                f"(no persisted z-order spec): {path}"
+            )
+        _require_no_tombstones(base, path, "cluster_incremental")
+        meta = base.get("meta", {})
+        cols, bits = list(spec["cols"]), int(spec["bits"])
+        n_runs = int(spec["target_segments"])
+        all_stats = list(spec.get("stats_cols", cols))
+        run_of = {
+            s: int(meta[s]["cluster"]["zrun"])
+            for s in base["segments"]
+            if "zrun" in meta.get(s, {}).get("cluster", {})
+        }
+        fresh = [s for s in base["segments"] if s not in run_of]
+        if not fresh:
+            return base_version  # nothing to fold
+        base_segs = set(base["segments"])
+        z, n_z = _zorder_from_cuts(cols, bits, spec["cuts"])
+        df_new = _read_segments(spark, path, fresh, merge_schema=True)
+        routed = df_new.withColumn(
+            "__zrun",
+            F.least(
+                F.lit(n_runs - 1),
+                F.floor(z * n_runs / F.lit(n_z)),
+            ).cast("int"),
+        ).persist()
+        touched = sorted(
+            int(r["__zrun"]) for r in routed.select("__zrun").distinct().collect()
+        )
+        by_run: dict[int, list[str]] = {}
+        for s, r in run_of.items():
+            by_run.setdefault(r, []).append(s)
+        new_segs: dict[str, dict] = {}
+        replaced: set[str] = set()
+        for run in touched:
+            olds = by_run.get(run, [])
+            replaced.update(olds)
+            part = routed.filter(F.col("__zrun") == run).drop("__zrun")
+            if olds:
+                part = _read_segments(spark, path, olds, merge_schema=True).unionByName(
+                    part, allowMissingColumns=True
+                )
+            zc, _ = _zorder_from_cuts(cols, bits, spec["cuts"])
+            merged = part.withColumn("__z", zc).sortWithinPartitions("__z")
+            seg = _write_segment(merged.drop("__z"), path, 1)
+            st = merged.agg(
+                *[F.min(c).alias(f"__mn_{c}") for c in all_stats],
+                *[F.max(c).alias(f"__mx_{c}") for c in all_stats],
+            ).collect()[0]
+            new_segs[seg] = {
+                "stats": {
+                    c: [_json_safe(st[f"__mn_{c}"]), _json_safe(st[f"__mx_{c}"])]
+                    for c in all_stats
+                },
+                "cluster": {"cols": cols, "zrun": run},
+            }
+        routed.unpersist()
+        consumed = set(fresh) | replaced
+
+        def _segments(parent):
+            extra = _appends_since(spark, path, parent, base_version, base_segs)
+            kept = [s for s in base["segments"] if s not in consumed]
+            return kept + list(new_segs) + extra
+
+        def _meta(parent, segments):
+            pm = dict(parent.get("meta", {})) if parent else {}
+            out = dict(new_segs)
+            for s in segments:
+                if s not in out and s in pm:
+                    out[s] = pm[s]
+            return out
+
+        try:
+            return _commit(
+                spark, path, "cluster_incremental", _segments,
+                meta_fn=_meta, deletes_fn=lambda p: [],
+            )
+        except CommitConflict as e:
+            last_err = e
+    raise RuntimeError(
+        f"cluster_incremental lost the snapshot race {max_tries} times: {path}"
     ) from last_err
 
 
@@ -1376,7 +1518,7 @@ def cluster_partitioned(
                 F.lit(0).alias("__pid"), F.col(part_col)
             ).schema,
         )
-        z, n_z = _zorder_exprs(df, list(cluster_cols), bits_per_col)
+        z, n_z, _cuts_unused = _zorder_exprs(df, list(cluster_cols), bits_per_col)
         prepared = (
             df.join(
                 F.broadcast(pid_df),

@@ -123,3 +123,55 @@ def test_describe_detail(spark, lake):
     assert d["schema"] == "k int, g int, h string"
     assert d["partition_cols"] == ["g", "h"]
     assert d["n_constraints"] == 0
+
+
+def test_cluster_incremental_folds_only_receiving_runs(spark, tmp_path):
+    p = str(tmp_path / "zi")
+    base = spark.createDataFrame(
+        [(i, (i * 37) % 400) for i in range(400)], "a int, b int"
+    )
+    M.commit_append(spark, p, base)
+    M.cluster(spark, p, ["a", "b"], target_segments=4, bits_per_col=4)
+    m1 = M._read_manifest(spark, p, M.current_version(spark, p))
+    runs1 = {
+        m1["meta"][s]["cluster"]["zrun"]: s
+        for s in m1["segments"]
+        if "cluster" in m1["meta"].get(s, {})
+    }
+    assert len(runs1) == 4
+    # append rows living entirely in the LOW corner of key space
+    M.commit_append(spark, p, spark.createDataFrame(
+        [(i, i) for i in range(5)], "a int, b int"))
+    v = M.cluster_incremental(spark, p)
+    m2 = M._read_manifest(spark, p, v)
+    runs2 = {
+        m2["meta"][s]["cluster"]["zrun"]: s
+        for s in m2["segments"]
+        if "cluster" in m2["meta"].get(s, {})
+    }
+    # every run id persists; only run 0 (the low corner) was rewritten
+    assert set(runs2) == set(runs1)
+    rewritten = {r for r in runs1 if runs1[r] != runs2[r]}
+    assert rewritten == {0}
+    # no unclustered segments remain and contents are exact
+    assert all("cluster" in m2["meta"].get(s, {}) for s in m2["segments"])
+    got = M.read_snapshot(spark, p).groupBy().count().collect()[0][0]
+    assert got == 405
+    # skipping still sound+effective: tight range keeps a strict subset
+    kept = M.resolve_segments(spark, p, ranges={"a": (0, 10)})
+    assert 1 <= len(kept) < 4
+    rows = {
+        r["a"]
+        for r in M.read_snapshot(spark, p, ranges={"a": (0, 10)})
+        .filter("a BETWEEN 0 AND 10").collect()
+    }
+    assert rows == set(range(11))
+    # idempotent: nothing new to fold -> same version, no commit
+    assert M.cluster_incremental(spark, p) == v
+
+
+def test_cluster_incremental_requires_spec(spark, tmp_path):
+    p = str(tmp_path / "zi2")
+    M.commit_append(spark, p, spark.createDataFrame([(1, 2)], "a int, b int"))
+    with pytest.raises(ValueError, match="z-order spec"):
+        M.cluster_incremental(spark, p)

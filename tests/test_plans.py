@@ -264,7 +264,7 @@ def test_single_partition_only_on_bounded_frames(spark):
         "q_manifest_pruned_read", "q_manifest_bloom_read",
         # partition+z-range pruned read -> global 3-column aggregate
         # (O(1) rows cross the exchange after partial agg)
-        "q_manifest_zorder_partitioned",
+        "q_manifest_zorder_partitioned", "q_manifest_zorder_incremental",
         # z-order range probe -> global 3-column aggregate (O(1) rows
         # cross the exchange after partial agg on the pruned segments)
         "q_manifest_zorder",
