@@ -241,6 +241,10 @@ def cmd_lake(args) -> int:
         print(json.dumps({"committed_version": v}))
         return 0
     if args.action == "zorder":
+        if args.incremental:
+            v = M.cluster_incremental(spark, args.path)
+            print(json.dumps({"committed_version": v}))
+            return 0
         if not args.by:
             print("zorder requires --by col[,col...]", file=sys.stderr)
             return 2
@@ -301,6 +305,10 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--by", default=None, help="zorder: comma-separated columns")
     lk.add_argument("--partition", default=None, help="zorder: within-partition col")
     lk.add_argument("--allow-untag", action="store_true", help="zorder: untag trade")
+    lk.add_argument(
+        "--incremental", action="store_true",
+        help="zorder: fold post-cluster appends into the existing layout",
+    )
     args = p.parse_args(argv)
     return {
         "list": cmd_list,
