@@ -93,6 +93,7 @@ HEADLINE = [
     "q_manifest_files",
     "q_manifest_zorder_partitioned",
     "q_manifest_zorder_incremental",
+    "q_data_card",
     # q_manifest_stream is excluded: its latency is Structured
     # Streaming micro-batch bring-up (engine-fixed, ~seconds regardless
     # of data volume), pinned in tests/test_lake_stream.py instead

@@ -1093,3 +1093,84 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_bpe_encode", q_bpe_encode, None)
+
+
+# --- dataset card (per-source composition report) ------------------------------
+
+
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the per-source composition report a released
+    corpus ships (Dolma/RedPajama-style) — document and token counts,
+    corpus token share, mean stopword ratio (the cheap fluency proxy),
+    and the exact-duplicate rate within the source, all in ONE pass:
+    a narrow projection, one partial-agg'd groupBy on source, and a
+    1-row corpus-total frame crossed back in for the share. Integer /
+    scaled-integer outputs keep the hash engine-portable."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = fan_out(docs).select(
+        "source",
+        TX.token_count_ws(F.col("text")).alias("__nt"),
+        TX.stopword_ratio(TX.tokenize(F.col("text"))).alias("__sw"),
+        TX.fingerprint(F.col("text")).alias("__fp"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("bigint").alias("n_tokens"),
+        # mean stopword ratio as 1e4-scaled BIGINT (sum of per-doc
+        # ratios is order-dependent in doubles: accumulate decimal)
+        F.floor(
+            F.avg(F.col("__sw").cast("decimal(18,9)")) * 10000 + F.lit(0.5)
+        ).cast("bigint").alias("stopword_e4"),
+        F.count_distinct(F.col("__fp")).alias("__uniq"),
+        F.count(F.col("__fp")).alias("__withfp"),
+    )
+    total = per_src.agg(F.sum("n_tokens").alias("__tot"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            # token share in basis points: BIGINT floor division on
+            # both sides (float `/` + cast splits engines: DuckDB CAST
+            # rounds, Spark truncates)
+            F.expr("(n_tokens * 10000) div __tot").alias("token_share_bp"),
+            "stopword_e4",
+            # exact-dup rate in basis points: 1 - distinct/total fps
+            F.expr("((__withfp - __uniq) * 10000) div __withfp").alias(
+                "dup_rate_bp"
+            ),
+        )
+    )
+
+
+register(
+    "q_data_card",
+    q_data_card,
+    f"""
+    WITH t AS (SELECT doc_id, source, text, {_DUCK_TOKS} AS toks FROM documents),
+    d AS (
+      SELECT source, len(toks) AS nt,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, x -> list_contains(
+                 ['the','a','an','of','to','and','in','is','it','that'], x)))
+                 AS DECIMAL(18,9)) / len(toks)
+             ELSE CAST(0 AS DECIMAL(18,9)) END AS sw,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE md5(COALESCE(array_to_string(list_sort(list_distinct(toks)), ' '), ''))
+             END AS fp
+      FROM t),
+    s AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             CAST(FLOOR(AVG(sw) * 10000 + 0.5) AS BIGINT) AS stopword_e4,
+             COUNT(DISTINCT fp) AS uniq, COUNT(fp) AS withfp
+      FROM d GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS t FROM s)
+    SELECT source, n_docs, n_tokens,
+           CAST((n_tokens * 10000) // tot.t AS BIGINT) AS token_share_bp,
+           stopword_e4,
+           CAST(((withfp - uniq) * 10000) // withfp AS BIGINT) AS dup_rate_bp
+    FROM s CROSS JOIN tot
+    """,
+)

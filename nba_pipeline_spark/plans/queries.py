@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_stream",
     "q_manifest_zorder_partitioned",
     "q_manifest_zorder_incremental",
+    "q_data_card",
     # backfill: r1 greens cut from the r5 window, original order
     "q_date_parts",
     "q_date_parse",

@@ -258,6 +258,8 @@ def test_single_partition_only_on_bounded_frames(spark):
         "q_basket_rules", "q_cdc_time_travel",
         # budget/spill totals: O(sources)-row frame -> 1-row aggregates
         "q_token_budget",
+        # dataset card: 1-row corpus-total frame crossed back in
+        "q_data_card",
         # expectations: global aggregates -> O(1)-row rule report
         "q_expectations", "q_expectations_quarantine",
         # one-partition-of-one-segment global aggregates (pruned reads)
