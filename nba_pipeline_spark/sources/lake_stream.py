@@ -176,9 +176,17 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start.get("version", 0)), int(end.get("version", 0))
+        # schema pinned AT PLANNING from the batch's end version and
+        # shipped inside each partition: an executor must never resolve
+        # "latest" itself (a replace landing mid-batch would swap the
+        # column set under a running task)
+        sch = _manifest(self._path, hi).get("props", {}).get("schema") if hi else None
+        cols = [list(p) for p in sch["cols"]] if sch else []
         parts = []
         for v in range(lo + 1, hi + 1):
-            parts.extend(InputPartition(fv) for fv in self._new_files(v))
+            parts.extend(
+                InputPartition((f, ver, cols)) for f, ver in self._new_files(v)
+            )
         # an all-skipped range still needs >=1 (empty) partition: the
         # engine requires a non-empty partition list for a planned batch
         return parts or [InputPartition(None)]
@@ -189,14 +197,11 @@ class ManifestStreamReader(DataSourceStreamReader):
 
         if partition.value is None:
             return
-        fname, version = partition.value
+        fname, version, sch_cols = partition.value
         t = pq.read_table(fname)
-        sch = _manifest(self._path, _versions(self._path)[-1]).get(
-            "props", {}
-        ).get("schema")
         have = set(t.column_names)
         cols = []
-        for n, typ in sch["cols"]:
+        for n, typ in sch_cols:
             if n in have:
                 cols.append(t.column(n))
             else:
@@ -205,7 +210,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                 # the stream permanently — no restart can add columns
                 # to an old file)
                 cols.append(pa.nulls(t.num_rows, _pa_type(typ, fname, n)))
-        out = pa.table(cols, names=[n for n, _ in sch["cols"]])
+        out = pa.table(cols, names=[n for n, _ in sch_cols])
         out = out.append_column(
             "_commit_version", pa.array([version] * t.num_rows, pa.int32())
         )
