@@ -497,8 +497,11 @@ def build_ivf_quantized_index(
     and the quantized scan reads 4x less than float32. Centroids are
     deterministically the first `n_cells` vectors by id (the oracle can
     replay it; production swaps in k-means centroids — same layout,
-    see kmeans_cells). Rebuild = re-run (commit_replace per lake keeps
-    readers snapshot-isolated during refresh)."""
+    see kmeans_cells). Rebuild = re-run: each lake takes ONE replace
+    commit (`commit_replace_partitioned` for the codes lake lands every
+    cell's tagged segment in a single version — readers stay
+    snapshot-isolated for the whole rebuild, never see a partial index,
+    and the build pays one manifest CAS instead of one per cell)."""
     from ..sources import manifest as M
 
     e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
@@ -514,18 +517,13 @@ def build_ivf_quantized_index(
         codes.alias("codes"),
     ).localCheckpoint(eager=True)  # one assignment pass, k per-cell writes
     M.commit_replace(spark, centroids_path, centroids)
-    cids = sorted(
-        r["cid"] for r in code_rows.select("cid").distinct().collect()
-        if r["cid"] is not None
+    M.commit_replace_partitioned(
+        spark,
+        codes_path,
+        code_rows,
+        part_col="cid",
+        bloom_cols=[id_col],
     )
-    for cid in cids:
-        M.commit_append(
-            spark,
-            codes_path,
-            code_rows.filter(F.col("cid") == cid),
-            partition={"cid": int(cid)},
-            bloom_cols=[id_col],
-        )
 
 
 def update_ivf_quantized_index(

@@ -634,9 +634,30 @@ def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow arrays_zip over the token array (no Python); LM training is
     one partial-agg'd groupBy per order (bigram table ~O(vocab²)
     bounded by corpus, unigram vocab-sized); counts join back onto the
-    bigram stream (broadcast at bench scale, shuffle-join at cluster
-    scale — flip the hint); the per-doc mean shuffles skinny rows."""
+    bigram stream through a SIZE GUARD, not a hardcoded hint: both
+    count tables are strictly smaller than the corpus text they
+    aggregate, so when Catalyst's estimate of the text scan fits the
+    broadcast budget they broadcast, and past it they degrade to
+    shuffle joins (AQE still converts back at runtime if the actual
+    agg output is small) — no human flips anything at 100×; the
+    per-doc mean shuffles skinny rows."""
+    return _bigram_ppl_plan(spark, sf_dir)
+
+
+def _bigram_ppl_plan(
+    spark: SparkSession, sf_dir: str, broadcast_cap: int = 64 << 20
+) -> DataFrame:
+    from ..operators.partitioning import plan_size_bytes
+
     docs = _docs(spark, sf_dir)
+    # upper bound for BOTH count tables: each aggregates the bigram
+    # stream, whose bytes are bounded by the text scan (the lazy
+    # localCheckpoint below erases plan stats, so the guard reads the
+    # PRE-checkpoint scan estimate — the sound side of the proxy)
+    corpus_fits = plan_size_bytes(docs.select("text")) <= broadcast_cap
+
+    def guarded(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if corpus_fits else df
     ts = TX.tokenize(F.col("text"))
     pairs = docs.select(
         "doc_id",
@@ -658,8 +679,10 @@ def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log2((F.col("cb") + 1) / (F.col("ch") + F.col("v"))), 6
     ).cast("decimal(28,6)")
     scored = (
-        pairs.join(F.broadcast(bi), ["h", "w"])
-        .join(F.broadcast(uni), "h")
+        pairs.join(guarded(bi), ["h", "w"])
+        .join(guarded(uni), "h")
+        # vocab is a 1-row global aggregate — bounded by construction,
+        # always broadcast
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.sum(lp).alias("s"))

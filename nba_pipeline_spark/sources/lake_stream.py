@@ -17,24 +17,32 @@ skipping is the honest semantics when downstream can't dedup). For
 retraction-aware consumers use the valued change feed
 (`manifest.snapshot_diff` / `consume_feed`) instead.
 
-Metadata access is plain-filesystem JSON (KB manifests); data access
-is pyarrow parquet in executors. At 100 TB the per-trigger work is
-O(newly appended files) — the same floor as Spark's own file-stream
-source, minus its unbounded seen-file ledger (the version offset IS
-the ledger).
+All I/O goes through ``pyarrow.fs`` resolved from the lake URI — NOT
+``os.listdir``/local-path reads — so the source plans and reads
+against ``file://``, ``s3://`` and ``gs://`` lakes alike (hdfs via
+libhdfs where deployed). pyarrow rather than the Hadoop FS API
+because a Python DataSource's planning methods run in a Python worker
+with no Py4J gateway: ``spark._jvm`` is unreachable here by
+construction, and pyarrow's native filesystems are the public,
+JVM-free equivalent. Metadata access is KB-sized JSON manifests; data
+access is pyarrow parquet in executors. At 100 TB the per-trigger
+work is O(newly appended files) — the same floor as Spark's own
+file-stream source, minus its unbounded seen-file ledger (the version
+offset IS the ledger).
 
 Schema comes from the manifest's recorded schema (commit-time schema
 enforcement stamps it; sources/manifest.py). Files predating an
 additive evolution null-fill the missing columns with their
 manifest-recorded types (failing would wedge the stream permanently);
-the stream's OWN output schema is pinned at start — widen it by
-restarting, the usual streaming-source contract.
+the stream's OWN output schema is pinned at start — a mid-stream
+additive evolution's extra columns are projected AWAY against the
+declared reader schema (widen by restarting, the usual
+streaming-source contract), never an arrow schema mismatch.
 """
 
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -73,20 +81,75 @@ def _pa_type(simple: str, fname: str, col: str):
     )
 
 
+def _pafs(path: str):
+    """(pyarrow FileSystem, normalized path) for a lake/file URI —
+    scheme-dispatched (file/s3/gs native; hdfs via libhdfs), falling
+    back to the local filesystem for bare paths."""
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(path)
+
+
+def _join(base: str, *parts: str) -> str:
+    return "/".join([base.rstrip("/"), *parts])
+
+
+def _with_scheme(origin_uri: str, path: str) -> str:
+    """Re-attach the URI scheme to a pyarrow FileInfo.path (pyarrow
+    strips it — S3 infos come back as ``bucket/key``), so the executor
+    read resolves the SAME filesystem the planner listed."""
+    if "://" in origin_uri and "://" not in path:
+        return f"{origin_uri.split('://', 1)[0]}://{path}"
+    return path
+
+
 def _versions(path: str) -> list[int]:
-    mdir = os.path.join(path, _MANIFEST_DIR)
-    if not os.path.isdir(mdir):
-        return []
+    from pyarrow import fs as pafs
+
+    fs, norm = _pafs(path)
+    mdir = _join(norm, _MANIFEST_DIR)
+    sel = pafs.FileSelector(mdir, allow_not_found=True)
     out = []
-    for f in os.listdir(mdir):
-        if f.startswith("v") and f.endswith(".json"):
-            out.append(int(f[1:-5]))
+    for info in fs.get_file_info(sel):
+        name = info.base_name
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
     return sorted(out)
 
 
 def _manifest(path: str, v: int) -> dict:
-    with open(os.path.join(path, _MANIFEST_DIR, f"v{v:08d}.json")) as fh:
-        return json.load(fh)
+    fs, norm = _pafs(path)
+    mfile = _join(norm, _MANIFEST_DIR, f"v{v:08d}.json")
+    try:
+        with fs.open_input_stream(mfile) as fh:
+            return json.loads(fh.read().decode("utf-8"))
+    except (FileNotFoundError, OSError) as e:
+        raise _RetentionGap(path, v) from e
+
+
+class _RetentionGap(ValueError):
+    """A manifest in the requested offset range no longer exists —
+    vacuum reclaimed it. Raised with restart guidance instead of a raw
+    FileNotFoundError (a stream starting at version 0, or resuming a
+    checkpoint older than the lake's retention, hits this)."""
+
+    def __init__(self, path: str, v: int) -> None:
+        super().__init__(
+            f"manifest_stream: version {v} of {path} is outside the "
+            "lake's retention (its manifest was vacuumed) — restart the "
+            "stream with a fresh checkpoint from the current snapshot "
+            "(batch-read read_snapshot() for the base, then stream from "
+            "the current version)"
+        )
+        self.version = v
+
+
+def _schema_pairs_at(path: str, v: int) -> list[list[str]]:
+    sch = _manifest(path, v).get("props", {}).get("schema")
+    return [list(p) for p in sch["cols"]] if sch else []
 
 
 def _schema_ddl(path: str) -> str:
@@ -121,17 +184,25 @@ class ManifestStreamDataSource(DataSource):
         return _schema_ddl(path)
 
     def streamReader(self, schema) -> "ManifestStreamReader":
-        return ManifestStreamReader(self.options)
+        return ManifestStreamReader(self.options, schema)
 
 
 class ManifestStreamReader(DataSourceStreamReader):
-    def __init__(self, options) -> None:
+    def __init__(self, options, schema=None) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("manifest_stream requires a path option")
         self._path = path
         self._ignore_changes = (
             str(options.get("ignore_changes", "false")).lower() == "true"
+        )
+        # the reader's DECLARED output columns, pinned at stream start:
+        # batches must project down to exactly these (minus the
+        # attribution column we append ourselves)
+        self._declared = (
+            [f.name for f in schema.fields if f.name != "_commit_version"]
+            if schema is not None
+            else None
         )
 
     def initialOffset(self) -> dict:
@@ -144,6 +215,8 @@ class ManifestStreamReader(DataSourceStreamReader):
     def _new_files(self, v: int) -> list[tuple[str, int]]:
         """(parquet file, version) pairs appended by version v; raises
         (or skips under ignore_changes) for non-append commits."""
+        from pyarrow import fs as pafs
+
         cur = _manifest(self._path, v)
         prev_segs: set = set()
         prev_dels: list = []
@@ -161,17 +234,24 @@ class ManifestStreamReader(DataSourceStreamReader):
                 "restart from a snapshot, or set ignore_changes=true to "
                 "skip such commits, or consume the valued change feed"
             )
+        fs, norm = _pafs(self._path)
         out = []
         for s in cur["segments"]:
             if s in prev_segs:
                 continue
-            seg_dir = (
-                s if ("://" in s or s.startswith("/"))
-                else os.path.join(self._path, _DATA_DIR, s)
-            )
-            for f in sorted(os.listdir(seg_dir)):
-                if f.endswith(".parquet"):
-                    out.append((os.path.join(seg_dir, f), v))
+            if "://" in s:  # absolute ref on (possibly) another store
+                origin = s
+                seg_fs, seg_dir = _pafs(s)
+            elif s.startswith("/"):
+                origin = self._path
+                seg_fs, seg_dir = fs, s
+            else:
+                origin = self._path
+                seg_fs, seg_dir = fs, _join(norm, _DATA_DIR, s)
+            infos = seg_fs.get_file_info(pafs.FileSelector(seg_dir))
+            for info in sorted(infos, key=lambda i: i.base_name):
+                if info.base_name.endswith(".parquet"):
+                    out.append((_with_scheme(origin, info.path), v))
         return out
 
     def partitions(self, start: dict, end: dict):
@@ -179,9 +259,15 @@ class ManifestStreamReader(DataSourceStreamReader):
         # schema pinned AT PLANNING from the batch's end version and
         # shipped inside each partition: an executor must never resolve
         # "latest" itself (a replace landing mid-batch would swap the
-        # column set under a running task)
-        sch = _manifest(self._path, hi).get("props", {}).get("schema") if hi else None
-        cols = [list(p) for p in sch["cols"]] if sch else []
+        # column set under a running task). Projected DOWN to the
+        # reader's declared schema: a mid-stream additive evolution
+        # otherwise widens the batch past the pinned reader schema and
+        # fails the batch with an arrow mismatch — extra columns are
+        # picked up on restart, per the stated contract.
+        cols = _schema_pairs_at(self._path, hi) if hi else []
+        if self._declared is not None:
+            declared = set(self._declared)
+            cols = [p for p in cols if p[0] in declared]
         parts = []
         for v in range(lo + 1, hi + 1):
             parts.extend(
@@ -198,7 +284,10 @@ class ManifestStreamReader(DataSourceStreamReader):
         if partition.value is None:
             return
         fname, version, sch_cols = partition.value
-        t = pq.read_table(fname)
+        # resolve through pyarrow.fs so executor reads work on object
+        # stores, not just paths mounted on the local filesystem
+        fs, norm = _pafs(fname)
+        t = pq.read_table(norm, filesystem=fs)
         have = set(t.column_names)
         cols = []
         for n, typ in sch_cols:

@@ -154,6 +154,25 @@ def _rename_no_overwrite(spark: SparkSession, src: str, dst: str) -> bool:
         raise
 
 
+def _rename_overwrite(spark: SparkSession, src: str, dst: str) -> None:
+    """Atomic rename that REPLACES `dst` — the checkpoint primitive
+    (last-writer-wins state files, not CAS commits). FileContext with
+    Options.Rename.OVERWRITE gives replace semantics on every
+    implementation (plain FileSystem.rename refuses an existing
+    destination on HDFS but replaces it on the local FS — unusable for
+    a portable overwrite)."""
+    jvm = spark._jvm
+    jdst = _jpath(spark, dst)
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        jdst.toUri(), spark._jsc.hadoopConfiguration()
+    )
+    opts = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1
+    )
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(_jpath(spark, src), jdst, opts)
+
+
 def _write_segment(df: DataFrame, path: str, target_files: int | None) -> str:
     seg = f"seg-{uuid.uuid4().hex[:12]}"
     writer = df.coalesce(target_files) if target_files else df
@@ -402,30 +421,45 @@ def set_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
     adding a constraint historical data breaks is refused), then the
     constraint lands as a metadata-only commit and every subsequent
     write validates its incoming rows against it (`_check_constraints`
-    in the append/replace/merge paths)."""
-    from pyspark.sql import functions as F
+    in the append/replace/merge paths).
 
-    if current_version(spark, path) is not None:
-        bad = (
-            read_snapshot(spark, path)
-            .filter(~F.coalesce(F.expr(expr), F.lit(False)))
-            .count()
-        )
-        if bad:
-            raise ConstraintViolation(
-                f"cannot add constraint {name}: {bad} existing rows "
-                f"violate CHECK ({expr}) in {path}"
-            )
+    The validation and the commit form one CAS: the commit carries
+    ``expected_parent`` = the version the validation scanned, so a
+    write landing in between (which started before the constraint
+    existed and therefore never checked it) conflicts the commit and
+    the validation re-runs on the new snapshot — the "existing data
+    validated" guarantee holds with no race window."""
+    from pyspark.sql import functions as F
 
     def props_fn(props):
         cons = dict(props.get("constraints", {}))
         cons[name] = expr
         return {**props, "constraints": cons}
 
-    return _commit(
-        spark, path, "set_constraint",
-        lambda parent: list(parent["segments"]) if parent else [],
-        props_fn=props_fn,
+    for _ in range(20):
+        pinned = current_version(spark, path)
+        if pinned is not None and _read_manifest(spark, path, pinned)["segments"]:
+            bad = (
+                read_snapshot(spark, path, version=pinned)
+                .filter(~F.coalesce(F.expr(expr), F.lit(False)))
+                .count()
+            )
+            if bad:
+                raise ConstraintViolation(
+                    f"cannot add constraint {name}: {bad} existing rows "
+                    f"violate CHECK ({expr}) in {path}"
+                )
+        try:
+            return _commit(
+                spark, path, "set_constraint",
+                lambda parent: list(parent["segments"]) if parent else [],
+                props_fn=props_fn,
+                expected_parent=pinned or 0,
+            )
+        except CommitConflict:
+            continue  # a write superseded the validated snapshot: re-validate
+    raise RuntimeError(
+        f"set_constraint lost the validate-commit race 20 times: {path}"
     )
 
 
@@ -747,6 +781,39 @@ def commit_append_partitioned(
     handful of date partitions)."""
     _check_constraints(spark, path, df)
     _check_schema(spark, path, df)
+    new_segs = _write_partitioned_segments(
+        spark, path, df, part_col, target_files, stats_cols, bloom_cols
+    )
+
+    def meta_fn(parent, segments):
+        pm = dict(parent.get("meta", {})) if parent else {}
+        out = {s: pm[s] for s in segments if s in pm}
+        out.update(new_segs)
+        return out
+
+    return _commit(
+        spark,
+        path,
+        "append",
+        lambda parent: (parent["segments"] if parent else []) + list(new_segs),
+        tag=tag,
+        meta_fn=meta_fn,
+        props_fn=_schema_props_fn(spark, path, df),
+    )
+
+
+def _write_partitioned_segments(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    part_col: str,
+    target_files: int | None,
+    stats_cols: list[str] | None,
+    bloom_cols: list[str] | None,
+) -> dict[str, dict]:
+    """One partition-tagged segment (with optional stats/blooms) per
+    distinct `part_col` value — the shared write step of the
+    partitioned append/replace commits."""
     from pyspark.sql import functions as F
 
     parts = [
@@ -765,21 +832,40 @@ def commit_append_partitioned(
             if blooms:
                 seg_meta["bloom"] = blooms
         new_segs[seg] = seg_meta
+    return new_segs
 
-    def meta_fn(parent, segments):
-        pm = dict(parent.get("meta", {})) if parent else {}
-        out = {s: pm[s] for s in segments if s in pm}
-        out.update(new_segs)
-        return out
 
+def commit_replace_partitioned(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    part_col: str,
+    target_files: int | None = None,
+    tag: str | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> int:
+    """Replace the table wholesale with one partition-tagged segment
+    per distinct `part_col` value, in ONE atomic commit — the rebuild
+    primitive for partitioned index tables (e.g. the IVF codes lake:
+    thousands of cells land as one version; readers are
+    snapshot-isolated for the whole rebuild and never see a partial
+    index; the superseded segments stay readable via time travel until
+    vacuum). Pending merge-on-read tombstones drop — the new contents
+    supersede everything they applied to."""
+    _check_constraints(spark, path, df)
+    new_segs = _write_partitioned_segments(
+        spark, path, df, part_col, target_files, stats_cols, bloom_cols
+    )
     return _commit(
         spark,
         path,
-        "append",
-        lambda parent: (parent["segments"] if parent else []) + list(new_segs),
+        "replace",
+        lambda parent: list(new_segs),
+        deletes_fn=lambda p: [],
         tag=tag,
-        meta_fn=meta_fn,
-        props_fn=_schema_props_fn(spark, path, df),
+        meta_fn=lambda parent, segments: dict(new_segs),
+        props_fn=_schema_props_fn(spark, path, df, replace=True),
     )
 
 
@@ -1602,11 +1688,17 @@ def cluster_partitioned(
     ) from last_err
 
 
+def _is_abs_ref(s: str) -> bool:
+    """True for absolute segment references (shallow-clone refs);
+    False for plain names living in the lake's own data dir."""
+    return "://" in s or s.startswith("/")
+
+
 def _seg_path(path: str, s: str) -> str:
     """Resolve a manifest segment reference: plain names live in this
     lake's data dir; absolute references (shallow clones — see `clone`)
     resolve as written."""
-    return s if ("://" in s or s.startswith("/")) else f"{path}/{_DATA_DIR}/{s}"
+    return s if _is_abs_ref(s) else f"{path}/{_DATA_DIR}/{s}"
 
 
 def _read_segments(
@@ -2514,14 +2606,26 @@ def consume_feed(
     manifest lake — is exactly-once end-to-end, the same tag discipline
     as `manifest_append_sink`. One consumer per `state_path` (the
     checkpoint is last-writer-wins by design, like a streaming query's
-    checkpoint dir)."""
-    import os
+    checkpoint dir).
 
+    The checkpoint goes through the Hadoop FileSystem API (same seam
+    as every other lake I/O — manifest reads, cdc view snapshots), so
+    `state_path` may live on hdfs/s3a/gcs next to the lake, not just
+    driver-local disk; the commit point is a tmp write + overwrite
+    rename (FileContext.rename(OVERWRITE) — atomic where the store
+    provides it, and last-writer-wins is the declared contract)."""
     state_file = f"{state_path}/high_water.json"
+    fs, state_jp = _fs(spark, state_file)
     hw = 0
-    if os.path.exists(state_file):
-        with open(state_file) as fh:
-            hw = int(json.load(fh)["version"])
+    if fs.exists(state_jp):
+        stream = fs.open(state_jp)
+        try:
+            content = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        hw = int(json.loads(content)["version"])
     latest = current_version(spark, path) or 0
     done = 0
     for v in range(hw + 1, latest + 1):
@@ -2535,11 +2639,14 @@ def consume_feed(
             "version", F.lit(v)
         )  # same (key..., op, version) schema as read_feed
         process(delta, v)
-        os.makedirs(state_path, exist_ok=True)
+        fs.mkdirs(_jpath(spark, state_path))
         tmp = f"{state_file}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump({"version": v}, fh)
-        os.replace(tmp, state_file)  # atomic on POSIX: the commit point
+        out = fs.create(_jpath(spark, tmp), True)
+        try:
+            out.write(bytearray(json.dumps({"version": v}).encode("utf-8")))
+        finally:
+            out.close()
+        _rename_overwrite(spark, tmp, state_file)  # the commit point
         done += 1
     return done
 
@@ -2633,6 +2740,14 @@ def files(spark: SparkSession, path: str, version: int | None = None) -> DataFra
             raise ValueError(f"no commits: {path}")
     m = _read_manifest(spark, path, version)
     meta = m.get("meta", {})
+    schema_ddl = (
+        "segment string, part string, stats_cols array<string>, "
+        "bloom_cols array<string>, seq int, n_rows bigint"
+    )
+    # a zero-segment manifest is legal (e.g. set_constraint as the
+    # first commit on an empty lake): no counts job, empty table out
+    if not m["segments"]:
+        return spark.createDataFrame([], schema_ddl)
     # ONE job for every segment's row count: a union of per-segment
     # count aggregates — each subtree is a footer-only count, and they
     # run as parallel stages of a single action instead of O(segments)
@@ -2660,11 +2775,7 @@ def files(spark: SparkSession, path: str, version: int | None = None) -> DataFra
                 counts[s],
             )
         )
-    return spark.createDataFrame(
-        rows,
-        "segment string, part string, stats_cols array<string>, "
-        "bloom_cols array<string>, seq int, n_rows bigint",
-    )
+    return spark.createDataFrame(rows, schema_ddl)
 
 
 def describe_detail(spark: SparkSession, path: str) -> DataFrame:
@@ -2811,25 +2922,53 @@ def clone(
     target = _read_manifest(spark, src_path, version)
     src_meta = _state_meta(target)
 
-    def ref(s: str) -> str:
-        return s if deep else _seg_path(src_path, s)
-
     if deep:
-        fs, _ = _fs(spark, dst_path)
+        # Re-home EVERY reference under a fresh LOCAL segment name. A
+        # source manifest can hold absolute references (the source is
+        # itself a shallow clone); keeping the absolute string in the
+        # new manifest would leave the "deep" clone reading the
+        # ORIGINAL files while the byte copy landed at an unreferenced
+        # mangled path — the clone would not survive a source vacuum,
+        # which is the whole point of deep. Plain names keep their
+        # name; absolute refs take their basename (uniquified on
+        # collision — two upstream lakes can share a segment name).
+        all_refs = list(target["segments"]) + list(target.get("deletes", []))
+        local: dict[str, str] = {}
+        used: set[str] = set()
+        for s in all_refs:
+            base = s.rstrip("/").split("/")[-1] if _is_abs_ref(s) else s
+            name = base
+            while name in used:
+                name = f"{base}-{uuid.uuid4().hex[:8]}"
+            used.add(name)
+            local[s] = name
+        dst_fs, _ = _fs(spark, dst_path)
         FileUtil = spark._jvm.org.apache.hadoop.fs.FileUtil
         conf = spark._jsc.hadoopConfiguration()
-        fs.mkdirs(_jpath(spark, f"{dst_path}/{_DATA_DIR}"))
-        for s in list(target["segments"]) + list(target.get("deletes", [])):
+        dst_fs.mkdirs(_jpath(spark, f"{dst_path}/{_DATA_DIR}"))
+        for s in all_refs:
+            src_seg = _seg_path(src_path, s)
+            # the source segment may live on a DIFFERENT filesystem
+            # than the destination (absolute ref into another store)
+            src_fs, src_jp = _fs(spark, src_seg)
             ok = FileUtil.copy(
-                fs,
-                _jpath(spark, _seg_path(src_path, s)),
-                fs,
-                _jpath(spark, f"{dst_path}/{_DATA_DIR}/{s}"),
+                src_fs,
+                src_jp,
+                dst_fs,
+                _jpath(spark, f"{dst_path}/{_DATA_DIR}/{local[s]}"),
                 False,
                 conf,
             )
             if not ok:
                 raise RuntimeError(f"deep clone failed copying segment {s}")
+
+        def ref(s: str) -> str:
+            return local[s]
+
+    else:
+
+        def ref(s: str) -> str:
+            return _seg_path(src_path, s)
 
     segs = [ref(s) for s in target["segments"]]
     dels = [ref(s) for s in target.get("deletes", [])]
@@ -2903,7 +3042,11 @@ def vacuum(
         if not name.startswith(".tmp-"):
             continue
         if now_ms - st.getModificationTime() > 600_000:
-            fs.delete(st.getPath(), False)
+            # dry_run is audit-only: even stale tmp cleanup must not
+            # mutate the table directory under the "nothing deleted"
+            # contract
+            if not dry_run:
+                fs.delete(st.getPath(), False)
         else:
             # surviving fresh tmp: whatever segments it references may
             # commit any moment — treat them as live

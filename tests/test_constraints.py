@@ -81,3 +81,44 @@ def test_partitioned_append_enforced(spark, lake, tmp_path):
     bad = _rows(spark, [(3, -3, 0)]).withColumn("part", F.lit(1))
     with pytest.raises(M.ConstraintViolation):
         M.commit_append_partitioned(spark, p, bad, "part")
+
+
+def test_constraint_as_first_commit_and_empty_metadata_tables(spark, tmp_path):
+    # set_constraint on an EMPTY lake commits a zero-segment manifest;
+    # files()/partitions() must return empty tables, not crash
+    p = str(tmp_path / "empty_lake")
+    M.set_constraint(spark, p, "amt_pos", "amt > 0")
+    assert M.files(spark, p).count() == 0
+    assert M.partitions(spark, p).count() == 0
+    # a second constraint on the still-empty table also works
+    M.set_constraint(spark, p, "k_pos", "k > 0")
+    M.commit_append(spark, p, _rows(spark, [(1, 5, 0)]))
+    assert M.files(spark, p).count() == 1
+    with pytest.raises(M.ConstraintViolation):
+        M.commit_append(spark, p, _rows(spark, [(2, -1, 0)]))
+
+
+def test_set_constraint_revalidates_after_racing_write(spark, lake, monkeypatch):
+    # a write landing between validation and the constraint commit is
+    # caught by the expected_parent CAS; the validation re-runs on the
+    # new snapshot and refuses when that write violates the constraint
+    real_commit = M._commit
+    state = {"raced": False}
+
+    def racing_commit(spark_, path, op, *a, **kw):
+        if op == "set_constraint" and not state["raced"]:
+            state["raced"] = True
+            # sneak in an append AFTER validation, BEFORE commit — it
+            # passes the existing amt_pos check but violates the
+            # constraint being added
+            M.commit_append(
+                spark_, path, _rows(spark_, [(9, 500, 0)])
+            )
+        return real_commit(spark_, path, op, *a, **kw)
+
+    monkeypatch.setattr(M, "_commit", racing_commit)
+    with pytest.raises(M.ConstraintViolation, match="neg_check"):
+        M.set_constraint(spark, lake, "neg_check", "amt < 100")
+    assert state["raced"]
+    # the raced write's rows exist, and the constraint was NOT added
+    assert "neg_check" not in M.table_constraints(spark, lake)

@@ -1026,3 +1026,43 @@ def test_update_ivf_quantized_index_incremental(spark, tmp_path):
     mover = emb([(2, [0.0, 9.9])])
     with _pt.raises(ValueError, match="key-stability"):
         SIM.update_ivf_quantized_index(spark, mover, "vec_id", "embedding", c_inc, k_inc)
+
+
+def test_ivf_index_build_is_one_commit_and_rebuildable(spark, tmp_path):
+    """The codes lake gains exactly ONE version per build (all cells
+    land atomically — readers never see a partial index), and a
+    rebuild is one replace commit whose superseded segments the
+    age-based vacuum reclaims while time travel to the pre-rebuild
+    index keeps working within retention."""
+    import numpy as np
+
+    from nba_pipeline_spark.operators.similarity import build_ivf_quantized_index
+    from nba_pipeline_spark.sources import manifest as M
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(4)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cpath, kpath = str(tmp_path / "c"), str(tmp_path / "k")
+
+    build_ivf_quantized_index(spark, emb, "vec_id", "embedding", 3, cpath, kpath)
+    assert M.current_version(spark, kpath) == 1, "build must be ONE commit"
+    assert len(M.resolve_segments(spark, kpath)) == 3
+    v1_rows = M.read_snapshot(spark, kpath).count()
+
+    # rebuild: one more version, one replace
+    build_ivf_quantized_index(spark, emb, "vec_id", "embedding", 3, cpath, kpath)
+    assert M.current_version(spark, kpath) == 2
+    assert M.read_snapshot(spark, kpath).count() == v1_rows
+    # pre-rebuild index still time-travels within retention
+    assert M.read_snapshot(spark, kpath, version=1).count() == v1_rows
+
+    # vacuum past retention: v1 segments reclaimed, one live segment set
+    import os
+
+    n = M.vacuum(spark, kpath, keep_versions=1)
+    assert n == 3, "rebuild's superseded per-cell segments reclaim"
+    assert sorted(os.listdir(os.path.join(kpath, "data"))) == sorted(
+        M.resolve_segments(spark, kpath)
+    )

@@ -100,3 +100,44 @@ def test_pre_evolution_files_null_fill(spark, tmp_path):
     _run_available(spark, lake, ckpt, got)
     rows = {r["k"]: (r["v"], r["w"]) for r in got}
     assert rows == {1: ("a", None), 2: ("b", 9)}
+
+
+def test_stream_past_retention_raises_descriptive(spark, tmp_path):
+    # a fresh checkpoint starts at version 0; on a vacuumed lake the
+    # covering manifests are gone — the source must say "retention",
+    # not leak a raw FileNotFoundError
+    register_lake_stream(spark)
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a")]))
+    M.commit_append(spark, lake, _rows(spark, [(2, "b")]))
+    M.commit_append(spark, lake, _rows(spark, [(3, "c")]))
+    M.vacuum(spark, lake, keep_versions=1)
+    got: list = []
+    with pytest.raises(Exception, match="retention"):
+        _run_available(spark, lake, ckpt, got)
+
+
+def test_mid_stream_evolution_projects_to_declared_schema(spark, tmp_path):
+    # the reader's output schema is pinned at stream start; a batch
+    # planned AFTER an additive evolution must project the new column
+    # away (picked up on restart), not fail with an arrow mismatch
+    from pyspark.sql.types import StructType
+
+    from nba_pipeline_spark.sources.lake_stream import ManifestStreamReader
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a")]))
+    declared = StructType.fromDDL("k int, v string, _commit_version int")
+    reader = ManifestStreamReader({"path": lake}, declared)
+    # additive evolution lands mid-stream
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame([(2, "b", 9)], "k int, v string, extra int"),
+    )
+    parts = reader.partitions({"version": 0}, {"version": 2})
+    batches = [b for p in parts for b in reader.read(p)]
+    names = set().union(*(set(b.schema.names) for b in batches))
+    assert names == {"k", "v", "_commit_version"}
+    # and a reader declared BEFORE the pin sees all its columns
+    rows = sum(b.num_rows for b in batches)
+    assert rows == 2

@@ -284,3 +284,30 @@ def test_single_partition_only_on_bounded_frames(spark):
         if "Exchange SinglePartition" in p:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_bigram_ppl_broadcast_is_size_guarded(spark):
+    # the bigram/unigram count joins must flow through the size guard:
+    # broadcast while the corpus scan estimate fits the cap, shuffle
+    # join past it — a registered plan must not need a human to flip a
+    # hint at 100x (VERDICT r6 "what's wrong" #2)
+    from nba_pipeline_spark.plans.quality_queries import _bigram_ppl_plan
+
+    small = plan(_bigram_ppl_plan(spark, SF_DIR))
+    assert "BroadcastHashJoin" in small  # bench scale: counts broadcast
+    # past the cap, with Catalyst's own auto-broadcast also ruled out
+    # (as it would be when the runtime estimate exceeds the threshold),
+    # the equi-joins degrade to shuffle joins: proves no unconditional
+    # hint survives. Only the provably-1-row vocab crossJoin may still
+    # broadcast (nested-loop, not hash).
+    # build FIRST (the query builder's tune() resets session conf),
+    # then flip the threshold — join selection happens lazily at plan()
+    df = _bigram_ppl_plan(spark, SF_DIR, broadcast_cap=-1)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in big
+    assert "SortMergeJoin" in big or "ShuffledHashJoin" in big

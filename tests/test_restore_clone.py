@@ -164,3 +164,37 @@ def test_clone_loses_race_to_concurrent_writer(spark, lake, tmp_path):
         M.current_version = orig_cv
     # the racer's table is intact, not silently replaced
     assert {(r["k"], r["v"]) for r in M.read_snapshot(spark, dst).collect()} == {(7, "q")}
+
+
+def test_deep_clone_of_shallow_clone_is_self_contained(spark, lake, tmp_path):
+    # a shallow clone's manifest holds ABSOLUTE segment references;
+    # deep-cloning THAT must re-home every reference under a local
+    # name, or the "deep" clone still reads the original files and
+    # dies with them
+    shallow = str(tmp_path / "shallow")
+    M.clone(spark, lake, shallow)
+    deep = str(tmp_path / "deep2")
+    M.clone(spark, shallow, deep, deep=True)
+    m = M._read_manifest(spark, deep, 1)
+    for s in list(m["segments"]) + list(m.get("deletes", [])):
+        assert not M._is_abs_ref(s), f"deep clone kept absolute ref {s}"
+        assert os.path.isdir(os.path.join(deep, "data", s))
+    assert _kv(spark, deep) == V2
+    shutil.rmtree(lake)  # original source gone entirely
+    shutil.rmtree(shallow)
+    assert _kv(spark, deep) == V2
+
+
+def test_vacuum_dry_run_keeps_stale_tmp_manifests(spark, lake):
+    # dry_run is audit-only: even a stale .tmp from a crashed commit
+    # must survive it (and be reclaimed by the real pass)
+    mdir = os.path.join(lake, "_manifests")
+    tmp = os.path.join(mdir, ".tmp-deadbeef.json")
+    with open(tmp, "w") as fh:
+        fh.write("{}")
+    old = 1_000_000_000  # epoch seconds, far past the 10-min staleness bar
+    os.utime(tmp, (old, old))
+    M.vacuum(spark, lake, keep_versions=1, dry_run=True)
+    assert os.path.exists(tmp), "dry_run deleted a tmp manifest"
+    M.vacuum(spark, lake, keep_versions=1)
+    assert not os.path.exists(tmp)
