@@ -639,3 +639,220 @@ def ivf_quantized_topk(
         .limit(k)
         .select(id_col, F.round(F.col("sim6"), 4).alias("sim"))
     )
+
+
+# ----------------------------------------------------------------------
+# Product quantization (codebook PQ): the 16-32x compression tier.
+# Jégou et al., "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011): split d dims into m subspaces, learn ksub codewords per
+# subspace, store each vector as m small codes; search = one m*ksub
+# ASYMMETRIC DISTANCE TABLE from the query, then the scan is m integer
+# table lookups per row instead of d float multiplies.
+#
+# Determinism contract (the q_ann_quantized_rerank discipline): every
+# comparison that picks a code or cuts the candidate pool happens on
+# BIGINTs — vectors land on a fixed-point grid (floor(x * 2^bits + 0.5),
+# one correctly-rounded IEEE op per element), distances and partial
+# dots are integer zip-sums (order-free), ties break on code/id. The
+# pool is then reranked with exact 6dp cosine, so the final top-k
+# hash-matches a SQL replay; recall (does the true top-k survive the
+# pool cut?) is pinned separately in pytest.
+# ----------------------------------------------------------------------
+
+
+def fixed_point(v: Column, bits: int = 20) -> Column:
+    """array<bigint> fixed-point grid of a double array: floor(x *
+    2^bits + 0.5) — one correctly-rounded multiply + floor per element,
+    bit-identical cross-engine (the int8_codes argument, without the
+    per-vector scale so values stay COMPARABLE across vectors)."""
+    scale = F.lit(float(1 << bits))
+    return F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint"))
+
+
+def pq_train_codebooks(
+    spark,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ksub: int,
+) -> DataFrame:
+    """(sub, code, cw) codebooks: codeword j of subspace s is the s-th
+    slice of the j-th vector in `id_col` order — deterministic so the
+    oracle can replay it (production swaps in per-subspace k-means via
+    `_kmeans_centroid_lists` on each slice; same layout, same scan).
+    ksub is bounded (<=256 per the PQ byte-code contract), so a
+    driver-side collect of ksub rows is O(1) by construction."""
+    rows = (
+        emb.orderBy(id_col)
+        .limit(ksub)
+        .select(to_double_array(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train_codebooks: empty input")
+    d = len(rows[0]["v"])
+    if d % m != 0:
+        raise ValueError(f"pq: dims {d} not divisible by m={m}")
+    dsub = d // m
+    data = [
+        (s, j, [float(x) for x in r["v"][s * dsub:(s + 1) * dsub]])
+        for j, r in enumerate(rows)
+        for s in range(m)
+    ]
+    return spark.createDataFrame(data, "sub int, code int, cw array<double>")
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    bits: int = 20,
+) -> DataFrame:
+    """(id, codes array<int>): each vector's m nearest-codeword codes.
+    Plan shape: one narrow pass slices + fixed-points the vectors,
+    posexplode to (id, sub) rows, broadcast-join the m*ksub codebook,
+    BIGINT L2^2 zip-sum per candidate codeword, per-(id, sub) argmin
+    window (dist asc, code asc — the deterministic tiebreak), then the
+    m codes fold back into one array. Cost: O(n * m * ksub) narrow
+    rows, one (id, sub)-partitioned window, one groupBy — nothing
+    quadratic in the corpus."""
+    v = to_double_array(F.col(vec_col))
+    sub_rows = (
+        emb.select(F.col(id_col), v.alias("v"))
+        .select(
+            id_col,
+            F.posexplode(
+                _subvectors_dyn(F.col("v"), m)
+            ).alias("sub", "sv"),
+        )
+        .select(id_col, "sub", fixed_point(F.col("sv"), bits).alias("svf"))
+    )
+    cb = codebooks.select(
+        "sub", "code", fixed_point(F.col("cw"), bits).alias("cwf")
+    )
+    dist = F.aggregate(
+        F.zip_with("svf", "cwf", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(
+        F.col("dist").asc(), F.col("code").asc()
+    )
+    assigned = (
+        sub_rows.join(F.broadcast(cb), "sub")
+        .select(id_col, "sub", "code", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda x: x["code"].cast("int"),
+        ).alias("codes")
+    )
+
+
+def _subvectors_dyn(v: Column, m: int) -> Column:
+    """m contiguous slices with the sub-dim derived IN-PLAN from the
+    array length (size(v)/m) — no driver-side dims probe on the hot
+    encode path."""
+    dsub = (F.size(v) / F.lit(m)).cast("int")
+    return F.array(*[F.slice(v, s * dsub + 1, dsub) for s in range(m)])
+
+
+def build_pq_index(
+    spark,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ksub: int,
+    codebooks_path: str,
+    codes_path: str,
+) -> None:
+    """Persist the PQ index as TABLES (the index-as-manifest-lake
+    discipline of build_ivf_quantized_index): a codebooks lake (m*ksub
+    rows) and a codes lake (one array<int> of m codes per vector —
+    the 16-32x compressed representation the ADT scan reads). Each
+    lake takes ONE replace commit: readers stay snapshot-isolated for
+    the whole (re)build, and superseded segments reclaim via the
+    age-based vacuum like any other lake."""
+    from ..sources import manifest as M
+
+    cb = pq_train_codebooks(spark, emb, id_col, vec_col, m, ksub)
+    codes = pq_encode(emb, cb, id_col, vec_col, m)
+    M.commit_replace(spark, codebooks_path, cb)
+    M.commit_replace(spark, codes_path, codes)
+
+
+def pq_topk(
+    spark,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id,
+    k: int,
+    m: int,
+    codebooks_path: str,
+    codes_path: str,
+    pool: int = 50,
+    bits: int = 20,
+) -> DataFrame:
+    """PQ search over the persisted index, exact-rerank finish:
+    (1) build the ASYMMETRIC DISTANCE TABLE — the query's m fixed-point
+    subvectors dotted with every codeword, m*ksub BIGINT rows, broadcast;
+    (2) scan the CODES lake (m ints per row, 16-32x less IO than
+    float32), join each (sub, code) against the ADT and sum partial
+    dots per id — integer-exact, order-free;
+    (3) cut a top-`pool` candidate set (score desc, id asc) —
+    TakeOrderedAndProject, no full sort;
+    (4) rerank the pool — and only the pool — with exact 6dp cosine
+    against the ORIGINAL vectors (O(pool) point fetches at 100 TB),
+    return top-k at 4dp. Exact-at-the-top whenever the true top-k
+    survives the pool cut (pool >> k), so the result hash-matches the
+    SQL replay; the recall floor is pinned in pytest."""
+    from ..sources import manifest as M
+
+    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    qrow = e.filter(F.col(id_col) == query_id).select(
+        F.col("v").alias("qv"),
+        F.posexplode(_subvectors_dyn(F.col("v"), m)).alias("sub", "qsv"),
+    ).select("sub", fixed_point(F.col("qsv"), bits).alias("qsvf"), "qv")
+    cb = M.read_snapshot(spark, codebooks_path).select(
+        "sub", "code", fixed_point(F.col("cw"), bits).alias("cwf")
+    )
+    pdot = F.aggregate(
+        F.zip_with("qsvf", "cwf", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    adt = (
+        qrow.join(F.broadcast(cb), "sub")
+        .select("sub", "code", pdot.alias("pdot"))
+    )
+    codes = M.read_snapshot(spark, codes_path).filter(
+        F.col(id_col) != query_id
+    )
+    scored = (
+        codes.select(id_col, F.posexplode("codes").alias("sub", "code"))
+        .join(F.broadcast(adt), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("pdot").alias("score"))
+    )
+    pool_df = scored.orderBy(
+        F.col("score").desc_nulls_last(), F.col(id_col).asc()
+    ).limit(pool)
+    qv = e.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    reranked = (
+        pool_df.join(e, id_col)
+        .crossJoin(F.broadcast(qv))
+        .select(id_col, F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"))
+    )
+    return (
+        reranked.orderBy(F.desc("sim6"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round(F.col("sim6"), 4).alias("sim"))
+    )

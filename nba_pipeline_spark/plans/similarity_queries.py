@@ -807,3 +807,121 @@ register(
     q_ann_ivf_incremental,
     _IVFQ_ORACLE,
 )
+
+
+# ---------------------------------------------------------------------
+# Product quantization (the 16-32x tier; operators/similarity.py
+# pq_train_codebooks/pq_encode/pq_topk — Jégou et al. TPAMI 2011)
+# ---------------------------------------------------------------------
+
+PQ_M = 8        # subspaces (64 dims -> 8 dims each)
+PQ_KSUB = 32    # codewords per subspace (production: 256 = 1 byte/code)
+PQ_POOL = 100   # ADT candidate pool reranked exact
+
+
+def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once PQ index lakes (codebooks + per-vector m-code rows)
+    for this testdata generation."""
+    from .relational_queries import _stage_dir
+
+    root = _stage_dir(sf_dir, "embeddings", "pq_index")
+    codebooks_path = f"{root}/codebooks"
+    codes_path = f"{root}/codes"
+
+    import os
+    import shutil
+
+    marker = os.path.join(root, "_STAGE_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        SIM.build_pq_index(
+            spark,
+            load_table(spark, sf_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            PQ_M,
+            PQ_KSUB,
+            codebooks_path,
+            codes_path,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return codebooks_path, codes_path
+
+
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook product quantization end-to-end over a PERSISTED index:
+    the codes lake stores m={PQ_M} small codes per vector (16-32x less
+    IO than float32 — measured ratio in SCALE.md), the query builds an
+    m*ksub ASYMMETRIC DISTANCE TABLE once, the scan is m integer
+    lookups + a BIGINT sum per row, a top-{PQ_POOL} pool is cut on the
+    integer score (id tiebreak), and exact 6dp cosine reranks the pool.
+    Every code assignment and the pool cut compare BIGINTs (vectors on
+    a fixed-point grid), so the whole path — training included — is
+    oracled exact, the q_ann_quantized_rerank discipline; the recall
+    floor vs exact brute force is pinned in pytest. Codebooks are
+    deterministically the first ksub vectors' slices (production swaps
+    per-subspace k-means into the same lakes; same scan)."""
+    tune(spark)
+    codebooks_path, codes_path = _pq_index(spark, sf_dir)
+    return SIM.pq_topk(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        QUERY_ID,
+        TOP_K,
+        PQ_M,
+        codebooks_path,
+        codes_path,
+        pool=PQ_POOL,
+    )
+
+
+register(
+    "q_ann_pq_rerank",
+    q_ann_pq_rerank,
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    subs AS (SELECT unnest(range(0, {PQ_M})) AS sub),
+    sv AS (SELECT e.vec_id, subs.sub,
+                  list_transform(
+                    e.v[(CAST(subs.sub AS INT) * (len(e.v) // {PQ_M}) + 1)
+                        :((CAST(subs.sub AS INT) + 1) * (len(e.v) // {PQ_M}))],
+                    x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS svf
+           FROM e CROSS JOIN subs),
+    cb AS (SELECT s.sub,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY s.sub
+                                          ORDER BY s.vec_id ASC) - 1 AS INT) AS code,
+                  s.svf AS cwf
+           FROM sv s
+           WHERE s.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id ASC LIMIT {PQ_KSUB})),
+    dists AS (SELECT v.vec_id, v.sub, c.code,
+                     CAST(list_sum(list_transform(range(1, len(v.svf) + 1),
+                            i -> (v.svf[i] - c.cwf[i]) * (v.svf[i] - c.cwf[i])))
+                          AS BIGINT) AS dist
+              FROM sv v JOIN cb c ON v.sub = c.sub),
+    enc AS (SELECT vec_id, sub, code FROM (
+              SELECT vec_id, sub, code,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY dist ASC, code ASC) AS rn
+              FROM dists) WHERE rn = 1),
+    adt AS (SELECT c.sub, c.code,
+                   CAST(list_sum(list_transform(range(1, len(q.svf) + 1),
+                          i -> q.svf[i] * c.cwf[i])) AS BIGINT) AS pdot
+            FROM cb c JOIN sv q ON c.sub = q.sub AND q.vec_id = {QUERY_ID}),
+    approx AS (SELECT enc.vec_id, CAST(SUM(adt.pdot) AS BIGINT) AS score
+               FROM enc JOIN adt ON enc.sub = adt.sub AND enc.code = adt.code
+               WHERE enc.vec_id <> {QUERY_ID}
+               GROUP BY enc.vec_id),
+    pool AS (SELECT vec_id FROM approx
+             ORDER BY score DESC NULLS LAST, vec_id ASC LIMIT {PQ_POOL}),
+    qv AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_ID}),
+    rr AS (SELECT p.vec_id, ROUND(list_cosine_similarity(e.v, qv.qv), 6) AS sim6
+           FROM pool p JOIN e ON p.vec_id = e.vec_id CROSS JOIN qv)
+    SELECT vec_id, ROUND(sim6, 4) AS sim FROM rr
+    ORDER BY sim6 DESC NULLS LAST, vec_id ASC LIMIT {TOP_K}
+    """,
+)

@@ -1066,3 +1066,71 @@ def test_ivf_index_build_is_one_commit_and_rebuildable(spark, tmp_path):
     assert sorted(os.listdir(os.path.join(kpath, "data"))) == sorted(
         M.resolve_segments(spark, kpath)
     )
+
+
+def test_pq_index_recall_floor_and_layout(spark, tmp_path):
+    """Codebook PQ (m-subvector, fixed-point integer assignment):
+    recall@10 of the ADT-pool + exact-rerank search is pinned against
+    exact brute force on seeded data; each index build is ONE replace
+    commit per lake; the codes lake measures an order of magnitude
+    smaller than the raw vectors (the 16-32x tier, see SCALE.md)."""
+    import os
+
+    import numpy as np
+
+    from nba_pipeline_spark.functions.vectors import to_double_array
+    from nba_pipeline_spark.operators import similarity as SIM
+    from nba_pipeline_spark.sources import manifest as M
+
+    rng = np.random.default_rng(42)
+    n, d, m, ksub = 300, 32, 8, 32
+    rows = [(int(i), [float(x) for x in rng.standard_normal(d)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cbp, cdp = str(tmp_path / "cb"), str(tmp_path / "codes")
+    SIM.build_pq_index(spark, emb, "vec_id", "embedding", m, ksub, cbp, cdp)
+    assert M.current_version(spark, cbp) == 1
+    assert M.current_version(spark, cdp) == 1
+
+    # deterministic recall floor (everything integer -> exact replay)
+    qid = 5
+    q = emb.filter(F.col("vec_id") == qid).select(
+        to_double_array(F.col("embedding")).alias("qv")
+    )
+    exact = {
+        r[0]
+        for r in SIM.brute_force_topk(
+            emb.filter(F.col("vec_id") != qid), q, "vec_id", "embedding", 10
+        ).collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in SIM.pq_topk(
+            spark, emb, "vec_id", "embedding", qid, 10, m, cbp, cdp, pool=50
+        ).collect()
+    }
+    assert len(got & exact) / 10 >= 0.7
+
+    # codes are m ints each, every code < ksub
+    codes = M.read_snapshot(spark, cdp).collect()
+    assert all(len(r["codes"]) == m for r in codes)
+    assert all(0 <= c < ksub for r in codes for c in r["codes"])
+    assert len(codes) == n
+
+    # compression: the codes lake is >=10x smaller than the raw
+    # float32 vectors (codebook is fixed-size — constant at scale)
+    def du(p):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    raw = str(tmp_path / "raw")
+    emb.write.mode("overwrite").parquet(raw)
+    assert du(raw) / du(os.path.join(cdp, "data")) >= 10
+
+    # rebuild: one more version, same state
+    SIM.build_pq_index(spark, emb, "vec_id", "embedding", m, ksub, cbp, cdp)
+    assert M.current_version(spark, cdp) == 2
+    assert M.read_snapshot(spark, cdp).count() == n
