@@ -204,9 +204,14 @@ def cmd_lake(args) -> int:
         print(json.dumps({"committed_version": v}))
         return 0
     if args.action == "vacuum":
+        older_than = None
+        if args.retain_hours is not None:
+            import time as _time
+
+            older_than = _time.time() - args.retain_hours * 3600.0
         n = M.vacuum(
             spark, args.path, keep_versions=args.keep_versions,
-            dry_run=args.dry_run,
+            older_than_ts=older_than, dry_run=args.dry_run,
         )
         key = "segments_reclaimable" if args.dry_run else "segments_deleted"
         print(json.dumps({key: n}))
@@ -259,6 +264,46 @@ def cmd_lake(args) -> int:
     return 2
 
 
+def cmd_index(args) -> int:
+    """ANN index maintenance over the index-as-table lakes: build or
+    incrementally update the IVF-int8 index, or build the PQ codebook
+    index — paired with the `lake` verbs (describe/history/vacuum work
+    on index lakes like any other manifest lake)."""
+    import json
+
+    from .operators import similarity as SIM
+    from .sources import manifest as M
+
+    spark = _spark()
+    emb = spark.read.parquet(args.emb)
+    if args.action == "build":
+        SIM.build_ivf_quantized_index(
+            spark, emb, args.id, args.vec, args.cells,
+            args.centroids, args.codes,
+        )
+    elif args.action == "update":
+        SIM.update_ivf_quantized_index(
+            spark, emb, args.id, args.vec, args.centroids, args.codes
+        )
+    elif args.action == "build-pq":
+        SIM.build_pq_index(
+            spark, emb, args.id, args.vec, args.m, args.ksub,
+            args.centroids, args.codes,
+        )
+    else:
+        print(f"unknown index action {args.action!r}", file=sys.stderr)
+        return 2
+    print(
+        json.dumps(
+            {
+                "codes_version": M.current_version(spark, args.codes),
+                "n_segments": len(M.resolve_segments(spark, args.codes)),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="nba_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -309,6 +354,20 @@ def main(argv: list[str] | None = None) -> int:
         "--incremental", action="store_true",
         help="zorder: fold post-cluster appends into the existing layout",
     )
+    lk.add_argument(
+        "--retain-hours", type=float, default=None,
+        help="vacuum: also keep every version committed in the last N hours",
+    )
+    ix = sub.add_parser("index")
+    ix.add_argument("action", help="build|update|build-pq")
+    ix.add_argument("--emb", required=True, help="embeddings parquet path")
+    ix.add_argument("--id", default="vec_id")
+    ix.add_argument("--vec", default="embedding")
+    ix.add_argument("--cells", type=int, default=8, help="IVF cell count")
+    ix.add_argument("--m", type=int, default=8, help="PQ subspaces")
+    ix.add_argument("--ksub", type=int, default=32, help="PQ codewords/subspace")
+    ix.add_argument("--centroids", required=True, help="centroids/codebooks lake")
+    ix.add_argument("--codes", required=True, help="codes lake")
     args = p.parse_args(argv)
     return {
         "list": cmd_list,
@@ -316,6 +375,7 @@ def main(argv: list[str] | None = None) -> int:
         "pipeline": cmd_pipeline,
         "publish": cmd_publish,
         "lake": cmd_lake,
+        "index": cmd_index,
     }[args.cmd](args)
 
 

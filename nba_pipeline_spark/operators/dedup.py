@@ -1220,15 +1220,29 @@ def dedup_duplicated_spans(
     NULL/short texts: tokens coalesce to empty — a doc shorter than k
     tokens has no windows and passes through intact (n_removed = 0).
     """
+    staged = _span_staged(df, id_col, text_col)
+    occ = _span_occurrences(staged, k)
+    canon = occ.groupBy("w").agg(
+        F.min(F.struct(F.col("__id"), F.col("pos"))).alias("first")
+    )
+    return _span_rebuild(staged, occ, canon, id_col, k)
+
+
+def _span_staged(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.coalesce(
         tokenize(F.col(text_col)), F.array().cast("array<string>")
     )
-    staged = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    return df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+
+
+def _span_occurrences(staged: DataFrame, k: int) -> DataFrame:
+    """(__id, pos, w): every k-token sliding window of every doc —
+    one narrow pass of array HOFs, no shuffle."""
     n = F.size("__toks")
     starts = F.when(
         n >= k, F.sequence(F.lit(1), n - k + 1)
     ).otherwise(F.array().cast("array<int>"))
-    occ = staged.select(
+    return staged.select(
         "__id",
         F.explode(
             F.transform(
@@ -1240,9 +1254,14 @@ def dedup_duplicated_spans(
             )
         ).alias("s"),
     ).select("__id", F.col("s.pos").alias("pos"), F.col("s.w").alias("w"))
-    canon = occ.groupBy("w").agg(
-        F.min(F.struct(F.col("__id"), F.col("pos"))).alias("first")
-    )
+
+
+def _span_rebuild(
+    staged: DataFrame, occ: DataFrame, canon: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Cut every non-canonical occurrence's k positions and reassemble
+    each doc from its uncovered tokens. `canon` is (w, first struct
+    (__id, pos)) — the surviving occurrence per window."""
     covered = (
         occ.join(canon, "w")
         .filter(
@@ -1275,6 +1294,97 @@ def dedup_duplicated_spans(
             F.coalesce(F.size("__cov"), F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+def span_window_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(w, first_id, first_pos): the canonical first occurrence of every
+    distinct k-token window — the PERSISTED STATE of incremental span
+    dedup (the window-signature analog of the MinHash signature table,
+    `minhash_lsh_pairs_from_signatures`). Write it to the lake once;
+    every later ingest batch dedups against it without re-windowing the
+    settled corpus. Size: O(distinct windows) ≤ O(corpus tokens), and
+    boilerplate collapses (one row per distinct window, however many
+    occurrences)."""
+    staged = _span_staged(df, id_col, text_col)
+    return (
+        _span_occurrences(staged, k)
+        .groupBy("w")
+        .agg(F.min(F.struct(F.col("__id"), F.col("pos"))).alias("first"))
+        .select(
+            "w",
+            F.col("first.__id").alias("first_id"),
+            F.col("first.pos").alias("first_pos"),
+        )
+    )
+
+
+def merge_span_windows(settled: DataFrame, batch: DataFrame) -> DataFrame:
+    """Fold a batch's window table into the settled one: per window the
+    minimum (id, pos) survives — the next run's settled state. One
+    union + one groupBy-min over O(distinct windows), map-side
+    combinable like the build itself."""
+    return (
+        settled.unionByName(batch)
+        .groupBy("w")
+        .agg(
+            F.min(F.struct(F.col("first_id"), F.col("first_pos"))).alias("first")
+        )
+        .select(
+            "w",
+            F.col("first.first_id").alias("first_id"),
+            F.col("first.first_pos").alias("first_pos"),
+        )
+    )
+
+
+def dedup_duplicated_spans_incremental(
+    new_df: DataFrame,
+    settled_windows: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Incremental-ingest form of `dedup_duplicated_spans`: clean a NEW
+    batch against the persisted window table (`span_window_table`)
+    without re-windowing the settled corpus — at 100 TB the full
+    rebuild's O(corpus tokens) window shuffle becomes O(batch tokens)
+    plus one equi-join against stored windows.
+
+    Canonical occurrence per window = min((settled first), (batch
+    occurrences)) — exactly the full-recompute reduction, so the
+    batch's cleaned output is BIT-IDENTICAL to running the full dedup
+    over settled ∪ batch and keeping the batch's rows (pinned in
+    tests). Settled docs are never re-cleaned here: under monotone
+    ingest ids the canonical occurrence never moves backward, so their
+    cleaned text is already final; a batch with ids BELOW settled ids
+    would steal canonicity and require re-cleaning the settled side —
+    run the full rebuild for that (out of scope by the ingest-order
+    premise, stated loudly).
+
+    Returns (id, text_clean, n_removed) for the NEW batch only; fold
+    the state forward with `merge_span_windows(settled,
+    span_window_table(new_df))`."""
+    staged = _span_staged(new_df, id_col, text_col)
+    occ = _span_occurrences(staged, k)
+    batch_canon = occ.groupBy("w").agg(
+        F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__bmin")
+    )
+    settled = settled_windows.select(
+        "w",
+        F.struct(
+            F.col("first_id").alias("__id"), F.col("first_pos").alias("pos")
+        ).alias("__smin"),
+    )
+    canon = (
+        batch_canon.join(settled, "w", "left")
+        .select("w", F.least("__smin", "__bmin").alias("first"))
+    )
+    return _span_rebuild(staged, occ, canon, id_col, k)
 
 
 def semantic_decontaminate(

@@ -1029,6 +1029,102 @@ register(
 )
 
 
+SPAN_SPLIT = 300  # doc_id < SPLIT = settled corpus, >= SPLIT = ingest batch
+
+
+def _span_window_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted window table of the settled half of the
+    corpus (doc_id < SPAN_SPLIT) — the state incremental span dedup
+    reads instead of re-windowing settled text."""
+    from ..operators.dedup import span_window_table
+    from ..sources import manifest as M
+    from .relational_queries import _stage_dir
+
+    root = _stage_dir(sf_dir, "documents", "span_windows")
+    wpath = f"{root}/windows"
+
+    import os
+    import shutil
+
+    marker = os.path.join(root, "_STAGE_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        settled = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < SPAN_SPLIT
+        )
+        M.commit_replace(
+            spark, wpath, span_window_table(settled, k=SPAN_DEDUP_K)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return wpath
+
+
+def q_dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest span dedup (operators/dedup.py::
+    dedup_duplicated_spans_incremental): the batch (doc_id >=
+    {SPAN_SPLIT}) is cleaned against the PERSISTED window table of the
+    settled corpus — settled text is never re-windowed, so the
+    full rebuild's O(corpus tokens) shuffle becomes O(batch tokens) +
+    one equi-join against stored windows. The canonical reduction is
+    the full-recompute min, so the oracle is simply the full span
+    dedup over the whole corpus restricted to batch rows — exact, no
+    weaker incremental-only check."""
+    from ..operators.dedup import dedup_duplicated_spans_incremental
+    from ..sources import manifest as M
+
+    tune(spark)
+    wpath = _span_window_lake(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= SPAN_SPLIT
+    )
+    return dedup_duplicated_spans_incremental(
+        batch, M.read_snapshot(spark, wpath), k=SPAN_DEDUP_K
+    )
+
+
+register(
+    "q_dedup_spans_incremental",
+    q_dedup_spans_incremental,
+    f"""
+    WITH arr AS (
+      SELECT doc_id, COALESCE({_DUCK_TOKS}, []) AS ts FROM documents),
+    occ AS (
+      SELECT doc_id, s.pos AS pos, s.w AS w FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ts) < {SPAN_DEDUP_K} THEN []
+                           ELSE list_transform(range(1, len(ts) - {SPAN_DEDUP_K} + 2),
+                                i -> struct_pack(pos := i - 1,
+                                     w := array_to_string(ts[i:i+{SPAN_DEDUP_K}-1], ' ')))
+                      END) AS s
+        FROM arr)),
+    ranked AS (
+      SELECT doc_id, pos, w,
+             row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+      FROM occ),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + {SPAN_DEDUP_K})) AS cp
+      FROM ranked WHERE rn > 1),
+    toks AS (
+      SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tok
+      FROM arr),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cp
+      WHERE c.cp IS NULL),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id),
+    ncov AS (
+      SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY doc_id)
+    SELECT a.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+           CAST(COALESCE(n.n_removed, 0) AS BIGINT) AS n_removed
+    FROM arr a LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN ncov n USING (doc_id)
+    WHERE a.doc_id >= {SPAN_SPLIT}
+    """,
+)
+
+
 # --- BPE tokenizer training (distributed merge learning) ----------------------
 
 BPE_MERGES = 24
@@ -1093,6 +1189,86 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_bpe_encode", q_bpe_encode, None)
+
+
+def q_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable slice of the BPE surface: train ONE merge
+    with the real trainer (argmax over weighted digram counts, pair-
+    order tiebreak), apply it with the real greedy fold, and report
+    per-doc (word count, char count, token count after merge 1) plus
+    the learned pair itself. SQL can replay all of it: the argmax is a
+    grouped digram count, and a greedy left-to-right non-overlapping
+    fold of one pair over single-char symbols is EXACTLY what SQL
+    ``replace(w, l || r, '')`` removes — tokens_after = len(w) -
+    (len(w) - len(replace)) / 2. So the driver hash-checks the
+    trainer's argmax, the fold semantics, and the encode join — the
+    invariant anchor next to the rows-only q_bpe_train/q_bpe_encode
+    (the full merge LOOP stays argmax-iterate, golden-tested in
+    tests/test_bpe.py)."""
+    tune(spark)
+    merges, word_syms = BPE.train_bpe(_word_freqs(spark, sf_dir), 1)
+    docs = load_table(spark, sf_dir, "documents")
+    out_schema = (
+        "doc_id bigint, n_words bigint, n_chars bigint, n_tokens_m1 bigint, "
+        "merge_left string, merge_right string, merge_cnt bigint"
+    )
+    if not merges:
+        # degenerate corpus (all 1-char words): no pair to merge; the
+        # oracle's argmax CTE is empty too, so both sides return 0 rows
+        return spark.createDataFrame([], out_schema)
+    m = merges[0]
+    words = fan_out(docs).select(
+        "doc_id", F.explode(TX.tokenize(F.col("text"))).alias("w")
+    )
+    enc = words.join(F.broadcast(word_syms.select("w", "syms")), "w")
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum(F.size("syms")).cast("bigint").alias("n_tokens_m1"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_tokens_m1",
+            F.lit(m.left).alias("merge_left"),
+            F.lit(m.right).alias("merge_right"),
+            F.lit(m.count).cast("bigint").alias("merge_cnt"),
+        )
+    )
+
+
+register(
+    "q_bpe_first_merge",
+    q_bpe_first_merge,
+    f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    words AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    wf AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+    dgl AS (SELECT freq,
+                   unnest(list_transform(range(1, length(w)),
+                          i -> struct_pack(l := substring(w, CAST(i AS INT), 1),
+                                           r := substring(w, CAST(i AS INT) + 1, 1)))) AS p
+            FROM wf),
+    cnt AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM dgl GROUP BY p.l, p.r),
+    m1 AS (SELECT l, r, cnt FROM cnt ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+    perdoc AS (
+      SELECT w.doc_id,
+             COUNT(*) AS n_words,
+             CAST(SUM(length(w.w)) AS BIGINT) AS n_chars,
+             CAST(SUM(length(w.w)
+                      - ((length(w.w) - length(replace(w.w, m1.l || m1.r, ''))) // 2))
+                  AS BIGINT) AS n_tokens_m1
+      FROM words w CROSS JOIN m1
+      GROUP BY w.doc_id)
+    SELECT p.doc_id, p.n_words, p.n_chars, p.n_tokens_m1,
+           m1.l AS merge_left, m1.r AS merge_right, m1.cnt AS merge_cnt
+    FROM perdoc p CROSS JOIN m1
+    """.format(toks=_DUCK_TOKS),
+)
 
 
 # --- dataset card (per-source composition report) ------------------------------

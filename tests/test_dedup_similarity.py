@@ -1134,3 +1134,75 @@ def test_pq_index_recall_floor_and_layout(spark, tmp_path):
     SIM.build_pq_index(spark, emb, "vec_id", "embedding", m, ksub, cbp, cdp)
     assert M.current_version(spark, cdp) == 2
     assert M.read_snapshot(spark, cdp).count() == n
+
+
+def test_span_dedup_incremental_matches_full_recompute(spark, tmp_path):
+    """Incremental span dedup against a persisted window table equals
+    the full recompute restricted to the new batch (the round-4
+    signature-table discipline applied to windows), and the folded
+    window table equals a full rebuild's."""
+    from nba_pipeline_spark.operators.dedup import (
+        dedup_duplicated_spans,
+        dedup_duplicated_spans_incremental,
+        merge_span_windows,
+        span_window_table,
+    )
+    from nba_pipeline_spark.sources import manifest as M
+
+    settled_docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h settled one"),
+            (2, "prefix a b c d e f g h settled two"),
+            (3, "unique settled text with no duplicated windows at all"),
+        ],
+        "doc_id long, text string",
+    )
+    new_docs = spark.createDataFrame(
+        [
+            (10, "a b c d e f g h brand new tail"),   # dups a settled window
+            (11, "x1 x2 x3 x4 x5 x6 x7 x8 fresh"),    # first occurrence in batch
+            (12, "pad x1 x2 x3 x4 x5 x6 x7 x8 end"),  # dups doc 11's window
+            (13, None),
+            (14, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    # persist the settled window table to a lake and read it back — the
+    # storage contract, not just an in-memory frame
+    wpath = str(tmp_path / "windows")
+    M.commit_replace(spark, wpath, span_window_table(settled_docs, k=8))
+    settled_w = M.read_snapshot(spark, wpath)
+
+    inc = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in dedup_duplicated_spans_incremental(
+            new_docs, settled_w, k=8
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in dedup_duplicated_spans(
+            settled_docs.unionByName(new_docs), k=8
+        ).collect()
+        if r["doc_id"] >= 10
+    }
+    assert inc == full
+    # doc 10's shared window is cut (settled owns it), 11 survives as
+    # the batch-first occurrence, 12's copy is cut
+    assert inc[10][1] == 8 and inc[11][1] == 0 and inc[12][1] == 8
+    assert inc[13] == ("", 0) and inc[14] == ("short doc", 0)
+
+    # state fold-forward == full rebuild of the window table
+    merged = {
+        (r["w"], r["first_id"], r["first_pos"])
+        for r in merge_span_windows(
+            settled_w, span_window_table(new_docs, k=8)
+        ).collect()
+    }
+    rebuilt = {
+        (r["w"], r["first_id"], r["first_pos"])
+        for r in span_window_table(
+            settled_docs.unionByName(new_docs), k=8
+        ).collect()
+    }
+    assert merged == rebuilt

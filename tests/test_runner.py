@@ -218,3 +218,68 @@ def test_submit_main_fails_nonzero(spark, tmp_path, capsys, monkeypatch):
     assert run["tasks"]["ingest_games"]["state"] == "failed"
     assert run["tasks"]["ingest_games"]["attempts"] == 2  # 1 retry
     assert run["tasks"]["build_games"]["state"] == "upstream_failed"
+
+
+def test_cli_index_build_update_and_retention_vacuum(spark, tmp_path, capsys):
+    """`index build/update/build-pq` make ANN index maintenance
+    operable from the scheduler boundary, and `lake vacuum
+    --retain-hours 0` reclaims a rebuild's superseded segments while
+    the current index keeps serving."""
+    import json
+
+    import numpy as np
+
+    from nba_pipeline_spark.__main__ import main
+    from nba_pipeline_spark.sources import manifest as M
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(4)]) for i in range(40)
+    ]
+    emb_path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(emb_path)
+    cpath, kpath = str(tmp_path / "cent"), str(tmp_path / "codes")
+
+    assert main([
+        "index", "build", "--emb", emb_path, "--cells", "2",
+        "--centroids", cpath, "--codes", kpath,
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"codes_version": 1, "n_segments": 2}
+
+    # incremental update: new vectors into existing cells
+    delta_path = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [(100, [float(x) for x in rng.standard_normal(4)])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(delta_path)
+    assert main([
+        "index", "update", "--emb", delta_path,
+        "--centroids", cpath, "--codes", kpath,
+    ]) == 0
+    assert M.read_snapshot(spark, kpath).count() == 41
+
+    # rebuild + age-based retention vacuum: superseded segments reclaim
+    assert main([
+        "index", "build", "--emb", emb_path, "--cells", "2",
+        "--centroids", cpath, "--codes", kpath,
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "lake", "vacuum", kpath, "--keep-versions", "1",
+        "--retain-hours", "0",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["segments_deleted"] > 0
+    assert M.read_snapshot(spark, kpath).count() == 40
+
+    # PQ build through the same verb family
+    cb2, cd2 = str(tmp_path / "cb2"), str(tmp_path / "cd2")
+    assert main([
+        "index", "build-pq", "--emb", emb_path, "--m", "2", "--ksub", "8",
+        "--centroids", cb2, "--codes", cd2,
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["codes_version"] == 1
