@@ -97,6 +97,11 @@ HEADLINE = [
     # q_manifest_stream is excluded: its latency is Structured
     # Streaming micro-batch bring-up (engine-fixed, ~seconds regardless
     # of data volume), pinned in tests/test_lake_stream.py instead
+    # round-7 session additions (PQ codebook ANN, incremental span
+    # dedup over the persisted window table, BPE oracle anchor)
+    "q_ann_pq_rerank",
+    "q_dedup_spans_incremental",
+    "q_bpe_first_merge",
 ]
 
 

@@ -856,3 +856,139 @@ def pq_topk(
         .limit(k)
         .select(id_col, F.round(F.col("sim6"), 4).alias("sim"))
     )
+
+
+def build_ivfpq_index(
+    spark,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    m: int,
+    ksub: int,
+    centroids_path: str,
+    codebooks_path: str,
+    codes_path: str,
+) -> None:
+    """Full IVF-PQ (Jégou et al. TPAMI 2011, the composed design):
+    coarse inverted-file cells + product quantization of the RESIDUAL
+    (x - centroid) with codebooks SHARED across cells — the layout a
+    100 TB embedding store actually runs (a probe prunes to 1/n_cells
+    of the codes, then pays m integer lookups per row).
+
+    Three lakes: centroids (n_cells rows), codebooks (m*ksub residual
+    codewords), codes (one per-cell-tagged segment, id-bloomed, m small
+    codes per vector). One replace commit per lake — readers never see
+    a partial index. Centroids/codebooks are deterministically the
+    first-N rows' vectors/residuals (oracle-replayable; production
+    swaps k-means into the same lakes). Residual encoding beats raw PQ
+    at equal bytes because residual magnitudes are cell-bounded —
+    the paper's central observation."""
+    from ..sources import manifest as M
+
+    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    centroids = e.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = assign_cells(e, centroids, id_col)
+    res = (
+        assigned.join(F.broadcast(centroids), "cid")
+        .select(
+            F.col(id_col),
+            "cid",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
+        )
+        .localCheckpoint(eager=True)  # one assignment pass feeds train+encode
+    )
+    cb = pq_train_codebooks(spark, res, id_col, "r", m, ksub)
+    codes = pq_encode(res, cb, id_col, "r", m).join(
+        res.select(id_col, "cid"), id_col
+    )
+    M.commit_replace(spark, centroids_path, centroids)
+    M.commit_replace(spark, codebooks_path, cb)
+    M.commit_replace_partitioned(
+        spark, codes_path, codes, part_col="cid", bloom_cols=[id_col]
+    )
+
+
+def ivfpq_topk(
+    spark,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id,
+    k: int,
+    m: int,
+    centroids_path: str,
+    codebooks_path: str,
+    codes_path: str,
+    pool: int = 50,
+    bits: int = 20,
+) -> DataFrame:
+    """IVF-PQ search over the persisted three-lake index: (1) a BLOOM
+    point lookup finds the query row's cell; (2) the ADT is the FULL
+    query vector's fixed-point subvectors dotted with every residual
+    codeword (within one cell, ranking by q·x̂ = q·c + q·r̂ needs only
+    the residual term — q·c is constant); (3) the probe cell's segment
+    — and only it, via part_eq manifest pruning — is scanned with m
+    integer lookups + a BIGINT sum per row; (4) top-`pool` by the
+    integer score (id tiebreak), exact 6dp-cosine rerank. Deterministic
+    end-to-end, so the result hash-matches a SQL replay — exact over
+    the probed cell, like ivf_quantized_topk, at PQ bytes."""
+    from ..sources import manifest as M
+
+    qcell = (
+        M.read_snapshot(spark, codes_path, bloom_eq={id_col: query_id})
+        .filter(F.col(id_col) == query_id)
+        .select("cid")
+        .collect()
+    )
+    if not qcell:
+        raise ValueError(f"query id {query_id!r} not in the codes index")
+    qcid = int(qcell[0]["cid"])
+
+    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    qsub = (
+        e.filter(F.col(id_col) == query_id)
+        .select(F.posexplode(_subvectors_dyn(F.col("v"), m)).alias("sub", "qsv"))
+        .select("sub", fixed_point(F.col("qsv"), bits).alias("qsvf"))
+    )
+    cb = M.read_snapshot(spark, codebooks_path).select(
+        "sub", "code", fixed_point(F.col("cw"), bits).alias("cwf")
+    )
+    pdot = F.aggregate(
+        F.zip_with("qsvf", "cwf", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    adt = qsub.join(F.broadcast(cb), "sub").select(
+        "sub", "code", pdot.alias("pdot")
+    )
+    cand = (
+        M.read_snapshot(spark, codes_path, part_eq={"cid": qcid})
+        .filter(F.col("cid") == qcid)
+        .filter(F.col(id_col) != query_id)
+    )
+    scored = (
+        cand.select(id_col, F.posexplode("codes").alias("sub", "code"))
+        .join(F.broadcast(adt), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("pdot").alias("score"))
+    )
+    pooled = scored.orderBy(
+        F.col("score").desc_nulls_last(), F.col(id_col).asc()
+    ).limit(pool)
+    qv = e.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    reranked = (
+        e.join(F.broadcast(pooled.select(id_col)), on=id_col)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"),
+        )
+    )
+    return (
+        reranked.orderBy(F.desc("sim6"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round(F.col("sim6"), 4).alias("sim"))
+    )

@@ -925,3 +925,132 @@ register(
     ORDER BY sim6 DESC NULLS LAST, vec_id ASC LIMIT {TOP_K}
     """,
 )
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Build-once full IVF-PQ index (coarse cells + shared residual
+    codebooks + per-cell PQ code segments) for this testdata
+    generation."""
+    from .relational_queries import _stage_dir
+
+    root = _stage_dir(sf_dir, "embeddings", "ivfpq_index")
+    paths = (f"{root}/centroids", f"{root}/codebooks", f"{root}/codes")
+
+    import os
+    import shutil
+
+    marker = os.path.join(root, "_STAGE_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        SIM.build_ivfpq_index(
+            spark,
+            load_table(spark, sf_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            N_CELLS,
+            PQ_M,
+            PQ_KSUB,
+            *paths,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return paths
+
+
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL IVF-PQ (Jégou et al. TPAMI 2011 composed): coarse cell
+    pruning x residual product quantization x exact rerank, over a
+    persisted three-lake index — the composition SCALE.md's PQ entry
+    promises. The probe prunes to the query's cell segment (part_eq
+    manifest pruning after a bloom point lookup), scans m integer codes
+    per row against the query ADT (residual codebooks shared across
+    cells; within a cell q-dot-reconstruction ranks by the residual
+    term alone), cuts a top-{RERANK_POOL} pool on BIGINT scores, and
+    reranks exact. Deterministic end-to-end — oracled exact including
+    assignment, residuals, codebook training and encoding."""
+    tune(spark)
+    centroids_path, codebooks_path, codes_path = _ivfpq_index(spark, sf_dir)
+    return SIM.ivfpq_topk(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        QUERY_ID,
+        TOP_K,
+        PQ_M,
+        centroids_path,
+        codebooks_path,
+        codes_path,
+        pool=RERANK_POOL,
+    )
+
+
+register(
+    "q_ann_ivfpq_rerank",
+    q_ann_ivfpq_rerank,
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ctr AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+            ORDER BY vec_id ASC LIMIT {N_CELLS}),
+    asg AS (
+      SELECT e.vec_id, e.v, ctr.cid, ctr.cv,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ROUND(list_distance(e.v, ctr.cv), 6) ASC NULLS FIRST,
+                                         ctr.cid ASC) AS rn
+      FROM e CROSS JOIN ctr),
+    cells AS (SELECT vec_id, v, cid, cv FROM asg WHERE rn = 1),
+    res AS (SELECT vec_id, cid,
+                   list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
+            FROM cells),
+    subs AS (SELECT unnest(range(0, {PQ_M})) AS sub),
+    rsv AS (SELECT res.vec_id, res.cid, subs.sub,
+                   list_transform(
+                     res.r[(CAST(subs.sub AS INT) * (len(res.r) // {PQ_M}) + 1)
+                           :((CAST(subs.sub AS INT) + 1) * (len(res.r) // {PQ_M}))],
+                     x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS svf
+            FROM res CROSS JOIN subs),
+    cb AS (SELECT s.sub,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY s.sub
+                                          ORDER BY s.vec_id ASC) - 1 AS INT) AS code,
+                  s.svf AS cwf
+           FROM rsv s
+           WHERE s.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id ASC LIMIT {PQ_KSUB})),
+    dists AS (SELECT v.vec_id, v.sub, c.code,
+                     CAST(list_sum(list_transform(range(1, len(v.svf) + 1),
+                            i -> (v.svf[i] - c.cwf[i]) * (v.svf[i] - c.cwf[i])))
+                          AS BIGINT) AS dist
+              FROM rsv v JOIN cb c ON v.sub = c.sub),
+    enc AS (SELECT vec_id, sub, code FROM (
+              SELECT vec_id, sub, code,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY dist ASC, code ASC) AS rn
+              FROM dists) WHERE rn = 1),
+    qcell AS (SELECT cid FROM cells WHERE vec_id = {QUERY_ID}),
+    qsv AS (SELECT subs.sub,
+                   list_transform(
+                     e.v[(CAST(subs.sub AS INT) * (len(e.v) // {PQ_M}) + 1)
+                         :((CAST(subs.sub AS INT) + 1) * (len(e.v) // {PQ_M}))],
+                     x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS qsvf
+            FROM e CROSS JOIN subs WHERE e.vec_id = {QUERY_ID}),
+    adt AS (SELECT c.sub, c.code,
+                   CAST(list_sum(list_transform(range(1, len(q.qsvf) + 1),
+                          i -> q.qsvf[i] * c.cwf[i])) AS BIGINT) AS pdot
+            FROM cb c JOIN qsv q ON c.sub = q.sub),
+    approx AS (SELECT enc.vec_id, CAST(SUM(adt.pdot) AS BIGINT) AS score
+               FROM enc
+               JOIN res ON enc.vec_id = res.vec_id
+               JOIN qcell ON res.cid = qcell.cid
+               JOIN adt ON enc.sub = adt.sub AND enc.code = adt.code
+               WHERE enc.vec_id <> {QUERY_ID}
+               GROUP BY enc.vec_id),
+    pool AS (SELECT vec_id FROM approx
+             ORDER BY score DESC NULLS LAST, vec_id ASC LIMIT {RERANK_POOL}),
+    qv AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_ID}),
+    rr AS (SELECT p.vec_id, ROUND(list_cosine_similarity(e.v, qv.qv), 6) AS sim6
+           FROM pool p JOIN e ON p.vec_id = e.vec_id CROSS JOIN qv)
+    SELECT vec_id, ROUND(sim6, 4) AS sim FROM rr
+    ORDER BY sim6 DESC NULLS LAST, vec_id ASC LIMIT {TOP_K}
+    """,
+)

@@ -17,6 +17,13 @@ skipping is the honest semantics when downstream can't dedup). For
 retraction-aware consumers use the valued change feed
 (`manifest.snapshot_diff` / `consume_feed`) instead.
 
+``.option("starting_version", N | "latest")`` /
+``.option("starting_timestamp", epoch_seconds)`` set the first offset
+(Delta startingVersion/startingTimestamp parity): version N's changes
+are included; "latest" streams only post-start commits; earlier
+offsets are never planned, so a stream can begin on a vacuumed lake
+(serve history with a batch read_snapshot, stream from here).
+
 All I/O goes through ``pyarrow.fs`` resolved from the lake URI — NOT
 ``os.listdir``/local-path reads — so the source plans and reads
 against ``file://``, ``s3://`` and ``gs://`` lakes alike (hdfs via
@@ -196,6 +203,41 @@ class ManifestStreamReader(DataSourceStreamReader):
         self._ignore_changes = (
             str(options.get("ignore_changes", "false")).lower() == "true"
         )
+        # Delta parity: startingVersion / startingTimestamp. Offsets
+        # BEFORE the starting point are never planned, so a stream can
+        # begin on a vacuumed lake (serve the history via a batch
+        # read_snapshot, then stream from here). "latest" = only
+        # commits made after the stream starts.
+        sv = options.get("starting_version")
+        sts = options.get("starting_timestamp")
+        if sv is not None and sts is not None:
+            raise ValueError(
+                "manifest_stream: pass starting_version OR "
+                "starting_timestamp, not both"
+            )
+        self._start_version: int | None
+        if sv is None and sts is None:
+            self._start_version = None
+        elif sv is not None and str(sv).lower() == "latest":
+            vs = _versions(path)
+            self._start_version = vs[-1] if vs else 0
+        elif sv is not None:
+            # "start AT version N" (Delta startingVersion semantics:
+            # version N's changes are included)
+            self._start_version = int(sv) - 1
+        else:
+            # newest commit strictly BEFORE ts is the exclusive floor:
+            # commits at-or-after ts stream (Delta startingTimestamp)
+            ts = float(sts)
+            floor = 0
+            for v in _versions(path):
+                try:
+                    m_ts = float(_manifest(path, v).get("ts", 0.0))
+                except _RetentionGap:
+                    continue  # vacuumed: can't predate ts usefully
+                if m_ts < ts:
+                    floor = v
+            self._start_version = floor
         # the reader's DECLARED output columns, pinned at stream start:
         # batches must project down to exactly these (minus the
         # attribution column we append ourselves)
@@ -206,7 +248,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        return {"version": self._start_version or 0}
 
     def latestOffset(self) -> dict:
         vs = _versions(self._path)

@@ -173,10 +173,24 @@ def _rename_overwrite(spark: SparkSession, src: str, dst: str) -> None:
     fc.rename(_jpath(spark, src), jdst, opts)
 
 
-def _write_segment(df: DataFrame, path: str, target_files: int | None) -> str:
+def _write_segment(
+    df: DataFrame,
+    path: str,
+    target_files: int | None,
+    bloom_cols: list[str] | None = None,
+) -> str:
     seg = f"seg-{uuid.uuid4().hex[:12]}"
-    writer = df.coalesce(target_files) if target_files else df
-    writer.write.mode("overwrite").parquet(f"{path}/{_DATA_DIR}/{seg}")
+    w = (df.coalesce(target_files) if target_files else df).write.mode("overwrite")
+    # FILE-level parquet blooms on the declared point-lookup columns:
+    # the documented hand-off from the manifest-level bloom, which is
+    # omitted past ~32k distinct keys (see _segment_bloom) — for
+    # oversize segments the parquet reader's own bloom consumption
+    # takes over on point predicates INSIDE the segments the manifest
+    # keeps. Cheap at write (parquet sizes the filter itself), no
+    # read-side change (Spark's vectorized reader consumes them).
+    for c in bloom_cols or []:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    w.parquet(f"{path}/{_DATA_DIR}/{seg}")
     return seg
 
 
@@ -731,7 +745,7 @@ def commit_append(
     (`read_snapshot(part_eq= / ranges= / bloom_eq=)`)."""
     _check_constraints(spark, path, df)
     _check_schema(spark, path, df)
-    seg = _write_segment(df, path, target_files)
+    seg = _write_segment(df, path, target_files, bloom_cols=bloom_cols)
     seg_meta: dict = {}
     if partition is not None:
         seg_meta["part"] = {k: _json_safe(v) for k, v in partition.items()}
@@ -822,7 +836,7 @@ def _write_partitioned_segments(
     new_segs: dict[str, dict] = {}
     for p in parts:
         part_df = df.filter(F.col(part_col).eqNullSafe(F.lit(p)))
-        seg = _write_segment(part_df, path, target_files)
+        seg = _write_segment(part_df, path, target_files, bloom_cols=bloom_cols)
         seg_meta: dict = {"part": {part_col: p}}
         if stats_cols:
             seg_meta["stats"] = _segment_stats(part_df, stats_cols)
@@ -1151,7 +1165,7 @@ def compact(
             df = _read_with_tombstones(
                 spark, path, group, base, merge_schema=True
             )
-            seg = _write_segment(df, path, target_files)
+            seg = _write_segment(df, path, target_files, bloom_cols=bloom_cols)
             seg_meta: dict = {"part": part} if part is not None else {}
             if stats_cols:
                 seg_meta["stats"] = _segment_stats(df, stats_cols)
@@ -2097,7 +2111,7 @@ def commit_upsert_partitioned(
             part_df = merged.filter(  # eqNullSafe: NULL is a valid partition
                 F.col(part_col).eqNullSafe(F.lit(p))
             )
-            seg = _write_segment(part_df, path, target_files)
+            seg = _write_segment(part_df, path, target_files, bloom_cols=bloom_cols)
             seg_meta: dict = {"part": {part_col: p}}
             # regenerate skipping metadata on the rewritten partitions
             # (index-maintenance callers keep blooms/stats fresh so

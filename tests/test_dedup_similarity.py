@@ -1206,3 +1206,50 @@ def test_span_dedup_incremental_matches_full_recompute(spark, tmp_path):
         ).collect()
     }
     assert merged == rebuilt
+
+
+def test_ivfpq_index_prunes_and_matches_exact_in_cell(spark, tmp_path):
+    """Full IVF-PQ: the probe opens exactly ONE of n_cells segments,
+    each build is one commit per lake, and the searched top-k equals
+    exact cosine within the probed cell (pool >> cell population) —
+    residual PQ loses nothing after the exact rerank."""
+    import numpy as np
+
+    from nba_pipeline_spark.functions.vectors import to_double_array
+    from nba_pipeline_spark.operators import similarity as SIM
+    from nba_pipeline_spark.sources import manifest as M
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cp, cbp, kp = (str(tmp_path / x) for x in ("cent", "books", "codes"))
+    SIM.build_ivfpq_index(spark, emb, "vec_id", "embedding", 4, 4, 16, cp, cbp, kp)
+    for p in (cp, cbp, kp):
+        assert M.current_version(spark, p) == 1
+    assert len(M.resolve_segments(spark, kp)) == 4
+    for cid in range(4):
+        assert len(M.resolve_segments(spark, kp, part_eq={"cid": cid})) == 1
+
+    got = SIM.ivfpq_topk(
+        spark, emb, "vec_id", "embedding", 7, 10, 4, cp, cbp, kp, pool=300
+    ).collect()
+    # ground truth: exact cosine within query 7's assigned cell
+    e = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    cents = M.read_snapshot(spark, cp)
+    assigned = SIM.assign_cells(e, cents, "vec_id")
+    qcid = assigned.filter(F.col("vec_id") == 7).collect()[0]["cid"]
+    cell_ids = [
+        int(r["vec_id"])
+        for r in assigned.filter(
+            (F.col("cid") == qcid) & (F.col("vec_id") != 7)
+        ).collect()
+    ]
+    q = e.filter(F.col("vec_id") == 7).select(F.col("v").alias("qv"))
+    truth = SIM.brute_force_topk(
+        emb.filter(F.col("vec_id").isin(cell_ids)), q, "vec_id", "embedding", 10
+    ).collect()
+    assert [(r["vec_id"], r["sim"]) for r in got] == [
+        (r["vec_id"], r["sim"]) for r in truth
+    ]

@@ -141,3 +141,48 @@ def test_mid_stream_evolution_projects_to_declared_schema(spark, tmp_path):
     # and a reader declared BEFORE the pin sees all its columns
     rows = sum(b.num_rows for b in batches)
     assert rows == 2
+
+
+def test_starting_version_and_latest(spark, tmp_path):
+    # Delta parity: startingVersion=N includes version N's changes and
+    # never plans earlier offsets (a stream can start on a vacuumed
+    # lake); "latest" streams only commits made after the start
+    register_lake_stream(spark)
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a")]))
+    M.commit_append(spark, lake, _rows(spark, [(2, "b")]))
+    M.commit_append(spark, lake, _rows(spark, [(3, "c")]))
+    got: list = []
+    _run_available(
+        spark, lake, str(tmp_path / "c1"), got, starting_version="2"
+    )
+    assert {(r["k"], r["_commit_version"]) for r in got} == {(2, 2), (3, 3)}
+    # works where a fresh full-history checkpoint would die on retention
+    M.vacuum(spark, lake, keep_versions=2)
+    got2: list = []
+    _run_available(
+        spark, lake, str(tmp_path / "c2"), got2, starting_version="3"
+    )
+    assert {(r["k"], r["_commit_version"]) for r in got2} == {(3, 3)}
+    # latest: nothing yet; a new commit then arrives on the SAME checkpoint
+    got3: list = []
+    ck = str(tmp_path / "c3")
+    _run_available(spark, lake, ck, got3, starting_version="latest")
+    assert got3 == []
+    M.commit_append(spark, lake, _rows(spark, [(4, "d")]))
+    _run_available(spark, lake, ck, got3, starting_version="latest")
+    assert {(r["k"], r["_commit_version"]) for r in got3} == {(4, 4)}
+
+
+def test_starting_timestamp(spark, tmp_path):
+    register_lake_stream(spark)
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a")]))
+    M.commit_append(spark, lake, _rows(spark, [(2, "b")]))
+    cut = float(M._read_manifest(spark, lake, 2)["ts"])  # at-or-after streams
+    M.commit_append(spark, lake, _rows(spark, [(3, "c")]))
+    got: list = []
+    _run_available(
+        spark, lake, str(tmp_path / "ck"), got, starting_timestamp=str(cut)
+    )
+    assert {(r["k"], r["_commit_version"]) for r in got} == {(2, 2), (3, 3)}
