@@ -703,6 +703,54 @@ def pq_train_codebooks(
     return spark.createDataFrame(data, "sub int, code int, cw array<double>")
 
 
+def pq_train_codebooks_kmeans(
+    spark,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ksub: int,
+    iterations: int = 5,
+    train_rows: int = 10_000,
+) -> DataFrame:
+    """The PRODUCTION codebook trainer: per-subspace Lloyd k-means
+    (ksub centroids over each d/m-dim slice), the Jégou et al. training
+    procedure — same (sub, code, cw) layout as `pq_train_codebooks`,
+    drops into `pq_encode`/`pq_topk`/`build_pq_index` unchanged.
+
+    PQ training is always SAMPLE-bounded (FAISS trains on ~100k
+    vectors regardless of index size): the first `train_rows` by id
+    pin the training set (deterministic), it is checkpointed once, and
+    the m x `iterations` Lloyd loop runs over that bounded frame — so
+    training cost is independent of corpus scale; the corpus-scale
+    work stays in `pq_encode`. Not SQL-replayable (iterative means),
+    so queries built on it are rows-only; layout/recall parity with
+    the sampled trainer is pinned in pytest instead."""
+    e = (
+        emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+        .orderBy(id_col)
+        .limit(train_rows)
+        .localCheckpoint(eager=True)
+    )
+    first = e.select(F.size("v").alias("d")).limit(1).collect()
+    if not first:
+        raise ValueError("pq_train_codebooks_kmeans: empty input")
+    d = int(first[0]["d"])
+    if d % m != 0:
+        raise ValueError(f"pq: dims {d} not divisible by m={m}")
+    dsub = d // m
+    data = []
+    for s in range(m):
+        sub = e.select(
+            F.col(id_col), F.slice("v", s * dsub + 1, dsub).alias("sv")
+        )
+        cents = _kmeans_centroid_lists(sub, id_col, "sv", ksub, iterations)
+        data.extend(
+            (s, j, [float(x) for x in cw]) for j, cw in enumerate(cents)
+        )
+    return spark.createDataFrame(data, "sub int, code int, cw array<double>")
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: DataFrame,
@@ -772,6 +820,7 @@ def build_pq_index(
     ksub: int,
     codebooks_path: str,
     codes_path: str,
+    codebooks: DataFrame | None = None,
 ) -> None:
     """Persist the PQ index as TABLES (the index-as-manifest-lake
     discipline of build_ivf_quantized_index): a codebooks lake (m*ksub
@@ -779,10 +828,17 @@ def build_pq_index(
     the 16-32x compressed representation the ADT scan reads). Each
     lake takes ONE replace commit: readers stay snapshot-isolated for
     the whole (re)build, and superseded segments reclaim via the
-    age-based vacuum like any other lake."""
+    age-based vacuum like any other lake.
+
+    `codebooks` overrides the default deterministic sampled trainer
+    with a precomputed (sub, code, cw) frame — e.g. the k-means
+    trainer `pq_train_codebooks_kmeans` (the production path); the
+    layout and search are identical either way."""
     from ..sources import manifest as M
 
-    cb = pq_train_codebooks(spark, emb, id_col, vec_col, m, ksub)
+    cb = codebooks if codebooks is not None else pq_train_codebooks(
+        spark, emb, id_col, vec_col, m, ksub
+    )
     codes = pq_encode(emb, cb, id_col, vec_col, m)
     M.commit_replace(spark, codebooks_path, cb)
     M.commit_replace(spark, codes_path, codes)

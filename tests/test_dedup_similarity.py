@@ -1253,3 +1253,52 @@ def test_ivfpq_index_prunes_and_matches_exact_in_cell(spark, tmp_path):
     assert [(r["vec_id"], r["sim"]) for r in got] == [
         (r["vec_id"], r["sim"]) for r in truth
     ]
+
+
+def test_pq_kmeans_trainer_same_layout_better_recall(spark, tmp_path):
+    """The production k-means codebook trainer drops into the same
+    index layout and search path; on seeded gaussian data its trained
+    codebooks reach at least the sampled trainer's recall@10 (Lloyd
+    refinement can only improve subspace coverage here)."""
+    import numpy as np
+
+    from nba_pipeline_spark.functions.vectors import to_double_array
+    from nba_pipeline_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(42)
+    n, d, m, ksub = 300, 32, 8, 32
+    rows = [(int(i), [float(x) for x in rng.standard_normal(d)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qid = 5
+    q = emb.filter(F.col("vec_id") == qid).select(
+        to_double_array(F.col("embedding")).alias("qv")
+    )
+    exact = {
+        r[0]
+        for r in SIM.brute_force_topk(
+            emb.filter(F.col("vec_id") != qid), q, "vec_id", "embedding", 10
+        ).collect()
+    }
+
+    def recall(codebooks):
+        cbp = str(tmp_path / f"cb{id(codebooks)}")
+        cdp = str(tmp_path / f"cd{id(codebooks)}")
+        SIM.build_pq_index(
+            spark, emb, "vec_id", "embedding", m, ksub, cbp, cdp,
+            codebooks=codebooks,
+        )
+        got = {
+            r["vec_id"]
+            for r in SIM.pq_topk(
+                spark, emb, "vec_id", "embedding", qid, 10, m, cbp, cdp, pool=50
+            ).collect()
+        }
+        return len(got & exact) / 10
+
+    sampled = recall(None)
+    trained = recall(
+        SIM.pq_train_codebooks_kmeans(
+            spark, emb, "vec_id", "embedding", m, ksub, iterations=3
+        )
+    )
+    assert trained >= sampled >= 0.7, (sampled, trained)

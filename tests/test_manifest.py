@@ -478,8 +478,8 @@ def test_compact_racing_replace_does_not_resurrect(spark, tmp_path, monkeypatch)
     orig_write = M._write_segment
     state = {"raced": False}
 
-    def hooked(df, path, tf):
-        seg = orig_write(df, path, tf)
+    def hooked(df, path, tf, **kw):
+        seg = orig_write(df, path, tf, **kw)
         if not state["raced"]:
             state["raced"] = True  # the race window: replace commits now
             M.commit_replace(spark, lake, replacement)

@@ -137,11 +137,11 @@ def test_clone_loses_race_to_concurrent_writer(spark, lake, tmp_path):
     orig = M._write_segment
     state = {"done": False}
 
-    def hijack(df, path, target_files):
+    def hijack(df, path, target_files, **kw):
         if path == dst and not state["done"]:
             state["done"] = True
             M.commit_append(spark, dst, _rows(spark, [(7, "q", 0)]))
-        return orig(df, path, target_files)
+        return orig(df, path, target_files, **kw)
 
     # clone (shallow) writes no segment; hook the CAS instead by
     # pre-committing after the check via a wrapped current_version
