@@ -251,6 +251,13 @@ class ManifestStreamReader(DataSourceStreamReader):
         return {"version": self._start_version or 0}
 
     def latestOffset(self) -> dict:
+        # No rate limiting: the Python DataSource API has no admission
+        # control (latestOffset never sees the start offset, and the
+        # planning calls may be served by separate worker processes,
+        # so instance state can't track position) — a faked cap risks
+        # regressing the offset after restart = duplicate emission.
+        # Chunked backfills: batch-read read_snapshot() for history,
+        # then stream with starting_version.
         vs = _versions(self._path)
         return {"version": vs[-1] if vs else 0}
 
