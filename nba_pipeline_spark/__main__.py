@@ -200,7 +200,16 @@ def cmd_lake(args) -> int:
         print(json.dumps(out))
         return 0
     if args.action == "compact":
-        v = M.compact(spark, args.path, target_files=args.target_files)
+        part_eq = None
+        if args.part:
+            k, _, raw = args.part.partition("=")
+            if not raw:
+                print("bad --part (want col=value)", file=sys.stderr)
+                return 2
+            part_eq = {k: int(raw) if raw.lstrip("-").isdigit() else raw}
+        v = M.compact(
+            spark, args.path, target_files=args.target_files, part_eq=part_eq
+        )
         print(json.dumps({"committed_version": v}))
         return 0
     if args.action == "vacuum":
@@ -357,6 +366,11 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument(
         "--retain-hours", type=float, default=None,
         help="vacuum: also keep every version committed in the last N hours",
+    )
+    lk.add_argument(
+        "--part", default=None,
+        help="compact: col=value scope (OPTIMIZE WHERE — only matching "
+        "partition-tagged segments consolidate)",
     )
     ix = sub.add_parser("index")
     ix.add_argument("action", help="build|update|build-pq")

@@ -1113,6 +1113,7 @@ def compact(
     max_tries: int = 5,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    part_eq: dict | None = None,
 ) -> int:
     """Consolidate the CURRENT snapshot into one segment and commit.
     Concurrent readers are unaffected: their resolved manifests keep
@@ -1140,7 +1141,16 @@ def compact(
     lookups degrade to full-segment scans after maintenance unless the
     caller passes `stats_cols` / `bloom_cols`, which regenerate the
     skipping metadata for each consolidated segment at the usual
-    commit-time cost (one agg job per kind)."""
+    commit-time cost (one agg job per kind).
+
+    `part_eq` scopes the compaction (OPTIMIZE ... WHERE parity): only
+    partition-tagged segments matching every given key consolidate;
+    everything else transfers by name — at 100 TB maintenance touches
+    yesterday's partition, never the table. Scoped compaction CARRIES
+    pending merge-on-read tombstones forward instead of clearing them
+    (untouched segments still need the anti join; the consolidated
+    segments get fresh commit sequences, so the sequence scope already
+    exempts them from re-application). Requires a tagged lake."""
     last_err: Exception | None = None
     for _ in range(max_tries):
         versions = _manifest_versions(spark, path)
@@ -1158,6 +1168,22 @@ def compact(
             groups = [(dict(k), segs) for k, segs in by_part.items()]
         else:
             groups = [(None, list(base["segments"]))]
+        untouched: list[str] = []
+        if part_eq is not None:
+            matching, rest = [], []
+            for part, group in groups:
+                if part is not None and all(
+                    part.get(k) == _json_safe(v) for k, v in part_eq.items()
+                ):
+                    matching.append((part, group))
+                else:
+                    rest.extend(group)
+            if not matching:
+                raise ValueError(
+                    f"compact(part_eq={part_eq!r}): no partition-tagged "
+                    f"segments match (untagged segments never match): {path}"
+                )
+            groups, untouched = matching, rest
         new_segs: dict[str, dict] = {}
         for part, group in groups:
             # merge_schema: consolidating schema-evolved segments must
@@ -1178,7 +1204,7 @@ def compact(
 
         def _segments(parent):
             extra = _appends_since(spark, path, parent, base_version, base_segs)
-            return list(new_segs) + extra
+            return list(new_segs) + untouched + extra
 
         def _meta(parent, segments):
             pm = dict(parent.get("meta", {})) if parent else {}
@@ -1195,7 +1221,11 @@ def compact(
             # base trips the lineage walk and the whole compact re-runs)
             return _commit(
                 spark, path, "compact", _segments,
-                meta_fn=_meta, deletes_fn=lambda p: [],
+                meta_fn=_meta,
+                # full compact materialized every tombstone -> clear;
+                # scoped compact leaves untouched segments that still
+                # need them -> carry (the default deletes_fn)
+                deletes_fn=None if part_eq is not None else (lambda p: []),
             )
         except CommitConflict as e:
             last_err = e  # snapshot moved non-append-wise: redo

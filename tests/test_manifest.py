@@ -1393,3 +1393,51 @@ def test_file_level_parquet_blooms_written_for_bloom_cols(spark, tmp_path):
     # cost kilobytes of bloom bitmap — identical data otherwise
     delta = seg_bytes(bloomed) - seg_bytes(plain)
     assert delta > 1024, f"expected file-level bloom bytes, delta={delta}"
+
+
+def test_scoped_compact_touches_only_matching_partition(spark, tmp_path):
+    """compact(part_eq=...) — OPTIMIZE WHERE: only the matching
+    partition's segments consolidate; others transfer BY NAME; pending
+    MoR tombstones carry forward and still apply to untouched
+    segments."""
+    import pytest as _pt
+
+    from nba_pipeline_spark.sources import manifest as M
+
+    lake = str(tmp_path / "lake")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, part string")
+    # two appends into part=a (two segments), one into part=b
+    M.commit_append(spark, lake, mk([(1, "a")]), partition={"part": "a"})
+    M.commit_append(spark, lake, mk([(2, "a")]), partition={"part": "a"})
+    M.commit_append(spark, lake, mk([(3, "b")]), partition={"part": "b"})
+    # MoR tombstone on a key in part=b (untouched by the scoped compact)
+    M.commit_delete_mor(spark, lake, spark.createDataFrame([(3,)], "k int"), ["k"])
+    before = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    b_segs = [
+        s for s in before["segments"]
+        if before["meta"][s]["part"] == {"part": "b"}
+    ]
+
+    M.compact(spark, lake, part_eq={"part": "a"})
+    after = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    a_segs = [
+        s for s in after["segments"]
+        if after["meta"][s].get("part") == {"part": "a"}
+    ]
+    assert len(a_segs) == 1, "part=a consolidates to one segment"
+    assert set(b_segs) <= set(after["segments"]), "part=b transfers by name"
+    assert after.get("deletes"), "scoped compact must carry MoR tombstones"
+    # reads stay correct: k=3 still tombstoned, a-part rows intact
+    got = {r["k"] for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {1, 2}
+    # full compact afterwards materializes and clears the tombstones
+    M.compact(spark, lake)
+    final = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    assert not final.get("deletes")
+    assert {r["k"] for r in M.read_snapshot(spark, lake).collect()} == {1, 2}
+
+    # scoping an untagged lake is refused
+    plain = str(tmp_path / "plain")
+    M.commit_append(spark, plain, mk([(9, "x")]))
+    with _pt.raises(ValueError, match="no partition-tagged"):
+        M.compact(spark, plain, part_eq={"part": "x"})
