@@ -102,6 +102,7 @@ HEADLINE = [
     "q_ann_pq_rerank",
     "q_dedup_spans_incremental",
     "q_bpe_first_merge",
+    "q_trigram_ppl",
 ]
 
 

@@ -725,3 +725,137 @@ register(
     FROM scored
     """,
 )
+
+
+def q_trigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under an INTERPOLATED trigram LM —
+    the KenLM-shaped quality filter (CCNet, arXiv:1911.00359, scores
+    with a 5-gram LM; fixed-weight interpolation of orders 3/2/1 is
+    the classical Jelinek-Mercer form of the same idea and keeps the
+    whole path SQL-replayable): p(w|h1,h2) = 0.6*p3 + 0.3*p2 + 0.1*p1,
+    each order add-one smoothed over exact integer counts.
+
+    Determinism: every term is a single IEEE division of exact
+    integers, the interpolation is a fixed-order multiply-add chain —
+    both engines compute bit-identical doubles; per-position log2
+    rounds to 6dp and sums AS DECIMAL (order-independent).
+
+    Physical shape at 100 TB: ONE explode pass feeds all three count
+    tables (map-side partial aggs, trigram table bounded by corpus);
+    counts join back through the same size guard as q_bigram_ppl
+    (broadcast while the corpus scan estimate fits, shuffle past it);
+    the per-doc mean shuffles skinny rows."""
+    return _trigram_ppl_plan(spark, sf_dir)
+
+
+def _trigram_ppl_plan(
+    spark: SparkSession, sf_dir: str, broadcast_cap: int = 64 << 20
+) -> DataFrame:
+    from ..operators.partitioning import plan_size_bytes
+
+    docs = _docs(spark, sf_dir)
+    corpus_fits = plan_size_bytes(docs.select("text")) <= broadcast_cap
+
+    def guarded(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if corpus_fits else df
+
+    ts = TX.tokenize(F.col("text"))
+    n = F.size(ts)
+    tri = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(ts, 1, F.greatest(n - 2, F.lit(0))).alias("h1"),
+                F.slice(ts, 2, F.greatest(n - 2, F.lit(0))).alias("h2"),
+                F.slice(ts, 3, F.greatest(n - 2, F.lit(0))).alias("w"),
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.h1").alias("h1"),
+        F.col("g.h2").alias("h2"),
+        F.col("g.w").alias("w"),
+    )
+    tri = tri.localCheckpoint(eager=False)
+    toks = docs.select(F.explode(ts).alias("tok")).localCheckpoint(eager=False)
+    # the trigram stream is aggregated EXACTLY ONCE (c3); every
+    # lower-order table derives from c3 by re-summing the counts
+    # (vocabulary-sized frames), and the stream takes 3 count joins
+    # instead of 5 — no second pass over O(corpus positions) anywhere
+    # no checkpoint on c3: its three consumers compile to ONE exchange
+    # (Catalyst ReusedExchange dedups the identical agg subplan)
+    c3 = tri.groupBy("h1", "h2", "w").agg(F.count("*").alias("c3"))
+    ctx3 = c3.groupBy("h1", "h2").agg(F.sum("c3").alias("cc3"))
+    c3e = c3.join(ctx3, ["h1", "h2"])
+    c2 = c3.groupBy("h2", "w").agg(F.sum("c3").alias("c2"))
+    ctx2 = c2.groupBy("h2").agg(F.sum("c2").alias("cc2"))
+    c2e = c2.join(ctx2, "h2")
+    c1 = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    tot = toks.agg(
+        F.count("*").alias("t"), F.count_distinct("tok").alias("v")
+    )
+    p3 = (F.col("c3") + 1) / (F.col("cc3") + F.col("v"))
+    p2 = (F.col("c2") + 1) / (F.col("cc2") + F.col("v"))
+    p1 = (F.col("c1") + 1) / (F.col("t") + F.col("v"))
+    lp = F.round(
+        F.log2(F.lit(0.6) * p3 + F.lit(0.3) * p2 + F.lit(0.1) * p1), 6
+    ).cast("decimal(28,6)")
+    scored = (
+        tri.join(guarded(c3e), ["h1", "h2", "w"])
+        .join(guarded(c2e), ["h2", "w"])
+        .join(guarded(c1), F.col("w") == F.col("tok"))
+        .crossJoin(F.broadcast(tot))  # 1-row global: bounded by construction
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_trigrams"), F.sum(lp).alias("s"))
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_trigrams").cast("int").alias("n_trigrams"),
+        F.round(-F.col("s").cast("double") / F.col("n_trigrams"), 4).alias("ce"),
+    )
+
+
+register(
+    "q_trigram_ppl",
+    q_trigram_ppl,
+    f"""
+    WITH arr AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    -- MATERIALIZED: inlined, DuckDB re-expands this CTE into each of
+    -- its five join references and the planner degenerates (minutes
+    -- instead of 0.1 s at sf0.001)
+    tri AS MATERIALIZED (
+      SELECT doc_id, g.h1 AS h1, g.h2 AS h2, g.w AS w FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN ts IS NULL OR len(ts) < 3 THEN []
+                           ELSE list_transform(range(1, len(ts) - 1),
+                                i -> struct_pack(h1 := ts[i], h2 := ts[i+1],
+                                                 w := ts[i+2]))
+                      END) AS g
+        FROM arr)),
+    c3 AS (SELECT h1, h2, w, COUNT(*) AS c3 FROM tri GROUP BY h1, h2, w),
+    ctx3 AS (SELECT h1, h2, COUNT(*) AS cc3 FROM tri GROUP BY h1, h2),
+    c2 AS (SELECT h2, w, COUNT(*) AS c2 FROM tri GROUP BY h2, w),
+    ctx2 AS (SELECT h2, COUNT(*) AS cc2 FROM tri GROUP BY h2),
+    toks AS (SELECT unnest(ts) AS tok FROM arr),
+    c1 AS (SELECT tok, COUNT(*) AS c1 FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS t, COUNT(DISTINCT tok) AS v FROM toks),
+    scored AS (
+      SELECT tri.doc_id, COUNT(*) AS n_trigrams,
+             SUM(CAST(ROUND(log2(
+                   0.6 * ((c3.c3 + 1) / (ctx3.cc3 + tot.v))
+                   + 0.3 * ((c2.c2 + 1) / (ctx2.cc2 + tot.v))
+                   + 0.1 * ((c1.c1 + 1) / (tot.t + tot.v))), 6)
+                 AS DECIMAL(28,6))) AS s
+      FROM tri
+      JOIN c3 ON tri.h1 = c3.h1 AND tri.h2 = c3.h2 AND tri.w = c3.w
+      JOIN ctx3 ON tri.h1 = ctx3.h1 AND tri.h2 = ctx3.h2
+      JOIN c2 ON tri.h2 = c2.h2 AND tri.w = c2.w
+      JOIN ctx2 ON tri.h2 = ctx2.h2
+      JOIN c1 ON tri.w = c1.tok
+      CROSS JOIN tot
+      GROUP BY tri.doc_id)
+    SELECT doc_id, CAST(n_trigrams AS INT) AS n_trigrams,
+           ROUND(-CAST(s AS DOUBLE) / n_trigrams, 4) AS ce
+    FROM scored
+    """,
+)
