@@ -247,7 +247,7 @@ def test_single_partition_only_on_bounded_frames(spark):
         "q_heavy_hitters", "q_tpch_q6", "q_tpch_q14", "q_tpch_q15",
         "q_tpch_q17", "q_tpch_q19", "q_tpch_q22", "q_tpch_q11",
         # 1-row distribution frames crossed back in (broadcast)
-        "q_dsir_sample", "q_unigram_ppl", "q_bigram_ppl",
+        "q_dsir_sample", "q_unigram_ppl", "q_bigram_ppl", "q_trigram_ppl",
         "q_curriculum_order",
         # eval-benchmark set collapsed to one broadcast row (O(eval)
         # bounded by contract — benchmarks don't grow with the corpus)
