@@ -1302,21 +1302,31 @@ def span_window_table(
     text_col: str = "text",
     k: int = 8,
 ) -> DataFrame:
-    """(w, first_id, first_pos): the canonical first occurrence of every
-    distinct k-token window — the PERSISTED STATE of incremental span
-    dedup (the window-signature analog of the MinHash signature table,
+    """(wh, first_id, first_pos): the canonical first occurrence of
+    every distinct k-token window, keyed by the window's xxhash64 — the
+    PERSISTED STATE of incremental span dedup (the window-signature
+    analog of the MinHash signature table,
     `minhash_lsh_pairs_from_signatures`). Write it to the lake once;
     every later ingest batch dedups against it without re-windowing the
-    settled corpus. Size: O(distinct windows) ≤ O(corpus tokens), and
-    boilerplate collapses (one row per distinct window, however many
-    occurrences)."""
+    settled corpus.
+
+    Hashed, not text: a k-token window string is ~k× the tokens it
+    covers, so a text-keyed table would be ~8× the CORPUS bytes —
+    scanning it would cost more IO than re-windowing the raw text,
+    defeating the operator. 8-byte hashes make the table ~0.5× corpus
+    bytes and the probe joins integer-keyed (the q_decontaminate
+    collision discipline: odds ~1e-10 per candidate pair at any
+    realistic scale, far below a dedup pipeline's noise floor). Size:
+    O(distinct windows) rows; boilerplate collapses (one row per
+    distinct window, however many occurrences)."""
     staged = _span_staged(df, id_col, text_col)
     return (
         _span_occurrences(staged, k)
-        .groupBy("w")
+        .select("__id", "pos", F.xxhash64("w").alias("wh"))
+        .groupBy("wh")
         .agg(F.min(F.struct(F.col("__id"), F.col("pos"))).alias("first"))
         .select(
-            "w",
+            "wh",
             F.col("first.__id").alias("first_id"),
             F.col("first.pos").alias("first_pos"),
         )
@@ -1330,12 +1340,12 @@ def merge_span_windows(settled: DataFrame, batch: DataFrame) -> DataFrame:
     combinable like the build itself."""
     return (
         settled.unionByName(batch)
-        .groupBy("w")
+        .groupBy("wh")
         .agg(
             F.min(F.struct(F.col("first_id"), F.col("first_pos"))).alias("first")
         )
         .select(
-            "w",
+            "wh",
             F.col("first.first_id").alias("first_id"),
             F.col("first.first_pos").alias("first_pos"),
         )
@@ -1370,18 +1380,32 @@ def dedup_duplicated_spans_incremental(
     the state forward with `merge_span_windows(settled,
     span_window_table(new_df))`."""
     staged = _span_staged(new_df, id_col, text_col)
-    occ = _span_occurrences(staged, k)
+    # the batch side works on HASHED windows throughout — the join keys
+    # against the stored table are int64 (see span_window_table)
+    occ = _span_occurrences(staged, k).select(
+        "__id", "pos", F.xxhash64("w").alias("w")
+    )
     batch_canon = occ.groupBy("w").agg(
         F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__bmin")
-    )
-    settled = settled_windows.select(
-        "w",
+    ).localCheckpoint(eager=False)
+    # restrict the settled table to the batch's windows FIRST, via a
+    # semi join whose build side is the (bounded) batch key set — the
+    # big settled table is SCANNED, never shuffled (a plain left join
+    # here sort-merge-shuffles the entire settled window table, which
+    # is exactly the O(corpus) cost this operator exists to avoid);
+    # the surviving settled rows are O(batch), so the least() join
+    # after it is small-small
+    batch_keys = batch_canon.select(F.col("w").alias("wh"))
+    settled_hits = settled_windows.join(
+        F.broadcast(batch_keys), "wh", "left_semi"
+    ).select(
+        F.col("wh").alias("w"),
         F.struct(
             F.col("first_id").alias("__id"), F.col("first_pos").alias("pos")
         ).alias("__smin"),
     )
     canon = (
-        batch_canon.join(settled, "w", "left")
+        batch_canon.join(settled_hits, "w", "left")
         .select("w", F.least("__smin", "__bmin").alias("first"))
     )
     return _span_rebuild(staged, occ, canon, id_col, k)

@@ -1040,7 +1040,7 @@ def _span_window_lake(spark: SparkSession, sf_dir: str) -> str:
     from ..sources import manifest as M
     from .relational_queries import _stage_dir
 
-    root = _stage_dir(sf_dir, "documents", "span_windows")
+    root = _stage_dir(sf_dir, "documents", "span_windows_h")  # hashed-key table
     wpath = f"{root}/windows"
 
     import os

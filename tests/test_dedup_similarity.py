@@ -1194,13 +1194,13 @@ def test_span_dedup_incremental_matches_full_recompute(spark, tmp_path):
 
     # state fold-forward == full rebuild of the window table
     merged = {
-        (r["w"], r["first_id"], r["first_pos"])
+        (r["wh"], r["first_id"], r["first_pos"])
         for r in merge_span_windows(
             settled_w, span_window_table(new_docs, k=8)
         ).collect()
     }
     rebuilt = {
-        (r["w"], r["first_id"], r["first_pos"])
+        (r["wh"], r["first_id"], r["first_pos"])
         for r in span_window_table(
             settled_docs.unionByName(new_docs), k=8
         ).collect()
