@@ -980,30 +980,39 @@ def ivfpq_topk(
     codes_path: str,
     pool: int = 50,
     bits: int = 20,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-PQ search over the persisted three-lake index: (1) a BLOOM
-    point lookup finds the query row's cell; (2) the ADT is the FULL
-    query vector's fixed-point subvectors dotted with every residual
-    codeword (within one cell, ranking by q·x̂ = q·c + q·r̂ needs only
-    the residual term — q·c is constant); (3) the probe cell's segment
-    — and only it, via part_eq manifest pruning — is scanned with m
-    integer lookups + a BIGINT sum per row; (4) top-`pool` by the
-    integer score (id tiebreak), exact 6dp-cosine rerank. Deterministic
-    end-to-end, so the result hash-matches a SQL replay — exact over
-    the probed cell, like ivf_quantized_topk, at PQ bytes."""
+    """IVF-PQ search over the persisted three-lake index: (1) the
+    `nprobe` nearest cells to the query vector come from the centroids
+    lake (n_cells rows — a driver-side argsort, the same rounded-L2 +
+    cid-tiebreak ordering as assignment, so nprobe=1 probes exactly
+    the query's own cell); (2) the ADT is the FULL query vector's
+    fixed-point subvectors dotted with every residual codeword (within
+    one cell, ranking by q·x̂ = q·c + q·r̂ needs only the residual term;
+    across probed cells the per-cell constant q·c is ADDED back —
+    fixed-point integer, still exact); (3) the probed cells' segments
+    — and only those, via part_eq manifest pruning — are scanned with
+    m integer lookups + a BIGINT sum per row; (4) top-`pool` by the
+    integer score (id tiebreak), exact 6dp-cosine rerank.
+    Deterministic end-to-end, so the result hash-matches a SQL replay.
+    `nprobe` is the recall knob a deployed IVF index turns WITHOUT
+    rebuilding anything — each extra probe adds one pruned segment
+    scan (recall-vs-probes pinned in pytest)."""
     from ..sources import manifest as M
 
-    qcell = (
-        M.read_snapshot(spark, codes_path, bloom_eq={id_col: query_id})
-        .filter(F.col(id_col) == query_id)
-        .select("cid")
-        .collect()
-    )
-    if not qcell:
-        raise ValueError(f"query id {query_id!r} not in the codes index")
-    qcid = int(qcell[0]["cid"])
-
+    cents = M.read_snapshot(spark, centroids_path).collect()
     e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    qv_rows = e.filter(F.col(id_col) == query_id).collect()
+    if not qv_rows:
+        raise ValueError(f"query id {query_id!r} not in the embeddings")
+    qvec = [float(x) for x in qv_rows[0]["v"]]
+    # nearest cells by the assignment ordering: round(L2, 6) asc, cid
+    # asc — identical to assign_cells, so nprobe=1 == the query's cell
+    def _l2(cv):
+        return round(sum((a - b) ** 2 for a, b in zip(qvec, cv)) ** 0.5, 6)
+
+    ranked = sorted((( _l2([float(x) for x in r["cv"]]), int(r["cid"])) for r in cents))
+    probe_cids = [cid for _, cid in ranked[: max(1, nprobe)]]
     qsub = (
         e.filter(F.col(id_col) == query_id)
         .select(F.posexplode(_subvectors_dyn(F.col("v"), m)).alias("sub", "qsv"))
@@ -1020,16 +1029,45 @@ def ivfpq_topk(
     adt = qsub.join(F.broadcast(cb), "sub").select(
         "sub", "code", pdot.alias("pdot")
     )
-    cand = (
-        M.read_snapshot(spark, codes_path, part_eq={"cid": qcid})
-        .filter(F.col("cid") == qcid)
-        .filter(F.col(id_col) != query_id)
+    # per-probed-cell constant q·c on the SAME fixed-point scale as the
+    # ADT partial dots (2^2bits): cross-cell scores are comparable
+    # integers. Driver-side over the already-collected centroid rows —
+    # the identical IEEE multiply+floor both engines replay.
+    import math
+
+    grid = float(1 << bits)
+    qfp = [int(math.floor(x * grid + 0.5)) for x in qvec]
+    cent_by_cid = {int(r["cid"]): [float(x) for x in r["cv"]] for r in cents}
+    qc = {
+        c: sum(
+            a * int(math.floor(x * grid + 0.5))
+            for a, x in zip(qfp, cent_by_cid[c])
+        )
+        for c in probe_cids
+    }
+    from functools import reduce
+
+    cand = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            M.read_snapshot(spark, codes_path, part_eq={"cid": c}).filter(
+                F.col("cid") == c
+            )
+            for c in probe_cids
+        ],
+    ).filter(F.col(id_col) != query_id)
+    qc_map = F.create_map(
+        *[x for c in probe_cids for x in (F.lit(c), F.lit(qc[c]).cast("bigint"))]
     )
     scored = (
-        cand.select(id_col, F.posexplode("codes").alias("sub", "code"))
+        cand.select(id_col, "cid", F.posexplode("codes").alias("sub", "code"))
         .join(F.broadcast(adt), ["sub", "code"])
-        .groupBy(id_col)
-        .agg(F.sum("pdot").alias("score"))
+        .groupBy(id_col, "cid")
+        .agg(F.sum("pdot").alias("rdot"))
+        .select(
+            F.col(id_col),
+            (F.col("rdot") + qc_map[F.col("cid")]).alias("score"),
+        )
     )
     pooled = scored.orderBy(
         F.col("score").desc_nulls_last(), F.col(id_col).asc()

@@ -1054,3 +1054,114 @@ register(
     ORDER BY sim6 DESC NULLS LAST, vec_id ASC LIMIT {TOP_K}
     """,
 )
+
+
+IVFPQ_NPROBE = 2
+
+
+def q_ann_ivfpq_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with nprobe={IVFPQ_NPROBE}: the deployed index's recall
+    knob — probe the query's {IVFPQ_NPROBE} nearest cells instead of
+    one, no rebuild, one extra pruned segment scan per probe.
+    Cross-cell PQ scores stay comparable by adding each cell's
+    fixed-point q·centroid constant back onto the residual dots (exact
+    BIGINTs, so the pool cut is still deterministic); the exact rerank
+    finishes as usual. Same persisted index as q_ann_ivfpq_rerank."""
+    tune(spark)
+    centroids_path, codebooks_path, codes_path = _ivfpq_index(spark, sf_dir)
+    return SIM.ivfpq_topk(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        QUERY_ID,
+        TOP_K,
+        PQ_M,
+        centroids_path,
+        codebooks_path,
+        codes_path,
+        pool=RERANK_POOL,
+        nprobe=IVFPQ_NPROBE,
+    )
+
+
+register(
+    "q_ann_ivfpq_nprobe",
+    q_ann_ivfpq_nprobe,
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ctr AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+            ORDER BY vec_id ASC LIMIT {N_CELLS}),
+    asg AS (
+      SELECT e.vec_id, e.v, ctr.cid, ctr.cv,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ROUND(list_distance(e.v, ctr.cv), 6) ASC NULLS FIRST,
+                                         ctr.cid ASC) AS rn
+      FROM e CROSS JOIN ctr),
+    cells AS (SELECT vec_id, v, cid, cv FROM asg WHERE rn = 1),
+    res AS (SELECT vec_id, cid,
+                   list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
+            FROM cells),
+    subs AS (SELECT unnest(range(0, {PQ_M})) AS sub),
+    rsv AS (SELECT res.vec_id, res.cid, subs.sub,
+                   list_transform(
+                     res.r[(CAST(subs.sub AS INT) * (len(res.r) // {PQ_M}) + 1)
+                           :((CAST(subs.sub AS INT) + 1) * (len(res.r) // {PQ_M}))],
+                     x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS svf
+            FROM res CROSS JOIN subs),
+    cb AS (SELECT s.sub,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY s.sub
+                                          ORDER BY s.vec_id ASC) - 1 AS INT) AS code,
+                  s.svf AS cwf
+           FROM rsv s
+           WHERE s.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id ASC LIMIT {PQ_KSUB})),
+    dists AS (SELECT v.vec_id, v.sub, c.code,
+                     CAST(list_sum(list_transform(range(1, len(v.svf) + 1),
+                            i -> (v.svf[i] - c.cwf[i]) * (v.svf[i] - c.cwf[i])))
+                          AS BIGINT) AS dist
+              FROM rsv v JOIN cb c ON v.sub = c.sub),
+    enc AS (SELECT vec_id, sub, code FROM (
+              SELECT vec_id, sub, code,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY dist ASC, code ASC) AS rn
+              FROM dists) WHERE rn = 1),
+    qv AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_ID}),
+    qrank AS (SELECT ctr.cid, ctr.cv,
+                     ROW_NUMBER() OVER (ORDER BY ROUND(list_distance(qv.qv, ctr.cv), 6) ASC NULLS FIRST,
+                                        ctr.cid ASC) AS prk
+              FROM ctr CROSS JOIN qv),
+    probes AS (SELECT cid, cv FROM qrank WHERE prk <= {IVFPQ_NPROBE}),
+    qcfp AS (SELECT p.cid,
+                    CAST(list_sum(list_transform(range(1, len(qv.qv) + 1),
+                           i -> CAST(floor(qv.qv[i] * 1048576.0 + 0.5) AS BIGINT)
+                                * CAST(floor(p.cv[i] * 1048576.0 + 0.5) AS BIGINT)))
+                         AS BIGINT) AS qc
+             FROM probes p CROSS JOIN qv),
+    qsv AS (SELECT subs.sub,
+                   list_transform(
+                     e.v[(CAST(subs.sub AS INT) * (len(e.v) // {PQ_M}) + 1)
+                         :((CAST(subs.sub AS INT) + 1) * (len(e.v) // {PQ_M}))],
+                     x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS qsvf
+            FROM e CROSS JOIN subs WHERE e.vec_id = {QUERY_ID}),
+    adt AS (SELECT c.sub, c.code,
+                   CAST(list_sum(list_transform(range(1, len(q.qsvf) + 1),
+                          i -> q.qsvf[i] * c.cwf[i])) AS BIGINT) AS pdot
+            FROM cb c JOIN qsv q ON c.sub = q.sub),
+    approx AS (SELECT enc.vec_id,
+                      CAST(SUM(adt.pdot) AS BIGINT) + MIN(qcfp.qc) AS score
+               FROM enc
+               JOIN res ON enc.vec_id = res.vec_id
+               JOIN qcfp ON res.cid = qcfp.cid
+               JOIN adt ON enc.sub = adt.sub AND enc.code = adt.code
+               WHERE enc.vec_id <> {QUERY_ID}
+               GROUP BY enc.vec_id),
+    pool AS (SELECT vec_id FROM approx
+             ORDER BY score DESC NULLS LAST, vec_id ASC LIMIT {RERANK_POOL}),
+    rr AS (SELECT p.vec_id, ROUND(list_cosine_similarity(e.v, qv.qv), 6) AS sim6
+           FROM pool p JOIN e ON p.vec_id = e.vec_id CROSS JOIN qv)
+    SELECT vec_id, ROUND(sim6, 4) AS sim FROM rr
+    ORDER BY sim6 DESC NULLS LAST, vec_id ASC LIMIT {TOP_K}
+    """,
+)

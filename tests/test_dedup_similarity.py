@@ -1302,3 +1302,45 @@ def test_pq_kmeans_trainer_same_layout_better_recall(spark, tmp_path):
         )
     )
     assert trained >= sampled >= 0.7, (sampled, trained)
+
+
+def test_ivfpq_nprobe_widens_recall(spark, tmp_path):
+    """nprobe is the recall knob: probing more cells can only widen the
+    candidate set toward exact global top-k — recall@10 vs the global
+    exact answer is monotone in nprobe, and at nprobe = n_cells the
+    search IS exact (every cell scanned, rerank exact)."""
+    import numpy as np
+
+    from nba_pipeline_spark.functions.vectors import to_double_array
+    from nba_pipeline_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cp, cbp, kp = (str(tmp_path / x) for x in ("c", "b", "k"))
+    n_cells = 4
+    SIM.build_ivfpq_index(spark, emb, "vec_id", "embedding", n_cells, 4, 16, cp, cbp, kp)
+    qid = 9
+    q = emb.filter(F.col("vec_id") == qid).select(
+        to_double_array(F.col("embedding")).alias("qv")
+    )
+    exact = {
+        r[0]
+        for r in SIM.brute_force_topk(
+            emb.filter(F.col("vec_id") != qid), q, "vec_id", "embedding", 10
+        ).collect()
+    }
+    recalls = []
+    for nprobe in (1, 2, n_cells):
+        got = {
+            r["vec_id"]
+            for r in SIM.ivfpq_topk(
+                spark, emb, "vec_id", "embedding", qid, 10, 4,
+                cp, cbp, kp, pool=200, nprobe=nprobe,
+            ).collect()
+        }
+        recalls.append(len(got & exact) / 10)
+    assert recalls == sorted(recalls), recalls  # monotone in nprobe
+    assert recalls[-1] == 1.0, recalls  # all cells probed = exact
