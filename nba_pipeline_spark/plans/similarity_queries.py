@@ -1165,3 +1165,32 @@ register(
     ORDER BY sim6 DESC NULLS LAST, vec_id ASC LIMIT {TOP_K}
     """,
 )
+
+
+PCA_K = 8
+
+
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction over the embeddings table
+    (operators/pca.py): 64 -> {PCA_K} dims ahead of the ANN tiers —
+    one decimal-exact partially-aggregated Gram pass, a driver-side
+    d x d eigh, then a narrow builtin projection (component matrix as
+    literal arrays, one zip-sum per output dim). Rows-only BY NATURE:
+    eigenvector sign/ordering is a LAPACK convention no SQL engine
+    replays — parity against numpy's reference PCA (sign-normalized),
+    orthonormality, and reconstruction-error monotonicity are pinned
+    in tests/test_dedup_similarity.py instead."""
+    from ..operators import pca as PCA
+
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, means, ratios = PCA.pca_train(emb, "embedding", PCA_K)
+    out = PCA.pca_project(emb, "vec_id", "embedding", comps, means)
+    return out.select(
+        "vec_id",
+        F.transform("proj", lambda x: F.round(x, 4)).alias("proj"),
+        F.lit(round(sum(ratios), 4)).alias("explained_ratio"),
+    )
+
+
+register("q_embed_pca", q_embed_pca, None)

@@ -1344,3 +1344,58 @@ def test_ivfpq_nprobe_widens_recall(spark, tmp_path):
         recalls.append(len(got & exact) / 10)
     assert recalls == sorted(recalls), recalls  # monotone in nprobe
     assert recalls[-1] == 1.0, recalls  # all cells probed = exact
+
+
+def test_pca_matches_numpy_reference(spark):
+    """PCA parity: Spark's decimal-exact Gram + driver eigh reproduces
+    numpy's reference PCA on the same rows (sign-normalized), the
+    components are orthonormal, and reconstruction error shrinks as k
+    grows."""
+    import numpy as np
+
+    from nba_pipeline_spark.operators import pca as PCA
+
+    rng = np.random.default_rng(21)
+    # anisotropic data so the principal axes are unambiguous
+    base = rng.standard_normal((300, 8)) * np.array([5, 4, 3, 2.5, 2, 1.5, 1, 0.5])
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    X = np.array([[np.float32(x) for x in row] for row in base], dtype=np.float64)
+
+    comps, means, ratios = PCA.pca_train(emb, "embedding", 3)
+    C = np.array(comps)
+    # orthonormal rows
+    assert np.allclose(C @ C.T, np.eye(3), atol=1e-9)
+    # numpy reference on the same float32-rounded rows
+    mu = X.mean(axis=0)
+    cov = np.cov(X - mu, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    ref = evecs[:, order].T
+    for i in range(3):  # same sign normalization as pca_train
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(np.array(means), mu, atol=1e-8)
+    assert np.allclose(C, ref, atol=1e-6), np.abs(C - ref).max()
+    assert ratios == sorted(ratios, reverse=True)
+
+    # projection parity + reconstruction error monotone in k
+    proj = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in PCA.pca_project(emb, "vec_id", "embedding", comps, means).collect()
+    }
+    ref_proj = (X - mu) @ ref.T
+    got = np.array([proj[i] for i in range(len(X))])
+    assert np.allclose(got, ref_proj, atol=1e-6)
+
+    def recon_err(k):
+        c, m, _ = PCA.pca_train(emb, "embedding", k)
+        Ck = np.array(c)
+        P = (X - np.array(m)) @ Ck.T
+        return float(np.square((X - np.array(m)) - P @ Ck).sum())
+
+    errs = [recon_err(k) for k in (1, 3, 8)]
+    assert errs[0] > errs[1] > errs[2] >= -1e-9
