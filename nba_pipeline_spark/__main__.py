@@ -254,6 +254,20 @@ def cmd_lake(args) -> int:
             return 0
         print(json.dumps({"committed_version": v}))
         return 0
+    if args.action == "feed":
+        if not (args.keys and args.state and args.dest):
+            print("feed requires --keys, --state and --dest", file=sys.stderr)
+            return 2
+        n = M.consume_feed(
+            spark,
+            args.path,
+            args.keys.split(","),
+            args.state,
+            M.feed_to_lake_sink(spark, args.dest),
+            max_versions=args.max_versions,
+        )
+        print(json.dumps({"versions_processed": n}))
+        return 0
     if args.action == "zorder":
         if args.incremental:
             v = M.cluster_incremental(spark, args.path)
@@ -371,6 +385,12 @@ def main(argv: list[str] | None = None) -> int:
         "--part", default=None,
         help="compact: col=value scope (OPTIMIZE WHERE — only matching "
         "partition-tagged segments consolidate)",
+    )
+    lk.add_argument("--keys", default=None, help="feed: comma-separated key cols")
+    lk.add_argument("--state", default=None, help="feed: checkpoint dir")
+    lk.add_argument(
+        "--max-versions", type=int, default=None,
+        help="feed: process at most N versions this run",
     )
     ix = sub.add_parser("index")
     ix.add_argument("action", help="build|update|build-pq")
