@@ -684,9 +684,11 @@ def pq_train_codebooks(
     ksub is bounded (<=256 per the PQ byte-code contract), so a
     driver-side collect of ksub rows is O(1) by construction."""
     rows = (
-        emb.orderBy(id_col)
+        emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+        .filter(F.col("v").isNotNull())  # NULL vectors train nothing
+        .orderBy(id_col)
         .limit(ksub)
-        .select(to_double_array(F.col(vec_col)).alias("v"))
+        .select("v")
         .collect()
     )
     if not rows:
@@ -770,6 +772,9 @@ def pq_encode(
     v = to_double_array(F.col(vec_col))
     sub_rows = (
         emb.select(F.col(id_col), v.alias("v"))
+        # a NULL vector has no codes — drop it here (equi-join
+        # semantics would drop it downstream anyway, loudly is better)
+        .filter(F.col("v").isNotNull())
         .select(
             id_col,
             F.posexplode(
@@ -1007,9 +1012,15 @@ def ivfpq_topk(
         raise ValueError(f"query id {query_id!r} not in the embeddings")
     qvec = [float(x) for x in qv_rows[0]["v"]]
     # nearest cells by the assignment ordering: round(L2, 6) asc, cid
-    # asc — identical to assign_cells, so nprobe=1 == the query's cell
+    # asc — identical to assign_cells, so nprobe=1 == the query's cell.
+    # HALF-UP rounding spelled out (python round() is banker's; the
+    # SQL engines round half away from zero — distances are positive,
+    # so floor(x*1e6 + 0.5) is the same grid both oracles use)
+    import math as _math
+
     def _l2(cv):
-        return round(sum((a - b) ** 2 for a, b in zip(qvec, cv)) ** 0.5, 6)
+        d = sum((a - b) ** 2 for a, b in zip(qvec, cv)) ** 0.5
+        return _math.floor(d * 1e6 + 0.5) / 1e6
 
     ranked = sorted((( _l2([float(x) for x in r["cv"]]), int(r["cid"])) for r in cents))
     probe_cids = [cid for _, cid in ranked[: max(1, nprobe)]]

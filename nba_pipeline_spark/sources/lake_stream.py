@@ -101,13 +101,6 @@ def _join(base: str, *parts: str) -> str:
     return "/".join([base.rstrip("/"), *parts])
 
 
-def _with_scheme(origin_uri: str, path: str) -> str:
-    """Re-attach the URI scheme to a pyarrow FileInfo.path (pyarrow
-    strips it — S3 infos come back as ``bucket/key``), so the executor
-    read resolves the SAME filesystem the planner listed."""
-    if "://" in origin_uri and "://" not in path:
-        return f"{origin_uri.split('://', 1)[0]}://{path}"
-    return path
 
 
 def _versions(path: str) -> list[int]:
@@ -128,13 +121,21 @@ def _versions(path: str) -> list[int]:
 
 
 def _manifest(path: str, v: int) -> dict:
+    from pyarrow import fs as pafs
+
     fs, norm = _pafs(path)
     mfile = _join(norm, _MANIFEST_DIR, f"v{v:08d}.json")
     try:
         with fs.open_input_stream(mfile) as fh:
             return json.loads(fh.read().decode("utf-8"))
     except (FileNotFoundError, OSError) as e:
-        raise _RetentionGap(path, v) from e
+        # only a PROVABLY-absent manifest is a retention gap; a
+        # transient store error must surface raw, not masquerade as
+        # "restart from a snapshot" advice
+        info = fs.get_file_info(mfile)
+        if info.type == pafs.FileType.NotFound:
+            raise _RetentionGap(path, v) from e
+        raise
 
 
 class _RetentionGap(ValueError):
@@ -288,19 +289,24 @@ class ManifestStreamReader(DataSourceStreamReader):
         for s in cur["segments"]:
             if s in prev_segs:
                 continue
+            # the partition carries the segment-dir URI + base name and
+            # the executor re-resolves the filesystem from that URI —
+            # never from pyarrow's scheme-stripped FileInfo.path (for
+            # S3 it drops the scheme, for HDFS the authority; either
+            # would resolve the WRONG filesystem executor-side)
             if "://" in s:  # absolute ref on (possibly) another store
-                origin = s
+                dir_uri = s
                 seg_fs, seg_dir = _pafs(s)
             elif s.startswith("/"):
-                origin = self._path
+                dir_uri = s
                 seg_fs, seg_dir = fs, s
             else:
-                origin = self._path
+                dir_uri = _join(self._path, _DATA_DIR, s)
                 seg_fs, seg_dir = fs, _join(norm, _DATA_DIR, s)
             infos = seg_fs.get_file_info(pafs.FileSelector(seg_dir))
             for info in sorted(infos, key=lambda i: i.base_name):
                 if info.base_name.endswith(".parquet"):
-                    out.append((_with_scheme(origin, info.path), v))
+                    out.append((_join(dir_uri, info.base_name), v))
         return out
 
     def partitions(self, start: dict, end: dict):
