@@ -269,3 +269,62 @@ def test_containment_bp_bounds_and_symmetry_floor(spark, docs):
         assert r["n_common"] == inter  # uncapped: the join IS the intersection
         assert r["containment_bp"] == (inter * 10000) // small
         assert r["containment_bp"] >= (inter * 10000) // union  # dominates jaccard
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=8
+    ),
+    cut=st.integers(min_value=1, max_value=7),
+)
+def test_span_window_merge_is_fold_order_independent(spark, docs, cut):
+    """merge_span_windows(settled, batch) == span_window_table(all):
+    folding state forward in ANY split reproduces the full rebuild —
+    the associativity incremental ingest depends on."""
+    from nba_pipeline_spark.operators.dedup import (
+        merge_span_windows,
+        span_window_table,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = df.filter(F.col("doc_id") < cut)
+    b = df.filter(F.col("doc_id") >= cut)
+    k = 2
+    merged = {
+        (r["wh"], r["first_id"], r["first_pos"])
+        for r in merge_span_windows(
+            span_window_table(a, k=k), span_window_table(b, k=k)
+        ).collect()
+    }
+    full = {
+        (r["wh"], r["first_id"], r["first_pos"])
+        for r in span_window_table(df, k=k).collect()
+    }
+    assert merged == full
+
+
+def test_pq_codes_invariant_under_repartition(spark):
+    """PQ encoding is a pure function of the data: codes are identical
+    whatever the input partitioning (the fixed-point BIGINT argmin has
+    no accumulation-order dependence to break)."""
+    import numpy as np
+
+    from nba_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_train_codebooks(spark, emb, "vec_id", "embedding", 4, 8)
+
+    def codes_of(df):
+        return {
+            r["vec_id"]: tuple(r["codes"])
+            for r in pq_encode(df, cb, "vec_id", "embedding", 4).collect()
+        }
+
+    assert codes_of(emb.repartition(1)) == codes_of(emb.repartition(13, "vec_id"))
