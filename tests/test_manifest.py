@@ -1441,3 +1441,22 @@ def test_scoped_compact_touches_only_matching_partition(spark, tmp_path):
     M.commit_append(spark, plain, mk([(9, "x")]))
     with _pt.raises(ValueError, match="no partition-tagged"):
         M.compact(spark, plain, part_eq={"part": "x"})
+
+
+def test_consume_feed_checkpoint_over_file_scheme_uri(spark, tmp_path):
+    """The consume_feed high-water checkpoint goes through the Hadoop
+    FS API — exercised here on a scheme'd file:// state path (the
+    round-6 finding: the old open/os.replace checkpoint could not live
+    on a non-local store at all)."""
+    from nba_pipeline_spark.sources import manifest as M
+
+    src = str(tmp_path / "src")
+    state = f"file://{tmp_path}/state"
+    M.commit_append(spark, src, spark.createDataFrame([(1,)], "k int"))
+    M.commit_append(spark, src, spark.createDataFrame([(2,)], "k int"))
+    seen: list[int] = []
+    n = M.consume_feed(spark, src, ["k"], state, lambda df, v: seen.append(v))
+    assert n == 2 and seen == [1, 2]
+    # replay: the checkpoint read back through the same URI
+    n = M.consume_feed(spark, src, ["k"], state, lambda df, v: seen.append(v))
+    assert n == 0 and seen == [1, 2]
