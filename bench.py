@@ -103,6 +103,7 @@ HEADLINE = [
     "q_dedup_spans_incremental",
     "q_bpe_first_merge",
     "q_trigram_ppl",
+    "q_weighted_sample",
 ]
 
 
