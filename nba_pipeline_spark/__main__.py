@@ -254,6 +254,20 @@ def cmd_lake(args) -> int:
             return 0
         print(json.dumps({"committed_version": v}))
         return 0
+    if args.action == "rename-column":
+        if not (args.old and args.new):
+            print("rename-column requires --old and --new", file=sys.stderr)
+            return 2
+        v = M.rename_column(spark, args.path, args.old, args.new)
+        print(json.dumps({"committed_version": v}))
+        return 0
+    if args.action == "drop-column":
+        if not args.old:
+            print("drop-column requires --old", file=sys.stderr)
+            return 2
+        v = M.drop_column(spark, args.path, args.old)
+        print(json.dumps({"committed_version": v}))
+        return 0
     if args.action == "feed":
         if not (args.keys and args.state and args.dest):
             print("feed requires --keys, --state and --dest", file=sys.stderr)
@@ -386,6 +400,8 @@ def main(argv: list[str] | None = None) -> int:
         help="compact: col=value scope (OPTIMIZE WHERE — only matching "
         "partition-tagged segments consolidate)",
     )
+    lk.add_argument("--old", default=None, help="rename/drop-column: column name")
+    lk.add_argument("--new", default=None, help="rename-column: new name")
     lk.add_argument("--keys", default=None, help="feed: comma-separated key cols")
     lk.add_argument("--state", default=None, help="feed: checkpoint dir")
     lk.add_argument(

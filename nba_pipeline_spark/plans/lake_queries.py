@@ -1373,3 +1373,52 @@ register(
     FROM orders WHERE o_custkey BETWEEN 0 AND 300
     """,
 )
+
+
+def q_manifest_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping (Delta name-mode parity): a customer slice lands
+    in a lake, ``rename_column`` moves c_acctbal -> balance as a
+    METADATA-ONLY commit (segments untouched — asserted), a post-rename
+    append writes the LOGICAL name (translated to physical under the
+    hood), and one read over the mixed segments comes back under the
+    logical schema. ``drop_column`` then hides the comment column
+    without touching a byte (c_mktsegment). The oracle replays the rename as plain
+    SQL aliases over the same rows — identical results prove the
+    mapping is pure metadata."""
+    tune(spark)
+    lake = _stage_dir(sf_dir, "customer", "manifest_colmap") + "/lake"
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    if M.current_version(spark, lake) is None:
+        first = cust.filter(F.col("c_custkey") % 2 == 0)
+        second = cust.filter(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey",
+            F.col("c_acctbal").alias("balance"),
+            "c_mktsegment",
+        )
+        M.commit_append(spark, lake, first)
+        segs_before = set(M.resolve_segments(spark, lake))
+        M.rename_column(spark, lake, "c_acctbal", "balance")
+        assert set(M.resolve_segments(spark, lake)) == segs_before
+        M.commit_append(spark, lake, second)  # logical names in, physical out
+        M.drop_column(spark, lake, "c_mktsegment")
+    snap = M.read_snapshot(spark, lake, merge_schema=True)
+    return snap.groupBy((F.col("c_custkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("balance").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_balance"),
+    )
+
+
+register(
+    "q_manifest_rename",
+    q_manifest_rename,
+    """
+    SELECT c_custkey % 10 AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_balance
+    FROM customer
+    GROUP BY c_custkey % 10
+    """,
+)

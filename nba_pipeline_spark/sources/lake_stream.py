@@ -155,9 +155,16 @@ class _RetentionGap(ValueError):
         self.version = v
 
 
-def _schema_pairs_at(path: str, v: int) -> list[list[str]]:
-    sch = _manifest(path, v).get("props", {}).get("schema")
-    return [list(p) for p in sch["cols"]] if sch else []
+def _schema_triples_at(path: str, v: int) -> list[list[str]]:
+    """[logical, type, physical] per column — physical differs under
+    column mapping (renamed columns keep their original name inside
+    the immutable segment files; sources/manifest.py colmap)."""
+    props = _manifest(path, v).get("props", {})
+    sch = props.get("schema")
+    if not sch:
+        return []
+    cm = dict(props.get("colmap", {}))
+    return [[n, t, cm.get(n, n)] for n, t in sch["cols"]]
 
 
 def _schema_ddl(path: str) -> str:
@@ -319,7 +326,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         # otherwise widens the batch past the pinned reader schema and
         # fails the batch with an arrow mismatch — extra columns are
         # picked up on restart, per the stated contract.
-        cols = _schema_pairs_at(self._path, hi) if hi else []
+        cols = _schema_triples_at(self._path, hi) if hi else []
         if self._declared is not None:
             declared = set(self._declared)
             cols = [p for p in cols if p[0] in declared]
@@ -345,16 +352,18 @@ class ManifestStreamReader(DataSourceStreamReader):
         t = pq.read_table(norm, filesystem=fs)
         have = set(t.column_names)
         cols = []
-        for n, typ in sch_cols:
-            if n in have:
-                cols.append(t.column(n))
+        for n, typ, phys in sch_cols:
+            # column mapping: the file stores the PHYSICAL name; the
+            # stream emits the LOGICAL one
+            if phys in have:
+                cols.append(t.column(phys))
             else:
                 # file predates an additive evolution: null-fill with
                 # the manifest-recorded type (failing here would wedge
                 # the stream permanently — no restart can add columns
                 # to an old file)
                 cols.append(pa.nulls(t.num_rows, _pa_type(typ, fname, n)))
-        out = pa.table(cols, names=[n for n, _ in sch_cols])
+        out = pa.table(cols, names=[n for n, _, _ in sch_cols])
         out = out.append_column(
             "_commit_version", pa.array([version] * t.num_rows, pa.int32())
         )

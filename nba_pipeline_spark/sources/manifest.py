@@ -392,13 +392,34 @@ def _schema_props_fn(
 
     def props_fn(props):
         if replace:
-            return {**props, "schema": {"cols": incoming}}
+            out = {**props, "schema": {"cols": incoming}}
+            # a full rewrite lands under the batch's own (logical)
+            # names: any column mapping is materialized and clears
+            out.pop("colmap", None)
+            out.pop("dropped_cols", None)
+            return out
         sch = props.get("schema")
         if sch is not None:
             current = [list(p) for p in sch["cols"]]
         else:
             current = _probe_schema(spark, path) or []
         merged = _merge_schema_pairs(current, incoming, path)
+        # column mapping, name mode: a NEW column may not reuse a
+        # DROPPED column's physical name — old segments still hold the
+        # dropped bytes under that name and the read projection would
+        # resurrect them as the new column's values. (Delta avoids
+        # this with id-based physical names; name mode refuses.)
+        dropped = set(props.get("dropped_cols", []))
+        if dropped:
+            known = {n for n, _ in current}
+            for n, _t in incoming:
+                if n not in known and n in dropped:
+                    raise SchemaDrift(
+                        f"column name {n!r} was DROPPED from this lake and "
+                        "its bytes remain in old segments — reuse would "
+                        "resurrect them; pick another name or materialize "
+                        f"the mapping with a full rewrite first: {path}"
+                    )
         return {**props, "schema": {"cols": merged}}
 
     return props_fn
@@ -745,14 +766,27 @@ def commit_append(
     (`read_snapshot(part_eq= / ranges= / bloom_eq=)`)."""
     _check_constraints(spark, path, df)
     _check_schema(spark, path, df)
-    seg = _write_segment(df, path, target_files, bloom_cols=bloom_cols)
+    props0 = _latest_props(spark, path)
+    # column-mapped lake: the incoming LOGICAL batch writes under the
+    # original PHYSICAL names so every segment stays uniform; metadata
+    # keys (partition / stats / bloom) follow the physical names the
+    # read-side probe translation expects
+    phys_df = _to_physical(df, props0)
+    partition = _translate_probe(props0, partition)
+    stats_cols = [
+        _physical(props0, c) for c in stats_cols
+    ] if stats_cols else stats_cols
+    bloom_cols = [
+        _physical(props0, c) for c in bloom_cols
+    ] if bloom_cols else bloom_cols
+    seg = _write_segment(phys_df, path, target_files, bloom_cols=bloom_cols)
     seg_meta: dict = {}
     if partition is not None:
         seg_meta["part"] = {k: _json_safe(v) for k, v in partition.items()}
     if stats_cols:
-        seg_meta["stats"] = _segment_stats(df, stats_cols)
+        seg_meta["stats"] = _segment_stats(phys_df, stats_cols)
     if bloom_cols:
-        blooms = {c: _segment_bloom(df, c) for c in bloom_cols}
+        blooms = {c: _segment_bloom(phys_df, c) for c in bloom_cols}
         blooms = {c: b for c, b in blooms.items() if b is not None}
         if blooms:
             seg_meta["bloom"] = blooms
@@ -793,6 +827,7 @@ def commit_append_partitioned(
     The distinct-value job is O(partitions in the batch) driver-side
     metadata, batch-sized by premise (a 100 TB daily load appends a
     handful of date partitions)."""
+    _refuse_colmap(_latest_props(spark, path), "commit_append_partitioned", path)
     _check_constraints(spark, path, df)
     _check_schema(spark, path, df)
     new_segs = _write_partitioned_segments(
@@ -987,6 +1022,7 @@ def commit_replace_where(
     value (keeping a tagged lake tagged); the commit is a strict
     parent CAS like MERGE (content depends on the base snapshot).
     Pending merge-on-read tombstones must be compacted first."""
+    _refuse_colmap(_latest_props(spark, path), "commit_replace_where", path)
     _check_constraints(spark, path, df)
     _check_schema(spark, path, df)
     from pyspark.sql import functions as F
@@ -1151,6 +1187,14 @@ def compact(
     (untouched segments still need the anti join; the consolidated
     segments get fresh commit sequences, so the sequence scope already
     exempts them from re-application). Requires a tagged lake."""
+    # column-mapped lake: compaction is a PHYSICAL passthrough (reads
+    # raw segments, rewrites raw segments — the mapping stays valid);
+    # caller-passed skipping columns arrive logical, translate them
+    _p0 = _latest_props(spark, path)
+    if stats_cols:
+        stats_cols = [_physical(_p0, c) for c in stats_cols]
+    if bloom_cols:
+        bloom_cols = [_physical(_p0, c) for c in bloom_cols]
     last_err: Exception | None = None
     for _ in range(max_tries):
         versions = _manifest_versions(spark, path)
@@ -1346,6 +1390,7 @@ def cluster(
     regressions are worse than a refused call) unless
     ``allow_untag=True`` opts into the trade (z-range skipping
     replacing partition skipping is sometimes the point)."""
+    _refuse_colmap(_latest_props(spark, path), "cluster", path)
     from pyspark.sql import functions as F
 
     all_stats = list(dict.fromkeys(list(cluster_cols) + list(stats_cols or [])))
@@ -1490,6 +1535,7 @@ def cluster_incremental(
     for). Concurrency contract = cluster's: interleaved appends stay
     unclustered for the next increment; row-removing commits force a
     re-run."""
+    _refuse_colmap(_latest_props(spark, path), "cluster_incremental", path)
     from pyspark.sql import functions as F
 
     last_err: Exception | None = None
@@ -1614,6 +1660,7 @@ def cluster_partitioned(
     lineage walk; row-removing commits force a re-run. Requires a
     fully `part_col`-tagged lake and no pending tombstones (same
     contract as partitioned MERGE)."""
+    _refuse_colmap(_latest_props(spark, path), "cluster_partitioned", path)
     from pyspark.sql import functions as F
 
     all_stats = list(dict.fromkeys(list(cluster_cols) + list(stats_cols or [])))
@@ -1890,6 +1937,194 @@ def _prune_segments(
     return out
 
 
+# ----------------------------------------------------------------------
+# Column mapping (Delta column-mapping parity, name mode): RENAME and
+# DROP columns as METADATA-ONLY commits — no 100 TB rewrite. The
+# manifest schema holds LOGICAL names; ``props["colmap"]`` maps logical
+# -> PHYSICAL (the immutable name inside the parquet segments), and
+# ``props["dropped_cols"]`` records dropped physicals (their bytes stay
+# until a rewrite). Reads project physical -> logical at the snapshot
+# boundary; appends translate logical -> physical at the write; probes
+# (part_eq / ranges / bloom_eq) translate before pruning. Ops that
+# TRANSFER segments by name while rewriting others (partitioned/pruned
+# MERGE, row deletes, replaceWhere, clustering) would mix physical
+# layouts — they REFUSE on a mapped lake (Delta gates the same ops
+# behind the feature); full-rewrite ops (upsert, replace) MATERIALIZE
+# the mapping instead: their consolidated output is written under the
+# logical names and the mapping clears.
+# ----------------------------------------------------------------------
+
+
+def _colmap(props: dict) -> dict:
+    return dict(props.get("colmap", {}))
+
+
+def _has_colmap(props: dict) -> bool:
+    return bool(props.get("colmap")) or bool(props.get("dropped_cols"))
+
+
+def _physical(props: dict, col: str) -> str:
+    return _colmap(props).get(col, col)
+
+
+def _translate_probe(props: dict, probe: dict | None) -> dict | None:
+    if probe is None or not _has_colmap(props):
+        return probe
+    return {_physical(props, c): v for c, v in probe.items()}
+
+
+def _refuse_colmap(props: dict, op: str, path: str) -> None:
+    if _has_colmap(props):
+        raise ValueError(
+            f"{op} is not supported on a column-mapped lake (it transfers "
+            "segments by name while rewriting others — mixed physical "
+            "layouts): materialize the mapping first with a full-rewrite "
+            f"op (commit_upsert / commit_replace) or compact-free read: {path}"
+        )
+
+
+def _project_logical(df: DataFrame, props: dict) -> DataFrame:
+    """physical -> logical projection at the read boundary: select the
+    schema's columns (translated through colmap) in schema order;
+    dropped physicals simply aren't selected."""
+    if not _has_colmap(props):
+        return df
+    sch = props.get("schema")
+    if not sch:
+        return df
+    cm = _colmap(props)
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    cols = []
+    for logical, _typ in sch["cols"]:
+        phys = cm.get(logical, logical)
+        if phys in have:
+            cols.append(F.col(phys).alias(logical))
+        else:  # pre-evolution segments under a non-merge read
+            cols.append(F.lit(None).cast(_typ).alias(logical))
+    return df.select(*cols)
+
+
+def _to_physical(df: DataFrame, props: dict) -> DataFrame:
+    """logical -> physical translation for an incoming batch (appends
+    on a mapped lake keep writing the ORIGINAL physical names so every
+    segment stays uniform)."""
+    if not _has_colmap(props):
+        return df
+    cm = _colmap(props)
+    renames = {lg: ph for lg, ph in cm.items() if lg in df.columns and lg != ph}
+    return df.withColumnsRenamed(renames) if renames else df
+
+
+def _clear_colmap_after(inner_props_fn):
+    """Wrap a props_fn so the commit also clears the column mapping —
+    for full-rewrite ops whose output segment is written under the
+    LOGICAL names (upsert): the mapping is materialized by the
+    rewrite."""
+
+    def props_fn(props):
+        out = dict(inner_props_fn(props))
+        out.pop("colmap", None)
+        out.pop("dropped_cols", None)
+        return out
+
+    return props_fn
+
+
+def _latest_props(spark: SparkSession, path: str) -> dict:
+    versions = _manifest_versions(spark, path)
+    if not versions:
+        return {}
+    return dict(_read_manifest(spark, path, versions[-1]).get("props", {}))
+
+
+def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN — metadata-only (no data rewrite):
+    the logical schema renames, and the mapping records that logical
+    `new` still lives under physical `old` (or old's own physical, for
+    a second rename). Refused while any CHECK constraint references the
+    old name (drop and re-add the constraint against the new name —
+    rewriting SQL expressions by string surgery is how silent
+    corruption happens)."""
+    import re
+
+    props = _latest_props(spark, path)
+    sch = props.get("schema")
+    if not sch:
+        raise ValueError(f"rename_column needs a schema'd lake: {path}")
+    names = [n for n, _ in sch["cols"]]
+    if old not in names:
+        raise ValueError(f"no such column {old!r} in {names}: {path}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists: {path}")
+    for cname, expr in props.get("constraints", {}).items():
+        if re.search(rf"\b{re.escape(old)}\b", expr):
+            raise ValueError(
+                f"constraint {cname!r} references column {old!r} — drop it, "
+                f"rename, and re-add against {new!r}: {path}"
+            )
+
+    def props_fn(p):
+        cur = dict(p)
+        sch2 = {"cols": [[new if n == old else n, t] for n, t in cur["schema"]["cols"]]}
+        cm = _colmap(cur)
+        physical = cm.pop(old, old)
+        if physical != new:
+            cm[new] = physical
+        out = {**cur, "schema": sch2}
+        if cm:
+            out["colmap"] = cm
+        else:
+            out.pop("colmap", None)
+        return out
+
+    return _commit(
+        spark, path, "rename_column",
+        lambda parent: list(parent["segments"]) if parent else [],
+        props_fn=props_fn,
+    )
+
+
+def drop_column(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — metadata-only: the column leaves
+    the logical schema and reads stop projecting it; the physical bytes
+    stay in the immutable segments until a full-rewrite op materializes
+    the narrower schema (the Delta column-mapping drop contract).
+    Refused while a CHECK constraint references it."""
+    import re
+
+    props = _latest_props(spark, path)
+    sch = props.get("schema")
+    if not sch or name not in [n for n, _ in sch["cols"]]:
+        raise ValueError(f"no such column {name!r}: {path}")
+    for cname, expr in props.get("constraints", {}).items():
+        if re.search(rf"\b{re.escape(name)}\b", expr):
+            raise ValueError(
+                f"constraint {cname!r} references column {name!r} — drop the "
+                f"constraint first: {path}"
+            )
+
+    def props_fn(p):
+        cur = dict(p)
+        cm = _colmap(cur)
+        physical = cm.pop(name, name)
+        sch2 = {"cols": [[n, t] for n, t in cur["schema"]["cols"] if n != name]}
+        dropped = list(cur.get("dropped_cols", [])) + [physical]
+        out = {**cur, "schema": sch2, "dropped_cols": dropped}
+        if cm:
+            out["colmap"] = cm
+        else:
+            out.pop("colmap", None)
+        return out
+
+    return _commit(
+        spark, path, "drop_column",
+        lambda parent: list(parent["segments"]) if parent else [],
+        props_fn=props_fn,
+    )
+
+
 def resolve_segments(
     spark: SparkSession,
     path: str,
@@ -1906,12 +2141,17 @@ def resolve_segments(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in committed versions {versions}")
+    m = _read_manifest(spark, path, v)
+    props = dict(m.get("props", {}))
+    part_eq = _translate_probe(props, part_eq)
+    ranges = _translate_probe(props, ranges)
+    bloom_eq = _translate_probe(props, bloom_eq)
     probes = (
         {c: _bloom_probe_hashes(spark, val) for c, val in bloom_eq.items()}
         if bloom_eq
         else None
     )
-    return _prune_segments(_read_manifest(spark, path, v), part_eq, ranges, probes)
+    return _prune_segments(m, part_eq, ranges, probes)
 
 
 def read_snapshot(
@@ -1952,14 +2192,21 @@ def read_snapshot(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in committed versions {versions}")
+    m = _read_manifest(spark, path, v)
+    props = dict(m.get("props", {}))
+    # column mapping: callers probe by LOGICAL names; segment metadata
+    # is keyed by PHYSICAL — translate before pruning
+    part_eq = _translate_probe(props, part_eq)
+    ranges = _translate_probe(props, ranges)
+    bloom_eq = _translate_probe(props, bloom_eq)
     probes = (
         {c: _bloom_probe_hashes(spark, val) for c, val in bloom_eq.items()}
         if bloom_eq
         else None
     )
-    m = _read_manifest(spark, path, v)
     segs = _prune_segments(m, part_eq, ranges, probes)
-    return _read_with_tombstones(spark, path, segs, m, merge_schema)
+    df = _read_with_tombstones(spark, path, segs, m, merge_schema)
+    return _project_logical(df, props)
 
 
 def commit_upsert(
@@ -2033,7 +2280,9 @@ def commit_upsert(
                 expected_parent=base_version or 0,
                 deletes_fn=lambda p: [],
                 tag=tag,
-                props_fn=_schema_props_fn(spark, path, merged),
+                props_fn=_clear_colmap_after(
+                    _schema_props_fn(spark, path, merged)
+                ),
             )
         except CommitConflict as e:
             last_err = e  # re-read the moved snapshot and re-merge
@@ -2082,6 +2331,7 @@ def commit_upsert_partitioned(
     the file-level-skipping MERGE that `commit_upsert`'s docstring
     points to — at 100 TB a CDC batch touching 3 of 10,000 daily
     partitions rewrites 3."""
+    _refuse_colmap(_latest_props(spark, path), "commit_upsert_partitioned", path)
     _check_constraints(spark, path, changes)
     _check_schema(spark, path, changes.drop(version_col))
     from pyspark.sql import functions as F
@@ -2252,6 +2502,7 @@ def commit_upsert_pruned(
     `commit_upsert_partitioned` (this op's merged segment carries
     stats, not partition tags); pending MoR tombstones must be
     compacted first. Strict parent CAS like `commit_upsert`."""
+    _refuse_colmap(_latest_props(spark, path), "commit_upsert_pruned", path)
     _check_constraints(spark, path, changes)
     _check_schema(spark, path, changes.drop(version_col))
     from ..operators.cdc import merge_upsert
@@ -2342,6 +2593,7 @@ def commit_delete(
 
     For O(batch)-latency deletes that defer the rewrite entirely, see
     `commit_delete_mor`."""
+    _refuse_colmap(_latest_props(spark, path), "commit_delete", path)
     from pyspark.sql import functions as F  # noqa: F401  (parity w/ siblings)
 
     stats_key = stats_key or keys[0]
@@ -2536,6 +2788,7 @@ def snapshot_diff(
     share segment layout for untouched partitions, and AQE handles the
     usually-small changed side). Unchanged rows leave the plan at the
     join's filter — the output is O(changes)."""
+    _refuse_colmap(_latest_props(spark, path), "commit_delete_mor", path)
     from pyspark.sql import functions as F
 
     b = read_snapshot(spark, path, version=v_to).withColumn("__in_b", F.lit(1))

@@ -1,0 +1,180 @@
+"""Column mapping (Delta column-mapping parity, name mode): RENAME and
+DROP columns as metadata-only commits — reads project physical →
+logical, appends translate logical → physical, probes translate,
+segment-transferring ops refuse, full rewrites materialize the map."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nba_pipeline_spark.sources import manifest as M
+
+
+def _rows(spark, rows, ddl="k int, v string"):
+    return spark.createDataFrame(rows, ddl)
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    p = str(tmp_path / "lake")
+    M.commit_append(spark, p, _rows(spark, [(1, "a"), (2, "b")]))
+    return p
+
+
+def test_rename_is_metadata_only_and_reads_project(spark, lake):
+    segs_before = set(M.resolve_segments(spark, lake))
+    M.rename_column(spark, lake, "v", "label")
+    assert set(M.resolve_segments(spark, lake)) == segs_before, "no rewrite"
+    df = M.read_snapshot(spark, lake)
+    assert df.columns == ["k", "label"]
+    assert {(r["k"], r["label"]) for r in df.collect()} == {(1, "a"), (2, "b")}
+    assert M.table_schema(spark, lake) == [["k", "int"], ["label", "string"]]
+    # time travel BEFORE the rename still shows the old name
+    old = M.read_snapshot(spark, lake, version=1)
+    assert old.columns == ["k", "v"]
+
+
+def test_append_after_rename_lands_physical_and_reads_merge(spark, lake):
+    M.rename_column(spark, lake, "v", "label")
+    M.commit_append(
+        spark, lake, _rows(spark, [(3, "c")], "k int, label string")
+    )
+    got = {(r["k"], r["label"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # a second rename composes (new -> ORIGINAL physical, not chained)
+    M.rename_column(spark, lake, "label", "tag")
+    got = {(r["k"], r["tag"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    m = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    assert m["props"]["colmap"] == {"tag": "v"}
+    # renaming BACK to the physical name clears the map entry
+    M.rename_column(spark, lake, "tag", "v")
+    m = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    assert "colmap" not in m.get("props", {})
+
+
+def test_probes_translate_through_the_mapping(spark, tmp_path):
+    p = str(tmp_path / "lake")
+    M.commit_append(
+        spark, p, _rows(spark, [(1, "a")]), partition={"v": "a"},
+        stats_cols=["k"], bloom_cols=["k"],
+    )
+    M.commit_append(
+        spark, p, _rows(spark, [(9, "z")]), partition={"v": "z"},
+        stats_cols=["k"], bloom_cols=["k"],
+    )
+    M.rename_column(spark, p, "k", "id")
+    M.rename_column(spark, p, "v", "part")
+    # probe by the NEW names: partition, range, and bloom all prune
+    assert len(M.resolve_segments(spark, p, part_eq={"part": "a"})) == 1
+    assert len(M.resolve_segments(spark, p, ranges={"id": (8, 10)})) == 1
+    assert len(M.resolve_segments(spark, p, bloom_eq={"id": 9})) == 1
+    got = M.read_snapshot(spark, p, part_eq={"part": "a"})
+    assert {(r["id"], r["part"]) for r in got.collect()} == {(1, "a")}
+    # appends after the rename keep metadata under PHYSICAL keys
+    M.commit_append(
+        spark, p, _rows(spark, [(5, "m")], "id int, part string"),
+        partition={"part": "m"}, bloom_cols=["id"],
+    )
+    assert len(M.resolve_segments(spark, p, part_eq={"part": "m"})) == 1
+    assert len(M.resolve_segments(spark, p, bloom_eq={"id": 5})) <= 2
+
+
+def test_drop_column_hides_data_and_name_cannot_resurrect(spark, lake):
+    M.drop_column(spark, lake, "v")
+    df = M.read_snapshot(spark, lake)
+    assert df.columns == ["k"]
+    # re-adding the dropped name would resurrect old bytes: refused
+    with pytest.raises(M.SchemaDrift, match="DROPPED"):
+        M.commit_append(spark, lake, _rows(spark, [(3, "zzz")]))
+    # a different name is fine, and reads stay clean
+    M.commit_append(
+        spark, lake, _rows(spark, [(3, "w3")], "k int, w string")
+    )
+    got = M.read_snapshot(spark, lake, merge_schema=True)
+    assert sorted(got.columns) == ["k", "w"]
+
+
+def test_rename_refused_while_constraint_references(spark, lake):
+    M.set_constraint(spark, lake, "v_nonempty", "length(v) > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        M.rename_column(spark, lake, "v", "label")
+    with pytest.raises(ValueError, match="constraint"):
+        M.drop_column(spark, lake, "v")
+    M.drop_constraint(spark, lake, "v_nonempty")
+    M.rename_column(spark, lake, "v", "label")  # now fine
+
+
+def test_transfer_ops_refuse_and_full_rewrite_materializes(spark, lake):
+    M.rename_column(spark, lake, "v", "label")
+    ch = spark.createDataFrame([(1, "A", 1)], "k int, label string, ver int")
+    with pytest.raises(ValueError, match="column-mapped"):
+        M.commit_upsert_partitioned(spark, lake, ch, ["k"], "ver", part_col="k")
+    with pytest.raises(ValueError, match="column-mapped"):
+        M.commit_delete(spark, lake, spark.createDataFrame([(1,)], "k int"), ["k"])
+    with pytest.raises(ValueError, match="column-mapped"):
+        M.cluster(spark, lake, ["k"])
+    # FULL-rewrite MERGE works and MATERIALIZES the mapping
+    M.commit_upsert(spark, lake, ch, ["k"], "ver")
+    m = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    assert "colmap" not in m.get("props", {})
+    got = {(r["k"], r["label"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {(1, "A"), (2, "b")}
+    # mapping gone: previously-gated ops work again
+    M.commit_delete(spark, lake, spark.createDataFrame([(2,)], "k int"), ["k"])
+    assert {r["k"] for r in M.read_snapshot(spark, lake).collect()} == {1}
+
+
+def test_compact_preserves_the_mapping(spark, lake):
+    M.rename_column(spark, lake, "v", "label")
+    M.commit_append(
+        spark, lake, _rows(spark, [(3, "c")], "k int, label string")
+    )
+    M.compact(spark, lake)
+    got = {(r["k"], r["label"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    m = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    assert m["props"]["colmap"] == {"label": "v"}, "physical passthrough"
+
+
+def test_stream_emits_logical_names_after_rename(spark, tmp_path):
+    from nba_pipeline_spark.sources.lake_stream import register_lake_stream
+
+    register_lake_stream(spark)
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a")]))
+    M.rename_column(spark, lake, "v", "label")
+    M.commit_append(
+        spark, lake, _rows(spark, [(2, "b")], "k int, label string")
+    )
+    got: list = []
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", lake)
+        .load()
+        .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {(r["k"], r["label"], r["_commit_version"]) for r in got} == {
+        (1, "a", 1), (2, "b", 3),
+    }
+
+
+def test_cli_rename_and_drop_column(spark, tmp_path, capsys):
+    import json
+
+    from nba_pipeline_spark.__main__ import main
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a")]))
+    assert main(["lake", "rename-column", lake, "--old", "v", "--new", "label"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["committed_version"] == 2
+    assert M.read_snapshot(spark, lake).columns == ["k", "label"]
+    assert main(["lake", "drop-column", lake, "--old", "label"]) == 0
+    capsys.readouterr()
+    assert M.read_snapshot(spark, lake).columns == ["k"]
