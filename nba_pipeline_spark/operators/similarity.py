@@ -775,6 +775,24 @@ def pq_encode(
         # a NULL vector has no codes — drop it here (equi-join
         # semantics would drop it downstream anyway, loudly is better)
         .filter(F.col("v").isNotNull())
+        # in-plan length assertion: _subvectors_dyn floors size/m, so a
+        # vector whose length isn't divisible by m would SILENTLY drop
+        # its trailing dims (the trainer raises on the same condition) —
+        # fail loudly per offending id instead
+        .withColumn(
+            "v",
+            F.when(
+                F.size("v") % F.lit(m) != 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"pq_encode: vector length not divisible by m={m} at id "
+                        ),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+            ).otherwise(F.col("v")),
+        )
         .select(
             id_col,
             F.posexplode(
@@ -791,8 +809,12 @@ def pq_encode(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+    # asc is NULLS FIRST in Spark: a NULL distance (vector length !=
+    # codeword length) must never win the argmin — nulls last, so a
+    # mismatched row surfaces no valid assignment instead of an
+    # arbitrary code
     w = Window.partitionBy(id_col, "sub").orderBy(
-        F.col("dist").asc(), F.col("code").asc()
+        F.col("dist").asc_nulls_last(), F.col("code").asc()
     )
     assigned = (
         sub_rows.join(F.broadcast(cb), "sub")
@@ -811,9 +833,29 @@ def pq_encode(
 def _subvectors_dyn(v: Column, m: int) -> Column:
     """m contiguous slices with the sub-dim derived IN-PLAN from the
     array length (size(v)/m) — no driver-side dims probe on the hot
-    encode path."""
+    encode path. Divisibility (size(v) % m == 0) is validated by the
+    trainers (`pq_train_codebooks*` raise on d % m != 0); a corpus
+    vector of a DIFFERENT length than the codewords yields NULL
+    zip_with distances downstream, which the nulls-LAST argmin windows
+    refuse to promote to a code (the row surfaces no assignment rather
+    than an arbitrary one)."""
     dsub = (F.size(v) / F.lit(m)).cast("int")
     return F.array(*[F.slice(v, s * dsub + 1, dsub) for s in range(m)])
+
+
+def pruned_vector_fetch(e: DataFrame, id_col: str, ids: list) -> DataFrame:
+    """Bounded point-read of original vectors for the exact-rerank
+    finish: the id set arrives as LITERALS (collected driver-side from
+    a pool that is <= `pool` rows by construction), so Catalyst pushes
+    ``In(id, [...])`` into the scan — parquet row-group min/max stats
+    and file-level blooms prune, and a manifest-lake source pairs it
+    with ``read_snapshot(ranges=...)`` segment skipping. This replaces
+    a broadcast-hash join of the pool against an UNPRUNED full scan of
+    the embeddings table, which at 100 TB would re-read every float
+    byte the m-int code scan just avoided (plan-tested:
+    tests/test_plans.py asserts the pushed In filter on the rerank
+    scan)."""
+    return e.filter(F.col(id_col).isin(list(ids)))
 
 
 def build_pq_index(
@@ -906,9 +948,17 @@ def pq_topk(
     pool_df = scored.orderBy(
         F.col("score").desc_nulls_last(), F.col(id_col).asc()
     ).limit(pool)
+    # the pool is bounded (<= `pool` rows) by construction: collect the
+    # ids and push them back as an In() predicate so the rerank reads
+    # O(pool) row groups/segments, never a full float scan
+    pool_ids = [r[0] for r in pool_df.select(id_col).collect()]
+    if not pool_ids:
+        return e.filter(F.lit(False)).select(
+            id_col, F.lit(None).cast("double").alias("sim")
+        )
     qv = e.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
     reranked = (
-        pool_df.join(e, id_col)
+        pruned_vector_fetch(e, id_col, pool_ids)
         .crossJoin(F.broadcast(qv))
         .select(id_col, F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"))
     )
@@ -1083,9 +1133,16 @@ def ivfpq_topk(
     pooled = scored.orderBy(
         F.col("score").desc_nulls_last(), F.col(id_col).asc()
     ).limit(pool)
+    # bounded pool -> literal In() pushdown: the rerank fetch prunes at
+    # the scan instead of joining against an unpruned full float table
+    pool_ids = [r[0] for r in pooled.select(id_col).collect()]
+    if not pool_ids:
+        return e.filter(F.lit(False)).select(
+            id_col, F.lit(None).cast("double").alias("sim")
+        )
     qv = e.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
     reranked = (
-        e.join(F.broadcast(pooled.select(id_col)), on=id_col)
+        pruned_vector_fetch(e, id_col, pool_ids)
         .crossJoin(F.broadcast(qv))
         .select(
             F.col(id_col),

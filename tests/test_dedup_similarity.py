@@ -1444,3 +1444,24 @@ def test_weighted_sample_is_weight_proportional_and_deterministic(spark):
     a = {r["doc_id"] for r in q_weighted_sample(spark, SF_DIR).collect()}
     b = {r["doc_id"] for r in q_weighted_sample(spark, SF_DIR).collect()}
     assert a == b and len(a) == 100
+
+
+def test_pq_encode_rejects_indivisible_vector(spark):
+    # ADVICE r7: _subvectors_dyn floors size/m, so a vector whose length
+    # isn't divisible by m used to silently drop trailing dims; pq_encode
+    # now raises in-plan per offending id
+    import pytest
+
+    from nba_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.2] * 8)], "vec_id int, embedding array<double>"
+    )
+    cb = SIM.pq_train_codebooks(spark, emb, "vec_id", "embedding", 4, 2)
+    ok = SIM.pq_encode(emb, cb, "vec_id", "embedding", 4).collect()
+    assert len(ok) == 2
+    bad = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.2] * 7)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="not divisible|raise_error|USER_RAISED"):
+        SIM.pq_encode(bad, cb, "vec_id", "embedding", 4).collect()
