@@ -200,6 +200,11 @@ class CommitConflict(RuntimeError):
     snapshot and must be recomputed (see commit_upsert)."""
 
 
+class _ColmapChanged(Exception):
+    """Internal: the column mapping moved between a segment write and
+    its commit (commit_append re-translates and rewrites)."""
+
+
 def _commit(
     spark: SparkSession,
     path: str,
@@ -409,20 +414,78 @@ def _schema_props_fn(
         # dropped bytes under that name and the read projection would
         # resurrect them as the new column's values. (Delta avoids
         # this with id-based physical names; name mode refuses.)
-        dropped = set(props.get("dropped_cols", []))
-        if dropped:
-            known = {n for n, _ in current}
-            for n, _t in incoming:
-                if n not in known and n in dropped:
-                    raise SchemaDrift(
-                        f"column name {n!r} was DROPPED from this lake and "
-                        "its bytes remain in old segments — reuse would "
-                        "resurrect them; pick another name or materialize "
-                        f"the mapping with a full rewrite first: {path}"
-                    )
+        _refuse_physical_reuse(
+            props, [n for n, _ in incoming], path, current=current
+        )
         return {**props, "schema": {"cols": merged}}
 
     return props_fn
+
+
+def _relogical(
+    df: DataFrame, old_props: dict, new_props: dict, path: str
+) -> DataFrame:
+    """Re-express a batch whose logical names were resolved against
+    `old_props` in terms of `new_props`' logical schema: each column
+    that EXISTED in the old schema keeps its physical identity and
+    takes that physical's current logical name (so a raced rename
+    follows the rename); a column whose physical was dropped in the
+    meantime refuses loudly. Columns new to the table keep their
+    names (the resurrection guard re-checks them on the retry)."""
+    old_sch = old_props.get("schema")
+    old_known = (
+        {n for n, _ in old_sch["cols"]} if old_sch else set(df.columns)
+    )
+    old_cm = _colmap(old_props)
+    phys_to_new = {p: lg for lg, p in _colmap(new_props).items()}
+    new_dropped = set(new_props.get("dropped_cols", []))
+    renames = {}
+    for c in df.columns:
+        if c not in old_known:
+            continue
+        p = old_cm.get(c, c)
+        if p in new_dropped:
+            raise SchemaDrift(
+                f"column {c!r} was dropped while this append was in "
+                f"flight — re-derive the batch against the current "
+                f"schema: {path}"
+            )
+        nl = phys_to_new.get(p, p)
+        if nl != c:
+            renames[c] = nl
+    return df.withColumnsRenamed(renames) if renames else df
+
+
+def _refuse_physical_reuse(
+    props: dict,
+    incoming_cols: list[str],
+    path: str,
+    current: list[list[str]] | None = None,
+) -> None:
+    """A NEW logical column may not collide with a DROPPED or
+    RENAMED-AWAY physical name: old segments still hold the prior
+    column's bytes under that physical name, so the read projection
+    would resurrect/conflate them (Delta avoids this with id-based
+    physical names; name mode refuses — ADVICE r7). `current` is the
+    table's logical schema pairs; defaults to the props schema."""
+    dropped = set(props.get("dropped_cols", []))
+    renamed_away = set(props.get("colmap", {}).values())
+    taken = dropped | renamed_away
+    if not taken:
+        return
+    if current is None:
+        sch = props.get("schema")
+        current = sch["cols"] if sch else []
+    known = {n for n, _ in current}
+    for n in incoming_cols:
+        if n not in known and n in taken:
+            what = "DROPPED from" if n in dropped else "RENAMED AWAY in"
+            raise SchemaDrift(
+                f"column name {n!r} was {what} this lake and its bytes "
+                "remain in old segments under that physical name — reuse "
+                "would conflate them; pick another name or materialize "
+                f"the mapping with a full rewrite first: {path}"
+            )
 
 
 def _probe_schema(spark: SparkSession, path: str) -> list[list[str]] | None:
@@ -766,44 +829,82 @@ def commit_append(
     (`read_snapshot(part_eq= / ranges= / bloom_eq=)`)."""
     _check_constraints(spark, path, df)
     _check_schema(spark, path, df)
-    props0 = _latest_props(spark, path)
-    # column-mapped lake: the incoming LOGICAL batch writes under the
-    # original PHYSICAL names so every segment stays uniform; metadata
-    # keys (partition / stats / bloom) follow the physical names the
-    # read-side probe translation expects
-    phys_df = _to_physical(df, props0)
-    partition = _translate_probe(props0, partition)
-    stats_cols = [
-        _physical(props0, c) for c in stats_cols
-    ] if stats_cols else stats_cols
-    bloom_cols = [
-        _physical(props0, c) for c in bloom_cols
-    ] if bloom_cols else bloom_cols
-    seg = _write_segment(phys_df, path, target_files, bloom_cols=bloom_cols)
-    seg_meta: dict = {}
-    if partition is not None:
-        seg_meta["part"] = {k: _json_safe(v) for k, v in partition.items()}
-    if stats_cols:
-        seg_meta["stats"] = _segment_stats(phys_df, stats_cols)
-    if bloom_cols:
-        blooms = {c: _segment_bloom(phys_df, c) for c in bloom_cols}
-        blooms = {c: b for c, b in blooms.items() if b is not None}
-        if blooms:
-            seg_meta["bloom"] = blooms
+    # the physical translation below is derived from props READ BEFORE
+    # the segment write, but the commit CAS validates props at commit
+    # time — a rename_column landing in between would strand the
+    # segment under stale physical names (reads would null-fill the
+    # renamed column for it). The mapping check runs INSIDE the CAS
+    # loop; on a mapping change the segment is REWRITTEN under the
+    # fresh mapping and the commit retried (the stale segment becomes
+    # a vacuumable orphan).
+    for _attempt in range(5):
+        props0 = _latest_props(spark, path)
+        cm0, dropped0 = _colmap(props0), set(props0.get("dropped_cols", []))
+        # eager twin of the _schema_props_fn resurrection guard: a new
+        # logical column colliding with a dropped or renamed-away
+        # PHYSICAL name must fail with the real diagnosis here, before
+        # _to_physical trips over the duplicate name (the CAS-time
+        # check still backstops races — the mapping-stability check
+        # below restarts this loop if the map moved)
+        _refuse_physical_reuse(props0, df.columns, path)
+        # column-mapped lake: the incoming LOGICAL batch writes under the
+        # original PHYSICAL names so every segment stays uniform; metadata
+        # keys (partition / stats / bloom) follow the physical names the
+        # read-side probe translation expects
+        phys_df = _to_physical(df, props0)
+        partition_t = _translate_probe(props0, partition)
+        stats_t = [
+            _physical(props0, c) for c in stats_cols
+        ] if stats_cols else stats_cols
+        bloom_t = [
+            _physical(props0, c) for c in bloom_cols
+        ] if bloom_cols else bloom_cols
+        seg = _write_segment(phys_df, path, target_files, bloom_cols=bloom_t)
+        seg_meta: dict = {}
+        if partition_t is not None:
+            seg_meta["part"] = {k: _json_safe(v) for k, v in partition_t.items()}
+        if stats_t:
+            seg_meta["stats"] = _segment_stats(phys_df, stats_t)
+        if bloom_t:
+            blooms = {c: _segment_bloom(phys_df, c) for c in bloom_t}
+            blooms = {c: b for c, b in blooms.items() if b is not None}
+            if blooms:
+                seg_meta["bloom"] = blooms
 
-    def meta_fn(parent, segments):
-        pm = dict(parent.get("meta", {})) if parent else {}
-        out = {s: pm[s] for s in segments if s in pm}
-        if seg_meta:
-            out[seg] = seg_meta
-        return out
+        def meta_fn(parent, segments):
+            pm = dict(parent.get("meta", {})) if parent else {}
+            out = {s: pm[s] for s in segments if s in pm}
+            if seg_meta:
+                out[seg] = seg_meta
+            return out
 
-    return _commit(
-        spark, path, "append",
-        lambda parent: (parent["segments"] if parent else []) + [seg],
-        tag=tag,
-        meta_fn=meta_fn,
-        props_fn=_schema_props_fn(spark, path, df),
+        base_props_fn = _schema_props_fn(spark, path, df)
+
+        def props_fn(props):
+            if _colmap(props) != cm0 or set(
+                props.get("dropped_cols", [])
+            ) != dropped0:
+                raise _ColmapChanged()
+            return base_props_fn(props)
+
+        try:
+            return _commit(
+                spark, path, "append",
+                lambda parent: (parent["segments"] if parent else []) + [seg],
+                tag=tag,
+                meta_fn=meta_fn,
+                props_fn=props_fn,
+            )
+        except _ColmapChanged:
+            # the batch's intent is unambiguous — its logical names were
+            # resolved against props0. Carry that intent forward: each
+            # column's props0-physical identity gets its CURRENT logical
+            # name (a raced rename follows the rename; a raced drop
+            # refuses), then the loop rewrites the segment fresh.
+            df = _relogical(df, props0, _latest_props(spark, path), path)
+            continue
+    raise CommitConflict(
+        f"column mapping kept changing under commit_append (5 tries): {path}"
     )
 
 

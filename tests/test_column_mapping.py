@@ -178,3 +178,62 @@ def test_cli_rename_and_drop_column(spark, tmp_path, capsys):
     assert main(["lake", "drop-column", lake, "--old", "label"]) == 0
     capsys.readouterr()
     assert M.read_snapshot(spark, lake).columns == ["k"]
+
+
+def test_new_column_may_not_reuse_renamed_away_physical_name(spark, lake):
+    # ADVICE r7 (medium): after rename v->label (colmap {label:'v'}),
+    # appending a batch with a NEW column named 'v' must refuse — old
+    # segments hold label's bytes under physical 'v', and the read
+    # projection would select the same physical column for both
+    # logical names (silent conflation)
+    M.rename_column(spark, lake, "v", "label")
+    bad = _rows(spark, [(3, "c", "x")], "k int, label string, v string")
+    with pytest.raises(M.SchemaDrift, match="RENAMED AWAY"):
+        M.commit_append(spark, lake, bad)
+    # the lake is untouched and still reads clean
+    got = {(r["k"], r["label"]) for r in M.read_snapshot(spark, lake).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # a full rewrite materializes the mapping; then 'v' is free again
+    M.commit_replace(spark, lake, M.read_snapshot(spark, lake))
+    M.commit_append(spark, lake, bad)
+    assert M.table_schema(spark, lake) == [
+        ["k", "int"], ["label", "string"], ["v", "string"]
+    ]
+    df = M.read_snapshot(spark, lake, merge_schema=True)
+    assert set(df.columns) == {"k", "label", "v"}
+    by_k = {r["k"]: (r["label"], r["v"]) for r in df.collect()}
+    assert by_k[1] == ("a", None) and by_k[3] == ("c", "x")
+
+
+def test_append_rewrites_segment_when_rename_races_the_commit(spark, lake):
+    # ADVICE r7 (low, TOCTOU): a rename_column landing between
+    # commit_append's props read and its commit CAS must not strand the
+    # segment under stale physical names. The mapping check runs inside
+    # the CAS loop and triggers a segment rewrite under the fresh map.
+    import nba_pipeline_spark.sources.manifest as man
+
+    orig = man._write_segment
+    fired = {"n": 0}
+
+    def hooked(df, path, target_files=None, bloom_cols=None):
+        seg = orig(df, path, target_files, bloom_cols=bloom_cols)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # the race: rename lands AFTER the segment is written but
+            # BEFORE the commit validates props
+            M.rename_column(spark, lake, "v", "label")
+        return seg
+
+    man._write_segment = hooked
+    try:
+        M.commit_append(spark, lake, _rows(spark, [(3, "c")]))
+    finally:
+        man._write_segment = orig
+    assert fired["n"] == 1
+    df = M.read_snapshot(spark, lake)
+    assert df.columns == ["k", "label"]
+    got = {(r["k"], r["label"]) for r in df.collect()}
+    # the appended batch carried logical 'v' = physical 'v' (the
+    # pre-rename schema): after the rename its rows must surface under
+    # 'label', NOT null-fill
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
