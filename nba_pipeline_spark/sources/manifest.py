@@ -927,28 +927,61 @@ def commit_append_partitioned(
     version, ready for partition-scoped MERGE / replaceWhere / pruning.
     The distinct-value job is O(partitions in the batch) driver-side
     metadata, batch-sized by premise (a 100 TB daily load appends a
-    handful of date partitions)."""
-    _refuse_colmap(_latest_props(spark, path), "commit_append_partitioned", path)
+    handful of date partitions).
+
+    Column-mapped lakes: the logical batch and the part/stats/bloom
+    columns translate to physical names like `commit_append` (segment
+    tags stay physical — the probe translation expects that), with the
+    same CAS-time mapping-stability check + rewrite-on-race."""
     _check_constraints(spark, path, df)
     _check_schema(spark, path, df)
-    new_segs = _write_partitioned_segments(
-        spark, path, df, part_col, target_files, stats_cols, bloom_cols
-    )
+    for _attempt in range(5):
+        props0 = _latest_props(spark, path)
+        cm0, dropped0 = _colmap(props0), set(props0.get("dropped_cols", []))
+        _refuse_physical_reuse(props0, df.columns, path)
+        phys_df = _to_physical(df, props0)
+        part_p = _physical(props0, part_col)
+        stats_p = [
+            _physical(props0, c) for c in stats_cols
+        ] if stats_cols else stats_cols
+        bloom_p = [
+            _physical(props0, c) for c in bloom_cols
+        ] if bloom_cols else bloom_cols
+        new_segs = _write_partitioned_segments(
+            spark, path, phys_df, part_p, target_files, stats_p, bloom_p
+        )
 
-    def meta_fn(parent, segments):
-        pm = dict(parent.get("meta", {})) if parent else {}
-        out = {s: pm[s] for s in segments if s in pm}
-        out.update(new_segs)
-        return out
+        def meta_fn(parent, segments):
+            pm = dict(parent.get("meta", {})) if parent else {}
+            out = {s: pm[s] for s in segments if s in pm}
+            out.update(new_segs)
+            return out
 
-    return _commit(
-        spark,
-        path,
-        "append",
-        lambda parent: (parent["segments"] if parent else []) + list(new_segs),
-        tag=tag,
-        meta_fn=meta_fn,
-        props_fn=_schema_props_fn(spark, path, df),
+        base_props_fn = _schema_props_fn(spark, path, df)
+
+        def props_fn(props):
+            if _colmap(props) != cm0 or set(
+                props.get("dropped_cols", [])
+            ) != dropped0:
+                raise _ColmapChanged()
+            return base_props_fn(props)
+
+        try:
+            return _commit(
+                spark,
+                path,
+                "append",
+                lambda parent: (parent["segments"] if parent else []) + list(new_segs),
+                tag=tag,
+                meta_fn=meta_fn,
+                props_fn=props_fn,
+            )
+        except _ColmapChanged:
+            df = _relogical(df, props0, _latest_props(spark, path), path)
+            continue
+    raise CommitConflict(
+        f"column mapping kept changing under commit_append_partitioned "
+        f"(5 tries): {path}"
     )
 
 
@@ -1490,10 +1523,24 @@ def cluster(
     MERGE — a hard error (the commit_upsert contract; quiet pruning
     regressions are worse than a refused call) unless
     ``allow_untag=True`` opts into the trade (z-range skipping
-    replacing partition skipping is sometimes the point)."""
-    _refuse_colmap(_latest_props(spark, path), "cluster", path)
+    replacing partition skipping is sometimes the point).
+
+    Column-mapped lakes are supported like `compact`: clustering is a
+    physical passthrough (reads raw segments, rewrites raw segments —
+    the mapping stays valid), so the caller's LOGICAL cluster/stats
+    columns translate to their physical names here; the recorded
+    per-segment stats and the persisted z-order spec carry physical
+    names, which is exactly what the read-side probe translation and
+    `cluster_incremental`'s raw-segment routing expect. Physical names
+    are immutable, so a rename landing mid-flight cannot invalidate
+    the translation (Delta name-mode keeps OPTIMIZE ZORDER working for
+    the same reason)."""
     from pyspark.sql import functions as F
 
+    _p0 = _latest_props(spark, path)
+    cluster_cols = [_physical(_p0, c) for c in cluster_cols]
+    if stats_cols:
+        stats_cols = [_physical(_p0, c) for c in stats_cols]
     all_stats = list(dict.fromkeys(list(cluster_cols) + list(stats_cols or [])))
     last_err: Exception | None = None
     for _ in range(max_tries):
@@ -1635,8 +1682,12 @@ def cluster_incremental(
     distribution — a distribution shift is what full re-clustering is
     for). Concurrency contract = cluster's: interleaved appends stay
     unclustered for the next increment; row-removing commits force a
-    re-run."""
-    _refuse_colmap(_latest_props(spark, path), "cluster_incremental", path)
+    re-run.
+
+    Works on column-mapped lakes: the persisted z-order spec records
+    PHYSICAL column names (immutable), fresh appends land physical
+    (`commit_append` translates), and the routing below reads raw
+    segments — nothing here sees a logical name."""
     from pyspark.sql import functions as F
 
     last_err: Exception | None = None
@@ -1760,10 +1811,18 @@ def cluster_partitioned(
     `cluster`'s: interleaved appends survive via the append-only
     lineage walk; row-removing commits force a re-run. Requires a
     fully `part_col`-tagged lake and no pending tombstones (same
-    contract as partitioned MERGE)."""
-    _refuse_colmap(_latest_props(spark, path), "cluster_partitioned", path)
+    contract as partitioned MERGE).
+
+    Column-mapped lakes: same physical-passthrough stance as `cluster`
+    — the caller's logical part/cluster/stats columns translate to
+    physical names, segments and tags stay physical throughout."""
     from pyspark.sql import functions as F
 
+    _p0 = _latest_props(spark, path)
+    part_col = _physical(_p0, part_col)
+    cluster_cols = [_physical(_p0, c) for c in cluster_cols]
+    if stats_cols:
+        stats_cols = [_physical(_p0, c) for c in stats_cols]
     all_stats = list(dict.fromkeys(list(cluster_cols) + list(stats_cols or [])))
     n_per = target_segments_per_partition
     last_err: Exception | None = None
@@ -2046,13 +2105,19 @@ def _prune_segments(
 # ``props["dropped_cols"]`` records dropped physicals (their bytes stay
 # until a rewrite). Reads project physical -> logical at the snapshot
 # boundary; appends translate logical -> physical at the write; probes
-# (part_eq / ranges / bloom_eq) translate before pruning. Ops that
-# TRANSFER segments by name while rewriting others (partitioned/pruned
-# MERGE, row deletes, replaceWhere, clustering) would mix physical
-# layouts — they REFUSE on a mapped lake (Delta gates the same ops
-# behind the feature); full-rewrite ops (upsert, replace) MATERIALIZE
-# the mapping instead: their consolidated output is written under the
-# logical names and the mapping clears.
+# (part_eq / ranges / bloom_eq) translate before pruning. Segments are
+# UNIFORM-PHYSICAL by construction (every write path translates), so
+# ops that transfer segments by name while rewriting others —
+# partitioned/pruned MERGE, row deletes CoW+MoR, clustering, scoped
+# compaction — stay sound on a mapped lake: their caller-facing
+# columns translate to physical here and the rewrite side runs
+# physical-vs-physical (Delta name-mode keeps the same ops working).
+# Full-rewrite ops (upsert, replace) MATERIALIZE the mapping instead:
+# their consolidated output is written under the logical names and the
+# mapping clears. Two ops still REFUSE: ``commit_replace_where`` (its
+# SQL predicate string would need name surgery — the thing
+# rename_column refuses to do) and ``snapshot_diff`` (two versions'
+# logical schemas can disagree across a rename).
 # ----------------------------------------------------------------------
 
 
@@ -2431,14 +2496,31 @@ def commit_upsert_partitioned(
     a re-read + re-merge, so concurrent appends are never lost. This is
     the file-level-skipping MERGE that `commit_upsert`'s docstring
     points to — at 100 TB a CDC batch touching 3 of 10,000 daily
-    partitions rewrites 3."""
-    _refuse_colmap(_latest_props(spark, path), "commit_upsert_partitioned", path)
+    partitions rewrites 3.
+
+    Column-mapped lakes: every segment is uniform-PHYSICAL after a
+    rename (appends translate at the write), so name-transfer of
+    untouched segments is sound; the rewrite side translates — the
+    LOGICAL change batch and the caller's part/key/stats/bloom columns
+    map to physical names, the merge runs physical-vs-physical, and
+    the rewritten segments land physical like any append. Schema
+    evolution/validation still sees the LOGICAL batch (constraints and
+    the resurrection guard speak logical names)."""
     _check_constraints(spark, path, changes)
     _check_schema(spark, path, changes.drop(version_col))
     from pyspark.sql import functions as F
 
     from ..operators.cdc import merge_upsert
 
+    _p0 = _latest_props(spark, path)
+    logical_changes = changes
+    changes = _to_physical(changes, _p0)
+    part_col = _physical(_p0, part_col)
+    keys = [_physical(_p0, k) for k in keys]
+    if stats_cols:
+        stats_cols = [_physical(_p0, c) for c in stats_cols]
+    if bloom_cols:
+        bloom_cols = [_physical(_p0, c) for c in bloom_cols]
     last_err: Exception | None = None
     for _ in range(max_tries):
         base_version = current_version(spark, path)
@@ -2522,7 +2604,9 @@ def commit_upsert_partitioned(
                 _segments,
                 expected_parent=base_version or 0,
                 meta_fn=_meta,
-                props_fn=_schema_props_fn(spark, path, changes.drop(version_col)),
+                props_fn=_schema_props_fn(
+                    spark, path, logical_changes.drop(version_col)
+                ),
             )
         except CommitConflict as e:
             last_err = e
@@ -2602,12 +2686,21 @@ def commit_upsert_pruned(
     overlap). Partition-tagged lakes must use
     `commit_upsert_partitioned` (this op's merged segment carries
     stats, not partition tags); pending MoR tombstones must be
-    compacted first. Strict parent CAS like `commit_upsert`."""
-    _refuse_colmap(_latest_props(spark, path), "commit_upsert_pruned", path)
+    compacted first. Strict parent CAS like `commit_upsert`.
+
+    Column-mapped lakes: same stance as the partitioned variant —
+    name-transfer is sound (segments are uniform-physical), the
+    change batch and key/stats columns translate to physical for the
+    merge, and schema validation sees the logical batch."""
     _check_constraints(spark, path, changes)
     _check_schema(spark, path, changes.drop(version_col))
     from ..operators.cdc import merge_upsert
 
+    _p0 = _latest_props(spark, path)
+    logical_changes = changes
+    changes = _to_physical(changes, _p0)
+    keys = [_physical(_p0, k) for k in keys]
+    stats_key = _physical(_p0, stats_key) if stats_key else None
     stats_key = stats_key or keys[0]
     if stats_key not in keys:
         raise ValueError(f"stats_key {stats_key!r} must be one of the merge keys {keys}")
@@ -2660,7 +2753,9 @@ def commit_upsert_pruned(
                 _segments,
                 expected_parent=base_version or 0,
                 meta_fn=_meta,
-                props_fn=_schema_props_fn(spark, path, changes.drop(version_col)),
+                props_fn=_schema_props_fn(
+                    spark, path, logical_changes.drop(version_col)
+                ),
             )
         except CommitConflict as e:
             last_err = e
@@ -2693,10 +2788,18 @@ def commit_delete(
     caller's retention policy).
 
     For O(batch)-latency deletes that defer the rewrite entirely, see
-    `commit_delete_mor`."""
-    _refuse_colmap(_latest_props(spark, path), "commit_delete", path)
+    `commit_delete_mor`.
+
+    Column-mapped lakes: the delete batch and key/stats columns
+    translate to physical names (segments are uniform-physical, the
+    anti-join and the by-name transfer both stay sound); carried-over
+    segment metadata is already physical."""
     from pyspark.sql import functions as F  # noqa: F401  (parity w/ siblings)
 
+    _p0 = _latest_props(spark, path)
+    deletes = _to_physical(deletes, _p0)
+    keys = [_physical(_p0, k) for k in keys]
+    stats_key = _physical(_p0, stats_key) if stats_key else None
     stats_key = stats_key or keys[0]
     if stats_key not in keys:
         raise ValueError(f"stats_key {stats_key!r} must be one of the delete keys {keys}")
@@ -2771,7 +2874,14 @@ def commit_delete_mor(
     `tag` gives streaming replays the usual idempotency token. The
     physical delete happens at compact+vacuum; until then deleted rows
     remain on disk (and in time-travel versions) — retention policy
-    governs the actual erasure deadline."""
+    governs the actual erasure deadline.
+
+    Column-mapped lakes: tombstones are applied to RAW segments before
+    the logical projection (`_read_with_tombstones`), so the delete
+    keys and the tombstone segment translate to PHYSICAL names here."""
+    _p0 = _latest_props(spark, path)
+    deletes = _to_physical(deletes, _p0)
+    keys = [_physical(_p0, k) for k in keys]
     seg = _write_segment(deletes.select(*keys).distinct(), path, 1)
 
     def _segments(parent):
@@ -2888,8 +2998,13 @@ def snapshot_diff(
     driver state. At 100 TB: key-partition both reads (the snapshots
     share segment layout for untouched partitions, and AQE handles the
     usually-small changed side). Unchanged rows leave the plan at the
-    join's filter — the output is O(changes)."""
-    _refuse_colmap(_latest_props(spark, path), "commit_delete_mor", path)
+    join's filter — the output is O(changes).
+
+    Refused on a column-mapped lake: the two versions' LOGICAL schemas
+    can disagree across a rename (the old snapshot projects the old
+    name), so a column-by-column diff would silently miss the renamed
+    column's updates — materialize the mapping first."""
+    _refuse_colmap(_latest_props(spark, path), "snapshot_diff", path)
     from pyspark.sql import functions as F
 
     b = read_snapshot(spark, path, version=v_to).withColumn("__in_b", F.lit(1))

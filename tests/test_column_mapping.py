@@ -107,14 +107,20 @@ def test_rename_refused_while_constraint_references(spark, lake):
 
 
 def test_transfer_ops_refuse_and_full_rewrite_materializes(spark, lake):
+    # r8: clustering / MERGE / deletes now TRANSLATE through the
+    # mapping (see the dedicated tests below); the remaining honest
+    # gates are replace_where (SQL predicate string surgery) and
+    # snapshot_diff (cross-version logical schemas)
     M.rename_column(spark, lake, "v", "label")
     ch = spark.createDataFrame([(1, "A", 1)], "k int, label string, ver int")
     with pytest.raises(ValueError, match="column-mapped"):
-        M.commit_upsert_partitioned(spark, lake, ch, ["k"], "ver", part_col="k")
+        M.commit_replace_where(
+            spark, lake,
+            spark.createDataFrame([(1, "A")], "k int, label string"),
+            eq={"k": 1},
+        )
     with pytest.raises(ValueError, match="column-mapped"):
-        M.commit_delete(spark, lake, spark.createDataFrame([(1,)], "k int"), ["k"])
-    with pytest.raises(ValueError, match="column-mapped"):
-        M.cluster(spark, lake, ["k"])
+        M.snapshot_diff(spark, lake, 1, 2, ["k"])
     # FULL-rewrite MERGE works and MATERIALIZES the mapping
     M.commit_upsert(spark, lake, ch, ["k"], "ver")
     m = M._read_manifest(spark, lake, M.current_version(spark, lake))
@@ -237,3 +243,115 @@ def test_append_rewrites_segment_when_rename_races_the_commit(spark, lake):
     # pre-rename schema): after the rename its rows must surface under
     # 'label', NOT null-fill
     assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+# ---------------------------------------------------------------------
+# r8: clustering / MERGE / deletes on column-mapped lakes (VERDICT r7
+# "what's missing" #1) — segments are uniform-physical, so maintenance
+# translates logical columns instead of refusing.
+# ---------------------------------------------------------------------
+
+
+def _num_lake(spark, tmp_path, tagged=False):
+    p = str(tmp_path / "numlake")
+    rows = [(i, i * 10, f"d{i}", i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "a int, b int, s string, p int")
+    if tagged:
+        M.commit_append_partitioned(spark, p, df, part_col="p")
+    else:
+        M.commit_append(spark, p, df)
+    return p
+
+
+def test_cluster_works_on_renamed_lake_and_probes_prune(spark, tmp_path):
+    p = _num_lake(spark, tmp_path)
+    M.rename_column(spark, p, "a", "key_a")
+    M.rename_column(spark, p, "b", "key_b")
+    M.cluster(spark, p, ["key_a", "key_b"], target_segments=4, bits_per_col=2)
+    # reads stay logical
+    df = M.read_snapshot(spark, p)
+    assert set(df.columns) == {"key_a", "key_b", "s", "p"}
+    assert df.count() == 40
+    # a range probe on the RENAMED clustered column prunes segments
+    all_segs = M.resolve_segments(spark, p)
+    probed = M.resolve_segments(spark, p, ranges={"key_a": (0, 4)})
+    assert len(all_segs) > 1 and len(probed) < len(all_segs)
+    got = M.read_snapshot(spark, p, ranges={"key_a": (0, 4)}).filter(
+        F.col("key_a") <= 4
+    )
+    assert got.count() == 5
+    # incremental clustering folds a post-rename append
+    M.commit_append(
+        spark, p,
+        spark.createDataFrame([(100, 1000, "x", 0)], "key_a int, key_b int, s string, p int"),
+    )
+    M.cluster_incremental(spark, p)
+    assert M.read_snapshot(spark, p).count() == 41
+
+
+def test_cluster_partitioned_works_on_renamed_lake(spark, tmp_path):
+    p = _num_lake(spark, tmp_path, tagged=True)
+    M.rename_column(spark, p, "p", "bucket")
+    M.rename_column(spark, p, "a", "key_a")
+    M.cluster_partitioned(
+        spark, p, part_col="bucket", cluster_cols=["key_a"],
+        target_segments_per_partition=2, bits_per_col=2,
+    )
+    # partition pruning by the NEW name still works after maintenance
+    segs = M.resolve_segments(spark, p, part_eq={"bucket": 1})
+    assert segs and len(segs) < len(M.resolve_segments(spark, p))
+    got = M.read_snapshot(spark, p, part_eq={"bucket": 1})
+    assert got.count() == 20 and set(r["bucket"] for r in got.collect()) == {1}
+
+
+def test_partitioned_merge_works_on_renamed_lake(spark, tmp_path):
+    p = _num_lake(spark, tmp_path, tagged=True)
+    M.rename_column(spark, p, "s", "label")
+    before = set(M.resolve_segments(spark, p))
+    ch = spark.createDataFrame(
+        [(1, 10, "UPDATED", 1, 9), (41, 410, "NEW", 1, 9)],
+        "a int, b int, label string, p int, ver int",
+    )
+    M.commit_upsert_partitioned(spark, p, ch, ["a"], "ver", part_col="p")
+    after = set(M.resolve_segments(spark, p))
+    # the untouched partition's segment transferred BY NAME
+    assert before & after, "expected untouched-segment name transfer"
+    got = M.read_snapshot(spark, p)
+    assert got.count() == 41
+    by_a = {r["a"]: r["label"] for r in got.collect()}
+    assert by_a[1] == "UPDATED" and by_a[41] == "NEW" and by_a[2] == "d2"
+    # the mapping survives (no silent materialization)
+    assert M.read_snapshot(spark, p).columns == ["a", "b", "label", "p"]
+
+
+def test_pruned_merge_and_deletes_work_on_renamed_lake(spark, tmp_path):
+    p = str(tmp_path / "plake")
+    M.commit_append(
+        spark, p,
+        spark.createDataFrame([(i, f"d{i}") for i in range(10)], "k int, v string"),
+        stats_cols=["k"],
+    )
+    M.commit_append(
+        spark, p,
+        spark.createDataFrame([(i, f"d{i}") for i in range(100, 110)], "k int, v string"),
+        stats_cols=["k"],
+    )
+    M.rename_column(spark, p, "k", "id")
+    M.rename_column(spark, p, "v", "label")
+    before = set(M.resolve_segments(spark, p))
+    ch = spark.createDataFrame([(5, "UP", 1)], "id int, label string, ver int")
+    M.commit_upsert_pruned(spark, p, ch, ["id"], "ver", stats_key="id")
+    after = set(M.resolve_segments(spark, p))
+    assert before & after, "the 100..109 segment must transfer by name"
+    by_id = {r["id"]: r["label"] for r in M.read_snapshot(spark, p).collect()}
+    assert by_id[5] == "UP" and len(by_id) == 20
+    # CoW delete by the renamed key
+    M.commit_delete(spark, p, spark.createDataFrame([(103,)], "id int"), ["id"], stats_key="id")
+    assert M.read_snapshot(spark, p).count() == 19
+    # MoR delete: tombstone translates to physical, read applies it,
+    # compact materializes it
+    M.commit_delete_mor(spark, p, spark.createDataFrame([(104,)], "id int"), ["id"])
+    assert M.read_snapshot(spark, p).count() == 18
+    M.compact(spark, p)
+    assert M.read_snapshot(spark, p).count() == 18
+    assert M.read_snapshot(spark, p).columns == ["id", "label"]
