@@ -200,16 +200,35 @@ def cmd_lake(args) -> int:
         print(json.dumps(out))
         return 0
     if args.action == "compact":
-        part_eq = None
         if args.part:
             k, _, raw = args.part.partition("=")
             if not raw:
                 print("bad --part (want col=value)", file=sys.stderr)
                 return 2
-            part_eq = {k: int(raw) if raw.lstrip("-").isdigit() else raw}
-        v = M.compact(
-            spark, args.path, target_files=args.target_files, part_eq=part_eq
-        )
+            # the CLI can't know the partition value's WRITTEN type: an
+            # all-digit value may tag a string-typed partition ('2024'),
+            # and part matching is typed (_json_safe equality). Try the
+            # int typing first, fall back to the string typing before
+            # refusing (ADVICE r7).
+            candidates = (
+                [int(raw), raw] if raw.lstrip("-").isdigit() else [raw]
+            )
+            last: Exception | None = None
+            for cand in candidates:
+                try:
+                    v = M.compact(
+                        spark, args.path, target_files=args.target_files,
+                        part_eq={k: cand},
+                    )
+                    break
+                except ValueError as e:
+                    if "no partition-tagged segments match" not in str(e):
+                        raise
+                    last = e
+            else:
+                raise last  # both typings refused: the partition isn't there
+        else:
+            v = M.compact(spark, args.path, target_files=args.target_files)
         print(json.dumps({"committed_version": v}))
         return 0
     if args.action == "vacuum":

@@ -330,6 +330,22 @@ class ManifestStreamReader(DataSourceStreamReader):
         if self._declared is not None:
             declared = set(self._declared)
             cols = [p for p in cols if p[0] in declared]
+            # a DECLARED column that no longer resolves means a
+            # mid-stream rename/drop changed the logical schema: the
+            # planned batch would be missing a pinned column and fail
+            # with a raw arrow mismatch downstream — raise the real
+            # diagnosis at planning time instead (ADVICE r7; same
+            # stance as _RetentionGap: restartable, never corrupting)
+            resolved = {p[0] for p in cols}
+            missing = sorted(declared - resolved)
+            if missing and hi:
+                raise ValueError(
+                    f"manifest_stream: declared column(s) {missing} no "
+                    f"longer resolve in table version {hi} — a mid-stream "
+                    "rename_column/drop_column changed the logical schema. "
+                    "Restart the stream against the current schema (the "
+                    "checkpointed offset is still valid)"
+                )
         parts = []
         for v in range(lo + 1, hi + 1):
             parts.extend(

@@ -203,3 +203,48 @@ def test_stream_over_file_scheme_uri(spark, tmp_path):
     assert {(r["k"], r["v"], r["_commit_version"]) for r in got} == {
         (1, "a", 1), (2, "b", 1), (3, "c", 2),
     }
+
+
+def test_mid_stream_rename_raises_clear_restart_error(spark, tmp_path):
+    # ADVICE r7: a rename_column landing mid-stream used to surface as
+    # a raw arrow schema mismatch; planning now raises the real
+    # diagnosis (restart the stream — the offset stays valid)
+    import pytest
+
+    from nba_pipeline_spark.sources.lake_stream import register_lake_stream
+
+    register_lake_stream(spark)
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    M.commit_append(spark, lake, spark.createDataFrame([(1, "a")], "k int, v string"))
+    got: list = []
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", lake)
+        .load()
+        .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(got) == 1
+    # the rename lands between triggers; the NEXT batch must fail with
+    # the restart diagnosis, not an arrow mismatch
+    M.rename_column(spark, lake, "v", "label")
+    M.commit_append(
+        spark, lake, spark.createDataFrame([(2, "b")], "k int, label string")
+    )
+    q2 = (
+        spark.readStream.format("manifest_stream")
+        .option("path", lake)
+        .schema(spark.createDataFrame([], "k int, v string, _commit_version int").schema)
+        .load()
+        .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="no longer resolve|rename_column"):
+        q2.awaitTermination(120)
+        if q2.exception() is not None:
+            raise q2.exception()

@@ -309,3 +309,41 @@ def test_cli_lake_feed_consumes_exactly_once(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"versions_processed": 0}
     assert M.read_snapshot(spark, dst).count() == 2
+
+
+def test_cli_compact_part_matches_string_typed_partition(spark, tmp_path, capsys):
+    # ADVICE r7: --part coerces all-digit values to int; a STRING-typed
+    # partition value like '2024' must still match (the CLI now tries
+    # both typings before refusing)
+    import json
+
+    from nba_pipeline_spark.__main__ import main
+    from nba_pipeline_spark.sources.manifest import commit_append, read_snapshot
+
+    lake = str(tmp_path / "slake")
+    for yr in ("2023", "2024"):
+        for j in range(2):
+            commit_append(
+                spark, lake,
+                spark.createDataFrame([(j, yr)], "id int, yr string"),
+                partition={"yr": yr},
+            )
+    assert main(["lake", "compact", lake, "--part", "yr=2024"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["committed_version"] == 5
+    assert read_snapshot(spark, lake).count() == 4
+    # int-typed partitions still match the int typing first
+    lake2 = str(tmp_path / "ilake")
+    for yr in (2023, 2024):
+        for j in range(2):
+            commit_append(
+                spark, lake2,
+                spark.createDataFrame([(j, yr)], "id int, yr int"),
+                partition={"yr": yr},
+            )
+    assert main(["lake", "compact", lake2, "--part", "yr=2024"]) == 0
+    # a value present in neither typing still refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no partition-tagged segments"):
+        main(["lake", "compact", lake2, "--part", "yr=1999"])
