@@ -969,6 +969,144 @@ def pq_topk(
     )
 
 
+def ivfpq_knn_join(
+    spark,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list,
+    k: int,
+    m: int,
+    centroids_path: str,
+    codebooks_path: str,
+    codes_path: str,
+    pool: int = 50,
+    bits: int = 20,
+) -> DataFrame:
+    """Batch k-NN join served through the persisted IVF-PQ index — the
+    batch-inference shape a training-data pipeline actually runs
+    (dedup audits, retrieval eval, hard-negative mining): top-k
+    neighbors for EVERY query in one pass, paying the index's pruned
+    cost instead of `knn_join`'s full corpus scan per batch.
+
+    Plan shape (VERDICT r7 next #5):
+    (1) the bounded query set's vectors arrive via ONE id-pushed point
+        read (`pruned_vector_fetch`); each query assigns to its cell
+        with the same literal argmin as index build (narrow, no scan);
+    (2) one ADT per query via a single query×codebook broadcast join
+        (|Q|·m·ksub BIGINT rows — broadcast back out);
+    (3) the probed cells' segments — the UNION of the queries' cells,
+        each via part_eq manifest pruning — are scanned ONCE and
+        shared: a candidate row joins only the queries of its own cell
+        (broadcast qid→cid map), m integer lookups + a BIGINT sum per
+        (candidate, query) pair;
+    (4) per-query top-`pool` by a qid-partitioned row_number window
+        (parallelism = |Q|, never a global sort), then the bounded
+        pool-pair set collects and the exact 6dp-cosine rerank reads
+        ONLY those candidate vectors (id-pushed point read again).
+    No full-table float read anywhere (plan-tested). Deterministic
+    end-to-end — hash-matches the SQL replay. Self-matches excluded.
+    Queries are corpus members by id (the eval/audit contract); serve
+    out-of-corpus vectors by appending them to the embeddings lake
+    first, which is what a production pipeline does anyway."""
+    from functools import reduce
+
+    from ..sources import manifest as M
+
+    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    qv = pruned_vector_fetch(e, id_col, query_ids).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv")
+    )
+    cents_df = M.read_snapshot(spark, centroids_path)
+    qasg = assign_cells(
+        qv.select("qid", F.col("qv").alias("v")), cents_df, "qid"
+    ).select("qid", "cid")
+    qcell_rows = qasg.collect()  # bounded by |Q|
+    if not qcell_rows:
+        return e.filter(F.lit(False)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col),
+            F.lit(None).cast("double").alias("sim"),
+        )
+    probe_cids = sorted({int(r["cid"]) for r in qcell_rows if r["cid"] is not None})
+    qcell_map = spark.createDataFrame(
+        [(r["qid"], int(r["cid"])) for r in qcell_rows if r["cid"] is not None],
+        f"qid {e.schema[id_col].dataType.simpleString()}, cid int",
+    )
+    qsub = qv.select(
+        "qid", F.posexplode(_subvectors_dyn(F.col("qv"), m)).alias("sub", "qsv")
+    ).select("qid", "sub", fixed_point(F.col("qsv"), bits).alias("qsvf"))
+    cb = M.read_snapshot(spark, codebooks_path).select(
+        "sub", "code", fixed_point(F.col("cw"), bits).alias("cwf")
+    )
+    pdot = F.aggregate(
+        F.zip_with("qsvf", "cwf", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    adt = qsub.join(F.broadcast(cb), "sub").select(
+        "qid", "sub", "code", pdot.alias("pdot")
+    )
+    cand = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            M.read_snapshot(spark, codes_path, part_eq={"cid": c}).filter(
+                F.col("cid") == c
+            )
+            for c in probe_cids
+        ],
+    )
+    scored = (
+        cand.join(F.broadcast(qcell_map), "cid")
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col, F.posexplode("codes").alias("sub", "code"))
+        .join(F.broadcast(adt), ["qid", "sub", "code"])
+        .groupBy("qid", id_col)
+        .agg(F.sum("pdot").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc_nulls_last(), F.col(id_col).asc()
+    )
+    pool_pairs = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .select("qid", id_col)
+        .collect()  # bounded: |Q| * pool rows by construction
+    )
+    if not pool_pairs:
+        return e.filter(F.lit(False)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col),
+            F.lit(None).cast("double").alias("sim"),
+        )
+    id_t = e.schema[id_col].dataType.simpleString()
+    pairs_df = spark.createDataFrame(
+        [(r["qid"], r[id_col]) for r in pool_pairs],
+        f"qid {id_t}, {id_col} {id_t}",
+    )
+    cand_ids = sorted({r[id_col] for r in pool_pairs})
+    fetch = pruned_vector_fetch(e, id_col, cand_ids)
+    rr = (
+        fetch.join(F.broadcast(pairs_df), id_col)
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            id_col,
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("sim6"), F.asc(id_col))
+    return (
+        rr.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col(id_col),
+            F.round(F.col("sim6"), 4).alias("sim"),
+        )
+    )
+
+
 def build_ivfpq_index(
     spark,
     emb: DataFrame,

@@ -1465,3 +1465,32 @@ def test_pq_encode_rejects_indivisible_vector(spark):
     )
     with pytest.raises(Exception, match="not divisible|raise_error|USER_RAISED"):
         SIM.pq_encode(bad, cb, "vec_id", "embedding", 4).collect()
+
+
+def test_ivfpq_knn_join_matches_per_query_topk(spark, tmp_path):
+    # the batch join must return EXACTLY what the single-query probe
+    # returns for each member of the batch (same cells, same ADT, same
+    # pool cut, same rerank)
+    from conftest import SF_DIR
+
+    from nba_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    paths = [str(tmp_path / p) for p in ("cent", "cb", "codes")]
+    SIM.build_ivfpq_index(spark, emb, "vec_id", "embedding", 4, 4, 8, *paths)
+    qids = [0, 3, 7]
+    got = SIM.ivfpq_knn_join(
+        spark, emb, "vec_id", "embedding", qids, 5, 4, *paths, pool=20
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["sim"]))
+    assert set(by_q) == set(qids)
+    for q in qids:
+        solo = [
+            (r["vec_id"], r["sim"])
+            for r in SIM.ivfpq_topk(
+                spark, emb, "vec_id", "embedding", q, 5, 4, *paths, pool=20
+            ).collect()
+        ]
+        assert by_q[q] == solo, f"query {q}: batch != solo"

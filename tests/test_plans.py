@@ -364,3 +364,19 @@ def test_pruned_vector_fetch_pushes_in_filter(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     p = formatted(pruned_vector_fetch(emb, "vec_id", [1, 2, 3]))
     assert "PushedFilters" in p and "In(vec_id" in p
+
+
+def test_knn_join_pq_scans_are_pruned(spark):
+    # the batch IVF-PQ join's embeddings scans (query-vector fetch and
+    # rerank fetch) must both be id-pushed point reads — never a full
+    # float scan shared across the batch
+    from nba_pipeline_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["q_knn_join_pq"].fn(spark, SF_DIR)
+    p = formatted(df)
+    assert "In(vec_id" in p
+    blocks = _embedding_scan_blocks(p)
+    assert blocks, "expected embeddings scans in the knn-join plan"
+    for b in blocks:
+        assert "PushedFilters: []" not in b, b
+        assert "In(vec_id" in b or "EqualTo(vec_id" in b, b
