@@ -3164,6 +3164,89 @@ def consume_feed(
     return done
 
 
+def backfill_snapshot_chunks(
+    spark: SparkSession,
+    path: str,
+    process,
+    state_path: str,
+    chunk_segments: int = 8,
+) -> int:
+    """Chunked-backlog bootstrap for the manifest stream. The Python
+    DataSource API has no admission control (SCALE.md records
+    per-trigger caps as a non-feature: latestOffset never sees the
+    start offset), so a fresh stream over a settled 100 TB lake would
+    plan ONE giant initial batch. Operational equivalent, in one call
+    via `lake_stream.stream_after_backfill`:
+
+    (1) pin V = the current version and read snapshot V in BOUNDED
+        chunks of at most `chunk_segments` segments each (segment list
+        of a pinned version is immutable, so chunk boundaries are
+        stable across crashes); pending MoR tombstones apply per chunk
+        and column mapping projects per chunk — each chunk df is
+        exactly a slice of ``read_snapshot(version=V)``;
+    (2) call ``process(chunk_df, chunk_index, n_chunks)`` per chunk and
+        advance the checkpointed chunk index ATOMICALLY after each
+        (same tmp-write + rename state layout as `consume_feed`; a
+        crash between process and checkpoint redelivers ONE chunk —
+        at-least-once, and an idempotency-tagged process, e.g.
+        ``commit_append(..., tag=f"backfill={i}")``, is exactly-once);
+    (3) return V: commits in (V, ...] are the STREAM's to deliver
+        under ``starting_version=V+1`` — seamless handoff, nothing
+        delivered twice, nothing skipped.
+
+    Re-entry with the same `state_path` resumes after the last
+    checkpointed chunk; a completed backfill returns V immediately
+    (zero chunks re-processed). The pinned version must stay within
+    vacuum retention for the duration of the backfill — size
+    `keep_versions`/retain-hours accordingly (the usual CDC-bootstrap
+    contract)."""
+    state_file = f"{state_path}/backfill.json"
+    fs, state_jp = _fs(spark, state_file)
+    state: dict | None = None
+    if fs.exists(state_jp):
+        stream = fs.open(state_jp)
+        try:
+            content = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        state = json.loads(content)
+    if state is None:
+        v = current_version(spark, path)
+        if v is None:
+            raise ValueError(f"cannot backfill an empty manifest lake: {path}")
+        state = {"version": int(v), "done": 0}
+    v = int(state["version"])
+    done = int(state["done"])
+    m = _read_manifest(spark, path, v)  # raises _if_ vacuumed past V
+    props = dict(m.get("props", {}))
+    segs = list(m["segments"])
+    chunks = [
+        segs[i : i + chunk_segments]
+        for i in range(0, len(segs), chunk_segments)
+    ] or [[]]
+    for i in range(done, len(chunks)):
+        group = chunks[i]
+        if group:
+            df = _read_with_tombstones(spark, path, group, m, merge_schema=True)
+            df = _project_logical(df, props)
+            process(df, i, len(chunks))
+        fs.mkdirs(_jpath(spark, state_path))
+        tmp = f"{state_file}.tmp-{uuid.uuid4().hex[:8]}"
+        out = fs.create(_jpath(spark, tmp), True)
+        try:
+            out.write(
+                bytearray(
+                    json.dumps({"version": v, "done": i + 1}).encode("utf-8")
+                )
+            )
+        finally:
+            out.close()
+        _rename_overwrite(spark, tmp, state_file)  # the commit point
+    return v
+
+
 def feed_to_lake_sink(spark: SparkSession, dst_path: str, target_files: int | None = None):
     """`process` function for `consume_feed` that lands each version's
     delta in a downstream manifest lake with the ``feed=<version>``
