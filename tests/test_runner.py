@@ -347,3 +347,31 @@ def test_cli_compact_part_matches_string_typed_partition(spark, tmp_path, capsys
 
     with _pytest.raises(ValueError, match="no partition-tagged segments"):
         main(["lake", "compact", lake2, "--part", "yr=1999"])
+
+
+def test_airflow_dag_module_parses_without_scheduler():
+    """VERDICT r7 next #9: the thin Airflow artifact imports parse-only
+    (no scheduler in this environment), declares the reference's two
+    schedule shapes, and renders spark-submit commands through the
+    pipelines.submit seam."""
+    from nba_pipeline_spark.pipelines import airflow_dag as AD
+
+    ids = [s.dag_id for s in AD.DAG_SPECS]
+    assert ids == ["nba_once_dimensions", "nba_seasonal_facts"]
+    once, seasonal = AD.DAG_SPECS
+    assert once.schedule is None and not once.catchup
+    # reference parity: @yearly catchup over the season range with
+    # max_active_runs=3 (scrape_data_to_gcs.py:268-286)
+    assert seasonal.schedule == "@yearly"
+    assert seasonal.catchup and seasonal.max_active_runs == 3
+    cmd = AD.render_command(seasonal, out_dir="/lake")
+    assert cmd.startswith("spark-submit -m nba_pipeline_spark.pipelines.submit")
+    assert "--out-dir /lake" in cmd and "--skip-once" in cmd
+    # the templated season lands in --seasons for the execution date
+    assert "--seasons {{ data_interval_start.year }}" in cmd
+    # without airflow installed: no module-level DAG objects, no error
+    if not AD.airflow_available():
+        assert AD.build_dags() == {}
+    else:  # with a scheduler env: real DAGs build with the same ids
+        dags = AD.build_dags()
+        assert set(dags) == set(ids)
