@@ -104,6 +104,12 @@ HEADLINE = [
     "q_bpe_first_merge",
     "q_trigram_ppl",
     "q_weighted_sample",
+    # round-8 session additions (batch k-NN join through the IVF-PQ
+    # index; maintenance on column-mapped lakes; chunked backfill)
+    "q_knn_join_pq",
+    "q_manifest_zorder_mapped",
+    "q_manifest_merge_mapped",
+    "q_manifest_backfill_chunked",
 ]
 
 

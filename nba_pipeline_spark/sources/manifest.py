@@ -1155,8 +1155,13 @@ def commit_replace_where(
     splits the incoming rows into one partition-tagged segment per
     value (keeping a tagged lake tagged); the commit is a strict
     parent CAS like MERGE (content depends on the base snapshot).
-    Pending merge-on-read tombstones must be compacted first."""
-    _refuse_colmap(_latest_props(spark, path), "commit_replace_where", path)
+    Pending merge-on-read tombstones must be compacted first.
+
+    Column-mapped lakes: the scope is DICTS (eq/ranges), so it
+    translates like any probe — the scope check runs on the LOGICAL
+    batch, then batch/scope/partition column translate to physical
+    for classification, the NOT-scope rewrite, and the tagged
+    writes."""
     _check_constraints(spark, path, df)
     _check_schema(spark, path, df)
     from pyspark.sql import functions as F
@@ -1174,6 +1179,13 @@ def commit_replace_where(
                 f"(eq={eq}, ranges={ranges}); fix the batch or pass "
                 "allow_nonmatching_rows=True to filter them"
             )
+    _p0 = _latest_props(spark, path)
+    logical_df = df
+    df = _to_physical(df, _p0)
+    eq = _translate_probe(_p0, eq)
+    ranges = _translate_probe(_p0, ranges)
+    pred_phys = _scope_pred(eq, ranges)
+    partition_by = _physical(_p0, partition_by) if partition_by else None
 
     last_err: Exception | None = None
     for _ in range(max_tries):
@@ -1197,7 +1209,7 @@ def commit_replace_where(
         new_segs: dict[str, dict] = {}
         for s in rewrite:
             kept = _read_segments(spark, path, [s]).filter(
-                ~F.coalesce(pred, F.lit(False))
+                ~F.coalesce(pred_phys, F.lit(False))
             )
             seg = _write_segment(kept, path, target_files)
             # subset rows: old tag/stats/bloom remain sound superset
@@ -1237,7 +1249,7 @@ def commit_replace_where(
                 _segments,
                 expected_parent=base_version or 0,
                 meta_fn=_meta,
-                props_fn=_schema_props_fn(spark, path, df),
+                props_fn=_schema_props_fn(spark, path, logical_df),
             )
         except CommitConflict as e:
             last_err = e
@@ -2114,10 +2126,10 @@ def _prune_segments(
 # physical-vs-physical (Delta name-mode keeps the same ops working).
 # Full-rewrite ops (upsert, replace) MATERIALIZE the mapping instead:
 # their consolidated output is written under the logical names and the
-# mapping clears. Two ops still REFUSE: ``commit_replace_where`` (its
-# SQL predicate string would need name surgery — the thing
-# rename_column refuses to do) and ``snapshot_diff`` (two versions'
-# logical schemas can disagree across a rename).
+# mapping clears. ``commit_replace_where``'s dict scope translates
+# like any probe, and ``snapshot_diff`` projects BOTH versions through
+# the to-version's logical schema (physical identity bridges renames)
+# — as of round 8 no lake op refuses on a mapped lake.
 # ----------------------------------------------------------------------
 
 
@@ -2137,16 +2149,6 @@ def _translate_probe(props: dict, probe: dict | None) -> dict | None:
     if probe is None or not _has_colmap(props):
         return probe
     return {_physical(props, c): v for c, v in probe.items()}
-
-
-def _refuse_colmap(props: dict, op: str, path: str) -> None:
-    if _has_colmap(props):
-        raise ValueError(
-            f"{op} is not supported on a column-mapped lake (it transfers "
-            "segments by name while rewriting others — mixed physical "
-            "layouts): materialize the mapping first with a full-rewrite "
-            f"op (commit_upsert / commit_replace) or compact-free read: {path}"
-        )
 
 
 def _project_logical(df: DataFrame, props: dict) -> DataFrame:
@@ -3000,22 +3002,40 @@ def snapshot_diff(
     usually-small changed side). Unchanged rows leave the plan at the
     join's filter — the output is O(changes).
 
-    Refused on a column-mapped lake: the two versions' LOGICAL schemas
-    can disagree across a rename (the old snapshot projects the old
-    name), so a column-by-column diff would silently miss the renamed
-    column's updates — materialize the mapping first."""
-    _refuse_colmap(_latest_props(spark, path), "snapshot_diff", path)
+    Column-mapped lakes: the two versions' LOGICAL schemas can
+    disagree across a rename (the old snapshot would project the old
+    name and the column-by-column diff would silently miss the
+    renamed column's updates), so BOTH versions project through the
+    TO-version's schema here — physical names are immutable, so the
+    old snapshot's raw segments resolve under the new logical names
+    exactly (`keys` are v_to's logical names). Columns dropped by
+    v_to leave the diff, the current-schema CDC contract."""
     from pyspark.sql import functions as F
 
-    b = read_snapshot(spark, path, version=v_to).withColumn("__in_b", F.lit(1))
+    props_to = dict(_read_manifest(spark, path, v_to).get("props", {}))
+
+    def _snap(version: int) -> DataFrame:
+        if not _has_colmap(props_to):
+            return read_snapshot(spark, path, version=version)
+        m = _read_manifest(spark, path, version)
+        if not m["segments"]:
+            sch = props_to.get("schema")
+            ddl = ", ".join(f"{n} {t}" for n, t in sch["cols"]) if sch else ""
+            return spark.createDataFrame([], ddl)
+        raw = _read_with_tombstones(
+            spark, path, m["segments"], m, merge_schema=True
+        )
+        return _project_logical(raw, props_to)
+
+    b = _snap(v_to).withColumn("__in_b", F.lit(1))
     if v_from == 0:  # version 0 = the empty table before the first commit
         # fresh lineage (createDataFrame, not b.limit(0)) so the join
         # below isn't a self-join with ambiguous column references
         a = spark.createDataFrame(
-            [], read_snapshot(spark, path, version=v_to).schema
+            [], _snap(v_to).schema
         ).withColumn("__in_a", F.lit(1))
     else:
-        a = read_snapshot(spark, path, version=v_from).withColumn("__in_a", F.lit(1))
+        a = _snap(v_from).withColumn("__in_a", F.lit(1))
     val_cols = [c for c in b.columns if c not in keys and c != "__in_b"]
     cond = None
     for k in keys:

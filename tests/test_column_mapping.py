@@ -1,7 +1,9 @@
 """Column mapping (Delta column-mapping parity, name mode): RENAME and
 DROP columns as metadata-only commits — reads project physical →
-logical, appends translate logical → physical, probes translate,
-segment-transferring ops refuse, full rewrites materialize the map."""
+logical, appends translate logical → physical, probes and maintenance
+ops (clustering, MERGE, deletes, replaceWhere) translate, snapshot_diff
+projects both versions through the to-version's schema, and full
+rewrites materialize the map."""
 
 from __future__ import annotations
 
@@ -107,21 +109,13 @@ def test_rename_refused_while_constraint_references(spark, lake):
 
 
 def test_transfer_ops_refuse_and_full_rewrite_materializes(spark, lake):
-    # r8: clustering / MERGE / deletes now TRANSLATE through the
-    # mapping (see the dedicated tests below); the remaining honest
-    # gates are replace_where (SQL predicate string surgery) and
-    # snapshot_diff (cross-version logical schemas)
+    # r8: every lake op now works on a mapped lake — clustering /
+    # MERGE / deletes translate (dedicated tests below), replace_where
+    # translates its dict scope, snapshot_diff projects both versions
+    # through the to-version's schema (tested below). Full-rewrite
+    # MERGE still MATERIALIZES the mapping:
     M.rename_column(spark, lake, "v", "label")
     ch = spark.createDataFrame([(1, "A", 1)], "k int, label string, ver int")
-    with pytest.raises(ValueError, match="column-mapped"):
-        M.commit_replace_where(
-            spark, lake,
-            spark.createDataFrame([(1, "A")], "k int, label string"),
-            eq={"k": 1},
-        )
-    with pytest.raises(ValueError, match="column-mapped"):
-        M.snapshot_diff(spark, lake, 1, 2, ["k"])
-    # FULL-rewrite MERGE works and MATERIALIZES the mapping
     M.commit_upsert(spark, lake, ch, ["k"], "ver")
     m = M._read_manifest(spark, lake, M.current_version(spark, lake))
     assert "colmap" not in m.get("props", {})
@@ -355,3 +349,52 @@ def test_pruned_merge_and_deletes_work_on_renamed_lake(spark, tmp_path):
     M.compact(spark, p)
     assert M.read_snapshot(spark, p).count() == 18
     assert M.read_snapshot(spark, p).columns == ["id", "label"]
+
+
+def test_replace_where_translates_scope_on_mapped_lake(spark, tmp_path):
+    p = str(tmp_path / "rwlake")
+    rows = [(d, i, f"v{d}-{i}") for d in (1, 2) for i in range(3)]
+    df = spark.createDataFrame(rows, "day int, id int, v string")
+    for d in (1, 2):
+        M.commit_append(
+            spark, p, df.filter(F.col("day") == d), partition={"day": d}
+        )
+    M.rename_column(spark, p, "day", "event_day")
+    M.rename_column(spark, p, "v", "label")
+    before = set(M.resolve_segments(spark, p))
+    repl = spark.createDataFrame(
+        [(1, 99, "RESTATED")], "event_day int, id int, label string"
+    )
+    M.commit_replace_where(spark, p, repl, eq={"event_day": 1})
+    after = set(M.resolve_segments(spark, p))
+    assert before & after, "disjoint day=2 segment must transfer by name"
+    got = M.read_snapshot(spark, p)
+    assert got.columns == ["event_day", "id", "label"]
+    day1 = [(r["id"], r["label"]) for r in got.filter("event_day = 1").collect()]
+    assert day1 == [(99, "RESTATED")]
+    assert got.filter("event_day = 2").count() == 3
+    # an out-of-scope batch still raises, judged on LOGICAL names
+    with pytest.raises(ValueError, match="outside the scope"):
+        M.commit_replace_where(
+            spark, p,
+            spark.createDataFrame([(2, 1, "x")], "event_day int, id int, label string"),
+            eq={"event_day": 1},
+        )
+
+
+def test_snapshot_diff_projects_both_versions_through_rename(spark, lake):
+    # v1: (1,a),(2,b). rename v->label. v3: upsert-free append path —
+    # use delete + append to create changes across the rename.
+    M.rename_column(spark, lake, "v", "label")
+    M.commit_append(spark, lake, _rows(spark, [(3, "c")], "k int, label string"))
+    diff = M.snapshot_diff(spark, lake, 1, 3, ["k"]).collect()
+    ops = {(r["k"], r["op"]) for r in diff}
+    assert ops == {(3, "insert")}, ops  # rows 1/2 UNCHANGED across the rename
+    # a genuine value change across the rename surfaces as update
+    M.commit_delete(spark, lake, spark.createDataFrame([(2,)], "k int"), ["k"])
+    M.commit_append(spark, lake, _rows(spark, [(2, "B2")], "k int, label string"))
+    diff2 = M.snapshot_diff(spark, lake, 1, 5, ["k"], include_values=True).collect()
+    got = {(r["k"], r["op"]) for r in diff2}
+    assert got == {(3, "insert"), (2, "update")}, got
+    upd = [r for r in diff2 if r["k"] == 2][0]
+    assert upd["old"]["label"] == "b" and upd["new"]["label"] == "B2"

@@ -269,7 +269,7 @@ def test_single_partition_only_on_bounded_frames(spark):
         "q_manifest_zorder_partitioned", "q_manifest_zorder_incremental",
         # z-order range probe -> global 3-column aggregate (O(1) rows
         # cross the exchange after partial agg on the pruned segments)
-        "q_manifest_zorder",
+        "q_manifest_zorder", "q_manifest_zorder_mapped",
         # windows over bounded pools/buckets: top-50 RRF pools, value
         # buckets (|buckets| rows), hourly resample grid
         "q_bm25_topk", "q_hybrid_rrf", "q_skyline", "q_resample_1h",
