@@ -110,6 +110,7 @@ HEADLINE = [
     "q_manifest_zorder_mapped",
     "q_manifest_merge_mapped",
     "q_manifest_backfill_chunked",
+    "q_pack_sequences",
 ]
 
 

@@ -1402,3 +1402,94 @@ register(
     ORDER BY k ASC, doc_id ASC LIMIT {WEIGHTED_SAMPLE_K}
     """,
 )
+
+
+# ---------------------------------------------------------------------
+# r8: sequence packing — the step between the shuffled corpus and the
+# trainer's fixed-length context windows (GPT-style concat-and-chunk:
+# each shard's token stream is laid end-to-end and cut every CTX_LEN
+# tokens; a doc's bin is where its first token lands, and docs whose
+# span crosses a cut are the loader's boundary cases).
+# ---------------------------------------------------------------------
+
+PACK_CTX = 2048     # tokens per training sequence
+PACK_SHARDS = 8     # pack per shard: the per-shard cumsum is the ONLY
+                    # window — no global token stream, no single
+                    # partition; parallelism = shard count at 100 TB
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(shard, bin) packing census for CTX={PACK_CTX} sequences:
+    docs hash into {PACK_SHARDS} shards with the q_corpus_shuffle
+    salted-hash order (reproducible across engines/partitionings/
+    retries), the shard-local running token offset places every doc in
+    its bin (floor(start / CTX)), and the report counts docs, tokens,
+    and boundary-spanning docs per bin. Plan: one narrow tokenize
+    pass, ONE shuffle keyed on the shard, a shard-partitioned cumsum
+    window, a partial-agg'd groupBy — the loader-shard build a
+    pre-training run does after curation."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    toks = docs.select(
+        "doc_id",
+        h.alias("h"),
+        TX.token_count_ws(F.col("text")).cast("bigint").alias("n"),
+    ).withColumn("shard", (F.col("h") % PACK_SHARDS).cast("int"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("h"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = toks.select(
+        "shard",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0).cast("bigint")).alias("start"),
+    ).select(
+        "shard",
+        "n",
+        # BIGINT floor division on both engines: no float on the grid
+        F.expr(f"start div {PACK_CTX}").alias("bin"),
+        (
+            F.expr(f"start div {PACK_CTX}")
+            != F.expr(f"(start + n - 1) div {PACK_CTX}")
+        ).cast("int").alias("spans"),
+    )
+    return placed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum("spans").cast("bigint").alias("n_spanning"),
+    )
+
+
+register(
+    "q_pack_sequences",
+    q_pack_sequences,
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n
+      FROM documents),
+    s AS (SELECT doc_id, h, n, CAST(h % {PACK_SHARDS} AS INT) AS shard FROM t),
+    placed AS (
+      SELECT shard, n,
+             COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS start
+      FROM s)
+    SELECT shard, CAST(start // {PACK_CTX} AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN start // {PACK_CTX}
+                         <> (start + n - 1) // {PACK_CTX} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spanning
+    FROM placed GROUP BY shard, start // {PACK_CTX}
+    """,
+)

@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_zorder_mapped",
     "q_manifest_merge_mapped",
     "q_manifest_backfill_chunked",
+    "q_pack_sequences",
     # backfill: r2-window greens longest since last sample, import order
     "q_json_extract",
     "q_array_ops",
