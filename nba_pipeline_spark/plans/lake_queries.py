@@ -1554,10 +1554,13 @@ def q_manifest_merge_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     lake = _merge_mapped_lake(spark, sf_dir)
     # untouched segments transferred by name through the mapped MERGE
+    # (adversarial/tiny datasets may land every row in band 1 — then
+    # there is nothing to transfer and the assertion is vacuous)
     v = M.current_version(spark, lake)
     base = set(M._read_manifest(spark, lake, v - 1)["segments"])
     final = set(M._read_manifest(spark, lake, v)["segments"])
-    assert len(base & final) >= 3, "mapped MERGE must transfer untouched bands"
+    if len(base) >= 4:
+        assert len(base & final) >= 3, "mapped MERGE must transfer untouched bands"
     props = M._read_manifest(spark, lake, v).get("props", {})
     assert props.get("colmap") == {"cust_id": "o_custkey"}, "mapping must survive"
     t = M.read_snapshot(spark, lake)
@@ -1624,20 +1627,27 @@ def _backfill_stage(spark: SparkSession, sf_dir: str) -> str:
             spans.append((idx, n_chunks))
             M2.commit_append(spark, dst, df, tag=f"backfill={idx}")
 
+        # adversarial/tiny datasets can leave some buckets empty: the
+        # chunk count follows the ACTUAL segment count
+        import math as _math
+
+        n_segs = len(M2.resolve_segments(spark, src))
+        want = _math.ceil(n_segs / 3)
         v = M2.backfill_snapshot_chunks(
             spark, src, process, state, chunk_segments=3
         )
-        assert [i for i, _ in spans] == [0, 1, 2, 3], spans
+        assert [i for i, _ in spans] == list(range(want)), spans
         assert v == M2.current_version(spark, src)
         # re-entry is a no-op (chunk checkpoint complete)
         v2 = M2.backfill_snapshot_chunks(
             spark, src, process, state, chunk_segments=3
         )
-        assert v2 == v and len(spans) == 4
-        # a redelivered chunk dedups via its tag (exactly-once)
+        assert v2 == v and len(spans) == want
+        # a redelivered chunk dedups via its tag (exactly-once) — replay
+        # chunk 0, which exists for ANY data shape
         M2.commit_append(
             spark, dst,
-            M2.read_snapshot(spark, src).limit(5), tag="backfill=3",
+            M2.read_snapshot(spark, src).limit(5), tag="backfill=0",
         )
 
     return _ensure_stage(root, build)
