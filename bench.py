@@ -111,6 +111,7 @@ HEADLINE = [
     "q_manifest_merge_mapped",
     "q_manifest_backfill_chunked",
     "q_pack_sequences",
+    "q_text_chunks",
 ]
 
 

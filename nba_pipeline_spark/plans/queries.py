@@ -105,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_merge_mapped",
     "q_manifest_backfill_chunked",
     "q_pack_sequences",
+    "q_text_chunks",
     # backfill: r2-window greens longest since last sample, import order
     "q_json_extract",
     "q_array_ops",

@@ -279,3 +279,64 @@ register(
     FROM stats s JOIN p USING (term)
     """,
 )
+
+
+# ---------------------------------------------------------------------
+# r8: retrieval chunking — overlapping token windows per document, the
+# RAG-ingestion shape (each chunk goes on to embedding + the ANN index
+# lakes; the overlap keeps answers that straddle a boundary findable).
+# ---------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: windows of {CHUNK_TOKENS}
+    tokens every {CHUNK_STRIDE} (the trailing window may be shorter;
+    empty/NULL docs yield no chunks). One narrow pass — tokenize,
+    build the start list with a guarded sequence(), posexplode, slice
+    — zero shuffles, zero UDFs; at 100 TB this is a pure scan stage
+    feeding the embedding step. Chunk identity is md5 of the joined
+    tokens so the gate proves exact chunk CONTENT, not just counts."""
+    tune(spark)
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = TX.tokenize(F.col("text"))
+    staged = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "starts",
+        F.when(
+            F.size("toks") > 0,
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE)),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    exploded = staged.select(
+        "doc_id", "toks", F.posexplode("starts").alias("chunk_idx", "s")
+    )
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+register(
+    "q_text_chunks",
+    q_text_chunks,
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+               WHERE text IS NOT NULL),
+    s AS (SELECT doc_id, toks,
+                 unnest(range(0, len(toks), {CHUNK_STRIDE})) AS st
+          FROM t),
+    ix AS (SELECT doc_id, toks, st,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st)
+                       - 1 AS INT) AS chunk_idx
+           FROM s)
+    SELECT doc_id, chunk_idx,
+           CAST(len(toks[(st + 1):(st + {CHUNK_TOKENS})]) AS INT) AS n_tokens,
+           md5(array_to_string(toks[(st + 1):(st + {CHUNK_TOKENS})], ' ')) AS chunk_md5
+    FROM ix
+    """,
+)
