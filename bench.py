@@ -112,6 +112,7 @@ HEADLINE = [
     "q_manifest_backfill_chunked",
     "q_pack_sequences",
     "q_text_chunks",
+    "q_knn_join_pq_nprobe",
 ]
 
 

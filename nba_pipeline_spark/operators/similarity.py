@@ -982,6 +982,7 @@ def ivfpq_knn_join(
     codes_path: str,
     pool: int = 50,
     bits: int = 20,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Batch k-NN join served through the persisted IVF-PQ index — the
     batch-inference shape a training-data pipeline actually runs
@@ -991,15 +992,19 @@ def ivfpq_knn_join(
 
     Plan shape (VERDICT r7 next #5):
     (1) the bounded query set's vectors arrive via ONE id-pushed point
-        read (`pruned_vector_fetch`); each query assigns to its cell
-        with the same literal argmin as index build (narrow, no scan);
+        read (`pruned_vector_fetch`); each query ranks the n_cells
+        centroids driver-side with ivfpq_topk's exact ordering
+        (rounded L2, cid tiebreak) and probes its `nprobe` nearest —
+        the deployed index's recall knob, no rebuild;
     (2) one ADT per query via a single query×codebook broadcast join
         (|Q|·m·ksub BIGINT rows — broadcast back out);
-    (3) the probed cells' segments — the UNION of the queries' cells,
-        each via part_eq manifest pruning — are scanned ONCE and
-        shared: a candidate row joins only the queries of its own cell
-        (broadcast qid→cid map), m integer lookups + a BIGINT sum per
-        (candidate, query) pair;
+    (3) the probed cells' segments — the UNION over all queries, each
+        via part_eq manifest pruning — are scanned ONCE and shared: a
+        candidate row joins only the queries probing its cell
+        (broadcast (qid, cid, q·c) map), m integer lookups + a BIGINT
+        sum per (candidate, query) pair; cross-cell scores compare by
+        adding the per-(query, cell) fixed-point q·centroid constant
+        (exact BIGINTs, same grid as the ADT);
     (4) per-query top-`pool` by a qid-partitioned row_number window
         (parallelism = |Q|, never a global sort), then the bounded
         pool-pair set collects and the exact 6dp-cosine rerank reads
@@ -1009,6 +1014,7 @@ def ivfpq_knn_join(
     Queries are corpus members by id (the eval/audit contract); serve
     out-of-corpus vectors by appending them to the embeddings lake
     first, which is what a production pipeline does anyway."""
+    import math
     from functools import reduce
 
     from ..sources import manifest as M
@@ -1017,21 +1023,42 @@ def ivfpq_knn_join(
     qv = pruned_vector_fetch(e, id_col, query_ids).select(
         F.col(id_col).alias("qid"), F.col("v").alias("qv")
     )
-    cents_df = M.read_snapshot(spark, centroids_path)
-    qasg = assign_cells(
-        qv.select("qid", F.col("qv").alias("v")), cents_df, "qid"
-    ).select("qid", "cid")
-    qcell_rows = qasg.collect()  # bounded by |Q|
+    # per-query nearest cells, driver-side over bounded frames (|Q|
+    # query vectors, n_cells centroids) — the IDENTICAL half-up-rounded
+    # L2 + cid-tiebreak ordering as assignment/ivfpq_topk, so nprobe=1
+    # probes exactly each query's own cell
+    cents = M.read_snapshot(spark, centroids_path).collect()
+    cent_list = sorted(
+        ((int(r["cid"]), [float(x) for x in r["cv"]]) for r in cents)
+    )
+    q_rows = qv.collect()  # bounded by |Q| (the id-pushed point read)
+    grid = float(1 << bits)
+
+    def _l2(qvec, cv):
+        d = sum((a - b) ** 2 for a, b in zip(qvec, cv)) ** 0.5
+        return math.floor(d * 1e6 + 0.5) / 1e6
+
+    qcell_rows = []
+    for r in q_rows:
+        qvec = [float(x) for x in r["qv"]]
+        qfp = [int(math.floor(x * grid + 0.5)) for x in qvec]
+        ranked = sorted((_l2(qvec, cv), cid) for cid, cv in cent_list)
+        for _, cid in ranked[: max(1, nprobe)]:
+            cv = dict(cent_list)[cid]
+            qc = sum(
+                a * int(math.floor(x * grid + 0.5)) for a, x in zip(qfp, cv)
+            )
+            qcell_rows.append((r["qid"], cid, qc))
     if not qcell_rows:
         return e.filter(F.lit(False)).select(
             F.col(id_col).alias("query_id"),
             F.col(id_col),
             F.lit(None).cast("double").alias("sim"),
         )
-    probe_cids = sorted({int(r["cid"]) for r in qcell_rows if r["cid"] is not None})
+    probe_cids = sorted({cid for _, cid, _ in qcell_rows})
     qcell_map = spark.createDataFrame(
-        [(r["qid"], int(r["cid"])) for r in qcell_rows if r["cid"] is not None],
-        f"qid {e.schema[id_col].dataType.simpleString()}, cid int",
+        qcell_rows,
+        f"qid {e.schema[id_col].dataType.simpleString()}, cid int, qc bigint",
     )
     qsub = qv.select(
         "qid", F.posexplode(_subvectors_dyn(F.col("qv"), m)).alias("sub", "qsv")
@@ -1059,10 +1086,13 @@ def ivfpq_knn_join(
     scored = (
         cand.join(F.broadcast(qcell_map), "cid")
         .filter(F.col(id_col) != F.col("qid"))
-        .select("qid", id_col, F.posexplode("codes").alias("sub", "code"))
+        .select("qid", "qc", id_col, F.posexplode("codes").alias("sub", "code"))
         .join(F.broadcast(adt), ["qid", "sub", "code"])
-        .groupBy("qid", id_col)
-        .agg(F.sum("pdot").alias("score"))
+        .groupBy("qid", id_col, "qc")
+        .agg(F.sum("pdot").alias("rdot"))
+        # q·x̂ = q·c + q·r̂ on one fixed-point grid: cross-cell scores
+        # compare exactly (a per-query constant when nprobe=1)
+        .select("qid", id_col, (F.col("rdot") + F.col("qc")).alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc_nulls_last(), F.col(id_col).asc()

@@ -1313,3 +1313,121 @@ register(
       FROM rr) WHERE rn <= {TOP_K}
     """,
 )
+
+
+def q_knn_join_pq_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch k-NN join with the deployed recall knob turned:
+    nprobe={IVFPQ_NPROBE} cells per query instead of one, no rebuild —
+    each extra probe adds that cell's pruned segment scan to the
+    SHARED candidate pool, and cross-cell scores stay comparable by
+    adding each (query, cell)'s fixed-point q·centroid constant back
+    onto the residual dots (exact BIGINTs). Same persisted index,
+    same id-pushed rerank; oracled exact end-to-end."""
+    tune(spark)
+    centroids_path, codebooks_path, codes_path = _ivfpq_index(spark, sf_dir)
+    return SIM.ivfpq_knn_join(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        list(range(KNN_PQ_NQ)),
+        TOP_K,
+        PQ_M,
+        centroids_path,
+        codebooks_path,
+        codes_path,
+        pool=RERANK_POOL,
+        nprobe=IVFPQ_NPROBE,
+    )
+
+
+register(
+    "q_knn_join_pq_nprobe",
+    q_knn_join_pq_nprobe,
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ctr AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+            ORDER BY vec_id ASC LIMIT {N_CELLS}),
+    asg AS (
+      SELECT e.vec_id, e.v, ctr.cid, ctr.cv,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ROUND(list_distance(e.v, ctr.cv), 6) ASC NULLS FIRST,
+                                         ctr.cid ASC) AS rn
+      FROM e CROSS JOIN ctr),
+    cells AS (SELECT vec_id, v, cid, cv FROM asg WHERE rn = 1),
+    res AS (SELECT vec_id, cid,
+                   list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
+            FROM cells),
+    subs AS (SELECT unnest(range(0, {PQ_M})) AS sub),
+    rsv AS (SELECT res.vec_id, res.cid, subs.sub,
+                   list_transform(
+                     res.r[(CAST(subs.sub AS INT) * (len(res.r) // {PQ_M}) + 1)
+                           :((CAST(subs.sub AS INT) + 1) * (len(res.r) // {PQ_M}))],
+                     x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS svf
+            FROM res CROSS JOIN subs),
+    cb AS (SELECT s.sub,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY s.sub
+                                          ORDER BY s.vec_id ASC) - 1 AS INT) AS code,
+                  s.svf AS cwf
+           FROM rsv s
+           WHERE s.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id ASC LIMIT {PQ_KSUB})),
+    dists AS (SELECT v.vec_id, v.sub, c.code,
+                     CAST(list_sum(list_transform(range(1, len(v.svf) + 1),
+                            i -> (v.svf[i] - c.cwf[i]) * (v.svf[i] - c.cwf[i])))
+                          AS BIGINT) AS dist
+              FROM rsv v JOIN cb c ON v.sub = c.sub),
+    enc AS (SELECT vec_id, sub, code FROM (
+              SELECT vec_id, sub, code,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY dist ASC, code ASC) AS rn
+              FROM dists) WHERE rn = 1),
+    qset AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {KNN_PQ_NQ}),
+    qrank AS (SELECT q.qid, q.qv, ctr.cid, ctr.cv,
+                     ROW_NUMBER() OVER (PARTITION BY q.qid
+                        ORDER BY ROUND(list_distance(q.qv, ctr.cv), 6) ASC NULLS FIRST,
+                                 ctr.cid ASC) AS rn
+              FROM qset q CROSS JOIN ctr),
+    qcells AS (SELECT qid, cid,
+                      CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                            i -> CAST(floor(qv[i] * 1048576.0 + 0.5) AS BIGINT)
+                                 * CAST(floor(cv[i] * 1048576.0 + 0.5) AS BIGINT)))
+                           AS BIGINT) AS qc
+               FROM qrank WHERE rn <= {IVFPQ_NPROBE}),
+    qsv AS (SELECT q.qid, subs.sub,
+                   list_transform(
+                     q.qv[(CAST(subs.sub AS INT) * (len(q.qv) // {PQ_M}) + 1)
+                          :((CAST(subs.sub AS INT) + 1) * (len(q.qv) // {PQ_M}))],
+                     x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS qsvf
+            FROM qset q CROSS JOIN subs),
+    adt AS (SELECT q.qid, c.sub, c.code,
+                   CAST(list_sum(list_transform(range(1, len(q.qsvf) + 1),
+                          i -> q.qsvf[i] * c.cwf[i])) AS BIGINT) AS pdot
+            FROM cb c JOIN qsv q ON c.sub = q.sub),
+    approx AS (SELECT qc2.qid, enc.vec_id,
+                      CAST(SUM(adt.pdot) + qc2.qc AS BIGINT) AS score
+               FROM enc
+               JOIN res ON enc.vec_id = res.vec_id
+               JOIN qcells qc2 ON res.cid = qc2.cid AND enc.vec_id <> qc2.qid
+               JOIN adt ON adt.qid = qc2.qid
+                       AND enc.sub = adt.sub AND enc.code = adt.code
+               GROUP BY qc2.qid, enc.vec_id, qc2.qc),
+    pool AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY score DESC NULLS LAST,
+                                                  vec_id ASC) AS rn
+               FROM approx) WHERE rn <= {RERANK_POOL}),
+    rr AS (SELECT p.qid, p.vec_id,
+                  ROUND(list_cosine_similarity(e.v, q.qv), 6) AS sim6
+           FROM pool p
+           JOIN e ON p.vec_id = e.vec_id
+           JOIN qset q ON p.qid = q.qid)
+    SELECT qid AS query_id, vec_id, ROUND(sim6, 4) AS sim FROM (
+      SELECT qid, vec_id, sim6,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim6 DESC NULLS LAST, vec_id ASC) AS rn
+      FROM rr) WHERE rn <= {TOP_K}
+    """,
+)

@@ -1494,3 +1494,20 @@ def test_ivfpq_knn_join_matches_per_query_topk(spark, tmp_path):
             ).collect()
         ]
         assert by_q[q] == solo, f"query {q}: batch != solo"
+    # nprobe parity: the batch recall knob must match the single-query
+    # probe cell-for-cell (same ranking, same q·c constants)
+    got2 = SIM.ivfpq_knn_join(
+        spark, emb, "vec_id", "embedding", qids, 5, 4, *paths, pool=20, nprobe=2
+    ).collect()
+    by_q2 = {}
+    for r in got2:
+        by_q2.setdefault(r["query_id"], []).append((r["vec_id"], r["sim"]))
+    for q in qids:
+        solo2 = [
+            (r["vec_id"], r["sim"])
+            for r in SIM.ivfpq_topk(
+                spark, emb, "vec_id", "embedding", q, 5, 4, *paths,
+                pool=20, nprobe=2,
+            ).collect()
+        ]
+        assert by_q2[q] == solo2, f"query {q}: batch nprobe=2 != solo"
