@@ -1060,6 +1060,13 @@ def ivfpq_knn_join(
         qcell_rows,
         f"qid {e.schema[id_col].dataType.simpleString()}, cid int, qc bigint",
     )
+    # the query vectors are already driver-held (bounded): downstream
+    # consumers (ADT build, rerank) read the literal frame instead of
+    # re-running the point-read scan once per action
+    qv = spark.createDataFrame(
+        [(r["qid"], [float(x) for x in r["qv"]]) for r in q_rows],
+        f"qid {e.schema[id_col].dataType.simpleString()}, qv array<double>",
+    )
     qsub = qv.select(
         "qid", F.posexplode(_subvectors_dyn(F.col("qv"), m)).alias("sub", "qsv")
     ).select("qid", "sub", fixed_point(F.col("qsv"), bits).alias("qsvf"))
