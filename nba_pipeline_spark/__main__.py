@@ -301,6 +301,27 @@ def cmd_lake(args) -> int:
         )
         print(json.dumps({"versions_processed": n}))
         return 0
+    if args.action == "backfill":
+        if not (args.state and args.dest):
+            print("backfill requires --state and --dest", file=sys.stderr)
+            return 2
+
+        chunks = {"n": 0}
+
+        def _land(df, idx, n_chunks):
+            M.commit_append(spark, args.dest, df, tag=f"backfill={idx}")
+            chunks["n"] = n_chunks
+
+        v = M.backfill_snapshot_chunks(
+            spark, args.path, _land, args.state,
+            chunk_segments=args.chunk_segments,
+        )
+        print(json.dumps({
+            "pinned_version": v,
+            "n_chunks": chunks["n"],
+            "starting_version": v + 1,  # hand the stream off here
+        }))
+        return 0
     if args.action == "zorder":
         if args.incremental:
             v = M.cluster_incremental(spark, args.path)
@@ -392,7 +413,7 @@ def main(argv: list[str] | None = None) -> int:
     lk = sub.add_parser("lake")
     lk.add_argument(
         "action",
-        help="history|compact|vacuum|describe|restore|clone|constraint|zorder",
+        help="history|compact|vacuum|describe|restore|clone|constraint|zorder|backfill|feed|rename-column|drop-column",
     )
     lk.add_argument("path", help="manifest lake root")
     lk.add_argument("--target-files", type=int, default=1)
@@ -426,6 +447,10 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument(
         "--max-versions", type=int, default=None,
         help="feed: process at most N versions this run",
+    )
+    lk.add_argument(
+        "--chunk-segments", type=int, default=8,
+        help="backfill: max segments per bounded chunk",
     )
     ix = sub.add_parser("index")
     ix.add_argument("action", help="build|update|build-pq")

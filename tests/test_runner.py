@@ -375,3 +375,30 @@ def test_airflow_dag_module_parses_without_scheduler():
     else:  # with a scheduler env: real DAGs build with the same ids
         dags = AD.build_dags()
         assert set(dags) == set(ids)
+
+
+def test_cli_lake_backfill(spark, tmp_path, capsys):
+    import json
+
+    from nba_pipeline_spark.__main__ import main
+    from nba_pipeline_spark.sources.manifest import commit_append, read_snapshot
+
+    src, dst, state = (str(tmp_path / d) for d in ("src", "dst", "bst"))
+    for i in range(5):
+        commit_append(
+            spark, src, spark.createDataFrame([(i,)], "id int")
+        )
+    assert main([
+        "lake", "backfill", src, "--dest", dst, "--state", state,
+        "--chunk-segments", "2",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"pinned_version": 5, "n_chunks": 3, "starting_version": 6}
+    assert sorted(r["id"] for r in read_snapshot(spark, dst).collect()) == [0, 1, 2, 3, 4]
+    # re-run: checkpoint complete, nothing re-lands
+    assert main([
+        "lake", "backfill", src, "--dest", dst, "--state", state,
+        "--chunk-segments", "2",
+    ]) == 0
+    capsys.readouterr()
+    assert read_snapshot(spark, dst).count() == 5
