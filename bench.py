@@ -113,6 +113,7 @@ HEADLINE = [
     "q_pack_sequences",
     "q_text_chunks",
     "q_knn_join_pq_nprobe",
+    "q_pack_incremental",
 ]
 
 

@@ -1493,3 +1493,172 @@ register(
     FROM placed GROUP BY shard, start // {PACK_CTX}
     """,
 )
+
+
+# ---------------------------------------------------------------------
+# r8: INCREMENTAL sequence packing — new ingest batches append to each
+# shard's token stream at the persisted per-shard offset (the
+# incremental span-dedup discipline applied to the loader build):
+# settled docs are never re-read, each batch costs O(batch) plus one
+# broadcast join against an O(shards) state table.
+# ---------------------------------------------------------------------
+
+PACK_BATCHES = 3  # deterministic ingest split: doc_id % 3
+
+
+def pack_batch(
+    batch: DataFrame, state: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """Place one ingest batch into the packed stream: within (shard)
+    the batch's docs order by (h, doc_id), offsets continue from the
+    persisted per-shard token total (0 for unseen shards). Returns
+    (placed rows with absolute `start`, the NEW state = per-shard
+    totals). Batch cost: one narrow tokenize pass, one shard-keyed
+    window over BATCH rows only, one broadcast join against the
+    O(shards) state."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    toks = batch.select(
+        "doc_id",
+        h.alias("h"),
+        TX.token_count_ws(F.col("text")).cast("bigint").alias("n"),
+    ).withColumn("shard", (F.col("h") % PACK_SHARDS).cast("int"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("h"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = toks.select(
+        "doc_id",
+        "h",
+        "shard",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0).cast("bigint")).alias("__loc"),
+    )
+    if state is not None:
+        base = state.select("shard", F.col("total").alias("__base"))
+        local = local.join(F.broadcast(base), "shard", "left").withColumn(
+            "__base", F.coalesce(F.col("__base"), F.lit(0).cast("bigint"))
+        )
+    else:
+        local = local.withColumn("__base", F.lit(0).cast("bigint"))
+    placed = local.select(
+        "doc_id",
+        "shard",
+        "n",
+        (F.col("__base") + F.col("__loc")).alias("start"),
+    )
+    new_totals = placed.groupBy("shard").agg(
+        (F.max(F.col("start") + F.col("n"))).alias("total")
+    )
+    if state is not None:
+        merged = (
+            state.select("shard", "total")
+            .unionByName(new_totals)
+            .groupBy("shard")
+            .agg(F.max("total").alias("total"))
+        )
+    else:
+        merged = new_totals
+    return placed, merged
+
+
+def _pack_incr_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Three deterministic ingest batches (doc_id % 3 = 0, 1, 2) folded
+    through pack_batch with the state persisted as a manifest lake
+    between batches — the loader-shard build running as ingestion, not
+    as a full-corpus job."""
+    from ..sources import manifest as M
+    from .relational_queries import _stage_dir
+
+    root = _stage_dir(sf_dir, "documents", "pack_incremental")
+    placed_lake, state_lake = f"{root}/placed", f"{root}/state"
+
+    import os
+    import shutil
+
+    marker = os.path.join(root, "_STAGE_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        for b in range(PACK_BATCHES):
+            batch = docs.filter(F.col("doc_id") % PACK_BATCHES == b)
+            state = (
+                M.read_snapshot(spark, state_lake)
+                if M.current_version(spark, state_lake)
+                else None
+            )
+            placed, new_state = pack_batch(batch, state)
+            M.commit_append(
+                spark, placed_lake,
+                placed.withColumn("batch", F.lit(b)),
+                tag=f"pack={b}",
+            )
+            M.commit_replace(spark, state_lake, new_state)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return placed_lake
+
+
+def q_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sequence packing: three ingest batches (doc_id % 3)
+    each place their docs at the PERSISTED per-shard offsets and
+    advance the state — settled docs never re-read, per-batch cost
+    O(batch) + one broadcast of the O(shards) state table. Because
+    offsets are deterministic functions of (batch, salted hash,
+    doc_id), the oracle replays the whole incremental history as ONE
+    window ordered by (batch, h, doc_id) per shard — exact, no weaker
+    incremental-only check (the q_dedup_spans_incremental
+    discipline)."""
+    from ..sources import manifest as M
+
+    tune(spark)
+    placed_lake = _pack_incr_stage(spark, sf_dir)
+    placed = M.read_snapshot(spark, placed_lake)
+    return placed.select(
+        "shard",
+        "n",
+        F.expr(f"start div {PACK_CTX}").alias("bin"),
+        (
+            F.expr(f"start div {PACK_CTX}")
+            != F.expr(f"(start + n - 1) div {PACK_CTX}")
+        ).cast("int").alias("spans"),
+    ).groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum("spans").cast("bigint").alias("n_spanning"),
+    )
+
+
+register(
+    "q_pack_incremental",
+    q_pack_incremental,
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(doc_id % {PACK_BATCHES} AS INT) AS batch,
+             CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n
+      FROM documents),
+    s AS (SELECT doc_id, batch, h, n, CAST(h % {PACK_SHARDS} AS INT) AS shard FROM t),
+    placed AS (
+      SELECT shard, n,
+             COALESCE(SUM(n) OVER (PARTITION BY shard
+                                   ORDER BY batch, h, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS start
+      FROM s)
+    SELECT shard, CAST(start // {PACK_CTX} AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN start // {PACK_CTX}
+                         <> (start + n - 1) // {PACK_CTX} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spanning
+    FROM placed GROUP BY shard, start // {PACK_CTX}
+    """,
+)

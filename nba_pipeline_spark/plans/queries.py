@@ -107,6 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_pack_sequences",
     "q_text_chunks",
     "q_knn_join_pq_nprobe",
+    "q_pack_incremental",
     # backfill: r2-window greens longest since last sample, import order
     "q_json_extract",
     "q_array_ops",
