@@ -295,3 +295,56 @@ def quarantine_ingest_sink(
         )
 
     return _apply
+
+
+def pack_ingest_sink(
+    docs_stream: DataFrame,
+    placed_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+):
+    """Continuous sequence packing — the streaming twin of
+    q_pack_incremental (plans/corpus_queries.py::pack_batch): each
+    micro-batch's docs place at the PERSISTED per-shard token offsets
+    and the state lake advances, so the loader-shard layout is
+    maintained as documents arrive instead of by a full-corpus job.
+
+    Exactly-once under replay WITHOUT a snapshot layout: both commits
+    carry the ``pack=<batch_id>`` idempotency tag. The state replace
+    is computed from the PRE-batch state, so the two crash windows
+    both converge — (a) crash before the placed append: full redo from
+    the same pre-batch state; (b) crash between the placed append and
+    the state replace: the redo recomputes the identical placement
+    from the still-unadvanced state, the placed append skips on its
+    tag, and the state replace lands. A batch whose BOTH tags are
+    present is a pure no-op. Per-trigger cost: O(batch) tokenize +
+    one shard-keyed window over batch rows + one broadcast of the
+    O(shards) state — settled docs never re-read.
+
+    Returns the streaming query (availableNow trigger; await it)."""
+    from ..plans.corpus_queries import pack_batch
+    from ..sources import manifest as M
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"pack={batch_id}"
+        state = (
+            M.read_snapshot(spark, state_path)
+            if M.current_version(spark, state_path)
+            else None
+        )
+        placed, new_state = pack_batch(batch_df, state)
+        placed = placed.localCheckpoint(eager=True)  # one computation
+        M.commit_append(
+            spark, placed_path,
+            placed.withColumn("batch", F.lit(batch_id)),
+            tag=tag,
+        )
+        M.commit_replace(spark, state_path, new_state, tag=tag)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

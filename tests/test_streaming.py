@@ -489,3 +489,78 @@ def test_quarantine_ingest_sink_dual_channel_and_replay(spark, tmp_path):
     drain("ckpt2")  # replay: same dirs rewritten, same contents
     ok2 = {r["id"] for r in spark.read.parquet(f"{lake}/batch=*").collect()}
     assert ok2 == ok
+
+
+def test_pack_ingest_sink_stream_equals_batch_and_replay(spark, tmp_path):
+    """Streaming sequence packing over 3 micro-batches equals the
+    incremental batch fold over the same ingest order; a full replay
+    (fresh checkpoint, same batch ids) is a tag-skipped no-op."""
+    import os, shutil
+
+    from nba_pipeline_spark.plans.corpus_queries import pack_batch
+    from nba_pipeline_spark.sources import manifest as M
+    from nba_pipeline_spark.streaming.sinks import pack_ingest_sink
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    batches = [
+        [(i, "w", "tok " * (i + 1)) for i in range(0, 4)],
+        [(i, "w", "tok " * (i + 1)) for i in range(4, 7)],
+        [(i, "w", "tok " * (i + 1)) for i in range(7, 10)],
+    ]
+    for i, rows in enumerate(batches):
+        sub = f"{src}/w{i}"
+        spark.createDataFrame(
+            rows, "doc_id int, source string, text string"
+        ).coalesce(1).write.parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(f"{sub}/{part}", f"{src}/{i:03d}.parquet")
+        shutil.rmtree(sub)
+        os.utime(f"{src}/{i:03d}.parquet", (1000 + i, 1000 + i))
+
+    placed_lake = str(tmp_path / "placed")
+    state_lake = str(tmp_path / "state")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id int, source string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        pack_ingest_sink(
+            stream, placed_lake, state_lake, str(tmp_path / ckpt)
+        ).awaitTermination()
+
+    drain("ckpt1")
+    got = {
+        (r["doc_id"], r["shard"], int(r["start"]), int(r["n"]))
+        for r in M.read_snapshot(spark, placed_lake).collect()
+    }
+    # batch twin: fold the same three batches through pack_batch
+    state = None
+    want = set()
+    for rows in batches:
+        df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+        placed, state = pack_batch(df, state)
+        placed = placed.localCheckpoint(eager=True)
+        want |= {
+            (r["doc_id"], r["shard"], int(r["start"]), int(r["n"]))
+            for r in placed.collect()
+        }
+    assert got == want and len(got) == 10
+    # totals in the state lake equal the per-shard max end
+    totals = {
+        r["shard"]: int(r["total"])
+        for r in M.read_snapshot(spark, state_lake).collect()
+    }
+    ends: dict = {}
+    for d, sh, st, n in got:
+        ends[sh] = max(ends.get(sh, 0), st + n)
+    assert totals == ends
+    # replay: fresh checkpoint, same batch ids -> both commits tag-skip
+    v_placed = M.current_version(spark, placed_lake)
+    v_state = M.current_version(spark, state_lake)
+    drain("ckpt2")
+    assert M.current_version(spark, placed_lake) == v_placed
+    assert M.current_version(spark, state_lake) == v_state
+    assert M.read_snapshot(spark, placed_lake).count() == 10
