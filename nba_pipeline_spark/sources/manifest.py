@@ -1715,6 +1715,23 @@ def cluster_incremental(
                 f"cluster_incremental needs a prior cluster() commit "
                 f"(no persisted z-order spec): {path}"
             )
+        # the spec records PHYSICAL column names. A full-rewrite op that
+        # MATERIALIZED a column mapping rewrote the segments under the
+        # logical names — the spec's old physical names no longer exist
+        # and routing would fail opaquely (or mis-bucket) — raise the
+        # real diagnosis: the layout is gone, re-run cluster()
+        props_b = dict(base.get("props", {}))
+        sch_b = props_b.get("schema")
+        if sch_b:
+            phys_now = {_physical(props_b, n) for n, _ in sch_b["cols"]}
+            stale = [c for c in spec["cols"] if c not in phys_now]
+            if stale:
+                raise ValueError(
+                    f"cluster_incremental: persisted z-order spec references "
+                    f"column(s) {stale} that no longer exist physically (a "
+                    "full rewrite materialized a rename) — the clustered "
+                    f"layout was destroyed; re-run cluster(): {path}"
+                )
         _require_no_tombstones(base, path, "cluster_incremental")
         meta = base.get("meta", {})
         cols, bits = list(spec["cols"]), int(spec["bits"])

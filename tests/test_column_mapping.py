@@ -398,3 +398,40 @@ def test_snapshot_diff_projects_both_versions_through_rename(spark, lake):
     assert got == {(3, "insert"), (2, "update")}, got
     upd = [r for r in diff2 if r["k"] == 2][0]
     assert upd["old"]["label"] == "b" and upd["new"]["label"] == "B2"
+
+
+def test_feed_bridges_renames_and_stale_zspec_raises(spark, tmp_path):
+    # (a) the CDC feed crosses a rename commit cleanly: the rename
+    # itself produces ZERO change rows (physical identity bridges it),
+    # and later changes attribute under the new logical names
+    p = str(tmp_path / "feedlake")
+    M.commit_append(spark, p, _rows(spark, [(1, "a"), (2, "b")]))   # v1
+    M.rename_column(spark, p, "v", "label")                         # v2
+    M.commit_append(spark, p, _rows(spark, [(3, "c")], "k int, label string"))  # v3
+    feed = M.read_feed(spark, p, ["k"], v_from=1).collect()
+    got = {(r["k"], r["op"], r["version"]) for r in feed}
+    assert got == {(3, "insert", 3)}, got
+    # (b) a stale z-order spec after mapping materialization raises the
+    # real diagnosis instead of an opaque missing-column error
+    q = str(tmp_path / "zlake")
+    M.commit_append(
+        spark, q,
+        spark.createDataFrame([(i, i * 2) for i in range(20)], "a int, b int"),
+    )
+    M.cluster(spark, q, ["a"], target_segments=2, bits_per_col=2)
+    M.rename_column(spark, q, "a", "key_a")
+    # full-rewrite MERGE materializes the mapping -> physical 'a' gone
+    ch = spark.createDataFrame([(1, 99, 1)], "key_a int, b int, ver int")
+    M.commit_upsert(spark, q, ch, ["key_a"], "ver")
+    M.commit_append(
+        spark, q, spark.createDataFrame([(100, 0)], "key_a int, b int")
+    )
+    with pytest.raises(ValueError, match="re-run cluster"):
+        M.cluster_incremental(spark, q)
+    # re-clustering on the new names restores maintenance
+    M.cluster(spark, q, ["key_a"], target_segments=2, bits_per_col=2)
+    M.commit_append(
+        spark, q, spark.createDataFrame([(101, 0)], "key_a int, b int")
+    )
+    M.cluster_incremental(spark, q)
+    assert M.read_snapshot(spark, q).count() == 22
