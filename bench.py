@@ -114,6 +114,11 @@ HEADLINE = [
     "q_text_chunks",
     "q_knn_join_pq_nprobe",
     "q_pack_incremental",
+    # round-8 continuation (metadata-only aggregates, branch WAP,
+    # bounded-key dim fetch join)
+    "q_manifest_agg_meta",
+    "q_manifest_wap",
+    "q_manifest_keyed_join",
 ]
 
 

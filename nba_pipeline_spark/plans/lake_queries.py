@@ -1685,3 +1685,182 @@ register(
     FROM orders GROUP BY o_orderkey % 10
     """,
 )
+
+
+# ---------------------------------------------------------------------
+# r8 continuation: metadata-only aggregation, branch write-audit-publish,
+# and the bounded-key dim fetch — the three table-format moves that keep
+# a 100 TB lake's everyday queries off the data files entirely.
+# ---------------------------------------------------------------------
+
+
+def _statsagg_lake(spark: SparkSession, sf_dir: str) -> str:
+    """orders in three key bands, every append recording rows/min-max/
+    null-count metadata (one agg job per write — see _stats_meta), plus
+    a deliberately nullable derived column so COUNT(col) has NULLs to
+    subtract."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_statsagg")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("maybe_price"),
+        )
+        for band in range(3):
+            M.commit_append(
+                spark,
+                lake,
+                orders.filter(F.col("o_orderkey") % 3 == band),
+                stats_cols=[
+                    "o_orderkey", "o_totalprice", "o_orderdate", "maybe_price",
+                ],
+            )
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_agg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY aggregate (the Iceberg/Delta trick): COUNT(*),
+    MIN/MAX, and non-null COUNT(col) answered from the manifest's
+    per-segment rows/stats/nulls — `allow_scan=False` PROVES no data
+    file is opened (it raises if any segment would need scanning). At
+    100 TB this is a KB manifest read; the oracle recomputes the same
+    aggregates the hard way over the source parquet."""
+    tune(spark)
+    lake = _statsagg_lake(spark, sf_dir)
+    return M.metadata_agg(
+        spark,
+        lake,
+        min_cols=["o_orderkey", "o_orderdate"],
+        max_cols=["o_orderkey", "o_totalprice", "o_orderdate"],
+        count_cols=["maybe_price"],
+        allow_scan=False,
+    )
+
+
+register(
+    "q_manifest_agg_meta",
+    q_manifest_agg_meta,
+    """
+    SELECT COUNT(*) AS count_rows,
+           MIN(o_orderkey) AS min_o_orderkey,
+           MIN(o_orderdate) AS min_o_orderdate,
+           MAX(o_orderkey) AS max_o_orderkey,
+           MAX(o_totalprice) AS max_o_totalprice,
+           MAX(o_orderdate) AS max_o_orderdate,
+           COUNT(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                      ELSE o_totalprice END) AS count_maybe_price
+    FROM orders
+    """,
+)
+
+
+def _wap_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Write-audit-publish: base = orders with o_orderkey % 4 <= 1; a
+    BRANCH ingests the other half, the audit finds rows violating the
+    quality rule (o_totalprice < 300000), a copy-on-write delete
+    removes them ON THE BRANCH, and publish fast-forwards main — which
+    is asserted UNTOUCHED mid-flight. Final contents are a pure
+    predicate over orders, which is what the oracle replays."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_wap")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        base = orders.filter(F.col("o_orderkey") % 4 <= 1)
+        M.commit_append(spark, lake, base)
+        n_base = M.read_snapshot(spark, lake).count()
+        b = M.create_branch(spark, lake, "ingest")
+        M.commit_append(spark, b, orders.filter(F.col("o_orderkey") % 4 >= 2))
+        # audit: the branch's NEW rows must satisfy the price rule;
+        # violations are CoW-deleted on the branch before anyone sees them
+        bad = (
+            M.read_snapshot(spark, b)
+            .filter(
+                (F.col("o_orderkey") % 4 >= 2)
+                & (F.col("o_totalprice") >= 300000)
+            )
+            .select("o_orderkey")
+        )
+        M.commit_delete(spark, b, bad, ["o_orderkey"])
+        # main is isolated until publish — the whole point of WAP
+        assert M.read_snapshot(spark, lake).count() == n_base
+        M.publish_branch(spark, lake, "ingest")
+        assert M.list_branches(spark, lake) == []
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch + write-audit-publish (Iceberg WAP re-expressed on the
+    manifest format — sources/manifest.py::create_branch/
+    publish_branch): ingest lands on a shallow-fork branch, the audit
+    deletes rule-violating rows there, and ONE CAS fast-forward makes
+    the audited batch visible on main. The read is over main AFTER
+    publish; the oracle replays base ∪ (new ∩ rule)."""
+    tune(spark)
+    lake = _wap_lake(spark, sf_dir)
+    return _agg(M.read_snapshot(spark, lake))
+
+
+register(
+    "q_manifest_wap",
+    q_manifest_wap,
+    _AGG_ORACLE.format(
+        where=" WHERE o_orderkey % 4 <= 1 OR o_totalprice < 300000"
+    ),
+)
+
+
+def q_manifest_keyed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-driven point-fetch join (sources/manifest.py::
+    read_for_keys): a bounded key list (flagged orders, o_orderkey %
+    997 = 0) fetches from the year-segmented bloom lake via manifest
+    bloom + point-in-range skipping AND a pushed `isin` (parquet
+    row-group stats + file blooms prune inside surviving segments),
+    then broadcast-joins the customer dim. The 100 TB shape: the fact
+    scan is O(matching segments), never O(table) — the same pruned
+    point-fetch the ANN rerank uses (similarity.py::
+    pruned_vector_fetch), here as a first-class relational operator."""
+    tune(spark)
+    lake = _bloom_lake(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    keys = sorted(
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_orderkey") % 997 == 0)
+        .select("o_orderkey")
+        .distinct()
+        .collect()
+    )
+    fact = M.read_for_keys(spark, lake, "o_orderkey", keys)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        fact.join(F.broadcast(cust), fact["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+register(
+    "q_manifest_keyed_join",
+    q_manifest_keyed_join,
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 997 = 0
+    GROUP BY c_mktsegment
+    """,
+)

@@ -108,6 +108,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_chunks",
     "q_knn_join_pq_nprobe",
     "q_pack_incremental",
+    "q_manifest_agg_meta",
+    "q_manifest_wap",
+    "q_manifest_keyed_join",
     # backfill: r2-window greens longest since last sample, import order
     "q_json_extract",
     "q_array_ops",

@@ -216,8 +216,16 @@ def _commit(
     meta_fn=None,
     deletes_fn=None,
     props_fn=None,
+    min_version: int | None = None,
 ) -> int:
     """Publish a new manifest via rename-if-absent CAS.
+
+    `min_version` floors the committed version number (version =
+    max(parent + 1, min_version)) — version numbers may SKIP, which
+    every reader tolerates (the manifest dir is scanned, not counted).
+    Used by the branch/WAP flow so branch commits CONTINUE main's
+    numbering and publish adopts the branch head's: the merge-on-read
+    ``seq`` fence stays totally ordered across the branch boundary.
 
     ``segments_fn(parent_manifest | None) -> list[str]`` computes the
     new live segment list from the parent snapshot; it re-runs on CAS
@@ -258,6 +266,8 @@ def _commit(
             )
         parent_m = _read_manifest(spark, path, parent) if versions else None
         version = parent + 1
+        if min_version is not None and version < min_version:
+            version = min_version
         tags = list(parent_m.get("tags", [])) if parent_m else []
         if tag is not None:
             # atomic idempotency: the check runs INSIDE the CAS loop on
@@ -786,6 +796,74 @@ def _bloom_probe_hashes(spark: SparkSession, value) -> list[int]:
     return [int(row[f"h{i}"]) for i in range(_BLOOM_HASHES)]
 
 
+def _token_bloom(df: DataFrame, col: str) -> dict | None:
+    """Segment bloom over the WHITESPACE TOKENS of a string column
+    (lowercased) — keyword-search segment skipping: "which segments
+    mention this term" answered from the manifest, the decontamination
+    / attribution / grep-at-100TB probe. Same adaptive sizing and
+    single-agg-job build as `_segment_bloom`; per-segment distinct
+    tokens are vocabulary-bounded, so these stay small where a doc-id
+    bloom would saturate."""
+    from pyspark.sql import functions as F
+
+    toks = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(col)), r"\s+")).alias(col)
+        )
+        .filter(F.col(col) != "")
+    )
+    return _segment_bloom(toks, col)
+
+
+def _bloom_probes(spark: SparkSession, bloom_eq: dict) -> dict:
+    """{col: [probe-hash-list, ...]} for a `bloom_eq` whose values are
+    scalars OR collections (any-of semantics — the dim-driven join
+    probe). Collections hash in ONE job per column (a local frame of
+    the probe values — bounded by the caller's broadcast contract),
+    never a 1-row job per value."""
+    from pyspark.sql import functions as F
+
+    out: dict = {}
+    for c, val in bloom_eq.items():
+        vals = (
+            list(val)
+            if isinstance(val, (list, tuple, set, frozenset))
+            else [val]
+        )
+        if len(vals) == 1:
+            out[c] = [_bloom_probe_hashes(spark, vals[0])]
+            continue
+        rows = (
+            spark.createDataFrame([(v,) for v in vals], ["__probe"])
+            .select(*[
+                h.alias(f"h{i}")
+                for i, h in enumerate(_bloom_hash_cols(F.col("__probe")))
+            ])
+            .collect()
+        )
+        out[c] = [
+            [int(r[f"h{i}"]) for i in range(_BLOOM_HASHES)] for r in rows
+        ]
+    return out
+
+
+def _token_probes(spark: SparkSession, token_eq: dict | None) -> dict | None:
+    """Probe hashes for `token_eq` ({text_col: token | [tokens]}) —
+    lowercased to match the build-side normalization; any-of across
+    multiple tokens, like every other probe."""
+    if not token_eq:
+        return None
+    lowered = {
+        c: (
+            [str(t).lower() for t in v]
+            if isinstance(v, (list, tuple, set, frozenset))
+            else str(v).lower()
+        )
+        for c, v in token_eq.items()
+    }
+    return _bloom_probes(spark, lowered)
+
+
 def _bloom_maybe_contains(entry: dict, hashes: list[int]) -> bool:
     import base64
 
@@ -795,19 +873,35 @@ def _bloom_maybe_contains(entry: dict, hashes: list[int]) -> bool:
     return all((bitmap >> (h % m)) & 1 for h in hashes)
 
 
-def _segment_stats(df: DataFrame, stats_cols: list[str]) -> dict:
-    """Per-column [min, max] for the written frame — ONE agg job
+def _stats_meta(df: DataFrame, stats_cols: list[str]) -> dict:
+    """Segment-level statistics for the written frame — ONE agg job
     (numeric / string / date columns; the write-time cost of read-time
-    data skipping)."""
+    data skipping AND metadata-only aggregation):
+
+      {"stats": {col: [min, max]},   # range pruning (_prune_segments)
+       "rows": n,                    # metadata_agg COUNT(*)
+       "nulls": {col: n_null}}       # metadata_agg COUNT(col)
+
+    min/max ignore NULLs (Spark agg semantics — matches what a scan
+    would compute); an all-NULL column records [None, None]."""
     from pyspark.sql import functions as F
 
     row = df.agg(
+        F.count(F.lit(1)).alias("__rows"),
         *[F.min(c).alias(f"__mn_{c}") for c in stats_cols],
         *[F.max(c).alias(f"__mx_{c}") for c in stats_cols],
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}")
+            for c in stats_cols
+        ],
     ).collect()[0]
     return {
-        c: [_json_safe(row[f"__mn_{c}"]), _json_safe(row[f"__mx_{c}"])]
-        for c in stats_cols
+        "stats": {
+            c: [_json_safe(row[f"__mn_{c}"]), _json_safe(row[f"__mx_{c}"])]
+            for c in stats_cols
+        },
+        "rows": int(row["__rows"]),
+        "nulls": {c: int(row[f"__nl_{c}"] or 0) for c in stats_cols},
     }
 
 
@@ -820,13 +914,15 @@ def commit_append(
     partition: dict | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    token_bloom_cols: list[str] | None = None,
 ) -> int:
     """Append `df` as a new segment; returns the committed version.
     Pass `tag` for an idempotency token (see `_commit`/`committed_tags`),
-    `partition` ({col: value}) / `stats_cols` / `bloom_cols` to record
-    manifest metadata for segment-level pruning: partition equality,
-    min/max ranges, and bloom point lookups respectively
-    (`read_snapshot(part_eq= / ranges= / bloom_eq=)`)."""
+    `partition` ({col: value}) / `stats_cols` / `bloom_cols` /
+    `token_bloom_cols` to record manifest metadata for segment-level
+    pruning: partition equality, min/max ranges, bloom point lookups,
+    and keyword-token blooms respectively (`read_snapshot(part_eq= /
+    ranges= / bloom_eq= / token_eq=)`)."""
     _check_constraints(spark, path, df)
     _check_schema(spark, path, df)
     # the physical translation below is derived from props READ BEFORE
@@ -859,17 +955,25 @@ def commit_append(
         bloom_t = [
             _physical(props0, c) for c in bloom_cols
         ] if bloom_cols else bloom_cols
+        tok_t = [
+            _physical(props0, c) for c in token_bloom_cols
+        ] if token_bloom_cols else token_bloom_cols
         seg = _write_segment(phys_df, path, target_files, bloom_cols=bloom_t)
         seg_meta: dict = {}
         if partition_t is not None:
             seg_meta["part"] = {k: _json_safe(v) for k, v in partition_t.items()}
         if stats_t:
-            seg_meta["stats"] = _segment_stats(phys_df, stats_t)
+            seg_meta.update(_stats_meta(phys_df, stats_t))
         if bloom_t:
             blooms = {c: _segment_bloom(phys_df, c) for c in bloom_t}
             blooms = {c: b for c, b in blooms.items() if b is not None}
             if blooms:
                 seg_meta["bloom"] = blooms
+        if tok_t:
+            tblooms = {c: _token_bloom(phys_df, c) for c in tok_t}
+            tblooms = {c: b for c, b in tblooms.items() if b is not None}
+            if tblooms:
+                seg_meta["tok_bloom"] = tblooms
 
         def meta_fn(parent, segments):
             pm = dict(parent.get("meta", {})) if parent else {}
@@ -1008,7 +1112,7 @@ def _write_partitioned_segments(
         seg = _write_segment(part_df, path, target_files, bloom_cols=bloom_cols)
         seg_meta: dict = {"part": {part_col: p}}
         if stats_cols:
-            seg_meta["stats"] = _segment_stats(part_df, stats_cols)
+            seg_meta.update(_stats_meta(part_df, stats_cols))
         if bloom_cols:
             blooms = {c: _segment_bloom(part_df, c) for c in bloom_cols}
             blooms = {c: b for c, b in blooms.items() if b is not None}
@@ -1384,7 +1488,7 @@ def compact(
             seg = _write_segment(df, path, target_files, bloom_cols=bloom_cols)
             seg_meta: dict = {"part": part} if part is not None else {}
             if stats_cols:
-                seg_meta["stats"] = _segment_stats(df, stats_cols)
+                seg_meta.update(_stats_meta(df, stats_cols))
             if bloom_cols:
                 blooms = {c: _segment_bloom(df, c) for c in bloom_cols}
                 blooms = {c: b for c, b in blooms.items() if b is not None}
@@ -1600,13 +1704,27 @@ def cluster(
             ).parquet(tmp)
             stats = {
                 int(r["__zrun"]): {
-                    c: [_json_safe(r[f"__mn_{c}"]), _json_safe(r[f"__mx_{c}"])]
-                    for c in all_stats
+                    "stats": {
+                        c: [
+                            _json_safe(r[f"__mn_{c}"]),
+                            _json_safe(r[f"__mx_{c}"]),
+                        ]
+                        for c in all_stats
+                    },
+                    "rows": int(r["__rows"]),
+                    "nulls": {
+                        c: int(r[f"__nl_{c}"] or 0) for c in all_stats
+                    },
                 }
                 for r in prepared.groupBy("__zrun")
                 .agg(
+                    F.count(F.lit(1)).alias("__rows"),
                     *[F.min(c).alias(f"__mn_{c}") for c in all_stats],
                     *[F.max(c).alias(f"__mx_{c}") for c in all_stats],
+                    *[
+                        F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}")
+                        for c in all_stats
+                    ],
                 )
                 .collect()
             }
@@ -1631,7 +1749,7 @@ def cluster(
                 if not ok:
                     raise RuntimeError(f"failed to place segment for z-run {run}")
                 new_segs[seg] = {
-                    "stats": stats[run],
+                    **stats[run],
                     "cluster": {"cols": list(cluster_cols), "zrun": run},
                 }
             fs.delete(jtmp, True)
@@ -1775,14 +1893,21 @@ def cluster_incremental(
             merged = part.withColumn("__z", zc).sortWithinPartitions("__z")
             seg = _write_segment(merged.drop("__z"), path, 1)
             st = merged.agg(
+                F.count(F.lit(1)).alias("__rows"),
                 *[F.min(c).alias(f"__mn_{c}") for c in all_stats],
                 *[F.max(c).alias(f"__mx_{c}") for c in all_stats],
+                *[
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}")
+                    for c in all_stats
+                ],
             ).collect()[0]
             new_segs[seg] = {
                 "stats": {
                     c: [_json_safe(st[f"__mn_{c}"]), _json_safe(st[f"__mx_{c}"])]
                     for c in all_stats
                 },
+                "rows": int(st["__rows"]),
+                "nulls": {c: int(st[f"__nl_{c}"] or 0) for c in all_stats},
                 "cluster": {"cols": cols, "zrun": run},
             }
         routed.unpersist()
@@ -1911,13 +2036,22 @@ def cluster_partitioned(
         ).parquet(tmp)
         stats = {
             (int(r["__pid"]), int(r["__zrun"])): {
-                c: [_json_safe(r[f"__mn_{c}"]), _json_safe(r[f"__mx_{c}"])]
-                for c in all_stats
+                "stats": {
+                    c: [_json_safe(r[f"__mn_{c}"]), _json_safe(r[f"__mx_{c}"])]
+                    for c in all_stats
+                },
+                "rows": int(r["__rows"]),
+                "nulls": {c: int(r[f"__nl_{c}"] or 0) for c in all_stats},
             }
             for r in prepared.groupBy("__pid", "__zrun")
             .agg(
+                F.count(F.lit(1)).alias("__rows"),
                 *[F.min(c).alias(f"__mn_{c}") for c in all_stats],
                 *[F.max(c).alias(f"__mx_{c}") for c in all_stats],
+                *[
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}")
+                    for c in all_stats
+                ],
             )
             .collect()
         }
@@ -1936,7 +2070,7 @@ def cluster_partitioned(
                 )
             new_segs[seg] = {
                 "part": {part_col: _json_safe(parts[pid])},
-                "stats": seg_stats,
+                **seg_stats,
                 "cluster": {"cols": list(cluster_cols)},
             }
         fs.delete(jtmp, True)
@@ -2070,11 +2204,19 @@ def _prune_segments(
     part_eq: dict | None,
     ranges: dict | None,
     bloom_probes: dict | None = None,
+    keys_in: dict | None = None,
+    token_probes: dict | None = None,
 ) -> list[str]:
     """Manifest-level data skipping: drop segments whose metadata PROVES
     they can't match. A segment without the relevant metadata is always
     kept — skipping is sound, never lossy. `bloom_probes` maps column →
-    precomputed probe hashes (see `_bloom_probe_hashes`)."""
+    LIST of precomputed probe-hash lists (see `_bloom_probes`); a
+    segment survives if ANY probe value maybe-matches (the multi-key
+    dim-driven join probe degenerates to the point lookup at len 1).
+    `keys_in` maps column → SORTED key list: a segment is dropped when
+    NO key falls inside its [min, max] stats (one bisect per segment —
+    the point-in-range skip that stays sharp at key counts where a
+    bloom's union false-positive rate saturates)."""
     segs = manifest["segments"]
     meta = manifest.get("meta", {})
     out = []
@@ -2101,12 +2243,39 @@ def _prune_segments(
                 # provably disjoint -> keep, never prune
         if keep and bloom_probes:
             blooms = m.get("bloom", {})
-            for col, positions in bloom_probes.items():
-                if col in blooms and not _bloom_maybe_contains(
-                    blooms[col], positions
+            for col, probe_lists in bloom_probes.items():
+                if col in blooms and not any(
+                    _bloom_maybe_contains(blooms[col], positions)
+                    for positions in probe_lists
                 ):
                     keep = False
                     break
+        if keep and token_probes:
+            tblooms = m.get("tok_bloom", {})
+            for col, probe_lists in token_probes.items():
+                if col in tblooms and not any(
+                    _bloom_maybe_contains(tblooms[col], positions)
+                    for positions in probe_lists
+                ):
+                    keep = False
+                    break
+        if keep and keys_in:
+            import bisect
+
+            stats = m.get("stats", {})
+            for col, ks in keys_in.items():
+                if col not in stats:
+                    continue
+                mn, mx = stats[col]
+                if mn is None or mx is None:
+                    continue  # all-NULL or typeless stats: keep
+                try:
+                    i = bisect.bisect_left(ks, mn)
+                    if i >= len(ks) or _provably_lt(mx, ks[i]):
+                        keep = False
+                        break
+                except TypeError:
+                    continue  # probe-vs-stats type drift: keep, sound
         if keep and ranges:
             stats = m.get("stats", {})
             for col, (lo, hi) in ranges.items():
@@ -2310,6 +2479,21 @@ def drop_column(spark: SparkSession, path: str, name: str) -> int:
     )
 
 
+def _sortable_keys(keys_in: dict | None) -> dict | None:
+    """Sort each probe key list for the bisect skip; a list whose types
+    don't totally order (mixed int/str) is dropped from the probe —
+    skipping is optional, soundness isn't."""
+    if not keys_in:
+        return None
+    out = {}
+    for c, v in keys_in.items():
+        try:
+            out[c] = sorted(v)
+        except TypeError:
+            pass
+    return out or None
+
+
 def resolve_segments(
     spark: SparkSession,
     path: str,
@@ -2317,6 +2501,8 @@ def resolve_segments(
     part_eq: dict | None = None,
     ranges: dict | None = None,
     bloom_eq: dict | None = None,
+    keys_in: dict | None = None,
+    token_eq: dict | None = None,
 ) -> list[str]:
     """The segment list a read would scan after manifest-level pruning
     (exposed for tests/introspection — the pruning IS the point)."""
@@ -2331,12 +2517,10 @@ def resolve_segments(
     part_eq = _translate_probe(props, part_eq)
     ranges = _translate_probe(props, ranges)
     bloom_eq = _translate_probe(props, bloom_eq)
-    probes = (
-        {c: _bloom_probe_hashes(spark, val) for c, val in bloom_eq.items()}
-        if bloom_eq
-        else None
-    )
-    return _prune_segments(m, part_eq, ranges, probes)
+    keys_in = _sortable_keys(_translate_probe(props, keys_in))
+    probes = _bloom_probes(spark, bloom_eq) if bloom_eq else None
+    tok = _token_probes(spark, _translate_probe(props, token_eq))
+    return _prune_segments(m, part_eq, ranges, probes, keys_in, tok)
 
 
 def read_snapshot(
@@ -2347,6 +2531,8 @@ def read_snapshot(
     part_eq: dict | None = None,
     ranges: dict | None = None,
     bloom_eq: dict | None = None,
+    keys_in: dict | None = None,
+    token_eq: dict | None = None,
     as_of_ts: float | None = None,
 ) -> DataFrame:
     """The table AS OF `version` (default: latest). One manifest read,
@@ -2384,14 +2570,374 @@ def read_snapshot(
     part_eq = _translate_probe(props, part_eq)
     ranges = _translate_probe(props, ranges)
     bloom_eq = _translate_probe(props, bloom_eq)
-    probes = (
-        {c: _bloom_probe_hashes(spark, val) for c, val in bloom_eq.items()}
-        if bloom_eq
-        else None
-    )
-    segs = _prune_segments(m, part_eq, ranges, probes)
+    keys_in = _sortable_keys(_translate_probe(props, keys_in))
+    probes = _bloom_probes(spark, bloom_eq) if bloom_eq else None
+    tok = _token_probes(spark, _translate_probe(props, token_eq))
+    segs = _prune_segments(m, part_eq, ranges, probes, keys_in, tok)
     df = _read_with_tombstones(spark, path, segs, m, merge_schema)
     return _project_logical(df, props)
+
+
+def read_for_keys(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    keys,
+    version: int | None = None,
+    max_keys: int = 200_000,
+) -> DataFrame:
+    """Point-read a BOUNDED key set: manifest bloom + min/max range
+    segment skipping, then an `isin` predicate so parquet row-group
+    stats and file-level blooms prune INSIDE the surviving segments.
+    This is the O(keys) fetch shape — at 100 TB the scan touches only
+    segments whose bloom admits at least one key, and the pushed
+    `isin` never reads a row group whose stats exclude the whole set.
+    `keys` must fit the driver/broadcast contract (`max_keys` guards
+    an unbounded dim from silently degrading to a full scan)."""
+    from pyspark.sql import functions as F
+
+    ks = sorted(
+        {k for k in keys if k is not None},
+        key=lambda v: (str(type(v)), v),
+    )
+    if len(ks) > max_keys:
+        raise ValueError(
+            f"read_for_keys: {len(ks)} keys exceeds max_keys={max_keys} — "
+            "an unbounded probe side must go through a regular join, not "
+            "a point fetch"
+        )
+    if not ks:
+        return read_snapshot(spark, path, version=version).limit(0)
+    try:  # homogeneous, ordered key types → add range skipping
+        rng = {col: (min(ks), max(ks))}
+    except TypeError:
+        rng = None
+    df = read_snapshot(
+        spark,
+        path,
+        version=version,
+        bloom_eq={col: ks},
+        ranges=rng,
+        # point-in-range skip: stays sharp for large key sets where
+        # the bloom union saturates (each segment keeps only if some
+        # key falls inside its own [min, max])
+        keys_in={col: ks},
+    )
+    return df.filter(F.col(col).isin(ks))
+
+
+def metadata_agg(
+    spark: SparkSession,
+    path: str,
+    min_cols: list[str] | tuple = (),
+    max_cols: list[str] | tuple = (),
+    count_cols: list[str] | tuple = (),
+    version: int | None = None,
+    allow_scan: bool = True,
+    part_eq: dict | None = None,
+) -> DataFrame:
+    """COUNT(*)/MIN/MAX/COUNT(col) answered from MANIFEST METADATA —
+    zero data files read when every live segment carries `rows`/
+    `stats`/`nulls` (recorded by any stats_cols write and by
+    clustering rewrites). The Iceberg/Delta metadata-only aggregate:
+    at 100 TB this is a KB-sized manifest read instead of a table
+    scan.
+
+    `part_eq` scopes the aggregate to one partition: segments whose
+    tag PROVES every row matches contribute their metadata, segments
+    the tag disproves contribute nothing, and ambiguous segments
+    (untagged / type-drifted) scan WITH the predicate — three-way
+    honesty, same proof rules as replaceWhere.
+
+    Segments missing the needed entries fall back to ONE scan over
+    exactly those segments, merged with the metadata side (hybrid —
+    skipping stays sound, never lossy). Tombstoned lakes (MoR deletes)
+    can't be answered from per-segment counts and fall back to a full
+    snapshot aggregate. `allow_scan=False` raises instead of scanning
+    — the introspection contract for plan tests.
+
+    Result: one row — `count_rows`, then `min_<c>` / `max_<c>` /
+    `count_<c>` (non-null count) per requested LOGICAL column, typed
+    by the table schema."""
+    from pyspark.sql import functions as F
+
+    versions = _manifest_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no committed manifest under {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(spark, path, v)
+    props = dict(m.get("props", {}))
+    meta = m.get("meta", {})
+    want = list(dict.fromkeys(list(min_cols) + list(max_cols) + list(count_cols)))
+    phys = {c: _physical(props, c) for c in want}
+    part_t = _translate_probe(props, part_eq)
+
+    snap = read_snapshot(spark, path, version=v)  # schema + fallback plan
+    fields = {f.name: f.dataType for f in snap.schema.fields}
+    for c in list(want) + list(part_eq or {}):
+        if c not in fields:
+            raise ValueError(f"metadata_agg: no column {c!r} in {path}")
+
+    def scope(df):
+        for c, val in (part_eq or {}).items():
+            df = df.filter(F.col(c).eqNullSafe(F.lit(val)))
+        return df
+
+    def agg_exprs(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("count_rows"),
+            *[F.min(c).alias(f"min_{c}") for c in min_cols],
+            *[F.max(c).alias(f"max_{c}") for c in max_cols],
+            *[F.count(F.col(c)).alias(f"count_{c}") for c in count_cols],
+        )
+
+    if m.get("deletes"):
+        if not allow_scan:
+            raise ValueError(
+                "metadata_agg(allow_scan=False): merge-on-read tombstones "
+                f"require a snapshot scan: {path}"
+            )
+        return agg_exprs(scope(snap))
+
+    def covered(s: str) -> bool:
+        sm = meta.get(s, {})
+        if "rows" not in sm:
+            return False
+        st, nl = sm.get("stats", {}), sm.get("nulls", {})
+        for c in list(min_cols) + list(max_cols):
+            ent = st.get(phys[c])
+            if not (isinstance(ent, list) and len(ent) == 2):
+                return False
+        return all(phys[c] in nl for c in count_cols)
+
+    segs = m["segments"]
+    if part_t:
+        segs = _prune_segments(m, part_t, None)  # provably-disjoint drop
+    have, need = [], []
+    for s in segs:
+        if covered(s) and (
+            not part_t or _provably_all_match(meta.get(s, {}), part_t, None)
+        ):
+            have.append(s)
+        else:
+            need.append(s)
+    if need and not allow_scan:
+        raise ValueError(
+            f"metadata_agg(allow_scan=False): {len(need)}/{len(segs)} "
+            f"segments lack rows/stats/nulls metadata (or carry no "
+            f"whole-segment partition proof): {path}"
+        )
+
+    # driver-side combine of the covered segments' metadata (values are
+    # _json_safe: dates/timestamps as ISO strings — lexicographic order
+    # matches temporal order, so min/max combine correctly)
+    rows_total = 0
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    nonnull: dict[str, int] = {c: 0 for c in count_cols}
+    try:
+        for s in have:
+            sm = meta[s]
+            rows_total += int(sm["rows"])
+            for c in min_cols:
+                val = sm["stats"][phys[c]][0]
+                if val is not None and (c not in mins or val < mins[c]):
+                    mins[c] = val
+            for c in max_cols:
+                val = sm["stats"][phys[c]][1]
+                if val is not None and (c not in maxs or val > maxs[c]):
+                    maxs[c] = val
+            for c in count_cols:
+                nonnull[c] += int(sm["rows"]) - int(sm["nulls"][phys[c]])
+    except TypeError:
+        # cross-segment type drift (e.g. int stats next to str stats
+        # after a retyping rewrite): metadata can't prove an order —
+        # fall back to the honest scan
+        if not allow_scan:
+            raise ValueError(
+                f"metadata_agg(allow_scan=False): incomparable cross-"
+                f"segment stats types: {path}"
+            )
+        return agg_exprs(scope(snap))
+
+    if need:
+        scanned = agg_exprs(
+            scope(
+                _project_logical(
+                    _read_segments(spark, path, need, merge_schema=True),
+                    props,
+                )
+            )
+        ).collect()[0]
+        rows_total += int(scanned["count_rows"])
+        for c in min_cols:
+            val = _json_safe(scanned[f"min_{c}"])
+            if val is not None and (c not in mins or val < mins[c]):
+                mins[c] = val
+        for c in max_cols:
+            val = _json_safe(scanned[f"max_{c}"])
+            if val is not None and (c not in maxs or val > maxs[c]):
+                maxs[c] = val
+        for c in count_cols:
+            nonnull[c] += int(scanned[f"count_{c}"])
+
+    def lit_as(val, c):
+        return (F.lit(val) if val is not None else F.lit(None)).cast(fields[c])
+
+    return spark.range(1).select(
+        F.lit(rows_total).cast("long").alias("count_rows"),
+        *[lit_as(mins.get(c), c).alias(f"min_{c}") for c in min_cols],
+        *[lit_as(maxs.get(c), c).alias(f"max_{c}") for c in max_cols],
+        *[
+            F.lit(nonnull[c]).cast("long").alias(f"count_{c}")
+            for c in count_cols
+        ],
+    )
+
+
+def metadata_agg_by_partition(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    min_cols: list[str] | tuple = (),
+    max_cols: list[str] | tuple = (),
+    count_cols: list[str] | tuple = (),
+    version: int | None = None,
+    allow_scan: bool = True,
+) -> DataFrame:
+    """``SELECT part, COUNT(*), MIN/MAX/COUNT(col) ... GROUP BY part``
+    answered from the manifest: every partition-TAGGED segment with
+    rows/stats/nulls metadata contributes driver-side; untagged or
+    under-stats'd segments fall back to ONE grouped scan over exactly
+    those segments, merged by a final re-aggregate (sum counts, min of
+    mins, max of maxes — all decomposable). At 100 TB the common case
+    (partitioned appends with stats_cols) reads zero data files —
+    `allow_scan=False` is the contract. Tombstoned lakes scan."""
+    from pyspark.sql import functions as F
+
+    versions = _manifest_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no committed manifest under {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(spark, path, v)
+    props = dict(m.get("props", {}))
+    meta = m.get("meta", {})
+    want = list(dict.fromkeys(list(min_cols) + list(max_cols) + list(count_cols)))
+    phys = {c: _physical(props, c) for c in want}
+    part_phys = _physical(props, part_col)
+
+    snap = read_snapshot(spark, path, version=v)
+    fields = {f.name: f.dataType for f in snap.schema.fields}
+    for c in [part_col] + want:
+        if c not in fields:
+            raise ValueError(f"metadata_agg_by_partition: no column {c!r}")
+
+    out_names = (
+        [part_col, "count_rows"]
+        + [f"min_{c}" for c in min_cols]
+        + [f"max_{c}" for c in max_cols]
+        + [f"count_{c}" for c in count_cols]
+    )
+
+    def grouped(df):
+        return df.groupBy(part_col).agg(
+            F.count(F.lit(1)).alias("count_rows"),
+            *[F.min(c).alias(f"min_{c}") for c in min_cols],
+            *[F.max(c).alias(f"max_{c}") for c in max_cols],
+            *[F.count(F.col(c)).alias(f"count_{c}") for c in count_cols],
+        )
+
+    if m.get("deletes"):
+        if not allow_scan:
+            raise ValueError(
+                "metadata_agg_by_partition(allow_scan=False): merge-on-"
+                f"read tombstones require a snapshot scan: {path}"
+            )
+        return grouped(snap)
+
+    def covered(s: str) -> bool:
+        sm = meta.get(s, {})
+        if "rows" not in sm or part_phys not in sm.get("part", {}):
+            return False
+        st, nl = sm.get("stats", {}), sm.get("nulls", {})
+        for c in list(min_cols) + list(max_cols):
+            ent = st.get(phys[c])
+            if not (isinstance(ent, list) and len(ent) == 2):
+                return False
+        return all(phys[c] in nl for c in count_cols)
+
+    segs = m["segments"]
+    have = [s for s in segs if covered(s)]
+    need = [s for s in segs if not covered(s)]
+    if need and not allow_scan:
+        raise ValueError(
+            f"metadata_agg_by_partition(allow_scan=False): {len(need)}/"
+            f"{len(segs)} segments lack a partition tag or rows/stats/"
+            f"nulls metadata: {path}"
+        )
+
+    # covered side: one STRING-typed row per (segment, partition),
+    # cast to table types, then the same decomposable re-aggregate
+    # merges segments and the scanned side (sum/min/max/sum)
+    cov_rows = []
+    for s in have:
+        sm = meta[s]
+        row = [sm["part"][part_phys], int(sm["rows"])]
+        for c in min_cols:
+            row.append(sm["stats"][phys[c]][0])
+        for c in max_cols:
+            row.append(sm["stats"][phys[c]][1])
+        for c in count_cols:
+            row.append(int(sm["rows"]) - int(sm["nulls"][phys[c]]))
+        cov_rows.append(tuple(
+            None if x is None else str(x) for x in row
+        ))
+    parts = []
+    if cov_rows:
+        raw = spark.createDataFrame(
+            cov_rows, schema=", ".join(f"`{n}` string" for n in out_names)
+        )
+        typed = raw.select(
+            F.col(part_col).cast(fields[part_col]).alias(part_col),
+            F.col("count_rows").cast("long").alias("count_rows"),
+            *[
+                F.col(f"min_{c}").cast(fields[c]).alias(f"min_{c}")
+                for c in min_cols
+            ],
+            *[
+                F.col(f"max_{c}").cast(fields[c]).alias(f"max_{c}")
+                for c in max_cols
+            ],
+            *[
+                F.col(f"count_{c}").cast("long").alias(f"count_{c}")
+                for c in count_cols
+            ],
+        )
+        parts.append(typed)
+    if need:
+        parts.append(
+            grouped(
+                _project_logical(
+                    _read_segments(spark, path, need, merge_schema=True),
+                    props,
+                )
+            )
+        )
+    if not parts:
+        return grouped(snap.limit(0))
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.groupBy(part_col).agg(
+        F.sum("count_rows").cast("long").alias("count_rows"),
+        *[F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols],
+        *[F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols],
+        *[
+            F.sum(f"count_{c}").cast("long").alias(f"count_{c}")
+            for c in count_cols
+        ],
+    )
+
 
 
 def commit_upsert(
@@ -2599,7 +3145,7 @@ def commit_upsert_partitioned(
             # (index-maintenance callers keep blooms/stats fresh so
             # point lookups survive MERGE, like compact's stats_cols)
             if stats_cols:
-                seg_meta["stats"] = _segment_stats(part_df, stats_cols)
+                seg_meta.update(_stats_meta(part_df, stats_cols))
             if bloom_cols:
                 blooms = {c: _segment_bloom(part_df, c) for c in bloom_cols}
                 blooms = {c: b for c, b in blooms.items() if b is not None}
@@ -2752,7 +3298,7 @@ def commit_upsert_pruned(
         seg = _write_segment(merged, path, target_files)
         # stats for the NEXT merge's pruning, computed from the written
         # files (cheap rescan; re-running the merge plan would be worse)
-        new_stats = _segment_stats(
+        new_stats = _stats_meta(
             _read_segments(spark, path, [seg]), [stats_key]
         )
 
@@ -2761,7 +3307,7 @@ def commit_upsert_pruned(
 
         def _meta(parent, segments):
             out = {s: meta[s] for s in untouched if s in meta}
-            out[seg] = {"stats": new_stats}
+            out[seg] = dict(new_stats)
             return out
 
         try:
@@ -3622,6 +4168,169 @@ def clone(
         # the same destination must fail it, not be silently replaced
         expected_parent=0,
     )
+
+
+# ----------------------------------------------------------------------
+# Branches + write-audit-publish (WAP). A branch is a full lake rooted
+# at ``{path}/_branches/{name}`` whose v1 is a SHALLOW clone of main
+# (absolute refs — zero copy), stamped with the fork version. Writers
+# append/merge/delete on the branch; audits (expectations, checksums)
+# read the branch; ``publish_branch`` FAST-FORWARDS main to the branch
+# head in one CAS commit — refs into main's own data dir fold back to
+# plain names (zero copy), branch-local segments (the audited new data)
+# are copied in, so a crash or CAS loss leaves main untouched and the
+# branch intact (orphaned copies are vacuumable). The Iceberg
+# write-audit-publish pattern re-expressed on this manifest format.
+#
+# Caveats (documented, not silent): publish is fast-forward-only — if
+# main advanced past the fork, publish raises CommitConflict and the
+# writer re-branches and replays (rebase is the caller's policy);
+# idempotency tags do not cross the branch boundary; `vacuum` on main
+# during a branch's lifetime can reclaim fork-version segments the
+# branch still references (the shallow-clone retention caveat — keep
+# WAP windows shorter than vacuum retention).
+# ----------------------------------------------------------------------
+
+_BRANCH_DIR = "_branches"
+
+
+def branch_path(path: str, name: str) -> str:
+    if not name or not all(ch.isalnum() or ch in "-_." for ch in name):
+        raise ValueError(f"invalid branch name: {name!r}")
+    return f"{path}/{_BRANCH_DIR}/{name}"
+
+
+def create_branch(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> str:
+    """Fork `path` at `version` (default: latest) into a writable
+    branch lake; returns the branch root (pass it to any lake op).
+    KB-sized commit — segments are absolute references into main."""
+    bpath = branch_path(path, name)
+    if current_version(spark, bpath) is not None:
+        raise ValueError(f"branch already exists: {name} ({bpath})")
+    if version is None:
+        version = current_version(spark, path)
+        if version is None:
+            raise ValueError(f"cannot branch an empty lake: {path}")
+    target = _read_manifest(spark, path, version)
+    segs = [_seg_path(path, s) for s in target["segments"]]
+    dels = [_seg_path(path, s) for s in target.get("deletes", [])]
+    meta = {_seg_path(path, s): m for s, m in _state_meta(target).items()}
+    props = dict(target.get("props", {}))
+    props["wap_fork"] = {"src": path, "version": int(version)}
+    _commit(
+        spark,
+        bpath,
+        "branch-fork",
+        lambda parent: segs,
+        meta_fn=lambda parent, segments: meta,
+        deletes_fn=lambda parent: dels,
+        props_fn=lambda p: props,
+        expected_parent=0,
+        # the branch CONTINUES main's version numbering (its first
+        # commit mirrors the fork version) so merge-on-read seq fences
+        # stay totally ordered across branch and publish
+        min_version=int(version),
+    )
+    return bpath
+
+
+def list_branches(spark: SparkSession, path: str) -> list[str]:
+    fs, jp = _fs(spark, f"{path}/{_BRANCH_DIR}")
+    if not fs.exists(jp):
+        return []
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(jp) if st.isDirectory()
+    )
+
+
+def drop_branch(spark: SparkSession, path: str, name: str) -> None:
+    fs, jp = _fs(spark, branch_path(path, name))
+    fs.delete(jp, True)
+
+
+def publish_branch(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    keep_branch: bool = False,
+) -> int:
+    """Fast-forward main to the branch head (ONE CAS commit on main).
+    Zero-copy for segments main already owns; branch-local segments
+    (the branch's new/rewritten data) copy into main's data dir first,
+    so the commit point is atomic and a lost CAS leaves only
+    vacuumable orphans. Raises CommitConflict if main advanced past
+    the fork version."""
+    bpath = branch_path(path, name)
+    bv = current_version(spark, bpath)
+    if bv is None:
+        raise ValueError(f"no such branch: {name} ({bpath})")
+    bm = _read_manifest(spark, bpath, bv)
+    props = dict(bm.get("props", {}))
+    fork = props.pop("wap_fork", None)
+    if not fork or fork.get("src") != path:
+        raise ValueError(
+            f"branch {name} carries no fork stamp for {path} — not a "
+            "create_branch product"
+        )
+    main_v = current_version(spark, path)
+    if main_v != fork["version"]:
+        raise CommitConflict(
+            f"publish_branch({name}): main is at v{main_v}, branch forked "
+            f"at v{fork['version']} — fast-forward only; re-branch from "
+            "the current head and replay the writes"
+        )
+
+    main_prefix = f"{path}/{_DATA_DIR}/"
+    fs, _ = _fs(spark, path)
+    FileUtil = spark._jvm.org.apache.hadoop.fs.FileUtil
+    conf = spark._jsc.hadoopConfiguration()
+    fs.mkdirs(_jpath(spark, f"{path}/{_DATA_DIR}"))
+    translated: dict[str, str] = {}
+
+    def xlate(s: str) -> str:
+        if s in translated:
+            return translated[s]
+        if _is_abs_ref(s):
+            rest = s[len(main_prefix):] if s.startswith(main_prefix) else None
+            # a ref back into main's own data dir folds to a plain name;
+            # a foreign absolute ref (main was itself a clone) stays
+            out = rest if rest and "/" not in rest else s
+        else:
+            # branch-local segment: copy bytes into main (uuid names —
+            # collisions are defensive-only)
+            out = s
+            while fs.exists(_jpath(spark, f"{main_prefix}{out}")):
+                out = f"{s}-{uuid.uuid4().hex[:8]}"
+            src_fs, src_jp = _fs(spark, f"{bpath}/{_DATA_DIR}/{s}")
+            if not FileUtil.copy(
+                src_fs, src_jp, fs, _jpath(spark, f"{main_prefix}{out}"),
+                False, conf,
+            ):
+                raise RuntimeError(f"publish_branch: failed copying {s}")
+        translated[s] = out
+        return out
+
+    segs = [xlate(s) for s in bm["segments"]]
+    dels = [xlate(s) for s in bm.get("deletes", [])]
+    meta = {xlate(s): m for s, m in _state_meta(bm).items()}
+    v = _commit(
+        spark,
+        path,
+        "publish",
+        lambda parent: segs,
+        expected_parent=fork["version"],
+        meta_fn=lambda parent, segments: meta,
+        deletes_fn=lambda parent: dels,
+        props_fn=lambda p: props,
+        # main adopts the branch head's version number (numbers may
+        # skip): every branch-stamped seq stays <= the publish version
+        min_version=int(bv),
+    )
+    if not keep_branch:
+        drop_branch(spark, path, name)
+    return v
 
 
 def vacuum(

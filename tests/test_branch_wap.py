@@ -1,0 +1,317 @@
+"""Branches + write-audit-publish, metadata-only aggregates, and the
+bounded-key point fetch (manifest.py round-8 continuation).
+
+Scale invariants under test:
+- a branch fork and its publish are KB-sized manifest commits — main's
+  data files are never rewritten, only the branch's NEW segments copy;
+- merge-on-read ``seq`` fencing stays totally ordered across the
+  branch boundary (branches CONTINUE main's version numbering, publish
+  adopts the branch head's — version numbers may skip);
+- metadata_agg answers COUNT/MIN/MAX from the manifest alone
+  (allow_scan=False is the proof), falling back honestly otherwise;
+- read_for_keys prunes segments by bloom AND point-in-range bisect,
+  which stays sharp at key counts where the bloom union saturates.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nba_pipeline_spark.sources import manifest as M
+
+
+def _frame(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("g"),
+        F.when(F.col("id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("id").cast("double"))
+        .alias("maybe"),
+    )
+
+
+# ---------------------------------------------------------------- WAP
+
+
+def test_branch_write_audit_publish(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 60))
+    main_v = M.current_version(spark, lake)
+
+    b = M.create_branch(spark, lake, "ingest")
+    # branch numbering CONTINUES main's (seq fence total order)
+    assert M._manifest_versions(spark, b) == [main_v]
+    M.commit_append(spark, b, _frame(spark, 60, 100))
+    # audit on the branch: CoW-delete the rows violating k % 7 == 0
+    bad = M.read_snapshot(spark, b).filter(
+        (F.col("k") >= 60) & (F.col("k") % 7 == 0)
+    )
+    M.commit_delete(spark, b, bad.select("k"), ["k"])
+    expected = sorted(
+        k for k in range(100) if k < 60 or k % 7 != 0
+    )
+    got_b = sorted(r["k"] for r in M.read_snapshot(spark, b).collect())
+    assert got_b == expected
+    # main is untouched mid-flight
+    assert M.read_snapshot(spark, lake).count() == 60
+
+    v = M.publish_branch(spark, lake, "ingest")
+    assert v > main_v
+    got = sorted(r["k"] for r in M.read_snapshot(spark, lake).collect())
+    assert got == expected
+    # publish consumed the branch
+    assert M.list_branches(spark, lake) == []
+    # history shows the single publish commit on main
+    ops = [r["op"] for r in M.history(spark, lake).collect()]
+    assert ops.count("publish") == 1
+
+
+def test_publish_fast_forward_only(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 20))
+    M.create_branch(spark, lake, "late")
+    M.commit_append(spark, lake, _frame(spark, 20, 30))  # main advances
+    with pytest.raises(M.CommitConflict, match="fast-forward"):
+        M.publish_branch(spark, lake, "late")
+    # refusal left main intact and the branch droppable
+    assert M.read_snapshot(spark, lake).count() == 30
+    M.drop_branch(spark, lake, "late")
+    assert M.list_branches(spark, lake) == []
+
+
+def test_branch_mor_seq_fence_across_publish(spark, tmp_path):
+    """A MoR tombstone committed ON THE BRANCH must mask main's older
+    segments (on the branch and after publish), and a LATER MoR delete
+    on main must mask the published branch segments — both directions
+    of the seq total order."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 40))
+    M.commit_append(spark, lake, _frame(spark, 40, 70))
+
+    b = M.create_branch(spark, lake, "mor")
+    M.commit_append(spark, b, _frame(spark, 70, 90))
+    M.commit_delete_mor(
+        spark, b, _frame(spark, 0, 90).filter("k in (5, 45, 75)").select("k"),
+        ["k"],
+    )
+    alive = [k for k in range(90) if k not in (5, 45, 75)]
+    assert sorted(r["k"] for r in M.read_snapshot(spark, b).collect()) == alive
+
+    M.publish_branch(spark, lake, "mor")
+    assert (
+        sorted(r["k"] for r in M.read_snapshot(spark, lake).collect()) == alive
+    )
+    # later main-side MoR delete must mask the PUBLISHED segments too
+    M.commit_delete_mor(
+        spark, lake, _frame(spark, 0, 90).filter("k = 80").select("k"), ["k"]
+    )
+    alive2 = [k for k in alive if k != 80]
+    assert (
+        sorted(r["k"] for r in M.read_snapshot(spark, lake).collect())
+        == alive2
+    )
+
+
+def test_publish_zero_copy_for_main_segments(spark, tmp_path):
+    """Publish folds refs into main's own data dir back to plain names
+    — main's pre-fork segments are NOT copied (same names survive)."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 30))
+    before = set(M.resolve_segments(spark, lake))
+    b = M.create_branch(spark, lake, "zc")
+    M.commit_append(spark, b, _frame(spark, 30, 40))
+    M.publish_branch(spark, lake, "zc")
+    after = set(M.resolve_segments(spark, lake))
+    assert before < after  # original names intact, one new segment
+    assert len(after - before) == 1
+
+
+def test_branch_rename_travels_with_publish(spark, tmp_path):
+    """Column mapping created on the branch lands on main at publish
+    (props travel; segments stay uniform-physical)."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 20))
+    b = M.create_branch(spark, lake, "schema")
+    M.rename_column(spark, b, "maybe", "score")
+    M.commit_append(spark, b, _frame(spark, 20, 25).withColumnRenamed("maybe", "score"))
+    M.publish_branch(spark, lake, "schema")
+    snap = M.read_snapshot(spark, lake)
+    assert "score" in snap.columns and "maybe" not in snap.columns
+    assert snap.count() == 25
+
+
+def test_create_branch_guards(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    with pytest.raises(ValueError, match="empty"):
+        M.create_branch(spark, lake, "x")
+    M.commit_append(spark, lake, _frame(spark, 0, 5))
+    with pytest.raises(ValueError, match="invalid branch name"):
+        M.create_branch(spark, lake, "a/b")
+    M.create_branch(spark, lake, "x")
+    with pytest.raises(ValueError, match="already exists"):
+        M.create_branch(spark, lake, "x")
+    assert M.list_branches(spark, lake) == ["x"]
+    M.drop_branch(spark, lake, "x")
+
+
+# -------------------------------------------------- metadata-only agg
+
+
+def _agg_cols(df):
+    return df.agg(
+        F.count(F.lit(1)).alias("count_rows"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.max("maybe").alias("max_maybe"),
+        F.count("maybe").alias("count_maybe"),
+    )
+
+
+def test_metadata_agg_metadata_only(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    for lo, hi in [(0, 40), (40, 70), (70, 100)]:
+        M.commit_append(
+            spark, lake, _frame(spark, lo, hi), stats_cols=["k", "maybe"]
+        )
+    got = M.metadata_agg(
+        spark,
+        lake,
+        min_cols=["k"],
+        max_cols=["k", "maybe"],
+        count_cols=["maybe"],
+        allow_scan=False,  # raises if any data file would be read
+    )
+    exp = _agg_cols(M.read_snapshot(spark, lake)).drop("count_rows")
+    assert got.collect() == _agg_cols(M.read_snapshot(spark, lake)).collect()
+    # typed like the table, not like JSON
+    assert dict(got.dtypes)["max_maybe"] == "double"
+
+
+def test_metadata_agg_hybrid_and_refusal(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 50), stats_cols=["k", "maybe"])
+    M.commit_append(spark, lake, _frame(spark, 50, 80))  # no stats
+    with pytest.raises(ValueError, match="lack rows/stats"):
+        M.metadata_agg(spark, lake, min_cols=["k"], allow_scan=False)
+    got = M.metadata_agg(
+        spark, lake, min_cols=["k"], max_cols=["k"], count_cols=["maybe"]
+    )
+    exp = M.read_snapshot(spark, lake).agg(
+        F.count(F.lit(1)).alias("count_rows"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count("maybe").alias("count_maybe"),
+    )
+    assert got.collect() == exp.collect()
+
+
+def test_metadata_agg_tombstone_fallback(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 30), stats_cols=["k"])
+    M.commit_delete_mor(
+        spark, lake, _frame(spark, 0, 30).filter("k < 5").select("k"), ["k"]
+    )
+    with pytest.raises(ValueError, match="tombstones"):
+        M.metadata_agg(spark, lake, min_cols=["k"], allow_scan=False)
+    got = M.metadata_agg(spark, lake, min_cols=["k"], max_cols=["k"])
+    row = got.collect()[0]
+    assert (row["count_rows"], row["min_k"], row["max_k"]) == (25, 5, 29)
+
+
+def test_metadata_agg_on_mapped_lake(spark, tmp_path):
+    """Logical column names resolve through the column mapping."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 40), stats_cols=["k", "maybe"])
+    M.rename_column(spark, lake, "maybe", "score")
+    M.commit_append(
+        spark,
+        lake,
+        _frame(spark, 40, 60).withColumnRenamed("maybe", "score"),
+        stats_cols=["k", "score"],
+    )
+    got = M.metadata_agg(
+        spark, lake, max_cols=["score"], count_cols=["score"],
+        allow_scan=False,
+    ).collect()[0]
+    snap = M.read_snapshot(spark, lake)
+    exp = snap.agg(F.max("score"), F.count("score")).collect()[0]
+    assert (got["max_score"], got["count_score"]) == (exp[0], exp[1])
+    assert got["count_rows"] == 60
+
+
+def test_metadata_agg_survives_cluster(spark, tmp_path):
+    """Z-order rewrites record rows/nulls too — clustering maintenance
+    doesn't cost the lake its metadata-only aggregates."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 80), stats_cols=["k"])
+    M.cluster(spark, lake, ["k"], target_segments=4, bits_per_col=6)
+    got = M.metadata_agg(
+        spark, lake, min_cols=["k"], max_cols=["k"], allow_scan=False
+    ).collect()[0]
+    assert (got["count_rows"], got["min_k"], got["max_k"]) == (80, 0, 79)
+
+
+# ------------------------------------------------- bounded key fetch
+
+
+def _banded_lake(spark, tmp_path, bands=8, per=1000):
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, bands * per).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    for b in range(bands):
+        M.commit_append(
+            spark,
+            lake,
+            df.filter((F.col("k") >= b * per) & (F.col("k") < (b + 1) * per)),
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    return lake
+
+
+def test_read_for_keys_prunes_and_fetches(spark, tmp_path):
+    lake = _banded_lake(spark, tmp_path)
+    keys = [6500, 7003, 7555, 7999]
+    assert len(M.resolve_segments(spark, lake, keys_in={"k": keys})) == 2
+    got = sorted(r["k"] for r in M.read_for_keys(spark, lake, "k", keys).collect())
+    assert got == sorted(keys)
+
+
+def test_keys_in_sharp_where_bloom_saturates(spark, tmp_path):
+    """143 keys inside one band: the bloom union admits almost every
+    segment, the point-in-range bisect keeps exactly one."""
+    lake = _banded_lake(spark, tmp_path)
+    keys = list(range(3000, 3999, 7))
+    segs = M.resolve_segments(spark, lake, keys_in={"k": keys})
+    assert len(segs) == 1
+    assert M.read_for_keys(spark, lake, "k", keys).count() == len(keys)
+
+
+def test_read_for_keys_guards(spark, tmp_path):
+    lake = _banded_lake(spark, tmp_path, bands=2, per=10)
+    with pytest.raises(ValueError, match="max_keys"):
+        M.read_for_keys(spark, lake, "k", list(range(100)), max_keys=10)
+    assert M.read_for_keys(spark, lake, "k", []).count() == 0
+    # None keys are dropped (a bloom/range can never prove NULL)
+    assert M.read_for_keys(spark, lake, "k", [None, 3]).count() == 1
+
+
+def test_keys_in_type_drift_keeps(spark, tmp_path):
+    """String probes against int stats must keep every segment —
+    skipping is optional, soundness isn't."""
+    lake = _banded_lake(spark, tmp_path, bands=2, per=10)
+    n_all = len(M.resolve_segments(spark, lake))
+    assert (
+        len(M.resolve_segments(spark, lake, keys_in={"k": ["7", "8"]}))
+        == n_all
+    )
+
+
+def test_multi_value_bloom_point_parity(spark, tmp_path):
+    """A single-element list probes identically to the scalar form."""
+    lake = _banded_lake(spark, tmp_path)
+    one = M.resolve_segments(spark, lake, bloom_eq={"k": 4321})
+    lst = M.resolve_segments(spark, lake, bloom_eq={"k": [4321]})
+    assert one == lst
