@@ -119,6 +119,8 @@ HEADLINE = [
     "q_manifest_agg_meta",
     "q_manifest_wap",
     "q_manifest_keyed_join",
+    "q_manifest_agg_parts",
+    "q_manifest_token_search",
 ]
 
 

@@ -1864,3 +1864,140 @@ register(
     GROUP BY c_mktsegment
     """,
 )
+
+
+def _parts_stats_lake(spark: SparkSession, sf_dir: str) -> str:
+    """orders partitioned by order YEAR, every partition append
+    recording rows/min-max/null metadata — the layout where
+    `SELECT year, COUNT(*), MIN, MAX ... GROUP BY year` never opens a
+    data file."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_partstats")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        years = sorted(
+            (r["o_year"] for r in orders.select("o_year").distinct().collect()),
+            key=lambda y: (y is None, y),
+        )
+        if not years:
+            M.commit_append(spark, lake, orders.limit(0))
+        for yr in years:
+            M.commit_append(
+                spark,
+                lake,
+                orders.filter(F.col("o_year").eqNullSafe(F.lit(yr))),
+                partition={"o_year": yr},
+                stats_cols=["o_orderkey", "o_totalprice"],
+            )
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_agg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition metadata-only aggregate (sources/manifest.py::
+    metadata_agg_by_partition): the per-year COUNT(*)/MIN/MAX report
+    comes entirely from partition tags + per-segment rows/stats/nulls —
+    `allow_scan=False` proves zero data files are opened. The covered
+    side is O(segments) driver JSON re-aggregated through the same
+    decomposable sum/min/max a scan would use, so hybrid lakes (some
+    segments untagged) merge honestly. The oracle does it the hard
+    way: a full GROUP BY over the source parquet."""
+    tune(spark)
+    lake = _parts_stats_lake(spark, sf_dir)
+    return M.metadata_agg_by_partition(
+        spark,
+        lake,
+        "o_year",
+        min_cols=["o_orderkey"],
+        max_cols=["o_orderkey", "o_totalprice"],
+        count_cols=["o_totalprice"],
+        allow_scan=False,
+    )
+
+
+register(
+    "q_manifest_agg_parts",
+    q_manifest_agg_parts,
+    """
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           COUNT(*) AS count_rows,
+           MIN(o_orderkey) AS min_o_orderkey,
+           MAX(o_orderkey) AS max_o_orderkey,
+           MAX(o_totalprice) AS max_o_totalprice,
+           COUNT(o_totalprice) AS count_o_totalprice
+    FROM orders
+    GROUP BY CAST(YEAR(o_orderdate) AS INT)
+    """,
+)
+
+
+def _token_lake(spark: SparkSession, sf_dir: str) -> str:
+    """documents in 8 doc_id bands, each append recording a TOKEN
+    bloom over the text column — keyword-search segment skipping."""
+    lake = _stage_dir(sf_dir, "documents", "manifest_tokens")
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        for b in range(8):
+            M.commit_append(
+                spark,
+                lake,
+                docs.filter(F.col("doc_id") % 8 == b),
+                token_bloom_cols=["text"],
+            )
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search with MANIFEST-level segment skipping
+    (sources/manifest.py::_token_bloom / read_snapshot(token_eq=)):
+    "which segments mention this term" is answered from per-segment
+    token blooms before any file is listed — the grep-at-100TB /
+    contamination-attribution probe. Pruning quality is asserted
+    against ground truth (segments kept <= segments truly containing
+    the token + bloom false-positive allowance); the row-level
+    predicate is re-applied in-plan as always (probes are hints).
+    Oracle: the same token filter the hard way over the source
+    parquet."""
+    tune(spark)
+    lake = _token_lake(spark, sf_dir)
+    token = "dup"  # the testdata generator's rare marker token
+    docs = load_table(spark, sf_dir, "documents")
+    has_tok = F.array_contains(
+        F.split(F.lower(F.col("text")), r"\s+"), token
+    )
+    truth = (
+        docs.filter(has_tok)
+        .select((F.col("doc_id") % 8).alias("b"))
+        .distinct()
+        .count()
+    )
+    segs = M.resolve_segments(spark, lake, token_eq={"text": token})
+    n_all = len(M.resolve_segments(spark, lake))
+    assert len(segs) <= min(n_all, truth + 2), (
+        f"token bloom kept {len(segs)} of {n_all}, truth {truth}"
+    )
+    t = M.read_snapshot(spark, lake, token_eq={"text": token}).filter(has_tok)
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+register(
+    "q_manifest_token_search",
+    q_manifest_token_search,
+    """
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE list_contains(string_split(LOWER(text), ' '), 'dup')
+    GROUP BY lang
+    """,
+)

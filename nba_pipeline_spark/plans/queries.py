@@ -111,6 +111,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_agg_meta",
     "q_manifest_wap",
     "q_manifest_keyed_join",
+    "q_manifest_agg_parts",
+    "q_manifest_token_search",
     # backfill: r2-window greens longest since last sample, import order
     "q_json_extract",
     "q_array_ops",

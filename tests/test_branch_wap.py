@@ -315,3 +315,132 @@ def test_multi_value_bloom_point_parity(spark, tmp_path):
     one = M.resolve_segments(spark, lake, bloom_eq={"k": 4321})
     lst = M.resolve_segments(spark, lake, bloom_eq={"k": [4321]})
     assert one == lst
+
+
+# ------------------------------------------- token blooms / part agg
+
+
+def test_token_bloom_prunes_and_any_of(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    rows = [
+        (0, "alpha beta gamma"), (1, "beta delta"),
+        (2, "epsilon zeta"), (3, "eta theta needle"),
+        (4, "iota kappa"), (5, "lambda mu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for b in range(3):
+        M.commit_append(
+            spark, lake,
+            df.filter((F.col("doc_id") >= 2 * b) & (F.col("doc_id") < 2 * b + 2)),
+            token_bloom_cols=["text"],
+        )
+    assert len(M.resolve_segments(spark, lake, token_eq={"text": "needle"})) <= 2
+    # case-insensitive: build lowers, probe lowers
+    assert (
+        M.resolve_segments(spark, lake, token_eq={"text": "NEEDLE"})
+        == M.resolve_segments(spark, lake, token_eq={"text": "needle"})
+    )
+    # any-of keeps the union
+    segs = M.resolve_segments(spark, lake, token_eq={"text": ["needle", "mu"]})
+    assert len(segs) >= 2
+    got = (
+        M.read_snapshot(spark, lake, token_eq={"text": "needle"})
+        .filter(F.array_contains(F.split(F.lower("text"), r"\s+"), "needle"))
+        .count()
+    )
+    assert got == 1
+
+
+def test_token_bloom_absent_everywhere(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"
+    )
+    M.commit_append(spark, lake, df, token_bloom_cols=["text"])
+    # absent token: usually zero segments survive (rare FP tolerated)
+    assert len(M.resolve_segments(spark, lake, token_eq={"text": "zzzz"})) <= 1
+
+
+def test_token_bloom_respects_rename(spark, tmp_path):
+    """token_eq probes translate through column mapping like every
+    other probe."""
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(0, "alpha needle"), (1, "beta gamma")], "doc_id long, body string"
+    )
+    M.commit_append(spark, lake, df.filter("doc_id = 0"), token_bloom_cols=["body"])
+    M.commit_append(spark, lake, df.filter("doc_id = 1"), token_bloom_cols=["body"])
+    M.rename_column(spark, lake, "body", "text")
+    segs = M.resolve_segments(spark, lake, token_eq={"text": "needle"})
+    assert len(segs) <= 1 + 1  # true segment + FP allowance
+    got = (
+        M.read_snapshot(spark, lake, token_eq={"text": "needle"})
+        .filter(F.array_contains(F.split(F.lower("text"), r"\s+"), "needle"))
+        .count()
+    )
+    assert got == 1
+
+
+def test_metadata_agg_part_scoped(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("band")
+    )
+    for b in range(3):
+        M.commit_append(
+            spark, lake, df.filter(F.col("band") == b),
+            partition={"band": b}, stats_cols=["k"],
+        )
+    r = M.metadata_agg(
+        spark, lake, min_cols=["k"], max_cols=["k"],
+        part_eq={"band": 1}, allow_scan=False,
+    ).collect()[0]
+    assert (r["count_rows"], r["min_k"], r["max_k"]) == (20, 1, 58)
+    # untagged segment in scope -> allow_scan=False refuses, hybrid agrees
+    M.commit_append(spark, lake, df.filter("k >= 57"))
+    with pytest.raises(ValueError, match="partition proof"):
+        M.metadata_agg(spark, lake, min_cols=["k"], part_eq={"band": 1},
+                       allow_scan=False)
+    r2 = M.metadata_agg(spark, lake, min_cols=["k"], max_cols=["k"],
+                        part_eq={"band": 1}).collect()[0]
+    assert (r2["count_rows"], r2["min_k"], r2["max_k"]) == (21, 1, 58)
+
+
+def test_metadata_agg_by_partition_hybrid(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("band"),
+        F.when(F.col("id") % 4 == 0, F.lit(None))
+        .otherwise(F.col("id").cast("double")).alias("maybe"),
+    )
+    for b in range(2):
+        M.commit_append(
+            spark, lake, df.filter(F.col("band") == b),
+            partition={"band": b}, stats_cols=["k", "maybe"],
+        )
+    got = M.metadata_agg_by_partition(
+        spark, lake, "band", min_cols=["k"], max_cols=["k", "maybe"],
+        count_cols=["maybe"], allow_scan=False,
+    )
+    exp = M.read_snapshot(spark, lake).groupBy("band").agg(
+        F.count(F.lit(1)).alias("count_rows"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.max("maybe").alias("max_maybe"),
+        F.count("maybe").alias("count_maybe"),
+    )
+    key = lambda r: r["band"]
+    assert sorted(got.collect(), key=key) == sorted(exp.collect(), key=key)
+    # hybrid: an untagged append merges through the grouped scan path
+    M.commit_append(spark, lake, df.filter("k < 4"))
+    got2 = M.metadata_agg_by_partition(
+        spark, lake, "band", min_cols=["k"], max_cols=["k"],
+        count_cols=["maybe"],
+    )
+    exp2 = M.read_snapshot(spark, lake).groupBy("band").agg(
+        F.count(F.lit(1)).alias("count_rows"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count("maybe").alias("count_maybe"),
+    )
+    assert sorted(got2.collect(), key=key) == sorted(exp2.collect(), key=key)
