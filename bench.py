@@ -121,6 +121,7 @@ HEADLINE = [
     "q_manifest_keyed_join",
     "q_manifest_agg_parts",
     "q_manifest_token_search",
+    "q_manifest_sql_read",
 ]
 
 

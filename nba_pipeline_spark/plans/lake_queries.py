@@ -2001,3 +2001,61 @@ register(
     GROUP BY lang
     """,
 )
+
+
+def q_manifest_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-surface mount of the table format
+    (sources/lake_datasource.py): ``spark.read.format("manifest_lake")``
+    with Catalyst's own filter pushdown driving manifest pruning — a
+    plain ``.where(o_year = Y AND o_totalprice >= P)`` prunes the year
+    segments through partition tags/stats BEFORE any file is listed
+    (asserted via the reader's planned-partition count), re-filters
+    row groups inside pyarrow, and Spark re-evaluates everything
+    post-scan (pruning is a hint; semantics never depend on it). One
+    fresh load() per query per the engine's plan-cache contract (the
+    module docstring's handle-reuse caveat). Oracle: the same
+    predicate the hard way over the source parquet."""
+    from pyspark.sql.datasource import EqualTo
+
+    from ..sources.lake_datasource import ManifestLakeReader, read_lake
+
+    tune(spark)
+    lake = _parts_stats_lake(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    yr = orders.agg(
+        F.min(F.year("o_orderdate").cast("int")).alias("y")
+    ).collect()[0]["y"]
+    # planned-partition introspection: the year probe must prune
+    r = ManifestLakeReader({"path": lake})
+    list(r.pushFilters([EqualTo(("o_year",), yr)]))
+    kept = len(r.partitions())
+    n_all = len(ManifestLakeReader({"path": lake}).partitions())
+    years = orders.select(
+        F.year("o_orderdate").cast("int").alias("y")
+    ).distinct().count()
+    if years > 1:
+        assert kept < n_all, f"year pushdown did not prune: {kept}/{n_all}"
+    t = read_lake(spark, lake).filter(
+        (F.col("o_year") == yr) & (F.col("o_totalprice") >= 100000.0)
+    )
+    return t.groupBy((F.col("o_orderkey") % 5).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+register(
+    "q_manifest_sql_read",
+    q_manifest_sql_read,
+    """
+    SELECT o_orderkey % 5 AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE CAST(YEAR(o_orderdate) AS INT) =
+          (SELECT MIN(CAST(YEAR(o_orderdate) AS INT)) FROM orders)
+      AND o_totalprice >= 100000.0
+    GROUP BY o_orderkey % 5
+    """,
+)

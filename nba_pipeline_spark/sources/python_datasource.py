@@ -207,6 +207,14 @@ def register_html_source(spark) -> None:
 
     Python-source filter pushdown is opt-in engine-wide; a reader that
     implements pushFilters FAILS ANALYSIS while the flag is off, so
-    registration turns it on (runtime-settable SQL conf)."""
+    registration turns it on (runtime-settable SQL conf).
+
+    HANDLE-REUSE CAVEAT (upstream Spark 4.1, affects every Python
+    DataSource with pushFilters): the JVM caches the planned read per
+    ``load()`` relation and a filtered query's pushdown REPLACES it —
+    an unfiltered query re-run on the SAME DataFrame handle afterwards
+    reuses the pruned plan and drops rows. Take a fresh ``load()`` per
+    query. Pinned in tests/test_lake_datasource.py (the lake source
+    documents the same engine behavior)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(HtmlTablesDataSource)
