@@ -322,6 +322,46 @@ def cmd_lake(args) -> int:
             "starting_version": v + 1,  # hand the stream off here
         }))
         return 0
+    if args.action == "branch":
+        if not args.name:
+            print("branch requires --name", file=sys.stderr)
+            return 2
+        b = M.create_branch(spark, args.path, args.name, version=args.version)
+        print(json.dumps({"branch": args.name, "root": b}))
+        return 0
+    if args.action == "publish":
+        if not args.name:
+            print("publish requires --name", file=sys.stderr)
+            return 2
+        v = M.publish_branch(
+            spark, args.path, args.name, keep_branch=args.keep_branch
+        )
+        print(json.dumps({"committed_version": v}))
+        return 0
+    if args.action == "branches":
+        print(json.dumps(M.list_branches(spark, args.path)))
+        return 0
+    if args.action == "drop-branch":
+        if not args.name:
+            print("drop-branch requires --name", file=sys.stderr)
+            return 2
+        M.drop_branch(spark, args.path, args.name)
+        print(json.dumps({"dropped": args.name}))
+        return 0
+    if args.action == "stats":
+        cols = args.stats_cols.split(",") if args.stats_cols else []
+        kw = dict(
+            min_cols=cols, max_cols=cols, count_cols=cols,
+            allow_scan=not args.metadata_only,
+        )
+        if args.group_by:
+            out = M.metadata_agg_by_partition(
+                spark, args.path, args.group_by, **kw
+            )
+        else:
+            out = M.metadata_agg(spark, args.path, **kw)
+        print(json.dumps([r.asDict() for r in out.collect()], default=str))
+        return 0
     if args.action == "zorder":
         if args.incremental:
             v = M.cluster_incremental(spark, args.path)
@@ -413,7 +453,9 @@ def main(argv: list[str] | None = None) -> int:
     lk = sub.add_parser("lake")
     lk.add_argument(
         "action",
-        help="history|compact|vacuum|describe|restore|clone|constraint|zorder|backfill|feed|rename-column|drop-column",
+        help="history|compact|vacuum|describe|restore|clone|constraint|"
+        "zorder|backfill|feed|rename-column|drop-column|branch|publish|"
+        "branches|drop-branch|stats",
     )
     lk.add_argument("path", help="manifest lake root")
     lk.add_argument("--target-files", type=int, default=1)
@@ -451,6 +493,23 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument(
         "--chunk-segments", type=int, default=8,
         help="backfill: max segments per bounded chunk",
+    )
+    lk.add_argument("--name", default=None, help="branch/publish: branch name")
+    lk.add_argument(
+        "--keep-branch", action="store_true",
+        help="publish: leave the branch in place after fast-forward",
+    )
+    lk.add_argument(
+        "--stats-cols", default=None,
+        help="stats: comma-separated columns for min/max/count",
+    )
+    lk.add_argument(
+        "--group-by", default=None,
+        help="stats: partition column for a per-partition report",
+    )
+    lk.add_argument(
+        "--metadata-only", action="store_true",
+        help="stats: refuse to open data files (prove the manifest answers)",
     )
     ix = sub.add_parser("index")
     ix.add_argument("action", help="build|update|build-pq")

@@ -4333,6 +4333,60 @@ def publish_branch(
     return v
 
 
+def wap_ingest(
+    spark: SparkSession,
+    path: str,
+    batch_df: DataFrame,
+    audit,
+    keys: list[str],
+    quarantine: str | None = None,
+    max_tries: int = 3,
+    **append_kwargs,
+) -> int:
+    """The whole write-audit-publish loop as one call: fork a branch,
+    append the batch, run ``audit(branch_snapshot) -> DataFrame of key
+    rows to remove`` (the audit sees the batch IN CONTEXT of the whole
+    table — constraint-vs-existing checks, corpus dedup, FK orphans),
+    CoW-delete the flagged rows on the branch (optionally appending
+    the matching BATCH rows to a ``quarantine`` lake first), and
+    fast-forward main. On a publish conflict (main advanced mid-audit)
+    the branch is dropped and the whole cycle REPLAYS against the new
+    head — the audit re-runs in the new context, which is exactly why
+    a conflicting publish can't just be rebased. The audit must flag
+    only rows it intends to remove (keys matching pre-existing rows
+    delete those too — same contract as commit_delete).
+
+    ``append_kwargs`` pass through to the branch append (stats_cols /
+    bloom_cols / partition / target_files). Returns the published main
+    version."""
+    last: Exception | None = None
+    for attempt in range(max_tries):
+        name = f"wap-{uuid.uuid4().hex[:8]}"
+        b = create_branch(spark, path, name)
+        try:
+            commit_append(spark, b, batch_df, **append_kwargs)
+            bad = audit(read_snapshot(spark, b)).select(*keys)
+            if bad.limit(1).count():
+                if quarantine is not None:
+                    commit_append(
+                        spark,
+                        quarantine,
+                        batch_df.join(bad, on=keys, how="semi"),
+                    )
+                commit_delete(spark, b, bad, keys)
+            return publish_branch(spark, path, name)
+        except CommitConflict as e:
+            last = e
+            drop_branch(spark, path, name)
+            continue
+        except BaseException:
+            drop_branch(spark, path, name)
+            raise
+    raise CommitConflict(
+        f"wap_ingest lost the fast-forward race {max_tries} times: {path}"
+    ) from last
+
+
 def vacuum(
     spark: SparkSession,
     path: str,

@@ -444,3 +444,108 @@ def test_metadata_agg_by_partition_hybrid(spark, tmp_path):
         F.count("maybe").alias("count_maybe"),
     )
     assert sorted(got2.collect(), key=key) == sorted(exp2.collect(), key=key)
+
+
+# -------------------------------------------------------- CLI verbs
+
+
+def test_cli_branch_publish_stats(spark, tmp_path, capsys):
+    import json
+
+    from nba_pipeline_spark.__main__ import main
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 30), stats_cols=["k"])
+
+    assert main(["lake", "branch", lake, "--name", "wap"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["branch"] == "wap"
+    M.commit_append(spark, out["root"], _frame(spark, 30, 40), stats_cols=["k"])
+
+    assert main(["lake", "branches", lake]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == ["wap"]
+
+    assert main(["lake", "publish", lake, "--name", "wap"]) == 0
+    capsys.readouterr()
+    assert M.read_snapshot(spark, lake).count() == 40
+
+    assert main([
+        "lake", "stats", lake, "--stats-cols", "k", "--metadata-only",
+    ]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])[0]
+    assert (row["count_rows"], row["min_k"], row["max_k"]) == (40, 0, 39)
+
+
+def test_cli_stats_by_partition(spark, tmp_path, capsys):
+    import json
+
+    from nba_pipeline_spark.__main__ import main
+
+    lake = str(tmp_path / "lake")
+    df = _frame(spark, 0, 40).withColumn("band", F.col("k") % 2)
+    for b in range(2):
+        M.commit_append(
+            spark, lake, df.filter(F.col("band") == b),
+            partition={"band": b}, stats_cols=["k"],
+        )
+    assert main([
+        "lake", "stats", lake, "--stats-cols", "k",
+        "--group-by", "band", "--metadata-only",
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {r["band"]: r["count_rows"] for r in rows}
+    assert got == {0: 20, 1: 20}
+
+
+# --------------------------------------------------------- wap_ingest
+
+
+def test_wap_ingest_happy_path(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    quar = str(tmp_path / "quarantine")
+    M.commit_append(spark, lake, _frame(spark, 0, 50))
+
+    def audit(snap):
+        # batch rows violating the rule, in table context
+        return snap.filter((F.col("k") >= 50) & (F.col("k") % 9 == 0))
+
+    v = M.wap_ingest(
+        spark, lake, _frame(spark, 50, 80), audit, ["k"], quarantine=quar
+    )
+    assert v == M.current_version(spark, lake)
+    got = sorted(r["k"] for r in M.read_snapshot(spark, lake).collect())
+    assert got == [k for k in range(80) if k < 50 or k % 9 != 0]
+    qrows = sorted(r["k"] for r in M.read_snapshot(spark, quar).collect())
+    assert qrows == [54, 63, 72]
+    assert M.list_branches(spark, lake) == []
+
+
+def test_wap_ingest_clean_batch_no_delete_commit(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 10))
+    M.wap_ingest(
+        spark, lake, _frame(spark, 10, 20),
+        lambda snap: snap.filter("1 = 0"), ["k"],
+    )
+    assert M.read_snapshot(spark, lake).count() == 20
+    ops = [r["op"] for r in M.history(spark, lake).collect()]
+    assert "delete" not in ops
+
+
+def test_wap_ingest_replays_on_conflict(spark, tmp_path):
+    """A writer landing on main mid-audit forces a full replay: the
+    final table holds BOTH the racing write and the audited batch."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 10))
+    raced = {"done": False}
+
+    def audit(snap):
+        if not raced["done"]:
+            raced["done"] = True  # advance main between fork and publish
+            M.commit_append(spark, lake, _frame(spark, 100, 105))
+        return snap.filter("k = 12")
+
+    M.wap_ingest(spark, lake, _frame(spark, 10, 20), audit, ["k"])
+    got = sorted(r["k"] for r in M.read_snapshot(spark, lake).collect())
+    assert got == [k for k in range(20) if k != 12] + list(range(100, 105))
+    assert M.list_branches(spark, lake) == []
