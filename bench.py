@@ -122,6 +122,7 @@ HEADLINE = [
     "q_manifest_agg_parts",
     "q_manifest_token_search",
     "q_manifest_sql_read",
+    "q_manifest_sql_write",
 ]
 
 

@@ -2059,3 +2059,71 @@ register(
     GROUP BY o_orderkey % 5
     """,
 )
+
+
+def _sql_write_lake(spark: SparkSession, sf_dir: str) -> str:
+    """A lake created ENTIRELY through the DataFrame write API
+    (``df.write.format("manifest_lake")``): two appends in key bands,
+    per-file stats computed from the Arrow batches as the executors
+    stream them and merged into segment metadata at commit."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_sql_write")
+
+    def build():
+        from ..sources.lake_datasource import register_lake_source
+
+        register_lake_source(spark)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("maybe_price"),
+        )
+        for band in range(2):
+            (
+                orders.filter(F.col("o_orderkey") % 2 == band)
+                .write.format("manifest_lake")
+                .option("path", lake)
+                .option("stats_cols", "o_orderkey,o_totalprice,maybe_price")
+                .mode("append")
+                .save()
+            )
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_sql_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataSource WRITE path end-to-end (sources/lake_datasource.py
+    ::ManifestLakeWriter): executors stream Arrow batches into staged
+    parquet files, commit messages carry per-file min/max/null/row
+    stats, and the driver-side pure-Python CAS (os.link no-overwrite)
+    publishes one manifest version per save() — exactly-once under
+    task retry because only reported files move into the segment. The
+    returned frame is a METADATA-ONLY aggregate over the written lake
+    (allow_scan=False), so the oracle match proves the whole loop:
+    write → message stats → manifest → zero-file query."""
+    tune(spark)
+    lake = _sql_write_lake(spark, sf_dir)
+    return M.metadata_agg(
+        spark,
+        lake,
+        min_cols=["o_orderkey"],
+        max_cols=["o_orderkey", "o_totalprice"],
+        count_cols=["maybe_price"],
+        allow_scan=False,
+    )
+
+
+register(
+    "q_manifest_sql_write",
+    q_manifest_sql_write,
+    """
+    SELECT COUNT(*) AS count_rows,
+           MIN(o_orderkey) AS min_o_orderkey,
+           MAX(o_orderkey) AS max_o_orderkey,
+           MAX(o_totalprice) AS max_o_totalprice,
+           COUNT(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                      ELSE o_totalprice END) AS count_maybe_price
+    FROM orders
+    """,
+)

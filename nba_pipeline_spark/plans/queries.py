@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_agg_parts",
     "q_manifest_token_search",
     "q_manifest_sql_read",
+    "q_manifest_sql_write",
     # backfill: r2-window greens longest since last sample, import order
     "q_json_extract",
     "q_array_ops",

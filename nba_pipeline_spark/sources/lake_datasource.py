@@ -58,8 +58,10 @@ from __future__ import annotations
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from .lake_stream import (
@@ -115,6 +117,9 @@ class ManifestLakeDataSource(DataSource):
 
     def reader(self, schema) -> "ManifestLakeReader":
         return ManifestLakeReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "ManifestLakeWriter":
+        return ManifestLakeWriter(self.options, schema, overwrite)
 
 
 class ManifestLakeReader(DataSourceReader):
@@ -355,3 +360,341 @@ def read_lake(spark, path: str, version: int | None = None):
     if version is not None:
         r = r.option("version", str(version))
     return r.load()
+
+
+# ----------------------------------------------------------------------
+# Write path: ``df.write.format("manifest_lake").mode("append"|
+# "overwrite").save(path)``. The V2 write protocol done properly:
+# every task streams its Arrow batches into ONE uniquely-named parquet
+# file under a per-write staging dir and reports the file in its
+# commit message; ``commit()`` MOVES exactly the reported files into a
+# fresh segment dir and publishes one manifest version — a retried or
+# speculated task's extra file is never referenced (exactly-once under
+# task retry), and ``abort()``/vacuum reclaim staging. Per-file
+# min/max/null/row stats ride the commit messages (computed from the
+# Arrow batches as they stream), so DataSource writes keep
+# metadata_agg and range skipping working.
+#
+# The commit runs in the driver-side Python worker — NO Py4J, like
+# planning — so the manifest CAS is pure Python: tmp-write then
+# ``os.link`` (atomic no-overwrite on POSIX), retry on EEXIST. That
+# is sound for LOCAL/file:// lakes only; object-store URIs refuse at
+# writer creation with commit_append guidance (a conditional-put CAS
+# is store-specific and not exposed through pyarrow.fs). Lakes with
+# CHECK constraints also refuse: enforcing them takes an engine job
+# this worker cannot run — honest gate, not silent skip. Column
+# mapping: appends translate logical→physical like every other write;
+# overwrite materializes the mapping (logical names, colmap cleared),
+# mirroring commit_replace.
+# ----------------------------------------------------------------------
+
+
+def _local_root(path: str) -> str:
+    """Filesystem path for a local lake URI; raises for remote."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if "://" in path:
+        raise ValueError(
+            "manifest_lake writer: only local/file:// lakes commit "
+            "through the Python writer (the no-overwrite CAS is POSIX "
+            "link-based) — write object-store lakes via "
+            f"manifest.commit_append: {path}"
+        )
+    return path
+
+
+class _LakeWriteMessage(WriterCommitMessage):
+    def __init__(self, file, rows, stats, nulls):
+        self.file = file
+        self.rows = rows
+        self.stats = stats
+        self.nulls = nulls
+
+
+class ManifestLakeWriter(DataSourceArrowWriter):
+    """DataSourceArrowWriter for the manifest lake (see module note)."""
+
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        import uuid
+
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("manifest_lake requires a path option")
+        self._root = _local_root(self._path)
+        self._overwrite = overwrite
+        self._tag = options.get("tag")
+        want = options.get("stats_cols")
+        self._stats_cols = want.split(",") if want else []
+        self._schema = schema  # StructType (logical names)
+        self._staging = f"{self._root}/{_DATA_DIR}/.staging-{uuid.uuid4().hex[:12]}"
+        vs = _versions(self._path)
+        props = _manifest(self._path, vs[-1]).get("props", {}) if vs else {}
+        if props.get("constraints"):
+            raise ValueError(
+                "manifest_lake writer: lake has CHECK constraints, which "
+                "this JVM-less commit path cannot enforce — write via "
+                f"manifest.commit_append: {self._path}"
+            )
+        self._props0 = props
+        cm = dict(props.get("colmap", {}))
+        dropped = set(props.get("dropped_cols", []))
+        if not overwrite:
+            # resurrection guard (same rule as commit_append): a NEW
+            # logical column may not collide with a dropped or
+            # renamed-away physical name
+            recorded = {n for n, _ in (props.get("schema") or {}).get("cols", [])}
+            taken = (set(cm.values()) - set(cm.keys())) | dropped
+            for f in schema.fieldNames():
+                if f not in recorded and f in taken:
+                    raise ValueError(
+                        f"manifest_lake writer: column {f!r} collides with "
+                        "a dropped/renamed-away physical name — rewrite "
+                        "(compact) to materialize the mapping first"
+                    )
+        # physical translation for the file bytes (appends only; an
+        # overwrite materializes the mapping instead)
+        self._rename = (
+            {c: cm.get(c, c) for c in schema.fieldNames()}
+            if not overwrite
+            else {}
+        )
+        # schema compatibility vs the recorded table schema: additive
+        # only, no type drift (mirror of _check_schema)
+        rec = (props.get("schema") or {}).get("cols")
+        if rec and not overwrite:
+            want_types = {n: t for n, t in rec}
+            have = {f.name: f.dataType.simpleString() for f in schema.fields}
+            missing = [n for n in want_types if n not in have]
+            drift = {
+                n: (want_types[n], have[n])
+                for n in want_types
+                if n in have and have[n] != want_types[n]
+            }
+            if missing or drift:
+                raise ValueError(
+                    "manifest_lake writer: schema drift vs recorded table "
+                    f"schema (missing={missing}, retyped={drift}): "
+                    f"{self._path}"
+                )
+
+    # ------------------------------------------------- executor side
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._staging, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex[:12]}.parquet"
+        full = f"{self._staging}/{fname}"
+        writer = None
+        rows = 0
+        stats: dict = {}
+        nulls: dict = {}
+        phys_stats = [self._rename.get(c, c) for c in self._stats_cols]
+        try:
+            for batch in iterator:
+                if self._rename:
+                    batch = batch.rename_columns(
+                        [self._rename.get(n, n) for n in batch.schema.names]
+                    )
+                if writer is None:
+                    writer = pq.ParquetWriter(full, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+                for c in phys_stats:
+                    if c not in batch.schema.names:
+                        continue
+                    col = batch.column(c)
+                    nulls[c] = nulls.get(c, 0) + col.null_count
+                    if col.null_count < len(col):
+                        mn = pc.min(col).as_py()
+                        mx = pc.max(col).as_py()
+                        cur = stats.get(c)
+                        if cur is None:
+                            stats[c] = [mn, mx]
+                        else:
+                            stats[c] = [min(cur[0], mn), max(cur[1], mx)]
+                    else:
+                        stats.setdefault(c, [None, None])
+                        nulls.setdefault(c, 0)
+            if writer is None:  # empty partition: nothing staged
+                return _LakeWriteMessage(None, 0, {}, {})
+        finally:
+            if writer is not None:
+                writer.close()
+        safe = {
+            c: [_py_json_safe(v[0]), _py_json_safe(v[1])]
+            for c, v in stats.items()
+        }
+        return _LakeWriteMessage(fname, rows, safe, nulls)
+
+    # --------------------------------------------------- driver side
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+        import shutil
+        import time
+        import uuid
+
+        files = [m for m in messages if m is not None and m.file]
+        seg = f"seg-{uuid.uuid4().hex[:12]}"
+        seg_dir = f"{self._root}/{_DATA_DIR}/{seg}"
+        os.makedirs(seg_dir, exist_ok=False)
+        moved = False
+        for m in files:
+            src = f"{self._staging}/{m.file}"
+            if os.path.exists(src):  # only the winning attempt's files
+                os.rename(src, f"{seg_dir}/{m.file}")
+                moved = True
+        if not moved:
+            # 0-row write: keep an empty schema-preserving segment so
+            # reads stay valid (mirror of the JVM paths)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            fields = []
+            for f in self._schema.fields:
+                name = self._rename.get(f.name, f.name)
+                fields.append(
+                    pa.field(name, _pa_type(f.dataType.simpleString(), seg, name))
+                )
+            pq.write_table(
+                pa.table({f.name: [] for f in fields},
+                         schema=pa.schema(fields)),
+                f"{seg_dir}/part-empty.parquet",
+            )
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+        seg_meta: dict = {}
+        if self._stats_cols and files:
+            rows_total = sum(m.rows for m in files)
+            st: dict = {}
+            nl: dict = {}
+            for m in files:
+                for c, (mn, mx) in m.stats.items():
+                    cur = st.get(c)
+                    if cur is None:
+                        st[c] = [mn, mx]
+                    else:
+                        st[c] = [
+                            _min_opt(cur[0], mn), _max_opt(cur[1], mx)
+                        ]
+                for c, n in m.nulls.items():
+                    nl[c] = nl.get(c, 0) + n
+            seg_meta = {"stats": st, "rows": rows_total, "nulls": nl}
+
+        mdir = f"{self._root}/{_MANIFEST_DIR_LOCAL}"
+        os.makedirs(mdir, exist_ok=True)
+        schema_cols = [
+            [f.name, f.dataType.simpleString()] for f in self._schema.fields
+        ]
+        for _ in range(20):
+            vs = _versions(self._path)
+            parent = vs[-1] if vs else 0
+            pm = _manifest(self._path, parent) if vs else None
+            tags = list(pm.get("tags", [])) if pm else []
+            if self._tag is not None:
+                if self._tag in tags:
+                    shutil.rmtree(seg_dir, ignore_errors=True)
+                    return  # replayed tagged write: no-op, seg orphaned
+                tags.append(self._tag)
+            props = dict(pm.get("props", {})) if pm else {}
+            if not self._overwrite and dict(props.get("colmap", {})) != dict(
+                self._props0.get("colmap", {})
+            ):
+                raise ValueError(
+                    "manifest_lake writer: column mapping changed during "
+                    "the write — the staged files carry stale physical "
+                    f"names; re-run the write: {self._path}"
+                )
+            if self._overwrite:
+                segments = [seg]
+                meta = {seg: dict(seg_meta)}
+                deletes: list = []
+                props.pop("colmap", None)
+                props.pop("dropped_cols", None)
+                props["schema"] = {"cols": schema_cols}
+            else:
+                segments = list(pm["segments"]) + [seg] if pm else [seg]
+                pmeta = dict(pm.get("meta", {})) if pm else {}
+                meta = {s: pmeta[s] for s in segments if s in pmeta}
+                meta[seg] = dict(seg_meta)
+                deletes = list(pm.get("deletes", [])) if pm else []
+                for s in deletes:
+                    if s not in meta and s in pmeta:
+                        meta[s] = pmeta[s]
+                rec = (props.get("schema") or {}).get("cols")
+                if rec:
+                    extra = [p for p in schema_cols if p[0] not in
+                             {n for n, _ in rec}]
+                    props["schema"] = {"cols": list(rec) + extra}
+                else:
+                    props["schema"] = {"cols": schema_cols}
+            version = parent + 1
+            meta.setdefault(seg, {}).setdefault("seq", version)
+            ts = max(
+                time.time(),
+                (float(pm.get("ts", 0.0)) if pm else 0.0) + 1e-6,
+            )
+            manifest = {
+                "version": version,
+                "parent": parent if vs else None,
+                "op": "replace" if self._overwrite else "append",
+                "ts": ts,
+                "segments": segments,
+                "tags": tags,
+                "meta": meta,
+            }
+            if deletes:
+                manifest["deletes"] = deletes
+            if props:
+                manifest["props"] = props
+            tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            final = f"{mdir}/v{version:08d}.json"
+            try:
+                os.link(tmp, final)  # atomic no-overwrite: the CAS point
+                os.unlink(tmp)
+                return
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # lost the race: retry on the new parent
+        raise RuntimeError(
+            f"manifest_lake writer lost the CAS race 20 times: {self._path}"
+        )
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
+_MANIFEST_DIR_LOCAL = "_manifests"
+
+
+def _py_json_safe(v):
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)  # dates/timestamps: ISO str, same rule as the JVM path
+
+
+def _min_opt(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return min(a, b)
+
+
+def _max_opt(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return max(a, b)

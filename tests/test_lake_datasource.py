@@ -145,3 +145,125 @@ def test_options_guards(spark, lake):
     register_lake_source(spark)
     with pytest.raises(Exception, match="path"):
         spark.read.format("manifest_lake").load().count()
+
+
+# ------------------------------------------------------- write path
+
+
+def _src(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("band"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.col("id").cast("double"))
+        .alias("x"),
+    )
+
+
+def _write(df, path, mode="append", **opts):
+    w = df.write.format("manifest_lake").option("path", path)
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
+def test_writer_append_parity_and_stats(spark, tmp_path):
+    register_lake_source(spark)
+    lake = str(tmp_path / "wlake")
+    _write(_src(spark, 0, 500), lake, stats_cols="k,x")
+    _write(_src(spark, 500, 1000), lake, stats_cols="k,x")
+    snap = M.read_snapshot(spark, lake)
+    assert snap.count() == 1000
+    assert snap.agg(F.sum("k"), F.sum("x")).collect() == _src(
+        spark, 0, 1000
+    ).agg(F.sum("k"), F.sum("x")).collect()
+    # per-file stats merged at commit: metadata-only agg + range skip
+    r = M.metadata_agg(
+        spark, lake, min_cols=["k"], max_cols=["k", "x"],
+        count_cols=["x"], allow_scan=False,
+    ).collect()[0]
+    assert (r["count_rows"], r["min_k"], r["max_k"], r["count_x"]) == (
+        1000, 0, 999, 800,
+    )
+    assert len(M.resolve_segments(spark, lake, ranges={"k": (0, 10)})) == 1
+
+
+def test_writer_overwrite_time_travel_tag(spark, tmp_path):
+    register_lake_source(spark)
+    lake = str(tmp_path / "wlake")
+    _write(_src(spark, 0, 100), lake)
+    _write(_src(spark, 0, 40), lake, mode="overwrite")
+    assert M.read_snapshot(spark, lake).count() == 40
+    assert M.read_snapshot(spark, lake, version=1).count() == 100
+    v = M.current_version(spark, lake)
+    _write(_src(spark, 100, 110), lake, tag="t1")
+    _write(_src(spark, 100, 110), lake, tag="t1")  # replay: no-op
+    assert M.current_version(spark, lake) == v + 1
+    assert M.read_snapshot(spark, lake).count() == 50
+
+
+def test_writer_interops_with_jvm_commits(spark, tmp_path):
+    """Python-writer versions and JVM commit_append versions interleave
+    on one lake: schema props, meta, and reads stay coherent."""
+    register_lake_source(spark)
+    lake = str(tmp_path / "wlake")
+    M.commit_append(spark, lake, _src(spark, 0, 50), stats_cols=["k"])
+    _write(_src(spark, 50, 100), lake, stats_cols="k")
+    M.commit_append(spark, lake, _src(spark, 100, 150), stats_cols=["k"])
+    snap = M.read_snapshot(spark, lake)
+    assert snap.count() == 150
+    r = M.metadata_agg(
+        spark, lake, min_cols=["k"], max_cols=["k"], allow_scan=False
+    ).collect()[0]
+    assert (r["count_rows"], r["min_k"], r["max_k"]) == (150, 0, 149)
+    # additive evolution through the python writer
+    _write(
+        _src(spark, 150, 160).withColumn("extra", F.lit("e")), lake
+    )
+    snap2 = M.read_snapshot(spark, lake, merge_schema=True)
+    assert "extra" in snap2.columns and snap2.count() == 160
+
+
+def test_writer_colmap_append_logical_names(spark, tmp_path):
+    register_lake_source(spark)
+    lake = str(tmp_path / "wlake")
+    _write(_src(spark, 0, 20), lake)
+    M.rename_column(spark, lake, "x", "score")
+    _write(
+        _src(spark, 20, 30).withColumnRenamed("x", "score"), lake
+    )
+    snap = M.read_snapshot(spark, lake)
+    assert "score" in snap.columns and snap.count() == 30
+    # segments stayed uniform-physical: the renamed column reads across
+    # both writers' segments
+    assert snap.filter(F.col("score").isNotNull()).count() == 24
+
+
+def test_writer_refusals(spark, tmp_path):
+    register_lake_source(spark)
+    lake = str(tmp_path / "wlake")
+    _write(_src(spark, 0, 10), lake)
+    M.set_constraint(spark, lake, "pos", "k >= 0")
+    with pytest.raises(Exception, match="constraint"):
+        _write(_src(spark, 10, 20), lake)
+    with pytest.raises(Exception, match="local"):
+        _write(_src(spark, 0, 5), "s3://bucket/lake")
+    lake2 = str(tmp_path / "wlake2")  # constraint-free lake for drift
+    _write(_src(spark, 0, 10), lake2)
+    with pytest.raises(Exception, match="drift"):
+        _write(
+            _src(spark, 0, 5).select(
+                F.col("k").cast("string").alias("k"), "band", "x"
+            ),
+            lake2,
+        )
+
+
+def test_writer_empty_frame_keeps_reads_valid(spark, tmp_path):
+    register_lake_source(spark)
+    lake = str(tmp_path / "wlake")
+    _write(_src(spark, 0, 0), lake)
+    assert M.read_snapshot(spark, lake).count() == 0
+    assert M.read_snapshot(spark, lake).columns == ["k", "band", "x"]
+    _write(_src(spark, 0, 5), lake)
+    assert M.read_snapshot(spark, lake).count() == 5
