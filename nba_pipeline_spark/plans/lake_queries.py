@@ -1766,7 +1766,7 @@ def _wap_lake(spark: SparkSession, sf_dir: str) -> str:
     removes them ON THE BRANCH, and publish fast-forwards main — which
     is asserted UNTOUCHED mid-flight. Final contents are a pure
     predicate over orders, which is what the oracle replays."""
-    lake = _stage_dir(sf_dir, "orders", "manifest_wap")
+    lake = _stage_dir(sf_dir, "orders", "manifest_wap2")
 
     def build():
         orders = load_table(spark, sf_dir, "orders").select(
@@ -1777,13 +1777,21 @@ def _wap_lake(spark: SparkSession, sf_dir: str) -> str:
         n_base = M.read_snapshot(spark, lake).count()
         b = M.create_branch(spark, lake, "ingest")
         M.commit_append(spark, b, orders.filter(F.col("o_orderkey") % 4 >= 2))
-        # audit: the branch's NEW rows must satisfy the price rule;
-        # violations are CoW-deleted on the branch before anyone sees them
+        # audit: the branch's NEW rows must PROVABLY satisfy the price
+        # rule — a NULL price is a violation, not a pass (the
+        # adversarial three-valued-logic shape), so the kept set is
+        # exactly `o_totalprice < 300000`; CoW-deleted on the branch
+        # before anyone sees them. NULL order keys fall outside both
+        # halves of the split (NULL % 4 matches neither filter), which
+        # the oracle mirrors by guarding BOTH branches on the key.
         bad = (
             M.read_snapshot(spark, b)
             .filter(
                 (F.col("o_orderkey") % 4 >= 2)
-                & (F.col("o_totalprice") >= 300000)
+                & (
+                    F.col("o_totalprice").isNull()
+                    | (F.col("o_totalprice") >= 300000)
+                )
             )
             .select("o_orderkey")
         )
@@ -1812,7 +1820,8 @@ register(
     "q_manifest_wap",
     q_manifest_wap,
     _AGG_ORACLE.format(
-        where=" WHERE o_orderkey % 4 <= 1 OR o_totalprice < 300000"
+        where=" WHERE o_orderkey % 4 <= 1 "
+        "OR (o_orderkey % 4 >= 2 AND o_totalprice < 300000)"
     ),
 )
 

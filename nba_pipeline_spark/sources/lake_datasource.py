@@ -60,6 +60,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -120,6 +121,9 @@ class ManifestLakeDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "ManifestLakeWriter":
         return ManifestLakeWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return ManifestLakeStreamWriter(self.options, schema, overwrite)
 
 
 class ManifestLakeReader(DataSourceReader):
@@ -698,3 +702,53 @@ def _max_opt(a, b):
     if b is None:
         return a
     return max(a, b)
+
+
+class ManifestLakeStreamWriter(ManifestLakeWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("manifest_lake")`` — the streaming twin
+    of the batch writer: same staged-Arrow-file protocol per
+    microbatch, same pure-Python manifest CAS, with EXACTLY-ONCE
+    replay via a ``{checkpoint_tag}={batchId}`` idempotency tag (a
+    restarted query re-delivers its last batch; the tag makes the
+    replayed commit a no-op — the same guard the foreachBatch sinks
+    use). ``option("checkpoint_tag", ...)`` must be stable across
+    restarts and unique per query writing to the lake (it IS the
+    replay identity; the default "stream" is only safe for a single
+    writer). Empty microbatches publish nothing — no version churn.
+    Append output mode only: streaming truncate has no exactly-once
+    story on replay."""
+
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        if overwrite:
+            raise ValueError(
+                "manifest_lake stream writer supports append output "
+                "mode only"
+            )
+        super().__init__(options, schema, False)
+        self._prefix = options.get("checkpoint_tag", "stream")
+        # DETERMINISTIC staging dir (unlike the batch writer's
+        # per-instance uuid): the streaming runner re-instantiates the
+        # writer for the commit call, so a random staging path would
+        # diverge between the executors' write() and the driver-side
+        # commit() — files would strand in staging and the batch would
+        # commit empty. Keyed by checkpoint_tag, which the contract
+        # already requires to be unique per query writing to this lake
+        # (microbatches of one query serialize, so sharing is safe).
+        self._staging = (
+            f"{self._root}/{_DATA_DIR}/.staging-stream-{self._prefix}"
+        )
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        files = [m for m in messages if m is not None and m.file]
+        if not files:
+            import shutil
+
+            shutil.rmtree(self._staging, ignore_errors=True)
+            return  # empty microbatch: no commit, no churn
+        self._tag = f"{self._prefix}={batchId}"
+        ManifestLakeWriter.commit(self, messages)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)

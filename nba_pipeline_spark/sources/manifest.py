@@ -2574,7 +2574,15 @@ def read_snapshot(
     probes = _bloom_probes(spark, bloom_eq) if bloom_eq else None
     tok = _token_probes(spark, _translate_probe(props, token_eq))
     segs = _prune_segments(m, part_eq, ranges, probes, keys_in, tok)
-    df = _read_with_tombstones(spark, path, segs, m, merge_schema)
+    if not segs and m["segments"]:
+        # every segment provably disjoint from the probes: an EMPTY
+        # frame with the table's schema, not an error (the adversarial
+        # absent-token shape — a fully-pruned read is a normal result)
+        df = _read_with_tombstones(
+            spark, path, m["segments"], m, merge_schema
+        ).limit(0)
+    else:
+        df = _read_with_tombstones(spark, path, segs, m, merge_schema)
     return _project_logical(df, props)
 
 

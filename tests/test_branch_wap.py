@@ -549,3 +549,16 @@ def test_wap_ingest_replays_on_conflict(spark, tmp_path):
     got = sorted(r["k"] for r in M.read_snapshot(spark, lake).collect())
     assert got == [k for k in range(20) if k != 12] + list(range(100, 105))
     assert M.list_branches(spark, lake) == []
+
+
+def test_fully_pruned_read_is_empty_not_error(spark, tmp_path):
+    """Probes that disprove EVERY segment return an empty frame with
+    the table schema — a normal result, not an exception (the
+    absent-token / out-of-range-key shape)."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 20), stats_cols=["k"])
+    M.commit_append(spark, lake, _frame(spark, 20, 40), stats_cols=["k"])
+    t = M.read_snapshot(spark, lake, ranges={"k": (1000, 2000)})
+    assert t.count() == 0
+    assert t.columns == ["k", "g", "maybe"]
+    assert M.read_for_keys(spark, lake, "k", [999]).count() == 0

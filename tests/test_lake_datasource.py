@@ -267,3 +267,72 @@ def test_writer_empty_frame_keeps_reads_valid(spark, tmp_path):
     assert M.read_snapshot(spark, lake).columns == ["k", "band", "x"]
     _write(_src(spark, 0, 5), lake)
     assert M.read_snapshot(spark, lake).count() == 5
+
+
+# --------------------------------------------------- streaming write
+
+
+def _pump(spark, src_lake, dst_lake, ckpt, tag="q1"):
+    from nba_pipeline_spark.sources.lake_stream import register_lake_stream
+
+    register_lake_stream(spark)
+    register_lake_source(spark)
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", src_lake)
+        .load()
+        .drop("_commit_version")
+        .writeStream.format("manifest_lake")
+        .option("path", dst_lake)
+        .option("checkpoint_tag", tag)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_writer_lake_to_lake_exactly_once(spark, tmp_path):
+    """manifest_stream -> manifest_lake: the whole table format
+    round-trips through format() streaming, and a checkpoint restart
+    re-delivers nothing (version-offset source) while a forced replay
+    of the same batch is absorbed by the batchId tag."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    M.commit_append(spark, src, _src(spark, 0, 60))
+    M.commit_append(spark, src, _src(spark, 60, 100))
+    _pump(spark, src, dst, ckpt)
+    got = sorted(r["k"] for r in M.read_snapshot(spark, dst).collect())
+    assert got == list(range(100))
+    # restart on the same checkpoint: no new source versions -> the
+    # destination is unchanged (no empty-batch version churn either)
+    v = M.current_version(spark, dst)
+    _pump(spark, src, dst, ckpt)
+    assert M.current_version(spark, dst) == v
+    assert M.read_snapshot(spark, dst).count() == 100
+    # new source commit flows incrementally
+    M.commit_append(spark, src, _src(spark, 100, 110))
+    _pump(spark, src, dst, ckpt)
+    assert M.read_snapshot(spark, dst).count() == 110
+
+
+def test_stream_writer_replay_tag_absorbs_duplicate_batch(spark, tmp_path):
+    """A FRESH checkpoint re-delivers the whole source from version 0;
+    with the SAME checkpoint_tag the replayed batch 0 is a no-op, so
+    rows are not duplicated."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    M.commit_append(spark, src, _src(spark, 0, 50))
+    _pump(spark, src, dst, str(tmp_path / "ckpt1"), tag="same")
+    _pump(spark, src, dst, str(tmp_path / "ckpt2"), tag="same")
+    assert M.read_snapshot(spark, dst).count() == 50
+
+
+def test_stream_writer_refuses_complete_mode(spark, tmp_path):
+    from nba_pipeline_spark.sources.lake_datasource import (
+        ManifestLakeStreamWriter,
+    )
+
+    with pytest.raises(ValueError, match="append output mode"):
+        ManifestLakeStreamWriter({"path": str(tmp_path)}, None, True)
