@@ -94,9 +94,10 @@ HEADLINE = [
     "q_manifest_zorder_partitioned",
     "q_manifest_zorder_incremental",
     "q_data_card",
-    # q_manifest_stream is excluded: its latency is Structured
-    # Streaming micro-batch bring-up (engine-fixed, ~seconds regardless
-    # of data volume), pinned in tests/test_lake_stream.py instead
+    # q_manifest_stream and q_manifest_stream_write are excluded: their
+    # latency is Structured Streaming micro-batch bring-up (engine-
+    # fixed, ~seconds regardless of data volume), pinned in
+    # tests/test_lake_stream.py / test_lake_datasource.py instead
     # round-7 session additions (PQ codebook ANN, incremental span
     # dedup over the persisted window table, BPE oracle anchor)
     "q_ann_pq_rerank",

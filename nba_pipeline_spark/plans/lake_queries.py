@@ -2136,3 +2136,62 @@ register(
     FROM orders
     """,
 )
+
+
+def _stream_write_lake(spark: SparkSession, sf_dir: str) -> str:
+    """A destination lake produced ENTIRELY by the streaming writer:
+    three source commits pumped through ``readStream.format(
+    "manifest_stream") → writeStream.format("manifest_lake")`` with
+    availableNow — version offsets in, batch-tagged manifest commits
+    out."""
+    root = _stage_dir(sf_dir, "orders", "manifest_stream_write")
+
+    def build():
+        from ..sources.lake_datasource import register_lake_source
+        from ..sources.lake_stream import register_lake_stream
+
+        register_lake_stream(spark)
+        register_lake_source(spark)
+        src, dst, ckpt = f"{root}/src", f"{root}/dst", f"{root}/ckpt"
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        for band in range(3):
+            M.commit_append(
+                spark, src, orders.filter(F.col("o_orderkey") % 3 == band)
+            )
+        q = (
+            spark.readStream.format("manifest_stream")
+            .option("path", src)
+            .load()
+            .drop("_commit_version")
+            .writeStream.format("manifest_lake")
+            .option("path", dst)
+            .option("checkpoint_tag", "stage")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    return _ensure_stage(root, build)
+
+
+def q_manifest_stream_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming WRITE path end-to-end (sources/lake_datasource.py
+    ::ManifestLakeStreamWriter): lake → stream → lake through pure
+    format() plumbing, exactly-once via the checkpoint_tag=batchId
+    idempotency tag. The destination must equal the source corpus
+    row-for-row — the oracle replays it as a plain scan of orders
+    (same equality contract as q_manifest_backfill_chunked, but
+    through Structured Streaming instead of chunked batch reads)."""
+    tune(spark)
+    root = _stream_write_lake(spark, sf_dir)
+    return _agg(M.read_snapshot(spark, f"{root}/dst"))
+
+
+register(
+    "q_manifest_stream_write",
+    q_manifest_stream_write,
+    _AGG_ORACLE.format(where=""),
+)

@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_token_search",
     "q_manifest_sql_read",
     "q_manifest_sql_write",
+    "q_manifest_stream_write",
     # backfill: r2-window greens longest since last sample, import order
     "q_json_extract",
     "q_array_ops",

@@ -336,3 +336,50 @@ def test_stream_writer_refuses_complete_mode(spark, tmp_path):
 
     with pytest.raises(ValueError, match="append output mode"):
         ManifestLakeStreamWriter({"path": str(tmp_path)}, None, True)
+
+
+def test_writer_concurrent_appends_serialize(spark, tmp_path):
+    """Four threads race writer commits into one lake: the os.link CAS
+    serializes them — every row lands exactly once, versions are
+    distinct, no manifest is lost. (Driven through the writer objects
+    directly: concurrent format() save() calls trip an engine-side
+    python-datasource lookup race unrelated to the commit protocol.)"""
+    import pyarrow as pa
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql.types import StructType
+
+    register_lake_source(spark)
+    lake = str(tmp_path / "wlake")
+    _write(_src(spark, 0, 10), lake)  # establish schema
+    schema = (
+        StructType()
+        .add("k", "long")
+        .add("band", "long")
+        .add("x", "double")
+    )
+    from nba_pipeline_spark.sources.lake_datasource import ManifestLakeWriter
+
+    def go(i):
+        w = ManifestLakeWriter({"path": lake}, schema, False)
+        lo = 100 * (i + 1)
+        batch = pa.record_batch(
+            {
+                "k": pa.array(range(lo, lo + 50), pa.int64()),
+                "band": pa.array([v % 4 for v in range(lo, lo + 50)], pa.int64()),
+                "x": pa.array([float(v) for v in range(lo, lo + 50)]),
+            }
+        )
+        msg = w.write(iter([batch]))
+        w.commit([msg])
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(go, range(4)))
+    snap = M.read_snapshot(spark, lake)
+    got = sorted(r["k"] for r in snap.collect())
+    exp = sorted(
+        list(range(10))
+        + [k for i in range(4) for k in range(100 * (i + 1), 100 * (i + 1) + 50)]
+    )
+    assert got == exp
+    assert len(M._manifest_versions(spark, lake)) == 5
