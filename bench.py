@@ -124,6 +124,7 @@ HEADLINE = [
     "q_manifest_token_search",
     "q_manifest_sql_read",
     "q_manifest_sql_write",
+    "q_manifest_generated",
 ]
 
 

@@ -2195,3 +2195,71 @@ register(
     q_manifest_stream_write,
     _AGG_ORACLE.format(where=""),
 )
+
+
+def _generated_lake(spark: SparkSession, sf_dir: str) -> str:
+    """A lake whose partition column is GENERATED: writers ship only
+    the natural orders columns; o_year materializes from the declared
+    expression inside the write and the partitioned append tags
+    segments with it."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_generated")
+
+    def build():
+        M.set_generated_column(
+            spark, lake, "o_year", "CAST(YEAR(o_orderdate) AS INT)"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"  # no o_year
+        )
+        M.commit_append_partitioned(
+            spark, lake, orders, "o_year", stats_cols=["o_orderkey"]
+        )
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED columns (sources/manifest.py::set_generated_column —
+    Delta parity): the partition column is declared as an expression,
+    writers never ship it, and the write materializes + tags it, so a
+    year-scoped read PRUNES through partition tags the writer did not
+    have to compute (asserted). Batches that DO supply the column are
+    validated against the expression — a generated column is a
+    contract, not a default. Oracle: the same derived-year predicate
+    over the source parquet."""
+    tune(spark)
+    lake = _generated_lake(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    yr = orders.agg(
+        F.min(F.year("o_orderdate").cast("int")).alias("y")
+    ).collect()[0]["y"]
+    segs = M.resolve_segments(spark, lake, part_eq={"o_year": yr})
+    n_all = len(M.resolve_segments(spark, lake))
+    years = orders.select(
+        F.year("o_orderdate").cast("int").alias("y")
+    ).distinct().count()
+    if years > 1:
+        assert len(segs) < n_all, f"generated-tag pruning: {len(segs)}/{n_all}"
+    t = M.read_snapshot(spark, lake, part_eq={"o_year": yr}).filter(
+        F.col("o_year") == yr
+    )
+    return t.groupBy((F.col("o_orderkey") % 5).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+register(
+    "q_manifest_generated",
+    q_manifest_generated,
+    """
+    SELECT o_orderkey % 5 AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE CAST(YEAR(o_orderdate) AS INT) =
+          (SELECT MIN(CAST(YEAR(o_orderdate) AS INT)) FROM orders)
+    GROUP BY o_orderkey % 5
+    """,
+)

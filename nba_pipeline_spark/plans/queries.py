@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_sql_read",
     "q_manifest_sql_write",
     "q_manifest_stream_write",
+    "q_manifest_generated",
     # backfill: r2-window greens longest since last sample, import order
     "q_json_extract",
     "q_array_ops",

@@ -592,6 +592,101 @@ def drop_constraint(spark: SparkSession, path: str, name: str) -> int:
     )
 
 
+def generated_columns(spark: SparkSession, path: str) -> dict[str, str]:
+    """{column: generation expression} — empty for an uncommitted lake."""
+    v = current_version(spark, path)
+    if v is None:
+        return {}
+    return dict(
+        _read_manifest(spark, path, v).get("props", {}).get("generated", {})
+    )
+
+
+def set_generated_column(
+    spark: SparkSession, path: str, col: str, expr: str
+) -> int:
+    """Declare `col` GENERATED ALWAYS AS (expr) — Delta generated-
+    column parity. Every subsequent append/replace computes the column
+    when the batch omits it and VALIDATES it when the batch supplies
+    it (a mismatch is a ConstraintViolation — a generated column is a
+    contract, not a default). The usual use is a derived partition
+    column (o_year = year(o_orderdate)): writers ship the natural
+    columns, partition tagging and pruning ride the generated one.
+
+    Guard rails: on a non-empty lake the column must already exist in
+    the schema AND match the expression on every existing row (CAS-
+    pinned validation, same shape as set_constraint) — adding a
+    generated column that old segments would NULL-fill silently
+    diverges, so it refuses with a rewrite-first remediation."""
+    from pyspark.sql import functions as F
+
+    def props_fn(props):
+        gen = dict(props.get("generated", {}))
+        gen[col] = expr
+        return {**props, "generated": gen}
+
+    for _ in range(20):
+        pinned = current_version(spark, path)
+        if pinned is not None and _read_manifest(spark, path, pinned)["segments"]:
+            snap = read_snapshot(spark, path, version=pinned)
+            if col not in snap.columns:
+                raise SchemaDrift(
+                    f"set_generated_column({col!r}): the lake already has "
+                    "rows without this column — old segments would NULL-"
+                    "fill where the expression has a value. Backfill via "
+                    f"a rewrite (replace/compact) first: {path}"
+                )
+            bad = snap.filter(
+                ~F.col(col).eqNullSafe(F.expr(expr))
+            ).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"cannot declare {col} GENERATED AS ({expr}): {bad} "
+                    f"existing rows disagree in {path}"
+                )
+        try:
+            return _commit(
+                spark, path, "set_generated",
+                lambda parent: list(parent["segments"]) if parent else [],
+                props_fn=props_fn,
+                expected_parent=pinned or 0,
+            )
+        except CommitConflict:
+            continue  # a write superseded the validated snapshot
+    raise RuntimeError(
+        f"set_generated_column lost the validate-commit race 20 times: {path}"
+    )
+
+
+def _apply_generated(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
+    """Materialize/validate generated columns on an incoming batch —
+    one combined validation job for every supplied generated column
+    (absent ones compute for free inside the write plan)."""
+    from pyspark.sql import functions as F
+
+    gen = generated_columns(spark, path)
+    if not gen:
+        return df
+    checks = []
+    for col, expr in gen.items():
+        if col in df.columns:
+            checks.append((col, expr))
+        else:
+            df = df.withColumn(col, F.expr(expr))
+    if checks:
+        cond = None
+        for col, expr in checks:
+            c = ~F.col(col).eqNullSafe(F.expr(expr))
+            cond = c if cond is None else (cond | c)
+        bad = df.filter(cond).count()
+        if bad:
+            raise ConstraintViolation(
+                f"{bad} rows disagree with generated column(s) "
+                f"{[c for c, _ in checks]} in a write to {path}"
+            )
+    return df
+
+
 def _check_constraints(spark: SparkSession, path: str, df: DataFrame) -> None:
     """Validate a commit's INCOMING rows against the table's CHECK
     constraints — one combined partial-agg'd count job when any exist
@@ -923,6 +1018,7 @@ def commit_append(
     pruning: partition equality, min/max ranges, bloom point lookups,
     and keyword-token blooms respectively (`read_snapshot(part_eq= /
     ranges= / bloom_eq= / token_eq=)`)."""
+    df = _apply_generated(spark, path, df)
     _check_constraints(spark, path, df)
     _check_schema(spark, path, df)
     # the physical translation below is derived from props READ BEFORE
@@ -1037,6 +1133,7 @@ def commit_append_partitioned(
     columns translate to physical names like `commit_append` (segment
     tags stay physical — the probe translation expects that), with the
     same CAS-time mapping-stability check + rewrite-on-race."""
+    df = _apply_generated(spark, path, df)
     _check_constraints(spark, path, df)
     _check_schema(spark, path, df)
     for _attempt in range(5):
@@ -1168,6 +1265,7 @@ def commit_replace(
     supersede everything they applied to. `tag` is the usual commit
     idempotency token (a replayed replace with a seen tag is a no-op
     returning the existing version — the MV-publish replay guard)."""
+    df = _apply_generated(spark, path, df)
     _check_constraints(spark, path, df)
     seg = _write_segment(df, path, target_files)
     return _commit(

@@ -562,3 +562,69 @@ def test_fully_pruned_read_is_empty_not_error(spark, tmp_path):
     assert t.count() == 0
     assert t.columns == ["k", "g", "maybe"]
     assert M.read_for_keys(spark, lake, "k", [999]).count() == 0
+
+
+# ----------------------------------------------------- generated cols
+
+
+def test_generated_column_computes_and_validates(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.set_generated_column(spark, lake, "g2", "k * 2")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    M.commit_append(spark, lake, df)  # column absent: computed
+    snap = M.read_snapshot(spark, lake)
+    assert snap.filter("g2 = k * 2").count() == 10
+    # supplied-and-correct passes
+    good = spark.range(10, 15).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("g2")
+    )
+    M.commit_append(spark, lake, good)
+    assert M.read_snapshot(spark, lake).count() == 15
+    # supplied-and-wrong refuses: a generated column is a contract
+    bad = spark.range(15, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("g2")
+    )
+    with pytest.raises(M.ConstraintViolation, match="generated"):
+        M.commit_append(spark, lake, bad)
+    assert M.read_snapshot(spark, lake).count() == 15
+
+
+def test_generated_column_declare_guards(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    M.commit_append(spark, lake, df)
+    # non-empty lake, column absent -> refuse (old rows would NULL-fill)
+    with pytest.raises(M.SchemaDrift, match="Backfill"):
+        M.set_generated_column(spark, lake, "g2", "k * 2")
+    # column present but diverging -> refuse
+    lake2 = str(tmp_path / "lake2")
+    M.commit_append(
+        spark, lake2,
+        spark.range(0, 10).select(F.col("id").alias("k"),
+                                  (F.col("id") * 3).alias("g2")),
+    )
+    with pytest.raises(M.ConstraintViolation, match="disagree"):
+        M.set_generated_column(spark, lake2, "g2", "k * 2")
+    # column present and matching -> declared, then enforced
+    lake3 = str(tmp_path / "lake3")
+    M.commit_append(
+        spark, lake3,
+        spark.range(0, 10).select(F.col("id").alias("k"),
+                                  (F.col("id") * 2).alias("g2")),
+    )
+    M.set_generated_column(spark, lake3, "g2", "k * 2")
+    assert M.generated_columns(spark, lake3) == {"g2": "k * 2"}
+
+
+def test_generated_partition_column_prunes(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.set_generated_column(spark, lake, "band", "CAST(k % 3 AS INT)")
+    df = spark.range(0, 30).select(F.col("id").alias("k"))
+    M.commit_append_partitioned(spark, lake, df, "band")
+    assert len(M.resolve_segments(spark, lake)) == 3
+    segs = M.resolve_segments(spark, lake, part_eq={"band": 1})
+    assert len(segs) == 1
+    got = M.read_snapshot(spark, lake, part_eq={"band": 1}).filter(
+        "band = 1"
+    ).count()
+    assert got == 10
