@@ -125,6 +125,7 @@ HEADLINE = [
     "q_manifest_sql_read",
     "q_manifest_sql_write",
     "q_manifest_generated",
+    "q_manifest_widen",
 ]
 
 

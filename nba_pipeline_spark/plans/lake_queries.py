@@ -2263,3 +2263,63 @@ register(
     GROUP BY o_orderkey % 5
     """,
 )
+
+
+def _widen_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Half the orders land with an INT order key, the key is widened
+    to BIGINT as pure metadata, and the other half lands wide — the
+    mixed-physical layout every read must upcast through."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_widen")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        narrow = orders.withColumn(
+            "o_orderkey", F.col("o_orderkey").cast("int")
+        )
+        M.commit_append(
+            spark, lake, narrow.filter(F.col("o_orderkey") % 2 == 0),
+            stats_cols=["o_orderkey"],
+        )
+        M.widen_column_type(spark, lake, "o_orderkey", "bigint")
+        M.commit_append(
+            spark, lake, orders.filter(F.col("o_orderkey") % 2 == 1),
+            stats_cols=["o_orderkey"],
+        )
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only TYPE WIDENING (sources/manifest.py::
+    widen_column_type — Delta parity): int32 files written before the
+    widen and int64 files written after scan TOGETHER under the
+    recorded bigint schema (the vectorized reader upcasts narrow files
+    against the explicit read schema; not a byte rewritten). The
+    result schema is asserted wide; the oracle replays the same
+    aggregate over the source parquet, where the key was bigint all
+    along — identical results prove the widening is pure metadata."""
+    tune(spark)
+    lake = _widen_lake(spark, sf_dir)
+    snap = M.read_snapshot(spark, lake)
+    assert dict(snap.dtypes)["o_orderkey"] == "bigint", snap.dtypes
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+register(
+    "q_manifest_widen",
+    q_manifest_widen,
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)

@@ -293,10 +293,18 @@ class ManifestLakeReader(DataSourceReader):
             t = pq.read_table(norm, filesystem=fs)
         cols = []
         for n, typ, phys_name in sch_cols:
+            want = _pa_type(typ, fname, n)
             if phys_name in t.column_names:
-                cols.append(t.column(phys_name))
+                col = t.column(phys_name)
+                if col.type != want:
+                    # type-widened lake: narrow pre-widening file
+                    # upcasts to the recorded type (int32->int64,
+                    # float->double) — same promotion the JVM reader
+                    # performs under the explicit schema
+                    col = col.cast(want)
+                cols.append(col)
             else:  # pre-evolution file: null-fill, manifest-typed
-                cols.append(pa.nulls(t.num_rows, _pa_type(typ, fname, n)))
+                cols.append(pa.nulls(t.num_rows, want))
         yield from pa.table(
             cols, names=[n for n, _, _ in sch_cols]
         ).to_batches()

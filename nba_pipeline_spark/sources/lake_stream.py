@@ -372,7 +372,14 @@ class ManifestStreamReader(DataSourceStreamReader):
             # column mapping: the file stores the PHYSICAL name; the
             # stream emits the LOGICAL one
             if phys in have:
-                cols.append(t.column(phys))
+                col = t.column(phys)
+                want = _pa_type(typ, fname, n)
+                if col.type != want:
+                    # type-widened lake: upcast narrow pre-widening
+                    # files to the recorded type (the declared stream
+                    # schema is pinned to it)
+                    col = col.cast(want)
+                cols.append(col)
             else:
                 # file predates an additive evolution: null-fill with
                 # the manifest-recorded type (failing here would wedge

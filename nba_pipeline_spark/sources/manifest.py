@@ -1019,6 +1019,7 @@ def commit_append(
     and keyword-token blooms respectively (`read_snapshot(part_eq= /
     ranges= / bloom_eq= / token_eq=)`)."""
     df = _apply_generated(spark, path, df)
+    df = _upcast_to_schema(spark, path, df)
     _check_constraints(spark, path, df)
     _check_schema(spark, path, df)
     # the physical translation below is derived from props READ BEFORE
@@ -1134,6 +1135,7 @@ def commit_append_partitioned(
     tags stay physical — the probe translation expects that), with the
     same CAS-time mapping-stability check + rewrite-on-race."""
     df = _apply_generated(spark, path, df)
+    df = _upcast_to_schema(spark, path, df)
     _check_constraints(spark, path, df)
     _check_schema(spark, path, df)
     for _attempt in range(5):
@@ -1266,6 +1268,7 @@ def commit_replace(
     idempotency token (a replayed replace with a seen tag is a no-op
     returning the existing version — the MV-publish replay guard)."""
     df = _apply_generated(spark, path, df)
+    df = _upcast_to_schema(spark, path, df)
     _check_constraints(spark, path, df)
     seg = _write_segment(df, path, target_files)
     return _commit(
@@ -1399,6 +1402,9 @@ def commit_replace_where(
         if base_version is not None:
             m = _read_manifest(spark, path, base_version)
             _require_no_tombstones(m, path, "commit_replace_where")
+            _require_not_widened(
+                dict(m.get("props", {})), path, "replaceWhere"
+            )
             meta = m.get("meta", {})
             might = set(_prune_segments(m, eq, ranges))
             for s in m["segments"]:
@@ -1618,6 +1624,15 @@ def compact(
                 # scoped compact leaves untouched segments that still
                 # need them -> carry (the default deletes_fn)
                 deletes_fn=None if part_eq is not None else (lambda p: []),
+                # full compact also rewrote every file at the recorded
+                # (widened) types -> the type-widening flag clears and
+                # the gated modify ops come back; scoped compact keeps
+                # narrow untouched segments -> flag stays
+                props_fn=None if part_eq is not None else (
+                    lambda props: {
+                        k: v for k, v in props.items() if k != "widened"
+                    }
+                ),
             )
         except CommitConflict as e:
             last_err = e  # snapshot moved non-append-wise: redo
@@ -1963,7 +1978,10 @@ def cluster_incremental(
             return base_version  # nothing to fold
         base_segs = set(base["segments"])
         z, n_z = _zorder_from_cuts(cols, bits, spec["cuts"])
-        df_new = _read_segments(spark, path, fresh, merge_schema=True)
+        ddl = _widened_ddl(dict(base.get("props", {})))
+        df_new = _read_segments(
+            spark, path, fresh, merge_schema=True, schema_ddl=ddl
+        )
         routed = df_new.withColumn(
             "__zrun",
             F.least(
@@ -1984,9 +2002,9 @@ def cluster_incremental(
             replaced.update(olds)
             part = routed.filter(F.col("__zrun") == run).drop("__zrun")
             if olds:
-                part = _read_segments(spark, path, olds, merge_schema=True).unionByName(
-                    part, allowMissingColumns=True
-                )
+                part = _read_segments(
+                    spark, path, olds, merge_schema=True, schema_ddl=ddl
+                ).unionByName(part, allowMissingColumns=True)
             zc, _ = _zorder_from_cuts(cols, bits, spec["cuts"])
             merged = part.withColumn("__z", zc).sortWithinPartitions("__z")
             seg = _write_segment(merged.drop("__z"), path, 1)
@@ -2096,7 +2114,13 @@ def cluster_partitioned(
                 f"{part_col!r} ({len(untagged)} untagged): {path}"
             )
         base_segs = set(base["segments"])
-        df = _read_segments(spark, path, base["segments"], merge_schema=True)
+        df = _read_segments(
+            spark,
+            path,
+            base["segments"],
+            merge_schema=True,
+            schema_ddl=_widened_ddl(dict(base.get("props", {}))),
+        )
         parts = [
             r[part_col]
             for r in df.select(part_col).distinct().collect()
@@ -2218,13 +2242,139 @@ def _read_segments(
     path: str,
     segments: list[str],
     merge_schema: bool = False,
+    schema_ddl: str | None = None,
 ) -> DataFrame:
     if not segments:
         raise ValueError("manifest lists no segments (empty table version)")
     reader = spark.read
-    if merge_schema:
+    if schema_ddl is not None:
+        # widened lake: the explicit recorded schema supersedes footer
+        # inference AND mergeSchema — narrow files upcast, files
+        # missing additive columns null-fill
+        reader = reader.schema(schema_ddl)
+    elif merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*[_seg_path(path, s) for s in segments])
+
+
+_WIDEN_CHAINS = (
+    ["tinyint", "smallint", "int", "bigint"],
+    ["float", "double"],
+    # every int32-or-narrower integer is exactly representable in a
+    # double; bigint is NOT (2^53) and never widens to double
+    ["tinyint", "smallint", "int", "double"],
+)
+
+
+def _is_widening(old: str, new: str) -> bool:
+    for chain in _WIDEN_CHAINS:
+        if old in chain and new in chain and chain.index(old) < chain.index(new):
+            return True
+    return False
+
+
+def widen_column_type(
+    spark: SparkSession, path: str, col: str, new_type: str
+) -> int:
+    """Metadata-only TYPE WIDENING (Delta type-widening parity):
+    tinyint→smallint→int→bigint, float→double, and int-or-narrower→
+    double — the upcasts the vectorized parquet reader performs for
+    free when handed the wider read schema (no byte of data rewritten).
+    Readers pass the recorded schema explicitly from here on
+    (`_widened_ddl`), so narrow pre-widening files and wide
+    post-widening files scan together; a narrow incoming batch upcasts
+    automatically at the append boundary (`_upcast_to_schema`).
+
+    Modify-in-place ops that re-read raw segments (MERGE, row deletes,
+    replaceWhere's row-level path) REFUSE on a widened lake until a
+    full `compact()` materializes the wide type and clears the flag —
+    the same honest-gate + one-command remediation as tombstone
+    materialization. Time travel to pre-widening versions still reads
+    (and types) the old schema."""
+    for _ in range(20):
+        pinned = current_version(spark, path)
+        props = (
+            dict(_read_manifest(spark, path, pinned).get("props", {}))
+            if pinned is not None
+            else {}
+        )
+        sch = (props.get("schema") or {}).get("cols")
+        if not sch:
+            raise ValueError(
+                f"widen_column_type: lake has no recorded schema: {path}"
+            )
+        types = {n: t for n, t in sch}
+        if col not in types:
+            raise ValueError(f"widen_column_type: no column {col!r} in {path}")
+        old = types[col]
+        if old == new_type:
+            return pinned  # no-op
+        if not _is_widening(old, new_type):
+            raise ValueError(
+                f"widen_column_type: {old} -> {new_type} is not a "
+                "supported widening (tinyint<smallint<int<bigint, "
+                "float<double, int-or-narrower->double)"
+            )
+
+        def props_fn(p):
+            cols = [
+                [n, new_type if n == col else t]
+                for n, t in (p.get("schema") or {}).get("cols", [])
+            ]
+            return {**p, "schema": {"cols": cols}, "widened": True}
+
+        try:
+            return _commit(
+                spark, path, "widen_type",
+                lambda parent: list(parent["segments"]) if parent else [],
+                props_fn=props_fn,
+                expected_parent=pinned or 0,
+            )
+        except CommitConflict:
+            continue
+    raise RuntimeError(
+        f"widen_column_type lost the CAS race 20 times: {path}"
+    )
+
+
+def _widened_ddl(props: dict) -> str | None:
+    """Explicit PHYSICAL read schema for a widened lake (None
+    otherwise): the vectorized reader upcasts each narrow file to the
+    recorded type; files missing additive columns null-fill."""
+    if not props.get("widened"):
+        return None
+    sch = (props.get("schema") or {}).get("cols")
+    if not sch:
+        return None
+    cm = _colmap(props)
+    return ", ".join(f"`{cm.get(n, n)}` {t}" for n, t in sch)
+
+
+def _require_not_widened(props: dict, path: str, op: str) -> None:
+    if props.get("widened"):
+        raise ValueError(
+            f"{op} re-reads raw segments and cannot assume a uniform "
+            f"physical type on a widened lake — run compact() to "
+            f"materialize the widened schema first: {path}"
+        )
+
+
+def _upcast_to_schema(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
+    """Auto-upcast an incoming batch's narrower columns to the
+    recorded (widened) types — old writers keep working after a
+    widen_column_type, Delta-style."""
+    from pyspark.sql import functions as F
+
+    props = _latest_props(spark, path)
+    if not props.get("widened"):
+        return df
+    types = {n: t for n, t in (props.get("schema") or {}).get("cols", [])}
+    have = dict(_df_schema_pairs(df))
+    for c in df.columns:
+        rec = types.get(c)
+        if rec and have.get(c) != rec and _is_widening(have.get(c, ""), rec):
+            df = df.withColumn(c, F.col(c).cast(rec))
+    return df
 
 
 def _require_no_tombstones(manifest: dict, path: str, op: str) -> None:
@@ -2264,9 +2414,10 @@ def _read_with_tombstones(
     batches are small next to the table by premise; AQE picks
     broadcast for the key side when it is. NULL delete keys follow SQL
     semantics: they match no row."""
+    ddl = _widened_ddl(dict(manifest.get("props", {})))
     dels = list(manifest.get("deletes", []))
     if not dels:
-        return _read_segments(spark, path, segments, merge_schema)
+        return _read_segments(spark, path, segments, merge_schema, ddl)
     meta = manifest.get("meta", {})
 
     def seq(s: str) -> int:
@@ -2278,7 +2429,7 @@ def _read_with_tombstones(
         groups.setdefault(applicable, []).append(s)
     parts = []
     for applicable, group in groups.items():
-        df = _read_segments(spark, path, group, merge_schema)
+        df = _read_segments(spark, path, group, merge_schema, ddl)
         by_keys: dict[tuple, list[str]] = {}
         for t in applicable:
             kcols = tuple(meta.get(t, {}).get("delete_keys", ()))
@@ -2288,7 +2439,11 @@ def _read_with_tombstones(
                 )
             by_keys.setdefault(kcols, []).append(t)
         for kcols, tsegs in by_keys.items():
-            tomb = _read_segments(spark, path, tsegs).select(*kcols).distinct()
+            tomb = (
+                _read_segments(spark, path, tsegs, schema_ddl=ddl)
+                .select(*kcols)
+                .distinct()
+            )
             df = df.join(tomb, on=list(kcols), how="left_anti")
         parts.append(df)
     out = parts[0]
@@ -2479,6 +2634,9 @@ def _clear_colmap_after(inner_props_fn):
         out = dict(inner_props_fn(props))
         out.pop("colmap", None)
         out.pop("dropped_cols", None)
+        # a consolidated rewrite also materializes TYPE WIDENING: the
+        # new segment is written at the recorded wide types
+        out.pop("widened", None)
         return out
 
     return props_fn
@@ -3205,6 +3363,9 @@ def commit_upsert_partitioned(
         if base_version is not None:
             m = _read_manifest(spark, path, base_version)
             _require_no_tombstones(m, path, "commit_upsert_partitioned")
+            _require_not_widened(
+                dict(m.get("props", {})), path, "commit_upsert_partitioned"
+            )
             meta = m.get("meta", {})
             for s in m["segments"]:
                 part = meta.get(s, {}).get("part", {})
@@ -3384,6 +3545,9 @@ def commit_upsert_pruned(
         if base_version is not None:
             m = _read_manifest(spark, path, base_version)
             _require_no_tombstones(m, path, "commit_upsert_pruned")
+            _require_not_widened(
+                dict(m.get("props", {})), path, "commit_upsert_pruned"
+            )
             meta = m.get("meta", {})
             if any("part" in meta.get(s, {}) for s in m["segments"]):
                 raise ValueError(
@@ -3482,6 +3646,9 @@ def commit_delete(
             raise ValueError(f"cannot delete from an empty manifest lake: {path}")
         m = _read_manifest(spark, path, base_version)
         _require_no_tombstones(m, path, "commit_delete")
+        _require_not_widened(
+            dict(m.get("props", {})), path, "commit_delete"
+        )
         meta = m.get("meta", {})
         touched, untouched = _segments_overlapping_keys(
             spark, m, key_df.select(stats_key), stats_key

@@ -628,3 +628,98 @@ def test_generated_partition_column_prunes(spark, tmp_path):
         "band = 1"
     ).count()
     assert got == 10
+
+
+# ------------------------------------------------------ type widening
+
+
+def _narrow(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("float").alias("x"),
+    )
+
+
+def test_widen_reads_mixed_files(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _narrow(spark, 0, 50), stats_cols=["k"])
+    M.widen_column_type(spark, lake, "k", "bigint")
+    M.widen_column_type(spark, lake, "x", "double")
+    # old narrow writer keeps working (auto-upcast at the boundary)
+    M.commit_append(spark, lake, _narrow(spark, 50, 60))
+    # new wide writer too
+    M.commit_append(
+        spark, lake,
+        spark.range(60, 70).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("x")
+        ),
+    )
+    snap = M.read_snapshot(spark, lake)
+    assert dict(snap.dtypes) == {"k": "bigint", "x": "double"}
+    assert snap.count() == 70
+    assert snap.agg(F.sum("k")).collect()[0][0] == sum(range(70))
+    # time travel BEFORE the widen surfaces the original narrow types
+    assert dict(M.read_snapshot(spark, lake, version=1).dtypes) == {
+        "k": "int", "x": "float",
+    }
+    # metadata-only: v1's segment is still referenced unchanged
+    assert set(M.resolve_segments(spark, lake, version=1)) <= set(
+        M.resolve_segments(spark, lake)
+    )
+
+
+def test_widen_guards_and_compact_materializes(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _narrow(spark, 0, 20))
+    with pytest.raises(ValueError, match="not a supported widening"):
+        M.widen_column_type(spark, lake, "x", "int")
+    with pytest.raises(ValueError, match="no column"):
+        M.widen_column_type(spark, lake, "zzz", "bigint")
+    M.widen_column_type(spark, lake, "k", "bigint")
+    # modify-in-place ops refuse until the widening is materialized
+    with pytest.raises(ValueError, match="widened"):
+        M.commit_delete(
+            spark, lake,
+            M.read_snapshot(spark, lake).filter("k = 1").select("k"), ["k"],
+        )
+    M.compact(spark, lake, target_files=1)
+    M.commit_delete(
+        spark, lake,
+        M.read_snapshot(spark, lake).filter("k = 1").select("k"), ["k"],
+    )
+    assert M.read_snapshot(spark, lake).count() == 19
+    # bigint never widens to double (2^53)
+    with pytest.raises(ValueError, match="not a supported widening"):
+        M.widen_column_type(spark, lake, "k", "double")
+
+
+def test_widen_through_datasource_and_stream(spark, tmp_path):
+    from nba_pipeline_spark.sources.lake_datasource import read_lake
+    from nba_pipeline_spark.sources.lake_stream import register_lake_stream
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _narrow(spark, 0, 30))
+    M.widen_column_type(spark, lake, "k", "bigint")
+    M.commit_append(
+        spark, lake,
+        spark.range(30, 40).select(
+            F.col("id").alias("k"), F.col("id").cast("float").alias("x")
+        ),
+    )
+    t = read_lake(spark, lake)
+    assert dict(t.dtypes)["k"] == "bigint"
+    assert t.count() == 40 and t.agg(F.sum("k")).collect()[0][0] == sum(range(40))
+    # streaming source pins the widened schema and upcasts old files
+    register_lake_stream(spark)
+    got: list = []
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", lake)
+        .load()
+        .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["k"] for r in got) == list(range(40))
