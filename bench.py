@@ -126,6 +126,7 @@ HEADLINE = [
     "q_manifest_sql_write",
     "q_manifest_generated",
     "q_manifest_widen",
+    "q_manifest_compact_small",
 ]
 
 

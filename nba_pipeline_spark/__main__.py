@@ -322,6 +322,16 @@ def cmd_lake(args) -> int:
             "starting_version": v + 1,  # hand the stream off here
         }))
         return 0
+    if args.action == "compact-small":
+        if args.target_rows is None:
+            print("compact-small requires --target-rows", file=sys.stderr)
+            return 2
+        v = M.compact_small(
+            spark, args.path, target_rows=args.target_rows,
+            target_files=args.target_files,
+        )
+        print(json.dumps({"committed_version": v}))
+        return 0
     if args.action == "branch":
         if not args.name:
             print("branch requires --name", file=sys.stderr)
@@ -455,7 +465,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         help="history|compact|vacuum|describe|restore|clone|constraint|"
         "zorder|backfill|feed|rename-column|drop-column|branch|publish|"
-        "branches|drop-branch|stats",
+        "branches|drop-branch|stats|compact-small",
     )
     lk.add_argument("path", help="manifest lake root")
     lk.add_argument("--target-files", type=int, default=1)
@@ -495,6 +505,10 @@ def main(argv: list[str] | None = None) -> int:
         help="backfill: max segments per bounded chunk",
     )
     lk.add_argument("--name", default=None, help="branch/publish: branch name")
+    lk.add_argument(
+        "--target-rows", type=int, default=None,
+        help="compact-small: consolidate segments under this row count",
+    )
     lk.add_argument(
         "--keep-branch", action="store_true",
         help="publish: leave the branch in place after fast-forward",

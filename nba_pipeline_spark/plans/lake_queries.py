@@ -2323,3 +2323,69 @@ register(
     FROM orders GROUP BY o_orderstatus
     """,
 )
+
+
+def _compact_small_lake(spark: SparkSession, sf_dir: str) -> str:
+    """One full-sized segment plus six micro-appends (the streaming-
+    ingest steady state), then the size-aware OPTIMIZE: only the small
+    tail consolidates, the big segment is untouched (asserted by name
+    in the query)."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_compact_small")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        M.commit_append(
+            spark, lake, orders.filter(F.col("o_orderkey") % 8 != 0),
+            stats_cols=["o_orderkey"],
+        )
+        for i in range(6):
+            M.commit_append(
+                spark,
+                lake,
+                orders.filter(
+                    (F.col("o_orderkey") % 8 == 0)
+                    & (F.col("o_orderkey") % 6 == i)
+                ),
+                stats_cols=["o_orderkey"],
+            )
+        big = M.resolve_segments(spark, lake)[0]
+        n_rows = M._read_manifest(
+            spark, lake, M.current_version(spark, lake)
+        )["meta"][big]["rows"]
+        M.compact_small(spark, lake, target_rows=max(2, int(n_rows) // 2))
+        after = M.resolve_segments(spark, lake)
+        assert big in after, "full-sized segment must survive untouched"
+        assert len(after) == 2, after  # big + one merged tail
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-aware auto-compaction (sources/manifest.py::compact_small):
+    the maintenance pass a streaming lake runs forever — consolidate
+    segments under a row threshold using the manifest's recorded row
+    counts (O(small tail), never O(table); the full-sized segment
+    keeps its identity, asserted in staging). Reader equivalence is
+    the oracle: the optimized lake aggregates identically to the
+    source corpus."""
+    tune(spark)
+    lake = _compact_small_lake(spark, sf_dir)
+    return M.read_snapshot(spark, lake).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+register(
+    "q_manifest_compact_small",
+    q_manifest_compact_small,
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)

@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_stream_write",
     "q_manifest_generated",
     "q_manifest_widen",
+    "q_manifest_compact_small",
     # backfill: r2-window greens longest since last sample, import order
     "q_json_extract",
     "q_array_ops",

@@ -1713,6 +1713,104 @@ def _zorder_from_cuts(
     return z, 1 << (bits_per_col * k)
 
 
+def compact_small(
+    spark: SparkSession,
+    path: str,
+    target_rows: int,
+    target_files: int | None = 1,
+    bloom_cols: list[str] | None = None,
+) -> int | None:
+    """Auto-compaction policy: consolidate ONLY the small-segment tail
+    — segments whose recorded ``rows`` metadata is under `target_rows`
+    (plus segments with no row count, which are unknown and therefore
+    candidates) — leaving full-sized segments untouched. The steady-
+    state OPTIMIZE a streaming/incremental lake needs: micro-batch
+    appends accumulate small files, and rewriting the whole table per
+    maintenance pass (plain `compact`) is O(table) where this is
+    O(small tail). Partition boundaries are respected (same-tag
+    segments merge together, cross-tag never); per-group stats are
+    recomputed over the union of the candidates' stats columns, so
+    range skipping and metadata-only aggregates survive. Returns the
+    committed version, or None when no group has >= 2 candidates
+    (nothing worth doing — idempotent steady state). Pending MoR
+    tombstones must be compacted first (full `compact` materializes
+    them); a widened lake stays widened (untouched segments keep the
+    narrow physical type)."""
+    for _ in range(5):
+        v = current_version(spark, path)
+        if v is None:
+            return None
+        m = _read_manifest(spark, path, v)
+        _require_no_tombstones(m, path, "compact_small")
+        props = dict(m.get("props", {}))
+        meta = m.get("meta", {})
+        ddl = _widened_ddl(props)
+
+        def pkey(s: str) -> str:
+            return json.dumps(
+                meta.get(s, {}).get("part"), sort_keys=True, default=str
+            )
+
+        groups: dict[str, list[str]] = {}
+        for seg in m["segments"]:
+            sm = meta.get(seg, {})
+            rows = sm.get("rows")
+            if rows is None or int(rows) < target_rows:
+                groups.setdefault(pkey(seg), []).append(seg)
+        cands = {k: segs for k, segs in groups.items() if len(segs) >= 2}
+        if not cands:
+            return None
+        new_segs: dict[str, dict] = {}
+        consumed: set[str] = set()
+        bloom_t = [
+            _physical(props, c) for c in bloom_cols
+        ] if bloom_cols else None
+        for k, segs in sorted(cands.items()):
+            df = _read_segments(
+                spark, path, segs, merge_schema=True, schema_ddl=ddl
+            )
+            seg = _write_segment(df, path, target_files, bloom_cols=bloom_t)
+            sm: dict = {}
+            part = meta.get(segs[0], {}).get("part")
+            if part is not None:
+                sm["part"] = part
+            stats_cols = sorted(
+                {c for s in segs for c in meta.get(s, {}).get("stats", {})}
+            )
+            if stats_cols:
+                sm.update(_stats_meta(df, stats_cols))
+            if bloom_t:
+                blooms = {c: _segment_bloom(df, c) for c in bloom_t}
+                blooms = {c: b for c, b in blooms.items() if b is not None}
+                if blooms:
+                    sm["bloom"] = blooms
+            new_segs[seg] = sm
+            consumed.update(segs)
+
+        def _segments(parent):
+            return [
+                s for s in parent["segments"] if s not in consumed
+            ] + list(new_segs)
+
+        def _meta(parent, segments):
+            pm = dict(parent.get("meta", {})) if parent else {}
+            out = {s: pm[s] for s in segments if s in pm}
+            out.update({s: sm for s, sm in new_segs.items() if sm})
+            return out
+
+        try:
+            return _commit(
+                spark, path, "compact_small", _segments,
+                expected_parent=v,
+                meta_fn=_meta,
+            )
+        except CommitConflict:
+            continue  # snapshot moved: re-plan the small tail
+    raise RuntimeError(
+        f"compact_small lost the snapshot race 5 times: {path}"
+    )
+
+
 def cluster(
     spark: SparkSession,
     path: str,

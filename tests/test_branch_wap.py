@@ -723,3 +723,52 @@ def test_widen_through_datasource_and_stream(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(r["k"] for r in got) == list(range(40))
+
+
+# ------------------------------------------------------ compact_small
+
+
+def test_compact_small_consolidates_only_the_tail(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    # one big segment + four small ones
+    M.commit_append(spark, lake, _frame(spark, 0, 1000), stats_cols=["k"])
+    for lo in range(1000, 1040, 10):
+        M.commit_append(
+            spark, lake, _frame(spark, lo, lo + 10), stats_cols=["k"]
+        )
+    before = M.resolve_segments(spark, lake)
+    assert len(before) == 5
+    v = M.compact_small(spark, lake, target_rows=100)
+    assert v is not None
+    after = M.resolve_segments(spark, lake)
+    assert len(after) == 2  # big survives untouched, tail merged to one
+    assert before[0] in after  # the big segment kept its identity
+    got = M.read_snapshot(spark, lake)
+    assert got.count() == 1040
+    # merged segment re-recorded stats: metadata agg still zero-file
+    r = M.metadata_agg(
+        spark, lake, min_cols=["k"], max_cols=["k"], allow_scan=False
+    ).collect()[0]
+    assert (r["count_rows"], r["min_k"], r["max_k"]) == (1040, 0, 1039)
+    # steady state: nothing left to do
+    assert M.compact_small(spark, lake, target_rows=100) is None
+
+
+def test_compact_small_respects_partitions(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    for b in range(2):
+        for i in range(3):
+            M.commit_append(
+                spark, lake,
+                _frame(spark, b * 100 + i * 10, b * 100 + i * 10 + 10),
+                partition={"band": b}, stats_cols=["k"],
+            )
+    assert len(M.resolve_segments(spark, lake)) == 6
+    M.compact_small(spark, lake, target_rows=1000)
+    segs = M.resolve_segments(spark, lake)
+    assert len(segs) == 2  # one merged segment PER PARTITION
+    # partition pruning still works on the merged layout
+    assert len(M.resolve_segments(spark, lake, part_eq={"band": 0})) == 1
+    # the band-0 scoped read returns exactly that partition's rows
+    assert M.read_snapshot(spark, lake, part_eq={"band": 0}).count() == 30
+    assert M.read_snapshot(spark, lake).count() == 60
