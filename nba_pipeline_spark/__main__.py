@@ -332,6 +332,21 @@ def cmd_lake(args) -> int:
         )
         print(json.dumps({"committed_version": v}))
         return 0
+    if args.action == "widen-type":
+        if not (args.old and args.new):
+            print("widen-type requires --old COL --new TYPE", file=sys.stderr)
+            return 2
+        v = M.widen_column_type(spark, args.path, args.old, args.new)
+        print(json.dumps({"committed_version": v}))
+        return 0
+    if args.action == "set-generated":
+        if not args.rule or ":" not in args.rule:
+            print("set-generated requires --rule col:sql_expr", file=sys.stderr)
+            return 2
+        col, expr = args.rule.split(":", 1)
+        v = M.set_generated_column(spark, args.path, col, expr)
+        print(json.dumps({"committed_version": v}))
+        return 0
     if args.action == "branch":
         if not args.name:
             print("branch requires --name", file=sys.stderr)
@@ -465,7 +480,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         help="history|compact|vacuum|describe|restore|clone|constraint|"
         "zorder|backfill|feed|rename-column|drop-column|branch|publish|"
-        "branches|drop-branch|stats|compact-small",
+        "branches|drop-branch|stats|compact-small|widen-type|set-generated",
     )
     lk.add_argument("path", help="manifest lake root")
     lk.add_argument("--target-files", type=int, default=1)

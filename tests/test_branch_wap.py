@@ -772,3 +772,26 @@ def test_compact_small_respects_partitions(spark, tmp_path):
     # the band-0 scoped read returns exactly that partition's rows
     assert M.read_snapshot(spark, lake, part_eq={"band": 0}).count() == 30
     assert M.read_snapshot(spark, lake).count() == 60
+
+
+def test_cli_widen_and_generated(spark, tmp_path, capsys):
+    import json
+
+    from nba_pipeline_spark.__main__ import main
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark, lake,
+        spark.range(0, 10).select(F.col("id").cast("int").alias("k")),
+    )
+    assert main(["lake", "widen-type", lake, "--old", "k", "--new", "bigint"]) == 0
+    capsys.readouterr()
+    assert dict(M.read_snapshot(spark, lake).dtypes)["k"] == "bigint"
+
+    lake2 = str(tmp_path / "lake2")
+    assert main(["lake", "set-generated", lake2, "--rule", "g2:k * 2"]) == 0
+    capsys.readouterr()
+    M.commit_append(
+        spark, lake2, spark.range(0, 5).select(F.col("id").alias("k"))
+    )
+    assert M.read_snapshot(spark, lake2).filter("g2 = k * 2").count() == 5
