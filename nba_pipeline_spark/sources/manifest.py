@@ -2988,6 +2988,17 @@ def read_for_keys(
     return df.filter(F.col(col).isin(ks))
 
 
+def _recorded_fields(props: dict):
+    """{logical name: DataType} from the recorded schema, or None for a
+    pre-enforcement lake (caller falls back to a snapshot plan)."""
+    sch = (props.get("schema") or {}).get("cols")
+    if not sch:
+        return None
+    from pyspark.sql.types import _parse_datatype_string
+
+    return {n: _parse_datatype_string(t) for n, t in sch}
+
+
 def metadata_agg(
     spark: SparkSession,
     path: str,
@@ -3034,8 +3045,21 @@ def metadata_agg(
     phys = {c: _physical(props, c) for c in want}
     part_t = _translate_probe(props, part_eq)
 
-    snap = read_snapshot(spark, path, version=v)  # schema + fallback plan
-    fields = {f.name: f.dataType for f in snap.schema.fields}
+    # column types from the RECORDED schema — resolving them via a
+    # snapshot plan would list every segment dir at analysis time,
+    # which defeats the zero-file point of a metadata aggregate
+    fields = _recorded_fields(props)
+    snap = None
+    if fields is None:
+        snap = read_snapshot(spark, path, version=v)  # pre-schema lake
+        fields = {f.name: f.dataType for f in snap.schema.fields}
+
+    def _snap():
+        nonlocal snap
+        if snap is None:
+            snap = read_snapshot(spark, path, version=v)
+        return snap
+
     for c in list(want) + list(part_eq or {}):
         if c not in fields:
             raise ValueError(f"metadata_agg: no column {c!r} in {path}")
@@ -3059,7 +3083,7 @@ def metadata_agg(
                 "metadata_agg(allow_scan=False): merge-on-read tombstones "
                 f"require a snapshot scan: {path}"
             )
-        return agg_exprs(scope(snap))
+        return agg_exprs(scope(_snap()))
 
     def covered(s: str) -> bool:
         sm = meta.get(s, {})
@@ -3120,7 +3144,7 @@ def metadata_agg(
                 f"metadata_agg(allow_scan=False): incomparable cross-"
                 f"segment stats types: {path}"
             )
-        return agg_exprs(scope(snap))
+        return agg_exprs(scope(_snap()))
 
     if need:
         scanned = agg_exprs(
@@ -3188,8 +3212,18 @@ def metadata_agg_by_partition(
     phys = {c: _physical(props, c) for c in want}
     part_phys = _physical(props, part_col)
 
-    snap = read_snapshot(spark, path, version=v)
-    fields = {f.name: f.dataType for f in snap.schema.fields}
+    fields = _recorded_fields(props)
+    snap = None
+    if fields is None:
+        snap = read_snapshot(spark, path, version=v)  # pre-schema lake
+        fields = {f.name: f.dataType for f in snap.schema.fields}
+
+    def _snap():
+        nonlocal snap
+        if snap is None:
+            snap = read_snapshot(spark, path, version=v)
+        return snap
+
     for c in [part_col] + want:
         if c not in fields:
             raise ValueError(f"metadata_agg_by_partition: no column {c!r}")
@@ -3215,7 +3249,7 @@ def metadata_agg_by_partition(
                 "metadata_agg_by_partition(allow_scan=False): merge-on-"
                 f"read tombstones require a snapshot scan: {path}"
             )
-        return grouped(snap)
+        return grouped(_snap())
 
     def covered(s: str) -> bool:
         sm = meta.get(s, {})
@@ -3286,7 +3320,7 @@ def metadata_agg_by_partition(
             )
         )
     if not parts:
-        return grouped(snap.limit(0))
+        return grouped(_snap().limit(0))
     out = parts[0]
     for pdf in parts[1:]:
         out = out.unionByName(pdf)
@@ -4249,27 +4283,54 @@ def version_as_of_timestamp(spark: SparkSession, path: str, ts: float) -> int:
 
 def history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per retained commit — version, parent,
-    op, commit timestamp, live segment/tombstone counts. Driver-side
-    over the KB manifests (never data-scale), returned as a DataFrame
-    so it composes with SQL like any table."""
+    op, commit timestamp, live segment/tombstone counts, plus the
+    operation metrics derivable from segment metadata (Delta
+    operationMetrics parity): segments added/removed vs the parent and
+    the added ROW count where the new segments carry `rows` stats
+    (NULL where any added segment is uncounted — honest, never a
+    guess). Driver-side over the KB manifests (never data-scale),
+    returned as a DataFrame so it composes with SQL like any table."""
     versions = _manifest_versions(spark, path)
     rows = []
+    prev_segs: set = set()
+    by_version: dict[int, dict] = {}
     for v in versions:
         m = _read_manifest(spark, path, v)
+        by_version[v] = m
+        # the parent may be vacuumed: fall back to the previous
+        # RETAINED version's segment set (metrics then span the gap)
+        parent = m.get("parent")
+        base = set(
+            by_version[parent]["segments"]
+        ) if parent in by_version else prev_segs
+        cur = set(m.get("segments", []))
+        added = cur - base
+        meta = m.get("meta", {})
+        counts = [meta.get(s, {}).get("rows") for s in added]
+        rows_added = (
+            sum(int(c) for c in counts)
+            if added and all(c is not None for c in counts)
+            else None
+        )
         rows.append(
             (
                 v,
-                m.get("parent"),
+                parent,
                 str(m.get("op", "")),
                 float(m.get("ts", 0.0)),
-                len(m.get("segments", [])),
+                len(cur),
                 len(m.get("deletes", [])),
+                len(added),
+                len(base - cur),
+                rows_added,
             )
         )
+        prev_segs = cur
     return spark.createDataFrame(
         rows,
         "version int, parent int, op string, ts double, "
-        "n_segments int, n_tombstones int",
+        "n_segments int, n_tombstones int, "
+        "segments_added int, segments_removed int, rows_added bigint",
     )
 
 

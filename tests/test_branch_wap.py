@@ -795,3 +795,18 @@ def test_cli_widen_and_generated(spark, tmp_path, capsys):
         spark, lake2, spark.range(0, 5).select(F.col("id").alias("k"))
     )
     assert M.read_snapshot(spark, lake2).filter("g2 = k * 2").count() == 5
+
+
+def test_history_operation_metrics(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 30), stats_cols=["k"])
+    M.commit_append(spark, lake, _frame(spark, 30, 40), stats_cols=["k"])
+    M.compact(spark, lake, target_files=1)
+    h = {r["version"]: r for r in M.history(spark, lake).collect()}
+    assert (h[1]["segments_added"], h[1]["rows_added"]) == (1, 30)
+    assert (h[2]["segments_added"], h[2]["rows_added"]) == (1, 10)
+    assert h[3]["segments_removed"] == 2  # compact consolidated both
+    # appends without stats report NULL rows_added, never a guess
+    M.commit_append(spark, lake, _frame(spark, 40, 45))
+    h = {r["version"]: r for r in M.history(spark, lake).collect()}
+    assert h[4]["rows_added"] is None and h[4]["segments_added"] == 1
