@@ -332,6 +332,28 @@ def cmd_lake(args) -> int:
         )
         print(json.dumps({"committed_version": v}))
         return 0
+    if args.action == "expectation":
+        if args.drop:
+            v = M.drop_expectation(spark, args.path, args.drop)
+        elif args.rule:
+            name, expr = args.rule.split(":", 1)
+            v = M.set_expectation(spark, args.path, name, expr)
+        else:
+            print(json.dumps(M.table_expectations(spark, args.path)))
+            return 0
+        print(json.dumps({"committed_version": v}))
+        return 0
+    if args.action == "wap-ingest":
+        if not (args.input and args.keys):
+            print("wap-ingest requires --input and --keys", file=sys.stderr)
+            return 2
+        batch = spark.read.parquet(args.input)
+        v = M.wap_ingest(
+            spark, args.path, batch,
+            keys=args.keys.split(","), quarantine=args.dest,
+        )
+        print(json.dumps({"committed_version": v}))
+        return 0
     if args.action == "widen-type":
         if not (args.old and args.new):
             print("widen-type requires --old COL --new TYPE", file=sys.stderr)
@@ -480,7 +502,8 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         help="history|compact|vacuum|describe|restore|clone|constraint|"
         "zorder|backfill|feed|rename-column|drop-column|branch|publish|"
-        "branches|drop-branch|stats|compact-small|widen-type|set-generated",
+        "branches|drop-branch|stats|compact-small|widen-type|set-generated|"
+        "expectation|wap-ingest",
     )
     lk.add_argument("path", help="manifest lake root")
     lk.add_argument("--target-files", type=int, default=1)
@@ -523,6 +546,10 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument(
         "--target-rows", type=int, default=None,
         help="compact-small: consolidate segments under this row count",
+    )
+    lk.add_argument(
+        "--input", default=None,
+        help="wap-ingest: parquet path of the batch to audit-ingest",
     )
     lk.add_argument(
         "--keep-branch", action="store_true",

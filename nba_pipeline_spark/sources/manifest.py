@@ -4765,12 +4765,79 @@ def publish_branch(
     return v
 
 
+def set_expectation(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """Record a SOFT quality rule on the table (props-persisted, like
+    constraints but non-blocking): writes through `wap_ingest` with no
+    explicit audit quarantine rows that fail ANY recorded expectation.
+    Unlike CHECK constraints, existing data is NOT validated and plain
+    appends are NOT gated — expectations are the quarantine contract
+    of the audited-ingestion path, not a hard invariant."""
+
+    def props_fn(props):
+        ex = dict(props.get("expectations", {}))
+        ex[name] = expr
+        return {**props, "expectations": ex}
+
+    return _commit(
+        spark, path, "set_expectation",
+        lambda parent: list(parent["segments"]) if parent else [],
+        props_fn=props_fn,
+    )
+
+
+def drop_expectation(spark: SparkSession, path: str, name: str) -> int:
+    if name not in table_expectations(spark, path):
+        raise ValueError(f"no such expectation {name!r} on {path}")
+
+    def props_fn(props):
+        ex = dict(props.get("expectations", {}))
+        ex.pop(name, None)
+        return {**props, "expectations": ex}
+
+    return _commit(
+        spark, path, "drop_expectation",
+        lambda parent: list(parent["segments"]) if parent else [],
+        props_fn=props_fn,
+    )
+
+
+def table_expectations(spark: SparkSession, path: str) -> dict[str, str]:
+    v = current_version(spark, path)
+    if v is None:
+        return {}
+    return dict(
+        _read_manifest(spark, path, v).get("props", {}).get("expectations", {})
+    )
+
+
+def _expectations_audit(spark: SparkSession, path: str, batch_keys):
+    """Default `wap_ingest` audit: flag batch rows failing ANY recorded
+    expectation (an unprovable rule — NULL — is a failure, the
+    three-valued-logic stance every gate here takes)."""
+    from pyspark.sql import functions as F
+
+    rules = table_expectations(spark, path)
+
+    def audit(snap: DataFrame) -> DataFrame:
+        scoped = snap.join(batch_keys, on=list(batch_keys.columns), how="semi")
+        if not rules:
+            return scoped.filter(F.lit(False))
+        ok = F.lit(True)
+        for expr in rules.values():
+            ok = ok & F.coalesce(F.expr(expr), F.lit(False))
+        return scoped.filter(~ok)
+
+    return audit
+
+
 def wap_ingest(
     spark: SparkSession,
     path: str,
     batch_df: DataFrame,
-    audit,
-    keys: list[str],
+    audit=None,
+    keys: list[str] = None,
     quarantine: str | None = None,
     max_tries: int = 3,
     **append_kwargs,
@@ -4790,7 +4857,17 @@ def wap_ingest(
 
     ``append_kwargs`` pass through to the branch append (stats_cols /
     bloom_cols / partition / target_files). Returns the published main
-    version."""
+    version.
+
+    ``audit=None`` uses the table's RECORDED expectations
+    (`set_expectation`) scoped to the batch's keys — the lake carries
+    its own quality contract and every audited ingestion applies it."""
+    if keys is None:
+        raise ValueError("wap_ingest requires the batch key columns")
+    if audit is None:
+        audit = _expectations_audit(
+            spark, path, batch_df.select(*keys).distinct()
+        )
     last: Exception | None = None
     for attempt in range(max_tries):
         name = f"wap-{uuid.uuid4().hex[:8]}"

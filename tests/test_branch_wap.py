@@ -810,3 +810,102 @@ def test_history_operation_metrics(spark, tmp_path):
     M.commit_append(spark, lake, _frame(spark, 40, 45))
     h = {r["version"]: r for r in M.history(spark, lake).collect()}
     assert h[4]["rows_added"] is None and h[4]["segments_added"] == 1
+
+
+# ------------------------------------------- persisted expectations
+
+
+def test_wap_ingest_uses_recorded_expectations(spark, tmp_path):
+    """The lake carries its quality contract: with audit=None,
+    wap_ingest quarantines batch rows failing ANY recorded
+    expectation — NULLs fail (unprovable = violation), pre-existing
+    rows are never touched (batch-key scoping)."""
+    lake = str(tmp_path / "lake")
+    quar = str(tmp_path / "quar")
+    # base contains a rule-violating row (k=5 -> maybe NULL) that must
+    # SURVIVE: expectations gate ingestion, not history
+    M.commit_append(spark, lake, _frame(spark, 0, 20))
+    M.set_expectation(spark, lake, "maybe_known", "maybe IS NOT NULL")
+    M.set_expectation(spark, lake, "small_g", "g < 9")
+    assert set(M.table_expectations(spark, lake)) == {"maybe_known", "small_g"}
+
+    M.wap_ingest(
+        spark, lake, _frame(spark, 20, 40), keys=["k"], quarantine=quar
+    )
+    got = sorted(r["k"] for r in M.read_snapshot(spark, lake).collect())
+    # batch rows with maybe NULL (k%5==0) or g==9 (k%10==9) quarantined
+    bad = {k for k in range(20, 40) if k % 5 == 0 or k % 10 == 9}
+    assert got == [k for k in range(40) if k < 20 or k not in bad]
+    qrows = sorted(r["k"] for r in M.read_snapshot(spark, quar).collect())
+    assert qrows == sorted(bad)
+
+    # dropping a rule narrows the gate
+    M.drop_expectation(spark, lake, "small_g")
+    M.wap_ingest(spark, lake, _frame(spark, 40, 50), keys=["k"])
+    got2 = sorted(r["k"] for r in M.read_snapshot(spark, lake).collect())
+    assert all(k in got2 for k in (49,))  # g==9 now admitted
+    assert 45 not in got2  # maybe NULL still quarantined
+    with pytest.raises(ValueError, match="no such expectation"):
+        M.drop_expectation(spark, lake, "zzz")
+
+
+def test_wap_ingest_no_rules_admits_everything(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 10))
+    M.wap_ingest(spark, lake, _frame(spark, 10, 20), keys=["k"])
+    assert M.read_snapshot(spark, lake).count() == 20
+
+
+def test_stream_over_wap_maintained_lake(spark, tmp_path):
+    """Append-only WAP publishes stream incrementally: a publish whose
+    branch only APPENDED adds segments without removing any, so the
+    version-offset source treats it as a normal append commit."""
+    from nba_pipeline_spark.sources.lake_stream import register_lake_stream
+
+    register_lake_stream(spark)
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    M.commit_append(spark, lake, _frame(spark, 0, 10))
+    got: list = []
+
+    def pump():
+        q = (
+            spark.readStream.format("manifest_stream")
+            .option("path", lake)
+            .load()
+            .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    pump()
+    M.wap_ingest(spark, lake, _frame(spark, 10, 20), keys=["k"])
+    pump()
+    assert sorted(r["k"] for r in got) == list(range(20))
+
+
+def test_cli_expectation_and_wap_ingest(spark, tmp_path, capsys):
+    import json
+
+    from nba_pipeline_spark.__main__ import main
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 10))
+    assert main([
+        "lake", "expectation", lake, "--rule", "maybe_known:maybe IS NOT NULL",
+    ]) == 0
+    capsys.readouterr()
+    assert main(["lake", "expectation", lake]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"maybe_known": "maybe IS NOT NULL"}
+
+    batch = str(tmp_path / "batch.parquet")
+    _frame(spark, 10, 20).write.parquet(batch)
+    assert main([
+        "lake", "wap-ingest", lake, "--input", batch, "--keys", "k",
+        "--dest", str(tmp_path / "quar"),
+    ]) == 0
+    capsys.readouterr()
+    got = sorted(r["k"] for r in M.read_snapshot(spark, lake).collect())
+    assert got == [k for k in range(20) if k < 10 or k % 5 != 0]
