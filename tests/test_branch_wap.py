@@ -909,3 +909,44 @@ def test_cli_expectation_and_wap_ingest(spark, tmp_path, capsys):
     capsys.readouterr()
     got = sorted(r["k"] for r in M.read_snapshot(spark, lake).collect())
     assert got == [k for k in range(20) if k < 10 or k % 5 != 0]
+
+
+def test_vacuum_ignores_open_branches(spark, tmp_path):
+    """Main-side vacuum scans main's own data dir: an open branch's
+    LOCAL segments are untouched, and the branch stays readable while
+    its fork version's segments remain live in main."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 20))
+    b = M.create_branch(spark, lake, "open")
+    M.commit_append(spark, b, _frame(spark, 20, 30))
+    # main churns within retention (append + compact), then vacuums
+    M.commit_append(spark, lake, _frame(spark, 100, 105))
+    M.vacuum(spark, lake, keep_versions=10)  # fork version retained
+    assert sorted(r["k"] for r in M.read_snapshot(spark, b).collect()) == (
+        list(range(30))
+    )
+    # branch root is itself a lake: its own vacuum works
+    M.commit_append(spark, b, _frame(spark, 30, 35))
+    M.vacuum(spark, b, keep_versions=1)
+    assert M.read_snapshot(spark, b).count() == 35
+    M.drop_branch(spark, lake, "open")
+
+
+def test_publish_conflict_leaves_no_referenced_orphans(spark, tmp_path):
+    """A refused publish (fast-forward check) happens BEFORE any copy:
+    main's data dir gains nothing, and vacuum finds nothing stray."""
+    import os
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _frame(spark, 0, 10))
+    M.create_branch(spark, lake, "late")
+    bpath = M.branch_path(lake, "late")
+    M.commit_append(spark, bpath, _frame(spark, 10, 20))
+    before = set(os.listdir(f"{lake}/data"))
+    M.commit_append(spark, lake, _frame(spark, 100, 101))  # main advances
+    after_advance = set(os.listdir(f"{lake}/data"))
+    with pytest.raises(M.CommitConflict):
+        M.publish_branch(spark, lake, "late")
+    assert set(os.listdir(f"{lake}/data")) == after_advance
+    assert before < after_advance
+    M.drop_branch(spark, lake, "late")
