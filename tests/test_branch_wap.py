@@ -950,3 +950,45 @@ def test_publish_conflict_leaves_no_referenced_orphans(spark, tmp_path):
     assert set(os.listdir(f"{lake}/data")) == after_advance
     assert before < after_advance
     M.drop_branch(spark, lake, "late")
+
+
+def test_metadata_agg_differential_random_layouts(spark, tmp_path):
+    """Seeded-random lakes (varying segment counts, stats coverage,
+    null densities, partition tags): metadata_agg must equal the scan
+    aggregate in EVERY layout — the hybrid merge is exact, not
+    approximate."""
+    import random
+
+    rng = random.Random(8)
+    for trial in range(4):
+        lake = str(tmp_path / f"lake{trial}")
+        lo = 0
+        for _ in range(rng.randint(2, 6)):
+            hi = lo + rng.randint(1, 40)
+            kw = {}
+            if rng.random() < 0.7:
+                kw["stats_cols"] = ["k", "maybe"]
+            if rng.random() < 0.5:
+                kw["partition"] = {"band": rng.randint(0, 1)}
+            M.commit_append(spark, lake, _frame(spark, lo, hi), **kw)
+            lo = hi
+        got = M.metadata_agg(
+            spark, lake, min_cols=["k", "maybe"], max_cols=["k", "maybe"],
+            count_cols=["k", "maybe"],
+        ).collect()
+        exp = M.read_snapshot(spark, lake).agg(
+            F.count(F.lit(1)).alias("count_rows"),
+            F.min("k").alias("min_k"),
+            F.min("maybe").alias("min_maybe"),
+            F.max("k").alias("max_k"),
+            F.max("maybe").alias("max_maybe"),
+            F.count("k").alias("count_k"),
+            F.count("maybe").alias("count_maybe"),
+        ).collect()
+        assert got == exp, f"trial {trial}: {got} != {exp}"
+        # keyed fetch returns exactly the requested existing keys
+        keys = sorted(rng.sample(range(lo), min(7, lo)))
+        fetched = sorted(
+            r["k"] for r in M.read_for_keys(spark, lake, "k", keys).collect()
+        )
+        assert fetched == keys, f"trial {trial}"
