@@ -447,6 +447,15 @@ class ManifestLakeWriter(DataSourceArrowWriter):
                 "this JVM-less commit path cannot enforce — write via "
                 f"manifest.commit_append: {self._path}"
             )
+        if props.get("generated"):
+            # same gate as constraints: a generated column is a contract
+            # (_apply_generated validates it on every JVM write path);
+            # silently committing unvalidated values would break it
+            raise ValueError(
+                "manifest_lake writer: lake declares generated columns, "
+                "which this JVM-less commit path cannot validate — write "
+                f"via manifest.commit_append: {self._path}"
+            )
         self._props0 = props
         cm = dict(props.get("colmap", {}))
         dropped = set(props.get("dropped_cols", []))
@@ -529,7 +538,13 @@ class ManifestLakeWriter(DataSourceArrowWriter):
                         if cur is None:
                             stats[c] = [mn, mx]
                         else:
-                            stats[c] = [min(cur[0], mn), max(cur[1], mx)]
+                            # None-tolerant: an earlier batch may have
+                            # been all-NULL (cur == [None, None]) and
+                            # min(None, mn) raises
+                            stats[c] = [
+                                _min_opt(cur[0], mn),
+                                _max_opt(cur[1], mx),
+                            ]
                     else:
                         stats.setdefault(c, [None, None])
                         nulls.setdefault(c, 0)
@@ -630,6 +645,10 @@ class ManifestLakeWriter(DataSourceArrowWriter):
                 deletes: list = []
                 props.pop("colmap", None)
                 props.pop("dropped_cols", None)
+                # an overwrite rewrote every file at the supplied schema,
+                # so the type-widening flag clears too (matches
+                # commit_replace's full-rewrite semantics)
+                props.pop("widened", None)
                 props["schema"] = {"cols": schema_cols}
             else:
                 segments = list(pm["segments"]) + [seg] if pm else [seg]

@@ -3150,7 +3150,12 @@ def metadata_agg(
         scanned = agg_exprs(
             scope(
                 _project_logical(
-                    _read_segments(spark, path, need, merge_schema=True),
+                    # widened lakes: read under the recorded widened
+                    # schema, or mergeSchema fails on mixed-type files
+                    _read_segments(
+                        spark, path, need, merge_schema=True,
+                        schema_ddl=_widened_ddl(props),
+                    ),
                     props,
                 )
             )
@@ -3314,7 +3319,11 @@ def metadata_agg_by_partition(
         parts.append(
             grouped(
                 _project_logical(
-                    _read_segments(spark, path, need, merge_schema=True),
+                    # same widened-lake guard as metadata_agg's fallback
+                    _read_segments(
+                        spark, path, need, merge_schema=True,
+                        schema_ddl=_widened_ddl(props),
+                    ),
                     props,
                 )
             )
@@ -4861,7 +4870,15 @@ def wap_ingest(
 
     ``audit=None`` uses the table's RECORDED expectations
     (`set_expectation`) scoped to the batch's keys — the lake carries
-    its own quality contract and every audited ingestion applies it."""
+    its own quality contract and every audited ingestion applies it.
+
+    Quarantine appends carry ONE idempotency tag per call, so conflict
+    replays (and retried failures) never duplicate the quarantine lake.
+    Consequence: if a replayed audit flags MORE rows than the first
+    attempt (main advanced with conflicting data), the extra rows are
+    still deleted from the branch but only the first attempt's flagged
+    set lands in quarantine — dedup-over-duplication, the same bias as
+    every tagged sink in streaming/sinks.py."""
     if keys is None:
         raise ValueError("wap_ingest requires the batch key columns")
     if audit is None:
@@ -4869,6 +4886,11 @@ def wap_ingest(
             spark, path, batch_df.select(*keys).distinct()
         )
     last: Exception | None = None
+    # one idempotency token per wap_ingest CALL: a publish conflict
+    # replays the whole cycle, and without the tag each replay would
+    # re-append the same flagged rows to the quarantine lake (and a
+    # fully-failed call would still leave one copy behind per attempt)
+    qtag = f"wap-quarantine-{uuid.uuid4().hex}"
     for attempt in range(max_tries):
         name = f"wap-{uuid.uuid4().hex[:8]}"
         b = create_branch(spark, path, name)
@@ -4881,6 +4903,7 @@ def wap_ingest(
                         spark,
                         quarantine,
                         batch_df.join(bad, on=keys, how="semi"),
+                        tag=qtag,
                     )
                 commit_delete(spark, b, bad, keys)
             return publish_branch(spark, path, name)

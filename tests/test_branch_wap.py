@@ -992,3 +992,67 @@ def test_metadata_agg_differential_random_layouts(spark, tmp_path):
             r["k"] for r in M.read_for_keys(spark, lake, "k", keys).collect()
         )
         assert fetched == keys, f"trial {trial}"
+
+
+def test_wap_ingest_conflict_replay_no_quarantine_dupes(spark, tmp_path):
+    """A publish conflict replays the whole WAP cycle; the quarantine
+    append carries one idempotency tag per wap_ingest CALL so the
+    replay does not duplicate the quarantined rows — ADVICE r8 #3."""
+    lake = str(tmp_path / "lake")
+    quar = str(tmp_path / "quarantine")
+    M.commit_append(spark, lake, _frame(spark, 0, 10))
+    raced = {"done": False}
+
+    def audit(snap):
+        if not raced["done"]:
+            raced["done"] = True  # advance main between fork and publish
+            M.commit_append(spark, lake, _frame(spark, 100, 105))
+        return snap.filter("k in (12, 14)")
+
+    M.wap_ingest(
+        spark, lake, _frame(spark, 10, 20), audit, ["k"], quarantine=quar
+    )
+    qrows = sorted(r["k"] for r in M.read_snapshot(spark, quar).collect())
+    assert qrows == [12, 14]  # exactly once despite the replay
+    got = sorted(r["k"] for r in M.read_snapshot(spark, lake).collect())
+    assert got == [k for k in range(20) if k not in (12, 14)] + list(
+        range(100, 105)
+    )
+
+
+def test_metadata_agg_scans_widened_segments(spark, tmp_path):
+    """The hybrid fallback scan reads uncovered segments under the
+    recorded WIDENED schema: mixed int32/int64 files would fail the
+    plain mergeSchema merge — ADVICE r8 #4 (both the global and the
+    per-partition aggregate)."""
+    lake = str(tmp_path / "lake")
+    # no stats_cols anywhere: every segment is uncovered -> fallback
+    M.commit_append(
+        spark, lake,
+        spark.range(0, 20).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") % 2).alias("p"),
+        ),
+        partition={"p": None},
+    )
+    M.widen_column_type(spark, lake, "k", "bigint")
+    M.commit_append(
+        spark, lake,
+        spark.range(20, 30).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+        ),
+        partition={"p": None},
+    )
+    r = M.metadata_agg(
+        spark, lake, min_cols=["k"], max_cols=["k"], count_cols=["k"]
+    ).collect()[0]
+    assert (r["count_rows"], r["min_k"], r["max_k"], r["count_k"]) == (
+        30, 0, 29, 30,
+    )
+    rp = {
+        row["p"]: (row["count_rows"], row["max_k"])
+        for row in M.metadata_agg_by_partition(
+            spark, lake, "p", max_cols=["k"]
+        ).collect()
+    }
+    assert rp == {0: (15, 28), 1: (15, 29)}

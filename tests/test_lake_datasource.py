@@ -383,3 +383,84 @@ def test_writer_concurrent_appends_serialize(spark, tmp_path):
     )
     assert got == exp
     assert len(M._manifest_versions(spark, lake)) == 5
+
+
+def test_writer_stats_merge_null_first_batch(spark, tmp_path):
+    """Executor-side stats merge is None-tolerant: a task whose FIRST
+    Arrow batch is all-NULL in a stats column ([None, None]) must not
+    crash when a later batch of the same task carries values
+    (min(None, mn) raises) — ADVICE r8 #1."""
+    register_lake_source(spark)
+    lake = str(tmp_path / "wlake")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        df = (
+            spark.range(0, 10)
+            .coalesce(1)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 4).alias("band"),
+                F.when(F.col("id") < 5, None)
+                .otherwise(F.col("id").cast("double"))
+                .alias("x"),
+            )
+        )
+        _write(df, lake, stats_cols="k,x")
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    r = M.metadata_agg(
+        spark, lake, min_cols=["x"], max_cols=["x"], count_cols=["x"],
+        allow_scan=False,
+    ).collect()[0]
+    assert (r["min_x"], r["max_x"], r["count_x"]) == (5.0, 9.0, 5)
+
+
+def test_writer_refuses_generated_columns(spark, tmp_path):
+    """Generated columns are a contract every JVM write path validates
+    (_apply_generated); the JVM-less DataSource writer must refuse
+    rather than commit unvalidated values — ADVICE r8 #2."""
+    register_lake_source(spark)
+    lake = str(tmp_path / "wlake")
+    _write(_src(spark, 0, 10).withColumn("g2", F.col("k") * 2), lake)
+    M.set_generated_column(spark, lake, "g2", "k * 2")
+    with pytest.raises(Exception, match="generated"):
+        _write(
+            _src(spark, 10, 20).withColumn("g2", F.col("k") * 2), lake
+        )
+    # commit_append (which validates) still works
+    M.commit_append(
+        spark, lake, _src(spark, 10, 20).withColumn("g2", F.col("k") * 2)
+    )
+    assert M.read_snapshot(spark, lake).count() == 20
+
+
+def test_writer_overwrite_clears_widened_flag(spark, tmp_path):
+    """A DataSource overwrite rewrote every file at the supplied
+    schema, so the type-widening flag must clear (commit_replace
+    semantics) — otherwise merge/delete keep refusing until a
+    pointless compact() — ADVICE r8 #5."""
+    register_lake_source(spark)
+    lake = str(tmp_path / "wlake")
+    M.commit_append(
+        spark, lake,
+        spark.range(0, 20).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") % 4).alias("band"),
+            F.col("id").cast("double").alias("x"),
+        ),
+    )
+    M.widen_column_type(spark, lake, "k", "bigint")
+    with pytest.raises(ValueError, match="widened"):
+        M.commit_delete(
+            spark, lake,
+            M.read_snapshot(spark, lake).filter("k = 1").select("k"), ["k"],
+        )
+    _write(_src(spark, 0, 30), lake, mode="overwrite")  # k is bigint here
+    # flag cleared: modify-in-place ops work with no compact()
+    M.commit_delete(
+        spark, lake,
+        M.read_snapshot(spark, lake).filter("k = 1").select("k"), ["k"],
+    )
+    assert M.read_snapshot(spark, lake).count() == 29
+    assert dict(M.read_snapshot(spark, lake).dtypes)["k"] == "bigint"
