@@ -236,18 +236,51 @@ def main() -> None:
             spark.conf.set(k, v)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "skew_demo": skew_demo,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "skew_demo": skew_demo,
+        "sf": sf,
+    }
+    _write_own_artifact(payload)
+    print(json.dumps(payload))
+
+
+def _write_own_artifact(payload: dict) -> None:
+    """Self-recorded full bench artifact (bench_rN_full.json): the
+    driver's BENCH_rN.json preserves only the tail of stdout and has
+    truncated mid-JSON before (r8 kept 69/85 timings) — per-query
+    history must not depend on that buffer. N = 1 + the highest driver
+    BENCH_r* present, i.e. the round in progress."""
+    import glob
+    import re
+    import time as _t
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    n = (max(rounds) + 1) if rounds else 0
+    full = dict(payload)
+    full["config"] = {
+        "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "n_queries": len(payload.get("queries", {})),
+    }
+    try:
+        full["loadavg"] = list(os.getloadavg())
+    except OSError:
+        pass
+    full["wall_ts"] = _t.strftime("%Y-%m-%dT%H:%M:%S%z")
+    try:
+        with open(os.path.join(here, f"bench_r{n}_full.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout still carries the one-line JSON
 
 
 if __name__ == "__main__":

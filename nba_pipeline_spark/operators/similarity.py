@@ -1353,3 +1353,58 @@ def ivfpq_topk(
         .limit(k)
         .select(id_col, F.round(F.col("sim6"), 4).alias("sim"))
     )
+
+
+def propagate_index_deletes(
+    spark,
+    ids: list,
+    id_col: str,
+    index_code_paths: list[str] | tuple = (),
+    emb_path: str | None = None,
+    mode: str = "cow",
+    tag: str | None = None,
+) -> dict[str, int]:
+    """Compose a corpus delete (takedown / GDPR) with the persisted ANN
+    index lakes, NO rebuild: remove `ids` from every codes lake in
+    `index_code_paths` (IVF / PQ / IVF-PQ — any lake whose rows carry
+    `id_col`), then from the embeddings lake itself. Ordering is
+    index-first so there is no window in which a pruned index scan can
+    score a code whose vector the corpus already disowned; between the
+    two commits a search may still return the id (it is still corpus
+    data), never after. Returns {path: committed_version}.
+
+    `mode="cow"` routes through `commit_delete`: stats classification +
+    the id-bloom refinement rewrite ONLY the bloom-positive cell
+    segments — at 100 TB a takedown batch touching 3 of 4096 cells
+    rewrites 3 segments; untouched cells transfer by name, their
+    partition tags and blooms intact (deletion shrinks a segment, so
+    carried-over metadata stays a sound superset). `mode="mor"` routes
+    through `commit_delete_mor`: O(batch) tombstone commits, the
+    reader anti-joins at scan time and the next compact() materializes
+    — the hot-ingest shape (note MoR defers the physical erasure and
+    blocks in-place index maintenance until compacted). `tag` gives
+    streaming replays one idempotency token across every lake (suffixed
+    per path so lakes don't share a token namespace).
+
+    Reference analog: the lake retention intent (IaC/main.tf:31-38) —
+    the reference ages data out of GCS wholesale; a vector store must
+    instead delete point-wise through every derived representation."""
+    from ..sources import manifest as M
+
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    key_rows = [(i,) for i in ids]
+    if not key_rows:
+        return {}
+    out: dict[str, int] = {}
+    paths = list(index_code_paths) + ([emb_path] if emb_path else [])
+    for p in paths:
+        key_df = spark.createDataFrame(key_rows, [id_col])
+        if mode == "cow":
+            out[p] = M.commit_delete(spark, p, key_df, [id_col])
+        else:
+            out[p] = M.commit_delete_mor(
+                spark, p, key_df, [id_col],
+                tag=f"{tag}:{p}" if tag is not None else None,
+            )
+    return out

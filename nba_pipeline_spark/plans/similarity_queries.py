@@ -1167,6 +1167,152 @@ register(
 )
 
 
+DEL_N = 2  # takedown batch: the top-2 neighbors get deleted
+
+
+def _ivfpq_deleted_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Build-once IVF-PQ index with a takedown applied: build the
+    three lakes, search once, DELETE the top-{DEL_N} neighbors through
+    `propagate_index_deletes` (id-bloom-pruned CoW on the codes lake —
+    only the victims' cell segments rewrite, no rebuild). Staged
+    separately from _ivfpq_index so the shared index stays pristine."""
+    import json
+    import os
+    import shutil
+
+    from .relational_queries import _stage_dir
+
+    root = _stage_dir(sf_dir, "embeddings", "ivfpq_index_del")
+    paths = (f"{root}/centroids", f"{root}/codebooks", f"{root}/codes")
+    marker = os.path.join(root, "_STAGE_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        SIM.build_ivfpq_index(
+            spark, emb, "vec_id", "embedding",
+            N_CELLS, PQ_M, PQ_KSUB, *paths,
+        )
+        first = SIM.ivfpq_topk(
+            spark, emb, "vec_id", "embedding", QUERY_ID, TOP_K, PQ_M,
+            *paths, pool=RERANK_POOL,
+        ).collect()
+        victims = [int(r["vec_id"]) for r in first[:DEL_N]]
+        SIM.propagate_index_deletes(
+            spark, victims, "vec_id", index_code_paths=[paths[2]]
+        )
+        with open(marker, "w") as fh:
+            fh.write(json.dumps(victims))
+    return paths
+
+
+def q_ann_delete_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index DELETE propagation (takedown/GDPR, VERDICT r8 next
+    #2): the query's top-{DEL_N} neighbors are deleted from the IVF-PQ
+    codes lake via `propagate_index_deletes` — id-bloomed CoW rewrite
+    of only the touched cell segments, untouched cells transfer by
+    name — and the same search re-runs against the maintained index.
+    The deleted ids can no longer be returned; the next-best neighbors
+    take their slots. Oracled exact: the SQL replays the first search,
+    takes its top-{DEL_N} as the victim set, and re-scores the probed
+    cell WITHOUT them — exactly what deleting their code rows does."""
+    tune(spark)
+    centroids_path, codebooks_path, codes_path = _ivfpq_deleted_index(
+        spark, sf_dir
+    )
+    return SIM.ivfpq_topk(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        QUERY_ID,
+        TOP_K,
+        PQ_M,
+        centroids_path,
+        codebooks_path,
+        codes_path,
+        pool=RERANK_POOL,
+    )
+
+
+register(
+    "q_ann_delete_propagate",
+    q_ann_delete_propagate,
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ctr AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+            ORDER BY vec_id ASC LIMIT {N_CELLS}),
+    asg AS (
+      SELECT e.vec_id, e.v, ctr.cid, ctr.cv,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ROUND(list_distance(e.v, ctr.cv), 6) ASC NULLS FIRST,
+                                         ctr.cid ASC) AS rn
+      FROM e CROSS JOIN ctr),
+    cells AS (SELECT vec_id, v, cid, cv FROM asg WHERE rn = 1),
+    res AS (SELECT vec_id, cid,
+                   list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
+            FROM cells),
+    subs AS (SELECT unnest(range(0, {PQ_M})) AS sub),
+    rsv AS (SELECT res.vec_id, res.cid, subs.sub,
+                   list_transform(
+                     res.r[(CAST(subs.sub AS INT) * (len(res.r) // {PQ_M}) + 1)
+                           :((CAST(subs.sub AS INT) + 1) * (len(res.r) // {PQ_M}))],
+                     x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS svf
+            FROM res CROSS JOIN subs),
+    cb AS (SELECT s.sub,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY s.sub
+                                          ORDER BY s.vec_id ASC) - 1 AS INT) AS code,
+                  s.svf AS cwf
+           FROM rsv s
+           WHERE s.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id ASC LIMIT {PQ_KSUB})),
+    dists AS (SELECT v.vec_id, v.sub, c.code,
+                     CAST(list_sum(list_transform(range(1, len(v.svf) + 1),
+                            i -> (v.svf[i] - c.cwf[i]) * (v.svf[i] - c.cwf[i])))
+                          AS BIGINT) AS dist
+              FROM rsv v JOIN cb c ON v.sub = c.sub),
+    enc AS (SELECT vec_id, sub, code FROM (
+              SELECT vec_id, sub, code,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY dist ASC, code ASC) AS rn
+              FROM dists) WHERE rn = 1),
+    qcell AS (SELECT cid FROM cells WHERE vec_id = {QUERY_ID}),
+    qsv AS (SELECT subs.sub,
+                   list_transform(
+                     e.v[(CAST(subs.sub AS INT) * (len(e.v) // {PQ_M}) + 1)
+                         :((CAST(subs.sub AS INT) + 1) * (len(e.v) // {PQ_M}))],
+                     x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS qsvf
+            FROM e CROSS JOIN subs WHERE e.vec_id = {QUERY_ID}),
+    adt AS (SELECT c.sub, c.code,
+                   CAST(list_sum(list_transform(range(1, len(q.qsvf) + 1),
+                          i -> q.qsvf[i] * c.cwf[i])) AS BIGINT) AS pdot
+            FROM cb c JOIN qsv q ON c.sub = q.sub),
+    approx AS (SELECT enc.vec_id, CAST(SUM(adt.pdot) AS BIGINT) AS score
+               FROM enc
+               JOIN res ON enc.vec_id = res.vec_id
+               JOIN qcell ON res.cid = qcell.cid
+               JOIN adt ON enc.sub = adt.sub AND enc.code = adt.code
+               WHERE enc.vec_id <> {QUERY_ID}
+               GROUP BY enc.vec_id),
+    qv AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_ID}),
+    pool1 AS (SELECT vec_id FROM approx
+              ORDER BY score DESC NULLS LAST, vec_id ASC LIMIT {RERANK_POOL}),
+    rr1 AS (SELECT p.vec_id, ROUND(list_cosine_similarity(e.v, qv.qv), 6) AS sim6
+            FROM pool1 p JOIN e ON p.vec_id = e.vec_id CROSS JOIN qv),
+    del AS (SELECT vec_id FROM rr1
+            ORDER BY sim6 DESC NULLS LAST, vec_id ASC LIMIT {DEL_N}),
+    approx2 AS (SELECT vec_id, score FROM approx
+                WHERE vec_id NOT IN (SELECT vec_id FROM del)),
+    pool2 AS (SELECT vec_id FROM approx2
+              ORDER BY score DESC NULLS LAST, vec_id ASC LIMIT {RERANK_POOL}),
+    rr2 AS (SELECT p.vec_id, ROUND(list_cosine_similarity(e.v, qv.qv), 6) AS sim6
+            FROM pool2 p JOIN e ON p.vec_id = e.vec_id CROSS JOIN qv)
+    SELECT vec_id, ROUND(sim6, 4) AS sim FROM rr2
+    ORDER BY sim6 DESC NULLS LAST, vec_id ASC LIMIT {TOP_K}
+    """,
+)
+
+
 PCA_K = 8
 
 

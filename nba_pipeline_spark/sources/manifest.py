@@ -3740,6 +3740,49 @@ def commit_upsert_pruned(
     ) from last_err
 
 
+def _bloom_refine_touched(
+    spark: SparkSession,
+    manifest: dict,
+    touched: list[str],
+    key_df: DataFrame,
+    key_col: str,
+    cap: int,
+) -> tuple[list[str], list[str]]:
+    """(still_touched, cleared): bloom-test stats-touched segments
+    against a BOUNDED key batch — a bloom that maybe-contains none of
+    the keys PROVES the segment holds none (clearing is sound). This is
+    what makes point-id deletes on an id-bloomed cell-partitioned codes
+    lake O(touched cells): id min/max ranges span every cell (ids are
+    assigned by content, not by id), so stats classification alone
+    touches everything. Batches larger than `cap` skip the refinement
+    (a huge key set saturates the union false-positive rate anyway and
+    collecting it driver-side would not be bounded)."""
+    with_blooms = [
+        s for s in touched
+        if key_col in manifest.get("meta", {}).get(s, {}).get("bloom", {})
+    ]
+    if not with_blooms or cap <= 0:
+        return touched, []
+    head = key_df.select(key_col).limit(cap + 1).collect()
+    if len(head) > cap:
+        return touched, []
+    vals = [r[0] for r in head if r[0] is not None]
+    if not vals:
+        return touched, []
+    probes = _bloom_probes(spark, {key_col: vals})[key_col]
+    meta = manifest.get("meta", {})
+    still, cleared = [], []
+    for s in touched:
+        bloom = meta.get(s, {}).get("bloom", {}).get(key_col)
+        if bloom is not None and not any(
+            _bloom_maybe_contains(bloom, positions) for positions in probes
+        ):
+            cleared.append(s)
+        else:
+            still.append(s)
+    return still, cleared
+
+
 def commit_delete(
     spark: SparkSession,
     path: str,
@@ -3748,10 +3791,14 @@ def commit_delete(
     stats_key: str | None = None,
     target_files: int | None = None,
     max_tries: int = 5,
+    bloom_probe_cap: int = 1024,
 ) -> int:
     """Row-level DELETE, copy-on-write: rewrite ONLY the segments whose
     key range can contain a delete key (same one-job stats
-    classification as `commit_upsert_pruned`); each touched segment is
+    classification as `commit_upsert_pruned`, sharpened by segment
+    BLOOMS for key batches up to `bloom_probe_cap` — the id-bloomed
+    index-lake takedown path rewrites only bloom-positive cells even
+    though id ranges span every cell); each touched segment is
     anti-joined against the delete keys and rewritten IN PLACE in the
     layout (its partition/stats/bloom metadata carries over — still
     sound: deletion only shrinks a segment, so recorded bounds and
@@ -3794,6 +3841,12 @@ def commit_delete(
         touched, untouched = _segments_overlapping_keys(
             spark, m, key_df.select(stats_key), stats_key
         )
+        # second prune: segment blooms clear stats-ambiguous segments
+        # for bounded key batches (the index-lake takedown shape)
+        touched, cleared = _bloom_refine_touched(
+            spark, m, touched, key_df, stats_key, bloom_probe_cap
+        )
+        untouched = untouched + cleared
         new_segs: dict[str, dict] = {}
         for s in touched:
             remaining = _read_segments(spark, path, [s]).join(

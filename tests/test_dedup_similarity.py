@@ -1511,3 +1511,166 @@ def test_ivfpq_knn_join_matches_per_query_topk(spark, tmp_path):
             ).collect()
         ]
         assert by_q2[q] == solo2, f"query {q}: batch nprobe=2 != solo"
+
+
+# ---------------------------------------------- index delete propagation
+
+
+def test_propagate_index_deletes_cow(spark, tmp_path):
+    """Takedown without rebuild: deleting a vector propagates through
+    the IVF-PQ codes lake so the search can never return it; only the
+    bloom-positive cell segments rewrite, untouched cells transfer BY
+    NAME with their partition tags and id blooms intact."""
+    import numpy as np
+
+    from nba_pipeline_spark.operators import similarity as SIM
+    from nba_pipeline_spark.sources import manifest as M
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(200)
+    ]
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ep = str(tmp_path / "emb")
+    M.commit_append(spark, ep, emb_df, stats_cols=["vec_id"])
+    cp, cbp, kp = (str(tmp_path / x) for x in ("cent", "books", "codes"))
+    SIM.build_ivfpq_index(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding",
+        4, 4, 16, cp, cbp, kp,
+    )
+    before = SIM.ivfpq_topk(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding",
+        7, 10, 4, cp, cbp, kp, pool=300,
+    ).collect()
+    victim = int(before[0]["vec_id"])
+    segs_before = M.resolve_segments(spark, kp)
+    meta_before = M._read_manifest(spark, kp, M.current_version(spark, kp))
+    victim_cell = [
+        r["cid"] for r in M.read_for_keys(
+            spark, kp, "vec_id", [victim]
+        ).collect()
+    ][0]
+
+    out = SIM.propagate_index_deletes(
+        spark, [victim], "vec_id", index_code_paths=[kp], emb_path=ep
+    )
+    assert set(out) == {kp, ep}
+    # the search cannot return the deleted id, no rebuild happened
+    after = SIM.ivfpq_topk(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding",
+        7, 10, 4, cp, cbp, kp, pool=300,
+    ).collect()
+    got_ids = {int(r["vec_id"]) for r in after}
+    assert victim not in got_ids
+    assert len(after) == 10
+    # codes lake: the victim's row is gone, the lake still has 4 cells
+    assert M.read_for_keys(spark, kp, "vec_id", [victim]).count() == 0
+    assert M.read_snapshot(spark, kp).count() == 199
+    # by-name transfer: every cell segment whose bloom disproved the
+    # victim is THE SAME segment file as before the delete
+    segs_after = M.resolve_segments(spark, kp)
+    m_after = M._read_manifest(spark, kp, M.current_version(spark, kp))
+    transferred = set(segs_before) & set(segs_after)
+    assert len(transferred) >= 1  # at least the provably-clear cells
+    changed = set(segs_after) - set(segs_before)
+    # only the victim's cell (plus possible bloom false positives, none
+    # at this scale/seed) rewrote
+    assert {m_after["meta"][s]["part"]["cid"] for s in changed} == {
+        victim_cell
+    }
+    for s in transferred:
+        assert m_after["meta"][s] == meta_before["meta"][s]
+    # embeddings lake: corpus row gone too
+    assert M.read_snapshot(spark, ep).filter(
+        F.col("vec_id") == victim
+    ).count() == 0
+
+
+def test_propagate_index_deletes_mor(spark, tmp_path):
+    """MoR mode: O(batch) tombstone commits on every lake; the pruned
+    index scan applies tombstones at read time, so the deleted id is
+    excluded with ZERO segments rewritten; replaying the same tag is a
+    no-op (exactly-once for streaming callers)."""
+    import numpy as np
+
+    from nba_pipeline_spark.operators import similarity as SIM
+    from nba_pipeline_spark.sources import manifest as M
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(120)
+    ]
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ep = str(tmp_path / "emb")
+    M.commit_append(spark, ep, emb_df)
+    cp, cbp, kp = (str(tmp_path / x) for x in ("cent", "books", "codes"))
+    SIM.build_ivfpq_index(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding",
+        4, 4, 8, cp, cbp, kp,
+    )
+    before = SIM.ivfpq_topk(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding",
+        3, 8, 4, cp, cbp, kp, pool=200,
+    ).collect()
+    victim = int(before[0]["vec_id"])
+    segs_before = set(M.resolve_segments(spark, kp))
+
+    SIM.propagate_index_deletes(
+        spark, [victim], "vec_id", index_code_paths=[kp], emb_path=ep,
+        mode="mor", tag="takedown-1",
+    )
+    v_codes = M.current_version(spark, kp)
+    # replay with the same tag: no new versions anywhere
+    SIM.propagate_index_deletes(
+        spark, [victim], "vec_id", index_code_paths=[kp], emb_path=ep,
+        mode="mor", tag="takedown-1",
+    )
+    assert M.current_version(spark, kp) == v_codes
+    # zero rewrites: same data segments, the delete is a tombstone
+    assert set(M.resolve_segments(spark, kp)) == segs_before
+    after = SIM.ivfpq_topk(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding",
+        3, 8, 4, cp, cbp, kp, pool=200,
+    ).collect()
+    assert victim not in {int(r["vec_id"]) for r in after}
+    assert len(after) == 8
+    # compact materializes the tombstones; search result unchanged
+    M.compact(spark, kp, target_files=1)
+    assert M.read_snapshot(spark, kp).filter(
+        F.col("vec_id") == victim
+    ).count() == 0
+
+
+def test_commit_delete_bloom_refinement_prunes_rewrites(spark, tmp_path):
+    """The bloom refinement in commit_delete: on a lake whose id ranges
+    overlap every segment (interleaved keys), stats classification
+    alone touches everything — segment blooms clear the provably-key-
+    free segments, so only the bloom-positive ones rewrite."""
+    from nba_pipeline_spark.sources import manifest as M
+
+    lake = str(tmp_path / "lake")
+    # two segments with INTERLEAVED ids: evens and odds — [min,max]
+    # ranges overlap completely, only blooms can tell them apart
+    base = spark.range(0, 200).select((F.col("id") * 2).alias("k"))
+    M.commit_append(spark, lake, base, bloom_cols=["k"], stats_cols=["k"])
+    odds = spark.range(0, 200).select((F.col("id") * 2 + 1).alias("k"))
+    M.commit_append(spark, lake, odds, bloom_cols=["k"], stats_cols=["k"])
+    segs_before = M.resolve_segments(spark, lake)
+    assert len(segs_before) == 2
+    # delete two EVEN keys: the odd segment's bloom disproves them
+    M.commit_delete(
+        spark, lake,
+        spark.createDataFrame([(4,), (100,)], ["k"]), ["k"],
+    )
+    segs_after = M.resolve_segments(spark, lake)
+    assert len(set(segs_before) & set(segs_after)) == 1  # odds untouched
+    snap = M.read_snapshot(spark, lake)
+    assert snap.count() == 398
+    assert snap.filter(F.col("k").isin([4, 100])).count() == 0
+    # cap=0 disables the refinement (both segments rewrite) — same rows
+    M.commit_delete(
+        spark, lake,
+        spark.createDataFrame([(6,), (102,)], ["k"]), ["k"],
+        bloom_probe_cap=0,
+    )
+    assert M.read_snapshot(spark, lake).count() == 396
