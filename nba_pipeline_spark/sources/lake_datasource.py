@@ -17,18 +17,21 @@ Planning runs in a Python worker with no Py4J gateway (same constraint
 as the streaming source — sources/lake_stream.py), so everything here
 goes through pyarrow.fs + the KB-sized JSON manifests; the pruning
 logic itself is imported from sources/manifest.py (pure-Python
-functions, engine-free). Bloom probes are the one skip NOT available
-on this path: hashing a probe needs an engine job (xxhash64 semantics
-are not reimplemented — see manifest._bloom_probe_hashes), which
-planning here cannot run. Point lookups that need blooms use
-``read_for_keys``/``read_snapshot`` instead.
+functions, engine-free). Bloom probes can't be HASHED on this path
+(xxhash64 semantics are not reimplemented — see
+manifest._bloom_probe_hashes), but ``read_lake(bloom_keys=...)``
+hashes them driver-side (where Py4J exists) and ships the positions
+as a read option, so point queries through plain SQL still skip
+bloom-negative segments.
 
-Honest gates: merge-on-read tombstones need an anti-join this
-per-file reader cannot express — a tombstoned lake RAISES with
-``read_snapshot`` guidance. ``option("version", N)`` time-travels;
-the manifest is pinned at planning so a concurrent commit can't swap
-files under a running scan (snapshot isolation, same as the
-programmatic reader).
+Merge-on-read tombstones apply in the Arrow read itself: each file's
+seq-applicable tombstone batches anti-join per task
+(``_apply_tombstones`` — the ``_read_with_tombstones`` semantics:
+seq-fenced, NULL keys match nothing, widened key types cast on both
+sides), so a tombstoned lake reads full-fidelity through SQL.
+``option("version", N)`` time-travels; the manifest is pinned at
+planning so a concurrent commit can't swap files under a running scan
+(snapshot isolation, same as the programmatic reader).
 
 Column mapping: files hold PHYSICAL names; this reader emits LOGICAL
 ones and translates pushed predicates before probing, like every
@@ -135,13 +138,13 @@ class ManifestLakeReader(DataSourceReader):
         self._version = _pinned_version(path, options)
         # pinned at planning: snapshot isolation for the whole scan
         self._m = _manifest(path, self._version)
-        if self._m.get("deletes"):
-            raise ValueError(
-                "manifest_lake: lake has merge-on-read tombstones — the "
-                "per-file reader cannot apply the anti-join; read it via "
-                "manifest.read_snapshot (or compact to materialize the "
-                f"deletes): {path}"
-            )
+        # driver-hashed bloom probes shipped through read_lake's
+        # bloom_keys= (planning here cannot hash — no engine): JSON
+        # {logical_col: [[h1..hk], ...]}, full 64-bit engine hashes
+        import json as _json
+
+        bp = options.get("bloom_probes")
+        self._bloom_probes = _json.loads(bp) if bp else None
         # pushed-probe state, in LOGICAL column names
         self._part_eq: dict = {}
         self._lo: dict = {}
@@ -235,7 +238,9 @@ class ManifestLakeReader(DataSourceReader):
             self._m,
             phys(part_eq) or None,
             phys(ranges) or None,
-            None,  # bloom probes need an engine job — unavailable here
+            # blooms: planning can't hash (no engine) but read_lake
+            # could — caller-hashed probes arrive via the option
+            phys(self._bloom_probes) if self._bloom_probes else None,
             _sortable_keys(phys(keys)),
         )
         cols = _schema_triples_at(self._path, self._version)
@@ -245,29 +250,56 @@ class ManifestLakeReader(DataSourceReader):
         from pyarrow import fs as pafs
 
         fs, norm = _pafs(self._path)
-        parts = []
-        for s in self._m["segments"]:
-            if s not in segs:
-                continue
+
+        def seg_files(s: str) -> list[str]:
             if "://" in s:
-                dir_uri = s
-                seg_fs, seg_dir = _pafs(s)
+                dir_uri, (seg_fs, seg_dir) = s, _pafs(s)
             elif s.startswith("/"):
-                dir_uri = s
-                seg_fs, seg_dir = fs, s
+                dir_uri, seg_fs, seg_dir = s, fs, s
             else:
                 dir_uri = _join(self._path, _DATA_DIR, s)
                 seg_fs, seg_dir = fs, _join(norm, _DATA_DIR, s)
             infos = seg_fs.get_file_info(pafs.FileSelector(seg_dir))
-            for info in sorted(infos, key=lambda i: i.base_name):
-                if info.base_name.endswith(".parquet"):
-                    parts.append(
-                        InputPartition((
-                            _join(dir_uri, info.base_name),
-                            cols,
-                            row_filters,
-                        ))
+            return [
+                _join(dir_uri, info.base_name)
+                for info in sorted(infos, key=lambda i: i.base_name)
+                if info.base_name.endswith(".parquet")
+            ]
+
+        # merge-on-read tombstones, seq-fenced per data segment (the
+        # _read_with_tombstones rule): ship each file the tombstone
+        # parquet files + key columns that apply to ITS segment; the
+        # executor anti-joins per batch. Tombstone batches are small
+        # by the commit_delete_mor premise, so the per-task re-read is
+        # a KB-scale cost (the JVM path broadcasts them per group).
+        meta = self._m.get("meta", {})
+        dels = list(self._m.get("deletes", []))
+
+        def seq(s: str) -> int:
+            return int(meta.get(s, {}).get("seq", 0))
+
+        tomb_files: dict[str, list[str]] = {
+            t: seg_files(t) for t in dels
+        }
+        parts = []
+        for s in self._m["segments"]:
+            if s not in segs:
+                continue
+            tombs = [
+                (list(meta.get(t, {}).get("delete_keys", ())), tomb_files[t])
+                for t in dels
+                if seq(s) < seq(t)
+            ]
+            for t_keys, _ in tombs:
+                if not t_keys:
+                    raise ValueError(
+                        f"tombstone segment lacks delete_keys metadata: "
+                        f"{self._path}"
                     )
+            for fname in seg_files(s):
+                parts.append(
+                    InputPartition((fname, cols, row_filters, tombs))
+                )
         return parts or [InputPartition(None)]
 
     # ------------------------------------------------- executor read
@@ -278,7 +310,7 @@ class ManifestLakeReader(DataSourceReader):
 
         if partition.value is None:
             return
-        fname, sch_cols, row_filters = partition.value
+        fname, sch_cols, row_filters, tombs = partition.value
         fs, norm = _pafs(fname)
         pf = pq.ParquetFile(norm, filesystem=fs)
         have = set(pf.schema_arrow.names)
@@ -291,6 +323,7 @@ class ManifestLakeReader(DataSourceReader):
             # type-drifted predicate pyarrow can't evaluate: fall back
             # to the unfiltered read — Spark re-applies every filter
             t = pq.read_table(norm, filesystem=fs)
+        t = _apply_tombstones(t, tombs, sch_cols, fname)
         cols = []
         for n, typ, phys_name in sch_cols:
             want = _pa_type(typ, fname, n)
@@ -308,6 +341,60 @@ class ManifestLakeReader(DataSourceReader):
         yield from pa.table(
             cols, names=[n for n, _, _ in sch_cols]
         ).to_batches()
+
+
+def _apply_tombstones(t, tombs, sch_cols, fname):
+    """Anti-join a data file's table against its seq-applicable
+    tombstone batches (the _read_with_tombstones semantics, Arrow-side):
+    NULL keys match no tombstone (SQL anti-join), pre-evolution files
+    missing a key column keep every row, and both sides cast to the
+    RECORDED (possibly widened) key type so a narrow pre-widening file
+    still anti-joins a post-widening tombstone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not tombs:
+        return t
+    want_type = {
+        phys: _pa_type(typ, fname, n) for n, typ, phys in sch_cols
+    }
+    for kcols, files in tombs:
+        usable = [c for c in kcols if c in t.column_names]
+        if len(usable) < len(kcols):
+            continue  # file predates the key column: nothing to mask
+        cast = {
+            c: t.column(c).cast(want_type[c])
+            if c in want_type and t.column(c).type != want_type[c]
+            else t.column(c)
+            for c in kcols
+        }
+        probe = pa.table({c: cast[c] for c in kcols})
+        tomb_parts = []
+        for f in files:
+            tfs, tnorm = _pafs(f)
+            tt = pq.read_table(tnorm, filesystem=tfs, columns=list(kcols))
+            tomb_parts.append(
+                pa.table({
+                    c: tt.column(c).cast(want_type[c])
+                    if c in want_type and tt.column(c).type != want_type[c]
+                    else tt.column(c)
+                    for c in kcols
+                })
+            )
+        tomb = pa.concat_tables(tomb_parts)
+        # row-index trick: anti-join the key projection (plus a row id)
+        # so the SURVIVING indices select from the full-width table
+        probe = probe.append_column(
+            "__rowidx", pa.array(range(t.num_rows), pa.int64())
+        )
+        kept = probe.join(
+            tomb.group_by(list(kcols)).aggregate([]),
+            keys=list(kcols),
+            join_type="left anti",
+        )
+        idx = kept.sort_by("__rowidx").column("__rowidx")
+        t = t.take(idx)
+    return t
 
 
 def max_or(a, b):
@@ -362,15 +449,36 @@ def register_lake_source(spark) -> None:
     spark.dataSource.register(ManifestLakeDataSource)
 
 
-def read_lake(spark, path: str, version: int | None = None):
+def read_lake(
+    spark,
+    path: str,
+    version: int | None = None,
+    bloom_keys: dict | None = None,
+):
     """A FRESH ``format("manifest_lake")`` DataFrame — one relation
     per call, which is the safe usage under the engine's per-relation
     plan cache (see the module docstring's handle-reuse caveat):
-    derive exactly ONE query from each returned handle."""
+    derive exactly ONE query from each returned handle.
+
+    ``bloom_keys`` ({col: value-or-list}) closes the bloom-skipping
+    gap: planning runs in a JVM-less worker that cannot hash probes,
+    but THIS function runs driver-side with Py4J — it hashes the keys
+    here (``manifest._bloom_probes``, the same engine-hash job the
+    programmatic ``bloom_eq`` uses) and ships the positions as a read
+    option for ``partitions()`` to consume. Same contract as
+    ``read_snapshot(bloom_eq=...)``: a pruning HINT — apply the
+    matching predicate in the query too (``.where(col.isin(...))``),
+    which Catalyst then also pushes down for the row-level refilter."""
+    import json
+
     register_lake_source(spark)
     r = spark.read.format("manifest_lake").option("path", path)
     if version is not None:
         r = r.option("version", str(version))
+    if bloom_keys:
+        from .manifest import _bloom_probes
+
+        r = r.option("bloom_probes", json.dumps(_bloom_probes(spark, bloom_keys)))
     return r.load()
 
 

@@ -130,13 +130,68 @@ def test_schema_evolution_null_fill(spark, lake):
     assert t.filter(F.col("tagcol").isNull()).count() == 400
 
 
-def test_tombstone_gate(spark, lake):
+def test_tombstones_apply_in_sql_reads(spark, lake):
+    """MoR tombstones apply inside the Arrow reader (seq-fenced,
+    per-file anti-join): a tombstoned lake reads full-fidelity through
+    plain SQL — parity with read_snapshot, and a key RE-APPENDED after
+    its delete stays visible (the sequence fence)."""
     M.commit_delete_mor(
         spark, lake,
-        M.read_snapshot(spark, lake).filter("k = 1").select("k"), ["k"],
+        M.read_snapshot(spark, lake).filter("k in (1, 5, 399)").select("k"),
+        ["k"],
     )
-    with pytest.raises(Exception, match="tombstones"):
-        read_lake(spark, lake).count()
+    exp = M.read_snapshot(spark, lake)
+    # fresh handle per query (the documented plan-cache contract)
+    assert read_lake(spark, lake).count() == exp.count() == 397
+    assert read_lake(spark, lake).filter(
+        F.col("k").isin([1, 5, 399])
+    ).count() == 0
+    assert read_lake(spark, lake).agg(
+        F.sum("k"), F.sum("x")
+    ).collect() == exp.agg(F.sum("k"), F.sum("x")).collect()
+    # re-append a deleted key AFTER the tombstone: fence keeps it
+    M.commit_append(
+        spark, lake,
+        spark.range(1, 2).select(
+            F.col("id").alias("k"), F.lit(0).cast("bigint").alias("band"),
+            F.lit(1.5).alias("x"),
+        ),
+    )
+    assert read_lake(spark, lake).filter("k = 1").count() == 1
+    # pushdown composes with tombstones: the pruned read still masks
+    assert read_lake(spark, lake).filter("k = 5").count() == 0
+
+
+def test_bloom_keys_skip_segments_in_sql_reads(spark, tmp_path):
+    """read_lake(bloom_keys=...): driver-hashed probes prune
+    bloom-negative segments at planning — the point-query path through
+    plain SQL. Interleaved keys make stats useless (ranges overlap
+    fully), so any pruning observed is the blooms'."""
+    lake2 = str(tmp_path / "bloomlake")
+    evens = spark.range(0, 200).select(
+        (F.col("id") * 2).alias("k"), F.lit(0.0).alias("x")
+    )
+    odds = spark.range(0, 200).select(
+        (F.col("id") * 2 + 1).alias("k"), F.lit(1.0).alias("x")
+    )
+    M.commit_append(spark, lake2, evens, bloom_cols=["k"])
+    M.commit_append(spark, lake2, odds, bloom_cols=["k"])
+
+    import json
+
+    from nba_pipeline_spark.sources.manifest import _bloom_probes
+
+    n_all = len(ManifestLakeReader({"path": lake2}).partitions())
+    probes = json.dumps(_bloom_probes(spark, {"k": [4, 100]}))
+    pruned = ManifestLakeReader(
+        {"path": lake2, "bloom_probes": probes}
+    ).partitions()
+    assert 0 < len(pruned) < n_all  # odd segment bloom-disproved
+    # end-to-end: the hinted point query answers correctly
+    got = read_lake(spark, lake2, bloom_keys={"k": [4, 100]}).filter(
+        F.col("k").isin([4, 100])
+    )
+    assert sorted(r["k"] for r in got.collect()) == [4, 100]
 
 
 def test_options_guards(spark, lake):
