@@ -533,6 +533,7 @@ def update_ivf_quantized_index(
     vec_col: str,
     centroids_path: str,
     codes_path: str,
+    tag: str | None = None,
 ) -> int:
     """INCREMENTAL maintenance of the persisted IVF-PQ index: fold a
     batch of new/re-embedded vectors into the codes lake without a
@@ -569,6 +570,7 @@ def update_ivf_quantized_index(
         version_col="__ver",
         part_col="cid",
         bloom_cols=[id_col],
+        tag=tag,  # streaming maintenance: one token per micro-batch
     )
 
 

@@ -3439,6 +3439,7 @@ def commit_upsert_partitioned(
     check_stable_partitions: bool = True,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    tag: str | None = None,
 ) -> int:
     """Fact-scale MERGE: rewrite ONLY the partitions the changes touch.
     Requires every current segment to carry ``part`` metadata for
@@ -3476,6 +3477,11 @@ def commit_upsert_partitioned(
     the rewritten segments land physical like any append. Schema
     evolution/validation still sees the LOGICAL batch (constraints and
     the resurrection guard speak logical names)."""
+    # tag pre-check BEFORE any compute: a replayed micro-batch (the
+    # streaming index-maintenance sink) must not re-merge, re-write a
+    # stray segment, or pay the stability scan just to no-op at CAS
+    if tag is not None and tag in committed_tags(spark, path):
+        return current_version(spark, path)
     _check_constraints(spark, path, changes)
     _check_schema(spark, path, changes.drop(version_col))
     from pyspark.sql import functions as F
@@ -3575,6 +3581,7 @@ def commit_upsert_partitioned(
                 path,
                 "upsert_partitioned",
                 _segments,
+                tag=tag,
                 expected_parent=base_version or 0,
                 meta_fn=_meta,
                 props_fn=_schema_props_fn(

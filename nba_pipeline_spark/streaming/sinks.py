@@ -348,3 +348,55 @@ def pack_ingest_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_index_ingest_sink(
+    emb_stream: DataFrame,
+    id_col: str,
+    vec_col: str,
+    emb_path: str,
+    centroids_path: str,
+    codes_path: str,
+    checkpoint_dir: str,
+):
+    """Continuous ANN index maintenance — the streaming twin of
+    `operators.similarity.update_ivf_quantized_index` (VERDICT r8 next
+    #7): each micro-batch of (id, vector) rows appends to the
+    embeddings lake AND folds into the persisted IVF codes lake in the
+    same trigger, so the searchable index tracks ingestion instead of
+    waiting for a rebuild job. Requires the index lakes to exist
+    (build_ivf_quantized_index ran once); centroids never move here —
+    the IVF contract: retrain is a separate, deliberate rebuild.
+
+    Exactly-once under replay via dual ``annidx=<batch_id>`` tags (the
+    pack_ingest_sink discipline): the embeddings append and the
+    partition-scoped codes MERGE each carry the tag, and
+    commit_upsert_partitioned short-circuits on a seen tag BEFORE
+    recomputing. Crash windows: (a) before the append — full redo;
+    (b) between append and MERGE — the redone append no-ops on its
+    tag, the MERGE lands. A batch with both tags present is a pure
+    no-op. Per-trigger cost: O(batch) assignment against broadcast
+    centroid literals + a rewrite of ONLY the cells the batch touches
+    (at 100 TB: an ingest sliver touching 3 of 4096 cells rewrites 3
+    segments and a KB manifest).
+
+    Returns the streaming query (availableNow trigger; await it)."""
+    from ..operators.similarity import update_ivf_quantized_index
+    from ..sources import manifest as M
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"annidx={batch_id}"
+        batch_df = batch_df.localCheckpoint(eager=True)  # one computation
+        M.commit_append(spark, emb_path, batch_df, tag=tag)
+        update_ivf_quantized_index(
+            spark, batch_df, id_col, vec_col,
+            centroids_path, codes_path, tag=tag,
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

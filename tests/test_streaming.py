@@ -564,3 +564,97 @@ def test_pack_ingest_sink_stream_equals_batch_and_replay(spark, tmp_path):
     assert M.current_version(spark, placed_lake) == v_placed
     assert M.current_version(spark, state_lake) == v_state
     assert M.read_snapshot(spark, placed_lake).count() == 10
+
+
+def test_ann_index_ingest_sink_stream_equals_batch_and_replay(spark, tmp_path):
+    """Streaming IVF index maintenance over 3 micro-batches produces
+    the SAME codes lake as batch update_ivf_quantized_index over the
+    same deltas, search finds streamed-in vectors, and a full replay
+    (fresh checkpoint, same batch ids) is a tag-skipped no-op on both
+    lakes."""
+    import os, shutil
+
+    import numpy as np
+
+    from nba_pipeline_spark.operators import similarity as SIM
+    from nba_pipeline_spark.sources import manifest as M
+    from nba_pipeline_spark.streaming.sinks import ann_index_ingest_sink
+
+    rng = np.random.default_rng(7)
+
+    def vec():
+        return [float(x) for x in rng.standard_normal(8)]
+
+    base_rows = [(int(i), vec()) for i in range(40)]
+    batches = [
+        [(int(i), vec()) for i in range(40, 44)],
+        [(int(i), vec()) for i in range(44, 47)],
+        [(int(i), vec()) for i in range(47, 50)],
+    ]
+    schema = "vec_id long, embedding array<double>"
+
+    # bootstrap: embeddings lake + built index over the settled corpus
+    ep = str(tmp_path / "emb")
+    cp, kp = str(tmp_path / "cent"), str(tmp_path / "codes")
+    M.commit_append(spark, ep, spark.createDataFrame(base_rows, schema))
+    SIM.build_ivf_quantized_index(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding", 4, cp, kp
+    )
+
+    # stage the ingest as one file per micro-batch
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        sub = f"{src}/w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(f"{sub}/{part}", f"{src}/{i:03d}.parquet")
+        shutil.rmtree(sub)
+        os.utime(f"{src}/{i:03d}.parquet", (1000 + i, 1000 + i))
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ann_index_ingest_sink(
+            stream, "vec_id", "embedding", ep, cp, kp,
+            str(tmp_path / ckpt),
+        ).awaitTermination()
+
+    drain("ckpt1")
+    # batch twin over an independent copy of the bootstrap index
+    ep2 = str(tmp_path / "emb2")
+    cp2, kp2 = str(tmp_path / "cent2"), str(tmp_path / "codes2")
+    M.commit_append(spark, ep2, spark.createDataFrame(base_rows, schema))
+    SIM.build_ivf_quantized_index(
+        spark, M.read_snapshot(spark, ep2), "vec_id", "embedding", 4, cp2, kp2
+    )
+    for rows in batches:
+        delta = spark.createDataFrame(rows, schema)
+        M.commit_append(spark, ep2, delta)
+        SIM.update_ivf_quantized_index(
+            spark, delta, "vec_id", "embedding", cp2, kp2
+        )
+
+    def codes_map(path):
+        return {
+            int(r["vec_id"]): (int(r["cid"]), list(r["codes"]))
+            for r in M.read_snapshot(spark, path).collect()
+        }
+
+    assert codes_map(kp) == codes_map(kp2)
+    assert M.read_snapshot(spark, ep).count() == 50
+    # the maintained index SERVES the streamed-in vectors
+    got = SIM.ivf_quantized_topk(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding",
+        45, 5, cp, kp, pool=100,
+    ).collect()
+    assert len(got) == 5
+    # replay: fresh checkpoint, same batch ids -> tag-skip on both lakes
+    v_e, v_k = M.current_version(spark, ep), M.current_version(spark, kp)
+    drain("ckpt2")
+    assert M.current_version(spark, ep) == v_e
+    assert M.current_version(spark, kp) == v_k
+    assert M.read_snapshot(spark, ep).count() == 50
