@@ -1662,3 +1662,172 @@ register(
     FROM placed GROUP BY shard, start // {PACK_CTX}
     """,
 )
+
+
+# --- r9: cascade attrition report + length-bucketed batch planning -----------
+
+
+def q_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage ATTRITION REPORT for the filter cascade — the
+    operational artifact every production cleaning pipeline publishes
+    (FineWeb/RefinedWeb-style: how many docs and tokens survive each
+    gate). Stages: 1 raw → 2 non-empty → 3 length ≥ {MIN_TOKENS} →
+    4 lang == 'en' → 5 exact-dedup (first doc per fingerprint among
+    stage-4 survivors). ONE scan computes every stage: per-doc boolean
+    flags + one fingerprint window (min surviving doc_id per print),
+    then a single aggregate unpivoted with stack() — no per-stage jobs,
+    no second scan; at 100 TB the report costs one pass + one window
+    shuffle. Counts are cumulative by construction (stage N implies
+    stage N-1)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", TX.tokenize(F.col("text"))
+    )
+    d = docs.select(
+        "doc_id",
+        F.coalesce(F.size("__toks"), F.lit(0)).alias("n_tokens"),
+        TX.lang_id(F.col("__toks")).alias("lang_pred"),
+        TX.fingerprint(F.col("text")).alias("__fp"),
+        (F.col("text").isNotNull() & (F.length("text") > 0)).alias("s2"),
+    )
+    d = d.withColumn(
+        "s3", F.col("s2") & (F.col("n_tokens") >= MIN_TOKENS)
+    ).withColumn("s4", F.col("s3") & (F.col("lang_pred") == "en"))
+    w = Window.partitionBy("__fp")
+    d = d.withColumn(
+        "s5",
+        F.col("s4")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("s4"), F.col("doc_id"))).over(w)
+        ),
+    )
+
+    def cnt(flag):
+        return F.sum(F.when(flag, 1).otherwise(0)).cast("bigint")
+
+    def tok(flag):
+        return F.sum(
+            F.when(flag, F.col("n_tokens")).otherwise(0)
+        ).cast("bigint")
+
+    one = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("n_tokens").cast("bigint").alias("t1"),
+        cnt(F.col("s2")).alias("n2"), tok(F.col("s2")).alias("t2"),
+        cnt(F.col("s3")).alias("n3"), tok(F.col("s3")).alias("t3"),
+        cnt(F.col("s4")).alias("n4"), tok(F.col("s4")).alias("t4"),
+        cnt(F.col("s5")).alias("n5"), tok(F.col("s5")).alias("t5"),
+    )
+    return one.selectExpr(
+        "stack(5, 1, 'raw', n1, t1, 2, 'nonempty', n2, t2, "
+        "3, 'length', n3, t3, 4, 'lang', n4, t4, 5, 'dedup', n5, t5) "
+        "AS (stage, gate, n_docs, n_tokens)"
+    )
+
+
+register(
+    "q_filter_attrition",
+    q_filter_attrition,
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id, text, toks,
+                 {_marker_hits('de')} AS de_h, {_marker_hits('en')} AS en_h,
+                 {_marker_hits('es')} AS es_h, {_marker_hits('fr')} AS fr_h,
+                 COALESCE(len(toks), 0) AS n_tokens,
+                 (text IS NOT NULL AND len(text) > 0) AS s2
+          FROM t),
+    f AS (SELECT *, (s2 AND n_tokens >= {MIN_TOKENS}) AS s3,
+                 (s2 AND n_tokens >= {MIN_TOKENS}
+                  AND de_h IS NOT NULL AND greatest(de_h, en_h, es_h, fr_h) > 0
+                  AND de_h < greatest(de_h, en_h, es_h, fr_h)
+                  AND en_h = greatest(de_h, en_h, es_h, fr_h)) AS s4,
+                 CASE WHEN text IS NULL THEN NULL
+                      ELSE md5(COALESCE(array_to_string(
+                             list_sort(list_distinct(toks)), ' '), ''))
+                 END AS fp
+          FROM h),
+    g AS (SELECT *, (s4 AND doc_id = MIN(CASE WHEN s4 THEN doc_id END)
+                               OVER (PARTITION BY fp)) AS s5
+          FROM f),
+    agg AS (SELECT
+        CAST(COUNT(*) AS BIGINT) AS n1, CAST(SUM(n_tokens) AS BIGINT) AS t1,
+        CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+        CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        CAST(SUM(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+        CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        CAST(SUM(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4,
+        CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+        CAST(SUM(CASE WHEN s5 THEN n_tokens ELSE 0 END) AS BIGINT) AS t5
+      FROM g)
+    SELECT 1 AS stage, 'raw' AS gate, n1 AS n_docs, t1 AS n_tokens FROM agg
+    UNION ALL SELECT 2, 'nonempty', n2, t2 FROM agg
+    UNION ALL SELECT 3, 'length', n3, t3 FROM agg
+    UNION ALL SELECT 4, 'lang', n4, t4 FROM agg
+    UNION ALL SELECT 5, 'dedup', n5, t5 FROM agg
+    """,
+)
+
+
+BUCKET_WIDTH = 32   # token-length bucket granularity
+BATCH_DOCS = 16     # docs per inference micro-batch
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed BATCH PLANNING — the vLLM/padded-batch shape:
+    bucket documents by token length (width {BUCKET_WIDTH}), and per
+    bucket report doc count, the bucket's max length, total real
+    tokens, the padded token bill (every doc padded to the bucket max
+    — the cost model of fixed-shape batching), and the number of
+    {BATCH_DOCS}-doc micro-batches. All BIGINT-exact (no float
+    ratios — the padding-waste division lands on rounding grids that
+    split engines; consumers divide the two integer columns). One
+    groupBy on a derived int key: a single shuffle, trivially
+    skew-free (bucket cardinality = max_len / width)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", TX.tokenize(F.col("text"))
+    )
+    d = docs.select(
+        F.coalesce(F.size("__toks"), F.lit(0)).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    b = d.groupBy(
+        F.floor(F.col("n_tokens") / BUCKET_WIDTH).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+    return b.select(
+        "bucket",
+        "n_docs",
+        "max_tokens",
+        "sum_tokens",
+        (F.col("n_docs") * F.col("max_tokens")).cast("bigint").alias(
+            "padded_tokens"
+        ),
+        F.ceil(F.col("n_docs") / F.lit(BATCH_DOCS)).cast("bigint").alias(
+            "n_batches"
+        ),
+    )
+
+
+register(
+    "q_length_buckets",
+    q_length_buckets,
+    f"""
+    WITH t AS (SELECT COALESCE(len({_DUCK_TOKS}), 0) AS n_tokens
+               FROM documents),
+    d AS (SELECT n_tokens FROM t WHERE n_tokens > 0),
+    b AS (SELECT CAST(n_tokens // {BUCKET_WIDTH} AS INT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+                 CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+          FROM d GROUP BY 1)
+    SELECT bucket, n_docs, max_tokens, sum_tokens,
+           CAST(n_docs * max_tokens AS BIGINT) AS padded_tokens,
+           CAST(CEIL(n_docs / {BATCH_DOCS}.0) AS BIGINT) AS n_batches
+    FROM b
+    """,
+)

@@ -2389,3 +2389,145 @@ register(
     FROM orders GROUP BY o_orderstatus
     """,
 )
+
+
+# ---------------------------------------------------------------------
+# r9: the SQL-surface mount at full fidelity — MoR tombstones apply in
+# the Arrow reader; driver-hashed bloom probes skip segments on point
+# queries (VERDICT r8 next #4/#5).
+# ---------------------------------------------------------------------
+
+
+def _sql_tombstone_lake(spark: SparkSession, sf_dir: str) -> str:
+    """A lake with PENDING merge-on-read tombstones: two key-band
+    appends, then commit_delete_mor of every o_orderkey % 97 == 0 —
+    deliberately NOT compacted, so the reader must anti-join."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_sql_tombstone")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        for band in range(2):
+            M.commit_append(
+                spark, lake,
+                orders.filter(F.col("o_orderkey") % 2 == band),
+                stats_cols=["o_orderkey"],
+            )
+        M.commit_delete_mor(
+            spark, lake,
+            orders.filter(F.col("o_orderkey") % 97 == 0)
+            .select("o_orderkey"),
+            ["o_orderkey"],
+        )
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_sql_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR tombstones through plain SQL (sources/lake_datasource.py::
+    _apply_tombstones): format("manifest_lake") reads a lake with
+    PENDING equality-deletes at full fidelity — each file's
+    seq-applicable tombstone batches anti-join inside the Arrow read
+    (NULL keys match nothing, widened key types cast both sides),
+    where the r8 reader RAISED. The manifest is asserted to still
+    carry the tombstones (nothing compacted them away). Oracle: the
+    same delete predicate the hard way over the source parquet."""
+    from ..sources.lake_datasource import read_lake
+
+    tune(spark)
+    lake = _sql_tombstone_lake(spark, sf_dir)
+    m = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    assert m.get("deletes"), "stage must keep pending tombstones"
+    t = read_lake(spark, lake)
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+register(
+    "q_manifest_sql_tombstone",
+    q_manifest_sql_tombstone,
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey % 97 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+
+
+def _sql_bloom_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Four key-INTERLEAVED segments (o_orderkey % 4 bands) with id
+    blooms: every segment's [min, max] spans the whole key range, so
+    stats can prove nothing — only the blooms can skip."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_sql_bloom")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        for band in range(4):
+            M.commit_append(
+                spark, lake,
+                orders.filter(F.col("o_orderkey") % 4 == band),
+                bloom_cols=["o_orderkey"],
+            )
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_sql_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-skipped POINT QUERY through plain SQL
+    (sources/lake_datasource.py::read_lake(bloom_keys=...)): planning
+    runs in a JVM-less worker that cannot hash, so read_lake hashes
+    the probe keys driver-side (the same engine-hash job as the
+    programmatic bloom_eq) and ships positions as a read option —
+    pushFilters-planned partitions are asserted to skip the
+    bloom-negative interleaved segments, which min/max stats provably
+    cannot (every segment spans the full key range). Probe keys: the
+    two smallest orderkeys of band 0 — deterministic at every SF.
+    Oracle: the same two keys selected the hard way."""
+    import json
+
+    from ..sources.lake_datasource import ManifestLakeReader, read_lake
+
+    tune(spark)
+    lake = _sql_bloom_lake(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    keys = [
+        int(r["o_orderkey"])
+        for r in orders.filter(F.col("o_orderkey") % 4 == 0)
+        .orderBy("o_orderkey")
+        .limit(2)
+        .collect()
+    ]
+    n_all = len(ManifestLakeReader({"path": lake}).partitions())
+    probes = json.dumps(M._bloom_probes(spark, {"o_orderkey": keys}))
+    kept = len(
+        ManifestLakeReader(
+            {"path": lake, "bloom_probes": probes}
+        ).partitions()
+    )
+    assert kept < n_all, f"bloom probes did not prune: {kept}/{n_all}"
+    t = read_lake(spark, lake, bloom_keys={"o_orderkey": keys}).filter(
+        F.col("o_orderkey").isin(keys)
+    )
+    return t.select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+register(
+    "q_manifest_sql_bloom",
+    q_manifest_sql_bloom,
+    """
+    WITH k AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0
+               ORDER BY o_orderkey ASC LIMIT 2)
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
+    FROM orders o JOIN k ON o.o_orderkey = k.o_orderkey
+    """,
+)
