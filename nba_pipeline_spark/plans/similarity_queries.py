@@ -1167,6 +1167,117 @@ register(
 )
 
 
+NQ_EVAL = 4  # recall-eval query batch
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} EVAL HARNESS for the IVF tier — the measurement
+    every deployed ANN system publishes: for each of {NQ_EVAL} query
+    vectors, the own-cell IVF candidate set's top-{TOP_K} is
+    intersected with the exact global top-{TOP_K}, reporting hits per
+    query as INTEGERS (no float ratio — consumers divide, the rounding
+    grid never splits engines). Plan: ONE broadcast of the query
+    batch, one narrow assignment pass (literal centroids, zero
+    shuffle), one windowed cut per ranking — the exact side is the
+    |Q| x N brute-force floor any recall eval must pay; at 100 TB it
+    samples queries, the shape is unchanged. Deterministic (6dp
+    rounding + id tiebreak), so the whole eval is oracled exact."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = SIM.assign_cells(e, cents, "vec_id")
+    q = assigned.filter(F.col("vec_id") < NQ_EVAL).select(
+        F.col("vec_id").alias("qid"),
+        F.col("cid").alias("qcid"),
+        F.col("v").alias("qv"),
+    )
+    qb = F.broadcast(q)
+    rank = Window.partitionBy("qid").orderBy(
+        F.desc_nulls_last("sim6"), F.asc("vec_id")
+    )
+
+    def topk(cand):
+        return (
+            cand.withColumn("rn", F.row_number().over(rank))
+            .filter(F.col("rn") <= TOP_K)
+            .select("qid", "vec_id")
+        )
+
+    approx = topk(
+        assigned.join(
+            qb,
+            (F.col("cid") == F.col("qcid"))
+            & (F.col("vec_id") != F.col("qid")),
+        ).select(
+            "qid", "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"),
+        )
+    )
+    exact = topk(
+        e.join(qb, F.col("vec_id") != F.col("qid")).select(
+            "qid", "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"),
+        )
+    )
+    hits = (
+        approx.join(exact, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return q.select("qid").join(hits, "qid", "left").select(
+        "qid",
+        F.lit(TOP_K).cast("int").alias("k"),
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+    )
+
+
+register(
+    "q_ann_recall_eval",
+    q_ann_recall_eval,
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+    asg AS (
+      SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ROUND(list_distance(e.v, c.cv), 6) ASC NULLS FIRST,
+                                         c.cid ASC) AS rn
+      FROM e CROSS JOIN c),
+    cells AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+    qs AS (SELECT vec_id AS qid, v AS qv, cid AS qcid FROM cells
+           WHERE vec_id < {NQ_EVAL}),
+    ap AS (SELECT qs.qid, cells.vec_id,
+                  ROUND(list_cosine_similarity(cells.v, qs.qv), 6) AS sim6
+           FROM cells JOIN qs ON cells.cid = qs.qcid
+                             AND cells.vec_id <> qs.qid),
+    apk AS (SELECT qid, vec_id FROM (
+              SELECT qid, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY sim6 DESC NULLS LAST,
+                                                 vec_id ASC) AS rn
+              FROM ap) WHERE rn <= {TOP_K}),
+    ex AS (SELECT qs.qid, e.vec_id,
+                  ROUND(list_cosine_similarity(e.v, qs.qv), 6) AS sim6
+           FROM e JOIN qs ON e.vec_id <> qs.qid),
+    exk AS (SELECT qid, vec_id FROM (
+              SELECT qid, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY sim6 DESC NULLS LAST,
+                                                 vec_id ASC) AS rn
+              FROM ex) WHERE rn <= {TOP_K}),
+    h AS (SELECT apk.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM apk JOIN exk ON apk.qid = exk.qid AND apk.vec_id = exk.vec_id
+          GROUP BY apk.qid)
+    SELECT qs.qid, CAST({TOP_K} AS INT) AS k,
+           COALESCE(h.n_hits, 0) AS n_hits
+    FROM qs LEFT JOIN h ON qs.qid = h.qid
+    """,
+)
+
+
 DEL_N = 2  # takedown batch: the top-2 neighbors get deleted
 
 
