@@ -127,6 +127,15 @@ HEADLINE = [
     "q_manifest_generated",
     "q_manifest_widen",
     "q_manifest_compact_small",
+    # round-9 session additions (index delete propagation, SQL reads
+    # over tombstoned/bloom-skipped lakes, cascade attrition report,
+    # length-bucket batch planning, IVF recall eval)
+    "q_ann_delete_propagate",
+    "q_manifest_sql_tombstone",
+    "q_manifest_sql_bloom",
+    "q_filter_attrition",
+    "q_length_buckets",
+    "q_ann_recall_eval",
 ]
 
 

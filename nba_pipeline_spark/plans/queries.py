@@ -89,13 +89,23 @@ from . import lake_queries  # noqa: E402,F401
 # backfill = the r2-era greens sampled longest ago, original order.
 # Names not present in the registry are skipped.
 _PRIORITY: tuple[str, ...] = (
-    # round-7 registrations, never driver-sampled (judge-green r7)
+    # ROUND-9 ROTATION: lead with the round-9 registrations, then
+    # q_embed_pca (its r8 row was the one `err` — the raw array column
+    # crashed the driver's canonicalizer; now scalar-shaped and it
+    # needs a clean row), then the r7/r8 names and the oldest greens.
+    "q_ann_delete_propagate",
+    "q_manifest_sql_tombstone",
+    "q_manifest_sql_bloom",
+    "q_filter_attrition",
+    "q_length_buckets",
+    "q_ann_recall_eval",
+    "q_embed_pca",
+    # round-7 registrations (driver-sampled r8)
     "q_ann_pq_rerank",
     "q_ann_ivfpq_rerank",
     "q_ann_ivfpq_nprobe",
     "q_bpe_first_merge",
     "q_dedup_spans_incremental",
-    "q_embed_pca",
     "q_manifest_rename",
     "q_trigram_ppl",
     "q_weighted_sample",
