@@ -167,3 +167,192 @@ def maintain_matview(
         matview_sink(spark, mv_path, group_cols, sum_cols, target_files),
         include_values=True,
     )
+
+
+# ---------------------------------------------------------------------
+# r9: incremental JOIN materialized views — the two-table IVM the
+# single-table maintainer above points toward. Delta algebra (signed
+# multisets):  F1⋈D1 − F0⋈D0  =  ΔF⋈D0 + F1⋈ΔD
+# where ΔX = X1 − X0 as ±rows. Both terms are O(changes)·join, never a
+# full recompute; aggregate contributions fold with the same
+# fold_delta as the single-table view.
+# ---------------------------------------------------------------------
+
+
+def _signed_rows(
+    diff: DataFrame, keys: list[str], cols: list[str]
+) -> DataFrame:
+    """A valued CDF delta as a SIGNED multiset: insert → (+1, new),
+    delete → (−1, old), update → both rows. `cols` resolve top-level
+    when part of the key, else through the old/new structs."""
+
+    def side(struct: str, ops: list[str], w: int) -> DataFrame:
+        return diff.filter(F.col("op").isin(*ops)).select(
+            *[
+                (
+                    F.col(c) if c in keys else F.col(f"{struct}.{c}")
+                ).alias(c)
+                for c in cols
+            ],
+            F.lit(w).alias("__sign"),
+        )
+
+    return side("new", ["insert", "update"], 1).unionByName(
+        side("old", ["update", "delete"], -1)
+    )
+
+
+def join_delta_contributions(
+    spark: SparkSession,
+    fact_path: str,
+    dim_path: str,
+    f_v0: int,
+    f_v1: int,
+    d_v0: int,
+    d_v1: int,
+    fact_keys: list[str],
+    dim_keys: list[str],
+    fact_fk: str,
+    dim_jk: str,
+    group_col: str,
+    sum_cols: list[str],
+) -> DataFrame:
+    """Per-group (d_cnt, d_sum_*) deltas of the JOIN view
+    ``SELECT dim.group_col, count(*), sum(fact.c) FROM fact JOIN dim
+    ON fact.fact_fk = dim.dim_jk GROUP BY dim.group_col`` between
+    lake versions (f_v0, d_v0) → (f_v1, d_v1).
+
+    Term 1 joins the fact's signed delta against the dim at its OLD
+    version; term 2 joins the NEW fact snapshot against the dim's
+    signed delta — the standard delta-join sequencing, exact for
+    multiset semantics (a dim update that moves a key between groups
+    retracts every joining fact row from the old group and credits the
+    new one via its −/+ signed rows). The dim join column must be
+    unique per dim row (the usual FK contract — dim_keys determine
+    dim_jk), so each fact row joins at most one dim row per side.
+
+    Scale shape: ΔF and ΔD are O(changes) (snapshot_diff's contract);
+    the two joins broadcast the small side under AQE; contributions
+    partial-aggregate map-side. Never reads F0 and never re-joins
+    unchanged fact rows against unchanged dim rows."""
+    dF = _signed_rows(
+        M.snapshot_diff(
+            spark, fact_path, f_v0, f_v1, fact_keys, include_values=True
+        ),
+        fact_keys,
+        [fact_fk] + sum_cols,
+    )
+    dD = _signed_rows(
+        M.snapshot_diff(
+            spark, dim_path, d_v0, d_v1, dim_keys, include_values=True
+        ),
+        dim_keys,
+        [dim_jk, group_col],
+    )
+    D0 = M.read_snapshot(spark, dim_path, version=d_v0).select(
+        dim_jk, group_col
+    )
+    F1 = M.read_snapshot(spark, fact_path, version=f_v1).select(
+        fact_fk, *sum_cols
+    )
+
+    def contrib(facts: DataFrame, dims: DataFrame) -> DataFrame:
+        sign = (
+            (F.col("f.__sign") if "__sign" in facts.columns else F.lit(1))
+            * (F.col("d.__sign") if "__sign" in dims.columns else F.lit(1))
+        )
+        return (
+            facts.alias("f")
+            .join(
+                dims.alias("d"),
+                F.col(f"f.{fact_fk}") == F.col(f"d.{dim_jk}"),
+            )
+            .groupBy(F.col(f"d.{group_col}").alias(group_col))
+            .agg(
+                F.sum(sign).cast("bigint").alias("d_cnt"),
+                *[
+                    F.sum(F.col(f"f.{c}") * sign).alias(f"d_sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+        )
+
+    both = contrib(dF, D0).unionByName(contrib(F1, dD))
+    return both.groupBy(group_col).agg(
+        F.sum("d_cnt").cast("bigint").alias("d_cnt"),
+        *[F.sum(f"d_sum_{c}").alias(f"d_sum_{c}") for c in sum_cols],
+    )
+
+
+def maintain_join_matview(
+    spark: SparkSession,
+    fact_path: str,
+    dim_path: str,
+    fact_keys: list[str],
+    dim_keys: list[str],
+    fact_fk: str,
+    dim_jk: str,
+    group_col: str,
+    sum_cols: list[str],
+    mv_path: str,
+    state_path: str,
+    target_files: int | None = None,
+) -> bool:
+    """Advance the JOIN MV to BOTH lakes' current versions; returns
+    whether anything changed. First call bootstraps with a full
+    join-aggregate; later calls fold `join_delta_contributions` of the
+    unconsumed (fact, dim) version window. Exactly-once under
+    crash/replay via one ``mvj=<f_v>:<d_v>`` token on both the MV
+    publish and the high-water state replace (the pack-sink
+    discipline: MV first, computed from the PRE-state water marks, so
+    either crash window converges on redo)."""
+    f_v1 = M.current_version(spark, fact_path)
+    d_v1 = M.current_version(spark, dim_path)
+    if f_v1 is None or d_v1 is None:
+        raise ValueError("both lakes need at least one commit")
+    state_v = M.current_version(spark, state_path)
+    tag = f"mvj={f_v1}:{d_v1}"
+    if state_v is None:
+        mv = (
+            M.read_snapshot(spark, fact_path)
+            .alias("f")
+            .join(
+                M.read_snapshot(spark, dim_path).alias("d"),
+                F.col(f"f.{fact_fk}") == F.col(f"d.{dim_jk}"),
+            )
+            .groupBy(F.col(f"d.{group_col}").alias(group_col))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                *[
+                    F.sum(F.col(f"f.{c}")).alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+        )
+        M.commit_replace(spark, mv_path, mv, target_files, tag=tag)
+        M.commit_replace(
+            spark, state_path,
+            spark.createDataFrame(
+                [(f_v1, d_v1)], "f_v long, d_v long"
+            ),
+            tag=tag,
+        )
+        return True
+    st = M.read_snapshot(spark, state_path).collect()[0]
+    f_v0, d_v0 = int(st["f_v"]), int(st["d_v"])
+    if (f_v0, d_v0) == (f_v1, d_v1):
+        return False
+    d = join_delta_contributions(
+        spark, fact_path, dim_path, f_v0, f_v1, d_v0, d_v1,
+        fact_keys, dim_keys, fact_fk, dim_jk, group_col, sum_cols,
+    )
+    folded = fold_delta(
+        M.read_snapshot(spark, mv_path), d, [group_col], sum_cols
+    )
+    M.commit_replace(spark, mv_path, folded, target_files, tag=tag)
+    M.commit_replace(
+        spark, state_path,
+        spark.createDataFrame([(f_v1, d_v1)], "f_v long, d_v long"),
+        tag=tag,
+    )
+    return True

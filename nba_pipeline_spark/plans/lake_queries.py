@@ -2531,3 +2531,99 @@ register(
     FROM orders o JOIN k ON o.o_orderkey = k.o_orderkey
     """,
 )
+
+
+def _matview_join_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Fact lake (orders: o_custkey FK, decimal price) and dim lake
+    (customer: c_custkey, c_mktsegment) with an incremental JOIN MV:
+
+      fact v1  append  orders with o_orderkey % 2 = 0
+      dim  v1  append  all customers
+               maintain (BOOTSTRAP: full join-aggregate)
+      fact v2  append  orders with o_orderkey % 2 = 1
+      dim  v2  MERGE   c_mktsegment -> 'MOVED' for c_custkey % 10 = 0
+               maintain (INCREMENTAL: dF join D0 + F1 join dD)
+
+    so the final MV is a pure expression over orders x customer —
+    exactly what the oracle recomputes from scratch."""
+    from ..operators import matview as MV
+
+    root = _stage_dir(sf_dir, "orders", "manifest_matview_join")
+    fp, dp = f"{root}/fact", f"{root}/dim"
+    mvp, stp = f"{root}/mv", f"{root}/state"
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.lit(0).alias("ver"),
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", F.lit(0).alias("ver")
+        )
+        M.commit_append(
+            spark, fp, orders.filter(F.col("o_orderkey") % 2 == 0)
+        )
+        M.commit_append(spark, dp, cust)
+        MV.maintain_join_matview(
+            spark, fp, dp, ["o_orderkey"], ["c_custkey"], "o_custkey",
+            "c_custkey", "c_mktsegment", ["price"], mvp, stp,
+        )
+        M.commit_append(
+            spark, fp, orders.filter(F.col("o_orderkey") % 2 == 1)
+        )
+        M.commit_upsert(
+            spark, dp,
+            cust.filter(F.col("c_custkey") % 10 == 0).select(
+                "c_custkey",
+                F.lit("MOVED").alias("c_mktsegment"),
+                F.lit(1).alias("ver"),
+            ),
+            ["c_custkey"],
+            "ver",
+        )
+        MV.maintain_join_matview(
+            spark, fp, dp, ["o_orderkey"], ["c_custkey"], "o_custkey",
+            "c_custkey", "c_mktsegment", ["price"], mvp, stp,
+        )
+
+    _ensure_stage(root, build)
+    return root
+
+
+def q_manifest_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN materialized view
+    (operators/matview.py::maintain_join_matview): MV = orders ⋈
+    customer grouped by market segment, advanced from BOTH lakes'
+    change feeds — the delta algebra ΔF⋈D0 + F1⋈ΔD reads O(changes),
+    never re-joining the settled corpus (at 100 TB: a CDC sliver + a
+    dim patch fold in one broadcast join each). The staged history
+    includes a dim update that MOVES every %10 customer between
+    groups (mass retract + credit) interleaved with a fact append in
+    the same maintenance window. Oracle: the view recomputed from
+    scratch over the final states — incremental == full recompute is
+    the IVM contract."""
+    tune(spark)
+    root = _matview_join_stage(spark, sf_dir)
+    return M.read_snapshot(spark, f"{root}/mv").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )
+
+
+register(
+    "q_manifest_matview_join",
+    q_manifest_matview_join,
+    """
+    WITH d AS (SELECT c_custkey,
+                      CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+                           ELSE c_mktsegment END AS segment
+               FROM customer)
+    SELECT d.segment, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders o JOIN d ON o.o_custkey = d.c_custkey
+    GROUP BY d.segment
+    """,
+)

@@ -175,3 +175,115 @@ def test_randomized_commit_sequences_match_recompute(spark, tmp_path):
                 assert _mv_rows(spark, mv) == _expected(spark, src), (
                     f"case {case} step {step} op {op}"
                 )
+
+
+# ------------------------------------------------- join matviews (r9)
+
+
+def _fact(spark, rows):
+    return spark.createDataFrame(rows, "fk int, dk int, v bigint, ver int")
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, "dk int, grp string, ver int")
+
+
+def _recompute(spark, fp, dp):
+    return {
+        (r["grp"], int(r["cnt"]), int(r["sv"]))
+        for r in M.read_snapshot(spark, fp).alias("f")
+        .join(
+            M.read_snapshot(spark, dp).alias("d"),
+            F.col("f.dk") == F.col("d.dk"),
+        )
+        .groupBy(F.col("d.grp").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("f.v").alias("sv"),
+        )
+        .collect()
+    }
+
+
+def _mv_rows(spark, mvp):
+    return {
+        (r["grp"], int(r["cnt"]), int(r["sum_v"]))
+        for r in M.read_snapshot(spark, mvp).collect()
+    }
+
+
+def test_join_matview_tracks_both_lakes(spark, tmp_path):
+    """The JOIN MV equals a from-scratch join-aggregate after every
+    maintenance step: fact appends/updates/deletes, a dim update that
+    MOVES a key between groups (retract + credit), interleaved and
+    combined commits on both sides, and group disappearance."""
+    fp, dp = str(tmp_path / "fact"), str(tmp_path / "dim")
+    mvp, stp = str(tmp_path / "mv"), str(tmp_path / "state")
+    args = (
+        spark, fp, dp, ["fk"], ["dk"], "dk", "dk", "grp", ["v"], mvp, stp,
+    )
+    M.commit_append(
+        spark, fp,
+        _fact(spark, [(1, 10, 100, 0), (2, 10, 200, 0), (3, 20, 300, 0)]),
+    )
+    M.commit_append(
+        spark, dp, _dim(spark, [(10, "a", 0), (20, "b", 0), (30, "c", 0)])
+    )
+    assert MV.maintain_join_matview(*args) is True  # bootstrap
+    assert _mv_rows(spark, mvp) == _recompute(spark, fp, dp)
+    assert _mv_rows(spark, mvp) == {("a", 2, 300), ("b", 1, 300)}
+
+    # fact-only change: append into dim 30's group, update k=1's value
+    M.commit_upsert(
+        spark, fp,
+        _fact(spark, [(1, 10, 150, 1), (4, 30, 400, 1)]),
+        ["fk"], "ver",
+    )
+    assert MV.maintain_join_matview(*args) is True
+    assert _mv_rows(spark, mvp) == _recompute(spark, fp, dp)
+
+    # dim-only change: MOVE dk=10 from group a to b (retract 2 fact
+    # rows from a — the group disappears — credit them to b)
+    M.commit_upsert(spark, dp, _dim(spark, [(10, "b", 1)]), ["dk"], "ver")
+    assert MV.maintain_join_matview(*args) is True
+    assert _mv_rows(spark, mvp) == _recompute(spark, fp, dp)
+    assert not any(g == "a" for g, _, _ in _mv_rows(spark, mvp))
+
+    # BOTH sides change in one window: fact delete + re-key, dim insert
+    M.commit_delete(
+        spark, fp, spark.createDataFrame([(2,)], "fk int"), ["fk"]
+    )
+    M.commit_upsert(
+        spark, fp, _fact(spark, [(3, 40, 300, 2)]), ["fk"], "ver"
+    )
+    M.commit_upsert(spark, dp, _dim(spark, [(40, "d", 2)]), ["dk"], "ver")
+    assert MV.maintain_join_matview(*args) is True
+    assert _mv_rows(spark, mvp) == _recompute(spark, fp, dp)
+
+    # quiescent: nothing to do
+    assert MV.maintain_join_matview(*args) is False
+
+
+def test_join_matview_replay_is_exactly_once(spark, tmp_path):
+    """Crash-window convergence: after a maintenance step, wiping the
+    state lake back and re-running must not double-fold (the mvj tag
+    no-ops the MV publish; the state replace lands)."""
+    fp, dp = str(tmp_path / "fact"), str(tmp_path / "dim")
+    mvp, stp = str(tmp_path / "mv"), str(tmp_path / "state")
+    args = (
+        spark, fp, dp, ["fk"], ["dk"], "dk", "dk", "grp", ["v"], mvp, stp,
+    )
+    M.commit_append(spark, fp, _fact(spark, [(1, 10, 100, 0)]))
+    M.commit_append(spark, dp, _dim(spark, [(10, "a", 0)]))
+    MV.maintain_join_matview(*args)
+    M.commit_append(spark, fp, _fact(spark, [(2, 10, 50, 1)]))
+    st_before = M.current_version(spark, stp)
+    MV.maintain_join_matview(*args)
+    mv_v = M.current_version(spark, mvp)
+    want = _mv_rows(spark, mvp)
+    # simulate the crash between MV publish and state replace: restore
+    # the state lake to its pre-step version and re-run
+    M.restore(spark, stp, st_before)
+    MV.maintain_join_matview(*args)
+    assert _mv_rows(spark, mvp) == want  # tag-skipped, not double-folded
+    assert M.current_version(spark, mvp) == mv_v
