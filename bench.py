@@ -136,6 +136,8 @@ HEADLINE = [
     "q_filter_attrition",
     "q_length_buckets",
     "q_ann_recall_eval",
+    "q_manifest_matview_join",
+    "q_corpus_takedown",
 ]
 
 

@@ -1410,3 +1410,48 @@ def propagate_index_deletes(
                 tag=f"{tag}:{p}" if tag is not None else None,
             )
     return out
+
+
+def corpus_takedown(
+    spark,
+    doc_ids: list,
+    docs_path: str,
+    emb_path: str | None = None,
+    index_code_paths: list[str] | tuple = (),
+    doc_key: str = "doc_id",
+    vec_key: str = "vec_id",
+    vec_ids: list | None = None,
+    mode: str = "cow",
+    tag: str | None = None,
+) -> dict[str, int]:
+    """The full GDPR/takedown composition: remove documents AND every
+    derived representation — embeddings and ANN index codes — in one
+    call. `vec_ids` defaults to `doc_ids` (the 1:1 doc→vector layout);
+    pass the mapped ids when the embedding store keys differently.
+    Ordering: indexes first, then embeddings, then documents — derived
+    representations are never reachable after their source row is
+    gone, and between commits the corpus is only ever MORE present
+    than its derivatives (a search can net a still-live doc, never a
+    dangling one). Each lake's delete is the bloom-refined CoW (or
+    tagged MoR tombstone) of `propagate_index_deletes` /
+    `commit_delete`. Returns {path: version}."""
+    from ..sources import manifest as M
+
+    out = propagate_index_deletes(
+        spark,
+        doc_ids if vec_ids is None else vec_ids,
+        vec_key,
+        index_code_paths=index_code_paths,
+        emb_path=emb_path,
+        mode=mode,
+        tag=tag,
+    )
+    key_df = spark.createDataFrame([(i,) for i in doc_ids], [doc_key])
+    if mode == "mor":
+        out[docs_path] = M.commit_delete_mor(
+            spark, docs_path, key_df, [doc_key],
+            tag=f"{tag}:{docs_path}" if tag is not None else None,
+        )
+    else:
+        out[docs_path] = M.commit_delete(spark, docs_path, key_df, [doc_key])
+    return out

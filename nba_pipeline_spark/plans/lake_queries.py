@@ -2627,3 +2627,79 @@ register(
     GROUP BY d.segment
     """,
 )
+
+
+def _takedown_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Documents + embeddings + an IVF-PQ index, then one
+    corpus_takedown of every doc_id % 53 == 0 (1:1 doc→vector ids):
+    the final state of every lake is a pure NOT-predicate over the
+    source tables."""
+    from ..operators import similarity as SIM
+
+    root = _stage_dir(sf_dir, "documents", "corpus_takedown")
+    docsp, embp = f"{root}/docs", f"{root}/emb"
+    cp, cbp, kp = f"{root}/cent", f"{root}/books", f"{root}/codes"
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        M.commit_append(spark, docsp, docs, stats_cols=["doc_id"])
+        M.commit_append(spark, embp, emb, stats_cols=["vec_id"])
+        SIM.build_ivfpq_index(
+            spark, M.read_snapshot(spark, embp), "vec_id", "embedding",
+            8, 8, 32, cp, cbp, kp,
+        )
+        victims = [
+            int(r["doc_id"])
+            for r in docs.filter(F.col("doc_id") % 53 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        SIM.corpus_takedown(
+            spark, victims, docsp, emb_path=embp, index_code_paths=[kp]
+        )
+
+    _ensure_stage(root, build)
+    return root
+
+
+def q_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end GDPR composition (operators/similarity.py::
+    corpus_takedown): one call removes documents AND every derived
+    representation — the embeddings lake row and the IVF-PQ code —
+    with bloom-refined CoW rewrites of only the touched cell segments.
+    The query proves all three lakes agree post-takedown: per-lang doc
+    counts from the documents lake, plus the surviving embedding and
+    index-code populations carried as columns (identical by
+    construction to the doc predicate). Oracle: the same NOT-predicate
+    over the source tables."""
+    tune(spark)
+    root = _takedown_stage(spark, sf_dir)
+    n_emb = M.read_snapshot(spark, f"{root}/emb").count()
+    n_codes = M.read_snapshot(spark, f"{root}/codes").count()
+    return (
+        M.read_snapshot(spark, f"{root}/docs")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .withColumn("n_vectors", F.lit(n_emb).cast("bigint"))
+        .withColumn("n_codes", F.lit(n_codes).cast("bigint"))
+    )
+
+
+register(
+    "q_corpus_takedown",
+    q_corpus_takedown,
+    """
+    WITH kept AS (SELECT * FROM documents WHERE doc_id % 53 <> 0),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings
+          WHERE vec_id % 53 <> 0)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           v.n_vectors, v.n_vectors AS n_codes
+    FROM kept CROSS JOIN v
+    GROUP BY lang, v.n_vectors
+    """,
+)
