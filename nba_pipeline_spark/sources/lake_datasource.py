@@ -564,6 +564,13 @@ class ManifestLakeWriter(DataSourceArrowWriter):
                 "which this JVM-less commit path cannot validate — write "
                 f"via manifest.commit_append: {self._path}"
             )
+        if props.get("unique"):
+            # and the UNIQUE key: checking it takes engine jobs
+            raise ValueError(
+                "manifest_lake writer: lake declares a UNIQUE key, which "
+                "this JVM-less commit path cannot enforce — write via "
+                f"manifest.commit_append: {self._path}"
+            )
         self._props0 = props
         cm = dict(props.get("colmap", {}))
         dropped = set(props.get("dropped_cols", []))

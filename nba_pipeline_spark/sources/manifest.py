@@ -687,6 +687,147 @@ def _apply_generated(spark: SparkSession, path: str, df: DataFrame) -> DataFrame
     return df
 
 
+def unique_key(spark: SparkSession, path: str) -> list[str]:
+    """The declared UNIQUE key columns (empty list when none)."""
+    v = current_version(spark, path)
+    if v is None:
+        return []
+    return list(_read_manifest(spark, path, v).get("props", {}).get("unique", []))
+
+
+def set_unique_key(spark: SparkSession, path: str, cols: list[str]) -> int:
+    """Declare a UNIQUE KEY over `cols` — the constraint neither Delta
+    nor Iceberg enforces (both punt to MERGE discipline); this lake
+    enforces it on the append paths. Existing data must already be
+    unique (CAS-pinned one-job validation, same shape as
+    set_constraint); subsequent appends check the batch against itself
+    and against the table — O(batch) when the key carries blooms (the
+    point-probe path), one semi-join otherwise — and commit with a
+    STRICT parent CAS so two racing appends can't both sneak the same
+    key in (the loser revalidates against the winner's snapshot).
+    SQL UNIQUE NULL semantics: rows with any NULL key column never
+    conflict. Upserts keyed on these columns preserve uniqueness by
+    construction; replace paths re-validate their full new contents."""
+    from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("set_unique_key needs at least one column")
+
+    def props_fn(props):
+        return {**props, "unique": list(cols)}
+
+    for _ in range(20):
+        pinned = current_version(spark, path)
+        if pinned is not None and _read_manifest(spark, path, pinned)["segments"]:
+            snap = read_snapshot(spark, path, version=pinned)
+            missing = [c for c in cols if c not in snap.columns]
+            if missing:
+                raise SchemaDrift(
+                    f"set_unique_key: no column(s) {missing} in {path}"
+                )
+            nn = None
+            for c in cols:
+                e = F.col(c).isNotNull()
+                nn = e if nn is None else nn & e
+            dup = (
+                snap.filter(nn)
+                .groupBy(*cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ConstraintViolation(
+                    f"cannot declare UNIQUE ({', '.join(cols)}): existing "
+                    f"rows collide in {path}"
+                )
+        try:
+            return _commit(
+                spark, path, "set_unique",
+                lambda parent: list(parent["segments"]) if parent else [],
+                props_fn=props_fn,
+                expected_parent=pinned or 0,
+            )
+        except CommitConflict:
+            continue  # a write superseded the validated snapshot
+    raise RuntimeError(
+        f"set_unique_key lost the validate-commit race 20 times: {path}"
+    )
+
+
+def _check_unique(
+    spark: SparkSession, path: str, df: DataFrame, cols: list[str]
+) -> None:
+    """Validate an append batch against the declared UNIQUE key:
+    in-batch duplicates (one partial-agg'd job over the batch), then
+    batch-vs-table collisions — a bloom/stats-pruned point probe
+    (`read_for_keys`) for bounded single-column keys, one column-pruned
+    semi-join otherwise. NULL-keyed rows are exempt (SQL UNIQUE)."""
+    from pyspark.sql import functions as F
+
+    nn = None
+    for c in cols:
+        e = F.col(c).isNotNull()
+        nn = e if nn is None else nn & e
+    batch = df.filter(nn).select(*cols)
+    if (
+        batch.groupBy(*cols).count().filter(F.col("count") > 1)
+        .limit(1).count()
+    ):
+        raise ConstraintViolation(
+            f"UNIQUE ({', '.join(cols)}) violated inside the batch: {path}"
+        )
+    cur = current_version(spark, path)
+    if cur is None or not _read_manifest(spark, path, cur)["segments"]:
+        return
+    if len(cols) == 1:
+        head = batch.distinct().limit(1025).collect()
+        if not head:
+            return
+        if len(head) <= 1024:
+            vals = [r[0] for r in head]
+            if read_for_keys(spark, path, cols[0], vals).limit(1).count():
+                raise ConstraintViolation(
+                    f"UNIQUE ({cols[0]}) violated: batch key already in "
+                    f"{path}"
+                )
+            return
+    snap = read_snapshot(spark, path, version=cur)
+    if (
+        snap.select(*cols)
+        .join(batch.distinct(), on=list(cols), how="left_semi")
+        .limit(1)
+        .count()
+    ):
+        raise ConstraintViolation(
+            f"UNIQUE ({', '.join(cols)}) violated: batch key already in "
+            f"{path}"
+        )
+
+
+def _check_unique_self(spark: SparkSession, path: str, df: DataFrame) -> None:
+    """Replace-path uniqueness: the new contents supersede everything,
+    so only the batch needs to agree with the declared UNIQUE key."""
+    from pyspark.sql import functions as F
+
+    cols = unique_key(spark, path)
+    if not cols:
+        return
+    nn = None
+    for c in cols:
+        e = F.col(c).isNotNull()
+        nn = e if nn is None else nn & e
+    if (
+        df.filter(nn).groupBy(*cols).count()
+        .filter(F.col("count") > 1).limit(1).count()
+    ):
+        raise ConstraintViolation(
+            f"UNIQUE ({', '.join(cols)}) violated inside the replace "
+            f"contents: {path}"
+        )
+
+
 def _check_constraints(spark: SparkSession, path: str, df: DataFrame) -> None:
     """Validate a commit's INCOMING rows against the table's CHECK
     constraints — one combined partial-agg'd count job when any exist
@@ -1033,6 +1174,14 @@ def commit_append(
     for _attempt in range(5):
         props0 = _latest_props(spark, path)
         cm0, dropped0 = _colmap(props0), set(props0.get("dropped_cols", []))
+        # declared UNIQUE key: validate batch-vs-self and batch-vs-table
+        # pinned at this snapshot, and commit with a STRICT parent CAS
+        # so racing appends can't both land the same key — the loser
+        # falls back here and revalidates against the winner's snapshot
+        uniq = list(props0.get("unique", []))
+        base_v = current_version(spark, path) if uniq else None
+        if uniq:
+            _check_unique(spark, path, df, uniq)
         # eager twin of the _schema_props_fn resurrection guard: a new
         # logical column colliding with a dropped or renamed-away
         # PHYSICAL name must fail with the real diagnosis here, before
@@ -1095,6 +1244,7 @@ def commit_append(
                 tag=tag,
                 meta_fn=meta_fn,
                 props_fn=props_fn,
+                expected_parent=(base_v or 0) if uniq else None,
             )
         except _ColmapChanged:
             # the batch's intent is unambiguous — its logical names were
@@ -1104,6 +1254,10 @@ def commit_append(
             # refuses), then the loop rewrites the segment fresh.
             df = _relogical(df, props0, _latest_props(spark, path), path)
             continue
+        except CommitConflict:
+            if not uniq:
+                raise
+            continue  # unique lake: revalidate against the new head
     raise CommitConflict(
         f"column mapping kept changing under commit_append (5 tries): {path}"
     )
@@ -1141,6 +1295,12 @@ def commit_append_partitioned(
     for _attempt in range(5):
         props0 = _latest_props(spark, path)
         cm0, dropped0 = _colmap(props0), set(props0.get("dropped_cols", []))
+        # declared UNIQUE key: same validate + strict-CAS discipline as
+        # commit_append (the loser of a race revalidates and retries)
+        uniq = list(props0.get("unique", []))
+        base_v = current_version(spark, path) if uniq else None
+        if uniq:
+            _check_unique(spark, path, df, uniq)
         _refuse_physical_reuse(props0, df.columns, path)
         phys_df = _to_physical(df, props0)
         part_p = _physical(props0, part_col)
@@ -1178,10 +1338,15 @@ def commit_append_partitioned(
                 tag=tag,
                 meta_fn=meta_fn,
                 props_fn=props_fn,
+                expected_parent=(base_v or 0) if uniq else None,
             )
         except _ColmapChanged:
             df = _relogical(df, props0, _latest_props(spark, path), path)
             continue
+        except CommitConflict:
+            if not uniq:
+                raise
+            continue  # unique lake: revalidate against the new head
     raise CommitConflict(
         f"column mapping kept changing under commit_append_partitioned "
         f"(5 tries): {path}"
@@ -1240,6 +1405,7 @@ def commit_replace_partitioned(
     vacuum). Pending merge-on-read tombstones drop — the new contents
     supersede everything they applied to."""
     _check_constraints(spark, path, df)
+    _check_unique_self(spark, path, df)
     new_segs = _write_partitioned_segments(
         spark, path, df, part_col, target_files, stats_cols, bloom_cols
     )
@@ -1270,6 +1436,7 @@ def commit_replace(
     df = _apply_generated(spark, path, df)
     df = _upcast_to_schema(spark, path, df)
     _check_constraints(spark, path, df)
+    _check_unique_self(spark, path, df)
     seg = _write_segment(df, path, target_files)
     return _commit(
         spark, path, "replace", lambda parent: [seg],

@@ -122,3 +122,123 @@ def test_set_constraint_revalidates_after_racing_write(spark, lake, monkeypatch)
     assert state["raced"]
     # the raced write's rows exist, and the constraint was NOT added
     assert "neg_check" not in M.table_constraints(spark, lake)
+
+
+# ------------------------------------------------------ UNIQUE keys (r9)
+
+
+def _u(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, g string, v bigint")
+
+
+def test_unique_key_declare_and_append_enforced(spark, tmp_path):
+    lake = str(tmp_path / "ulake")
+    M.commit_append(spark, lake, _u(spark, [(1, "a", 10), (2, "a", 20)]))
+    M.set_unique_key(spark, lake, ["k"])
+    v = M.current_version(spark, lake)
+    # in-batch duplicate refused
+    with pytest.raises(M.ConstraintViolation, match="inside the batch"):
+        M.commit_append(spark, lake, _u(spark, [(3, "b", 1), (3, "b", 2)]))
+    # batch-vs-table collision refused
+    with pytest.raises(M.ConstraintViolation, match="already in"):
+        M.commit_append(spark, lake, _u(spark, [(2, "b", 99)]))
+    assert M.current_version(spark, lake) == v  # nothing landed
+    # clean batch lands; NULL keys never conflict (SQL UNIQUE)
+    M.commit_append(
+        spark, lake, _u(spark, [(3, "b", 30), (None, "n", 1), (None, "n", 2)])
+    )
+    assert M.read_snapshot(spark, lake).count() == 5
+    assert M.unique_key(spark, lake) == ["k"]
+
+
+def test_unique_key_declare_refused_on_duplicates(spark, tmp_path):
+    lake = str(tmp_path / "ulake")
+    M.commit_append(spark, lake, _u(spark, [(1, "a", 1), (1, "a", 2)]))
+    with pytest.raises(M.ConstraintViolation, match="existing rows collide"):
+        M.set_unique_key(spark, lake, ["k"])
+    with pytest.raises(M.SchemaDrift, match="no column"):
+        M.set_unique_key(spark, lake, ["zzz"])
+
+
+def test_unique_key_uses_bloom_point_probe(spark, tmp_path):
+    """The batch-vs-table check on a bloomed single-column key goes
+    through read_for_keys — bloom-negative segments never open. We
+    assert the semantics (collision caught across segments) and that
+    multi-column keys fall back to the semi-join correctly."""
+    lake = str(tmp_path / "ulake")
+    M.commit_append(
+        spark, lake, _u(spark, [(i, "a", i) for i in range(0, 100, 2)]),
+        bloom_cols=["k"],
+    )
+    M.set_unique_key(spark, lake, ["k"])
+    M.commit_append(
+        spark, lake, _u(spark, [(i, "b", i) for i in range(1, 100, 2)]),
+        bloom_cols=["k"],
+    )
+    with pytest.raises(M.ConstraintViolation):
+        M.commit_append(spark, lake, _u(spark, [(42, "x", 0)]))
+    # composite key on a second lake: (k, g) unique, same k new g is fine
+    lake2 = str(tmp_path / "ulake2")
+    M.commit_append(spark, lake2, _u(spark, [(1, "a", 1)]))
+    M.set_unique_key(spark, lake2, ["k", "g"])
+    M.commit_append(spark, lake2, _u(spark, [(1, "b", 2)]))
+    with pytest.raises(M.ConstraintViolation):
+        M.commit_append(spark, lake2, _u(spark, [(1, "a", 3)]))
+
+
+def test_unique_key_replace_and_partitioned_paths(spark, tmp_path):
+    lake = str(tmp_path / "ulake")
+    M.commit_append(spark, lake, _u(spark, [(1, "a", 1)]))
+    M.set_unique_key(spark, lake, ["k"])
+    with pytest.raises(M.ConstraintViolation, match="replace"):
+        M.commit_replace(spark, lake, _u(spark, [(5, "a", 1), (5, "b", 2)]))
+    M.commit_replace(spark, lake, _u(spark, [(5, "a", 1), (6, "b", 2)]))
+    with pytest.raises(M.ConstraintViolation):
+        M.commit_append_partitioned(
+            spark, lake, _u(spark, [(6, "c", 9)]), "g"
+        )
+    M.commit_append_partitioned(spark, lake, _u(spark, [(7, "c", 9)]), "g")
+    assert M.read_snapshot(spark, lake).count() == 3
+
+
+def test_unique_key_racing_appends_serialize(spark, tmp_path, monkeypatch):
+    """Two appends validated against the same snapshot: the strict
+    parent CAS forces the loser to revalidate — if it carries the same
+    key it is REFUSED, not silently landed."""
+    lake = str(tmp_path / "ulake")
+    M.commit_append(spark, lake, _u(spark, [(1, "a", 1)]))
+    M.set_unique_key(spark, lake, ["k"])
+    raced = {"done": False}
+    orig = M._check_unique
+
+    def sneaky(spark_, path, df, cols):
+        orig(spark_, path, df, cols)
+        if not raced["done"]:
+            raced["done"] = True  # winner lands AFTER the loser validated
+            monkeypatch.setattr(M, "_check_unique", orig)
+            M.commit_append(spark_, lake, _u(spark_, [(9, "w", 1)]))
+
+    monkeypatch.setattr(M, "_check_unique", sneaky)
+    with pytest.raises(M.ConstraintViolation):
+        M.commit_append(spark, lake, _u(spark, [(9, "l", 2)]))
+    snap = M.read_snapshot(spark, lake).filter("k = 9").collect()
+    assert len(snap) == 1 and snap[0]["g"] == "w"
+
+
+def test_unique_key_refuses_jvmless_writer(spark, tmp_path):
+    from nba_pipeline_spark.sources.lake_datasource import (
+        register_lake_source,
+    )
+
+    register_lake_source(spark)
+    lake = str(tmp_path / "ulake")
+    M.commit_append(spark, lake, _u(spark, [(1, "a", 1)]))
+    M.set_unique_key(spark, lake, ["k"])
+    with pytest.raises(Exception, match="UNIQUE"):
+        (
+            _u(spark, [(2, "b", 2)])
+            .write.format("manifest_lake")
+            .option("path", lake)
+            .mode("append")
+            .save()
+        )
