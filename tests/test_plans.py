@@ -260,6 +260,9 @@ def test_single_partition_only_on_bounded_frames(spark):
         "q_token_budget",
         # dataset card: 1-row corpus-total frame crossed back in
         "q_data_card",
+        # cascade attrition: partial-agg'd flags collapse to ONE row
+        # (10 counters) before the stack() unpivot to 5 stage rows
+        "q_filter_attrition",
         # expectations: global aggregates -> O(1)-row rule report
         "q_expectations", "q_expectations_quarantine",
         # one-partition-of-one-segment global aggregates (pruned reads)
