@@ -2463,19 +2463,25 @@ register(
 
 
 def _sql_bloom_lake(spark: SparkSession, sf_dir: str) -> str:
-    """Four key-INTERLEAVED segments (o_orderkey % 4 bands) with id
-    blooms: every segment's [min, max] spans the whole key range, so
-    stats can prove nothing — only the blooms can skip."""
-    lake = _stage_dir(sf_dir, "orders", "manifest_sql_bloom")
+    """Sixteen key-INTERLEAVED segments (o_orderkey % 16 bands) with
+    id blooms: every segment's [min, max] spans the whole key range,
+    so stats can prove nothing — only the blooms can skip. Sixteen
+    bands (not four) because manifest blooms are CAPACITY-BOUNDED
+    (~32k keys at 16 bits/key under the 2^19-bit cap — _segment_bloom
+    soundly omits beyond that): at sf0.1 a 4-band segment carries
+    37.5k keys and gets no bloom. The 100 TB lesson in miniature —
+    size segments to the bloom budget or point skipping silently
+    degrades to stats-only."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_sql_bloom16")
 
     def build():
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderstatus"
         )
-        for band in range(4):
+        for band in range(16):
             M.commit_append(
                 spark, lake,
-                orders.filter(F.col("o_orderkey") % 4 == band),
+                orders.filter(F.col("o_orderkey") % 16 == band),
                 bloom_cols=["o_orderkey"],
             )
 
@@ -2502,7 +2508,7 @@ def q_manifest_sql_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     keys = [
         int(r["o_orderkey"])
-        for r in orders.filter(F.col("o_orderkey") % 4 == 0)
+        for r in orders.filter(F.col("o_orderkey") % 16 == 0)
         .orderBy("o_orderkey")
         .limit(2)
         .collect()
@@ -2525,7 +2531,7 @@ register(
     "q_manifest_sql_bloom",
     q_manifest_sql_bloom,
     """
-    WITH k AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0
+    WITH k AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 16 = 0
                ORDER BY o_orderkey ASC LIMIT 2)
     SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
     FROM orders o JOIN k ON o.o_orderkey = k.o_orderkey
