@@ -138,6 +138,7 @@ HEADLINE = [
     "q_ann_recall_eval",
     "q_manifest_matview_join",
     "q_corpus_takedown",
+    "q_manifest_unique",
 ]
 
 

@@ -2709,3 +2709,77 @@ register(
     GROUP BY lang, v.n_vectors
     """,
 )
+
+
+def _unique_lake(spark: SparkSession, sf_dir: str) -> str:
+    """A UNIQUE-keyed lake exercising the enforcement: declare on v1,
+    land a clean append, then REFUSE (and prove the refusal) an
+    overlapping append and an in-batch-duplicate append — the final
+    contents are a pure predicate over `orders`."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_unique")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        M.commit_append(
+            spark, lake,
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+            bloom_cols=["o_orderkey"],
+        )
+        M.set_unique_key(spark, lake, ["o_orderkey"])
+        M.commit_append(
+            spark, lake,
+            orders.filter(F.col("o_orderkey") % 3 == 1),
+            bloom_cols=["o_orderkey"],
+        )
+        # overlapping batch: MUST refuse, leaving the lake unchanged
+        try:
+            M.commit_append(
+                spark, lake, orders.filter(F.col("o_orderkey") % 6 == 1)
+            )
+            raise AssertionError("unique collision append must refuse")
+        except M.ConstraintViolation:
+            pass
+        # in-batch duplicate: MUST refuse
+        dup = orders.filter(F.col("o_orderkey") % 3 == 2).limit(1)
+        try:
+            M.commit_append(spark, lake, dup.unionAll(dup))
+            raise AssertionError("in-batch duplicate append must refuse")
+        except M.ConstraintViolation:
+            pass
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared UNIQUE key enforcement (sources/manifest.py::
+    set_unique_key) — the constraint neither Delta nor Iceberg
+    enforces: appends validate the batch against itself and, via
+    bloom-pruned point probes, against the table, committing under a
+    strict parent CAS so racing appends serialize. The staged history
+    lands two disjoint key bands and PROVES two refusals (an
+    overlapping batch and an in-batch duplicate — the stage asserts
+    both raise and change nothing). Oracle: the two clean bands the
+    hard way."""
+    tune(spark)
+    lake = _unique_lake(spark, sf_dir)
+    assert M.unique_key(spark, lake) == ["o_orderkey"]
+    return M.read_snapshot(spark, lake).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+        F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+    )
+
+
+register(
+    "q_manifest_unique",
+    q_manifest_unique,
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+)

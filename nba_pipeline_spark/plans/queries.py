@@ -101,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_recall_eval",
     "q_manifest_matview_join",
     "q_corpus_takedown",
+    "q_manifest_unique",
     "q_embed_pca",
     # round-7 registrations (driver-sampled r8)
     "q_ann_pq_rerank",
