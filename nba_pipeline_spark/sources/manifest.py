@@ -3086,6 +3086,18 @@ def read_snapshot(
         raise ValueError(f"version {v} not in committed versions {versions}")
     m = _read_manifest(spark, path, v)
     props = dict(m.get("props", {}))
+    if not m["segments"]:
+        # a fully-emptied table version (every row deleted) is a valid
+        # state, not an error: an empty frame typed by the recorded
+        # LOGICAL schema (widened types included)
+        cols = (props.get("schema") or {}).get("cols")
+        if cols:
+            return spark.createDataFrame(
+                [], ", ".join(f"`{n}` {t}" for n, t in cols)
+            )
+        raise ValueError(
+            f"empty table version {v} with no recorded schema: {path}"
+        )
     # column mapping: callers probe by LOGICAL names; segment metadata
     # is keyed by PHYSICAL — translate before pruning
     part_eq = _translate_probe(props, part_eq)

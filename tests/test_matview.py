@@ -287,3 +287,89 @@ def test_join_matview_replay_is_exactly_once(spark, tmp_path):
     MV.maintain_join_matview(*args)
     assert _mv_rows(spark, mvp) == want  # tag-skipped, not double-folded
     assert M.current_version(spark, mvp) == mv_v
+
+
+def test_randomized_join_matview_sequences_match_recompute(spark, tmp_path):
+    """Seeded random op sequences on BOTH lakes (fact append / upsert
+    with FK re-pointing / delete; dim upsert with group moves / dim
+    insert), maintained at random cadence (sometimes after several
+    commits on both sides accumulate) — after every fold the JOIN MV
+    must equal the from-scratch join-aggregate of the current
+    snapshots."""
+    import random
+
+    rng = random.Random(99)
+    for case in range(2):
+        fp = str(tmp_path / f"f{case}")
+        dp = str(tmp_path / f"d{case}")
+        mvp = str(tmp_path / f"mv{case}")
+        stp = str(tmp_path / f"st{case}")
+        args = (
+            spark, fp, dp, ["fk"], ["dk"], "dk", "dk", "grp", ["v"],
+            mvp, stp,
+        )
+        dims = {10: "a", 20: "b"}
+        M.commit_append(
+            spark, dp, _dim(spark, [(k, g, 0) for k, g in dims.items()])
+        )
+        facts = {}
+        nxt = 0
+        M.commit_append(spark, fp, _fact(spark, [(0, 10, 5, 0)]))
+        facts[0] = (10, 5)
+        nxt = 1
+        MV.maintain_join_matview(*args)
+        for step in range(1, 6):
+            for _ in range(rng.randint(1, 2)):  # 1-2 commits per fold
+                op = rng.choice(
+                    ["f_append", "f_upsert", "f_delete", "d_upsert", "d_insert"]
+                )
+                if op == "f_append":
+                    rows = [
+                        (
+                            nxt + i,
+                            rng.choice(sorted(dims) + [99]),  # 99: no dim
+                            rng.randint(1, 50),
+                            step,
+                        )
+                        for i in range(rng.randint(1, 3))
+                    ]
+                    for k, dk, v, _ in rows:
+                        facts[k] = (dk, v)
+                    nxt += len(rows)
+                    M.commit_append(spark, fp, _fact(spark, rows))
+                elif op == "f_upsert" and facts:
+                    ks = rng.sample(sorted(facts), min(2, len(facts)))
+                    rows = [
+                        (k, rng.choice(sorted(dims)), rng.randint(1, 50), step)
+                        for k in ks
+                    ]
+                    for k, dk, v, _ in rows:
+                        facts[k] = (dk, v)
+                    M.commit_upsert(spark, fp, _fact(spark, rows), ["fk"], "ver")
+                elif op == "f_delete" and facts:
+                    ks = rng.sample(sorted(facts), min(2, len(facts)))
+                    for k in ks:
+                        facts.pop(k)
+                    M.commit_delete(
+                        spark, fp,
+                        spark.createDataFrame([(k,) for k in ks], "fk int"),
+                        ["fk"],
+                    )
+                elif op == "d_upsert":
+                    k = rng.choice(sorted(dims))
+                    dims[k] = rng.choice("abcd")
+                    M.commit_upsert(
+                        spark, dp, _dim(spark, [(k, dims[k], step)]),
+                        ["dk"], "ver",
+                    )
+                elif op == "d_insert":
+                    k = max(dims) + 10
+                    dims[k] = rng.choice("abcd")
+                    M.commit_upsert(
+                        spark, dp, _dim(spark, [(k, dims[k], step)]),
+                        ["dk"], "ver",
+                    )
+            MV.maintain_join_matview(*args)
+            assert _mv_rows(spark, mvp) == _recompute(spark, fp, dp), (
+                f"case {case} step {step}"
+            )
