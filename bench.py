@@ -139,6 +139,7 @@ HEADLINE = [
     "q_manifest_matview_join",
     "q_corpus_takedown",
     "q_manifest_unique",
+    "q_udtf_chunks",
 ]
 
 

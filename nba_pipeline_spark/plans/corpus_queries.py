@@ -1831,3 +1831,43 @@ register(
     FROM b
     """,
 )
+
+
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDTF surface (functions/udtfs.py — Spark 4 table
+    functions): `chunk_text_udtf(doc_id, text)` invoked through a SQL
+    LATERAL join produces the SAME chunks as the builtin
+    explode+substring plan of q_chunk_docs, proving registration,
+    lateral planning, and the rows-out Python boundary. Deliberately
+    NOT the recommended plan (the builtin twin stays in whole-stage
+    codegen; this one pays the Python row boundary) — it pins the
+    declared escape surface, and the bench records its cost honestly.
+    Oracle: identical to q_chunk_docs'."""
+    from ..functions.udtfs import register_udtfs
+
+    tune(spark)
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_id, c.chunk_text
+        FROM __udtf_docs d,
+             LATERAL chunk_text_udtf(d.doc_id, d.text) c
+        """
+    )
+
+
+register(
+    "q_udtf_chunks",
+    q_udtf_chunks,
+    """
+    SELECT d.doc_id,
+           CAST((t.pos - 1) // 150 AS INT) + 1 AS chunk_id,
+           substr(d.text, t.pos, 200) AS chunk_text
+    FROM documents d,
+         unnest(generate_series(1, greatest(length(d.text), 1), 150)) t(pos)
+    WHERE d.text IS NOT NULL AND length(d.text) > 0
+    """,
+)

@@ -102,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_matview_join",
     "q_corpus_takedown",
     "q_manifest_unique",
+    "q_udtf_chunks",
     "q_embed_pca",
     # round-7 registrations (driver-sampled r8)
     "q_ann_pq_rerank",

@@ -87,10 +87,18 @@ def test_no_python_udfs_in_core_queries(spark):
     from nba_pipeline_spark.plans.queries import REGISTRY
 
     allowed_arrow = {"q_unicode_normalize"}  # no ICU normalizer builtin
+    # the DECLARED UDTF surface (functions/udtfs.py): q_udtf_chunks
+    # exists to pin SQL table-function registration + lateral planning;
+    # its builtin twin q_chunk_docs is the recommended plan and the
+    # bench records the UDTF's boundary cost honestly
+    allowed_udtf = {"q_udtf_chunks"}
     for name, spec in REGISTRY.items():
         if name.startswith("q_multimodal"):
             continue
         p = plan(spec.fn(spark, SF_DIR))
+        if name in allowed_udtf:
+            assert "BatchEvalPythonUDTF" in p, name  # the pinned surface
+            continue
         assert "BatchEvalPython" not in p, name
         if name not in allowed_arrow:
             assert "ArrowEvalPython" not in p, name
