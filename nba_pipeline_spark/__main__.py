@@ -369,6 +369,38 @@ def cmd_lake(args) -> int:
         v = M.set_generated_column(spark, args.path, col, expr)
         print(json.dumps({"committed_version": v}))
         return 0
+    if args.action == "set-unique":
+        if not args.by:
+            print("set-unique requires --by col[,col...]", file=sys.stderr)
+            return 2
+        v = M.set_unique_key(spark, args.path, args.by.split(","))
+        print(json.dumps({"committed_version": v}))
+        return 0
+    if args.action == "join-mv":
+        need = (args.dim, args.keys, args.fk, args.dim_key, args.group,
+                args.sums, args.mv, args.state)
+        if not all(need):
+            print(
+                "join-mv requires --dim --keys(fact) --fk --dim-key "
+                "--group --sums --mv --state (and --dim-keys, default "
+                "= --dim-key)",
+                file=sys.stderr,
+            )
+            return 2
+        from .operators.matview import maintain_join_matview
+
+        changed = maintain_join_matview(
+            spark, args.path, args.dim,
+            args.keys.split(","),
+            (args.dim_keys or args.dim_key).split(","),
+            args.fk, args.dim_key, args.group, args.sums.split(","),
+            args.mv, args.state,
+        )
+        print(json.dumps({
+            "changed": changed,
+            "mv_version": M.current_version(spark, args.mv),
+        }))
+        return 0
     if args.action == "branch":
         if not args.name:
             print("branch requires --name", file=sys.stderr)
@@ -439,6 +471,20 @@ def cmd_index(args) -> int:
     from .sources import manifest as M
 
     spark = _spark()
+    if args.action == "delete":
+        if not args.ids:
+            print("delete requires --ids", file=sys.stderr)
+            return 2
+        ids = [int(x) for x in args.ids.split(",")]
+        out = SIM.propagate_index_deletes(
+            spark, ids, args.id, index_code_paths=[args.codes],
+            emb_path=args.emb_lake, mode="mor" if args.mor else "cow",
+        )
+        print(json.dumps({"committed": out}))
+        return 0
+    if not args.emb or not args.centroids:
+        print("this action requires --emb and --centroids", file=sys.stderr)
+        return 2
     emb = spark.read.parquet(args.emb)
     if args.action == "build":
         SIM.build_ivf_quantized_index(
@@ -503,7 +549,7 @@ def main(argv: list[str] | None = None) -> int:
         help="history|compact|vacuum|describe|restore|clone|constraint|"
         "zorder|backfill|feed|rename-column|drop-column|branch|publish|"
         "branches|drop-branch|stats|compact-small|widen-type|set-generated|"
-        "expectation|wap-ingest",
+        "expectation|wap-ingest|set-unique|join-mv",
     )
     lk.add_argument("path", help="manifest lake root")
     lk.add_argument("--target-files", type=int, default=1)
@@ -567,16 +613,29 @@ def main(argv: list[str] | None = None) -> int:
         "--metadata-only", action="store_true",
         help="stats: refuse to open data files (prove the manifest answers)",
     )
+    lk.add_argument("--dim", default=None, help="join-mv: dim lake root")
+    lk.add_argument("--fk", default=None, help="join-mv: fact FK column")
+    lk.add_argument("--dim-key", default=None, help="join-mv: dim join column")
+    lk.add_argument(
+        "--dim-keys", default=None,
+        help="join-mv: dim row-identity cols (default: --dim-key)",
+    )
+    lk.add_argument("--group", default=None, help="join-mv: dim group column")
+    lk.add_argument("--sums", default=None, help="join-mv: fact sum columns")
+    lk.add_argument("--mv", default=None, help="join-mv: view lake root")
     ix = sub.add_parser("index")
-    ix.add_argument("action", help="build|update|build-pq")
-    ix.add_argument("--emb", required=True, help="embeddings parquet path")
+    ix.add_argument("action", help="build|update|build-pq|delete")
+    ix.add_argument("--emb", default=None, help="embeddings parquet path")
     ix.add_argument("--id", default="vec_id")
     ix.add_argument("--vec", default="embedding")
     ix.add_argument("--cells", type=int, default=8, help="IVF cell count")
     ix.add_argument("--m", type=int, default=8, help="PQ subspaces")
     ix.add_argument("--ksub", type=int, default=32, help="PQ codewords/subspace")
-    ix.add_argument("--centroids", required=True, help="centroids/codebooks lake")
+    ix.add_argument("--centroids", default=None, help="centroids/codebooks lake")
     ix.add_argument("--codes", required=True, help="codes lake")
+    ix.add_argument("--ids", default=None, help="delete: comma-separated ids")
+    ix.add_argument("--emb-lake", default=None, help="delete: embeddings LAKE root")
+    ix.add_argument("--mor", action="store_true", help="delete: tombstone mode")
     args = p.parse_args(argv)
     return {
         "list": cmd_list,

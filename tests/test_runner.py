@@ -402,3 +402,86 @@ def test_cli_lake_backfill(spark, tmp_path, capsys):
     ]) == 0
     capsys.readouterr()
     assert read_snapshot(spark, dst).count() == 5
+
+
+def test_cli_set_unique_and_index_delete(spark, tmp_path, capsys):
+    """Round-9 verbs: `lake set-unique` declares + enforces, `index
+    delete` propagates a takedown through a codes lake, `lake join-mv`
+    advances the two-lake view."""
+    import json
+
+    from nba_pipeline_spark.__main__ import main
+    from nba_pipeline_spark.sources import manifest as M
+
+    lake = str(tmp_path / "ulake")
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, g string"),
+    )
+    assert main(["lake", "set-unique", lake, "--by", "k"]) == 0
+    v = json.loads(capsys.readouterr().out)["committed_version"]
+    assert M.unique_key(spark, lake) == ["k"]
+    import pytest as _pytest
+
+    with _pytest.raises(M.ConstraintViolation):
+        M.commit_append(
+            spark, lake, spark.createDataFrame([(1, "x")], "k bigint, g string")
+        )
+
+    # index delete (cow) through the CLI
+    import numpy as np
+
+    from nba_pipeline_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    ep = str(tmp_path / "emb")
+    M.commit_append(spark, ep, emb)
+    cp, kp = str(tmp_path / "cent"), str(tmp_path / "codes")
+    SIM.build_ivf_quantized_index(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding", 4, cp, kp
+    )
+    assert main([
+        "index", "delete", "--codes", kp, "--emb-lake", ep, "--ids", "7,9",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out)["committed"]
+    assert set(out) == {kp, ep}
+    assert M.read_for_keys(spark, kp, "vec_id", [7, 9]).count() == 0
+    assert M.read_snapshot(spark, ep).filter("vec_id in (7, 9)").count() == 0
+
+
+def test_cli_join_mv(spark, tmp_path, capsys):
+    import json
+
+    from nba_pipeline_spark.__main__ import main
+    from nba_pipeline_spark.sources import manifest as M
+
+    fp, dp = str(tmp_path / "fact"), str(tmp_path / "dim")
+    mvp, stp = str(tmp_path / "mv"), str(tmp_path / "state")
+    M.commit_append(
+        spark, fp,
+        spark.createDataFrame(
+            [(1, 10, 100), (2, 20, 50)], "fk int, dk int, v bigint"
+        ),
+    )
+    M.commit_append(
+        spark, dp,
+        spark.createDataFrame([(10, "a"), (20, "b")], "dk int, grp string"),
+    )
+    argv = [
+        "lake", "join-mv", fp, "--dim", dp, "--keys", "fk", "--fk", "dk",
+        "--dim-key", "dk", "--group", "grp", "--sums", "v",
+        "--mv", mvp, "--state", stp,
+    ]
+    assert main(argv) == 0
+    assert json.loads(capsys.readouterr().out)["changed"] is True
+    got = {
+        (r["grp"], r["cnt"], r["sum_v"])
+        for r in M.read_snapshot(spark, mvp).collect()
+    }
+    assert got == {("a", 1, 100), ("b", 1, 50)}
+    assert main(argv) == 0  # quiescent
+    assert json.loads(capsys.readouterr().out)["changed"] is False
