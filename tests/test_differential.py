@@ -376,3 +376,105 @@ def test_intradoc_dedup_matches_python_reference(spark, seed, tmp_path):
                 seen.add(sp)
                 kept.append(sp)
         assert got[doc_id] == (len(spans), len(kept), " ".join(kept)), doc_id
+
+
+# ---------------------------------------------------------------- r9:
+# the SQL DataSource vs the programmatic reader on RANDOM lake
+# layouts — every reader feature the r9 round closed (MoR tombstones,
+# widened types, renames, partition tags, multi-file segments) must
+# agree with read_snapshot on randomized commit histories.
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_sql_datasource_matches_read_snapshot_random_layouts(
+    spark, tmp_path, seed
+):
+    import random
+
+    from nba_pipeline_spark.sources import manifest as M
+    from nba_pipeline_spark.sources.lake_datasource import read_lake
+
+    rng = random.Random(seed)
+    lake = str(tmp_path / f"lake{seed}")
+    nxt = 0
+    live = False
+    vcol = "v"  # current logical name (renames go strictly forward)
+    renames = 0
+
+    def batch(n, narrow):
+        nonlocal nxt
+        rows = [
+            (
+                nxt + i,
+                rng.randint(0, 3),
+                None if rng.random() < 0.2 else rng.randint(0, 999),
+            )
+            for i in range(n)
+        ]
+        nxt += n
+        ktype = "int" if narrow else "bigint"
+        return spark.createDataFrame(
+            rows, f"k {ktype}, band bigint, {vcol} bigint"
+        )
+
+    widened = False
+    for step in range(6):
+        op = rng.choice(
+            ["append", "append_part", "delete_mor", "delete_cow", "rename",
+             "widen"]
+            if live
+            else ["append"]
+        )
+        if op == "append":
+            M.commit_append(
+                spark, lake, batch(rng.randint(3, 10), narrow=not widened),
+                stats_cols=["k"], bloom_cols=["k"],
+                target_files=rng.choice([1, 2]),
+            )
+            live = True
+        elif op == "append_part":
+            M.commit_append_partitioned(
+                spark, lake, batch(rng.randint(3, 10), narrow=not widened),
+                "band",
+            )
+        elif op == "delete_mor":
+            snap = M.read_snapshot(spark, lake)
+            keys = snap.select("k").limit(3)
+            M.commit_delete_mor(spark, lake, keys, ["k"])
+        elif op == "delete_cow":
+            m = M._read_manifest(spark, lake, M.current_version(spark, lake))
+            if m.get("deletes"):
+                continue  # CoW refuses on tombstoned lakes by contract
+            snap = M.read_snapshot(spark, lake)
+            keys = snap.select("k").limit(2)
+            M.commit_delete(spark, lake, keys, ["k"])
+        elif op == "rename":
+            # strictly forward (a rename BACK would hit the
+            # resurrection guard — the renamed-away physical name is
+            # taken, by contract)
+            new = f"v{renames + 1}"
+            M.rename_column(spark, lake, vcol, new)
+            vcol, renames = new, renames + 1
+        elif op == "widen" and not widened:
+            try:
+                M.widen_column_type(spark, lake, "k", "bigint")
+                widened = True
+            except ValueError:
+                pass  # already bigint in this history
+        # after every commit: full parity, counts and sums per band
+        exp = M.read_snapshot(spark, lake)
+        agg = lambda d: sorted(
+            (r["band"], r["n"], r["sk"], r["sv"])
+            for r in d.groupBy("band").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("k").cast("bigint").alias("sk"),
+                F.sum(vcol).cast("bigint").alias("sv"),
+            ).collect()
+        )
+        assert agg(read_lake(spark, lake)) == agg(exp), f"seed {seed} step {step} op {op}"
+        # pushdown parity on a random band
+        b = rng.randint(0, 3)
+        assert (
+            read_lake(spark, lake).filter(F.col("band") == b).count()
+            == exp.filter(F.col("band") == b).count()
+        ), f"seed {seed} step {step} pushdown"
