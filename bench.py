@@ -140,6 +140,7 @@ HEADLINE = [
     "q_corpus_takedown",
     "q_manifest_unique",
     "q_udtf_chunks",
+    "q_manifest_catalog",
 ]
 
 

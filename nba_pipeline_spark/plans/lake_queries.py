@@ -2783,3 +2783,86 @@ register(
     GROUP BY o_orderstatus
     """,
 )
+
+
+def _catalog_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Two lakes + two catalog pins: pin run-1 at (orders %2=0, all
+    customers), advance both lakes (append the odd half; MERGE every
+    %10 customer's segment to 'MOVED'), pin run-2 — the run-1 pin's
+    contents stay a pure predicate over the source tables."""
+    root = _stage_dir(sf_dir, "orders", "manifest_catalog")
+    fp, dp, cat = f"{root}/fact", f"{root}/dim", f"{root}/catalog"
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", F.lit(0).alias("ver")
+        )
+        M.commit_append(
+            spark, fp, orders.filter(F.col("o_orderkey") % 2 == 0)
+        )
+        M.commit_append(spark, dp, cust)
+        M.pin_catalog(spark, cat, {"fact": fp, "dim": dp}, tag="run-1")
+        M.commit_append(
+            spark, fp, orders.filter(F.col("o_orderkey") % 2 == 1)
+        )
+        M.commit_upsert(
+            spark, dp,
+            cust.filter(F.col("c_custkey") % 10 == 0).select(
+                "c_custkey",
+                F.lit("MOVED").alias("c_mktsegment"),
+                F.lit(1).alias("ver"),
+            ),
+            ["c_custkey"],
+            "ver",
+        )
+        M.pin_catalog(spark, cat, {"fact": fp, "dim": dp}, tag="run-2")
+
+    _ensure_stage(root, build)
+    return root
+
+
+def q_manifest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog pins (sources/manifest.py::pin_catalog) — the
+    training-run manifest: one durable name captures consistent
+    versions of EVERY lake a run used, readable forever through
+    catalog time travel. The staged history pins run-1, then both
+    lakes advance (a fact append + a dim group-moving MERGE) and run-2
+    pins the new state; the query joins the TWO lakes THROUGH THE
+    RUN-1 PIN — none of the later writes may leak in. Oracle: the
+    pin-time predicate over the source tables (even orderkeys x the
+    ORIGINAL market segments)."""
+    tune(spark)
+    root = _catalog_stage(spark, sf_dir)
+    cat = f"{root}/catalog"
+    v1 = M._manifest_versions(spark, cat)[0]
+    f = M.read_pinned(spark, cat, "fact", catalog_version=v1)
+    d = M.read_pinned(spark, cat, "dim", catalog_version=v1)
+    # sanity: the LATEST pin sees the advanced lakes
+    assert M.read_pinned(spark, cat, "fact").count() > f.count()
+    return (
+        f.alias("f")
+        .join(d.alias("d"), F.col("f.o_custkey") == F.col("d.c_custkey"))
+        .groupBy(F.col("d.c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("f.o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+register(
+    "q_manifest_catalog",
+    q_manifest_catalog,
+    """
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 2 = 0
+    GROUP BY c.c_mktsegment
+    """,
+)

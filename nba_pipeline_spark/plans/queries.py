@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_corpus_takedown",
     "q_manifest_unique",
     "q_udtf_chunks",
+    "q_manifest_catalog",
     "q_embed_pca",
     # round-7 registrations (driver-sampled r8)
     "q_ann_pq_rerank",

@@ -5249,3 +5249,78 @@ def vacuum(
                     fs.delete(st.getPath(), True)
                 n += 1
     return n
+
+
+# ---------------------------------------------------------------------
+# r9: catalog pins — multi-lake consistent snapshots. A training run
+# (or a report, or a reproduction) needs "the exact corpus + embedding
+# + index versions I used" as ONE durable name; per-lake time travel
+# alone makes the reader coordinate N version numbers by hand.
+# ---------------------------------------------------------------------
+
+
+def pin_catalog(
+    spark: SparkSession,
+    catalog_path: str,
+    lakes: dict[str, str],
+    tag: str | None = None,
+) -> int:
+    """Record one named, durable PIN of every lake in `lakes`
+    ({name: lake_path}) at its CURRENT version — the training-run
+    manifest: a catalog commit is itself a manifest-lake version, so
+    pins are ordered, time-travelable, and vacuum-retained like any
+    other commit. Read back with `read_pinned`.
+
+    Consistency model: the pin captures each lake's latest version AT
+    PIN TIME (read committed per lake; lakes are independent CAS
+    domains, so cross-lake atomicity is observational — pin AFTER the
+    writes you mean to capture). Pinned versions must survive each
+    lake's vacuum retention for as long as the pin matters — that is
+    the caller's retention contract, same as any time-travel reader."""
+    rows = []
+    for name, path in sorted(lakes.items()):
+        v = current_version(spark, path)
+        if v is None:
+            raise ValueError(f"pin_catalog: no commits at {path} ({name!r})")
+        rows.append((name, path, v))
+    return commit_replace(
+        spark,
+        catalog_path,
+        spark.createDataFrame(
+            rows, "name string, path string, version long"
+        ),
+        tag=tag,
+    )
+
+
+def catalog_entries(
+    spark: SparkSession, catalog_path: str, catalog_version: int | None = None
+) -> dict[str, tuple[str, int]]:
+    """{name: (lake_path, pinned_version)} of a catalog pin (latest by
+    default; pass `catalog_version` to read an OLDER pin — pins nest
+    time travel)."""
+    return {
+        r["name"]: (r["path"], int(r["version"]))
+        for r in read_snapshot(
+            spark, catalog_path, version=catalog_version
+        ).collect()
+    }
+
+
+def read_pinned(
+    spark: SparkSession,
+    catalog_path: str,
+    name: str,
+    catalog_version: int | None = None,
+    **read_kwargs,
+) -> DataFrame:
+    """`read_snapshot` of lake `name` at its pinned version — every
+    probe/pruning kwarg passes through (part_eq/ranges/bloom_eq/...)."""
+    entries = catalog_entries(spark, catalog_path, catalog_version)
+    if name not in entries:
+        raise ValueError(
+            f"catalog {catalog_path} has no pin for {name!r} "
+            f"(has {sorted(entries)})"
+        )
+    path, v = entries[name]
+    return read_snapshot(spark, path, version=v, **read_kwargs)

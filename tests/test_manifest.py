@@ -1460,3 +1460,50 @@ def test_consume_feed_checkpoint_over_file_scheme_uri(spark, tmp_path):
     # replay: the checkpoint read back through the same URI
     n = M.consume_feed(spark, src, ["k"], state, lambda df, v: seen.append(v))
     assert n == 0 and seen == [1, 2]
+
+
+# ------------------------------------------------------- catalog pins (r9)
+
+
+def test_catalog_pin_survives_later_writes(spark, tmp_path):
+    """A pin is a durable multi-lake snapshot: reads through it see
+    the pin-time contents no matter what lands later; an older pin
+    stays readable through catalog time travel; probe kwargs pass
+    through to the pinned read."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    cat = str(tmp_path / "cat")
+    M.commit_append(
+        spark, a,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        stats_cols=["k"],
+    )
+    M.commit_append(
+        spark, b, spark.createDataFrame([(1, "x")], "k long, s string")
+    )
+    M.pin_catalog(spark, cat, {"corpus": a, "dims": b}, tag="run-1")
+    # lakes advance
+    M.commit_append(
+        spark, a, spark.createDataFrame([(3, 30)], "k long, v long")
+    )
+    M.commit_delete(
+        spark, b, spark.createDataFrame([(1,)], "k long"), ["k"]
+    )
+    assert M.read_pinned(spark, cat, "corpus").count() == 2
+    assert M.read_pinned(spark, cat, "dims").count() == 1
+    # a second pin captures the new state; the first stays readable
+    M.pin_catalog(spark, cat, {"corpus": a, "dims": b}, tag="run-2")
+    assert M.read_pinned(spark, cat, "corpus").count() == 3
+    assert M.read_pinned(spark, cat, "dims").count() == 0
+    v1 = M._manifest_versions(spark, cat)[0]
+    assert M.read_pinned(spark, cat, "corpus", catalog_version=v1).count() == 2
+    assert M.read_pinned(spark, cat, "dims", catalog_version=v1).count() == 1
+    # pruning kwargs pass through
+    assert M.read_pinned(
+        spark, cat, "corpus", catalog_version=v1, ranges={"k": (2, 9)}
+    ).filter("k >= 2").count() == 1
+    # replayed pin with the same tag: no new catalog version
+    vc = M.current_version(spark, cat)
+    M.pin_catalog(spark, cat, {"corpus": a, "dims": b}, tag="run-2")
+    assert M.current_version(spark, cat) == vc
+    with pytest.raises(ValueError, match="no pin"):
+        M.read_pinned(spark, cat, "zzz")
