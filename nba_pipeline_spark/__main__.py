@@ -369,6 +369,24 @@ def cmd_lake(args) -> int:
         v = M.set_generated_column(spark, args.path, col, expr)
         print(json.dumps({"committed_version": v}))
         return 0
+    if args.action == "pin-catalog":
+        if not args.lakes:
+            print(
+                "pin-catalog requires --lakes name=path[,name=path...]",
+                file=sys.stderr,
+            )
+            return 2
+        lakes = dict(kv.split("=", 1) for kv in args.lakes.split(","))
+        v = M.pin_catalog(spark, args.path, lakes, tag=args.tag)
+        print(json.dumps({
+            "catalog_version": v,
+            "pins": {
+                n: pv for n, (_, pv) in M.catalog_entries(
+                    spark, args.path
+                ).items()
+            },
+        }))
+        return 0
     if args.action == "set-unique":
         if not args.by:
             print("set-unique requires --by col[,col...]", file=sys.stderr)
@@ -549,7 +567,7 @@ def main(argv: list[str] | None = None) -> int:
         help="history|compact|vacuum|describe|restore|clone|constraint|"
         "zorder|backfill|feed|rename-column|drop-column|branch|publish|"
         "branches|drop-branch|stats|compact-small|widen-type|set-generated|"
-        "expectation|wap-ingest|set-unique|join-mv",
+        "expectation|wap-ingest|set-unique|join-mv|pin-catalog",
     )
     lk.add_argument("path", help="manifest lake root")
     lk.add_argument("--target-files", type=int, default=1)
@@ -623,6 +641,11 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--group", default=None, help="join-mv: dim group column")
     lk.add_argument("--sums", default=None, help="join-mv: fact sum columns")
     lk.add_argument("--mv", default=None, help="join-mv: view lake root")
+    lk.add_argument(
+        "--lakes", default=None,
+        help="pin-catalog: name=path[,name=path...] lakes to pin",
+    )
+    lk.add_argument("--tag", default=None, help="pin-catalog: idempotency tag")
     ix = sub.add_parser("index")
     ix.add_argument("action", help="build|update|build-pq|delete")
     ix.add_argument("--emb", default=None, help="embeddings parquet path")

@@ -485,3 +485,21 @@ def test_cli_join_mv(spark, tmp_path, capsys):
     assert got == {("a", 1, 100), ("b", 1, 50)}
     assert main(argv) == 0  # quiescent
     assert json.loads(capsys.readouterr().out)["changed"] is False
+
+
+def test_cli_pin_catalog(spark, tmp_path, capsys):
+    import json
+
+    from nba_pipeline_spark.__main__ import main
+    from nba_pipeline_spark.sources import manifest as M
+
+    a = str(tmp_path / "a")
+    cat = str(tmp_path / "cat")
+    M.commit_append(spark, a, spark.range(5).selectExpr("id as k"))
+    assert main([
+        "lake", "pin-catalog", cat, "--lakes", f"corpus={a}", "--tag", "r1",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["pins"] == {"corpus": 1}
+    M.commit_append(spark, a, spark.range(5, 9).selectExpr("id as k"))
+    assert M.read_pinned(spark, cat, "corpus").count() == 5
