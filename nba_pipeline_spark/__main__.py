@@ -240,6 +240,7 @@ def cmd_lake(args) -> int:
         n = M.vacuum(
             spark, args.path, keep_versions=args.keep_versions,
             older_than_ts=older_than, dry_run=args.dry_run,
+            pins=args.pins.split(",") if args.pins else None,
         )
         key = "segments_reclaimable" if args.dry_run else "segments_deleted"
         print(json.dumps({key: n}))
@@ -646,6 +647,10 @@ def main(argv: list[str] | None = None) -> int:
         help="pin-catalog: name=path[,name=path...] lakes to pin",
     )
     lk.add_argument("--tag", default=None, help="pin-catalog: idempotency tag")
+    lk.add_argument(
+        "--pins", default=None,
+        help="vacuum: comma-separated catalog lakes whose pins must survive",
+    )
     ix = sub.add_parser("index")
     ix.add_argument("action", help="build|update|build-pq|delete")
     ix.add_argument("--emb", default=None, help="embeddings parquet path")

@@ -5158,23 +5158,50 @@ def wap_ingest(
     ) from last
 
 
+def pinned_versions(
+    spark: SparkSession, pins: list[str], path: str
+) -> set[int]:
+    """Every version of lake `path` that ANY version of ANY catalog in
+    `pins` still pins (older catalog pins stay readable through
+    catalog time travel, so they all count). Catalog histories are
+    KB-scale manifests — this is a metadata walk, no data reads."""
+    import posixpath
+
+    def _norm(p: str) -> str:
+        return posixpath.normpath(p.rstrip("/"))
+
+    want = _norm(path)
+    out: set[int] = set()
+    for cat in pins:
+        for cv in _manifest_versions(spark, cat):
+            for r in read_snapshot(spark, cat, version=cv).collect():
+                if _norm(r["path"]) == want:
+                    out.add(int(r["version"]))
+    return out
+
+
 def vacuum(
     spark: SparkSession,
     path: str,
     keep_versions: int = 2,
     older_than_ts: float | None = None,
     dry_run: bool = False,
+    pins: list[str] | None = None,
 ) -> int:
     """Drop expired manifests and delete every data segment no retained
     manifest references — including orphans from crashed writers.
-    Returns segments deleted. Retention is the UNION of two guards:
-    the newest `keep_versions` versions, plus (when `older_than_ts` is
+    Returns segments deleted. Retention is the UNION of three guards:
+    the newest `keep_versions` versions, (when `older_than_ts` is
     given) every version committed at-or-after that epoch timestamp —
     the Delta ``RETAIN n HOURS`` contract, now that commits carry
-    monotone clocks. Timestamp time travel (`as_of_ts`) keeps working
-    for any instant at-or-after the oldest retained commit. Run only
-    when no reader can be pinned to an expired version (the usual
-    table-format retention contract)."""
+    monotone clocks — and (when `pins` lists catalog lakes) every
+    version of THIS lake any catalog pin still references
+    (`pin_catalog` — a vacuum without `pins` can silently break a
+    training-run manifest's reproducibility, which is exactly the
+    footgun this guard removes). Timestamp time travel (`as_of_ts`)
+    keeps working for any instant at-or-after the oldest retained
+    commit. Run only when no OTHER reader can be pinned to an expired
+    version (the usual table-format retention contract)."""
     versions = _manifest_versions(spark, path)
     if not versions:
         return 0
@@ -5183,6 +5210,8 @@ def vacuum(
         for v in versions:
             if float(_read_manifest(spark, path, v).get("ts", 0.0)) >= older_than_ts:
                 keep.add(v)
+    if pins:
+        keep |= pinned_versions(spark, pins, path) & set(versions)
     fs, _ = _fs(spark, path)
     live: set[str] = set()
     ever_committed: set[str] = set()  # referenced by ANY manifest, incl. expired

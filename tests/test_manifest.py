@@ -1507,3 +1507,35 @@ def test_catalog_pin_survives_later_writes(spark, tmp_path):
     assert M.current_version(spark, cat) == vc
     with pytest.raises(ValueError, match="no pin"):
         M.read_pinned(spark, cat, "zzz")
+
+
+def test_vacuum_respects_catalog_pins(spark, tmp_path):
+    """vacuum(pins=[catalog]) keeps every version a catalog pin (any
+    catalog version) references — the training-run manifest survives
+    retention; without the guard the same vacuum expires it."""
+    a = str(tmp_path / "a")
+    cat = str(tmp_path / "cat")
+    M.commit_append(spark, a, spark.range(3).selectExpr("id as k"))
+    M.pin_catalog(spark, cat, {"corpus": a})  # pins a@1
+    for i in range(4):
+        M.commit_append(
+            spark, a, spark.range(10 + i, 12 + i).selectExpr("id as k")
+        )
+    M.vacuum(spark, a, keep_versions=2, pins=[cat])
+    # the pinned version is still readable end-to-end
+    assert M.read_pinned(spark, cat, "corpus").count() == 3
+    # and the unpinned middle versions expired
+    vs = M._manifest_versions(spark, a)
+    assert 1 in vs and len(vs) == 3  # pinned v1 + newest 2
+    # without the pins guard the pin breaks (fresh twin lake)
+    b = str(tmp_path / "b")
+    cat2 = str(tmp_path / "cat2")
+    M.commit_append(spark, b, spark.range(3).selectExpr("id as k"))
+    M.pin_catalog(spark, cat2, {"corpus": b})
+    for i in range(4):
+        M.commit_append(
+            spark, b, spark.range(20 + i, 22 + i).selectExpr("id as k")
+        )
+    M.vacuum(spark, b, keep_versions=2)
+    with pytest.raises(ValueError):
+        M.read_pinned(spark, cat2, "corpus").count()
