@@ -73,6 +73,14 @@ def delta_contributions(
                 F.sum(F.col(c) * F.col("__w")).alias(f"d_sum_{c}")
                 for c in sum_cols
             ],
+            # non-null count per sum column: SQL SUM over zero non-null
+            # rows is NULL, not 0 — the fold needs this to reproduce it
+            *[
+                F.sum(
+                    F.when(F.col(c).isNotNull(), F.col("__w")).otherwise(0)
+                ).cast("bigint").alias(f"d_nn_{c}")
+                for c in sum_cols
+            ],
         )
     )
 
@@ -89,6 +97,7 @@ def _mv_schema(d: DataFrame, group_cols: list[str],
             T.StructField(f"sum_{c}", d.schema[f"d_sum_{c}"].dataType)
             for c in sum_cols
         ]
+        + [T.StructField(f"nn_{c}", T.LongType()) for c in sum_cols]
     )
 
 
@@ -106,16 +115,28 @@ def fold_delta(mv: DataFrame, d: DataFrame, group_cols: list[str],
     cnt = (
         F.coalesce(mv["cnt"], F.lit(0)) + F.coalesce(d["d_cnt"], F.lit(0))
     ).alias("cnt")
+    nns = {
+        c: F.coalesce(mv[f"nn_{c}"], F.lit(0))
+        + F.coalesce(d[f"d_nn_{c}"], F.lit(0))
+        for c in sum_cols
+    }
+    # SQL SUM semantics: a group whose every value is NULL sums to
+    # NULL, not 0 — the nn counter decides (the adversarial all-NULL
+    # measure catch; a plain coalesce-fold silently emits 0)
     sums = [
-        (
+        F.when(
+            nns[c] > 0,
             F.coalesce(mv[f"sum_{c}"], F.lit(0))
-            + F.coalesce(d[f"d_sum_{c}"], F.lit(0))
+            + F.coalesce(d[f"d_sum_{c}"], F.lit(0)),
         )
         .cast(mv.schema[f"sum_{c}"].dataType)
         .alias(f"sum_{c}")
         for c in sum_cols
     ]
-    return j.select(*out_groups, cnt, *sums).filter(F.col("cnt") > 0)
+    nn_cols = [nns[c].cast("bigint").alias(f"nn_{c}") for c in sum_cols]
+    return j.select(*out_groups, cnt, *sums, *nn_cols).filter(
+        F.col("cnt") > 0
+    )
 
 
 def matview_sink(
@@ -274,6 +295,12 @@ def join_delta_contributions(
                     F.sum(F.col(f"f.{c}") * sign).alias(f"d_sum_{c}")
                     for c in sum_cols
                 ],
+                *[
+                    F.sum(
+                        F.when(F.col(f"f.{c}").isNotNull(), sign).otherwise(0)
+                    ).cast("bigint").alias(f"d_nn_{c}")
+                    for c in sum_cols
+                ],
             )
         )
 
@@ -281,6 +308,10 @@ def join_delta_contributions(
     return both.groupBy(group_col).agg(
         F.sum("d_cnt").cast("bigint").alias("d_cnt"),
         *[F.sum(f"d_sum_{c}").alias(f"d_sum_{c}") for c in sum_cols],
+        *[
+            F.sum(f"d_nn_{c}").cast("bigint").alias(f"d_nn_{c}")
+            for c in sum_cols
+        ],
     )
 
 
@@ -325,6 +356,10 @@ def maintain_join_matview(
                 F.count(F.lit(1)).cast("bigint").alias("cnt"),
                 *[
                     F.sum(F.col(f"f.{c}")).alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+                *[
+                    F.count(F.col(f"f.{c}")).cast("bigint").alias(f"nn_{c}")
                     for c in sum_cols
                 ],
             )

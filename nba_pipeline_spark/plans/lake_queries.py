@@ -2699,9 +2699,11 @@ register(
     "q_corpus_takedown",
     q_corpus_takedown,
     """
-    WITH kept AS (SELECT * FROM documents WHERE doc_id % 53 <> 0),
+    WITH victims AS (SELECT doc_id FROM documents WHERE doc_id % 53 = 0),
+    kept AS (SELECT * FROM documents
+             WHERE doc_id NOT IN (SELECT doc_id FROM victims)),
     v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings
-          WHERE vec_id % 53 <> 0)
+          WHERE vec_id NOT IN (SELECT doc_id FROM victims))
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            v.n_vectors, v.n_vectors AS n_codes

@@ -373,3 +373,38 @@ def test_randomized_join_matview_sequences_match_recompute(spark, tmp_path):
             assert _mv_rows(spark, mvp) == _recompute(spark, fp, dp), (
                 f"case {case} step {step}"
             )
+
+
+def test_mv_sum_of_all_null_group_is_null(spark, tmp_path):
+    """SQL SUM semantics through the IVM fold (adversarial r9 catch):
+    a group whose every measure is NULL must report sum NULL, not 0 —
+    the fold carries per-sum-col non-null counters; and once a
+    non-NULL value arrives, the sum materializes; when deletes remove
+    it again, the sum returns to NULL."""
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    state = str(tmp_path / "state")
+    M.commit_append(
+        spark, src,
+        spark.createDataFrame(
+            [(1, "a", None, 0), (2, "a", None, 0), (3, "b", 7, 0)],
+            "k int, grp string, v bigint, ver int",
+        ),
+    )
+    MV.maintain_matview(spark, src, ["k"], mv, ["grp"], ["v"], state)
+    got = {r["grp"]: (r["cnt"], r["sum_v"]) for r in M.read_snapshot(spark, mv).collect()}
+    assert got == {"a": (2, None), "b": (1, 7)}
+    # a non-NULL lands in group a -> sum materializes
+    M.commit_upsert(
+        spark, src,
+        spark.createDataFrame([(4, "a", 5, 1)], "k int, grp string, v bigint, ver int"),
+        ["k"], "ver",
+    )
+    MV.maintain_matview(spark, src, ["k"], mv, ["grp"], ["v"], state)
+    got = {r["grp"]: (r["cnt"], r["sum_v"]) for r in M.read_snapshot(spark, mv).collect()}
+    assert got == {"a": (3, 5), "b": (1, 7)}
+    # delete it again -> back to NULL (nn counter retracts)
+    M.commit_delete(spark, src, spark.createDataFrame([(4,)], "k int"), ["k"])
+    MV.maintain_matview(spark, src, ["k"], mv, ["grp"], ["v"], state)
+    got = {r["grp"]: (r["cnt"], r["sum_v"]) for r in M.read_snapshot(spark, mv).collect()}
+    assert got == {"a": (2, None), "b": (1, 7)}
