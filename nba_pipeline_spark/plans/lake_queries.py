@@ -2522,7 +2522,7 @@ def q_manifest_sql_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert kept < n_all, f"bloom probes did not prune: {kept}/{n_all}"
     t = read_lake(spark, lake, bloom_keys={"o_orderkey": keys}).filter(
-        F.col("o_orderkey").isin(keys)
+        F.col("o_orderkey").isin(keys) if keys else F.lit(False)
     )
     return t.select("o_orderkey", "o_custkey", "o_orderstatus")
 

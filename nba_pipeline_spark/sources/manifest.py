@@ -1066,6 +1066,13 @@ def _bloom_probes(spark: SparkSession, bloom_eq: dict) -> dict:
             if isinstance(val, (list, tuple, set, frozenset))
             else [val]
         )
+        if not vals:
+            # any-of NOTHING matches no key: every bloomed segment is
+            # provably disprovable (empty probe list — _prune_segments'
+            # any() over it is False). Adversarial catch: the empty
+            # local frame otherwise crashes schema inference.
+            out[c] = []
+            continue
         if len(vals) == 1:
             out[c] = [_bloom_probe_hashes(spark, vals[0])]
             continue

@@ -519,3 +519,20 @@ def test_writer_overwrite_clears_widened_flag(spark, tmp_path):
     )
     assert M.read_snapshot(spark, lake).count() == 29
     assert dict(M.read_snapshot(spark, lake).dtypes)["k"] == "bigint"
+
+
+def test_bloom_keys_empty_list_prunes_everything(spark, tmp_path):
+    """An any-of-NOTHING probe ({col: []}) proves no key can match:
+    every bloomed segment prunes, the read returns an empty frame with
+    the table schema, and nothing crashes (adversarial r9 catch — the
+    empty local probe frame used to fail schema inference)."""
+    lake = str(tmp_path / "bloomlake")
+    M.commit_append(
+        spark, lake,
+        spark.range(0, 50).select(F.col("id").alias("k")),
+        bloom_cols=["k"],
+    )
+    t = read_lake(spark, lake, bloom_keys={"k": []})
+    assert t.columns == ["k"] and t.count() == 0
+    assert M.read_snapshot(spark, lake, bloom_eq={"k": []}).count() == 0
+    assert M.resolve_segments(spark, lake, bloom_eq={"k": []}) == []
