@@ -141,6 +141,7 @@ HEADLINE = [
     "q_manifest_unique",
     "q_udtf_chunks",
     "q_manifest_catalog",
+    "q_pack_nfd",
 ]
 
 

@@ -1871,3 +1871,106 @@ register(
     WHERE d.text IS NOT NULL AND length(d.text) > 0
     """,
 )
+
+
+def q_pack_nfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXT-FIT-DECREASING bin packing — the third packing strategy
+    (vs q_pack_sequences' concat-and-chunk and q_pack_incremental):
+    docs are NEVER split; within each salted-hash shard they sort by
+    length desc (id tiebreak) and fill CTX={PACK_CTX} bins greedily,
+    opening a new bin on overflow. The inner fold is a genuine
+    sequential recurrence (the reset depends on the accumulated
+    remainder — not prefix-sum expressible), so it runs as ONE
+    `applyInPandas` per shard: the sanctioned grouped-map escape
+    (SURVEY §2.12), parallelism = shard count, per-shard state O(1).
+    Docs longer than CTX truncate to CTX for the census. Oracled via a
+    RECURSIVE CTE that replays every shard's fold one item per
+    iteration — all shards advance in lockstep, depth = max items per
+    shard."""
+    import pandas as pd
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    toks = (
+        docs.select(
+            "doc_id",
+            h.alias("h"),
+            F.least(
+                TX.token_count_ws(F.col("text")).cast("bigint"),
+                F.lit(PACK_CTX).cast("bigint"),
+            ).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .withColumn("shard", (F.col("h") % PACK_SHARDS).cast("int"))
+    )
+
+    def nfd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n", "doc_id"], ascending=[False, True], ignore_index=True
+        )
+        shard = int(pdf["shard"].iloc[0])
+        rows = []
+        b, rem, ndocs, ntok = -1, -1, 0, 0
+        for n in pdf["n"]:
+            n = int(n)
+            if n > rem:
+                if b >= 0:
+                    rows.append((shard, b, ndocs, ntok))
+                b, rem, ndocs, ntok = b + 1, PACK_CTX, 0, 0
+            rem -= n
+            ndocs += 1
+            ntok += n
+        if b >= 0:
+            rows.append((shard, b, ndocs, ntok))
+        return pd.DataFrame(
+            rows, columns=["shard", "bin", "n_docs", "n_tokens"]
+        )
+
+    out = toks.groupBy("shard").applyInPandas(
+        nfd, "shard int, bin bigint, n_docs bigint, n_tokens bigint"
+    )
+    return out.select(
+        "shard",
+        "bin",
+        "n_docs",
+        "n_tokens",
+        (F.lit(PACK_CTX).cast("bigint") - F.col("n_tokens")).alias("padding"),
+    )
+
+
+register(
+    "q_pack_nfd",
+    q_pack_nfd,
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+             LEAST(CAST(len({_DUCK_TOKS}) AS BIGINT), {PACK_CTX}) AS n
+      FROM documents),
+    i AS (SELECT CAST(h % {PACK_SHARDS} AS INT) AS shard, doc_id, n,
+                 ROW_NUMBER() OVER (PARTITION BY h % {PACK_SHARDS}
+                                    ORDER BY n DESC, doc_id ASC) AS rn
+          FROM t WHERE n > 0),
+    fold AS (
+      SELECT shard, rn, n, CAST(0 AS BIGINT) AS bin,
+             CAST({PACK_CTX} - n AS BIGINT) AS rem
+      FROM i WHERE rn = 1
+      UNION ALL
+      SELECT nxt.shard, nxt.rn, nxt.n,
+             CASE WHEN nxt.n <= f.rem THEN f.bin ELSE f.bin + 1 END,
+             CASE WHEN nxt.n <= f.rem THEN f.rem - nxt.n
+                  ELSE CAST({PACK_CTX} - nxt.n AS BIGINT) END
+      FROM fold f JOIN i nxt ON nxt.shard = f.shard AND nxt.rn = f.rn + 1)
+    SELECT shard, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST({PACK_CTX} - SUM(n) AS BIGINT) AS padding
+    FROM fold GROUP BY shard, bin
+    """,
+)

@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_unique",
     "q_udtf_chunks",
     "q_manifest_catalog",
+    "q_pack_nfd",
     "q_embed_pca",
     # round-7 registrations (driver-sampled r8)
     "q_ann_pq_rerank",
