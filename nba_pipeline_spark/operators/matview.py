@@ -391,3 +391,130 @@ def maintain_join_matview(
         tag=tag,
     )
     return True
+
+
+def fold_delta_partitioned(
+    spark: SparkSession,
+    mv_path: str,
+    d: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    tag: str | None = None,
+) -> int:
+    """The LARGE-VIEW landing the module docstring promises: fold a
+    delta-contribution frame into a GROUP-PARTITIONED MV lake without
+    rewriting the whole view — only the partitions (groups) the delta
+    touches read + rewrite; untouched group segments transfer by name.
+    Restricted to ONE group column (it doubles as the partition tag).
+
+    Group death differs from the replace-based fold: a group whose
+    count reaches zero stays as a physical cnt=0 row in its rewritten
+    partition (a partition-scoped MERGE cannot remove rows) — readers
+    go through `read_matview`, which filters cnt > 0; compaction
+    physically drops dead rows whenever it next rewrites. At 100 TB a
+    refresh touching 3 of 100k groups rewrites 3 KB-scale segments
+    and a KB manifest — the commit_upsert_partitioned shape."""
+    if len(group_cols) != 1:
+        raise ValueError("partitioned MV folds need exactly one group column")
+    g = group_cols[0]
+    cur = M.current_version(spark, mv_path)
+    if cur is None:
+        base = spark.createDataFrame([], _mv_schema(d, group_cols, sum_cols))
+    else:
+        touched = [r[g] for r in d.select(g).distinct().collect()]
+        if not touched:
+            base = M.read_snapshot(spark, mv_path).limit(0)
+        elif len(touched) > 16:
+            # wide delta: one scan beats per-group plan builds (still
+            # correct — the upsert itself only rewrites touched tags)
+            snap = M.read_snapshot(spark, mv_path)
+            non_null = [v for v in touched if v is not None]
+            pred = F.col(g).isin(non_null) if non_null else F.lit(False)
+            if any(v is None for v in touched):
+                pred = pred | F.col(g).isNull()
+            base = snap.filter(pred)
+        else:
+            parts = [
+                M.read_snapshot(spark, mv_path, part_eq={g: v}).filter(
+                    F.col(g).eqNullSafe(F.lit(v))
+                )
+                for v in touched
+            ]
+            base = parts[0]
+            for p in parts[1:]:
+                base = base.unionByName(p)
+    folded = fold_delta_keep_dead(base, d, group_cols, sum_cols)
+    return M.commit_upsert_partitioned(
+        spark,
+        mv_path,
+        folded.withColumn("__ver", F.lit(1)),
+        keys=[g],
+        version_col="__ver",
+        part_col=g,
+        check_stable_partitions=False,  # the group IS the key
+        tag=tag,
+    )
+
+
+def fold_delta_keep_dead(
+    mv: DataFrame, d: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """`fold_delta` without the cnt>0 filter — the partitioned landing
+    keeps dead groups as cnt=0 rows (see fold_delta_partitioned)."""
+    cond = None
+    for g in group_cols:
+        c = mv[g].eqNullSafe(d[g])
+        cond = c if cond is None else (cond & c)
+    j = mv.join(d, cond, "full_outer")
+    out_groups = [F.coalesce(mv[g], d[g]).alias(g) for g in group_cols]
+    cnt = (
+        F.coalesce(mv["cnt"], F.lit(0)) + F.coalesce(d["d_cnt"], F.lit(0))
+    ).alias("cnt")
+    nns = {
+        c: F.coalesce(mv[f"nn_{c}"], F.lit(0))
+        + F.coalesce(d[f"d_nn_{c}"], F.lit(0))
+        for c in sum_cols
+    }
+    sums = [
+        F.when(
+            nns[c] > 0,
+            F.coalesce(mv[f"sum_{c}"], F.lit(0))
+            + F.coalesce(d[f"d_sum_{c}"], F.lit(0)),
+        )
+        .cast(mv.schema[f"sum_{c}"].dataType)
+        .alias(f"sum_{c}")
+        for c in sum_cols
+    ]
+    nn_cols = [nns[c].cast("bigint").alias(f"nn_{c}") for c in sum_cols]
+    return j.select(*out_groups, cnt, *sums, *nn_cols)
+
+
+def read_matview(spark: SparkSession, mv_path: str) -> DataFrame:
+    """The MV's LIVE rows (filters the partitioned landing's cnt=0
+    placeholders; a replace-based MV has none — same read either way)."""
+    return M.read_snapshot(spark, mv_path).filter(F.col("cnt") > 0)
+
+
+def maintain_matview_partitioned(
+    spark: SparkSession,
+    src_path: str,
+    src_keys: list[str],
+    mv_path: str,
+    group_col: str,
+    sum_cols: list[str],
+    state_path: str,
+) -> int:
+    """`maintain_matview` with the partitioned landing: same change
+    feed, same delta contributions, but each source version folds via
+    `fold_delta_partitioned` — O(touched groups) per refresh instead
+    of an O(view) rewrite."""
+
+    def _apply(delta: DataFrame, version: int) -> None:
+        d = delta_contributions(delta, [group_col], sum_cols)
+        fold_delta_partitioned(
+            spark, mv_path, d, [group_col], sum_cols, tag=f"mv={version}"
+        )
+
+    return M.consume_feed(
+        spark, src_path, src_keys, state_path, _apply, include_values=True
+    )

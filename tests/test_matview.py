@@ -408,3 +408,53 @@ def test_mv_sum_of_all_null_group_is_null(spark, tmp_path):
     MV.maintain_matview(spark, src, ["k"], mv, ["grp"], ["v"], state)
     got = {r["grp"]: (r["cnt"], r["sum_v"]) for r in M.read_snapshot(spark, mv).collect()}
     assert got == {"a": (2, None), "b": (1, 7)}
+
+
+def test_partitioned_matview_equals_replace_based(spark, tmp_path):
+    """The large-view landing: the group-partitioned MV folds only the
+    touched groups per refresh (untouched group segments transfer by
+    name), keeps dead groups as cnt=0 placeholders that read_matview
+    filters, and agrees with the replace-based maintainer on every
+    step of an append/move/delete sequence."""
+    src = str(tmp_path / "src")
+    mv_r = str(tmp_path / "mv_replace")
+    st_r = str(tmp_path / "st_replace")
+    mv_p = str(tmp_path / "mv_part")
+    st_p = str(tmp_path / "st_part")
+
+    def both():
+        MV.maintain_matview(spark, src, ["k"], mv_r, ["grp"], ["v"], st_r)
+        MV.maintain_matview_partitioned(
+            spark, src, ["k"], mv_p, "grp", ["v"], st_p
+        )
+        live_r = {
+            (r["grp"], r["cnt"], r["sum_v"])
+            for r in MV.read_matview(spark, mv_r).collect()
+        }
+        live_p = {
+            (r["grp"], r["cnt"], r["sum_v"])
+            for r in MV.read_matview(spark, mv_p).collect()
+        }
+        assert live_r == live_p
+
+    M.commit_append(spark, src, _rows(spark, [
+        (1, "a", 10, 0), (2, "a", 20, 0), (3, "b", 30, 0), (4, "c", 5, 0),
+    ]))
+    both()
+    segs0 = set(M.resolve_segments(spark, mv_p))
+    # touch only group b: move k=3 to group a
+    M.commit_upsert(spark, src, _rows(spark, [(3, "a", 30, 1)]), ["k"], "ver")
+    both()
+    segs1 = set(M.resolve_segments(spark, mv_p))
+    # group c's segment transferred BY NAME (untouched by the fold)
+    assert segs0 & segs1, "untouched group segments must transfer"
+    # kill group b entirely? k=3 already left it; delete all of a
+    M.commit_delete(
+        spark, src,
+        spark.createDataFrame([(1,), (2,), (3,)], "k int"), ["k"],
+    )
+    both()
+    # the partitioned MV holds a physical cnt=0 row; the reader hides it
+    raw = {r["grp"]: r["cnt"] for r in M.read_snapshot(spark, mv_p).collect()}
+    assert raw.get("a") == 0 and raw.get("b") == 0
+    assert {r["grp"] for r in MV.read_matview(spark, mv_p).collect()} == {"c"}
