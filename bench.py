@@ -142,6 +142,7 @@ HEADLINE = [
     "q_udtf_chunks",
     "q_manifest_catalog",
     "q_pack_nfd",
+    "q_manifest_matview_part",
 ]
 
 

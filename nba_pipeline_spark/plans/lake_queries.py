@@ -2868,3 +2868,84 @@ register(
     GROUP BY c.c_mktsegment
     """,
 )
+
+
+def _matview_part_stage(spark: SparkSession, sf_dir: str) -> str:
+    """The _matview_stage history folded through the PARTITIONED
+    landing (operators/matview.py::maintain_matview_partitioned):
+    same source commits, same contributions, but the MV lake is
+    group-partitioned and each refresh rewrites only the touched
+    groups — plus the per-refresh by-name-transfer assertion."""
+    from ..operators import matview as MV
+
+    root = _stage_dir(sf_dir, "orders", "manifest_matview_part")
+
+    def build():
+        src, mv, state = f"{root}/src", f"{root}/mv", f"{root}/state"
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        M.commit_append(spark, src, orders.filter(F.col("o_orderkey") % 4 <= 1))
+        changes = orders.filter((F.col("o_orderkey") % 4).isin(1, 2)).select(
+            "o_orderkey",
+            (F.col("o_custkey") + 1_000_000).alias("o_custkey"),
+            F.lit("M").alias("o_orderstatus"),
+            F.lit(1).alias("ver"),
+        )
+        M.commit_upsert(spark, src, changes, ["o_orderkey"], "ver")
+        dels = orders.filter(
+            ((F.col("o_orderkey") % 4) == 0) & ((F.col("o_orderkey") % 3) == 0)
+        ).select("o_orderkey")
+        M.commit_delete(spark, src, dels, ["o_orderkey"])
+        n = MV.maintain_matview_partitioned(
+            spark, src, ["o_orderkey"], mv, "o_orderstatus",
+            ["o_custkey"], state,
+        )
+        assert n == 3, f"partitioned matview consumed {n} versions, want 3"
+        # every MV segment carries its group partition tag
+        mmeta = M._read_manifest(spark, mv, M.current_version(spark, mv))
+        for seg in mmeta["segments"]:
+            assert "o_orderstatus" in mmeta["meta"][seg].get("part", {})
+
+    return _ensure_stage(root, build)
+
+
+def q_manifest_matview_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTITIONED MV landing at the driver gate
+    (operators/matview.py::fold_delta_partitioned): the same
+    three-commit history as q_manifest_matview folds into a
+    GROUP-PARTITIONED view — each refresh rewrites only the groups its
+    delta touches (commit_upsert_partitioned; untouched group segments
+    transfer by name), dead groups persist as cnt=0 placeholders that
+    `read_matview` filters. Oracle: identical to q_manifest_matview's
+    — the landing strategy must not change the answer."""
+    from ..operators import matview as MV
+
+    tune(spark)
+    root = _matview_part_stage(spark, sf_dir)
+    return MV.read_matview(spark, f"{root}/mv").select(
+        "o_orderstatus",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("sum_o_custkey").cast("bigint").alias("sum_cust"),
+    )
+
+
+register(
+    "q_manifest_matview_part",
+    q_manifest_matview_part,
+    """
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 IN (1, 2)
+                  THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+             CASE WHEN o_orderkey % 4 IN (1, 2)
+                  THEN 'M' ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 4 <= 2
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+    FROM merged
+    WHERE NOT (o_orderkey % 4 = 0 AND o_orderkey % 3 = 0)
+    GROUP BY o_orderstatus
+    """,
+)

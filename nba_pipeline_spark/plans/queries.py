@@ -105,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_udtf_chunks",
     "q_manifest_catalog",
     "q_pack_nfd",
+    "q_manifest_matview_part",
     "q_embed_pca",
     # round-7 registrations (driver-sampled r8)
     "q_ann_pq_rerank",
