@@ -890,7 +890,12 @@ def build_pq_index(
     )
     codes = pq_encode(emb, cb, id_col, vec_col, m)
     M.commit_replace(spark, codebooks_path, cb)
-    M.commit_replace(spark, codes_path, codes)
+    # MANIFEST id blooms on the flat codes lake: bloom-pruned
+    # takedowns (propagate_index_deletes) without paying the per-file
+    # parquet bloom — this tier's contract is minimum bytes on disk
+    M.commit_replace(
+        spark, codes_path, codes, bloom_cols=[id_col], file_blooms=False
+    )
 
 
 def pq_topk(

@@ -178,6 +178,7 @@ def _write_segment(
     path: str,
     target_files: int | None,
     bloom_cols: list[str] | None = None,
+    expected_ndv: int | None = None,
 ) -> str:
     seg = f"seg-{uuid.uuid4().hex[:12]}"
     w = (df.coalesce(target_files) if target_files else df).write.mode("overwrite")
@@ -186,10 +187,18 @@ def _write_segment(
     # omitted past ~32k distinct keys (see _segment_bloom) — for
     # oversize segments the parquet reader's own bloom consumption
     # takes over on point predicates INSIDE the segments the manifest
-    # keeps. Cheap at write (parquet sizes the filter itself), no
-    # read-side change (Spark's vectorized reader consumes them).
+    # keeps. No read-side change (Spark's vectorized reader consumes
+    # them). Parquet sizes the filter from EXPECTED ndv (default 1M ≈
+    # 1.2 MB per file) — callers that know the scale pass
+    # `expected_ndv` so a small rebuilt lake isn't charged megabytes
+    # of bloom per KB of data (the compression-contract catch).
     for c in bloom_cols or []:
         w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if expected_ndv is not None:
+            w = w.option(
+                f"parquet.bloom.filter.expected.ndv#{c}",
+                str(max(int(expected_ndv), 1024)),
+            )
     w.parquet(f"{path}/{_DATA_DIR}/{seg}")
     return seg
 
@@ -1434,20 +1443,45 @@ def commit_replace(
     df: DataFrame,
     target_files: int | None = None,
     tag: str | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    file_blooms: bool = True,
 ) -> int:
     """Replace the table contents wholesale (snapshot overwrite).
     Pending merge-on-read tombstones are dropped — the new contents
     supersede everything they applied to. `tag` is the usual commit
     idempotency token (a replayed replace with a seen tag is a no-op
-    returning the existing version — the MV-publish replay guard)."""
+    returning the existing version — the MV-publish replay guard).
+    `stats_cols`/`bloom_cols` record the same skipping metadata as
+    commit_append — rebuilds keep range pruning, point lookups, AND
+    pruned deletes working (a bloom-less rebuilt lake makes every
+    later takedown a full rewrite). `file_blooms=False` records the
+    KB-scale MANIFEST bloom only: the right trade for compact index
+    lakes whose contract is minimum bytes on disk (the per-file
+    parquet bloom is a fixed cost that only pays off on oversize
+    segments the manifest bloom can't cover)."""
     df = _apply_generated(spark, path, df)
     df = _upcast_to_schema(spark, path, df)
     _check_constraints(spark, path, df)
     _check_unique_self(spark, path, df)
-    seg = _write_segment(df, path, target_files)
+    ndv = df.count() if (bloom_cols and file_blooms) else None
+    seg = _write_segment(
+        df, path, target_files,
+        bloom_cols=bloom_cols if file_blooms else None,
+        expected_ndv=ndv,
+    )
+    seg_meta: dict = {}
+    if stats_cols:
+        seg_meta.update(_stats_meta(df, stats_cols))
+    if bloom_cols:
+        blooms = {c: _segment_bloom(df, c) for c in bloom_cols}
+        blooms = {c: b for c, b in blooms.items() if b is not None}
+        if blooms:
+            seg_meta["bloom"] = blooms
     return _commit(
         spark, path, "replace", lambda parent: [seg],
         deletes_fn=lambda p: [], tag=tag,
+        meta_fn=(lambda parent, segments: {seg: seg_meta}) if seg_meta else None,
         props_fn=_schema_props_fn(spark, path, df, replace=True),
     )
 

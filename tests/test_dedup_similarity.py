@@ -1674,3 +1674,31 @@ def test_commit_delete_bloom_refinement_prunes_rewrites(spark, tmp_path):
         bloom_probe_cap=0,
     )
     assert M.read_snapshot(spark, lake).count() == 396
+
+
+def test_flat_pq_codes_lake_bloom_prunes_takedown(spark, tmp_path):
+    """The flat PQ codes lake carries MANIFEST id blooms (no per-file
+    parquet bloom — the tier's contract is minimum bytes): a takedown
+    through propagate_index_deletes prunes via the manifest bloom and
+    the compression contract holds."""
+    import numpy as np
+
+    from nba_pipeline_spark.operators import similarity as SIM
+    from nba_pipeline_spark.sources import manifest as M
+
+    rng = np.random.default_rng(2)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(16)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cbp, cdp = str(tmp_path / "cb"), str(tmp_path / "codes")
+    SIM.build_pq_index(spark, emb, "vec_id", "embedding", 4, 16, cbp, cdp)
+    m = M._read_manifest(spark, cdp, M.current_version(spark, cdp))
+    seg = m["segments"][0]
+    assert "vec_id" in m["meta"][seg].get("bloom", {})  # manifest bloom
+    SIM.propagate_index_deletes(
+        spark, [7], "vec_id", index_code_paths=[cdp]
+    )
+    assert M.read_snapshot(spark, cdp).count() == 199
+    assert M.read_for_keys(spark, cdp, "vec_id", [7]).count() == 0
