@@ -101,6 +101,22 @@ def _mv_schema(d: DataFrame, group_cols: list[str],
     )
 
 
+def _mv_nn(mv: DataFrame, c: str):
+    """The MV's non-null counter for sum column `c`, backfilled for MV
+    lakes committed BEFORE the nn_ counters existed (ADVICE r9: a bare
+    mv['nn_<c>'] reference fails the first refresh of a pre-existing
+    view with an unresolved-column AnalysisException). Backfill:
+    sum IS NULL ⇒ zero non-null values; otherwise assume cnt — exact
+    whenever the measure is non-null on every row (the usual case),
+    an OVERESTIMATE for groups that mixed NULL and non-NULL values
+    before the upgrade (their sum can read 0 instead of NULL after
+    every non-null row retracts — rebuild the view for exact NULL-sum
+    semantics on such data; documented trade, loud here)."""
+    if f"nn_{c}" in mv.columns:
+        return mv[f"nn_{c}"]
+    return F.when(mv[f"sum_{c}"].isNull(), F.lit(0)).otherwise(mv["cnt"])
+
+
 def fold_delta(mv: DataFrame, d: DataFrame, group_cols: list[str],
                sum_cols: list[str]) -> DataFrame:
     """Fold per-group deltas into the current MV state (null-safe
@@ -116,7 +132,7 @@ def fold_delta(mv: DataFrame, d: DataFrame, group_cols: list[str],
         F.coalesce(mv["cnt"], F.lit(0)) + F.coalesce(d["d_cnt"], F.lit(0))
     ).alias("cnt")
     nns = {
-        c: F.coalesce(mv[f"nn_{c}"], F.lit(0))
+        c: F.coalesce(_mv_nn(mv, c), F.lit(0))
         + F.coalesce(d[f"d_nn_{c}"], F.lit(0))
         for c in sum_cols
     }
@@ -375,7 +391,39 @@ def maintain_join_matview(
         return True
     st = M.read_snapshot(spark, state_path).collect()[0]
     f_v0, d_v0 = int(st["f_v"]), int(st["d_v"])
+    # crash-window repair (ADVICE r9): if a crash landed the MV
+    # publish but not the state replace, AND a lake advanced before
+    # redo, the state lake under-reports what the MV already contains
+    # — folding from it would double-apply the crashed window (silent
+    # corruption the no-advance tag check can't catch, because the
+    # redo computes a DIFFERENT tag). The MV lake itself is the truth:
+    # its newest mvj tag IS the high-water the view actually holds
+    # (both coordinates are monotone across publishes, so the max
+    # tuple is the newest). Prefer it whenever it is ahead.
+    consumed = max(
+        (
+            tuple(int(x) for x in t[4:].split(":"))
+            for t in M.committed_tags(spark, mv_path)
+            if t.startswith("mvj=")
+        ),
+        default=None,
+    )
+    if consumed is not None and consumed > (f_v0, d_v0):
+        f_v0, d_v0 = consumed
     if (f_v0, d_v0) == (f_v1, d_v1):
+        if (int(st["f_v"]), int(st["d_v"])) != (f_v1, d_v1):
+            # heal the lagging state lake so the next call is a no-op.
+            # UNTAGGED on purpose: the state lake is a pure checkpoint
+            # (re-writing the correct high-water twice is harmless),
+            # and the mvj tag may already sit in its cumulative tag
+            # list, which would no-op the heal and loop forever.
+            M.commit_replace(
+                spark, state_path,
+                spark.createDataFrame(
+                    [(f_v1, d_v1)], "f_v long, d_v long"
+                ),
+            )
+            return True
         return False
     d = join_delta_contributions(
         spark, fact_path, dim_path, f_v0, f_v1, d_v0, d_v1,
@@ -471,7 +519,7 @@ def fold_delta_keep_dead(
         F.coalesce(mv["cnt"], F.lit(0)) + F.coalesce(d["d_cnt"], F.lit(0))
     ).alias("cnt")
     nns = {
-        c: F.coalesce(mv[f"nn_{c}"], F.lit(0))
+        c: F.coalesce(_mv_nn(mv, c), F.lit(0))
         + F.coalesce(d[f"d_nn_{c}"], F.lit(0))
         for c in sum_cols
     }

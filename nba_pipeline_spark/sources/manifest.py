@@ -214,6 +214,15 @@ class _ColmapChanged(Exception):
     its commit (commit_append re-translates and rewrites)."""
 
 
+class _UniqueChanged(Exception):
+    """Internal: the declared UNIQUE key moved between an append's
+    props read and its commit — a `set_unique_key` landed in the gap,
+    so the batch was validated against the WRONG (possibly empty)
+    constraint. The append loop restarts and revalidates (ADVICE r9:
+    without this, an append racing the declaration commits unvalidated
+    on top of it via the tagless CAS retry)."""
+
+
 def _commit(
     spark: SparkSession,
     path: str,
@@ -818,11 +827,22 @@ def _check_unique(
 def _check_unique_self(spark: SparkSession, path: str, df: DataFrame) -> None:
     """Replace-path uniqueness: the new contents supersede everything,
     so only the batch needs to agree with the declared UNIQUE key."""
-    from pyspark.sql import functions as F
-
     cols = unique_key(spark, path)
     if not cols:
         return
+    _check_unique_dups(df, cols, path, "the replace contents")
+
+
+def _check_unique_dups(
+    df: DataFrame, cols: list[str], path: str, what: str
+) -> None:
+    """In-frame duplicate check on explicit (already-physical) UNIQUE
+    columns — one partial-agg'd job; NULL-keyed rows exempt (SQL
+    UNIQUE). The cols-explicit core the upsert/replace enforcement
+    paths share (their frames are physical-named, so re-reading the
+    logical declaration via `unique_key` would mistranslate)."""
+    from pyspark.sql import functions as F
+
     nn = None
     for c in cols:
         e = F.col(c).isNotNull()
@@ -832,8 +852,42 @@ def _check_unique_self(spark: SparkSession, path: str, df: DataFrame) -> None:
         .filter(F.col("count") > 1).limit(1).count()
     ):
         raise ConstraintViolation(
-            f"UNIQUE ({', '.join(cols)}) violated inside the replace "
-            f"contents: {path}"
+            f"UNIQUE ({', '.join(cols)}) violated inside {what}: {path}"
+        )
+
+
+def _check_unique_remainder(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    batch: DataFrame,
+    remainder: DataFrame,
+    what: str,
+) -> None:
+    """Batch-vs-remainder UNIQUE collision: any key of `batch` already
+    present in `remainder` (the rows the commit does NOT rewrite —
+    untouched segments / NOT-scope survivors) violates the constraint.
+    One column-pruned left-semi join; NULL-keyed rows exempt. Runs
+    BEFORE any segment write so a refusal is atomic (no version, no
+    orphan data). Cost note: O(remainder) scan of the key columns only,
+    paid only on UNIQUE-declared lakes — the same shape (and the same
+    segments) as the partitioned MERGE's key-stability scan."""
+    from pyspark.sql import functions as F
+
+    nn = None
+    for c in cols:
+        e = F.col(c).isNotNull()
+        nn = e if nn is None else nn & e
+    probe = batch.filter(nn).select(*cols).distinct()
+    if (
+        remainder.select(*cols)
+        .join(probe, on=list(cols), how="left_semi")
+        .limit(1)
+        .count()
+    ):
+        raise ConstraintViolation(
+            f"UNIQUE ({', '.join(cols)}) violated: {what} carries a key "
+            f"that survives elsewhere in {path}"
         )
 
 
@@ -1175,6 +1229,14 @@ def commit_append(
     pruning: partition equality, min/max ranges, bloom point lookups,
     and keyword-token blooms respectively (`read_snapshot(part_eq= /
     ranges= / bloom_eq= / token_eq=)`)."""
+    # tag pre-check BEFORE validation or compute: a replayed tagged
+    # batch (the consume_feed / streaming exactly-once discipline) must
+    # no-op here — on a UNIQUE-keyed lake the validation below would
+    # otherwise REFUSE the replay (its keys already landed with the
+    # first delivery) and permanently wedge the consumer (ADVICE r9).
+    # _commit's in-CAS tag check stays the atomic guard for races.
+    if tag is not None and tag in committed_tags(spark, path):
+        return current_version(spark, path)
     df = _apply_generated(spark, path, df)
     df = _upcast_to_schema(spark, path, df)
     _check_constraints(spark, path, df)
@@ -1251,6 +1313,11 @@ def commit_append(
                 props.get("dropped_cols", [])
             ) != dropped0:
                 raise _ColmapChanged()
+            # a set_unique_key landing between the props0 read and this
+            # commit would otherwise slip an UNVALIDATED batch in on the
+            # tagless CAS retry (ADVICE r9 TOCTOU): restart + revalidate
+            if list(props.get("unique", [])) != uniq:
+                raise _UniqueChanged()
             return base_props_fn(props)
 
         try:
@@ -1270,6 +1337,8 @@ def commit_append(
             # refuses), then the loop rewrites the segment fresh.
             df = _relogical(df, props0, _latest_props(spark, path), path)
             continue
+        except _UniqueChanged:
+            continue  # re-read props, validate under the new UNIQUE key
         except CommitConflict:
             if not uniq:
                 raise
@@ -1304,6 +1373,10 @@ def commit_append_partitioned(
     columns translate to physical names like `commit_append` (segment
     tags stay physical — the probe translation expects that), with the
     same CAS-time mapping-stability check + rewrite-on-race."""
+    # tag pre-check before validation/compute: replayed tagged batches
+    # no-op instead of tripping UNIQUE validation (see commit_append)
+    if tag is not None and tag in committed_tags(spark, path):
+        return current_version(spark, path)
     df = _apply_generated(spark, path, df)
     df = _upcast_to_schema(spark, path, df)
     _check_constraints(spark, path, df)
@@ -1343,6 +1416,9 @@ def commit_append_partitioned(
                 props.get("dropped_cols", [])
             ) != dropped0:
                 raise _ColmapChanged()
+            # raced set_unique_key: restart + revalidate (commit_append)
+            if list(props.get("unique", [])) != uniq:
+                raise _UniqueChanged()
             return base_props_fn(props)
 
         try:
@@ -1359,6 +1435,8 @@ def commit_append_partitioned(
         except _ColmapChanged:
             df = _relogical(df, props0, _latest_props(spark, path), path)
             continue
+        except _UniqueChanged:
+            continue  # re-read props, validate under the new UNIQUE key
         except CommitConflict:
             if not uniq:
                 raise
@@ -1622,6 +1700,34 @@ def commit_replace_where(
                     dropped.append(s)
                 else:
                     rewrite.append(s)
+        # declared UNIQUE key (VERDICT r9 #1): validate the batch
+        # against itself, then against the REMAINDER — the rows this
+        # replace keeps (untouched segments by name + each rewritten
+        # segment's NOT-scope survivors). Remainder-vs-remainder needs
+        # no check (those rows validated when they landed, and a
+        # replace removes rows from the scope, never adds). Runs
+        # BEFORE any segment write so a refusal is atomic; the strict
+        # parent CAS retries it against a moved snapshot.
+        uniq = [_physical(_p0, c) for c in unique_key(spark, path)]
+        if uniq:
+            _check_unique_dups(df, uniq, path, "the replaceWhere batch")
+            if untouched or rewrite:
+                remainder = None
+                if untouched:
+                    remainder = _read_segments(spark, path, untouched)
+                if rewrite:
+                    kept_rows = _read_segments(spark, path, rewrite).filter(
+                        ~F.coalesce(pred_phys, F.lit(False))
+                    )
+                    remainder = (
+                        kept_rows if remainder is None
+                        else remainder.unionByName(
+                            kept_rows, allowMissingColumns=True
+                        )
+                    )
+                _check_unique_remainder(
+                    spark, path, uniq, df, remainder, "the replaceWhere batch"
+                )
         new_segs: dict[str, dict] = {}
         for s in rewrite:
             kept = _read_segments(spark, path, [s]).filter(
@@ -3596,6 +3702,11 @@ def commit_upsert(
     (quiet pruning regressions on a fact table are worse than a
     retried call); pass ``allow_untag=True`` to opt into the
     downgrade deliberately."""
+    # tag pre-check before compute: a replayed tagged MERGE must no-op
+    # without re-merging (and without re-running UNIQUE validation on a
+    # snapshot that already contains it) — see commit_append
+    if tag is not None and tag in committed_tags(spark, path):
+        return current_version(spark, path)
     _check_constraints(spark, path, changes)
     _check_schema(spark, path, changes.drop(version_col))
     from ..operators.cdc import merge_upsert
@@ -3624,6 +3735,17 @@ def commit_upsert(
         else:
             base = read_snapshot(spark, path, version=base_version)
             merged = merge_upsert(base, changes, keys, version_col)
+        # declared UNIQUE key (VERDICT r9 #1): the merged output IS the
+        # new table, so one self-duplicate check on it validates the
+        # whole constraint. Skipped when the merge keys are a subset of
+        # the UNIQUE columns — merge_upsert emits at most one row per
+        # key tuple, so uniqueness holds by construction. Runs BEFORE
+        # the segment write: a refusal is atomic (no version, no data);
+        # the strict parent CAS below re-runs it if a set_unique_key
+        # lands mid-flight (the conflict retry re-reads the props).
+        uniq = unique_key(spark, path)
+        if uniq and not set(keys) <= set(uniq):
+            _check_unique_dups(merged, uniq, path, "the MERGE output")
         seg = _write_segment(merged, path, target_files)
         try:
             # tombstones cleared: the snapshot read above applied them,
@@ -3768,6 +3890,31 @@ def commit_upsert_partitioned(
                 changes.limit(0).drop(version_col), changes, keys, version_col
             )
         merged = merged.localCheckpoint(eager=True)  # read before any delete
+        # declared UNIQUE key (VERDICT r9 #1), both halves refused
+        # BEFORE any write (atomic): (a) duplicates inside the merged
+        # touched partitions; (b) a merged key colliding with a row in
+        # an UNTOUCHED partition (which this commit transfers by name).
+        # (a) skips when merge keys ⊆ UNIQUE cols — merge_upsert emits
+        # one row per key tuple. (b) skips when that holds AND the
+        # key-stability scan ran: merged keys are base(touched) keys
+        # (unique table invariant — disjoint from untouched) plus
+        # change keys (the stability scan just proved absent from
+        # untouched), so no collision is possible. UNIQUE cols
+        # translate to physical like every probe (merged is physical).
+        uniq = [_physical(_p0, c) for c in unique_key(spark, path)]
+        if uniq:
+            if not set(keys) <= set(uniq):
+                _check_unique_dups(
+                    merged, uniq, path, "the merged partitions"
+                )
+            if untouched and not (
+                set(keys) <= set(uniq) and check_stable_partitions
+            ):
+                _check_unique_remainder(
+                    spark, path, uniq, merged,
+                    _read_segments(spark, path, untouched),
+                    "the MERGE output",
+                )
         new_segs: dict[str, dict] = {}
         for p in parts:
             part_df = merged.filter(  # eqNullSafe: NULL is a valid partition
@@ -3933,6 +4080,22 @@ def commit_upsert_pruned(
             merged = merge_upsert(
                 changes.limit(0).drop(version_col), changes, keys, version_col
             )
+        # declared UNIQUE key (VERDICT r9 #1): self-duplicates in the
+        # merged output, then merged-vs-untouched collisions — both
+        # refused BEFORE the write. Both skip when merge keys ⊆ UNIQUE
+        # cols: merge_upsert emits one row per key tuple, and pruning
+        # is keyed on stats_key ∈ keys, so an untouched segment
+        # provably holds no merged key tuple (base rows by the unique
+        # table invariant; change rows by the stats proof).
+        uniq = [_physical(_p0, c) for c in unique_key(spark, path)]
+        if uniq and not set(keys) <= set(uniq):
+            _check_unique_dups(merged, uniq, path, "the MERGE output")
+            if untouched:
+                _check_unique_remainder(
+                    spark, path, uniq, merged,
+                    _read_segments(spark, path, untouched),
+                    "the MERGE output",
+                )
         seg = _write_segment(merged, path, target_files)
         # stats for the NEXT merge's pruning, computed from the written
         # files (cheap rescan; re-running the merge plan would be worse)

@@ -242,3 +242,209 @@ def test_unique_key_refuses_jvmless_writer(spark, tmp_path):
             .mode("append")
             .save()
         )
+
+
+# ------------------------------------- UNIQUE on MERGE/replace paths (r10)
+
+
+def test_unique_key_merge_paths_refused(spark, tmp_path):
+    """A MERGE keyed on a NON-unique column that would duplicate the
+    declared UNIQUE key is refused on all three upsert paths, atomic
+    (no version, no partial data) — VERDICT r9 #1."""
+    # full-rewrite path: merge key g, unique key k
+    lake = str(tmp_path / "ulake")
+    M.commit_append(spark, lake, _u(spark, [(1, "a", 1), (2, "b", 1)]))
+    M.set_unique_key(spark, lake, ["k"])
+    v = M.current_version(spark, lake)
+    with pytest.raises(M.ConstraintViolation, match="UNIQUE"):
+        M.commit_upsert(
+            spark, lake,
+            _u(spark, [(2, "c", 9), (2, "d", 9)]).withColumn(
+                "ver", F.lit(1)
+            ),
+            keys=["g"], version_col="ver",
+        )
+    assert M.current_version(spark, lake) == v
+    # merge keyed ON the unique column stays allowed (by construction)
+    M.commit_upsert(
+        spark, lake,
+        _u(spark, [(2, "z", 7)]).withColumn("ver", F.lit(1)),
+        keys=["k"], version_col="ver",
+    )
+    assert M.read_snapshot(spark, lake).filter("k = 2").collect()[0]["g"] == "z"
+
+    # pruned path: in-merged duplicate via non-key merge
+    lake2 = str(tmp_path / "ulake2")
+    M.commit_append(spark, lake2, _u(spark, [(1, "a", 1), (2, "b", 1)]))
+    M.set_unique_key(spark, lake2, ["k"])
+    v2 = M.current_version(spark, lake2)
+    with pytest.raises(M.ConstraintViolation, match="UNIQUE"):
+        M.commit_upsert_pruned(
+            spark, lake2,
+            _u(spark, [(2, "c", 9), (2, "d", 9)]).withColumn("ver", F.lit(1)),
+            keys=["g"], version_col="ver", stats_key="g",
+        )
+    assert M.current_version(spark, lake2) == v2
+
+
+def test_unique_key_merge_cross_segment_refused(spark, tmp_path):
+    """Pruned MERGE whose merged output collides with an UNTOUCHED
+    (name-transferred) segment: caught by the remainder semi-join."""
+    lake = str(tmp_path / "ulake")
+    # two key-range-disjoint segments with stats on g (the merge key)
+    M.commit_append(
+        spark, lake, _u(spark, [(1, "a", 1), (2, "b", 1)]),
+        stats_cols=["g"],
+    )
+    M.commit_append(
+        spark, lake, _u(spark, [(3, "x", 1), (4, "y", 1)]),
+        stats_cols=["g"],
+    )
+    M.set_unique_key(spark, lake, ["k"])
+    v = M.current_version(spark, lake)
+    # merge touches only the a-b segment but rewrites k=2 -> k=3,
+    # which collides with the untouched x-y segment's k=3
+    with pytest.raises(M.ConstraintViolation, match="survives elsewhere"):
+        M.commit_upsert_pruned(
+            spark, lake,
+            spark.createDataFrame(
+                [(3, "b", 99, 1)], "k bigint, g string, v bigint, ver int"
+            ),
+            keys=["g"], version_col="ver", stats_key="g",
+        )
+    assert M.current_version(spark, lake) == v
+
+
+def test_unique_key_partitioned_merge_refused(spark, tmp_path):
+    """Partition-scoped MERGE keyed on a non-unique column: in-merged
+    duplicates and merged-vs-untouched-partition collisions refuse."""
+    lake = str(tmp_path / "ulake")
+    M.commit_append(
+        spark, lake, _u(spark, [(1, "a", 1), (2, "a", 2)]),
+        partition={"g": "a"},
+    )
+    M.commit_append(
+        spark, lake, _u(spark, [(3, "b", 3)]), partition={"g": "b"},
+    )
+    M.set_unique_key(spark, lake, ["k"])
+    v = M.current_version(spark, lake)
+    # change row in partition a duplicates k inside the merged output
+    with pytest.raises(M.ConstraintViolation, match="UNIQUE"):
+        M.commit_upsert_partitioned(
+            spark, lake,
+            spark.createDataFrame(
+                [(5, "a", 10, 1), (5, "a", 11, 1)],
+                "k bigint, g string, v bigint, ver int",
+            ),
+            keys=["k", "v"], version_col="ver", part_col="g",
+        )
+    # change row moves k=3's value into partition a while k=3 survives
+    # in untouched partition b
+    with pytest.raises(M.ConstraintViolation, match="survives elsewhere"):
+        M.commit_upsert_partitioned(
+            spark, lake,
+            spark.createDataFrame(
+                [(3, "a", 12, 1)], "k bigint, g string, v bigint, ver int"
+            ),
+            keys=["k", "v"], version_col="ver", part_col="g",
+            check_stable_partitions=False,
+        )
+    assert M.current_version(spark, lake) == v
+    # clean per-partition merge on the unique key itself still lands
+    M.commit_upsert_partitioned(
+        spark, lake,
+        spark.createDataFrame(
+            [(2, "a", 20, 1)], "k bigint, g string, v bigint, ver int"
+        ),
+        keys=["k"], version_col="ver", part_col="g",
+    )
+    assert M.read_snapshot(spark, lake).filter("k = 2").collect()[0]["v"] == 20
+
+
+def test_unique_key_replace_where_refused(spark, tmp_path):
+    """replaceWhere on a UNIQUE lake: in-batch duplicates and
+    batch-vs-remainder collisions refuse; a clean scope swap lands."""
+    lake = str(tmp_path / "ulake")
+    M.commit_append(
+        spark, lake, _u(spark, [(1, "a", 1), (2, "a", 2)]),
+        partition={"g": "a"},
+    )
+    M.commit_append(
+        spark, lake, _u(spark, [(3, "b", 3)]), partition={"g": "b"},
+    )
+    M.set_unique_key(spark, lake, ["k"])
+    v = M.current_version(spark, lake)
+    with pytest.raises(M.ConstraintViolation, match="replaceWhere batch"):
+        M.commit_replace_where(
+            spark, lake,
+            _u(spark, [(7, "a", 1), (7, "a", 2)]), eq={"g": "a"},
+        )
+    # batch key 3 survives in the untouched g=b partition
+    with pytest.raises(M.ConstraintViolation, match="survives elsewhere"):
+        M.commit_replace_where(
+            spark, lake, _u(spark, [(3, "a", 9)]), eq={"g": "a"},
+        )
+    assert M.current_version(spark, lake) == v
+    M.commit_replace_where(
+        spark, lake, _u(spark, [(9, "a", 9)]), eq={"g": "a"},
+    )
+    assert sorted(
+        r["k"] for r in M.read_snapshot(spark, lake).collect()
+    ) == [3, 9]
+
+
+def test_unique_key_tagged_replay_noops(spark, tmp_path):
+    """ADVICE r9: a replayed TAGGED append into a UNIQUE-keyed lake
+    must no-op (its keys already landed with the first delivery), not
+    raise ConstraintViolation and wedge the exactly-once consumer."""
+    lake = str(tmp_path / "ulake")
+    M.commit_append(spark, lake, _u(spark, [(1, "a", 1)]))
+    M.set_unique_key(spark, lake, ["k"])
+    batch = _u(spark, [(2, "b", 2)])
+    v = M.commit_append(spark, lake, batch, tag="feed=7")
+    # exact redelivery: same tag, same keys — returns current version
+    assert M.commit_append(spark, lake, batch, tag="feed=7") == v
+    assert M.read_snapshot(spark, lake).count() == 2
+    # partitioned + upsert twins
+    v2 = M.commit_append_partitioned(
+        spark, lake, _u(spark, [(3, "c", 3)]), "g", tag="feed=8"
+    )
+    assert M.commit_append_partitioned(
+        spark, lake, _u(spark, [(3, "c", 3)]), "g", tag="feed=8"
+    ) == v2
+    lake2 = str(tmp_path / "ulake2")
+    M.commit_append(spark, lake2, _u(spark, [(1, "a", 1)]))
+    ch = _u(spark, [(1, "a", 5)]).withColumn("ver", F.lit(1))
+    v3 = M.commit_upsert(spark, lake2, ch, keys=["k"], version_col="ver",
+                         tag="m=1")
+    assert M.commit_upsert(spark, lake2, ch, keys=["k"], version_col="ver",
+                           tag="m=1") == v3
+
+
+def test_unique_key_declare_append_race(spark, tmp_path, monkeypatch):
+    """ADVICE r9 TOCTOU: an append that read props BEFORE a concurrent
+    set_unique_key landed must revalidate under the new constraint at
+    commit time, not slide in unvalidated on the CAS retry."""
+    lake = str(tmp_path / "ulake")
+    M.commit_append(spark, lake, _u(spark, [(1, "a", 1)]))
+    raced = {"done": False}
+    orig = M._write_segment
+
+    def sneaky(df, path, *a, **kw):
+        # the unique declaration lands between the append's props read
+        # and its commit
+        if not raced["done"]:
+            raced["done"] = True
+            monkeypatch.setattr(M, "_write_segment", orig)
+            M.set_unique_key(spark, lake, ["k"])
+        return orig(df, path, *a, **kw)
+
+    monkeypatch.setattr(M, "_write_segment", sneaky)
+    with pytest.raises(M.ConstraintViolation):
+        M.commit_append(spark, lake, _u(spark, [(1, "dup", 9)]))
+    assert M.read_snapshot(spark, lake).count() == 1
+    # and a CLEAN raced batch still lands (revalidation, not refusal)
+    raced["done"] = False
+    monkeypatch.setattr(M, "_write_segment", sneaky)
+    M.commit_append(spark, lake, _u(spark, [(2, "b", 2)]))
+    assert M.read_snapshot(spark, lake).count() == 2

@@ -458,3 +458,82 @@ def test_partitioned_matview_equals_replace_based(spark, tmp_path):
     raw = {r["grp"]: r["cnt"] for r in M.read_snapshot(spark, mv_p).collect()}
     assert raw.get("a") == 0 and raw.get("b") == 0
     assert {r["grp"] for r in MV.read_matview(spark, mv_p).collect()} == {"c"}
+
+
+def test_join_matview_crash_then_advance_no_double_fold(spark, tmp_path):
+    """ADVICE r9 (the double-fold window): a crash lands the MV
+    publish (tag mvj=f1:d1) but NOT the state replace, and a lake
+    ADVANCES before redo — the redo's tag is mvj=f2:d2 (never seen),
+    so the old tag check can't save it; the maintainer must derive the
+    consumed window from the MV lake's own newest mvj tag and fold
+    ONLY (f1,d1)→(f2,d2)."""
+    fp, dp = str(tmp_path / "fact"), str(tmp_path / "dim")
+    mvp, stp = str(tmp_path / "mv"), str(tmp_path / "state")
+    args = (
+        spark, fp, dp, ["fk"], ["dk"], "dk", "dk", "grp", ["v"], mvp, stp,
+    )
+    M.commit_append(spark, fp, _fact(spark, [(1, 10, 100, 0)]))
+    M.commit_append(spark, dp, _dim(spark, [(10, "a", 0)]))
+    MV.maintain_join_matview(*args)  # bootstrap
+    M.commit_append(spark, fp, _fact(spark, [(2, 10, 50, 1)]))
+    st_before = M.current_version(spark, stp)
+    MV.maintain_join_matview(*args)  # MV now holds fk=1,2
+    # crash: state lake rolls back to pre-step; then the fact ADVANCES
+    M.restore(spark, stp, st_before)
+    M.commit_append(spark, fp, _fact(spark, [(3, 10, 25, 2)]))
+    MV.maintain_join_matview(*args)
+    # a double fold would re-add fk=2's window: cnt 4 / sum 225
+    assert _mv_rows(spark, mvp) == _recompute(spark, fp, dp)
+    assert _mv_rows(spark, mvp) == {("a", 3, 175)}
+    # state healed: quiescent call is a no-op
+    assert MV.maintain_join_matview(*args) is False
+
+
+def test_join_matview_crash_heal_without_advance(spark, tmp_path):
+    """Crash window with NO advance: redo heals the state lake from
+    the MV's tag without touching the view, and reports progress."""
+    fp, dp = str(tmp_path / "fact"), str(tmp_path / "dim")
+    mvp, stp = str(tmp_path / "mv"), str(tmp_path / "state")
+    args = (
+        spark, fp, dp, ["fk"], ["dk"], "dk", "dk", "grp", ["v"], mvp, stp,
+    )
+    M.commit_append(spark, fp, _fact(spark, [(1, 10, 100, 0)]))
+    M.commit_append(spark, dp, _dim(spark, [(10, "a", 0)]))
+    MV.maintain_join_matview(*args)
+    M.commit_append(spark, fp, _fact(spark, [(2, 10, 50, 1)]))
+    st_before = M.current_version(spark, stp)
+    MV.maintain_join_matview(*args)
+    mv_v = M.current_version(spark, mvp)
+    M.restore(spark, stp, st_before)
+    assert MV.maintain_join_matview(*args) is True  # state heal
+    assert M.current_version(spark, mvp) == mv_v  # view untouched
+    assert MV.maintain_join_matview(*args) is False
+
+
+def test_matview_pre_nn_lake_backfills(spark, tmp_path):
+    """ADVICE r9: an MV lake committed BEFORE the nn_ counters existed
+    must keep refreshing (the first fold backfills nn from cnt/sum
+    instead of failing with an unresolved-column AnalysisException) and
+    stay exact while the measure column is non-null everywhere."""
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    state = str(tmp_path / "state")
+    M.commit_append(
+        spark, src,
+        _rows(spark, [(1, "a", 10, 0), (2, "a", 20, 0), (3, "b", 30, 0)]),
+    )
+    MV.maintain_matview(spark, src, ["k"], mv, ["grp"], ["v"], state)
+    # strip the nn_ columns: the lake now looks like a pre-upgrade MV
+    legacy = M.read_snapshot(spark, mv).drop("nn_v")
+    M.commit_replace(spark, mv, legacy)
+    # advance the source: update moves k=2 a->b, delete k=1
+    M.commit_upsert(spark, src, _rows(spark, [(2, "b", 21, 1)]), ["k"], "ver")
+    M.commit_delete(spark, src, spark.createDataFrame([(1,)], "k int"), ["k"])
+    MV.maintain_matview(spark, src, ["k"], mv, ["grp"], ["v"], state)
+    got = {
+        (r["grp"], r["cnt"], r["sum_v"])
+        for r in M.read_snapshot(spark, mv).collect()
+    }
+    assert got == _expected(spark, src)
+    # and the refreshed view carries nn_ counters again going forward
+    assert "nn_v" in M.read_snapshot(spark, mv).columns
