@@ -400,3 +400,62 @@ def ann_index_ingest_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def join_matview_maintain_sink(
+    trigger_stream: DataFrame,
+    fact_path: str,
+    dim_path: str,
+    fact_keys: list[str],
+    dim_keys: list[str],
+    fact_fk: str,
+    dim_jk: str,
+    group_col: str,
+    sum_cols: list[str],
+    mv_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    target_files: int | None = None,
+):
+    """Continuous JOIN-MV maintenance (VERDICT r9 next #2): per
+    micro-batch, advance the two-table materialized view to BOTH
+    lakes' current versions by folding their change feeds through
+    ``operators.matview.join_delta_contributions`` — the streaming
+    twin of `maintain_join_matview`, and literally a trigger around
+    it: the batch CONTENTS are only the wake-up signal (the maintainer
+    reads each lake's own CDF), so one trigger catches fact and dim
+    commits alike, including dim changes the trigger stream never saw.
+
+    Exactly-once under crash/replay is inherited wholesale from the
+    maintainer's ``mvj=<f_v>:<d_v>`` dual-tag discipline plus the r10
+    consumed-window repair (the MV lake's newest mvj tag outranks a
+    lagging state lake, so a crash between the MV publish and the
+    state replace followed by more commits cannot double-fold). A
+    replayed micro-batch therefore either no-ops (window already
+    consumed) or folds exactly the unconsumed remainder.
+
+    Trigger choice: ``manifest_stream`` over the FACT lake is the
+    natural clock (appends-only fact; pass ignore_changes=true if the
+    fact lake also takes MERGEs) — any stream works, including a rate
+    source for wall-clock cadence. Per-trigger cost is O(changes)
+    joins + O(groups) fold, never a recompute (matview.py docstring).
+
+    Returns the started streaming query (availableNow; await it)."""
+    from ..operators.matview import maintain_join_matview
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        maintain_join_matview(
+            batch_df.sparkSession,
+            fact_path, dim_path,
+            fact_keys, dim_keys, fact_fk, dim_jk,
+            group_col, sum_cols,
+            mv_path, state_path,
+            target_files=target_files,
+        )
+
+    return (
+        trigger_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

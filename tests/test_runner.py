@@ -503,3 +503,36 @@ def test_cli_pin_catalog(spark, tmp_path, capsys):
     assert out["pins"] == {"corpus": 1}
     M.commit_append(spark, a, spark.range(5, 9).selectExpr("id as k"))
     assert M.read_pinned(spark, cat, "corpus").count() == 5
+
+
+def test_bench_record_merge_min():
+    """VERDICT r9 #6: two consecutive bench runs keep the better
+    per-query record (a contended rerun cannot clobber the idle min);
+    a changed query set starts a fresh record."""
+    import bench
+
+    run1 = {"wall_ts": "t1", "loadavg": [1.0], "value": 5.0}
+    run2 = {"wall_ts": "t2", "loadavg": [9.0], "value": 7.0}
+    prior = {
+        "queries": {"a": 2.0, "b": 3.0},
+        "value": 5.0,
+        "sf": 0.1,
+        "skew_demo": {"naive": 4.0, "aqe_skew": 2.0, "skew_split_in_plan": True},
+        "runs": [run1],
+    }
+    fresh = {
+        "queries": {"a": 3.0, "b": 2.5},
+        "value": 5.5,
+        "sf": 0.1,
+        "skew_demo": {"naive": 3.5, "aqe_skew": 2.5, "skew_split_in_plan": True},
+    }
+    out = bench._merge_min_record(prior, dict(fresh), run2)
+    assert out["queries"] == {"a": 2.0, "b": 2.5}
+    assert out["value"] == 4.5
+    assert out["skew_demo"]["naive"] == 3.5
+    assert out["skew_demo"]["aqe_skew"] == 2.0
+    assert out["skew_demo"]["skew_split_in_plan"] is True
+    assert out["runs"] == [run1, run2]
+    # different query set: fresh record, no fictional mins
+    other = {"queries": {"a": 3.0, "c": 1.0}, "value": 4.0, "sf": 0.1}
+    assert bench._merge_min_record(prior, dict(other), run2) == other

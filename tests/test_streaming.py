@@ -658,3 +658,71 @@ def test_ann_index_ingest_sink_stream_equals_batch_and_replay(spark, tmp_path):
     assert M.current_version(spark, ep) == v_e
     assert M.current_version(spark, kp) == v_k
     assert M.read_snapshot(spark, ep).count() == 50
+
+
+def test_join_matview_maintain_sink_stream_equals_batch_and_replay(
+    spark, tmp_path
+):
+    """Streaming JOIN-MV maintenance (r10): a manifest_stream-triggered
+    sink folds BOTH lakes' change feeds; after each drain the MV
+    equals the from-scratch join-aggregate; a fresh-checkpoint replay
+    redelivers every micro-batch and changes nothing (mvj dual-tag +
+    consumed-window repair)."""
+    from nba_pipeline_spark.sources import manifest as M
+    from nba_pipeline_spark.sources.lake_stream import register_lake_stream
+    from nba_pipeline_spark.streaming.sinks import join_matview_maintain_sink
+
+    fp, dp = str(tmp_path / "fact"), str(tmp_path / "dim")
+    mvp, stp = str(tmp_path / "mv"), str(tmp_path / "state")
+
+    def fact(rows):
+        return spark.createDataFrame(rows, "fk int, dk int, v bigint, ver int")
+
+    def dim(rows):
+        return spark.createDataFrame(rows, "dk int, grp string, ver int")
+
+    def recompute():
+        return {
+            (r["grp"], int(r["cnt"]), int(r["sv"]))
+            for r in M.read_snapshot(spark, fp).alias("f")
+            .join(M.read_snapshot(spark, dp).alias("d"), F.col("f.dk") == F.col("d.dk"))
+            .groupBy(F.col("d.grp").alias("grp"))
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("f.v").alias("sv"))
+            .collect()
+        }
+
+    def mv_rows():
+        return {
+            (r["grp"], int(r["cnt"]), int(r["sum_v"]))
+            for r in M.read_snapshot(spark, mvp).collect()
+        }
+
+    M.commit_append(spark, fp, fact([(1, 10, 100, 0), (2, 20, 200, 0)]))
+    M.commit_append(spark, dp, dim([(10, "a", 0), (20, "b", 0)]))
+    register_lake_stream(spark)
+
+    def drain(ckpt):
+        q = join_matview_maintain_sink(
+            spark.readStream.format("manifest_stream").option("path", fp).load(),
+            fp, dp, ["fk"], ["dk"], "dk", "dk", "grp", ["v"],
+            mvp, stp, str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    drain("ckpt")  # bootstrap
+    assert mv_rows() == recompute() == {("a", 1, 100), ("b", 1, 200)}
+
+    # BOTH lakes advance: fact append (triggers the stream) + dim MERGE
+    # moving dk=20 into group a (the trigger stream never sees it)
+    M.commit_upsert(spark, dp, dim([(20, "a", 1)]), ["dk"], "ver")
+    M.commit_append(spark, fp, fact([(3, 10, 50, 1)]))
+    drain("ckpt")
+    assert mv_rows() == recompute() == {("a", 3, 350)}
+
+    # full replay on a fresh checkpoint: every micro-batch redelivers,
+    # the maintainer no-ops (window already consumed) — no MV drift
+    mv_v, st_v = M.current_version(spark, mvp), M.current_version(spark, stp)
+    drain("ckpt_replay")
+    assert M.current_version(spark, mvp) == mv_v
+    assert M.current_version(spark, stp) == st_v
+    assert mv_rows() == recompute()
