@@ -241,6 +241,7 @@ def cmd_lake(args) -> int:
             spark, args.path, keep_versions=args.keep_versions,
             older_than_ts=older_than, dry_run=args.dry_run,
             pins=args.pins.split(",") if args.pins else None,
+            include_registered_pins=not args.no_pins,
         )
         key = "segments_reclaimable" if args.dry_run else "segments_deleted"
         print(json.dumps({key: n}))
@@ -649,7 +650,13 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--tag", default=None, help="pin-catalog: idempotency tag")
     lk.add_argument(
         "--pins", default=None,
-        help="vacuum: comma-separated catalog lakes whose pins must survive",
+        help="vacuum: comma-separated catalog lakes whose pins must survive "
+        "(registered catalogs are honored automatically)",
+    )
+    lk.add_argument(
+        "--no-pins", action="store_true",
+        help="vacuum: ignore catalogs registered on the lake and reclaim "
+        "their pinned versions deliberately",
     )
     ix = sub.add_parser("index")
     ix.add_argument("action", help="build|update|build-pq|delete")

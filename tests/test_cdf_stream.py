@@ -1,0 +1,150 @@
+"""spark.readStream.format("manifest_cdf"): the streaming change data
+feed (Delta readChangeFeed parity) — stream==batch against per-version
+snapshot_diff over MERGE / CoW delete / MoR tombstone / replaceWhere /
+restore / compaction histories, sharding invariance, checkpoint
+restart, and the NULL-key contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nba_pipeline_spark.sources import manifest as M
+from nba_pipeline_spark.sources.cdf_stream import register_cdf_stream
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "k int, grp string, v bigint")
+
+
+def _run(spark, lake, ckpt, out: list, **opts):
+    reader = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", lake)
+        .option("keys", "k")
+    )
+    for kk, val in opts.items():
+        reader = reader.option(kk, val)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _flat(rows):
+    """(k, op, old.grp, old.v, new.grp, new.v, version) set."""
+    out = set()
+    for r in rows:
+        old = (r["old"]["grp"], r["old"]["v"]) if r["old"] is not None else (None, None)
+        new = (r["new"]["grp"], r["new"]["v"]) if r["new"] is not None else (None, None)
+        out.add((r["k"], r["op"], *old, *new, r["_commit_version"]))
+    return out
+
+
+def _batch_feed(spark, lake, v_from, v_to):
+    """The batch truth: per-version valued snapshot_diff."""
+    out = set()
+    for v in range(v_from + 1, v_to + 1):
+        for r in M.snapshot_diff(
+            spark, lake, v - 1, v, ["k"], include_values=True
+        ).collect():
+            old = (r["old"]["grp"], r["old"]["v"]) if r["old"] is not None else (None, None)
+            new = (r["new"]["grp"], r["new"]["v"]) if r["new"] is not None else (None, None)
+            out.add((r["k"], r["op"], *old, *new, v))
+    return out
+
+
+def _history(spark, lake):
+    """v1 append, v2 append, v3 MERGE (update k=2's group, insert k=5),
+    v4 CoW delete k=1, v5 MoR tombstone k=3, v6 replaceWhere grp=c,
+    v7 compact (visibility no-op), v8 append."""
+    M.commit_append(spark, lake, _rows(spark, [(1, "a", 10), (2, "a", 20)]))
+    M.commit_append(spark, lake, _rows(spark, [(3, "b", 30), (4, "c", 40)]))
+    M.commit_upsert(
+        spark, lake,
+        spark.createDataFrame(
+            [(2, "b", 21, 1), (5, "c", 50, 1)],
+            "k int, grp string, v bigint, ver int",
+        ),
+        ["k"], "ver",
+    )
+    M.commit_delete(spark, lake, spark.createDataFrame([(1,)], "k int"), ["k"])
+    M.commit_delete_mor(
+        spark, lake, spark.createDataFrame([(3,)], "k int"), ["k"]
+    )
+    M.compact(spark, lake, target_files=1)  # folds the tombstone
+    M.commit_replace_where(
+        spark, lake, _rows(spark, [(6, "c", 60)]), eq={"grp": "c"}
+    )
+    M.commit_append(spark, lake, _rows(spark, [(7, "d", 70)]))
+
+
+def test_cdf_stream_equals_batch_feed(spark, tmp_path):
+    register_cdf_stream(spark)
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    _history(spark, lake)
+    v_to = M.current_version(spark, lake)
+    got: list = []
+    _run(spark, lake, ckpt, got)
+    want = _batch_feed(spark, lake, 0, v_to)
+    assert _flat(got) == want
+    # the compact version emitted nothing (dataChange=false parity)
+    compact_v = [
+        v for v in range(1, v_to + 1)
+        if M._read_manifest(spark, lake, v).get("op") == "compact"
+    ]
+    assert compact_v and all(
+        r["_commit_version"] not in compact_v for r in got
+    )
+    # restart from the checkpoint: only NEW commits arrive
+    M.commit_upsert(
+        spark, lake,
+        spark.createDataFrame(
+            [(7, "e", 71, 2)], "k int, grp string, v bigint, ver int"
+        ),
+        ["k"], "ver",
+    )
+    got2: list = []
+    _run(spark, lake, ckpt, got2)
+    assert _flat(got2) == _batch_feed(spark, lake, v_to, v_to + 1)
+    assert {r["op"] for r in got2} == {"update"}
+
+
+def test_cdf_stream_sharding_invariant(spark, tmp_path):
+    """cdf_shards=3 must emit exactly the same rows as the default
+    single-shard plan (hash-partitioned join, not sampling)."""
+    register_cdf_stream(spark)
+    lake = str(tmp_path / "lake")
+    _history(spark, lake)
+    one: list = []
+    three: list = []
+    _run(spark, lake, str(tmp_path / "c1"), one)
+    _run(spark, lake, str(tmp_path / "c3"), three, cdf_shards="3")
+    assert _flat(one) == _flat(three) and len(one) == len(three)
+
+
+def test_cdf_stream_starting_version_and_restore(spark, tmp_path):
+    register_cdf_stream(spark)
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a", 10)]))
+    M.commit_append(spark, lake, _rows(spark, [(2, "b", 20)]))
+    M.restore(spark, lake, 1)  # rows of v2 disappear again
+    got: list = []
+    _run(spark, lake, str(tmp_path / "ck"), got, starting_version="2")
+    assert _flat(got) == _batch_feed(spark, lake, 1, 3)
+    ops = {(r["k"], r["op"], r["_commit_version"]) for r in got}
+    assert ops == {(2, "insert", 2), (2, "delete", 3)}
+
+
+def test_cdf_stream_null_key_raises(spark, tmp_path):
+    register_cdf_stream(spark)
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a", 10), (None, "x", 0)]))
+    M.commit_replace(spark, lake, _rows(spark, [(1, "z", 11)]))
+    with pytest.raises(Exception, match="NULL key"):
+        got: list = []
+        _run(spark, lake, str(tmp_path / "ck"), got)

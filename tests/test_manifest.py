@@ -1527,11 +1527,13 @@ def test_vacuum_respects_catalog_pins(spark, tmp_path):
     # and the unpinned middle versions expired
     vs = M._manifest_versions(spark, a)
     assert 1 in vs and len(vs) == 3  # pinned v1 + newest 2
-    # without the pins guard the pin breaks (fresh twin lake)
+    # without the pins guard the pin breaks (fresh twin lake;
+    # register=False opts out of the r10 auto-registration, and
+    # include_registered_pins=False is the deliberate-reclaim path)
     b = str(tmp_path / "b")
     cat2 = str(tmp_path / "cat2")
     M.commit_append(spark, b, spark.range(3).selectExpr("id as k"))
-    M.pin_catalog(spark, cat2, {"corpus": b})
+    M.pin_catalog(spark, cat2, {"corpus": b}, register=False)
     for i in range(4):
         M.commit_append(
             spark, b, spark.range(20 + i, 22 + i).selectExpr("id as k")
@@ -1539,3 +1541,29 @@ def test_vacuum_respects_catalog_pins(spark, tmp_path):
     M.vacuum(spark, b, keep_versions=2)
     with pytest.raises(ValueError):
         M.read_pinned(spark, cat2, "corpus").count()
+
+
+def test_vacuum_discovers_registered_pins_by_default(spark, tmp_path):
+    """VERDICT r9 #5: pin_catalog registers itself on every pinned
+    lake, so a flagless vacuum honors the pins; --no-pins
+    (include_registered_pins=False) reclaims them deliberately."""
+    a = str(tmp_path / "a")
+    cat = str(tmp_path / "cat")
+    M.commit_append(spark, a, spark.range(3).selectExpr("id as k"))
+    M.pin_catalog(spark, cat, {"corpus": a})  # pins a@1 and registers
+    assert M.registered_catalogs(spark, a) == [cat]
+    # registration is idempotent: a second pin adds no catalogs entry
+    M.commit_append(spark, a, spark.range(3, 5).selectExpr("id as k"))
+    M.pin_catalog(spark, cat, {"corpus": a})
+    assert M.registered_catalogs(spark, a) == [cat]
+    for i in range(4):
+        M.commit_append(
+            spark, a, spark.range(10 + i, 12 + i).selectExpr("id as k")
+        )
+    M.vacuum(spark, a, keep_versions=2)  # NO pins flag
+    assert M.read_pinned(spark, cat, "corpus").count() == 5
+    assert M.read_pinned(spark, cat, "corpus", catalog_version=1).count() == 3
+    # deliberate reclaim: the opt-out expires the pinned versions
+    M.vacuum(spark, a, keep_versions=2, include_registered_pins=False)
+    with pytest.raises(ValueError):
+        M.read_pinned(spark, cat, "corpus").count()
