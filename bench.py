@@ -143,6 +143,12 @@ HEADLINE = [
     "q_manifest_catalog",
     "q_pack_nfd",
     "q_manifest_matview_part",
+    # round-10 session additions. q_manifest_cdf and q_stream_join_mv
+    # are excluded like q_manifest_stream: their latency is Structured
+    # Streaming micro-batch bring-up (engine-fixed seconds regardless
+    # of data volume), pinned in tests/test_cdf_stream.py /
+    # test_streaming.py instead.
+    "q_vacuum_pins",
 ]
 
 

@@ -89,90 +89,67 @@ from . import lake_queries  # noqa: E402,F401
 # backfill = the r2-era greens sampled longest ago, original order.
 # Names not present in the registry are skipped.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-9 ROTATION: lead with the round-9 registrations, then
-    # q_embed_pca (its r8 row was the one `err` — the raw array column
-    # crashed the driver's canonicalizer; now scalar-shaped and it
-    # needs a clean row), then the r7/r8 names and the oldest greens.
-    "q_ann_delete_propagate",
-    "q_manifest_sql_tombstone",
-    "q_manifest_sql_bloom",
-    "q_filter_attrition",
-    "q_length_buckets",
-    "q_ann_recall_eval",
-    "q_manifest_matview_join",
-    "q_corpus_takedown",
+    # ROUND-10 ROTATION (protocol: the driver samples the FIRST 50
+    # registry entries — lead with every query registered this round,
+    # plus q_manifest_unique whose STAGE changed this round (it now
+    # proves a MERGE refusal on top of the two append refusals), then
+    # backfill with the greens sampled longest ago: the full r1 cohort
+    # and the front of the r2 cohort, import order. The remaining
+    # r2/r3-era names were re-oracled wholesale this round via the
+    # recorded tools/local_verify.py sweep (VERDICT r9 #8, see
+    # COVERAGE.md) and keep rotating in oldest-first.
+    "q_manifest_cdf",
+    "q_stream_join_mv",
+    "q_vacuum_pins",
     "q_manifest_unique",
-    "q_udtf_chunks",
-    "q_manifest_catalog",
-    "q_pack_nfd",
-    "q_manifest_matview_part",
-    "q_embed_pca",
-    # round-7 registrations (driver-sampled r8)
-    "q_ann_pq_rerank",
-    "q_ann_ivfpq_rerank",
-    "q_ann_ivfpq_nprobe",
-    "q_bpe_first_merge",
-    "q_dedup_spans_incremental",
-    "q_manifest_rename",
-    "q_trigram_ppl",
-    "q_weighted_sample",
-    # round-8 session additions (skipped until registered)
-    "q_knn_join_pq",
-    "q_manifest_zorder_mapped",
-    "q_manifest_merge_mapped",
-    "q_manifest_backfill_chunked",
-    "q_pack_sequences",
-    "q_text_chunks",
-    "q_knn_join_pq_nprobe",
-    "q_pack_incremental",
-    "q_manifest_agg_meta",
-    "q_manifest_wap",
-    "q_manifest_keyed_join",
-    "q_manifest_agg_parts",
-    "q_manifest_token_search",
-    "q_manifest_sql_read",
-    "q_manifest_sql_write",
-    "q_manifest_stream_write",
-    "q_manifest_generated",
-    "q_manifest_widen",
-    "q_manifest_compact_small",
-    # backfill: r2-window greens longest since last sample, import order
-    "q_json_extract",
-    "q_array_ops",
-    "q_map_ops",
-    "q_cosine_topk",
-    "q_text_tokens",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_ngram_lsh",
-    "q_dedup_embedding",
-    "q_dedup_embedding_lsh",
-    "q_paragraph_dedup",
-    "q_dedup_incremental",
-    "q_mixture_sample",
-    "q_knn_join",
-    "q_knn_join_lsh",
-    "q_unigram_ppl",
-    "q_quality_classifier",
-    "q_tokenize_ids",
-    "q_corpus_shuffle",
-    "q_pagerank",
-    "q_bm25_topk",
-    "q_hybrid_rrf",
+    # r1-window greens (last driver-sampled in round 1)
+    "q_join_salted",
+    "q_agg_global",
+    "q_distinct",
+    "q_agg_group",
+    "q_agg_countdistinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_join_nullsafe",
+    # r2-window greens, import order
     "q_data_recipe",
-    "q_cdc_time_travel",
-    "q_triangle_count",
-    "q_basket_rules",
     "q_mv_maintain",
-    "q_mv_minmax_refresh",
     "q_stream_tumbling",
     "q_stream_sliding",
     "q_stream_session",
     "q_stream_interval_join",
-    "q_stream_enrich",
     "q_multimodal_chunks",
     "q_win_rank",
     "q_win_lag",
+    "q_win_running_sum",
+    "q_win_ffill",
+    "q_win_marker_fill",
+    "q_win_ntile",
+    "q_win_percent_rank",
+    "q_scd2_intervals",
+    "q_funnel",
+    "q_win_ordinal",
+    "q_gaps_islands",
+    "q_cohort_retention",
+    "q_skyline",
+    "q_hof_funcs",
+    "q_variant_extract",
+    "q_token_count",
+    "q_text_quality",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_dedup_fingerprint",
+    "q_dedup_simhash_pairs",
+    "q_dedup_ngram_jaccard",
+    "q_winnow_fingerprint",
+    "q_dedup_cluster",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_resample_1h",
+    "q_multimodal_meta",
+    "q_cdc_upsert",
 )
 
 
