@@ -3231,3 +3231,63 @@ register(
     GROUP BY o_orderstatus
     """,
 )
+
+
+def _cdf_matview_stage(spark: SparkSession, sf_dir: str) -> str:
+    """An MV lake maintained ENTIRELY by the streaming change feed:
+    cdf_matview_sink drains format("manifest_cdf") over the staged
+    MERGE/delete history — the retraction-aware composition the CDF
+    source exists for."""
+    root = _stage_dir(sf_dir, "orders", "cdf_matview")
+
+    def build():
+        from ..sources.cdf_stream import register_cdf_stream
+        from ..streaming.sinks import cdf_matview_sink
+
+        register_cdf_stream(spark)
+        lake = _cdf_lake(spark, sf_dir)
+        q = cdf_matview_sink(
+            spark.readStream.format("manifest_cdf")
+            .option("path", lake).option("keys", "o_orderkey").load(),
+            f"{root}/mv", ["o_orderstatus"], ["o_custkey"],
+            f"{root}/ckpt",
+        )
+        q.awaitTermination(300)
+
+    return _ensure_stage(root, build)
+
+
+def q_cdf_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-CDF-maintained materialized view
+    (streaming/sinks.py::cdf_matview_sink over format("manifest_cdf")):
+    inserts credit, deletes retract, updates move contributions
+    between groups — the MV equals the final snapshot's group-by,
+    recomputed by the oracle from the history's predicates."""
+    from ..operators.matview import read_matview
+
+    tune(spark)
+    root = _cdf_matview_stage(spark, sf_dir)
+    return read_matview(spark, f"{root}/mv").select(
+        "o_orderstatus",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("sum_o_custkey").cast("bigint").alias("sum_cust"),
+    )
+
+
+register(
+    "q_cdf_matview",
+    q_cdf_matview,
+    """
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 8 = 0
+                  THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+             o_orderstatus
+      FROM orders
+      WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderkey % 16 <> 0
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+    FROM final GROUP BY o_orderstatus
+    """,
+)

@@ -459,3 +459,63 @@ def join_matview_maintain_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cdf_matview_sink(
+    cdf_stream: DataFrame,
+    mv_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+    target_files: int | None = None,
+):
+    """Continuous single-table MV maintenance FROM the streaming
+    change feed (r10 — the retraction-aware consumer the manifest_cdf
+    source exists for): each micro-batch of valued change rows
+    ``(key..., op, old, new, _commit_version)`` folds into the MV lake
+    as ONE delta — `delta_contributions` is additive across the
+    versions a batch may span, so no per-version sequencing is needed.
+
+    Exactly-once via a ``cdfmv=<batch_id>`` tag on the MV publish (the
+    repo-wide foreachBatch discipline: replays redeliver the same
+    batch_id, the tag no-ops the replace; one checkpoint per sink —
+    a FRESH checkpoint re-delivers consumed data under batch 0 and the
+    tag correctly skips it). Versus `maintain_matview` (the
+    consume_feed driver loop): same fold, same MV lake, but the
+    engine's streaming checkpoint owns progress and the trigger can be
+    continuous. Empty batches publish nothing.
+
+    Returns the started streaming query (availableNow; await it)."""
+    from ..operators.matview import (
+        _mv_schema,
+        delta_contributions,
+        fold_delta,
+    )
+    from ..sources import manifest as M
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"cdfmv={batch_id}"
+        if tag in M.committed_tags(spark, mv_path):
+            return
+        if not batch_df.limit(1).count():
+            return
+        d = delta_contributions(batch_df, group_cols, sum_cols)
+        cur = M.current_version(spark, mv_path)
+        if cur is None:
+            mv = spark.createDataFrame(
+                [], _mv_schema(d, group_cols, sum_cols)
+            )
+        else:
+            mv = M.read_snapshot(spark, mv_path)
+        folded = fold_delta(mv, d, group_cols, sum_cols)
+        M.commit_replace(
+            spark, mv_path, folded, target_files=target_files, tag=tag
+        )
+
+    return (
+        cdf_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
