@@ -2758,15 +2758,21 @@ def _unique_lake(spark: SparkSession, sf_dir: str) -> str:
         # twice — MUST refuse, leaving no version behind (merge_upsert
         # guarantees one row per MERGE key, so the duplicate has to
         # cross groups; deterministic regardless of base multiplicity)
-        r0 = (
+        head = (
             M.read_snapshot(spark, lake)
-            .orderBy("o_orderkey").limit(1).collect()[0]
+            .orderBy("o_orderkey").limit(1).collect()
         )
-        r1 = (
+        if not head:
+            return  # degenerate (adversarial) shape: nothing to prove
+        r0 = head[0]
+        others = (
             M.read_snapshot(spark, lake)
             .filter(F.col("o_custkey") != r0["o_custkey"])
-            .orderBy("o_orderkey").limit(1).collect()[0]
+            .orderBy("o_orderkey").limit(1).collect()
         )
+        if not others:
+            return  # single-custkey shape: the two-group MERGE needs two
+        r1 = others[0]
         k_new = (
             M.read_snapshot(spark, lake)
             .agg(F.max("o_orderkey")).collect()[0][0] + 1000

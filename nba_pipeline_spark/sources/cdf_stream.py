@@ -178,11 +178,30 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         self._keys = keys
         self._shards = max(int(options.get("cdf_shards", "1")), 1)
         sv = options.get("starting_version")
+        sts = options.get("starting_timestamp")
+        if sv is not None and sts is not None:
+            raise ValueError(
+                "manifest_cdf: pass starting_version OR "
+                "starting_timestamp, not both"
+            )
         if sv is not None and str(sv).lower() == "latest":
             vs = _versions(path)
             self._start = vs[-1] if vs else 0
         elif sv is not None:
             self._start = int(sv) - 1  # version N's changes included
+        elif sts is not None:
+            # newest commit strictly BEFORE ts is the exclusive floor
+            # (Delta startingTimestamp: commits at-or-after ts stream)
+            ts = float(sts)
+            floor = 0
+            for v in _versions(path):
+                try:
+                    m_ts = float(_manifest(path, v).get("ts", 0.0))
+                except Exception:
+                    continue
+                if m_ts < ts:
+                    floor = v
+            self._start = floor
         else:
             self._start = 0
         # value schema pinned at stream start (restart to widen)

@@ -203,3 +203,119 @@ def test_cdf_matview_sink_stream_equals_recompute(spark, tmp_path):
     drain("ck2")
     assert M.current_version(spark, mv) == mv_v
     assert mv_rows() == recompute()
+
+
+def test_cdf_stream_starting_timestamp(spark, tmp_path):
+    register_cdf_stream(spark)
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a", 10)]))
+    import math
+
+    # one ulp past v1's ts: epoch-second doubles have ~2.4e-7 ulps, so
+    # a fixed epsilon below that silently rounds away
+    cut = math.nextafter(float(M._read_manifest(spark, lake, 1)["ts"]),
+                         math.inf)
+    M.commit_replace(spark, lake, _rows(spark, [(1, "z", 11), (2, "b", 20)]))
+    got: list = []
+    _run(spark, lake, str(tmp_path / "ck"), got,
+         starting_timestamp=str(cut))
+    # only the replace (v2) is at-or-after the cut: update + insert
+    assert {(r["k"], r["op"], r["_commit_version"]) for r in got} == {
+        (1, "update", 2), (2, "insert", 2),
+    }
+
+
+def test_cdf_stream_randomized_histories_match_batch(spark, tmp_path):
+    """Seeded random commit sequences (append / MERGE with moves and
+    inserts / CoW delete / MoR tombstone / replaceWhere / compact /
+    replace): the streamed feed must equal per-version valued
+    snapshot_diff for every version — the differential that pins the
+    candidate-segment bounding logic (removed/added/tombstone-affected
+    carried) against the JVM-side truth."""
+    import random
+
+    register_cdf_stream(spark)
+    rng = random.Random(1007)
+    for trial in range(3):
+        lake = str(tmp_path / f"lake{trial}")
+        ckpt = str(tmp_path / f"ck{trial}")
+        live = {}
+        nxt = [0]
+
+        def fresh_rows(n):
+            out = []
+            for _ in range(n):
+                k = nxt[0]
+                nxt[0] += 1
+                out.append((k, rng.choice("abc"), rng.randrange(100)))
+            return out
+
+        M.commit_append(spark, lake, _rows(spark, fresh_rows(6)))
+        for r in M.read_snapshot(spark, lake).collect():
+            live[r["k"]] = True
+        for _step in range(7):
+            op = rng.choice(
+                ["append", "merge", "delete", "delete_mor",
+                 "replace_where", "compact"]
+            )
+            keys = sorted(live)
+            # ops legitimately refuse some states (e.g. CoW/MERGE over
+            # pending MoR tombstones) — a refused step is a skipped
+            # step, the key bookkeeping below only runs on success
+            try:
+                if op == "append":
+                    M.commit_append(spark, lake, _rows(spark, fresh_rows(3)))
+                    for k in range(nxt[0] - 3, nxt[0]):
+                        live[k] = True
+                elif op == "merge" and keys:
+                    upd = rng.sample(keys, min(2, len(keys)))
+                    rows = [
+                        (k, rng.choice("abc"), rng.randrange(100), 1)
+                        for k in upd
+                    ] + [
+                        (k, g, v, 1) for k, g, v in fresh_rows(2)
+                    ]
+                    M.commit_upsert(
+                        spark, lake,
+                        spark.createDataFrame(
+                            rows, "k int, grp string, v bigint, ver int"
+                        ),
+                        ["k"], "ver",
+                    )
+                    for k in range(nxt[0] - 2, nxt[0]):
+                        live[k] = True
+                elif op in ("delete", "delete_mor") and len(keys) > 2:
+                    victims = rng.sample(keys, 2)
+                    df = spark.createDataFrame(
+                        [(k,) for k in victims], "k int"
+                    )
+                    if op == "delete":
+                        M.commit_delete(spark, lake, df, ["k"])
+                    else:
+                        M.commit_delete_mor(spark, lake, df, ["k"])
+                    for k in victims:
+                        live.pop(k, None)
+                elif op == "replace_where":
+                    grp = rng.choice("abc")
+                    stale = {
+                        r["k"] for r in M.read_snapshot(spark, lake)
+                        .filter(F.col("grp") == grp).collect()
+                    }
+                    rows = [(k, grp, v) for k, g, v in fresh_rows(2)]
+                    M.commit_replace_where(
+                        spark, lake, _rows(spark, rows), eq={"grp": grp}
+                    )
+                    for k in stale:
+                        live.pop(k, None)
+                    for k, _g, _v in rows:
+                        live[k] = True
+                else:
+                    M.compact(spark, lake, target_files=1)
+            except ValueError:
+                continue
+        v_to = M.current_version(spark, lake)
+        got: list = []
+        _run(spark, lake, ckpt, got)
+        assert _flat(got) == _batch_feed(spark, lake, 0, v_to), (
+            f"trial {trial} diverged"
+        )
