@@ -151,6 +151,7 @@ HEADLINE = [
     "q_vacuum_pins",
     "q_stream_join_mv",
     "q_cdf_matview",
+    "q_corpus_takedown_stream",
 ]
 
 

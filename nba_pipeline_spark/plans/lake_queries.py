@@ -3297,3 +3297,88 @@ register(
     FROM final GROUP BY o_orderstatus
     """,
 )
+
+
+def _takedown_stream_stage(spark: SparkSession, sf_dir: str) -> str:
+    """The q_corpus_takedown lakes, but the takedown arrives as a
+    VICTIM STREAM: two micro-batches of doc ids drive
+    takedown_ingest_sink (MoR mode — per-lake takedown=<batch> tags),
+    landing the identical survivor set as the batch composition."""
+    from ..operators import similarity as SIM
+    from ..streaming.sinks import takedown_ingest_sink
+
+    root = _stage_dir(sf_dir, "documents", "corpus_takedown_stream")
+    docsp, embp = f"{root}/docs", f"{root}/emb"
+    cp, cbp, kp = f"{root}/cent", f"{root}/books", f"{root}/codes"
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        M.commit_append(spark, docsp, docs, stats_cols=["doc_id"])
+        M.commit_append(spark, embp, emb, stats_cols=["vec_id"])
+        SIM.build_ivfpq_index(
+            spark, M.read_snapshot(spark, embp), "vec_id", "embedding",
+            8, 8, 32, cp, cbp, kp,
+        )
+        victims = sorted(
+            int(r["doc_id"])
+            for r in docs.filter(F.col("doc_id") % 53 == 0)
+            .select("doc_id").collect()
+        )
+        half = len(victims) // 2
+        for i, ids in enumerate([victims[:half], victims[half:]]):
+            spark.createDataFrame(
+                [(k,) for k in ids] or [(None,)], "doc_id long"
+            ).coalesce(1).write.parquet(f"{root}/victims/b{i}")
+        q = takedown_ingest_sink(
+            spark.readStream.schema("doc_id long")
+            .parquet(f"{root}/victims/b*"),
+            docsp, f"{root}/ckpt",
+            emb_path=embp, index_code_paths=[kp],
+            mode="mor",
+        )
+        q.awaitTermination(300)
+
+    _ensure_stage(root, build)
+    return root
+
+
+def q_corpus_takedown_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GDPR composition (streaming/sinks.py::
+    takedown_ingest_sink): victim-id micro-batches remove documents
+    AND every derived representation via per-lake tagged MoR
+    tombstones (exactly-once under replay) — the survivor set equals
+    the batch q_corpus_takedown's, and the oracle is the same
+    NOT-predicate over the source tables."""
+    tune(spark)
+    root = _takedown_stream_stage(spark, sf_dir)
+    n_emb = M.read_snapshot(spark, f"{root}/emb").count()
+    n_codes = M.read_snapshot(spark, f"{root}/codes").count()
+    return (
+        M.read_snapshot(spark, f"{root}/docs")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .withColumn("n_vectors", F.lit(n_emb).cast("bigint"))
+        .withColumn("n_codes", F.lit(n_codes).cast("bigint"))
+    )
+
+
+register(
+    "q_corpus_takedown_stream",
+    q_corpus_takedown_stream,
+    """
+    WITH victims AS (SELECT doc_id FROM documents WHERE doc_id % 53 = 0),
+    kept AS (SELECT * FROM documents
+             WHERE doc_id NOT IN (SELECT doc_id FROM victims)),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings
+          WHERE vec_id NOT IN (SELECT doc_id FROM victims))
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           v.n_vectors, v.n_vectors AS n_codes
+    FROM kept CROSS JOIN v
+    GROUP BY lang, v.n_vectors
+    """,
+)

@@ -519,3 +519,56 @@ def cdf_matview_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def takedown_ingest_sink(
+    victims_stream: DataFrame,
+    docs_path: str,
+    checkpoint_dir: str,
+    emb_path: str | None = None,
+    index_code_paths: list[str] | tuple = (),
+    doc_key: str = "doc_id",
+    vec_key: str = "vec_id",
+    mode: str = "mor",
+):
+    """Streaming GDPR / takedown (r10): each micro-batch of victim ids
+    runs the FULL `corpus_takedown` composition — index codes first,
+    then embeddings, then documents, so derived representations never
+    outlive their source and intermediate crash states only ever leave
+    the corpus MORE present than its derivatives.
+
+    ``mode="mor"`` (default) is the exactly-once path: every lake's
+    tombstone commit carries ``takedown=<batch_id>:<lake>``, so a
+    replayed micro-batch (and a crash-window redo that already landed
+    some lakes) no-ops per lake and completes the rest. ``mode="cow"``
+    rewrites bloom-positive segments immediately — idempotent in
+    CONTENT under replay but not in version count (CoW deletes are
+    untagged); use it for bounded backfills, not checkpointed streams.
+    Victim ids collect driver-side per batch — the bounded point-
+    delete premise `corpus_takedown` already states.
+
+    Returns the started streaming query (availableNow; await it)."""
+    from ..operators.similarity import corpus_takedown
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ids = [
+            r[doc_key]
+            for r in batch_df.select(doc_key).distinct().collect()
+            if r[doc_key] is not None
+        ]
+        if not ids:
+            return
+        corpus_takedown(
+            spark, sorted(ids), docs_path,
+            emb_path=emb_path, index_code_paths=index_code_paths,
+            doc_key=doc_key, vec_key=vec_key, mode=mode,
+            tag=f"takedown={batch_id}" if mode == "mor" else None,
+        )
+
+    return (
+        victims_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
