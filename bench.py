@@ -152,6 +152,7 @@ HEADLINE = [
     "q_stream_join_mv",
     "q_cdf_matview",
     "q_corpus_takedown_stream",
+    "q_manifest_cdf_recorded",
 ]
 
 

@@ -3382,3 +3382,69 @@ register(
     GROUP BY lang, v.n_vectors
     """,
 )
+
+
+def _cdf_recorded_lake(spark: SparkSession, sf_dir: str) -> str:
+    """A MERGE committed with record_cdf=True: the valued delta is
+    stored AT WRITE TIME (Delta _change_data parity) and the feed
+    below reads the recorded segment instead of re-diffing."""
+    lake = _stage_dir(sf_dir, "orders", "manifest_cdf_recorded")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        M.commit_append(spark, lake, orders.filter(F.col("o_orderkey") % 2 == 0))
+        changes = (
+            orders.filter(F.col("o_orderkey") % 4 == 0)
+            .withColumn("o_custkey", F.col("o_custkey") + F.lit(1000000))
+            .unionByName(orders.filter(F.col("o_orderkey") % 2 == 1))
+            .withColumn("ver", F.lit(1))
+        )
+        M.commit_upsert(
+            spark, lake, changes, keys=["o_orderkey"], version_col="ver",
+            record_cdf=True,
+        )
+        assert M._read_manifest(spark, lake, 2).get("cdf"), (
+            "the MERGE must have recorded its change segment"
+        )
+
+    return _ensure_stage(lake, build)
+
+
+def q_manifest_cdf_recorded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time recorded change data (sources/manifest.py::
+    commit_upsert(record_cdf=True) — Delta _change_data parity): the
+    MERGE stored its valued delta as a change segment, and this feed
+    census reads THAT segment (snapshot_diff's recorded fast path —
+    O(changes) I/O, zero joins) instead of re-diffing the rewrite
+    width. Oracle: each version's delta as predicates; unchanged
+    rewritten rows (%4==2) must NOT appear."""
+    tune(spark)
+    lake = _cdf_recorded_lake(spark, sf_dir)
+    feed = M.read_feed(spark, lake, ["o_orderkey"], 0)
+    return feed.groupBy(
+        F.col("version").cast("int").alias("version"), "op"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+    )
+
+
+register(
+    "q_manifest_cdf_recorded",
+    q_manifest_cdf_recorded,
+    """
+    WITH f AS (
+      SELECT 1 AS version, 'insert' AS op, o_orderkey
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 2, 'update', o_orderkey FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT 2, 'insert', o_orderkey FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT version, op, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM f GROUP BY version, op
+    """,
+)

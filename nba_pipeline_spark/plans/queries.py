@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_vacuum_pins",
     "q_cdf_matview",
     "q_corpus_takedown_stream",
+    "q_manifest_cdf_recorded",
     "q_manifest_unique",
     # r1-window greens (last driver-sampled in round 1)
     "q_join_salted",
@@ -149,7 +150,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_cluster",
     "q_ann_ivf",
     "q_ann_lsh",
-    "q_resample_1h",
 )
 
 

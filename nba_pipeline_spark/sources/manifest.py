@@ -79,6 +79,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_CDF_DIR = "cdf"  # write-time recorded change segments (r10)
 # Idempotency-tag retention: each manifest keeps the most recent
 # _MAX_TAGS tags (insertion order). Replay guards only need to cover
 # the possible redelivery horizon — a handful of batches — so 10k is
@@ -235,6 +236,7 @@ def _commit(
     deletes_fn=None,
     props_fn=None,
     min_version: int | None = None,
+    extra_keys: dict | None = None,
 ) -> int:
     """Publish a new manifest via rename-if-absent CAS.
 
@@ -336,6 +338,10 @@ def _commit(
         }
         if deletes:
             manifest["deletes"] = deletes
+        if extra_keys:
+            # version-scoped extras (e.g. the recorded change segment
+            # "cdf") — top-level manifest keys, NOT carried forward
+            manifest.update(extra_keys)
         # table properties (constraints, owner-defined config) carry
         # forward verbatim; props_fn(props) -> props mutates them
         props = dict(parent_m.get("props", {})) if parent_m else {}
@@ -3681,6 +3687,7 @@ def commit_upsert(
     max_tries: int = 5,
     allow_untag: bool = False,
     tag: str | None = None,
+    record_cdf: bool = False,
 ) -> int:
     """MERGE (SCD1 last-writer-wins upsert) into the manifest lake:
     read the current snapshot, fold `changes` with
@@ -3701,7 +3708,16 @@ def commit_upsert(
     FORFEITS pruning and partitioned MERGE — that's a hard error now
     (quiet pruning regressions on a fact table are worse than a
     retried call); pass ``allow_untag=True`` to opt into the
-    downgrade deliberately."""
+    downgrade deliberately.
+
+    ``record_cdf=True`` additionally stores THIS commit's valued delta
+    as a write-time change segment (Delta _change_data parity): the
+    merge already holds both sides, so the delta is one `_diff_frames`
+    over the CHANGE-KEY-restricted base and merged rows — O(changes)
+    extra write, and every downstream single-step `snapshot_diff` /
+    `read_feed` / `consume_feed` / MV refresh then reads it instead of
+    re-diffing the rewrite width. The restatement-heavy-CDC
+    optimization SCALE.md r10 names; unique-key premise as usual."""
     # tag pre-check before compute: a replayed tagged MERGE must no-op
     # without re-merging (and without re-running UNIQUE validation on a
     # snapshot that already contains it) — see commit_append
@@ -3747,6 +3763,30 @@ def commit_upsert(
         if uniq and not set(keys) <= set(uniq):
             _check_unique_dups(merged, uniq, path, "the MERGE output")
         seg = _write_segment(merged, path, target_files)
+        extra = None
+        if record_cdf:
+            # the write-time change segment: the SAME diff core
+            # snapshot_diff runs post-hoc, restricted to the change
+            # keys (non-change keys are provably identical across an
+            # upsert) — upserts never delete, so the recorded ops are
+            # insert/update only. The new side re-reads the freshly
+            # written segment (fresh lineage: merged derives from base,
+            # and diffing two frames that share lineage risks Spark's
+            # ambiguous-self-join resolution).
+            ckeys = changes.select(*keys).distinct()
+            new_r = _read_segments(spark, path, [seg]).join(
+                ckeys, on=list(keys), how="left_semi"
+            )
+            if base_version is None:  # fresh lineage, not new_r.limit(0)
+                old_r = spark.createDataFrame([], new_r.schema)
+            else:
+                old_r = base.join(ckeys, on=list(keys), how="left_semi")
+            delta = _diff_frames(old_r, new_r, keys, include_values=True)
+            cdf_seg = f"seg-{uuid.uuid4().hex[:12]}"
+            delta.write.mode("overwrite").parquet(
+                f"{path}/{_CDF_DIR}/{cdf_seg}"
+            )
+            extra = {"cdf": cdf_seg}
         try:
             # tombstones cleared: the snapshot read above applied them,
             # and the strict parent CAS forbids interleaved commits
@@ -3761,6 +3801,7 @@ def commit_upsert(
                 props_fn=_clear_colmap_after(
                     _schema_props_fn(spark, path, merged)
                 ),
+                extra_keys=extra,
             )
         except CommitConflict as e:
             last_err = e  # re-read the moved snapshot and re-merge
@@ -4429,10 +4470,36 @@ def snapshot_diff(
     TO-version's schema here — physical names are immutable, so the
     old snapshot's raw segments resolve under the new logical names
     exactly (`keys` are v_to's logical names). Columns dropped by
-    v_to leave the diff, the current-schema CDC contract."""
+    v_to leave the diff, the current-schema CDC contract.
+
+    RECORDED change data (r10, Delta _change_data parity): a writer
+    that passed ``record_cdf=True`` (commit_upsert) stored this
+    commit's valued delta as a change segment at write time — a
+    single-step diff then READS it instead of re-scanning the rewrite
+    width (O(changes) I/O, zero joins). The recorded frame was
+    produced by the SAME `_diff_frames` core on the change-key-
+    restricted inputs, so the two paths are interchangeable (pinned by
+    a differential pytest); recorded files keep their write-time
+    column names like Delta change files (a later rename recomputes
+    post-hoc instead — the recorded fast path only serves single-step
+    diffs whose schema matches v_to's)."""
     from pyspark.sql import functions as F
 
-    props_to = dict(_read_manifest(spark, path, v_to).get("props", {}))
+    m_to = _read_manifest(spark, path, v_to)
+    props_to = dict(m_to.get("props", {}))
+    if v_to == v_from + 1 and m_to.get("cdf"):
+        rec = spark.read.parquet(f"{path}/{_CDF_DIR}/{m_to['cdf']}")
+        sch = props_to.get("schema")
+        want = set(keys) | {"op", "old", "new"}
+        cols_ok = set(rec.columns) == want and (
+            sch is None
+            or [f.name for f in rec.schema["old"].dataType.fields]
+            == [n for n, _ in sch["cols"] if n not in keys]
+        )
+        if cols_ok:
+            if include_values:
+                return rec.select(*keys, "op", "old", "new")
+            return rec.select(*keys, "op")
 
     def _snap(version: int) -> DataFrame:
         if not _has_colmap(props_to):
@@ -4447,15 +4514,30 @@ def snapshot_diff(
         )
         return _project_logical(raw, props_to)
 
-    b = _snap(v_to).withColumn("__in_b", F.lit(1))
+    b_frame = _snap(v_to)
     if v_from == 0:  # version 0 = the empty table before the first commit
         # fresh lineage (createDataFrame, not b.limit(0)) so the join
         # below isn't a self-join with ambiguous column references
-        a = spark.createDataFrame(
-            [], _snap(v_to).schema
-        ).withColumn("__in_a", F.lit(1))
+        a_frame = spark.createDataFrame([], _snap(v_to).schema)
     else:
-        a = _snap(v_from).withColumn("__in_a", F.lit(1))
+        a_frame = _snap(v_from)
+    return _diff_frames(a_frame, b_frame, keys, include_values)
+
+
+def _diff_frames(
+    a_frame: DataFrame,
+    b_frame: DataFrame,
+    keys: list[str],
+    include_values: bool,
+) -> DataFrame:
+    """The diff core `snapshot_diff` and the write-time CDF recorder
+    share: one null-safe full-outer join of old-vs-new on the keys,
+    per-column null-safe change test, (key..., op[, old, new]) out —
+    unchanged rows leave the plan."""
+    from pyspark.sql import functions as F
+
+    a = a_frame.withColumn("__in_a", F.lit(1))
+    b = b_frame.withColumn("__in_b", F.lit(1))
     val_cols = [c for c in b.columns if c not in keys and c != "__in_b"]
     cond = None
     for k in keys:
@@ -5464,14 +5546,20 @@ def vacuum(
     fs, _ = _fs(spark, path)
     live: set[str] = set()
     ever_committed: set[str] = set()  # referenced by ANY manifest, incl. expired
+    live_cdf: set[str] = set()
+    ever_cdf: set[str] = set()
     for v in versions:
         m = _read_manifest(spark, path, v)
         # tombstone segments are as live as data segments: a retained
         # manifest's reads depend on them for the merge-on-read anti join
         segs = list(m["segments"]) + list(m.get("deletes", []))
         ever_committed.update(segs)
+        if m.get("cdf"):
+            ever_cdf.add(m["cdf"])
         if v in keep:
             live.update(segs)
+            if m.get("cdf"):  # recorded change segments live with their version
+                live_cdf.add(m["cdf"])
     for v in versions:
         if v not in keep and not dry_run:
             fs.delete(_jpath(spark, f"{path}/{_MANIFEST_DIR}/v{v:08d}.json"), False)
@@ -5523,6 +5611,19 @@ def vacuum(
             # its manifest rename, and deleting it would dangle the
             # winner's manifest.
             if name in ever_committed or now_ms - st.getModificationTime() > 600_000:
+                if not dry_run:
+                    fs.delete(st.getPath(), True)
+                n += 1
+    # recorded change segments (write-time CDF) follow their version's
+    # retention: expired-version deltas reclaim, retained ones stay
+    cdir = f"{path}/{_CDF_DIR}"
+    jcdir = _jpath(spark, cdir)
+    if fs.exists(jcdir):
+        for st in fs.listStatus(jcdir):
+            name = st.getPath().getName()
+            if name in live_cdf:
+                continue
+            if name in ever_cdf or now_ms - st.getModificationTime() > 600_000:
                 if not dry_run:
                     fs.delete(st.getPath(), True)
                 n += 1

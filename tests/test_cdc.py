@@ -373,3 +373,114 @@ def test_maintain_sink_works_on_uri_scheme_view_path(spark, tmp_path):
     got2 = {(r["k"], r["cnt"], float(r["total"]))
             for r in read_maintained_view(spark, view_uri).collect()}
     assert got2 == got
+
+
+# ---------------------------------------------- write-time recorded CDF (r10)
+
+
+def test_recorded_cdf_equals_computed(spark, tmp_path):
+    """commit_upsert(record_cdf=True) stores the commit's valued delta
+    at write time; snapshot_diff's recorded fast path must equal the
+    post-hoc diff of the two snapshots — including NULL→value /
+    value→NULL transitions, group moves, inserts, and a change row
+    identical to its base row (which must NOT appear)."""
+    from nba_pipeline_spark.sources import manifest as M
+    from nba_pipeline_spark.sources.manifest import _diff_frames
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", None), (3, "b", 30), (4, "b", 40)],
+            "k int, grp string, v bigint",
+        ),
+    )
+    M.commit_upsert(
+        spark, lake,
+        spark.createDataFrame(
+            [
+                (2, "a", 21, 1),      # NULL -> value
+                (3, "c", None, 1),    # group move + value -> NULL
+                (4, "b", 40, 1),      # identical: must not appear
+                (5, "c", 50, 1),      # insert
+            ],
+            "k int, grp string, v bigint, ver int",
+        ),
+        ["k"], "ver", record_cdf=True,
+    )
+    assert M._read_manifest(spark, lake, 2).get("cdf")
+
+    def flat(df):
+        out = set()
+        for r in df.collect():
+            old = (r["old"]["grp"], r["old"]["v"]) if r["old"] else (None, None)
+            new = (r["new"]["grp"], r["new"]["v"]) if r["new"] else (None, None)
+            out.add((r["k"], r["op"], *old, *new))
+        return out
+
+    recorded = flat(M.snapshot_diff(spark, lake, 1, 2, ["k"], include_values=True))
+    computed = flat(_diff_frames(
+        M.read_snapshot(spark, lake, version=1),
+        M.read_snapshot(spark, lake, version=2),
+        ["k"], include_values=True,
+    ))
+    assert recorded == computed
+    assert (2, "update", "a", None, "a", 21) in recorded
+    assert not any(k == 4 for k, *_ in recorded)
+    # keys-only read works off the same recorded segment
+    ops = {(r["k"], r["op"]) for r in M.snapshot_diff(spark, lake, 1, 2, ["k"]).collect()}
+    assert ops == {(2, "update"), (3, "update"), (5, "insert")}
+
+
+def test_recorded_cdf_feeds_matview_and_vacuum(spark, tmp_path):
+    """A mixed history (recorded and post-hoc commits) drives the MV
+    maintainer to the same result as a recompute, and vacuum reclaims
+    the change segment exactly when its version expires."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.operators import matview as MV
+    from nba_pipeline_spark.sources import manifest as M
+
+    lake, mv, state = (str(tmp_path / d) for d in ("lake", "mv", "st"))
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k int, grp string, v bigint"
+        ),
+    )
+    M.commit_upsert(
+        spark, lake,
+        spark.createDataFrame(
+            [(1, "b", 11, 1), (3, "a", 30, 1)],
+            "k int, grp string, v bigint, ver int",
+        ),
+        ["k"], "ver", record_cdf=True,
+    )
+    M.commit_delete(spark, lake, spark.createDataFrame([(2,)], "k int"), ["k"])
+    MV.maintain_matview(spark, lake, ["k"], mv, ["grp"], ["v"], state)
+    got = {
+        (r["grp"], r["cnt"], r["sum_v"])
+        for r in MV.read_matview(spark, mv).collect()
+    }
+    want = {
+        (r["grp"], r["cnt"], r["sum_v"])
+        for r in M.read_snapshot(spark, lake).groupBy("grp").agg(
+            F.count("*").alias("cnt"), F.sum("v").alias("sum_v")
+        ).collect()
+    }
+    assert got == want
+    # retention: the v2 change segment lives while v2 is retained...
+    cdf_seg = M._read_manifest(spark, lake, 2)["cdf"]
+    cdf_dir = os.path.join(lake, "cdf", cdf_seg)
+    M.vacuum(spark, lake, keep_versions=2)  # keeps v2, v3
+    assert os.path.isdir(cdf_dir)
+    assert M.snapshot_diff(spark, lake, 1, 2, ["k"]).count() == 2
+    # ...and reclaims with it
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame([(9, "z", 9)], "k int, grp string, v bigint"),
+    )
+    M.vacuum(spark, lake, keep_versions=2)  # v2 expires
+    assert not os.path.isdir(cdf_dir)
