@@ -3823,8 +3823,15 @@ def commit_upsert_partitioned(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     tag: str | None = None,
+    record_cdf: bool = False,
 ) -> int:
     """Fact-scale MERGE: rewrite ONLY the partitions the changes touch.
+    ``record_cdf=True`` stores the commit's valued delta at write time
+    like `commit_upsert` — on THIS path it matters most: a CDC batch
+    touching 3 of 10,000 partitions rewrites 3, and the recorded
+    segment saves every downstream single-step diff from re-reading
+    even those 3 (O(changes) I/O; logical names, so column-mapped
+    lakes read back exactly what snapshot_diff would compute).
     Requires every current segment to carry ``part`` metadata for
     `part_col` (i.e. the lake was written partition-tagged) — raises
     otherwise, because an untagged segment could hide rows of a touched
@@ -3873,6 +3880,7 @@ def commit_upsert_partitioned(
 
     _p0 = _latest_props(spark, path)
     logical_changes = changes
+    logical_keys = list(keys)
     changes = _to_physical(changes, _p0)
     part_col = _physical(_p0, part_col)
     keys = [_physical(_p0, k) for k in keys]
@@ -3956,6 +3964,31 @@ def commit_upsert_partitioned(
                     _read_segments(spark, path, untouched),
                     "the MERGE output",
                 )
+        extra = None
+        if record_cdf:
+            # the write-time change segment (see commit_upsert):
+            # restricted to the change keys — carried rows inside the
+            # touched partitions are identical on both sides anyway.
+            # Both sides project to LOGICAL names so the recorded frame
+            # is exactly what snapshot_diff computes post-hoc; merged is
+            # checkpointed above, so the diff isn't a self-join.
+            ckeys = changes.select(*keys).distinct()
+            new_r = merged.join(ckeys, on=list(keys), how="left_semi")
+            if touched:
+                old_r = base.join(ckeys, on=list(keys), how="left_semi")
+            else:
+                old_r = spark.createDataFrame([], new_r.schema)
+            delta = _diff_frames(
+                _project_logical(old_r, _p0),
+                _project_logical(new_r, _p0),
+                logical_keys,
+                include_values=True,
+            )
+            cdf_seg = f"seg-{uuid.uuid4().hex[:12]}"
+            delta.write.mode("overwrite").parquet(
+                f"{path}/{_CDF_DIR}/{cdf_seg}"
+            )
+            extra = {"cdf": cdf_seg}
         new_segs: dict[str, dict] = {}
         for p in parts:
             part_df = merged.filter(  # eqNullSafe: NULL is a valid partition
@@ -3995,6 +4028,7 @@ def commit_upsert_partitioned(
                 props_fn=_schema_props_fn(
                     spark, path, logical_changes.drop(version_col)
                 ),
+                extra_keys=extra,
             )
         except CommitConflict as e:
             last_err = e

@@ -484,3 +484,62 @@ def test_recorded_cdf_feeds_matview_and_vacuum(spark, tmp_path):
     )
     M.vacuum(spark, lake, keep_versions=2)  # v2 expires
     assert not os.path.isdir(cdf_dir)
+
+
+def test_recorded_cdf_partitioned_and_column_mapped(spark, tmp_path):
+    """record_cdf on the fact-scale partitioned MERGE: the recorded
+    delta equals the post-hoc snapshot diff — including on a
+    COLUMN-MAPPED lake, where the recorded frame must carry logical
+    names (physical segments, logical feed)."""
+    from nba_pipeline_spark.sources import manifest as M
+    from nba_pipeline_spark.sources.manifest import _diff_frames
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame(
+            [(1, "p1", 10), (2, "p1", 20)], "k int, part string, v bigint"
+        ),
+        partition={"part": "p1"},
+    )
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame([(3, "p2", 30)], "k int, part string, v bigint"),
+        partition={"part": "p2"},
+    )
+    M.rename_column(spark, lake, "v", "val")  # column-mapped from here
+    M.commit_upsert_partitioned(
+        spark, lake,
+        spark.createDataFrame(
+            [(2, "p1", 21, 1), (4, "p1", 40, 1)],
+            "k int, part string, val bigint, ver int",
+        ),
+        keys=["k"], version_col="ver", part_col="part",
+        record_cdf=True,
+    )
+    v = M.current_version(spark, lake)
+    assert M._read_manifest(spark, lake, v).get("cdf")
+
+    def flat(df):
+        out = set()
+        for r in df.collect():
+            old = (r["old"]["part"], r["old"]["val"]) if r["old"] else (None, None)
+            new = (r["new"]["part"], r["new"]["val"]) if r["new"] else (None, None)
+            out.add((r["k"], r["op"], *old, *new))
+        return out
+
+    recorded = flat(
+        M.snapshot_diff(spark, lake, v - 1, v, ["k"], include_values=True)
+    )
+    computed = flat(_diff_frames(
+        M.read_snapshot(spark, lake, version=v - 1),
+        M.read_snapshot(spark, lake, version=v),
+        ["k"], include_values=True,
+    ))
+    assert recorded == computed
+    assert recorded == {
+        (2, "update", "p1", 20, "p1", 21),
+        (4, "insert", None, None, "p1", 40),
+    }
+    # untouched-partition rows (k=3) and unchanged rows (k=1) absent
+    assert not any(k in (1, 3) for k, *_ in recorded)
