@@ -72,6 +72,8 @@ from .lake_stream import (
     _versions,
 )
 
+_CDF_DIR = "cdf"  # write-time recorded change segments (manifest.py)
+
 # visibility-preserving rewrite ops: segments move, rows don't
 _DATACHANGE_FALSE = {
     "compact", "compact_small", "zorder",
@@ -91,7 +93,7 @@ def _schema_triples(path: str, v: int) -> list[list[str]]:
     return [[n, t, cm.get(n, n)] for n, t in sch["cols"]]
 
 
-def _seg_files(path: str, s: str) -> list[str]:
+def _seg_files(path: str, s: str, base_dir: str = _DATA_DIR) -> list[str]:
     from pyarrow import fs as pafs
 
     fs, norm = _pafs(path)
@@ -100,8 +102,8 @@ def _seg_files(path: str, s: str) -> list[str]:
     elif s.startswith("/"):
         dir_uri, seg_fs, seg_dir = s, fs, s
     else:
-        dir_uri = _join(path, _DATA_DIR, s)
-        seg_fs, seg_dir = fs, _join(norm, _DATA_DIR, s)
+        dir_uri = _join(path, base_dir, s)
+        seg_fs, seg_dir = fs, _join(norm, base_dir, s)
     infos = seg_fs.get_file_info(pafs.FileSelector(seg_dir))
     return [
         _join(dir_uri, info.base_name)
@@ -217,10 +219,66 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         vs = _versions(self._path)
         return {"version": vs[-1] if vs else 0}
 
+    def _rec_files(self, m1: dict) -> list[str]:
+        """Parquet files of a WRITE-TIME recorded change segment
+        (commit_upsert(record_cdf=True)) IF its schema matches the
+        pinned stream schema exactly — key names/types and old/new
+        struct fields alike (a post-widening or post-rename recording
+        mismatch falls back to the computed diff, same stance as
+        snapshot_diff's batch fast path). Planning-side cost: one
+        parquet footer read."""
+        seg = m1.get("cdf")
+        if not seg:
+            return []
+        files = _seg_files(self._path, seg, base_dir=_CDF_DIR)
+        if not files:
+            return []
+        import pyarrow.parquet as pq
+
+        fs, norm = _pafs(files[0])
+        sch = pq.read_schema(norm, filesystem=fs)
+        vals = [
+            (n, t) for n, t, _ in self._triples if n not in self._keys
+        ]
+        try:
+            names_ok = (
+                set(sch.names) == set(self._keys) | {"op", "old", "new"}
+                and [f.name for f in sch.field("old").type]
+                == [n for n, _ in vals]
+                and [f.name for f in sch.field("new").type]
+                == [n for n, _ in vals]
+            )
+            if not names_ok:
+                return []
+            for k in self._keys:
+                want = _pa_type(
+                    next(t for n, t, _ in self._triples if n == k),
+                    files[0], k,
+                )
+                if sch.field(k).type != want:
+                    return []
+            for side in ("old", "new"):
+                st = sch.field(side).type
+                for n, t in vals:
+                    if st.field(n).type != _pa_type(t, files[0], n):
+                        return []
+        except (KeyError, StopIteration):
+            return []
+        return files
+
     def _plan_version(self, v: int) -> list:
         m1 = _manifest(self._path, v)
         if m1.get("op") in _DATACHANGE_FALSE:
             return []
+        rec = self._rec_files(m1)
+        if rec:
+            # the writer recorded this commit's delta: emit it verbatim
+            # — O(changes) per-file partitions even for a rewrite that
+            # touched the whole table, no candidate reads, no join
+            return [
+                InputPartition(("rec", v, f, self._keys, self._triples))
+                for f in rec
+            ]
         m0 = _manifest(self._path, v - 1) if v > 1 else None
         segs0 = list(m0["segments"]) if m0 else []
         segs1 = list(m1["segments"])
@@ -338,6 +396,20 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         if partition.value is None:
             return
         kind = partition.value[0]
+        if kind == "rec":
+            # write-time recorded change file: schema pre-validated at
+            # planning — append the version and emit verbatim
+            _, v, fname, keys, triples = partition.value
+            self._keys, self._triples = keys, triples
+            import pyarrow.parquet as pq
+
+            fs, norm = _pafs(fname)
+            t = pq.read_table(norm, filesystem=fs)
+            t = t.select(self._keys + ["op", "old", "new"])
+            yield from t.append_column(
+                "_commit_version", pa.array([v] * t.num_rows, pa.int32())
+            ).to_batches()
+            return
         if kind == "ins":
             _, v, fname, keys, triples = partition.value
             self._keys, self._triples = keys, triples

@@ -4257,6 +4257,7 @@ def commit_delete(
     target_files: int | None = None,
     max_tries: int = 5,
     bloom_probe_cap: int = 1024,
+    record_cdf: bool = False,
 ) -> int:
     """Row-level DELETE, copy-on-write: rewrite ONLY the segments whose
     key range can contain a delete key (same one-job stats
@@ -4281,10 +4282,17 @@ def commit_delete(
     Column-mapped lakes: the delete batch and key/stats columns
     translate to physical names (segments are uniform-physical, the
     anti-join and the by-name transfer both stay sound); carried-over
-    segment metadata is already physical."""
+    segment metadata is already physical.
+
+    ``record_cdf=True`` stores the deleted rows as a write-time change
+    segment (op='delete' with the old values — see commit_upsert): the
+    victims are one semi-join of the TOUCHED segments the delete reads
+    anyway, so the recording costs O(deleted rows), and downstream
+    single-step diffs skip re-reading the rewrite width."""
     from pyspark.sql import functions as F  # noqa: F401  (parity w/ siblings)
 
     _p0 = _latest_props(spark, path)
+    logical_keys = list(keys)
     deletes = _to_physical(deletes, _p0)
     keys = [_physical(_p0, k) for k in keys]
     stats_key = _physical(_p0, stats_key) if stats_key else None
@@ -4312,6 +4320,34 @@ def commit_delete(
             spark, m, touched, key_df, stats_key, bloom_probe_cap
         )
         untouched = untouched + cleared
+        extra = None
+        if record_cdf:
+            # the write-time change segment: deleted rows with their
+            # old values (LOGICAL names, the snapshot_diff contract) —
+            # only the touched segments are read, and they're the ones
+            # the rewrite below reads anyway
+            if touched:
+                vict = _project_logical(
+                    _read_segments(spark, path, touched).join(
+                        key_df, on=list(keys), how="left_semi"
+                    ),
+                    _p0,
+                )
+            else:
+                vict = read_snapshot(
+                    spark, path, version=base_version
+                ).limit(0)
+            delta = _diff_frames(
+                vict,
+                spark.createDataFrame([], vict.schema),
+                logical_keys,
+                include_values=True,
+            )
+            cdf_seg = f"seg-{uuid.uuid4().hex[:12]}"
+            delta.write.mode("overwrite").parquet(
+                f"{path}/{_CDF_DIR}/{cdf_seg}"
+            )
+            extra = {"cdf": cdf_seg}
         new_segs: dict[str, dict] = {}
         for s in touched:
             remaining = _read_segments(spark, path, [s]).join(
@@ -4340,6 +4376,7 @@ def commit_delete(
                 _segments,
                 expected_parent=base_version,
                 meta_fn=_meta,
+                extra_keys=extra,
             )
         except CommitConflict as e:
             last_err = e

@@ -543,3 +543,40 @@ def test_recorded_cdf_partitioned_and_column_mapped(spark, tmp_path):
     }
     # untouched-partition rows (k=3) and unchanged rows (k=1) absent
     assert not any(k in (1, 3) for k, *_ in recorded)
+
+
+def test_recorded_cdf_delete_path(spark, tmp_path):
+    """commit_delete(record_cdf=True): the recorded op='delete' rows
+    carry the old values and equal the post-hoc diff; absent keys
+    record nothing; the recorded segment streams through manifest_cdf
+    identically to the computed twin."""
+    from nba_pipeline_spark.sources import manifest as M
+    from nba_pipeline_spark.sources.manifest import _diff_frames
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "b", 30)],
+            "k int, grp string, v bigint",
+        ),
+        stats_cols=["k"],
+    )
+    M.commit_delete(
+        spark, lake,
+        spark.createDataFrame([(2,), (99,)], "k int"),  # 99 absent
+        ["k"], record_cdf=True,
+    )
+    v = M.current_version(spark, lake)
+    assert M._read_manifest(spark, lake, v).get("cdf")
+    rec = M.snapshot_diff(spark, lake, v - 1, v, ["k"], include_values=True)
+    rows = rec.collect()
+    assert [(r["k"], r["op"], r["old"]["grp"], r["old"]["v"], r["new"])
+            for r in rows] == [(2, "delete", "b", 20, None)]
+    flat = {(r["k"], r["op"]) for r in rows}
+    computed = _diff_frames(
+        M.read_snapshot(spark, lake, version=v - 1),
+        M.read_snapshot(spark, lake, version=v),
+        ["k"], include_values=True,
+    )
+    assert flat == {(r["k"], r["op"]) for r in computed.collect()}

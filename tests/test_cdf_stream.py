@@ -319,3 +319,43 @@ def test_cdf_stream_randomized_histories_match_batch(spark, tmp_path):
         assert _flat(got) == _batch_feed(spark, lake, 0, v_to), (
             f"trial {trial} diverged"
         )
+
+
+def test_cdf_stream_serves_recorded_change_segments(spark, tmp_path):
+    """A MERGE committed with record_cdf=True streams from its
+    recorded change segment: the planner emits 'rec' partitions (no
+    candidate reads, no join) and the rows equal the computed path's
+    on an identical unrecorded twin history."""
+    from nba_pipeline_spark.sources.cdf_stream import ManifestCDFStreamReader
+
+    register_cdf_stream(spark)
+
+    def history(lake, record):
+        M.commit_append(spark, lake, _rows(spark, [(1, "a", 10), (2, "a", 20)]))
+        M.commit_upsert(
+            spark, lake,
+            spark.createDataFrame(
+                [(2, "b", 21, 1), (3, "c", 30, 1)],
+                "k int, grp string, v bigint, ver int",
+            ),
+            ["k"], "ver", record_cdf=record,
+        )
+
+    rec_lake = str(tmp_path / "rec")
+    cmp_lake = str(tmp_path / "cmp")
+    history(rec_lake, True)
+    history(cmp_lake, False)
+    # planner: version 2 of the recorded lake plans 'rec' partitions
+    rdr = ManifestCDFStreamReader({"path": rec_lake, "keys": "k"})
+    kinds = {p.value[0] for p in rdr._plan_version(2)}
+    assert kinds == {"rec"}
+    rdr2 = ManifestCDFStreamReader({"path": cmp_lake, "keys": "k"})
+    kinds2 = {p.value[0] for p in rdr2._plan_version(2)}
+    assert kinds2 == {"diff"}
+    got_rec: list = []
+    got_cmp: list = []
+    _run(spark, rec_lake, str(tmp_path / "ck1"), got_rec)
+    _run(spark, cmp_lake, str(tmp_path / "ck2"), got_cmp)
+    assert _flat(got_rec) == _flat(got_cmp)
+    assert {(r["k"], r["op"]) for r in got_rec if r["_commit_version"] == 2} \
+        == {(2, "update"), (3, "insert")}
