@@ -391,7 +391,6 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
 
     def read(self, partition):
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         if partition.value is None:
             return
