@@ -3092,7 +3092,7 @@ register(
       FROM orders WHERE o_orderkey % 4 = 1
       UNION ALL
       SELECT 3, 'update', o_orderkey, o_custkey + 1000000
-      FROM orders WHERE o_orderkey % 8 = 0
+      FROM orders WHERE o_orderkey % 8 = 0 AND o_custkey IS NOT NULL
       UNION ALL
       SELECT 3, 'insert', o_orderkey, o_custkey
       FROM orders WHERE o_orderkey % 4 = 2
@@ -3439,7 +3439,8 @@ register(
       SELECT 1 AS version, 'insert' AS op, o_orderkey
       FROM orders WHERE o_orderkey % 2 = 0
       UNION ALL
-      SELECT 2, 'update', o_orderkey FROM orders WHERE o_orderkey % 4 = 0
+      SELECT 2, 'update', o_orderkey
+      FROM orders WHERE o_orderkey % 4 = 0 AND o_custkey IS NOT NULL
       UNION ALL
       SELECT 2, 'insert', o_orderkey FROM orders WHERE o_orderkey % 2 = 1
     )
