@@ -281,6 +281,10 @@ def test_cdf_stream_randomized_histories_match_batch(spark, tmp_path):
                             rows, "k int, grp string, v bigint, ver int"
                         ),
                         ["k"], "ver",
+                        # randomly record the delta at write time: the
+                        # stream must be indistinguishable across the
+                        # recorded and computed paths
+                        record_cdf=rng.random() < 0.5,
                     )
                     for k in range(nxt[0] - 2, nxt[0]):
                         live[k] = True
@@ -290,7 +294,10 @@ def test_cdf_stream_randomized_histories_match_batch(spark, tmp_path):
                         [(k,) for k in victims], "k int"
                     )
                     if op == "delete":
-                        M.commit_delete(spark, lake, df, ["k"])
+                        M.commit_delete(
+                            spark, lake, df, ["k"],
+                            record_cdf=rng.random() < 0.5,
+                        )
                     else:
                         M.commit_delete_mor(spark, lake, df, ["k"])
                     for k in victims:
