@@ -4654,15 +4654,18 @@ def read_feed(
     keys: list[str],
     v_from: int,
     v_to: int | None = None,
+    include_values: bool = False,
 ) -> DataFrame:
     """Change data feed for every commit in (v_from, v_to]: the batch
     twin of `consume_feed` — one (key..., op, version) row per change,
     one `snapshot_diff` per version step so each change attributes to
-    the commit that made it. ``v_from=0`` means "from the beginning"
-    (the first commit's rows all surface as inserts). Raises if a
-    needed manifest was vacuumed — an incremental consumer that fell
-    behind retention must re-bootstrap from a full snapshot, not
-    silently skip changes."""
+    the commit that made it. ``include_values=True`` adds the old/new
+    structs (consume_feed parity — Delta readChangeFeed's batch form);
+    recorded change segments serve their steps either way.
+    ``v_from=0`` means "from the beginning" (the first commit's rows
+    all surface as inserts). Raises if a needed manifest was vacuumed
+    — an incremental consumer that fell behind retention must
+    re-bootstrap from a full snapshot, not silently skip changes."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -4678,9 +4681,9 @@ def read_feed(
             f"{missing}: re-bootstrap from a snapshot ({path})"
         )
     parts = [
-        snapshot_diff(spark, path, v - 1, v, keys).withColumn(
-            "version", F.lit(v)
-        )
+        snapshot_diff(
+            spark, path, v - 1, v, keys, include_values=include_values
+        ).withColumn("version", F.lit(v))
         for v in range(v_from + 1, v_to + 1)
     ]
     if not parts:

@@ -580,3 +580,35 @@ def test_recorded_cdf_delete_path(spark, tmp_path):
         ["k"], include_values=True,
     )
     assert flat == {(r["k"], r["op"]) for r in computed.collect()}
+
+
+def test_read_feed_include_values(spark, tmp_path):
+    """read_feed(include_values=True): the batch twin carries the
+    old/new structs per version step (consume_feed parity), mixing
+    recorded and computed steps."""
+    from nba_pipeline_spark.sources import manifest as M
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame([(1, "a", 10)], "k int, grp string, v bigint"),
+    )
+    M.commit_upsert(
+        spark, lake,
+        spark.createDataFrame(
+            [(1, "b", 11, 1)], "k int, grp string, v bigint, ver int"
+        ),
+        ["k"], "ver", record_cdf=True,
+    )
+    rows = M.read_feed(spark, lake, ["k"], 0, include_values=True).collect()
+    got = {
+        (r["k"], r["op"], int(r["version"]),
+         r["old"]["grp"] if r["old"] else None,
+         r["new"]["grp"] if r["new"] else None)
+        for r in rows
+    }
+    assert got == {(1, "insert", 1, None, "a"), (1, "update", 2, "a", "b")}
+    # default stays keys+op+version (no payload for replication readers)
+    assert set(M.read_feed(spark, lake, ["k"], 0).columns) == {
+        "k", "op", "version"
+    }
