@@ -293,7 +293,12 @@ def _merge_min_record(prior: dict, full: dict, this_run: dict) -> dict:
     full["queries"] = {q: round(v, 3) for q, v in merged.items()}
     full["value"] = round(sum(merged.values()), 3)
     psd = prior.get("skew_demo", {})
-    for k, v in dict(full.get("skew_demo", {})).items():
+    # deep-copy the nested dict before min-merging: dict(full) is
+    # shallow, so an in-place mutation would rewrite payload's
+    # skew_demo too and the current run's stdout JSON would report
+    # historical minima as this run's measurements (ADVICE r10)
+    full["skew_demo"] = dict(full.get("skew_demo", {}))
+    for k, v in list(full["skew_demo"].items()):
         if isinstance(v, (int, float)) and not isinstance(v, bool) and k in psd:
             full["skew_demo"][k] = min(float(psd[k]), float(v))
     full["runs"] = list(prior.get("runs", []))[-16:] + [this_run]

@@ -111,9 +111,21 @@ def _mv_nn(mv: DataFrame, c: str):
     an OVERESTIMATE for groups that mixed NULL and non-NULL values
     before the upgrade (their sum can read 0 instead of NULL after
     every non-null row retracts — rebuild the view for exact NULL-sum
-    semantics on such data; documented trade, loud here)."""
+    semantics on such data; documented trade, loud here AND at runtime:
+    a one-time warning fires per process when a pre-nn MV lake is
+    folded, so operators of pre-existing views know to rebuild)."""
     if f"nn_{c}" in mv.columns:
         return mv[f"nn_{c}"]
+    import warnings
+
+    warnings.warn(
+        f"matview: MV lake predates the nn_ non-null counters "
+        f"(column nn_{c} absent) — NULL-sum semantics run on the "
+        "approximate backfill path (groups that mixed NULL and "
+        "non-NULL measure values can read sum 0 instead of NULL after "
+        "full retraction). Rebuild the view for exact semantics.",
+        stacklevel=3,
+    )
     return F.when(mv[f"sum_{c}"].isNull(), F.lit(0)).otherwise(mv["cnt"])
 
 

@@ -89,6 +89,45 @@ from . import lake_queries  # noqa: E402,F401
 # backfill = the r2-era greens sampled longest ago, original order.
 # Names not present in the registry are skipped.
 _PRIORITY: tuple[str, ...] = (
+    # ROUND-11 ROTATION: lead with this round's registrations —
+    # recorded CDF on every write path (VERDICT r10 #1), the CDF-fed
+    # ANN maintenance sink (#2), the deletion-vector MoR tier (#3),
+    # multi-lake atomic commit (#4), the recorded-CDF schema bridge
+    # (#5), and the maintenance advisor (#6) — then backfill with the
+    # r4-r6 cohort (now the oldest latest-green rows, oldest-first per
+    # the rotation protocol). Unregistered names are skipped.
+    "q_cdf_recorded_all_paths",
+    "q_ann_cdf_maintain",
+    "q_manifest_delete_dv",
+    "q_commit_multi",
+    "q_cdf_schema_bridge",
+    "q_lake_advisor",
+    # r4-r6 cohort backfill (oldest latest-green rows after the r10
+    # window and the HEAD sweep), import order
+    "q_stream_enrich",
+    "q_decontaminate",
+    "q_decontaminate_fuzzy",
+    "q_quality_classifier",
+    "q_mixture_sample",
+    "q_token_budget",
+    "q_dsir_sample",
+    "q_curriculum_order",
+    "q_dedup_containment",
+    "q_embed_quantize",
+    "q_project_rename",
+    "q_with_literal",
+    "q_struct_flatten",
+    "q_filter_basic",
+    "q_filter_null",
+    "q_filter_isin",
+    "q_filter_or",
+    "q_filter_split",
+    "q_filter_trycast",
+    "q_case_when",
+    "q_trycast_case",
+    "q_str_split",
+    "q_str_time",
+    "q_math",
     # ROUND-10 ROTATION (protocol: the driver samples the FIRST 50
     # registry entries — lead with every query registered this round,
     # plus q_manifest_unique whose STAGE changed this round (it now

@@ -38,11 +38,12 @@ value comparison — the executor-local equivalent of snapshot_diff's
 one join, over candidates only.
 
 Contract (the consume_feed premise, stated loudly): `keys` uniquely
-identify live rows and are non-NULL (the source raises on a NULL key
-in a candidate row); value columns are SCALAR types (nested types
-raise in the shared `_pa_type` map — same contract as
-manifest_stream). The output schema is pinned at stream start;
-restart to pick up additive evolution.
+identify live rows, are non-NULL (the source raises on a NULL key in
+a candidate row) and are SCALAR; value columns may additionally be
+``array<>`` types (r11 — the embeddings-lake feed the CDF-fed ANN
+maintenance consumer reads), which diff via a bounded per-candidate
+equality loop since Acero has no nested kernels. The output schema is
+pinned at stream start; restart to pick up additive evolution.
 
 JVM-less by construction like the sibling sources: planning runs in a
 Python worker (pyarrow.fs for manifests; KB-sized JSON), reads run in
@@ -190,7 +191,11 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             vs = _versions(path)
             self._start = vs[-1] if vs else 0
         elif sv is not None:
-            self._start = int(sv) - 1  # version N's changes included
+            # version N's changes included; 0 means "from the
+            # beginning" (Delta startingVersion=0 parity — without the
+            # clamp the first batch would plan version 0 and raise
+            # _RetentionGap on a lake whose numbering starts at 1)
+            self._start = max(int(sv) - 1, 0)
         elif sts is not None:
             # newest commit strictly BEFORE ts is the exclusive floor
             # (Delta startingTimestamp: commits at-or-after ts stream)
@@ -279,7 +284,14 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                 InputPartition(("rec", v, f, self._keys, self._triples))
                 for f in rec
             ]
-        m0 = _manifest(self._path, v - 1) if v > 1 else None
+        # the predecessor is the manifest's recorded parent, NOT v-1:
+        # version numbers may SKIP (WAP/branch publish floors the number
+        # via min_version) and a dense v-1 probe would raise
+        # _RetentionGap on a lake that was never vacuumed. A parent
+        # whose manifest truly IS vacuumed still raises _RetentionGap —
+        # that one is real (the base state is unreconstructable).
+        par = m1.get("parent")
+        m0 = _manifest(self._path, par) if par else None
         segs0 = list(m0["segments"]) if m0 else []
         segs1 = list(m1["segments"])
         dels0 = list(m0.get("deletes", [])) if m0 else []
@@ -325,10 +337,15 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         ]
 
     def partitions(self, start: dict, end: dict):
+        # plan the versions that EXIST in (lo, hi] — never a dense
+        # range: WAP/branch publishes skip numbers by design
+        # (manifest.py min_version) and a dense probe of a skipped
+        # number would wedge the stream with a spurious _RetentionGap
         lo, hi = int(start.get("version", 0)), int(end.get("version", 0))
         parts = []
-        for v in range(lo + 1, hi + 1):
-            parts.extend(self._plan_version(v))
+        for v in _versions(self._path):
+            if lo < v <= hi:
+                parts.extend(self._plan_version(v))
         return parts or [InputPartition(None)]
 
     # ------------------------------------------------- executor read
@@ -405,6 +422,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             fs, norm = _pafs(fname)
             t = pq.read_table(norm, filesystem=fs)
             t = t.select(self._keys + ["op", "old", "new"])
+            self._require_keys(t)
             yield from t.append_column(
                 "_commit_version", pa.array([v] * t.num_rows, pa.int32())
             ).to_batches()
@@ -416,6 +434,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
 
             fs, norm = _pafs(fname)
             t = self._project(pq.read_table(norm, filesystem=fs), fname)
+            self._require_keys(t)
             n = t.num_rows
             present = pa.array([True] * n, pa.bool_())
             absent = pa.array([False] * n, pa.bool_())
@@ -481,11 +500,10 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         new_t = self._shard_filter(new_t, shard, n_shards)
         yield from self._diff(old_t, new_t, v).to_batches()
 
-    def _shard_filter(self, t, shard, n_shards):
-        """Deterministic key-hash sharding (crc32 over the stringified
-        key tuple — stable across worker processes). NULL keys violate
-        the CDC contract and raise."""
-        import pyarrow as pa
+    def _require_keys(self, t) -> None:
+        """The documented contract: NULL keys raise, on EVERY emission
+        path (ins / rec / diff alike) — a silently-streamed NULL key
+        corrupts downstream key joins (MV retractions never match)."""
         import pyarrow.compute as pc
 
         for k in self._keys:
@@ -494,6 +512,15 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                     f"manifest_cdf: NULL key value in column {k!r} — the "
                     "change feed requires non-NULL unique keys"
                 )
+
+    def _shard_filter(self, t, shard, n_shards):
+        """Deterministic key-hash sharding (crc32 over the stringified
+        key tuple — stable across worker processes). NULL keys violate
+        the CDC contract and raise."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        self._require_keys(t)
         if n_shards <= 1 or t.num_rows == 0:
             return t
         cols = [
@@ -511,30 +538,54 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         """Arrow-side snapshot_diff over the candidate rows: full-outer
         join on the keys, null-safe value comparison, op classification
         (unchanged rows leave — a rewrite that moved bytes emits
-        nothing)."""
+        nothing).
+
+        The join carries ONLY per-side row indices as payload (Acero
+        rejects nested payload columns); values gather afterwards via
+        `take` (a null join index takes a null row — exactly the
+        absent-side semantics the structs need). That is what lets the
+        feed carry array<> columns (an embeddings lake's vectors —
+        the CDF-fed ANN maintenance consumer): nested columns compare
+        via a per-candidate Python equality loop, scalars stay on the
+        vectorized kernels. Candidates are O(changes + rewrite width),
+        batch-sized by the CDC premise, so the Python loop is bounded
+        by the same argument as the key-shard hash."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
         vals = self._value_cols()
         o = pa.table(
             [old_t.column(k) for k in self._keys]
-            + [old_t.column(c) for c in vals]
-            + [pa.array([1] * old_t.num_rows, pa.int8())],
-            names=self._keys + [f"__o_{c}" for c in vals] + ["__o_in"],
+            + [pa.array(range(old_t.num_rows), pa.int64())],
+            names=self._keys + ["__o_idx"],
         )
         n = pa.table(
             [new_t.column(k) for k in self._keys]
-            + [new_t.column(c) for c in vals]
-            + [pa.array([1] * new_t.num_rows, pa.int8())],
-            names=self._keys + [f"__n_{c}" for c in vals] + ["__n_in"],
+            + [pa.array(range(new_t.num_rows), pa.int64())],
+            names=self._keys + ["__n_idx"],
         )
         j = o.join(n, keys=self._keys, join_type="full outer")
-        oin = pc.is_valid(j.column("__o_in").combine_chunks())
-        nin = pc.is_valid(j.column("__n_in").combine_chunks())
+        oidx = j.column("__o_idx").combine_chunks()
+        nidx = j.column("__n_idx").combine_chunks()
+        oin = pc.is_valid(oidx)
+        nin = pc.is_valid(nidx)
+        old_vals = old_t.select(vals).take(oidx) if vals else None
+        new_vals = new_t.select(vals).take(nidx) if vals else None
         changed = pa.array([False] * j.num_rows, pa.bool_())
         for c in vals:
-            a = j.column(f"__o_{c}").combine_chunks()
-            b = j.column(f"__n_{c}").combine_chunks()
+            a = old_vals.column(c).combine_chunks()
+            b = new_vals.column(c).combine_chunks()
+            if pa.types.is_nested(a.type):
+                av, bv = a.to_pylist(), b.to_pylist()
+                neq_rows = pa.array(
+                    [
+                        False if (x is None and y is None) else (x != y)
+                        for x, y in zip(av, bv)
+                    ],
+                    pa.bool_(),
+                )
+                changed = pc.or_(changed, neq_rows)
+                continue
             both_null = pc.and_(pc.is_null(a), pc.is_null(b))
             neq = pc.coalesce(pc.not_equal(a, b), pa.scalar(True))
             changed = pc.or_(
@@ -550,12 +601,12 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         )
         keep = pc.is_valid(op)
         old_struct = pa.StructArray.from_arrays(
-            [j.column(f"__o_{c}").combine_chunks() for c in vals],
+            [old_vals.column(c).combine_chunks() for c in vals],
             names=vals,
             mask=pc.invert(oin),
         )
         new_struct = pa.StructArray.from_arrays(
-            [j.column(f"__n_{c}").combine_chunks() for c in vals],
+            [new_vals.column(c).combine_chunks() for c in vals],
             names=vals,
             mask=pc.invert(nin),
         )

@@ -81,6 +81,8 @@ def _pa_type(simple: str, fname: str, col: str):
         return pa.decimal128(int(p), int(sc))
     if simple.startswith("timestamp"):
         return pa.timestamp("us")
+    if simple.startswith("array<") and simple.endswith(">"):
+        return pa.list_(_pa_type(simple[6:-1], fname, col))
     raise ValueError(
         f"manifest_stream: cannot null-fill column {col!r} of type "
         f"{simple!r} missing from pre-evolution file {fname} — "
@@ -231,8 +233,9 @@ class ManifestStreamReader(DataSourceStreamReader):
             self._start_version = vs[-1] if vs else 0
         elif sv is not None:
             # "start AT version N" (Delta startingVersion semantics:
-            # version N's changes are included)
-            self._start_version = int(sv) - 1
+            # version N's changes are included); 0 = "from the
+            # beginning", clamped so the floor is never negative
+            self._start_version = max(int(sv) - 1, 0)
         else:
             # newest commit strictly BEFORE ts is the exclusive floor:
             # commits at-or-after ts stream (Delta startingTimestamp)
@@ -277,8 +280,12 @@ class ManifestStreamReader(DataSourceStreamReader):
         cur = _manifest(self._path, v)
         prev_segs: set = set()
         prev_dels: list = []
-        if v > 1:
-            prev = _manifest(self._path, v - 1)
+        # predecessor = the manifest's recorded parent, not v-1:
+        # WAP/branch publish skips version numbers (min_version) and a
+        # dense probe would spuriously raise _RetentionGap
+        par = cur.get("parent")
+        if par:
+            prev = _manifest(self._path, par)
             prev_segs = set(prev["segments"])
             prev_dels = list(prev.get("deletes", []))
         removed = prev_segs - set(cur["segments"])
@@ -347,7 +354,10 @@ class ManifestStreamReader(DataSourceStreamReader):
                     "checkpointed offset is still valid)"
                 )
         parts = []
-        for v in range(lo + 1, hi + 1):
+        # only versions that EXIST in (lo, hi] — numbering may skip
+        for v in _versions(self._path):
+            if not (lo < v <= hi):
+                continue
             parts.extend(
                 InputPartition((f, ver, cols)) for f, ver in self._new_files(v)
             )

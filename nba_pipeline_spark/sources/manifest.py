@@ -1622,6 +1622,8 @@ def commit_replace_where(
     target_files: int | None = None,
     allow_nonmatching_rows: bool = False,
     max_tries: int = 5,
+    record_cdf: bool = False,
+    cdf_keys: list[str] | None = None,
 ) -> int:
     """Predicate-scoped overwrite (Delta's ``replaceWhere`` /
     INSERT OVERWRITE ... WHERE): atomically swap the rows matching the
@@ -1658,7 +1660,19 @@ def commit_replace_where(
     translates like any probe — the scope check runs on the LOGICAL
     batch, then batch/scope/partition column translate to physical
     for classification, the NOT-scope rewrite, and the tagged
-    writes."""
+    writes.
+
+    ``record_cdf=True`` stores the restatement's valued delta as a
+    write-time change segment. A replace has no merge keys, so row
+    identity comes from ``cdf_keys`` (default: the lake's declared
+    UNIQUE key; raises if neither is present — a keyless restatement
+    has no per-row change identity). Documented trade: the old side
+    must READ the scope-matching rows (including segments the replace
+    would otherwise DROP wholesale with zero reads) — O(replaced
+    rows), the floor for a valued feed; a re-stated row identical to
+    its predecessor emits nothing (diff semantics, not blind
+    delete+insert), so nightly restatements that change 1% of a day
+    record 1%."""
     _check_constraints(spark, path, df)
     _check_schema(spark, path, df)
     from pyspark.sql import functions as F
@@ -1683,6 +1697,13 @@ def commit_replace_where(
     ranges = _translate_probe(_p0, ranges)
     pred_phys = _scope_pred(eq, ranges)
     partition_by = _physical(_p0, partition_by) if partition_by else None
+    if record_cdf:
+        cdf_keys = list(cdf_keys) if cdf_keys else unique_key(spark, path)
+        if not cdf_keys:
+            raise ValueError(
+                "replace_where(record_cdf=True) needs row identity: pass "
+                "cdf_keys= or declare a UNIQUE key on the lake"
+            )
 
     last_err: Exception | None = None
     for _ in range(max_tries):
@@ -1760,6 +1781,31 @@ def commit_replace_where(
         elif df.limit(1).count():
             seg = _write_segment(df, path, target_files)
             new_segs[seg] = {}
+        extra = None
+        if record_cdf:
+            # write-time change segment: old side = the scope-matching
+            # rows being replaced (dropped segments read fully — the
+            # price of a valued feed — plus rewrite segments filtered
+            # TO the scope); new side = the incoming batch. LOGICAL
+            # names, the snapshot_diff contract.
+            victims = dropped + rewrite
+            if victims:
+                old_r = _project_logical(
+                    _read_segments(spark, path, victims).filter(
+                        F.coalesce(pred_phys, F.lit(False))
+                    ),
+                    _p0,
+                )
+            else:
+                old_r = spark.createDataFrame([], logical_df.schema)
+            delta = _diff_frames(
+                old_r, logical_df, list(cdf_keys), include_values=True
+            )
+            cdf_seg = f"seg-{uuid.uuid4().hex[:12]}"
+            delta.write.mode("overwrite").parquet(
+                f"{path}/{_CDF_DIR}/{cdf_seg}"
+            )
+            extra = {"cdf": cdf_seg}
 
         def _segments(parent):
             return untouched + list(new_segs)
@@ -1778,6 +1824,7 @@ def commit_replace_where(
                 expected_parent=base_version or 0,
                 meta_fn=_meta,
                 props_fn=_schema_props_fn(spark, path, logical_df),
+                extra_keys=extra,
             )
         except CommitConflict as e:
             last_err = e
@@ -4087,6 +4134,7 @@ def commit_upsert_pruned(
     stats_key: str | None = None,
     target_files: int | None = None,
     max_tries: int = 5,
+    record_cdf: bool = False,
 ) -> int:
     """Segment-skipping MERGE — the documented step up from
     `commit_upsert`'s full-table rewrite for fact tables that are
@@ -4113,13 +4161,23 @@ def commit_upsert_pruned(
     Column-mapped lakes: same stance as the partitioned variant —
     name-transfer is sound (segments are uniform-physical), the
     change batch and key/stats columns translate to physical for the
-    merge, and schema validation sees the logical batch."""
+    merge, and schema validation sees the logical batch.
+
+    ``record_cdf=True`` stores the commit's valued delta as a
+    write-time change segment (see commit_upsert). This is the path
+    where recording pays MOST: the pruning proof says untouched
+    segments hold no change key, so old-side candidates are exactly
+    the TOUCHED segments the merge reads anyway, semi-joined to the
+    change keys — O(changes) extra work even on a 10,000-segment fact
+    table, and downstream single-step diffs / CDF streams then read
+    the recorded segment instead of re-diffing the rewrite width."""
     _check_constraints(spark, path, changes)
     _check_schema(spark, path, changes.drop(version_col))
     from ..operators.cdc import merge_upsert
 
     _p0 = _latest_props(spark, path)
     logical_changes = changes
+    logical_keys = list(keys)
     changes = _to_physical(changes, _p0)
     keys = [_physical(_p0, k) for k in keys]
     stats_key = _physical(_p0, stats_key) if stats_key else None
@@ -4177,6 +4235,37 @@ def commit_upsert_pruned(
         new_stats = _stats_meta(
             _read_segments(spark, path, [seg]), [stats_key]
         )
+        extra = None
+        if record_cdf:
+            # write-time change segment (LOGICAL names, the
+            # snapshot_diff contract): old side = the touched segments
+            # (the pruning proof: untouched segments hold no change
+            # key) restricted to the change keys; new side re-reads the
+            # freshly written segment (fresh lineage, as commit_upsert)
+            ckeys = changes.select(*keys).distinct()
+            new_r = _project_logical(
+                _read_segments(spark, path, [seg]).join(
+                    ckeys, on=list(keys), how="left_semi"
+                ),
+                _p0,
+            )
+            if touched:
+                old_r = _project_logical(
+                    _read_segments(spark, path, touched).join(
+                        ckeys, on=list(keys), how="left_semi"
+                    ),
+                    _p0,
+                )
+            else:
+                old_r = spark.createDataFrame([], new_r.schema)
+            delta = _diff_frames(
+                old_r, new_r, logical_keys, include_values=True
+            )
+            cdf_seg = f"seg-{uuid.uuid4().hex[:12]}"
+            delta.write.mode("overwrite").parquet(
+                f"{path}/{_CDF_DIR}/{cdf_seg}"
+            )
+            extra = {"cdf": cdf_seg}
 
         def _segments(parent):
             return untouched + [seg]
@@ -4197,6 +4286,7 @@ def commit_upsert_pruned(
                 props_fn=_schema_props_fn(
                     spark, path, logical_changes.drop(version_col)
                 ),
+                extra_keys=extra,
             )
         except CommitConflict as e:
             last_err = e
@@ -4391,6 +4481,8 @@ def commit_delete_mor(
     deletes: DataFrame,
     keys: list[str],
     tag: str | None = None,
+    record_cdf: bool = False,
+    stats_key: str | None = None,
 ) -> int:
     """Row-level DELETE, merge-on-read: write the delete KEYS as a
     tombstone segment and record it in the manifest's ``deletes`` list
@@ -4412,8 +4504,18 @@ def commit_delete_mor(
 
     Column-mapped lakes: tombstones are applied to RAW segments before
     the logical projection (`_read_with_tombstones`), so the delete
-    keys and the tombstone segment translate to PHYSICAL names here."""
+    keys and the tombstone segment translate to PHYSICAL names here.
+
+    ``record_cdf=True`` additionally stores the victims (op='delete'
+    with old values) as a write-time change segment. Documented trade:
+    the bare MoR commit reads ZERO data; recording must read the rows
+    it kills, so it scans the stats-overlapping (bloom-refined)
+    segments once — O(overlapping segments), the same bound as the CoW
+    delete's read side, against which downstream diffs then read
+    O(deleted rows) instead of re-deriving the tombstone's effect.
+    ``stats_key`` picks the pruning column (default: first key)."""
     _p0 = _latest_props(spark, path)
+    logical_keys = list(keys)
     deletes = _to_physical(deletes, _p0)
     keys = [_physical(_p0, k) for k in keys]
     seg = _write_segment(deletes.select(*keys).distinct(), path, 1)
@@ -4431,15 +4533,79 @@ def commit_delete_mor(
         out[seg] = {"delete_keys": list(keys)}
         return out
 
-    return _commit(
-        spark,
-        path,
-        "delete_mor",
-        _segments,
-        tag=tag,
-        meta_fn=_meta,
-        deletes_fn=_deletes,
-    )
+    if not record_cdf:
+        return _commit(
+            spark,
+            path,
+            "delete_mor",
+            _segments,
+            tag=tag,
+            meta_fn=_meta,
+            deletes_fn=_deletes,
+        )
+    # recorded path: the victims depend on the parent snapshot, so —
+    # unlike the bare tombstone commit — this one is a strict parent
+    # CAS (an interleaved append's rows WOULD be masked by this
+    # tombstone, and a raceless commit would record a stale victim set)
+    sk = _physical(_p0, stats_key) if stats_key else keys[0]
+    if sk not in keys:
+        raise ValueError(
+            f"stats_key {stats_key!r} must be one of the delete keys"
+        )
+    last_err: Exception | None = None
+    key_df = deletes.select(*keys).distinct().localCheckpoint(eager=True)
+    for _ in range(5):
+        base_version = current_version(spark, path)
+        if base_version is None:
+            raise ValueError(
+                f"cannot delete from an empty manifest lake: {path}"
+            )
+        m = _read_manifest(spark, path, base_version)
+        touched, _untch = _segments_overlapping_keys(
+            spark, m, key_df.select(sk), sk
+        )
+        touched, _clr = _bloom_refine_touched(
+            spark, m, touched, key_df, sk, 1024
+        )
+        if touched:
+            # victims = currently-VISIBLE rows holding a delete key:
+            # pending tombstones must apply (a row an earlier MoR
+            # delete already killed must not be re-emitted as deleted)
+            vict = _project_logical(
+                _read_with_tombstones(spark, path, touched, m).join(
+                    key_df, on=list(keys), how="left_semi"
+                ),
+                _p0,
+            )
+        else:
+            vict = read_snapshot(spark, path, version=base_version).limit(0)
+        delta = _diff_frames(
+            vict,
+            spark.createDataFrame([], vict.schema),
+            logical_keys,
+            include_values=True,
+        )
+        cdf_seg = f"seg-{uuid.uuid4().hex[:12]}"
+        delta.write.mode("overwrite").parquet(
+            f"{path}/{_CDF_DIR}/{cdf_seg}"
+        )
+        try:
+            return _commit(
+                spark,
+                path,
+                "delete_mor",
+                _segments,
+                tag=tag,
+                meta_fn=_meta,
+                deletes_fn=_deletes,
+                expected_parent=base_version,
+                extra_keys={"cdf": cdf_seg},
+            )
+        except CommitConflict as e:
+            last_err = e
+    raise RuntimeError(
+        f"commit_delete_mor(record_cdf) lost the snapshot race 5 times: {path}"
+    ) from last_err
 
 
 def manifest_append_sink(path: str, target_files: int | None = None):
@@ -4558,7 +4724,10 @@ def snapshot_diff(
 
     m_to = _read_manifest(spark, path, v_to)
     props_to = dict(m_to.get("props", {}))
-    if v_to == v_from + 1 and m_to.get("cdf"):
+    # "single step" = v_from is v_to's recorded PARENT, not v_to-1:
+    # WAP/branch publishes skip version numbers, and the recorded
+    # segment captures exactly the parent→v_to delta
+    if v_from == (m_to.get("parent") or 0) and m_to.get("cdf"):
         rec = spark.read.parquet(f"{path}/{_CDF_DIR}/{m_to['cdf']}")
         sch = props_to.get("schema")
         want = set(keys) | {"op", "old", "new"}
@@ -4673,19 +4842,26 @@ def read_feed(
     versions = _manifest_versions(spark, path)
     if v_to is None:
         v_to = versions[-1] if versions else 0
-    needed = [v for v in range(max(v_from, 1), v_to + 1)]
-    missing = [v for v in needed if v not in versions]
-    if missing:
-        raise ValueError(
-            f"feed range ({v_from}, {v_to}] needs vacuumed versions "
-            f"{missing}: re-bootstrap from a snapshot ({path})"
+    # iterate the versions that EXIST in (v_from, v_to] and diff each
+    # against its recorded PARENT — numbering may skip (WAP publish),
+    # so a dense range would fabricate "vacuumed" versions. A REAL
+    # retention gap is a parent that is neither 0 nor present.
+    have = set(versions)
+    parts = []
+    for v in versions:
+        if not (v_from < v <= v_to):
+            continue
+        par = _read_manifest(spark, path, v).get("parent") or 0
+        if par and par not in have:
+            raise ValueError(
+                f"feed range ({v_from}, {v_to}] crosses vacuumed version "
+                f"{par}: re-bootstrap from a snapshot ({path})"
+            )
+        parts.append(
+            snapshot_diff(
+                spark, path, par, v, keys, include_values=include_values
+            ).withColumn("version", F.lit(v))
         )
-    parts = [
-        snapshot_diff(
-            spark, path, v - 1, v, keys, include_values=include_values
-        ).withColumn("version", F.lit(v))
-        for v in range(v_from + 1, v_to + 1)
-    ]
     if not parts:
         raise ValueError(f"empty feed range ({v_from}, {v_to}]: {path}")
     return reduce(lambda x, y: x.unionByName(y), parts)
@@ -4737,13 +4913,18 @@ def consume_feed(
         hw = int(json.loads(content)["version"])
     latest = current_version(spark, path) or 0
     done = 0
-    for v in range(hw + 1, latest + 1):
+    # actual versions only — numbering may skip (WAP publish); each
+    # version diffs against its recorded parent (see read_feed)
+    for v in _manifest_versions(spark, path):
+        if not (hw < v <= latest):
+            continue
         if max_versions is not None and done >= max_versions:
             break
         from pyspark.sql import functions as F
 
+        par = _read_manifest(spark, path, v).get("parent") or 0
         delta = snapshot_diff(
-            spark, path, v - 1, v, keys, include_values=include_values
+            spark, path, par, v, keys, include_values=include_values
         ).withColumn(
             "version", F.lit(v)
         )  # same (key..., op, version) schema as read_feed
@@ -5075,6 +5256,8 @@ def restore(
     path: str,
     version: int | None = None,
     ts: float | None = None,
+    record_cdf: bool = False,
+    cdf_keys: list[str] | None = None,
 ) -> int:
     """RESTORE TABLE — roll the table back (or forward) to a prior
     version's state as a NEW commit: metadata-only (the target's
@@ -5094,21 +5277,73 @@ def restore(
     version — re-run the constraint's expression over the snapshot if
     the rollback must prove compliance. A write racing the restore
     resolves by version order (the restore SETS the table state —
-    last writer wins, Delta RESTORE semantics)."""
+    last writer wins, Delta RESTORE semantics).
+
+    ``record_cdf=True`` stores the rollback's valued delta (state at
+    the parent vs state at the target) as a write-time change segment
+    so downstream CDF consumers fold the restore as ordinary
+    retractions+inserts instead of re-diffing two snapshots. Row
+    identity comes from ``cdf_keys`` (default: the declared UNIQUE
+    key; raises if neither exists). Documented trades: the otherwise
+    metadata-only commit now reads both snapshots once (the diff a
+    downstream consumer would otherwise run per-consumer), and the
+    commit becomes a strict parent CAS (the recorded delta depends on
+    the parent state — plain restore keeps its raceless last-writer-
+    wins). Refused across a schema change between the two versions
+    (the recorded frame must carry the CURRENT schema, which restore
+    keeps in force)."""
     if (version is None) == (ts is None):
         raise ValueError("restore: pass exactly one of version= / ts=")
     if ts is not None:
         version = version_as_of_timestamp(spark, path, ts)
     target = _read_manifest(spark, path, version)  # raises if vacuumed
     carried = _state_meta(target)
-    return _commit(
-        spark,
-        path,
-        "restore",
-        lambda parent: list(target["segments"]),
-        meta_fn=lambda parent, segments: carried,
-        deletes_fn=lambda parent: list(target.get("deletes", [])),
-    )
+    if not record_cdf:
+        return _commit(
+            spark,
+            path,
+            "restore",
+            lambda parent: list(target["segments"]),
+            meta_fn=lambda parent, segments: carried,
+            deletes_fn=lambda parent: list(target.get("deletes", [])),
+        )
+    cdf_keys = list(cdf_keys) if cdf_keys else unique_key(spark, path)
+    if not cdf_keys:
+        raise ValueError(
+            "restore(record_cdf=True) needs row identity: pass cdf_keys= "
+            "or declare a UNIQUE key on the lake"
+        )
+    last_err: Exception | None = None
+    for _ in range(5):
+        base_version = current_version(spark, path)
+        old_r = read_snapshot(spark, path, version=base_version)
+        new_r = read_snapshot(spark, path, version=version)
+        if old_r.columns != new_r.columns:
+            raise ValueError(
+                "restore(record_cdf=True) across a schema change "
+                f"(parent columns {old_r.columns} vs target "
+                f"{new_r.columns}) — restore without recording and let "
+                "consumers fall back to the computed diff"
+            )
+        delta = _diff_frames(old_r, new_r, list(cdf_keys), include_values=True)
+        cdf_seg = f"seg-{uuid.uuid4().hex[:12]}"
+        delta.write.mode("overwrite").parquet(f"{path}/{_CDF_DIR}/{cdf_seg}")
+        try:
+            return _commit(
+                spark,
+                path,
+                "restore",
+                lambda parent: list(target["segments"]),
+                meta_fn=lambda parent, segments: carried,
+                deletes_fn=lambda parent: list(target.get("deletes", [])),
+                expected_parent=base_version or 0,
+                extra_keys={"cdf": cdf_seg},
+            )
+        except CommitConflict as e:
+            last_err = e
+    raise RuntimeError(
+        f"restore(record_cdf) lost the snapshot race 5 times: {path}"
+    ) from last_err
 
 
 def clone(

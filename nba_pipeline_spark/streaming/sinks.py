@@ -552,6 +552,9 @@ def takedown_ingest_sink(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # bounded: the victim micro-batch (takedown requests are
+        # inherently small), and corpus_takedown needs the key list
+        # driver-side for its bloom probes
         ids = [
             r[doc_key]
             for r in batch_df.select(doc_key).distinct().collect()

@@ -366,3 +366,112 @@ def test_cdf_stream_serves_recorded_change_segments(spark, tmp_path):
     assert _flat(got_rec) == _flat(got_cmp)
     assert {(r["k"], r["op"]) for r in got_rec if r["_commit_version"] == 2} \
         == {(2, "update"), (3, "insert")}
+
+
+def test_cdf_stream_serves_recorded_segments_all_write_paths(spark, tmp_path):
+    """Every change-making commit type records its delta (VERDICT r10
+    #1): pruned MERGE, MoR delete, replaceWhere, and restore committed
+    with record_cdf=True all plan 'rec' partitions, and the stream
+    equals the computed twin (identical history, no recording)."""
+    from nba_pipeline_spark.sources.cdf_stream import ManifestCDFStreamReader
+
+    register_cdf_stream(spark)
+
+    def history(lake, rec):
+        M.commit_append(
+            spark, lake,
+            _rows(spark, [(1, "a", 10), (2, "a", 20)]),
+            stats_cols=["k"],
+        )
+        M.set_unique_key(spark, lake, ["k"])          # v2 (metadata)
+        M.commit_upsert_pruned(                        # v3
+            spark, lake,
+            spark.createDataFrame(
+                [(2, "b", 21, 1), (3, "c", 30, 1)],
+                "k int, grp string, v bigint, ver int",
+            ),
+            ["k"], "ver", record_cdf=rec,
+        )
+        M.commit_delete_mor(                           # v4
+            spark, lake, spark.createDataFrame([(1,)], "k int"), ["k"],
+            record_cdf=rec,
+        )
+        M.compact(spark, lake, target_files=1)         # v5 (dataChange=false)
+        M.commit_replace_where(                        # v6
+            spark, lake,
+            spark.createDataFrame(
+                [(3, "c", 31), (6, "c", 60)], "k int, grp string, v bigint"
+            ),
+            eq={"grp": "c"}, record_cdf=rec, cdf_keys=["k"],
+        )
+        M.restore(spark, lake, version=3, record_cdf=rec, cdf_keys=["k"])  # v7
+
+    rec_lake, cmp_lake = str(tmp_path / "rec"), str(tmp_path / "cmp")
+    history(rec_lake, True)
+    history(cmp_lake, False)
+    rdr = ManifestCDFStreamReader({"path": rec_lake, "keys": "k"})
+    for v in (3, 4, 6, 7):
+        assert {p.value[0] for p in rdr._plan_version(v)} == {"rec"}, v
+    got_rec: list = []
+    got_cmp: list = []
+    _run(spark, rec_lake, str(tmp_path / "ck1"), got_rec)
+    _run(spark, cmp_lake, str(tmp_path / "ck2"), got_cmp)
+    assert _flat(got_rec) == _flat(got_cmp)
+    # spot truths: MoR delete recorded k=1 with values; restore
+    # retracted the replaceWhere (3 back to 30, 6 gone)
+    by_v = {(r["k"], r["op"], r["_commit_version"]) for r in got_rec}
+    assert (1, "delete", 4) in by_v
+    assert (3, "update", 7) in by_v and (6, "delete", 7) in by_v
+
+
+def test_cdf_stream_survives_skipped_version_numbers(spark, tmp_path):
+    """WAP/branch publish skips version numbers (min_version) — the
+    stream must plan the versions that EXIST, not a dense range
+    (ADVICE r10 #1: a dense probe of a skipped number wedged the
+    stream with a spurious _RetentionGap)."""
+    lake = str(tmp_path / "lake")
+    register_cdf_stream(spark)
+    M.commit_append(spark, lake, _rows(spark, [(1, "a", 10)]))      # v1
+    M.create_branch(spark, lake, "wap")
+    bpath = M.branch_path(lake, "wap")
+    M.commit_append(spark, bpath, _rows(spark, [(2, "b", 20)]))     # b v2
+    M.commit_append(spark, bpath, _rows(spark, [(3, "b", 30)]))     # b v3
+    M.publish_branch(spark, lake, "wap")                            # main v3!
+    vs = M.list_versions(spark, lake) if hasattr(M, "list_versions") else None
+    from nba_pipeline_spark.sources.lake_stream import _versions
+
+    assert _versions(lake) == [1, 3], _versions(lake)  # 2 skipped
+    got: list = []
+    _run(spark, lake, str(tmp_path / "ck"), got)
+    assert _flat(got) == {
+        (1, "insert", None, None, "a", 10, 1),
+        (2, "insert", None, None, "b", 20, 3),
+        (3, "insert", None, None, "b", 30, 3),
+    }
+    # the batch twin diffs parent-chain, not dense range
+    d = M.snapshot_diff(spark, lake, 1, 3, ["k"])
+    assert {(r["k"], r["op"]) for r in d.collect()} == {
+        (2, "insert"), (3, "insert")
+    }
+
+
+def test_cdf_stream_starting_version_zero(spark, tmp_path):
+    """starting_version=0 means 'from the beginning' (Delta parity) —
+    it must not plan a nonexistent version 0 (ADVICE r10 #3)."""
+    lake = str(tmp_path / "lake")
+    register_cdf_stream(spark)
+    M.commit_append(spark, lake, _rows(spark, [(1, "a", 10)]))
+    got: list = []
+    _run(spark, lake, str(tmp_path / "ck"), got, starting_version="0")
+    assert _flat(got) == {(1, "insert", None, None, "a", 10, 1)}
+
+
+def test_cdf_stream_null_key_refused_on_pure_append(spark, tmp_path):
+    """The NULL-key contract holds on the INSERT fast path too
+    (ADVICE r10 #2: pure-append versions streamed NULL keys silently)."""
+    lake = str(tmp_path / "lake")
+    register_cdf_stream(spark)
+    M.commit_append(spark, lake, _rows(spark, [(None, "a", 10)]))
+    got: list = []
+    with pytest.raises(Exception, match="NULL key"):
+        _run(spark, lake, str(tmp_path / "ck"), got)

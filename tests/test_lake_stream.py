@@ -315,3 +315,26 @@ def test_chunked_backfill_bounded_batches_and_exactly_once_handoff(spark, tmp_pa
     q.awaitTermination(120)
     assert sorted(r["id"] for r in got) == [1000, 1001]
     assert {r["_commit_version"] for r in got} == {21, 22}
+
+
+def test_manifest_stream_survives_skipped_version_numbers(spark, tmp_path):
+    """A WAP/branch publish skips version numbers (min_version): the
+    stream plans the versions that EXIST and diffs against the
+    manifest's recorded parent, never a dense v-1 probe (ADVICE r10
+    #1 — the dense probe wedged on a never-vacuumed lake)."""
+    register_lake_stream(spark)
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    M.commit_append(spark, lake, _rows(spark, [(1, "a")]))       # v1
+    M.create_branch(spark, lake, "wap")
+    bpath = M.branch_path(lake, "wap")
+    M.commit_append(spark, bpath, _rows(spark, [(2, "b")]))      # b v2
+    M.commit_append(spark, bpath, _rows(spark, [(3, "c")]))      # b v3
+    M.publish_branch(spark, lake, "wap")                         # main v3
+    from nba_pipeline_spark.sources.lake_stream import _versions
+
+    assert _versions(lake) == [1, 3]
+    got: list = []
+    _run_available(spark, lake, ckpt, got)
+    assert {(r["k"], r["v"], r["_commit_version"]) for r in got} == {
+        (1, "a", 1), (2, "b", 3), (3, "c", 3),
+    }
