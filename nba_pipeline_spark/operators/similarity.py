@@ -574,6 +574,94 @@ def update_ivf_quantized_index(
     )
 
 
+def apply_cdf_to_ivf_index(
+    spark,
+    cdf_batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids_path: str,
+    codes_path: str,
+    tag: str | None = None,
+) -> None:
+    """Fold a CHANGE-DATA-FEED batch — rows of ``(id, op ∈ {insert,
+    update, delete}, old struct, new struct, _commit_version)``, the
+    format("manifest_cdf") shape over the embeddings lake — into the
+    persisted IVF codes lake (VERDICT r10 #2): ONE consumer handles
+    inserts, re-embeddings AND deletes, where `update_ivf_quantized_
+    index` takes inserts/same-cell updates only and deletes needed the
+    separate `propagate_index_deletes` call.
+
+    A batch may carry several versions of one key; the NET fold is
+    min_by(old)/max_by(new) on the version — the codes lake reflects
+    the state before the batch, so the first old is its current row
+    and the last new is its target. Cells derive from the vectors
+    themselves (centroids are FIXED between retrains, so assigning the
+    OLD vector reproduces the key's current cell without reading the
+    codes lake): a delete, or an update whose new cell differs, first
+    removes the key via `commit_delete` (stats+bloom-pruned CoW —
+    rewrites only the bloom-positive cell segments), then the
+    insert/update rows land through the partition-scoped tagged MERGE.
+
+    Crash/replay discipline (the sink's contract): the caller gates on
+    the MERGE tag BEFORE calling — a replay after full completion
+    no-ops wholesale (the delete must NOT re-run: it would kill the
+    mover rows the completed MERGE re-homed); a crash between the
+    delete and the MERGE replays as a semantically-idempotent delete
+    (the keys are already gone) followed by the landing MERGE.
+    Unassignable vectors (NULL/short — NULL cid) drop, the
+    assign_cells contract."""
+    from ..sources import manifest as M
+
+    batch = cdf_batch.localCheckpoint(eager=True)  # one computation
+    centroids = M.read_snapshot(spark, centroids_path).select("cid", "cv")
+    net = batch.groupBy(id_col).agg(
+        F.min_by("old", "_commit_version").alias("__old0"),
+        F.max_by("new", "_commit_version").alias("__new1"),
+    ).localCheckpoint(eager=True)
+    ups = net.filter(F.col("__new1").isNotNull()).select(
+        F.col(id_col),
+        to_double_array(F.col(f"__new1.{vec_col}")).alias("v"),
+    )
+    assigned_new = assign_cells(ups, centroids, id_col).filter(
+        F.col("cid").isNotNull()
+    )
+    olds = net.filter(F.col("__old0").isNotNull()).select(
+        F.col(id_col),
+        to_double_array(F.col(f"__old0.{vec_col}")).alias("v"),
+    )
+    assigned_old = assign_cells(olds, centroids, id_col).select(
+        F.col(id_col), F.col("cid").alias("__cid_old")
+    )
+    kill = (
+        assigned_old.join(
+            assigned_new.select(id_col, "cid"), on=id_col, how="left"
+        )
+        .filter(F.col("cid").isNull() | (F.col("cid") != F.col("__cid_old")))
+        .select(id_col)
+    )
+    if kill.limit(1).count():
+        M.commit_delete(spark, codes_path, kill, [id_col])
+    codes, scale = int8_codes(F.col("v"))
+    change_rows = assigned_new.select(
+        F.col(id_col),
+        F.col("cid"),
+        scale.alias("s"),
+        codes.alias("codes"),
+        F.lit(1).alias("__ver"),
+    )
+    if change_rows.limit(1).count():
+        M.commit_upsert_partitioned(
+            spark,
+            codes_path,
+            change_rows,
+            keys=[id_col],
+            version_col="__ver",
+            part_col="cid",
+            bloom_cols=[id_col],
+            tag=tag,
+        )
+
+
 def ivf_quantized_topk(
     spark,
     emb: DataFrame,

@@ -1694,3 +1694,139 @@ register(
       FROM rr) WHERE rn <= {TOP_K}
     """,
 )
+
+
+# --- CDF-fed ANN index maintenance (round 11, VERDICT r10 #2) -----------------
+
+CDF_QID = 3  # present at build, untouched by the change bands below
+
+
+def _ann_cdf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Index built on the vec_id%5!=0 subset, then maintained ONLY
+    through the streaming change feed (streaming/sinks.py::
+    ann_cdf_maintain_sink over format("manifest_cdf")): a MERGE that
+    re-embeds %10==1 (negated vectors — cell movers by construction)
+    and inserts %10==5, then a CoW delete of %10==2. One retraction-
+    aware consumer folds all three shapes into the codes lake; the
+    final index state equals the assignment of the final snapshot
+    against the build-time centroids — which is exactly what the
+    oracle replays."""
+    from ..sources.cdf_stream import register_cdf_stream
+    from ..streaming.sinks import ann_cdf_maintain_sink
+    from .relational_queries import _stage_dir
+
+    root = _stage_dir(sf_dir, "embeddings", "ann_cdf_maintain")
+    ep = f"{root}/emb"
+    centroids_path = f"{root}/centroids"
+    codes_path = f"{root}/codes"
+
+    import os
+    import shutil
+
+    marker = os.path.join(root, "_STAGE_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        register_cdf_stream(spark)
+        emb = load_table(spark, sf_dir, "embeddings")
+        M.commit_append(spark, ep, emb.filter(F.col("vec_id") % 5 != 0))
+        SIM.build_ivf_quantized_index(
+            spark, M.read_snapshot(spark, ep), "vec_id", "embedding",
+            N_CELLS, centroids_path, codes_path,
+        )
+        changes = (
+            emb.filter(F.col("vec_id") % 10 == 1)
+            .withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: -x),
+            )
+            .unionByName(emb.filter(F.col("vec_id") % 10 == 5))
+            .withColumn("ver", F.lit(1))
+        )
+        M.commit_upsert(spark, ep, changes, ["vec_id"], "ver")
+        M.commit_delete(
+            spark, ep,
+            emb.filter(F.col("vec_id") % 10 == 2).select("vec_id"),
+            ["vec_id"],
+        )
+        q = ann_cdf_maintain_sink(
+            spark.readStream.format("manifest_cdf")
+            .option("path", ep).option("keys", "vec_id")
+            .option("starting_version", "2")  # the index covers v1
+            .load(),
+            "vec_id", "embedding",
+            centroids_path, codes_path, f"{root}/ckpt",
+        )
+        q.awaitTermination(300)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return ep, centroids_path, codes_path
+
+
+def q_ann_cdf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search through an index maintained ONLY by the change-data-feed
+    consumer (operators/similarity.py::apply_cdf_to_ivf_index via
+    streaming/sinks.py::ann_cdf_maintain_sink): re-embedded movers were
+    delete-first re-homed, deleted keys left their cells, inserts
+    landed — so the probed-cell scan + int8 ADT + exact rerank is
+    byte-identical to a search over an index assigned from the final
+    snapshot, which the oracle replays (no recall pin). Centroids stay
+    the build-time vectors even though one of their source rows was
+    re-embedded (the IVF retrain contract)."""
+    tune(spark)
+    ep, centroids_path, codes_path = _ann_cdf_index(spark, sf_dir)
+    return SIM.ivf_quantized_topk(
+        spark,
+        M.read_snapshot(spark, ep),
+        "vec_id",
+        "embedding",
+        CDF_QID,
+        TOP_K,
+        centroids_path,
+        codes_path,
+        pool=RERANK_POOL,
+    )
+
+
+register(
+    "q_ann_cdf_maintain",
+    q_ann_cdf_maintain,
+    f"""
+    WITH e0 AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    ctr AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e0
+            WHERE vec_id % 5 <> 0 ORDER BY vec_id ASC LIMIT {N_CELLS}),
+    e AS (SELECT vec_id,
+                 CASE WHEN vec_id % 10 = 1
+                      THEN list_transform(v, x -> -x) ELSE v END AS v
+          FROM e0
+          WHERE (vec_id % 5 <> 0 OR vec_id % 10 = 5)
+            AND vec_id % 10 <> 2),
+    asg AS (
+      SELECT e.vec_id, e.v, ctr.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ROUND(list_distance(e.v, ctr.cv), 6) ASC NULLS FIRST,
+                                         ctr.cid ASC) AS rn
+      FROM e CROSS JOIN ctr),
+    cells AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+    m AS (SELECT vec_id, v, cid,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+          FROM cells),
+    cds AS (SELECT vec_id, v, cid, s,
+                   CASE WHEN s > 0
+                        THEN list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT))
+                        ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+            FROM m),
+    qq AS (SELECT codes AS qcodes, s AS qs, v AS qv, cid AS qcid
+           FROM cds WHERE vec_id = {CDF_QID}),
+    pool AS (
+      SELECT cds.vec_id, cds.v, qq.qv AS qvv,
+             CAST(list_sum(list_transform(range(1, len(cds.codes) + 1),
+                    i -> cds.codes[i] * qq.qcodes[i])) AS BIGINT) * (cds.s * qq.qs) AS qscore
+      FROM cds, qq WHERE cds.cid = qq.qcid AND cds.vec_id <> {CDF_QID}
+      ORDER BY qscore DESC NULLS LAST, cds.vec_id ASC LIMIT {RERANK_POOL}),
+    rr AS (SELECT vec_id, ROUND(list_cosine_similarity(v, qvv), 6) AS sim6 FROM pool)
+    SELECT vec_id, ROUND(sim6, 4) AS sim FROM rr
+    ORDER BY sim6 DESC NULLS LAST, vec_id ASC LIMIT {TOP_K}
+    """,
+)

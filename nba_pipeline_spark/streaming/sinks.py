@@ -402,6 +402,58 @@ def ann_index_ingest_sink(
     )
 
 
+def ann_cdf_maintain_sink(
+    cdf_stream: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids_path: str,
+    codes_path: str,
+    checkpoint_dir: str,
+):
+    """Retraction-aware ANN index maintenance from the CHANGE DATA
+    FEED (VERDICT r10 #2): `cdf_stream` is ``spark.readStream.format(
+    "manifest_cdf")`` over the EMBEDDINGS lake, so ONE consumer folds
+    inserts, re-embeddings (including cell movers) and deletes into
+    the persisted IVF codes lake — where `ann_index_ingest_sink`
+    triggers off the append-only manifest_stream and MERGEs/deletes on
+    the embeddings lake needed the separate `propagate_index_deletes`
+    call. The fold itself is `operators.similarity.
+    apply_cdf_to_ivf_index` (net min_by/max_by per key, delete-first
+    for movers, partition-scoped tagged MERGE).
+
+    Exactly-once under replay: the sink gates on the MERGE tag
+    ``anncdf=<batch_id>`` BEFORE folding — a replay of a fully-applied
+    batch no-ops wholesale (critical: its delete step must not re-run
+    and kill re-homed mover rows); a crash between the delete and the
+    MERGE replays as an idempotent delete + the landing MERGE. A
+    delete-only batch records no tag — its replay is a semantic no-op
+    (the keys are already gone).
+
+    Per-trigger cost: O(batch) assignment against broadcast centroid
+    literals + CoW rewrites of only the bloom-positive cells + a MERGE
+    of only the touched cells. Returns the streaming query
+    (availableNow; await it)."""
+    from ..operators.similarity import apply_cdf_to_ivf_index
+    from ..sources import manifest as M
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"anncdf={batch_id}"
+        if tag in M.committed_tags(spark, codes_path):
+            return  # fully-applied batch: the delete must NOT re-run
+        apply_cdf_to_ivf_index(
+            spark, batch_df, id_col, vec_col,
+            centroids_path, codes_path, tag=tag,
+        )
+
+    return (
+        cdf_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def join_matview_maintain_sink(
     trigger_stream: DataFrame,
     fact_path: str,

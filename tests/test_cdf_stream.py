@@ -475,3 +475,55 @@ def test_cdf_stream_null_key_refused_on_pure_append(spark, tmp_path):
     got: list = []
     with pytest.raises(Exception, match="NULL key"):
         _run(spark, lake, str(tmp_path / "ck"), got)
+
+
+def test_cdf_stream_carries_array_columns(spark, tmp_path):
+    """array<> value columns flow through the feed (r11 — the
+    embeddings-lake shape the CDF-fed ANN maintenance consumes): the
+    index-payload join + per-candidate equality classify vector
+    re-embeds as updates, byte-identical vectors as nothing."""
+    lake = str(tmp_path / "lake")
+    register_cdf_stream(spark)
+    sch = "vec_id long, embedding array<double>"
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0, 6.0])], sch
+        ),
+    )
+    M.commit_upsert(
+        spark, lake,
+        spark.createDataFrame(
+            [(2, [3.5, 4.5], 1), (3, [5.0, 6.0], 1), (4, [7.0, 8.0], 1)],
+            sch + ", ver int",
+        ),
+        ["vec_id"], "ver",
+    )
+    M.commit_delete(
+        spark, lake, spark.createDataFrame([(1,)], "vec_id long"), ["vec_id"]
+    )
+    out: list = []
+    q = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", lake).option("keys", "vec_id")
+        .load()
+        .writeStream.foreachBatch(lambda df, _b: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["vec_id"], r["op"], r["_commit_version"],
+         tuple(r["old"]["embedding"]) if r["old"] is not None else None,
+         tuple(r["new"]["embedding"]) if r["new"] is not None else None)
+        for r in out
+    }
+    assert got == {
+        (1, "insert", 1, None, (1.0, 2.0)),
+        (2, "insert", 1, None, (3.0, 4.0)),
+        (3, "insert", 1, None, (5.0, 6.0)),
+        (2, "update", 2, (3.0, 4.0), (3.5, 4.5)),
+        (4, "insert", 2, None, (7.0, 8.0)),
+        (1, "delete", 3, (1.0, 2.0), None),
+    }

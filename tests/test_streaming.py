@@ -794,3 +794,101 @@ def test_takedown_ingest_sink_three_lakes_and_replay(spark, tmp_path):
     assert {
         int(r["doc_id"]) for r in M.read_snapshot(spark, docsp).collect()
     } == set(range(30)) - gone
+
+
+def test_ann_cdf_maintain_sink_folds_merges_and_deletes(spark, tmp_path):
+    """CDF-fed ANN maintenance (VERDICT r10 #2): one manifest_cdf
+    consumer folds appends, re-embeddings (cell movers included) and
+    deletes from the embeddings lake into the codes lake. Truth: the
+    final codes lake must equal the independent assignment of the
+    FINAL embeddings snapshot against the fixed centroids. A fresh-
+    checkpoint replay is a wholesale no-op (anncdf tag gate — the
+    delete step must not re-run)."""
+    import numpy as np
+
+    from nba_pipeline_spark.operators import similarity as SIM
+    from nba_pipeline_spark.sources import manifest as M
+    from nba_pipeline_spark.sources.cdf_stream import register_cdf_stream
+    from nba_pipeline_spark.streaming.sinks import ann_cdf_maintain_sink
+
+    register_cdf_stream(spark)
+    rng = np.random.default_rng(11)
+
+    def vec():
+        return [float(x) for x in rng.standard_normal(6)]
+
+    sch = "vec_id long, embedding array<double>"
+    ep = str(tmp_path / "emb")
+    cp, kp = str(tmp_path / "cent"), str(tmp_path / "codes")
+    M.commit_append(
+        spark, ep,
+        spark.createDataFrame([(int(i), vec()) for i in range(20)], sch),
+    )
+    SIM.build_ivf_quantized_index(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding", 4, cp, kp
+    )
+    # v2: MERGE — re-embed 3 keys (random vectors: movers likely),
+    # insert 3 new keys
+    M.commit_upsert(
+        spark, ep,
+        spark.createDataFrame(
+            [(int(i), vec(), 1) for i in (3, 4, 7, 20, 21, 22)],
+            sch + ", ver int",
+        ),
+        ["vec_id"], "ver",
+    )
+    # v3: CoW delete (one original, one just-streamed-in key)
+    M.commit_delete(
+        spark, ep, spark.createDataFrame([(1,), (21,)], "vec_id long"),
+        ["vec_id"],
+    )
+    # v4: plain append
+    M.commit_append(
+        spark, ep,
+        spark.createDataFrame([(int(i), vec()) for i in (23, 24)], sch),
+    )
+
+    def drain(ckpt):
+        q = ann_cdf_maintain_sink(
+            spark.readStream.format("manifest_cdf")
+            .option("path", ep).option("keys", "vec_id")
+            .option("starting_version", "2")  # index built at v1
+            .load(),
+            "vec_id", "embedding", cp, kp, str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+
+    drain("ck1")
+
+    def codes_map():
+        return {
+            int(r["vec_id"]): (int(r["cid"]), float(r["s"]), list(r["codes"]))
+            for r in M.read_snapshot(spark, kp).collect()
+        }
+
+    # independent truth: assignment of the FINAL snapshot
+    cents = M.read_snapshot(spark, cp).select("cid", "cv")
+    e = M.read_snapshot(spark, ep).select(
+        "vec_id", SIM.to_double_array(F.col("embedding")).alias("v")
+    )
+    assigned = SIM.assign_cells(e, cents, "vec_id")
+    codes, scale = SIM.int8_codes(F.col("v"))
+    want = {
+        int(r["vec_id"]): (int(r["cid"]), float(r["s"]), list(r["codes"]))
+        for r in assigned.select(
+            "vec_id", "cid", scale.alias("s"), codes.alias("codes")
+        ).collect()
+    }
+    assert codes_map() == want
+    assert 1 not in codes_map() and 21 not in codes_map()
+    # search serves a streamed-in id through the maintained index
+    got = SIM.ivf_quantized_topk(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding",
+        22, 5, cp, kp, pool=100,
+    ).collect()
+    assert len(got) == 5
+    # replay: fresh checkpoint — the anncdf tag gates the whole fold
+    v_k = M.current_version(spark, kp)
+    drain("ck2")
+    assert M.current_version(spark, kp) == v_k
+    assert codes_map() == want
