@@ -1477,7 +1477,11 @@ def propagate_index_deletes(
     through `commit_delete_mor`: O(batch) tombstone commits, the
     reader anti-joins at scan time and the next compact() materializes
     — the hot-ingest shape (note MoR defers the physical erasure and
-    blocks in-place index maintenance until compacted). `tag` gives
+    blocks in-place index maintenance until compacted). `mode="dv"`
+    routes through `commit_delete_dv`: same O(batch-scan) deferred
+    shape, but the keys resolve to (file, pos) pairs at write time so
+    every subsequent read pays a per-file positional filter instead of
+    the key anti-join (the r11 deletion-vector tier). `tag` gives
     streaming replays one idempotency token across every lake (suffixed
     per path so lakes don't share a token namespace).
 
@@ -1486,8 +1490,8 @@ def propagate_index_deletes(
     instead delete point-wise through every derived representation."""
     from ..sources import manifest as M
 
-    if mode not in ("cow", "mor"):
-        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    if mode not in ("cow", "mor", "dv"):
+        raise ValueError(f"mode must be 'cow', 'mor' or 'dv', got {mode!r}")
     key_rows = [(i,) for i in ids]
     if not key_rows:
         return {}
@@ -1497,6 +1501,11 @@ def propagate_index_deletes(
         key_df = spark.createDataFrame(key_rows, [id_col])
         if mode == "cow":
             out[p] = M.commit_delete(spark, p, key_df, [id_col])
+        elif mode == "dv":
+            out[p] = M.commit_delete_dv(
+                spark, p, key_df, [id_col],
+                tag=f"{tag}:{p}" if tag is not None else None,
+            )
         else:
             out[p] = M.commit_delete_mor(
                 spark, p, key_df, [id_col],
@@ -1542,6 +1551,11 @@ def corpus_takedown(
     key_df = spark.createDataFrame([(i,) for i in doc_ids], [doc_key])
     if mode == "mor":
         out[docs_path] = M.commit_delete_mor(
+            spark, docs_path, key_df, [doc_key],
+            tag=f"{tag}:{docs_path}" if tag is not None else None,
+        )
+    elif mode == "dv":
+        out[docs_path] = M.commit_delete_dv(
             spark, docs_path, key_df, [doc_key],
             tag=f"{tag}:{docs_path}" if tag is not None else None,
         )

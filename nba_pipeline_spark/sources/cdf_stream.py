@@ -124,7 +124,17 @@ def _applicable_tombs(path: str, m: dict, seg: str) -> list[tuple]:
     out = []
     for t in m.get("deletes", []):
         if seq(seg) < seq(t):
-            kcols = list(meta.get(t, {}).get("delete_keys", ()))
+            tmeta = meta.get(t, {})
+            if tmeta.get("dv"):
+                # positional deletion vector (commit_delete_dv):
+                # kcols=None marks it for _apply_tombstones; dv_segs
+                # scopes the read to named segments
+                dv_segs = tmeta.get("dv_segs")
+                if dv_segs and seg not in set(dv_segs):
+                    continue
+                out.append((None, _seg_files(path, t)))
+                continue
+            kcols = list(tmeta.get("delete_keys", ()))
             if not kcols:
                 raise ValueError(
                     f"tombstone segment lacks delete_keys metadata: {path}"

@@ -285,13 +285,25 @@ class ManifestLakeReader(DataSourceReader):
         for s in self._m["segments"]:
             if s not in segs:
                 continue
-            tombs = [
-                (list(meta.get(t, {}).get("delete_keys", ())), tomb_files[t])
-                for t in dels
-                if seq(s) < seq(t)
-            ]
+            tombs = []
+            for t in dels:
+                if not (seq(s) < seq(t)):
+                    continue
+                tm = meta.get(t, {})
+                if tm.get("dv"):
+                    # positional deletion vector: kcols=None marks it;
+                    # dv_segs lets irrelevant data segments skip the
+                    # DV read outright (the file match scopes anyway)
+                    dv_segs = tm.get("dv_segs")
+                    if dv_segs and s not in set(dv_segs):
+                        continue
+                    tombs.append((None, tomb_files[t]))
+                    continue
+                tombs.append(
+                    (list(tm.get("delete_keys", ())), tomb_files[t])
+                )
             for t_keys, _ in tombs:
-                if not t_keys:
+                if t_keys is not None and not t_keys:
                     raise ValueError(
                         f"tombstone segment lacks delete_keys metadata: "
                         f"{self._path}"
@@ -349,7 +361,13 @@ def _apply_tombstones(t, tombs, sch_cols, fname):
     NULL keys match no tombstone (SQL anti-join), pre-evolution files
     missing a key column keep every row, and both sides cast to the
     RECORDED (possibly widened) key type so a narrow pre-widening file
-    still anti-joins a post-widening tombstone."""
+    still anti-joins a post-widening tombstone.
+
+    A ``(None, files)`` entry is a POSITIONAL deletion vector
+    (commit_delete_dv): its rows are (file, pos) pairs, applied as a
+    row-index mask against THIS file's rows. Positional entries apply
+    FIRST — positions reference the raw file, and an equality
+    anti-join running earlier would shift the indices."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -358,7 +376,34 @@ def _apply_tombstones(t, tombs, sch_cols, fname):
     want_type = {
         phys: _pa_type(typ, fname, n) for n, typ, phys in sch_cols
     }
+    dv_entries = [files for kcols, files in tombs if kcols is None]
+    if dv_entries:
+        rel = "/".join(fname.rstrip("/").split("/")[-2:])
+        kill: set = set()
+        for files in dv_entries:
+            for f in files:
+                tfs, tnorm = _pafs(f)
+                tt = pq.read_table(
+                    tnorm, filesystem=tfs, columns=["file", "pos"]
+                )
+                kill.update(
+                    p
+                    for fl, p in zip(
+                        tt.column("file").to_pylist(),
+                        tt.column("pos").to_pylist(),
+                    )
+                    if fl == rel
+                )
+        if kill:
+            t = t.take(
+                pa.array(
+                    [i for i in range(t.num_rows) if i not in kill],
+                    pa.int64(),
+                )
+            )
     for kcols, files in tombs:
+        if kcols is None:
+            continue  # positional: already applied above
         usable = [c for c in kcols if c in t.column_names]
         if len(usable) < len(kcols):
             continue  # file predates the key column: nothing to mask

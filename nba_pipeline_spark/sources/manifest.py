@@ -2895,8 +2895,22 @@ def _read_with_tombstones(
     parts = []
     for applicable, group in groups.items():
         df = _read_segments(spark, path, group, merge_schema, ddl)
+        dv_tombs = [t for t in applicable if meta.get(t, {}).get("dv")]
+        if dv_tombs:
+            # positional tombstones (deletion vectors): the file
+            # identity + row index are captured AT SCAN (they travel
+            # with the rows, so ordering vs the equality anti-joins
+            # below is immaterial), then ONE anti-join against the DV
+            # rows — a per-file positional filter, no key comparison
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "__dvf", _dv_relpath(F.col("_metadata.file_path"))
+            ).withColumn("__dvp", F.col("_metadata.row_index"))
         by_keys: dict[tuple, list[str]] = {}
         for t in applicable:
+            if t in dv_tombs:
+                continue
             kcols = tuple(meta.get(t, {}).get("delete_keys", ()))
             if not kcols:
                 raise ValueError(
@@ -2910,6 +2924,18 @@ def _read_with_tombstones(
                 .distinct()
             )
             df = df.join(tomb, on=list(kcols), how="left_anti")
+        if dv_tombs:
+            dv = (
+                _read_segments(
+                    spark, path, dv_tombs,
+                    schema_ddl="file string, pos bigint",
+                )
+                .selectExpr("file AS __dvf", "pos AS __dvp")
+                .distinct()
+            )
+            df = df.join(dv, on=["__dvf", "__dvp"], how="left_anti").drop(
+                "__dvf", "__dvp"
+            )
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:
@@ -4605,6 +4631,130 @@ def commit_delete_mor(
             last_err = e
     raise RuntimeError(
         f"commit_delete_mor(record_cdf) lost the snapshot race 5 times: {path}"
+    ) from last_err
+
+
+def _dv_relpath(col):
+    """Segment-relative file identity ``<segment>/<basename>`` from a
+    scan's ``_metadata.file_path`` — location-independent (a shallow
+    clone or moved lake keeps matching; segment dir names are uuids,
+    so two components identify a file uniquely)."""
+    from pyspark.sql import functions as F
+
+    parts = F.split(col, "/")
+    return F.concat_ws(
+        "/", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+
+
+def commit_delete_dv(
+    spark: SparkSession,
+    path: str,
+    deletes: DataFrame,
+    keys: list[str],
+    stats_key: str | None = None,
+    max_tries: int = 5,
+    bloom_probe_cap: int = 1024,
+    tag: str | None = None,
+) -> int:
+    """Row-level DELETE, merge-on-read via POSITION DELETES (deletion
+    vectors — the Iceberg v2 position-delete / Delta DV shape, VERDICT
+    r10 #3): resolve the delete keys to ``(file, pos)`` pairs ONCE at
+    write time (one stats+bloom-pruned scan of the overlapping
+    segments with ``_metadata.file_path``/``row_index``) and commit
+    them as a positional tombstone segment. No data rewritten — the
+    O(batch-scan) commit of MoR — but readers then apply a per-file
+    POSITIONAL filter instead of re-running a key anti-join on every
+    scan: the read-side cost moves from O(scan × tombstone keys) to a
+    membership test against the file's own DV rows (the measured gap
+    SCALE.md records; equality tombstones made the streaming-takedown
+    read 0.632 s vs the CoW twin's 0.37 s at sf0.1).
+
+    Semantics vs `commit_delete_mor`: identical visibility for the
+    keys present at commit time, but a DV names FILES, so a key
+    re-appended later is never masked (equality tombstones get this
+    from sequence scoping; DVs get it structurally) — and absent keys
+    simply produce no positions. Because positions reference the
+    parent's physical files, the commit is a strict parent CAS (a
+    racing compaction would re-home the rows). `compact` materializes
+    DVs exactly like equality tombstones and clears the list; vacuum
+    keeps DV segments as long as a retained manifest references them.
+
+    NULL delete keys match no row (SQL semantics). Column-mapped
+    lakes: keys translate to physical names; positions are physical by
+    nature."""
+    from pyspark.sql import functions as F
+
+    if tag is not None and tag in committed_tags(spark, path):
+        return current_version(spark, path)
+    _p0 = _latest_props(spark, path)
+    deletes = _to_physical(deletes, _p0)
+    keys = [_physical(_p0, k) for k in keys]
+    sk = _physical(_p0, stats_key) if stats_key else keys[0]
+    if sk not in keys:
+        raise ValueError(
+            f"stats_key {stats_key!r} must be one of the delete keys {keys}"
+        )
+    key_df = deletes.select(*keys).distinct().localCheckpoint(eager=True)
+    last_err: Exception | None = None
+    for _ in range(max_tries):
+        base_version = current_version(spark, path)
+        if base_version is None:
+            raise ValueError(f"cannot delete from an empty manifest lake: {path}")
+        m = _read_manifest(spark, path, base_version)
+        touched, _untch = _segments_overlapping_keys(
+            spark, m, key_df.select(sk), sk
+        )
+        touched, _clr = _bloom_refine_touched(
+            spark, m, touched, key_df, sk, bloom_probe_cap
+        )
+        if touched:
+            ddl = _widened_ddl(dict(m.get("props", {})))
+            raw = _read_segments(spark, path, touched, schema_ddl=ddl)
+            hits = (
+                raw.select(
+                    _dv_relpath(F.col("_metadata.file_path")).alias("file"),
+                    F.col("_metadata.row_index").alias("pos"),
+                    *keys,
+                )
+                .join(key_df, on=list(keys), how="left_semi")
+                .select("file", "pos")
+            )
+        else:
+            hits = spark.createDataFrame([], "file string, pos bigint")
+        dv_seg = _write_segment(hits, path, 1)
+
+        def _segments(parent):
+            return list(parent["segments"]) if parent else []
+
+        def _deletes(parent):
+            prior = list(parent.get("deletes", [])) if parent else []
+            return prior + [dv_seg]
+
+        def _meta(parent, segments):
+            pm = dict(parent.get("meta", {})) if parent else {}
+            out = {s: pm[s] for s in segments if s in pm}
+            # dv marker drives the readers; dv_segs lets the pyarrow
+            # planner skip irrelevant data segments without reading
+            # the DV parquet (the anti-join scopes by file anyway)
+            out[dv_seg] = {"dv": True, "dv_segs": list(touched)}
+            return out
+
+        try:
+            return _commit(
+                spark,
+                path,
+                "delete_dv",
+                _segments,
+                tag=tag,
+                meta_fn=_meta,
+                deletes_fn=_deletes,
+                expected_parent=base_version,
+            )
+        except CommitConflict as e:
+            last_err = e
+    raise RuntimeError(
+        f"commit_delete_dv lost the snapshot race {max_tries} times: {path}"
     ) from last_err
 
 

@@ -1702,3 +1702,61 @@ def test_flat_pq_codes_lake_bloom_prunes_takedown(spark, tmp_path):
     )
     assert M.read_snapshot(spark, cdp).count() == 199
     assert M.read_for_keys(spark, cdp, "vec_id", [7]).count() == 0
+
+
+def test_propagate_index_deletes_dv(spark, tmp_path):
+    """Deletion-vector mode (r11): O(batch-scan) positional tombstone
+    commits on every lake — zero data rewritten, the deleted id leaves
+    the pruned index scan via the per-file positional filter, tag
+    replay is a no-op, and compact materializes the vectors."""
+    import numpy as np
+
+    from nba_pipeline_spark.operators import similarity as SIM
+    from nba_pipeline_spark.sources import manifest as M
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(120)
+    ]
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ep = str(tmp_path / "emb")
+    M.commit_append(spark, ep, emb_df, stats_cols=["vec_id"])
+    cp, cbp, kp = (str(tmp_path / x) for x in ("cent", "books", "codes"))
+    SIM.build_ivfpq_index(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding",
+        4, 4, 8, cp, cbp, kp,
+    )
+    before = SIM.ivfpq_topk(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding",
+        3, 8, 4, cp, cbp, kp, pool=200,
+    ).collect()
+    victim = int(before[0]["vec_id"])
+    segs_before = set(M.resolve_segments(spark, kp))
+
+    SIM.propagate_index_deletes(
+        spark, [victim], "vec_id", index_code_paths=[kp], emb_path=ep,
+        mode="dv", tag="takedown-dv-1",
+    )
+    v_codes = M.current_version(spark, kp)
+    SIM.propagate_index_deletes(
+        spark, [victim], "vec_id", index_code_paths=[kp], emb_path=ep,
+        mode="dv", tag="takedown-dv-1",
+    )
+    assert M.current_version(spark, kp) == v_codes  # tag replay no-op
+    assert set(M.resolve_segments(spark, kp)) == segs_before  # zero rewrites
+    after = SIM.ivfpq_topk(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding",
+        3, 8, 4, cp, cbp, kp, pool=200,
+    ).collect()
+    assert victim not in {int(r["vec_id"]) for r in after}
+    assert len(after) == 8
+    assert M.read_snapshot(spark, ep).filter(
+        F.col("vec_id") == victim
+    ).count() == 0
+    M.compact(spark, kp, target_files=1)
+    assert not M._read_manifest(
+        spark, kp, M.current_version(spark, kp)
+    ).get("deletes")
+    assert M.read_snapshot(spark, kp).filter(
+        F.col("vec_id") == victim
+    ).count() == 0
