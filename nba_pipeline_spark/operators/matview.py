@@ -360,75 +360,97 @@ def maintain_join_matview(
     """Advance the JOIN MV to BOTH lakes' current versions; returns
     whether anything changed. First call bootstraps with a full
     join-aggregate; later calls fold `join_delta_contributions` of the
-    unconsumed (fact, dim) version window. Exactly-once under
-    crash/replay via one ``mvj=<f_v>:<d_v>`` token on both the MV
-    publish and the high-water state replace (the pack-sink
-    discipline: MV first, computed from the PRE-state water marks, so
-    either crash window converges on redo)."""
+    unconsumed (fact, dim) version window.
+
+    Exactly-once under crash/replay via `manifest.commit_multi` (r11
+    — VERDICT r10 #4: the generalized two-lake publish): one
+    ``mvj=<f_v>:<d_v>`` group token, MV participant first, high-water
+    state second, both computed from the PRE-state watermarks. A crash
+    between the two commits leaves the MV-ahead prefix the primitive's
+    contract names: the consumed window is re-derived from
+    `newest_multi_token` on the FIRST participant (the MV lake), which
+    outranks a lagging state lake — folding from the stale state would
+    double-apply the crashed window (the r9 silent-corruption repair,
+    now expressed through the primitive instead of by hand). The heal
+    completes the pending group: the MV participant tag-skips without
+    recomputing (commit_multi evaluates participant content lazily),
+    the state participant lands."""
     f_v1 = M.current_version(spark, fact_path)
     d_v1 = M.current_version(spark, dim_path)
     if f_v1 is None or d_v1 is None:
         raise ValueError("both lakes need at least one commit")
     state_v = M.current_version(spark, state_path)
-    tag = f"mvj={f_v1}:{d_v1}"
+
+    def _publish(window, folded_fn) -> None:
+        f_v, d_v = window
+        M.commit_multi(
+            spark, "mvj", f"{f_v}:{d_v}",
+            [
+                (
+                    mv_path,
+                    lambda tag: M.commit_replace(
+                        spark, mv_path, folded_fn(), target_files, tag=tag
+                    ),
+                ),
+                (
+                    state_path,
+                    lambda tag: M.commit_replace(
+                        spark, state_path,
+                        spark.createDataFrame(
+                            [(f_v, d_v)], "f_v long, d_v long"
+                        ),
+                        tag=tag,
+                    ),
+                ),
+            ],
+        )
+
     if state_v is None:
-        mv = (
-            M.read_snapshot(spark, fact_path)
-            .alias("f")
-            .join(
-                M.read_snapshot(spark, dim_path).alias("d"),
-                F.col(f"f.{fact_fk}") == F.col(f"d.{dim_jk}"),
+        def _bootstrap():
+            return (
+                M.read_snapshot(spark, fact_path)
+                .alias("f")
+                .join(
+                    M.read_snapshot(spark, dim_path).alias("d"),
+                    F.col(f"f.{fact_fk}") == F.col(f"d.{dim_jk}"),
+                )
+                .groupBy(F.col(f"d.{group_col}").alias(group_col))
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                    *[
+                        F.sum(F.col(f"f.{c}")).alias(f"sum_{c}")
+                        for c in sum_cols
+                    ],
+                    *[
+                        F.count(F.col(f"f.{c}")).cast("bigint").alias(f"nn_{c}")
+                        for c in sum_cols
+                    ],
+                )
             )
-            .groupBy(F.col(f"d.{group_col}").alias(group_col))
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("cnt"),
-                *[
-                    F.sum(F.col(f"f.{c}")).alias(f"sum_{c}")
-                    for c in sum_cols
-                ],
-                *[
-                    F.count(F.col(f"f.{c}")).cast("bigint").alias(f"nn_{c}")
-                    for c in sum_cols
-                ],
-            )
-        )
-        M.commit_replace(spark, mv_path, mv, target_files, tag=tag)
-        M.commit_replace(
-            spark, state_path,
-            spark.createDataFrame(
-                [(f_v1, d_v1)], "f_v long, d_v long"
-            ),
-            tag=tag,
-        )
+
+        _publish((f_v1, d_v1), _bootstrap)
         return True
     st = M.read_snapshot(spark, state_path).collect()[0]
     f_v0, d_v0 = int(st["f_v"]), int(st["d_v"])
-    # crash-window repair (ADVICE r9): if a crash landed the MV
-    # publish but not the state replace, AND a lake advanced before
-    # redo, the state lake under-reports what the MV already contains
-    # — folding from it would double-apply the crashed window (silent
-    # corruption the no-advance tag check can't catch, because the
-    # redo computes a DIFFERENT tag). The MV lake itself is the truth:
-    # its newest mvj tag IS the high-water the view actually holds
-    # (both coordinates are monotone across publishes, so the max
-    # tuple is the newest). Prefer it whenever it is ahead.
-    consumed = max(
-        (
-            tuple(int(x) for x in t[4:].split(":"))
-            for t in M.committed_tags(spark, mv_path)
-            if t.startswith("mvj=")
-        ),
-        default=None,
-    )
+    # crash-window repair: the newest group token on the FIRST
+    # participant (the MV lake) is the window the view actually holds
+    # — prefer it whenever it is ahead of the state lake (the
+    # commit_multi prefix contract; both coordinates are monotone
+    # across publishes, so the max tuple is the newest).
+    consumed = M.newest_multi_token(spark, "mvj", mv_path)
     if consumed is not None and consumed > (f_v0, d_v0):
         f_v0, d_v0 = consumed
     if (f_v0, d_v0) == (f_v1, d_v1):
         if (int(st["f_v"]), int(st["d_v"])) != (f_v1, d_v1):
             # heal the lagging state lake so the next call is a no-op.
-            # UNTAGGED on purpose: the state lake is a pure checkpoint
-            # (re-writing the correct high-water twice is harmless),
-            # and the mvj tag may already sit in its cumulative tag
-            # list, which would no-op the heal and loop forever.
+            # UNTAGGED on purpose — outside commit_multi: a state lake
+            # ROLLED BACK out-of-band (restore) can still carry the
+            # group tag in its cumulative set while its content reads
+            # older, and the primitive's tag skip would then no-op the
+            # heal forever. Re-writing the correct high-water twice is
+            # harmless (the state lake is a pure checkpoint); mutating
+            # a participant outside the group is outside commit_multi's
+            # contract, so the repair is too.
             M.commit_replace(
                 spark, state_path,
                 spark.createDataFrame(
@@ -437,19 +459,17 @@ def maintain_join_matview(
             )
             return True
         return False
-    d = join_delta_contributions(
-        spark, fact_path, dim_path, f_v0, f_v1, d_v0, d_v1,
-        fact_keys, dim_keys, fact_fk, dim_jk, group_col, sum_cols,
-    )
-    folded = fold_delta(
-        M.read_snapshot(spark, mv_path), d, [group_col], sum_cols
-    )
-    M.commit_replace(spark, mv_path, folded, target_files, tag=tag)
-    M.commit_replace(
-        spark, state_path,
-        spark.createDataFrame([(f_v1, d_v1)], "f_v long, d_v long"),
-        tag=tag,
-    )
+
+    def _folded():
+        d = join_delta_contributions(
+            spark, fact_path, dim_path, f_v0, f_v1, d_v0, d_v1,
+            fact_keys, dim_keys, fact_fk, dim_jk, group_col, sum_cols,
+        )
+        return fold_delta(
+            M.read_snapshot(spark, mv_path), d, [group_col], sum_cols
+        )
+
+    _publish((f_v1, d_v1), _folded)
     return True
 
 

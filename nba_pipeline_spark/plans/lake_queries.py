@@ -3628,3 +3628,91 @@ register(
     FROM kept GROUP BY o_orderstatus
     """,
 )
+
+
+def _commit_multi_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Join-MV maintained through manifest.commit_multi (VERDICT r10
+    #4) with a crash INJECTED between the two participant commits (the
+    MV publish lands, the state replace raises) while the fact lake
+    keeps advancing — the exact double-fold window the primitive's
+    prefix contract + newest_multi_token repair close. The final MV
+    must be the plain join-aggregate."""
+    from ..operators import matview as MV
+
+    root = _stage_dir(sf_dir, "orders", "commit_multi_mv")
+    fp, dp = f"{root}/fact", f"{root}/dim"
+    mvp, stp = f"{root}/mv", f"{root}/state"
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        args = (
+            spark, fp, dp, ["o_orderkey"], ["c_custkey"],
+            "o_custkey", "c_custkey", "c_mktsegment", ["o_orderkey"],
+            mvp, stp,
+        )
+        M.commit_append(spark, fp, orders.filter(F.col("o_orderkey") % 3 == 0))
+        M.commit_append(spark, dp, cust)
+        MV.maintain_join_matview(*args)  # bootstrap group
+        M.commit_append(spark, fp, orders.filter(F.col("o_orderkey") % 3 == 1))
+        # crash between the two participant commits: the MV publish
+        # (participant 1) lands, the state replace (participant 2)
+        # raises — a prefix-committed group
+        orig = M.commit_replace
+        state = {"arm": True}
+
+        def flaky(spark_, path_, df_, target_files=None, **kw):
+            if path_ == stp and state["arm"]:
+                state["arm"] = False
+                raise RuntimeError("injected crash")
+            return orig(spark_, path_, df_, target_files, **kw)
+
+        M.commit_replace = flaky
+        try:
+            MV.maintain_join_matview(*args)
+        except RuntimeError:
+            pass
+        finally:
+            M.commit_replace = orig
+        # the lake advances past the crash window (the double-fold
+        # hazard: a stale state lake under-reports what the MV holds)
+        M.commit_append(spark, fp, orders.filter(F.col("o_orderkey") % 3 == 2))
+        MV.maintain_join_matview(*args)  # repair: consumed from mvj token
+        MV.maintain_join_matview(*args)  # converged no-op
+
+    return _ensure_stage(root, build)
+
+
+def q_commit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-lake atomic publish (sources/manifest.py::commit_multi +
+    newest_multi_token; VERDICT r10 #4): the join-MV's dual commit runs
+    as one tagged GROUP — participants land in order, a crash leaves a
+    repairable prefix, and the consumed window re-derives from the
+    first participant's newest group token, so the staged
+    crash-while-advancing history cannot double-fold. Oracle: the
+    plain join-aggregate of the final source tables."""
+    from ..operators import matview as MV
+
+    tune(spark)
+    root = _commit_multi_stage(spark, sf_dir)
+    return MV.read_matview(spark, f"{root}/mv").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("cnt").cast("bigint").alias("n"),
+        F.col("sum_o_orderkey").cast("bigint").alias("sum_key"),
+    )
+
+
+register(
+    "q_commit_multi",
+    q_commit_multi,
+    """
+    SELECT c_mktsegment AS seg,
+           COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)

@@ -4634,6 +4634,79 @@ def commit_delete_mor(
     ) from last_err
 
 
+def commit_multi(
+    spark: SparkSession,
+    group: str,
+    token: str,
+    parts: list,
+) -> dict[str, int]:
+    """MULTI-LAKE atomic-by-convergence publish (VERDICT r10 #4): one
+    write-side primitive for the N-lake commits the mvj / cdfmv /
+    annidx / takedown tag disciplines each re-derived by hand.
+
+    ``parts`` is an ORDERED list of ``(path, fn)``; every participant
+    shares the group tag ``{group}={token}``, and ``fn(tag)`` performs
+    exactly ONE tagged commit on its lake, computing its content
+    LAZILY (a skipped participant must cost nothing). Contract: the
+    fns are deterministic given the token — the token names the
+    group's input window — so any crash/replay converges:
+
+    - participants commit in order, each skipped when the tag already
+      sits in its cumulative tag set (exactly-once per lake);
+    - a crash always leaves a PREFIX committed (lake i landed, i+1..
+      did not) — re-invoking with the same token completes the
+      suffix, and completed participants skip without recomputing;
+    - the newest token on the FIRST participant is therefore the
+      group the system last STARTED (`newest_multi_token`) — a caller
+      that derives its next input window from a later participant
+      (e.g. a high-water state lake) must let that token outrank a
+      lagging participant, which is the r10 join-MV crash repair
+      expressed once instead of per-consumer.
+
+    Visibility note (the honest contract): between the prefix and the
+    suffix, independent per-lake readers see the crash window — the
+    primitive guarantees write-side convergence, not cross-lake
+    isolation. Readers needing a consistent multi-lake view pin a
+    catalog (`pin_catalog`) — the read-side half that already exists.
+
+    Returns {path: committed-or-current version}."""
+    tag = f"{group}={token}"
+    out: dict[str, int] = {}
+    for path, fn in parts:
+        if tag in committed_tags(spark, path):
+            out[path] = current_version(spark, path)
+            continue
+        out[path] = fn(tag)
+    return out
+
+
+def newest_multi_token(
+    spark: SparkSession, group: str, path: str
+):
+    """The newest `group` token committed on `path`, parsed as a tuple
+    of ints on ':' (None if the group never committed, or a tuple of
+    raw strings for non-numeric tokens). The repair probe for
+    `commit_multi` callers: the FIRST participant's newest token is
+    the last group the system started; a later participant whose
+    derived state trails it has a pending crash window."""
+    prefix = f"{group}="
+    toks = [
+        t[len(prefix):]
+        for t in committed_tags(spark, path)
+        if t.startswith(prefix)
+    ]
+    if not toks:
+        return None
+
+    def parse(t: str):
+        try:
+            return tuple(int(x) for x in t.split(":"))
+        except ValueError:
+            return tuple(t.split(":"))
+
+    return max(parse(t) for t in toks)
+
+
 def _dv_relpath(col):
     """Segment-relative file identity ``<segment>/<basename>`` from a
     scan's ``_metadata.file_path`` — location-independent (a shallow

@@ -537,3 +537,130 @@ def test_matview_pre_nn_lake_backfills(spark, tmp_path):
     assert got == _expected(spark, src)
     # and the refreshed view carries nn_ counters again going forward
     assert "nn_v" in M.read_snapshot(spark, mv).columns
+
+
+def test_commit_multi_prefix_crash_converges(spark, tmp_path):
+    """The generalized multi-lake publish (manifest.commit_multi,
+    VERDICT r10 #4): a crash between participants leaves a PREFIX;
+    re-invoking with the same token completes the suffix, skipped
+    participants never re-evaluate their content, and a different
+    token runs the full group."""
+    import pytest
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    evals = {"a": 0, "b": 0}
+
+    def part(path, key, rows, crash_after=False):
+        def fn(tag):
+            evals[key] += 1
+            v = M.commit_replace(
+                spark, path,
+                spark.createDataFrame(rows, "k int, v string"), tag=tag,
+            )
+            if crash_after:
+                raise RuntimeError("injected crash between the two commits")
+            return v
+        return (path, fn)
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.commit_multi(spark, "grp", "1:1", [
+            part(a, "a", [(1, "x")], crash_after=True),
+            part(b, "b", [(1, "y")]),
+        ])
+    assert M.current_version(spark, a) == 1
+    assert M.current_version(spark, b) is None  # the suffix never ran
+    assert evals == {"a": 1, "b": 0}
+    # replay with the SAME token: prefix tag-skips (no re-eval), suffix lands
+    out = M.commit_multi(spark, "grp", "1:1", [
+        part(a, "a", [(9, "WRONG — must not re-evaluate")]),
+        part(b, "b", [(1, "y")]),
+    ])
+    assert evals == {"a": 1, "b": 1}
+    assert out == {a: 1, b: 1}
+    assert [(r["k"], r["v"]) for r in M.read_snapshot(spark, a).collect()] == [(1, "x")]
+    # a NEW token runs both participants
+    M.commit_multi(spark, "grp", "2:1", [
+        part(a, "a", [(2, "x2")]),
+        part(b, "b", [(2, "y2")]),
+    ])
+    assert evals == {"a": 2, "b": 2}
+    assert M.newest_multi_token(spark, "grp", a) == (2, 1)
+
+
+def test_join_matview_crash_injection_soak(spark, tmp_path):
+    """Seeded crash-injection soak against the commit_multi-based
+    maintainer (the r10 84-step soak, now COMMITTED and run through
+    the primitive): random fact/dim histories with (a) crashes
+    injected between the MV publish and the state replace and (b)
+    out-of-band state-lake rollbacks, maintenance after every step —
+    the MV must equal the from-scratch join-aggregate at EVERY step."""
+    import random
+
+    for seed in (7, 101):
+        rng = random.Random(seed)
+        root = tmp_path / f"s{seed}"
+        fp, dp = str(root / "fact"), str(root / "dim")
+        mvp, stp = str(root / "mv"), str(root / "state")
+        args = (
+            spark, fp, dp, ["fk"], ["dk"], "dk", "dk", "grp", ["v"], mvp, stp,
+        )
+        M.commit_append(
+            spark, fp, _fact(spark, [(1, 10, 100, 0), (2, 20, 200, 0)])
+        )
+        M.commit_append(
+            spark, dp, _dim(spark, [(10, "a", 0), (20, "b", 0)])
+        )
+        MV.maintain_join_matview(*args)
+        assert _mv_rows(spark, mvp) == _recompute(spark, fp, dp)
+        next_fk = 3
+        orig_replace = M.commit_replace
+        for step in range(10):
+            # 1-2 random commits on either lake
+            for _ in range(rng.randint(1, 2)):
+                if rng.random() < 0.6:
+                    rows = [
+                        (next_fk + i, rng.choice([10, 20, 30]),
+                         rng.randint(1, 999), step + 1)
+                        for i in range(rng.randint(1, 3))
+                    ]
+                    next_fk += len(rows)
+                    if rng.random() < 0.5:
+                        M.commit_append(spark, fp, _fact(spark, rows))
+                    else:
+                        M.commit_upsert(
+                            spark, fp, _fact(spark, rows), ["fk"], "ver"
+                        )
+                else:
+                    dk = rng.choice([10, 20, 30])
+                    M.commit_upsert(
+                        spark, dp,
+                        _dim(spark, [(dk, rng.choice("abcd"), step + 1)]),
+                        ["dk"], "ver",
+                    )
+            # maybe inject a crash between the two participant commits
+            if rng.random() < 0.5:
+                state = {"arm": True}
+
+                def flaky(spark_, path_, df_, target_files=None, **kw):
+                    if path_ == stp and state["arm"]:
+                        state["arm"] = False
+                        raise RuntimeError("injected crash")
+                    return orig_replace(
+                        spark_, path_, df_, target_files, **kw
+                    )
+
+                M.commit_replace = flaky
+                try:
+                    MV.maintain_join_matview(*args)
+                except RuntimeError:
+                    pass
+                finally:
+                    M.commit_replace = orig_replace
+            # maybe roll the state lake back out-of-band
+            if rng.random() < 0.3 and (M.current_version(spark, stp) or 0) > 1:
+                M.restore(spark, stp, version=1)
+            MV.maintain_join_matview(*args)
+            MV.maintain_join_matview(*args)  # second call: converged no-op
+            assert _mv_rows(spark, mvp) == _recompute(spark, fp, dp), (
+                f"seed {seed} step {step}"
+            )
