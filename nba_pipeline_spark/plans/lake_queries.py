@@ -3716,3 +3716,116 @@ register(
     GROUP BY 1
     """,
 )
+
+
+def _cdf_bridge_lake(spark: SparkSession, sf_dir: str) -> str:
+    """v1 append, v2 RECORDED MERGE (pre-rename names), v3 rename
+    o_custkey→cust (metadata-only), v4 RECORDED CoW delete (post-rename
+    names) — the stream pins the FINAL schema and must serve the v2
+    recording through the physical-identity bridge."""
+    lake = _stage_dir(sf_dir, "orders", "cdf_schema_bridge")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        M.commit_append(spark, lake, orders)
+        M.commit_upsert(
+            spark, lake,
+            orders.filter(F.col("o_orderkey") % 10 == 1)
+            .withColumn("o_custkey", F.col("o_custkey") + F.lit(1000000))
+            .withColumn("ver", F.lit(1)),
+            keys=["o_orderkey"], version_col="ver", record_cdf=True,
+        )
+        M.rename_column(spark, lake, "o_custkey", "cust")
+        M.commit_delete(
+            spark, lake,
+            orders.filter(F.col("o_orderkey") % 10 == 2).select("o_orderkey"),
+            ["o_orderkey"], record_cdf=True,
+        )
+        # the pinned (latest) schema must BRIDGE the v2 recording, not
+        # fall back to the computed diff (VERDICT r10 #5)
+        from ..sources.cdf_stream import ManifestCDFStreamReader
+
+        rdr = ManifestCDFStreamReader({"path": lake, "keys": "o_orderkey"})
+        parts = rdr._plan_version(2)
+        assert {p.value[0] for p in parts} == {"rec"}, "v2 must plan recorded"
+        assert parts[0].value[6] is False, "v2 must be BRIDGED, not identity"
+        parts4 = rdr._plan_version(4)
+        assert {p.value[0] for p in parts4} == {"rec"}, "v4 must plan recorded"
+
+    return _ensure_stage(lake, build)
+
+
+def q_cdf_schema_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recorded-CDF SCHEMA BRIDGE (sources/cdf_stream.py::_rec_plan;
+    VERDICT r10 #5): a change segment recorded BEFORE a rename still
+    streams verbatim — the recording version's schema+colmap maps the
+    pinned schema's physical identities to the recorded field names,
+    so the O(changes) fast path survives column mapping instead of
+    silently re-diffing the rewrite width — and the output carries the
+    CURRENT logical names (the census sums `new.cust`, a field that
+    never existed under that name in the recorded file). Memoized per
+    (session, lake) like q_manifest_cdf."""
+    import uuid
+
+    from ..sources.cdf_stream import register_cdf_stream
+
+    tune(spark)
+    register_cdf_stream(spark)
+    lake = _cdf_bridge_lake(spark, sf_dir)
+    memo = getattr(spark, "_mcdfb_memo", None)
+    if memo is None:
+        memo = {}
+        spark._mcdfb_memo = memo
+    if lake in memo:
+        return memo[lake]
+    name = f"mcdfb_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", lake)
+        .option("keys", "o_orderkey")
+        .load()
+        .groupBy(
+            F.col("_commit_version").alias("version"), F.col("op")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+            F.sum("new.cust").cast("bigint").alias("sum_new_cust"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name).select(
+        F.col("version").cast("int").alias("version"),
+        "op", "n", "sum_key", "sum_new_cust",
+    )
+    memo[lake] = out
+    return out
+
+
+register(
+    "q_cdf_schema_bridge",
+    q_cdf_schema_bridge,
+    """
+    WITH f AS (
+      SELECT 1 AS version, 'insert' AS op, o_orderkey, o_custkey AS new_cust
+      FROM orders
+      UNION ALL
+      SELECT 2, 'update', o_orderkey, o_custkey + 1000000
+      FROM orders WHERE o_orderkey % 10 = 1 AND o_custkey IS NOT NULL
+      UNION ALL
+      SELECT 4, 'delete', o_orderkey, NULL
+      FROM orders WHERE o_orderkey % 10 = 2
+    )
+    SELECT version, op, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(new_cust) AS BIGINT) AS sum_new_cust
+    FROM f GROUP BY version, op
+    """,
+)

@@ -81,6 +81,21 @@ _DATACHANGE_FALSE = {
     "cluster", "cluster_partitioned", "cluster_incremental",
 }
 
+# the lake's metadata-only widening chains (manifest.widen_column_type
+# — duplicated here so stream planning stays pyspark-import-free)
+_WIDEN_CHAINS = (
+    ["tinyint", "smallint", "int", "bigint"],
+    ["float", "double"],
+    ["tinyint", "smallint", "int", "double"],
+)
+
+
+def _widens(old: str, new: str) -> bool:
+    for chain in _WIDEN_CHAINS:
+        if old in chain and new in chain and chain.index(old) < chain.index(new):
+            return True
+    return False
+
 
 def _schema_triples(path: str, v: int) -> list[list[str]]:
     props = _manifest(path, v).get("props", {})
@@ -234,65 +249,93 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         vs = _versions(self._path)
         return {"version": vs[-1] if vs else 0}
 
-    def _rec_files(self, m1: dict) -> list[str]:
-        """Parquet files of a WRITE-TIME recorded change segment
-        (commit_upsert(record_cdf=True)) IF its schema matches the
-        pinned stream schema exactly — key names/types and old/new
-        struct fields alike (a post-widening or post-rename recording
-        mismatch falls back to the computed diff, same stance as
-        snapshot_diff's batch fast path). Planning-side cost: one
-        parquet footer read."""
+    def _rec_plan(self, m1: dict):
+        """(files, column plan) for a WRITE-TIME recorded change
+        segment (commit_*(record_cdf=True)), BRIDGED to the pinned
+        stream schema through PHYSICAL column identity (VERDICT r10
+        #5): a recording committed before a later rename or type
+        widening still serves verbatim — the recording version's own
+        schema+colmap (stamped in its manifest) maps pinned physical →
+        recorded logical name, and narrow recorded types cast up at
+        read like the lake's own data segments. Unbridgeable cases
+        fall back to the computed diff: a pinned KEY the recording
+        lacks, a non-widening type change, or a footer that disagrees
+        with the recording manifest's own schema (a foreign file).
+        Columns ADDED after the recording null-fill their struct
+        field; columns DROPPED project away. Planning-side cost: one
+        parquet footer read.
+
+        The plan maps each pinned column → (recorded field name | None
+        for null-fill, pinned type). An all-identity plan is flagged
+        so the read path keeps the zero-copy verbatim emit."""
         seg = m1.get("cdf")
         if not seg:
-            return []
+            return None
         files = _seg_files(self._path, seg, base_dir=_CDF_DIR)
         if not files:
-            return []
+            return None
+        props = m1.get("props", {})
+        rsch = props.get("schema")
+        if not rsch:
+            return None
+        rcm = dict(props.get("colmap", {}))
+        rec_trip = [[n, t, rcm.get(n, n)] for n, t in rsch["cols"]]
+        rec_name = {phys: n for n, t, phys in rec_trip}
+        rec_type = {phys: t for n, t, phys in rec_trip}
+        plan: dict = {}
+        for n_now, t_now, phys in self._triples:
+            rn = rec_name.get(phys)
+            if rn is None:
+                if n_now in self._keys:
+                    return None  # a key the recording lacks: computed
+                plan[n_now] = (None, t_now)
+                continue
+            rt = rec_type[phys]
+            if rt != t_now and not _widens(rt, t_now):
+                return None
+            plan[n_now] = (rn, t_now)
+        rec_keys = [plan[k][0] for k in self._keys]
+        rec_vals = [n for n, t, _ in rec_trip if n not in set(rec_keys)]
         import pyarrow.parquet as pq
 
         fs, norm = _pafs(files[0])
-        sch = pq.read_schema(norm, filesystem=fs)
-        vals = [
-            (n, t) for n, t, _ in self._triples if n not in self._keys
-        ]
         try:
-            names_ok = (
-                set(sch.names) == set(self._keys) | {"op", "old", "new"}
-                and [f.name for f in sch.field("old").type]
-                == [n for n, _ in vals]
-                and [f.name for f in sch.field("new").type]
-                == [n for n, _ in vals]
-            )
-            if not names_ok:
-                return []
-            for k in self._keys:
-                want = _pa_type(
-                    next(t for n, t, _ in self._triples if n == k),
-                    files[0], k,
-                )
-                if sch.field(k).type != want:
-                    return []
+            sch = pq.read_schema(norm, filesystem=fs)
+            if set(sch.names) != set(rec_keys) | {"op", "old", "new"}:
+                return None
             for side in ("old", "new"):
-                st = sch.field(side).type
-                for n, t in vals:
-                    if st.field(n).type != _pa_type(t, files[0], n):
-                        return []
-        except (KeyError, StopIteration):
-            return []
-        return files
+                if [f.name for f in sch.field(side).type] != rec_vals:
+                    return None
+        except KeyError:
+            return None
+        vals_now = [n for n, _, _ in self._triples if n not in self._keys]
+        identity = (
+            all(plan[n][0] == n for n in plan)
+            and rec_vals == vals_now
+            and all(
+                rec_type[phys] == t_now
+                for _, t_now, phys in self._triples
+            )
+        )
+        return files, plan, identity
 
     def _plan_version(self, v: int) -> list:
         m1 = _manifest(self._path, v)
         if m1.get("op") in _DATACHANGE_FALSE:
             return []
-        rec = self._rec_files(m1)
+        rec = self._rec_plan(m1)
         if rec:
             # the writer recorded this commit's delta: emit it verbatim
             # — O(changes) per-file partitions even for a rewrite that
             # touched the whole table, no candidate reads, no join
+            # (bridged through physical identity when the lake renamed
+            # or widened columns since the recording)
+            files, plan, identity = rec
             return [
-                InputPartition(("rec", v, f, self._keys, self._triples))
-                for f in rec
+                InputPartition((
+                    "rec", v, f, self._keys, self._triples, plan, identity,
+                ))
+                for f in files
             ]
         # the predecessor is the manifest's recorded parent, NOT v-1:
         # version numbers may SKIP (WAP/branch publish floors the number
@@ -424,18 +467,62 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         kind = partition.value[0]
         if kind == "rec":
             # write-time recorded change file: schema pre-validated at
-            # planning — append the version and emit verbatim
-            _, v, fname, keys, triples = partition.value
+            # planning — append the version and emit verbatim (the
+            # identity fast path), or bridge names/types to the pinned
+            # stream schema through the planning-side column plan
+            _, v, fname, keys, triples, plan, identity = partition.value
             self._keys, self._triples = keys, triples
             import pyarrow.parquet as pq
 
             fs, norm = _pafs(fname)
             t = pq.read_table(norm, filesystem=fs)
-            t = t.select(self._keys + ["op", "old", "new"])
-            self._require_keys(t)
-            yield from t.append_column(
-                "_commit_version", pa.array([v] * t.num_rows, pa.int32())
-            ).to_batches()
+            if identity:
+                t = t.select(self._keys + ["op", "old", "new"])
+                self._require_keys(t)
+                yield from t.append_column(
+                    "_commit_version", pa.array([v] * t.num_rows, pa.int32())
+                ).to_batches()
+                return
+            n_rows = t.num_rows
+            key_cols = []
+            for k in self._keys:
+                rn, typ = plan[k]
+                want = _pa_type(typ, fname, k)
+                col = t.column(rn).combine_chunks()
+                if col.type != want:
+                    col = col.cast(want)
+                key_cols.append(col)
+            vals = self._value_cols()
+            sides = []
+            for side in ("old", "new"):
+                sa = t.column(side).combine_chunks()
+                import pyarrow.compute as pc
+
+                absent = pc.is_null(sa)
+                children = []
+                for nname in vals:
+                    rn, typ = plan[nname]
+                    want = _pa_type(typ, fname, nname)
+                    if rn is None:  # column added after the recording
+                        children.append(pa.nulls(n_rows, want))
+                        continue
+                    child = sa.field(rn)
+                    if child.type != want:
+                        child = child.cast(want)
+                    children.append(child)
+                sides.append(
+                    pa.StructArray.from_arrays(
+                        children, names=vals, mask=absent
+                    )
+                )
+            out = pa.table(
+                key_cols
+                + [t.column("op"), sides[0], sides[1],
+                   pa.array([v] * n_rows, pa.int32())],
+                names=self._keys + ["op", "old", "new", "_commit_version"],
+            )
+            self._require_keys(out)
+            yield from out.to_batches()
             return
         if kind == "ins":
             _, v, fname, keys, triples = partition.value

@@ -527,3 +527,84 @@ def test_cdf_stream_carries_array_columns(spark, tmp_path):
         (4, "insert", 2, None, (7.0, 8.0)),
         (1, "delete", 3, (1.0, 2.0), None),
     }
+
+
+def test_cdf_stream_recorded_bridges_rename_and_widen(spark, tmp_path):
+    """Recorded-CDF schema bridge (VERDICT r10 #5): a recording
+    committed BEFORE a rename / type widening / added column still
+    plans 'rec' partitions (physical identity maps names; narrow
+    recorded types cast up; added columns null-fill), and the stream
+    emits CURRENT logical names — equal to the computed twin."""
+    from nba_pipeline_spark.sources.cdf_stream import ManifestCDFStreamReader
+
+    register_cdf_stream(spark)
+
+    def history(lake, rec):
+        M.commit_append(
+            spark, lake,
+            spark.createDataFrame(
+                [(1, "a", 10), (2, "a", 20)], "k int, grp string, v int"
+            ),
+        )
+        M.commit_upsert(                       # v2: RECORDED pre-evolution
+            spark, lake,
+            spark.createDataFrame(
+                [(2, "b", 21, 1), (3, "c", 30, 1)],
+                "k int, grp string, v int, ver int",
+            ),
+            ["k"], "ver", record_cdf=rec,
+        )
+        M.rename_column(spark, lake, "grp", "segment")     # v3
+        M.widen_column_type(spark, lake, "v", "bigint")    # v4
+        M.commit_append(                                   # v5: adds `note`
+            spark, lake,
+            spark.createDataFrame(
+                [(9, "z", 90, "memo")],
+                "k int, segment string, v bigint, note string",
+            ),
+        )
+
+    rec_lake, cmp_lake = str(tmp_path / "rec"), str(tmp_path / "cmp")
+    history(rec_lake, True)
+    history(cmp_lake, False)
+    # the PINNED (latest) schema sees segment/bigint/note — the v2
+    # recording must still plan verbatim through the bridge
+    rdr = ManifestCDFStreamReader({"path": rec_lake, "keys": "k"})
+    parts = rdr._plan_version(2)
+    assert {p.value[0] for p in parts} == {"rec"}
+    assert not parts[0].value[6]  # bridged, not identity
+    got_rec: list = []
+    got_cmp: list = []
+    _run(spark, rec_lake, str(tmp_path / "ck1"), got_rec)
+    _run(spark, cmp_lake, str(tmp_path / "ck2"), got_cmp)
+
+    def flat2(rows):
+        out = set()
+        for r in rows:
+            old = (
+                (r["old"]["segment"], r["old"]["v"], r["old"]["note"])
+                if r["old"] is not None else None
+            )
+            new = (
+                (r["new"]["segment"], r["new"]["v"], r["new"]["note"])
+                if r["new"] is not None else None
+            )
+            out.add((r["k"], r["op"], old, new, r["_commit_version"]))
+        return out
+
+    assert flat2(got_rec) == flat2(got_cmp)
+    assert (2, "update", ("a", 20, None), ("b", 21, None), 2) in flat2(got_rec)
+    # an identity recording (post-evolution) still takes the fast path
+    M.commit_upsert(
+        spark, rec_lake,
+        spark.createDataFrame(
+            [(4, "d", 40, "x", 1)],
+            "k int, segment string, v bigint, note string, ver int",
+        ),
+        ["k"], "ver", record_cdf=True,
+    )
+    v = M.current_version(spark, rec_lake)
+    rdr2 = ManifestCDFStreamReader({"path": rec_lake, "keys": "k"})
+    parts2 = rdr2._plan_version(v)
+    assert {p.value[0] for p in parts2} == {"rec"}
+    assert parts2[0].value[6] is True  # identity: verbatim emit
