@@ -250,6 +250,14 @@ def cmd_lake(args) -> int:
         row = M.describe_detail(spark, args.path).collect()[0]
         print(json.dumps(row.asDict()))
         return 0
+    if args.action == "advise":
+        plan = M.plan_maintenance(spark, args.path)
+        if args.apply:
+            done = M.apply_maintenance(spark, args.path, plan)
+            print(json.dumps(done))
+        else:
+            print(json.dumps(plan))
+        return 0
     if args.action == "restore":
         if args.version is None:
             print("restore requires --version", file=sys.stderr)
@@ -566,15 +574,19 @@ def main(argv: list[str] | None = None) -> int:
     lk = sub.add_parser("lake")
     lk.add_argument(
         "action",
-        help="history|compact|vacuum|describe|restore|clone|constraint|"
-        "zorder|backfill|feed|rename-column|drop-column|branch|publish|"
-        "branches|drop-branch|stats|compact-small|widen-type|set-generated|"
-        "expectation|wap-ingest|set-unique|join-mv|pin-catalog",
+        help="history|compact|vacuum|describe|advise|restore|clone|"
+        "constraint|zorder|backfill|feed|rename-column|drop-column|branch|"
+        "publish|branches|drop-branch|stats|compact-small|widen-type|"
+        "set-generated|expectation|wap-ingest|set-unique|join-mv|pin-catalog",
     )
     lk.add_argument("path", help="manifest lake root")
     lk.add_argument("--target-files", type=int, default=1)
     lk.add_argument("--keep-versions", type=int, default=2)
     lk.add_argument("--dry-run", action="store_true", help="vacuum: audit only")
+    lk.add_argument(
+        "--apply", action="store_true",
+        help="advise: execute the ranked plan instead of printing it",
+    )
     lk.add_argument("--version", type=int, default=None, help="restore target")
     lk.add_argument("--dest", default=None, help="clone destination")
     lk.add_argument("--deep", action="store_true", help="clone: copy segments")

@@ -3829,3 +3829,100 @@ register(
     FROM f GROUP BY version, op
     """,
 )
+
+
+def _advisor_lake(spark: SparkSession, sf_dir: str) -> str:
+    """A lake the advisor has opinions about: a big append + four
+    micro-appends (small-file tail), a pending MoR tombstone, then —
+    after the first flatten — a fresh append that expires versions
+    (vacuum-reclaimable storage). Each plan's action list is asserted
+    at build time; the query's oracle replays the surviving rows."""
+    lake = _stage_dir(sf_dir, "orders", "lake_advisor")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        M.commit_append(
+            spark, lake, orders.filter(F.col("o_orderkey") % 100 != 3),
+            stats_cols=["o_orderkey"],
+        )
+        for rem in (3, 103, 203, 303):  # micro-batch small-file tail
+            M.commit_append(
+                spark, lake,
+                orders.filter(F.col("o_orderkey") % 400 == rem),
+                stats_cols=["o_orderkey"],
+            )
+        M.commit_delete_mor(
+            spark, lake,
+            orders.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        plan = M.plan_maintenance(spark, lake)
+        assert [p["action"] for p in plan] == ["compact"], plan
+        assert "tombstone" in plan[0]["reason"]
+        rounds = 0
+        while plan:
+            M.apply_maintenance(spark, lake, plan)
+            plan = M.plan_maintenance(spark, lake)
+            rounds += 1
+            assert rounds <= 4, plan
+        # a fresh append expires old versions: storage becomes
+        # reclaimable and the advisor says exactly "vacuum"
+        M.commit_append(
+            spark, lake,
+            orders.filter(F.col("o_orderkey") % 20 == 3),
+            stats_cols=["o_orderkey"],
+        )
+        plan2 = M.plan_maintenance(spark, lake)
+        assert [p["action"] for p in plan2] == ["vacuum"], plan2
+        rounds = 0
+        while plan2:
+            M.apply_maintenance(spark, lake, plan2)
+            plan2 = M.plan_maintenance(spark, lake)
+            rounds += 1
+            assert rounds <= 4, plan2
+
+    return _ensure_stage(lake, build)
+
+
+def q_lake_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTENANCE ADVISOR (sources/manifest.py::plan_maintenance +
+    apply_maintenance; VERDICT r10 #6 — `lake advise [--apply]`): the
+    metadata tables become a RANKED action plan, and repeating
+    plan+apply until the plan is empty flattens the census. The staged
+    lake exercised pending-tombstone compaction (subsuming its
+    small-file tail) and vacuum-reclaimable detection, with each
+    plan's exact action list asserted at build time; the final state
+    — one pass of deletes materialized, re-appends visible, no
+    tombstones, two live segments — is a pure predicate the oracle
+    replays, plus the asserted metadata facts as literal columns."""
+    tune(spark)
+    lake = _advisor_lake(spark, sf_dir)
+    m = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    return _agg(M.read_snapshot(spark, lake)).select(
+        "*",
+        F.lit(len(m["segments"])).alias("final_segments"),
+        F.lit(len(m.get("deletes", []))).alias("final_tombstones"),
+        F.lit(len(M.plan_maintenance(spark, lake))).alias("open_advice"),
+    )
+
+
+register(
+    "q_lake_advisor",
+    q_lake_advisor,
+    """
+    WITH kept AS (
+      SELECT o_orderstatus, o_totalprice, o_custkey FROM orders
+      WHERE o_orderkey % 10 <> 3
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice, o_custkey FROM orders
+      WHERE o_orderkey % 20 = 3
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MAX(o_custkey) AS max_cust,
+           2 AS final_segments, 0 AS final_tombstones, 0 AS open_advice
+    FROM kept GROUP BY o_orderstatus
+    """,
+)

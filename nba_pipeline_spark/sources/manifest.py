@@ -6037,6 +6037,220 @@ def register_catalog(
     )
 
 
+def plan_maintenance(
+    spark: SparkSession,
+    path: str,
+    small_row_fraction: float = 0.25,
+    max_partition_segments: int = 4,
+    keep_versions: int = 2,
+) -> list[dict]:
+    """MAINTENANCE ADVISOR (VERDICT r10 #6): turn the metadata tables
+    (`files()` / `partitions()` / `describe_detail()` / a dry-run
+    vacuum) into a RANKED action plan instead of leaving operators to
+    eyeball them. Each entry is ``{action, priority, reason, args}``
+    where `action` names an executable verb (`apply_maintenance` runs
+    them; the CLI exposes ``lake advise [--apply]``). Priorities:
+
+    1. ``compact`` — pending merge-on-read tombstones (equality or
+       deletion-vector): every read pays the anti-join/positional
+       filter and segment-transferring ops refuse until materialized.
+       Also carries stats/bloom regeneration args when live segments
+       have PARTIAL skipping-metadata coverage (post-compact loss).
+    2. ``compact_small`` — a small-segment tail: >=2 live segments in
+       one partition group under ``small_row_fraction`` x the mean
+       segment row count (the micro-batch append shape). Subsumed by
+       a priority-1 full compact when one is advised.
+    3. ``compact`` scoped ``part_eq`` — a partition fragmented past
+       ``max_partition_segments`` segments (OPTIMIZE ... WHERE).
+    4. ``cluster_incremental`` — the lake has a persisted z-order
+       spec and post-cluster appends that aren't folded into it
+       (query-time skipping degrades until folded).
+    5. ``compact`` with stats/bloom args — partial skipping-metadata
+       coverage with no other compact advised.
+    6. ``vacuum`` — a dry-run reports reclaimable segments outside
+       the newest ``keep_versions`` (and any pins, honored as usual).
+
+    The plan FLATTENS: executing every advised action (repeating
+    until the plan is empty — maintenance commits expire versions that
+    the next vacuum reclaims) leaves a census the advisor has nothing
+    to say about. Metadata-scale by construction: everything reads KB
+    manifests + parquet footers; no data pages."""
+    version = current_version(spark, path)
+    if version is None:
+        return []
+    m = _read_manifest(spark, path, version)
+    meta = m.get("meta", {})
+    props = dict(m.get("props", {}))
+    out: list[dict] = []
+    f_rows = files(spark, path).collect()
+    # partial skipping-metadata coverage: a column stat'd/bloom'd on
+    # some live segments but not others (compaction without the cols
+    # is the usual cause) — pruning silently degrades to full scans
+    stats_union = sorted({c for r in f_rows for c in r["stats_cols"]})
+    bloom_union = sorted({c for r in f_rows for c in r["bloom_cols"]})
+    stats_partial = [
+        c for c in stats_union
+        if any(c not in r["stats_cols"] for r in f_rows)
+    ]
+    bloom_partial = [
+        c for c in bloom_union
+        if any(c not in r["bloom_cols"] for r in f_rows)
+    ]
+    regen_args = {}
+    if stats_partial:
+        regen_args["stats_cols"] = stats_partial
+    if bloom_partial:
+        regen_args["bloom_cols"] = bloom_partial
+    # every compact-shaped advice carries the UNION of in-use skipping
+    # columns — the advisor's own action must PRESERVE metadata, not
+    # create next round's partial-coverage advice (compaction drops
+    # stats/blooms unless told to regenerate)
+    keep_args = {}
+    if stats_union:
+        keep_args["stats_cols"] = stats_union
+    if bloom_union:
+        keep_args["bloom_cols"] = bloom_union
+    full_compact = False
+    if m.get("deletes"):
+        n_dv = sum(1 for t in m["deletes"] if meta.get(t, {}).get("dv"))
+        n_eq = len(m["deletes"]) - n_dv
+        kinds = " + ".join(
+            s for s, n in (("equality", n_eq), ("deletion-vector", n_dv))
+            if n
+        )
+        out.append({
+            "action": "compact",
+            "priority": 1,
+            "reason": (
+                f"{len(m['deletes'])} pending merge-on-read tombstone "
+                f"segment(s) ({kinds}): every read pays the mask and "
+                "segment-transferring ops (partitioned/pruned MERGE, CoW "
+                "delete, replaceWhere) refuse until materialized"
+            ),
+            "args": dict(keep_args),
+        })
+        full_compact = True
+    # small-segment tail, per partition group (compact_small semantics)
+    if len(f_rows) >= 2 and not full_compact:
+        mean_rows = sum(r["n_rows"] for r in f_rows) / len(f_rows)
+        floor_rows = max(int(mean_rows * small_row_fraction), 1)
+        by_part: dict[str, int] = {}
+        for r in f_rows:
+            if r["n_rows"] < floor_rows:
+                by_part[r["part"]] = by_part.get(r["part"], 0) + 1
+        n_small = sum(n for n in by_part.values() if n >= 2)
+        if n_small:
+            out.append({
+                "action": "compact_small",
+                "priority": 2,
+                "reason": (
+                    f"{n_small} live segment(s) under {floor_rows} rows "
+                    f"({small_row_fraction:.0%} of the {int(mean_rows)}-row "
+                    "mean) in compactable groups — the micro-batch append "
+                    "tail; scans pay per-file overhead"
+                ),
+                "args": {"target_rows": floor_rows, **keep_args},
+            })
+    # fragmented partitions (scoped OPTIMIZE ... WHERE)
+    if not full_compact:
+        part_rows = partitions(spark, path).collect()
+        for r in part_rows:
+            tags = json.loads(r["part"])
+            if tags and int(r["n_segments"]) > max_partition_segments:
+                out.append({
+                    "action": "compact",
+                    "priority": 3,
+                    "reason": (
+                        f"partition {r['part']} holds {r['n_segments']} "
+                        f"segments (> {max_partition_segments}) — scoped "
+                        "consolidation keeps maintenance O(partition)"
+                    ),
+                    "args": {"part_eq": tags, **keep_args},
+                })
+    # z-order spec with unfolded post-cluster appends
+    if props.get("zorder"):
+        unclustered = [
+            s for s in m["segments"]
+            if "cluster" not in meta.get(s, {})
+        ]
+        if unclustered:
+            out.append({
+                "action": "cluster_incremental",
+                "priority": 4,
+                "reason": (
+                    f"{len(unclustered)} segment(s) appended after the "
+                    "last cluster aren't in the z-layout — range skipping "
+                    "degrades until folded"
+                ),
+                "args": {},
+            })
+    if regen_args and not any(
+        a["action"] in ("compact", "compact_small") for a in out
+    ):
+        out.append({
+            "action": "compact",
+            "priority": 5,
+            "reason": (
+                "partial skipping-metadata coverage (stats: "
+                f"{stats_partial or '-'}; blooms: {bloom_partial or '-'}) "
+                "— segments without it scan fully; compacting with the "
+                "columns regenerates"
+            ),
+            "args": dict(keep_args),
+        })
+    reclaimable = vacuum(
+        spark, path, keep_versions=keep_versions, dry_run=True
+    )
+    if reclaimable:
+        out.append({
+            "action": "vacuum",
+            "priority": 6,
+            "reason": (
+                f"{reclaimable} segment(s) referenced only by versions "
+                f"outside the newest {keep_versions} (pins honored) — "
+                "reclaimable storage"
+            ),
+            "args": {"keep_versions": keep_versions},
+        })
+    return sorted(out, key=lambda a: a["priority"])
+
+
+def apply_maintenance(
+    spark: SparkSession, path: str, plan: list[dict]
+) -> list[dict]:
+    """Execute a `plan_maintenance` plan in priority order. Returns
+    the executed entries with each action's result appended (committed
+    version / segments deleted). The advisor's flattening contract:
+    repeat plan+apply until the plan is empty (a maintenance commit
+    expires versions the next vacuum reclaims)."""
+    done = []
+    for a in plan:
+        args = dict(a.get("args", {}))
+        if a["action"] == "compact":
+            res = compact(
+                spark, path,
+                part_eq=args.get("part_eq"),
+                stats_cols=args.get("stats_cols"),
+                bloom_cols=args.get("bloom_cols"),
+            )
+        elif a["action"] == "compact_small":
+            res = compact_small(
+                spark, path, target_rows=int(args["target_rows"]),
+                bloom_cols=args.get("bloom_cols"),
+            )
+        elif a["action"] == "cluster_incremental":
+            res = cluster_incremental(spark, path)
+        elif a["action"] == "vacuum":
+            res = vacuum(
+                spark, path,
+                keep_versions=int(args.get("keep_versions", 2)),
+            )
+        else:
+            raise ValueError(f"unknown maintenance action {a['action']!r}")
+        done.append({**a, "result": res})
+    return done
+
+
 def vacuum(
     spark: SparkSession,
     path: str,

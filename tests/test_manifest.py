@@ -1681,3 +1681,85 @@ def test_commit_delete_dv_column_mapped_and_tagged_replay(spark, tmp_path):
         ["doc_id"], tag="dv=1",
     )
     assert v2 == v == M.current_version(spark, lake)
+
+
+def test_maintenance_advisor_flattens_census(spark, tmp_path):
+    """plan_maintenance (VERDICT r10 #6): on a synthetic small-file /
+    fragmented-partition / pending-tombstone / stale-layout lake the
+    advisor proposes exactly the actions whose execution flattens the
+    metadata census — repeat plan+apply until the plan is empty, then
+    assert the census is flat and the advisor is silent."""
+    # lake A: micro-batch small-file tail + pending MoR tombstone
+    a = str(tmp_path / "a")
+    M.commit_append(spark, a, _mk(spark, 0, 400), stats_cols=["id"])
+    for lo in range(400, 440, 10):
+        M.commit_append(spark, a, _mk(spark, lo, lo + 10), stats_cols=["id"])
+    M.commit_delete_mor(spark, a, spark.createDataFrame([(5,)], "id int"), ["id"])
+    plan = M.plan_maintenance(spark, a)
+    acts = [p["action"] for p in plan]
+    # tombstone -> full compact (subsumes the small-file tail), then
+    # reclaimable old versions
+    assert acts[0] == "compact" and "tombstone" in plan[0]["reason"]
+    assert "compact_small" not in acts
+    rounds = 0
+    while plan:
+        M.apply_maintenance(spark, a, plan)
+        plan = M.plan_maintenance(spark, a)
+        rounds += 1
+        assert rounds <= 4, plan
+    assert {r["id"] for r in M.read_snapshot(spark, a).collect()} == (
+        set(range(440)) - {5}
+    )
+    m = M._read_manifest(spark, a, M.current_version(spark, a))
+    assert not m.get("deletes")
+    assert len(m["segments"]) <= 2
+
+    # lake B: fragmented partition (scoped OPTIMIZE ... WHERE advice)
+    b = str(tmp_path / "b")
+    for i in range(6):
+        M.commit_append_partitioned(
+            spark, b,
+            spark.createDataFrame(
+                [(100 * i + j, "p1") for j in range(50)], "id int, part string"
+            ),
+            part_col="part",
+        )
+    M.commit_append_partitioned(
+        spark, b,
+        spark.createDataFrame([(9001, "p2")], "id int, part string"),
+        part_col="part",
+    )
+    plan_b = M.plan_maintenance(spark, b)
+    scoped = [p for p in plan_b if p["action"] == "compact" and p["args"].get("part_eq")]
+    assert scoped and scoped[0]["args"]["part_eq"] == {"part": "p1"}
+    rounds = 0
+    while plan_b:
+        M.apply_maintenance(spark, b, plan_b)
+        plan_b = M.plan_maintenance(spark, b)
+        rounds += 1
+        assert rounds <= 4, plan_b
+    assert M.read_snapshot(spark, b).count() == 301
+
+    # lake C: z-ordered lake with an unfolded post-cluster append
+    c = str(tmp_path / "c")
+    M.commit_append(
+        spark, c,
+        spark.createDataFrame([(i, i * 2) for i in range(200)], "x int, y int"),
+    )
+    M.cluster(spark, c, ["x"], target_segments=2, bits_per_col=4)
+    M.commit_append(
+        spark, c,
+        spark.createDataFrame([(1000, 1)], "x int, y int"),
+    )
+    plan_c = M.plan_maintenance(spark, c)
+    assert "cluster_incremental" in [p["action"] for p in plan_c]
+    rounds = 0
+    while plan_c:
+        M.apply_maintenance(spark, c, plan_c)
+        plan_c = M.plan_maintenance(spark, c)
+        rounds += 1
+        assert rounds <= 4, plan_c
+    assert M.read_snapshot(spark, c).count() == 201
+
+    # a freshly-flattened lake: the advisor has nothing to say
+    assert M.plan_maintenance(spark, a) == []
