@@ -46,15 +46,17 @@ def _flat(rows):
 
 
 def _batch_feed(spark, lake, v_from, v_to):
-    """The batch truth: per-version valued snapshot_diff."""
+    """The batch truth: read_feed's per-version valued diffs (which
+    follows the manifest parent chain — so WAP-skipped numbering
+    compares exactly like the stream's)."""
     out = set()
-    for v in range(v_from + 1, v_to + 1):
-        for r in M.snapshot_diff(
-            spark, lake, v - 1, v, ["k"], include_values=True
-        ).collect():
-            old = (r["old"]["grp"], r["old"]["v"]) if r["old"] is not None else (None, None)
-            new = (r["new"]["grp"], r["new"]["v"]) if r["new"] is not None else (None, None)
-            out.add((r["k"], r["op"], *old, *new, v))
+    rows = M.read_feed(
+        spark, lake, ["k"], v_from, v_to, include_values=True
+    ).collect()
+    for r in rows:
+        old = (r["old"]["grp"], r["old"]["v"]) if r["old"] is not None else (None, None)
+        new = (r["new"]["grp"], r["new"]["v"]) if r["new"] is not None else (None, None)
+        out.add((r["k"], r["op"], *old, *new, int(r["version"])))
     return out
 
 
@@ -253,10 +255,10 @@ def test_cdf_stream_randomized_histories_match_batch(spark, tmp_path):
         M.commit_append(spark, lake, _rows(spark, fresh_rows(6)))
         for r in M.read_snapshot(spark, lake).collect():
             live[r["k"]] = True
-        for _step in range(7):
+        for _step in range(9):
             op = rng.choice(
-                ["append", "merge", "delete", "delete_mor",
-                 "replace_where", "compact"]
+                ["append", "merge", "delete", "delete_mor", "delete_dv",
+                 "replace_where", "compact", "restore", "wap"]
             )
             keys = sorted(live)
             # ops legitimately refuse some states (e.g. CoW/MERGE over
@@ -288,7 +290,7 @@ def test_cdf_stream_randomized_histories_match_batch(spark, tmp_path):
                     )
                     for k in range(nxt[0] - 2, nxt[0]):
                         live[k] = True
-                elif op in ("delete", "delete_mor") and len(keys) > 2:
+                elif op in ("delete", "delete_mor", "delete_dv") and len(keys) > 2:
                     victims = rng.sample(keys, 2)
                     df = spark.createDataFrame(
                         [(k,) for k in victims], "k int"
@@ -298,8 +300,13 @@ def test_cdf_stream_randomized_histories_match_batch(spark, tmp_path):
                             spark, lake, df, ["k"],
                             record_cdf=rng.random() < 0.5,
                         )
+                    elif op == "delete_dv":
+                        M.commit_delete_dv(spark, lake, df, ["k"])
                     else:
-                        M.commit_delete_mor(spark, lake, df, ["k"])
+                        M.commit_delete_mor(
+                            spark, lake, df, ["k"],
+                            record_cdf=rng.random() < 0.5,
+                        )
                     for k in victims:
                         live.pop(k, None)
                 elif op == "replace_where":
@@ -309,16 +316,42 @@ def test_cdf_stream_randomized_histories_match_batch(spark, tmp_path):
                         .filter(F.col("grp") == grp).collect()
                     }
                     rows = [(k, grp, v) for k, g, v in fresh_rows(2)]
+                    rec = rng.random() < 0.5
                     M.commit_replace_where(
-                        spark, lake, _rows(spark, rows), eq={"grp": grp}
+                        spark, lake, _rows(spark, rows), eq={"grp": grp},
+                        record_cdf=rec, cdf_keys=["k"] if rec else None,
                     )
                     for k in stale:
                         live.pop(k, None)
                     for k, _g, _v in rows:
                         live[k] = True
+                elif op == "restore":
+                    vs = [
+                        v for v in M._manifest_versions(spark, lake)
+                        if v < M.current_version(spark, lake)
+                    ]
+                    if not vs:
+                        continue
+                    rec = rng.random() < 0.5
+                    M.restore(
+                        spark, lake, version=rng.choice(vs[-3:]),
+                        record_cdf=rec, cdf_keys=["k"] if rec else None,
+                    )
+                    live.clear()
+                    for r in M.read_snapshot(spark, lake).collect():
+                        live[r["k"]] = True
+                elif op == "wap":
+                    name = f"w{_step}"
+                    M.create_branch(spark, lake, name)
+                    bp = M.branch_path(lake, name)
+                    M.commit_append(spark, bp, _rows(spark, fresh_rows(2)))
+                    M.commit_append(spark, bp, _rows(spark, fresh_rows(2)))
+                    M.publish_branch(spark, lake, name)  # version SKIPS
+                    for k in range(nxt[0] - 4, nxt[0]):
+                        live[k] = True
                 else:
                     M.compact(spark, lake, target_files=1)
-            except ValueError:
+            except (ValueError, RuntimeError):
                 continue
         v_to = M.current_version(spark, lake)
         got: list = []
