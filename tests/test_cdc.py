@@ -806,3 +806,38 @@ def test_recorded_cdf_restore(spark, tmp_path):
         (1, "update", "c", 11, "a", 10),
         (3, "delete", "c", 30, None, None),
     }
+
+
+def test_recorded_cdf_delete_dv(spark, tmp_path):
+    """commit_delete_dv(record_cdf=True): the positional delete also
+    records op='delete' rows with old VALUES — visible victims only
+    (a row an earlier tombstone already killed never re-emits) — and
+    the recorded feed equals the computed diff."""
+    from nba_pipeline_spark.sources import manifest as M
+    from nba_pipeline_spark.sources.manifest import _diff_frames
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "b", 30)],
+            "k int, grp string, v bigint",
+        ),
+        stats_cols=["k"],
+    )
+    M.commit_delete_mor(spark, lake, spark.createDataFrame([(1,)], "k int"), ["k"])
+    M.commit_delete_dv(
+        spark, lake,
+        spark.createDataFrame([(1,), (3,), (99,)], "k int"),  # 1 dead, 99 absent
+        ["k"], record_cdf=True,
+    )
+    v = M.current_version(spark, lake)
+    assert M._read_manifest(spark, lake, v).get("cdf")
+    rec = M.snapshot_diff(spark, lake, v - 1, v, ["k"], include_values=True)
+    assert _flat_kv(rec) == {(3, "delete", "b", 30, None, None)}
+    computed = _flat_kv(_diff_frames(
+        M.read_snapshot(spark, lake, version=v - 1),
+        M.read_snapshot(spark, lake, version=v),
+        ["k"], include_values=True,
+    ))
+    assert _flat_kv(rec) == computed

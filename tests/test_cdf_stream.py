@@ -301,7 +301,10 @@ def test_cdf_stream_randomized_histories_match_batch(spark, tmp_path):
                             record_cdf=rng.random() < 0.5,
                         )
                     elif op == "delete_dv":
-                        M.commit_delete_dv(spark, lake, df, ["k"])
+                        M.commit_delete_dv(
+                            spark, lake, df, ["k"],
+                            record_cdf=rng.random() < 0.5,
+                        )
                     else:
                         M.commit_delete_mor(
                             spark, lake, df, ["k"],
