@@ -153,6 +153,16 @@ HEADLINE = [
     "q_cdf_matview",
     "q_corpus_takedown_stream",
     "q_manifest_cdf_recorded",
+    # round-11 session additions. q_cdf_schema_bridge is excluded like
+    # q_manifest_cdf (memoized availableNow bring-up — a warm timing
+    # measures the memo); q_ann_cdf_maintain and q_lake_advisor time
+    # their READ paths (search through the maintained index; the
+    # advised-and-flattened lake census).
+    "q_cdf_recorded_all_paths",
+    "q_ann_cdf_maintain",
+    "q_manifest_delete_dv",
+    "q_commit_multi",
+    "q_lake_advisor",
 ]
 
 
