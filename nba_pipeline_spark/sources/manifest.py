@@ -4669,6 +4669,14 @@ def commit_multi(
     isolation. Readers needing a consistent multi-lake view pin a
     catalog (`pin_catalog`) — the read-side half that already exists.
 
+    Adopters: `maintain_join_matview` (the mvj group — consumed
+    window repaired via `newest_multi_token`) and
+    `ann_index_ingest_sink` (the annidx append+MERGE pair) run ON this
+    primitive; `cdf_matview_sink` is single-lake (no group needed);
+    the takedown sinks keep their per-lake-suffixed tags (the same
+    convergence argument, with the suffix guarding duplicate paths in
+    one group).
+
     Returns {path: committed-or-current version}."""
     tag = f"{group}={token}"
     out: dict[str, int] = {}

@@ -368,17 +368,18 @@ def ann_index_ingest_sink(
     (build_ivf_quantized_index ran once); centroids never move here —
     the IVF contract: retrain is a separate, deliberate rebuild.
 
-    Exactly-once under replay via dual ``annidx=<batch_id>`` tags (the
-    pack_ingest_sink discipline): the embeddings append and the
-    partition-scoped codes MERGE each carry the tag, and
-    commit_upsert_partitioned short-circuits on a seen tag BEFORE
-    recomputing. Crash windows: (a) before the append — full redo;
-    (b) between append and MERGE — the redone append no-ops on its
-    tag, the MERGE lands. A batch with both tags present is a pure
-    no-op. Per-trigger cost: O(batch) assignment against broadcast
-    centroid literals + a rewrite of ONLY the cells the batch touches
-    (at 100 TB: an ingest sliver touching 3 of 4096 cells rewrites 3
-    segments and a KB manifest).
+    Exactly-once under replay via ONE ``annidx=<batch_id>``
+    `manifest.commit_multi` group (r11 — the generalized two-lake
+    publish that also carries the join-MV's mvj discipline): the
+    embeddings append is participant 1, the partition-scoped codes
+    MERGE participant 2, both tag-gated with lazy content. Crash
+    windows are the primitive's prefix contract: (a) before the
+    append — full redo; (b) between append and MERGE — the redone
+    append tag-skips, the MERGE lands. A batch with both tags present
+    is a pure no-op. Per-trigger cost: O(batch) assignment against
+    broadcast centroid literals + a rewrite of ONLY the cells the
+    batch touches (at 100 TB: an ingest sliver touching 3 of 4096
+    cells rewrites 3 segments and a KB manifest).
 
     Returns the streaming query (availableNow trigger; await it)."""
     from ..operators.similarity import update_ivf_quantized_index
@@ -386,12 +387,24 @@ def ann_index_ingest_sink(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        tag = f"annidx={batch_id}"
-        batch_df = batch_df.localCheckpoint(eager=True)  # one computation
-        M.commit_append(spark, emb_path, batch_df, tag=tag)
-        update_ivf_quantized_index(
-            spark, batch_df, id_col, vec_col,
-            centroids_path, codes_path, tag=tag,
+        batch = batch_df.localCheckpoint(eager=True)  # one computation
+        M.commit_multi(
+            spark, "annidx", str(batch_id),
+            [
+                (
+                    emb_path,
+                    lambda tag: M.commit_append(
+                        spark, emb_path, batch, tag=tag
+                    ),
+                ),
+                (
+                    codes_path,
+                    lambda tag: update_ivf_quantized_index(
+                        spark, batch, id_col, vec_col,
+                        centroids_path, codes_path, tag=tag,
+                    ),
+                ),
+            ],
         )
 
     return (
