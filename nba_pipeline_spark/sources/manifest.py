@@ -5085,6 +5085,131 @@ def _diff_frames(
     )
 
 
+def _props_triples(props: dict):
+    """[(logical, type, physical)] per column of a props dict, or None
+    when the lake predates schema recording."""
+    sch = props.get("schema")
+    if not sch:
+        return None
+    cm = dict(props.get("colmap", {}))
+    return [(n, t, cm.get(n, n)) for n, t in sch["cols"]]
+
+
+def _identity_chain(spark: SparkSession, path: str, versions: list[int]):
+    """{version: {logical_name: identity_token}} across the retained
+    history — the column-identity ledger the schema-bridged feed needs.
+    Identity threads by PHYSICAL name within a column-mapping epoch
+    (renames keep the physical) and by LOGICAL name across a
+    materializing rewrite (a colmap-clearing full MERGE rehomes
+    physicals to the current logicals but never renames logically —
+    detected as parent-mapped → version-unmapped). Columns with no
+    match in the parent mint fresh tokens (added columns). A version
+    that predates schema recording maps to None and breaks the chain
+    (its steps fall back to caller-name diffs)."""
+    out: dict = {}
+    prev = None  # (by_logical, by_physical, was_mapped)
+    counter = [0]
+    for v in versions:
+        props = dict(_read_manifest(spark, path, v).get("props", {}))
+        trip = _props_triples(props)
+        if trip is None:
+            out[v] = None
+            prev = None
+            continue
+        v_mapped = _has_colmap(props)
+        boundary = prev is not None and prev[2] and not v_mapped
+        by_log: dict = {}
+        by_phys: dict = {}
+        for n, t, p in trip:
+            ident = None
+            if prev is not None:
+                if boundary:  # logical survives the rehoming
+                    ident = prev[0].get(n) or prev[1].get(p)
+                else:
+                    ident = prev[1].get(p) or prev[0].get(n)
+            if ident is None:
+                ident = f"c{counter[0]}"
+                counter[0] += 1
+            by_log[n] = ident
+            by_phys[p] = ident
+        out[v] = by_log
+        prev = (by_log, by_phys, v_mapped)
+    return out
+
+
+def _feed_step(
+    spark: SparkSession,
+    path: str,
+    v: int,
+    par: int,
+    keys: list[str],
+    include_values: bool,
+    cur_trip,
+    cur_map,
+    step_map,
+) -> DataFrame:
+    """One version step of the feed, emitted under the CURRENT logical
+    schema (r11 — the batch-side twin of the stream's schema bridge):
+    the caller's keys translate to the step's logical names through
+    the COLUMN-IDENTITY chain (`_identity_chain` — a key renamed
+    mid-history, even across a colmap-materializing rewrite, no longer
+    breaks the feed with a raw unresolved-column error), the step's
+    diff runs under its own names — so a write-time recorded change
+    segment still serves it — and the key columns plus old/new struct
+    fields rename/cast/null-fill back to the current schema so the
+    union across steps is well-typed. A key column that did not EXIST
+    at the step (added later) has no row identity there and raises the
+    real diagnosis."""
+    from pyspark.sql import functions as F
+
+    if cur_trip is None or not cur_map or not step_map:
+        return snapshot_diff(spark, path, par, v, keys, include_values)
+    at_step = {i: n for n, i in step_map.items()}
+    step_keys = []
+    for k in keys:
+        ident = cur_map.get(k)
+        sk = at_step.get(ident) if ident is not None else None
+        if sk is None:
+            raise ValueError(
+                f"read_feed: key column {k!r} does not exist at version "
+                f"{v} of {path} (added later) — rows there have no "
+                "identity under it; start the feed at a version where "
+                "every key column exists"
+            )
+        step_keys.append(sk)
+    d = snapshot_diff(spark, path, par, v, step_keys, include_values)
+    for sk, k in zip(step_keys, keys):
+        if sk != k:
+            d = d.withColumnRenamed(sk, k)
+    if not include_values:
+        return d
+    trip_v = _props_triples(dict(_read_manifest(spark, path, v).get("props", {})))
+    val_now = [(n, t) for n, t, _ in cur_trip if n not in keys]
+    step_vals = [(n, t) for n, t, _ in trip_v if n not in step_keys]
+    if val_now == step_vals:
+        return d  # identical value schema: structs pass through
+    field_at_step = {
+        n: at_step.get(cur_map.get(n)) for n, _ in val_now
+    }
+    step_val_names = {n for n, _ in step_vals}
+    for side in ("old", "new"):
+        d = d.withColumn(
+            side,
+            F.when(
+                F.col(side).isNotNull(),
+                F.struct(*[
+                    (
+                        F.col(f"{side}.{field_at_step[n]}").cast(t).alias(n)
+                        if field_at_step.get(n) in step_val_names
+                        else F.lit(None).cast(t).alias(n)
+                    )
+                    for n, t in val_now
+                ]),
+            ),
+        )
+    return d
+
+
 def read_feed(
     spark: SparkSession,
     path: str,
@@ -5115,6 +5240,9 @@ def read_feed(
     # so a dense range would fabricate "vacuumed" versions. A REAL
     # retention gap is a parent that is neither 0 nor present.
     have = set(versions)
+    cur_trip = _props_triples(_latest_props(spark, path))
+    chain = _identity_chain(spark, path, versions)
+    cur_map = chain.get(versions[-1]) if versions else None
     parts = []
     for v in versions:
         if not (v_from < v <= v_to):
@@ -5126,8 +5254,9 @@ def read_feed(
                 f"{par}: re-bootstrap from a snapshot ({path})"
             )
         parts.append(
-            snapshot_diff(
-                spark, path, par, v, keys, include_values=include_values
+            _feed_step(
+                spark, path, v, par, keys, include_values,
+                cur_trip, cur_map, chain.get(v),
             ).withColumn("version", F.lit(v))
         )
     if not parts:
@@ -5181,9 +5310,14 @@ def consume_feed(
         hw = int(json.loads(content)["version"])
     latest = current_version(spark, path) or 0
     done = 0
+    cur_trip = _props_triples(_latest_props(spark, path))
+    all_versions = _manifest_versions(spark, path)
+    chain = _identity_chain(spark, path, all_versions)
+    cur_map = chain.get(all_versions[-1]) if all_versions else None
     # actual versions only — numbering may skip (WAP publish); each
-    # version diffs against its recorded parent (see read_feed)
-    for v in _manifest_versions(spark, path):
+    # version diffs against its recorded parent and emits under the
+    # CURRENT logical schema (see read_feed/_feed_step)
+    for v in all_versions:
         if not (hw < v <= latest):
             continue
         if max_versions is not None and done >= max_versions:
@@ -5191,8 +5325,9 @@ def consume_feed(
         from pyspark.sql import functions as F
 
         par = _read_manifest(spark, path, v).get("parent") or 0
-        delta = snapshot_diff(
-            spark, path, par, v, keys, include_values=include_values
+        delta = _feed_step(
+            spark, path, v, par, keys, include_values,
+            cur_trip, cur_map, chain.get(v),
         ).withColumn(
             "version", F.lit(v)
         )  # same (key..., op, version) schema as read_feed

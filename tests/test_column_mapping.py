@@ -435,3 +435,57 @@ def test_feed_bridges_renames_and_stale_zspec_raises(spark, tmp_path):
     )
     M.cluster_incremental(spark, q)
     assert M.read_snapshot(spark, q).count() == 22
+
+
+def test_feed_bridges_key_rename_and_materialization(spark, tmp_path):
+    """The batch feed's schema bridge (r11 `_identity_chain` +
+    `_feed_step`): a KEY renamed mid-history — previously a raw
+    unresolved-column AnalysisException — and a value rename FOLLOWED
+    by a colmap-materializing full MERGE (physicals rehome to
+    logicals) both translate through the column-identity chain; every
+    step emits under the CURRENT logical names, and the recorded
+    change segment of the final MERGE still serves its step."""
+    p = str(tmp_path / "feedlake")
+    M.commit_append(spark, p, _rows(spark, [(1, "a"), (2, "b")]))     # v1
+    M.commit_append(spark, p, _rows(spark, [(3, "c")]))               # v2
+    M.rename_column(spark, p, "k", "id")                              # v3
+    M.commit_append(
+        spark, p, spark.createDataFrame([(4, "d")], "id int, v string")
+    )                                                                 # v4
+    got = {
+        (r["id"], r["op"], int(r["version"]))
+        for r in M.read_feed(spark, p, ["id"], 0).collect()
+    }
+    assert got == {
+        (1, "insert", 1), (2, "insert", 1), (3, "insert", 2),
+        (4, "insert", 4),
+    }
+    M.rename_column(spark, p, "v", "label")                           # v5
+    M.commit_upsert(                                                  # v6
+        spark, p,
+        spark.createDataFrame([(1, "A2", 1)], "id int, label string, ver int"),
+        ["id"], "ver", record_cdf=True,
+    )
+    rows = M.read_feed(spark, p, ["id"], 0, include_values=True).collect()
+    got2 = {
+        (r["id"], r["op"], int(r["version"]),
+         r["old"]["label"] if r["old"] else None,
+         r["new"]["label"] if r["new"] else None)
+        for r in rows
+    }
+    assert got2 == {
+        (1, "insert", 1, None, "a"),
+        (2, "insert", 1, None, "b"),
+        (3, "insert", 2, None, "c"),
+        (4, "insert", 4, None, "d"),
+        (1, "update", 6, "a", "A2"),
+    }
+    # a key that didn't exist at early versions raises the diagnosis
+    M.commit_append(
+        spark, p,
+        spark.createDataFrame(
+            [(9, "z", "m")], "id int, label string, memo string"
+        ),
+    )                                                                 # v7
+    with pytest.raises(ValueError, match="does not exist at version"):
+        M.read_feed(spark, p, ["memo"], 0).collect()
