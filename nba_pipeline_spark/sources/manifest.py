@@ -5241,24 +5241,46 @@ def read_feed(
     # retention gap is a parent that is neither 0 nor present.
     have = set(versions)
     cur_trip = _props_triples(_latest_props(spark, path))
-    chain = _identity_chain(spark, path, versions)
-    cur_map = chain.get(versions[-1]) if versions else None
+    # the identity chain (O(versions) KB manifest reads) builds LAZILY:
+    # a rename-free history — every step's schema equals the current —
+    # never pays for it (the common case)
+    _chain: dict = {}
+
+    def _maps():
+        if not _chain:
+            ch = _identity_chain(spark, path, versions)
+            _chain["cur"] = ch.get(versions[-1]) if versions else None
+            _chain["ch"] = ch
+        return _chain["cur"], _chain["ch"]
+
     parts = []
     for v in versions:
         if not (v_from < v <= v_to):
             continue
-        par = _read_manifest(spark, path, v).get("parent") or 0
+        m = _read_manifest(spark, path, v)
+        par = m.get("parent") or 0
         if par and par not in have:
             raise ValueError(
                 f"feed range ({v_from}, {v_to}] crosses vacuumed version "
                 f"{par}: re-bootstrap from a snapshot ({path})"
             )
-        parts.append(
-            _feed_step(
+        trip_v = _props_triples(dict(m.get("props", {})))
+        # fast path on LOGICAL schema equality (names+types) — diffs
+        # run in logical space, so physical drift alone needs no bridge
+        same_logical = trip_v is not None and cur_trip is not None and [
+            (n, t) for n, t, _ in trip_v
+        ] == [(n, t) for n, t, _ in cur_trip]
+        if cur_trip is None or same_logical:
+            step = snapshot_diff(
+                spark, path, par, v, keys, include_values=include_values
+            )
+        else:
+            cur_map, ch = _maps()
+            step = _feed_step(
                 spark, path, v, par, keys, include_values,
-                cur_trip, cur_map, chain.get(v),
-            ).withColumn("version", F.lit(v))
-        )
+                cur_trip, cur_map, ch.get(v),
+            )
+        parts.append(step.withColumn("version", F.lit(v)))
     if not parts:
         raise ValueError(f"empty feed range ({v_from}, {v_to}]: {path}")
     return reduce(lambda x, y: x.unionByName(y), parts)
@@ -5312,8 +5334,15 @@ def consume_feed(
     done = 0
     cur_trip = _props_triples(_latest_props(spark, path))
     all_versions = _manifest_versions(spark, path)
-    chain = _identity_chain(spark, path, all_versions)
-    cur_map = chain.get(all_versions[-1]) if all_versions else None
+    _chain: dict = {}
+
+    def _maps():
+        if not _chain:  # lazy: rename-free histories never pay
+            ch = _identity_chain(spark, path, all_versions)
+            _chain["cur"] = ch.get(all_versions[-1]) if all_versions else None
+            _chain["ch"] = ch
+        return _chain["cur"], _chain["ch"]
+
     # actual versions only — numbering may skip (WAP publish); each
     # version diffs against its recorded parent and emits under the
     # CURRENT logical schema (see read_feed/_feed_step)
@@ -5324,11 +5353,25 @@ def consume_feed(
             break
         from pyspark.sql import functions as F
 
-        par = _read_manifest(spark, path, v).get("parent") or 0
-        delta = _feed_step(
-            spark, path, v, par, keys, include_values,
-            cur_trip, cur_map, chain.get(v),
-        ).withColumn(
+        m = _read_manifest(spark, path, v)
+        par = m.get("parent") or 0
+        trip_v = _props_triples(dict(m.get("props", {})))
+        # fast path on LOGICAL schema equality (names+types) — diffs
+        # run in logical space, so physical drift alone needs no bridge
+        same_logical = trip_v is not None and cur_trip is not None and [
+            (n, t) for n, t, _ in trip_v
+        ] == [(n, t) for n, t, _ in cur_trip]
+        if cur_trip is None or same_logical:
+            delta = snapshot_diff(
+                spark, path, par, v, keys, include_values=include_values
+            )
+        else:
+            cur_map, ch = _maps()
+            delta = _feed_step(
+                spark, path, v, par, keys, include_values,
+                cur_trip, cur_map, ch.get(v),
+            )
+        delta = delta.withColumn(
             "version", F.lit(v)
         )  # same (key..., op, version) schema as read_feed
         process(delta, v)
