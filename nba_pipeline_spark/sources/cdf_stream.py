@@ -395,9 +395,25 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         # (manifest.py min_version) and a dense probe of a skipped
         # number would wedge the stream with a spurious _RetentionGap
         lo, hi = int(start.get("version", 0)), int(end.get("version", 0))
+        vs = _versions(self._path)
+        have = set(vs)
         parts = []
-        for v in _versions(self._path):
+        for v in vs:
             if lo < v <= hi:
+                # retention-gap guard BEFORE planning (read_feed's
+                # rule): v's parent must be 0, at-or-below the batch
+                # floor (already delivered), or a surviving version
+                # (planned earlier in this batch). A vacuumed parent
+                # strictly inside (lo, v) means that window's changes
+                # are unreconstructable — and the recorded-CDF fast
+                # path in _plan_version would otherwise serve v
+                # without ever probing the parent, silently skipping
+                # the vacuumed window.
+                par = _manifest(self._path, v).get("parent") or 0
+                if par and par > lo and par not in have:
+                    from .lake_stream import _RetentionGap
+
+                    raise _RetentionGap(self._path, par)
                 parts.extend(self._plan_version(v))
         return parts or [InputPartition(None)]
 

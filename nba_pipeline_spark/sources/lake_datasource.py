@@ -329,13 +329,28 @@ class ManifestLakeReader(DataSourceReader):
         expr = _arrow_expr(
             [(c, op, v) for c, op, v in row_filters if c in have]
         )
-        try:
-            t = pq.read_table(norm, filesystem=fs, filters=expr)
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
-            # type-drifted predicate pyarrow can't evaluate: fall back
-            # to the unfiltered read — Spark re-applies every filter
+        if expr is not None and any(k is None for k, _ in tombs):
+            # positional deletion vectors index the RAW file's rows: a
+            # pushdown-filtered read would shift every surviving row's
+            # index, deleting the wrong rows and resurrecting deleted
+            # ones. Read unfiltered, mask on raw positions, THEN apply
+            # the predicate (only to shrink the Arrow->JVM transfer —
+            # Spark re-checks every pushed filter regardless)
             t = pq.read_table(norm, filesystem=fs)
-        t = _apply_tombstones(t, tombs, sch_cols, fname)
+            t = _apply_tombstones(t, tombs, sch_cols, fname)
+            try:
+                t = t.filter(expr)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
+                pass  # unevaluable predicate: Spark re-applies it
+        else:
+            try:
+                t = pq.read_table(norm, filesystem=fs, filters=expr)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
+                # type-drifted predicate pyarrow can't evaluate: fall
+                # back to the unfiltered read — Spark re-applies every
+                # filter
+                t = pq.read_table(norm, filesystem=fs)
+            t = _apply_tombstones(t, tombs, sch_cols, fname)
         cols = []
         for n, typ, phys_name in sch_cols:
             want = _pa_type(typ, fname, n)

@@ -4707,12 +4707,24 @@ def newest_multi_token(
         return None
 
     def parse(t: str):
-        try:
-            return tuple(int(x) for x in t.split(":"))
-        except ValueError:
-            return tuple(t.split(":"))
+        # one comparison scheme for ALL tokens: each ':'-element
+        # becomes (is_numeric, value) so a group mixing numeric and
+        # non-numeric tokens still totally orders (numeric sorts
+        # above string) instead of raising TypeError on tuple[int]
+        # vs tuple[str]
+        out = []
+        for x in t.split(":"):
+            try:
+                out.append((1, int(x)))
+            except ValueError:
+                out.append((0, x))
+        return tuple(out)
 
-    return max(parse(t) for t in toks)
+    best = max(toks, key=parse)
+    parsed = parse(best)
+    if all(num for num, _ in parsed):
+        return tuple(v for _, v in parsed)
+    return tuple(best.split(":"))
 
 
 def _dv_relpath(col):
@@ -5334,6 +5346,7 @@ def consume_feed(
     done = 0
     cur_trip = _props_triples(_latest_props(spark, path))
     all_versions = _manifest_versions(spark, path)
+    have = set(all_versions)
     _chain: dict = {}
 
     def _maps():
@@ -5355,6 +5368,21 @@ def consume_feed(
 
         m = _read_manifest(spark, path, v)
         par = m.get("parent") or 0
+        # retention-gap guard BEFORE serving (read_feed's rule): the
+        # version's parent must be 0, at-or-below the checkpoint
+        # (continuity — those changes were already consumed), or a
+        # surviving version (served earlier in this walk). A parent
+        # strictly inside the unconsumed range whose manifest was
+        # vacuumed means that window's changes are GONE — advancing
+        # the checkpoint past it would silently drop them, and the
+        # recorded-CDF fast path in snapshot_diff would otherwise
+        # serve the surviving step without ever probing the parent.
+        if par and par > hw and par not in have:
+            raise ValueError(
+                f"consume_feed: versions in ({hw}, {v}) were vacuumed "
+                f"(version {v}'s parent {par} is gone): re-bootstrap "
+                f"from a snapshot ({path})"
+            )
         trip_v = _props_triples(dict(m.get("props", {})))
         # fast path on LOGICAL schema equality (names+types) — diffs
         # run in logical space, so physical drift alone needs no bridge
@@ -5764,11 +5792,16 @@ def restore(
         base_version = current_version(spark, path)
         old_r = read_snapshot(spark, path, version=base_version)
         new_r = read_snapshot(spark, path, version=version)
-        if old_r.columns != new_r.columns:
+        if old_r.dtypes != new_r.dtypes:
+            # (name, type) pairs, not names alone: a type widening
+            # between target and current would otherwise pass, and the
+            # recorded delta's old/new structs would carry field types
+            # disagreeing with the current schema — a recording the
+            # name-only bridge check would still serve, wrongly
             raise ValueError(
                 "restore(record_cdf=True) across a schema change "
-                f"(parent columns {old_r.columns} vs target "
-                f"{new_r.columns}) — restore without recording and let "
+                f"(parent schema {old_r.dtypes} vs target "
+                f"{new_r.dtypes}) — restore without recording and let "
                 "consumers fall back to the computed diff"
             )
         delta = _diff_frames(old_r, new_r, list(cdf_keys), include_values=True)

@@ -614,6 +614,108 @@ def test_read_feed_include_values(spark, tmp_path):
     }
 
 
+def test_consume_feed_vacuumed_window_raises(spark, tmp_path):
+    """ADVICE r11 #2: a vacuumed window strictly inside the unconsumed
+    range must raise re-bootstrap, NOT silently advance — the
+    surviving version's recorded-CDF fast path serves without probing
+    the parent, so without the guard the vacuumed changes vanish."""
+    import pytest
+
+    from nba_pipeline_spark.sources import manifest as M
+
+    lake = str(tmp_path / "lake")
+    state = str(tmp_path / "state")
+
+    def up(rows, ver):
+        M.commit_upsert(
+            spark, lake,
+            spark.createDataFrame(
+                [(k, g, v, ver) for k, g, v in rows],
+                "k int, grp string, v bigint, ver int",
+            ),
+            ["k"], "ver", record_cdf=True,
+        )
+
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame([(1, "a", 10)], "k int, grp string, v bigint"),
+    )
+    up([(1, "b", 11)], 1)   # v2
+    up([(1, "c", 12)], 2)   # v3
+    seen: list = []
+    n = M.consume_feed(
+        spark, lake, ["k"], state, lambda df, v: seen.append(v),
+        max_versions=1,
+    )
+    assert (n, seen) == (1, [1])  # checkpoint hw=1
+    M.vacuum(spark, lake, keep_versions=1)  # v1, v2 manifests gone
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        M.consume_feed(spark, lake, ["k"], state, lambda df, v: None)
+    # read_feed over the same range agrees (its guard predates this)
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        M.read_feed(spark, lake, ["k"], 1).collect()
+    # continuity case is NOT over-blocked: checkpoint at hw=2 (== the
+    # survivor's parent) serves v3's recorded step even though v2's
+    # manifest is vacuumed
+    state2 = str(tmp_path / "state2")
+    lake2 = str(tmp_path / "lake2")
+    M.commit_append(
+        spark, lake2,
+        spark.createDataFrame([(1, "a", 10)], "k int, grp string, v bigint"),
+    )
+    M.commit_upsert(
+        spark, lake2,
+        spark.createDataFrame([(1, "b", 11, 1)], "k int, grp string, v bigint, ver int"),
+        ["k"], "ver", record_cdf=True,
+    )
+    M.commit_upsert(
+        spark, lake2,
+        spark.createDataFrame([(1, "c", 12, 2)], "k int, grp string, v bigint, ver int"),
+        ["k"], "ver", record_cdf=True,
+    )
+    seen2: list = []
+    n = M.consume_feed(
+        spark, lake2, ["k"], state2, lambda df, v: seen2.append(v),
+        max_versions=2,
+    )
+    assert (n, seen2) == (2, [1, 2])  # hw=2
+    M.vacuum(spark, lake2, keep_versions=1)
+    got: list = []
+    n = M.consume_feed(
+        spark, lake2, ["k"], state2,
+        lambda df, v: got.extend(
+            (r["k"], r["op"], int(r["version"])) for r in df.collect()
+        ),
+    )
+    assert n == 1 and got == [(1, "update", 3)]
+
+
+def test_restore_record_cdf_refuses_type_widening(spark, tmp_path):
+    """ADVICE r11 #4: restore(record_cdf=True) must compare (name,
+    type) pairs, not names — a type widening between target and
+    current would otherwise record a delta whose structs disagree with
+    the current schema."""
+    import pytest
+
+    from nba_pipeline_spark.sources import manifest as M
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame([(1, "a", 10)], "k int, grp string, v int"),
+    )
+    M.widen_column_type(spark, lake, "v", "bigint")
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame([(2, "b", 20)], "k int, grp string, v bigint"),
+    )
+    with pytest.raises(ValueError, match="schema change"):
+        M.restore(spark, lake, version=1, record_cdf=True, cdf_keys=["k"])
+    # without recording the rollback still works
+    M.restore(spark, lake, version=1)
+    assert {r["k"] for r in M.read_snapshot(spark, lake).collect()} == {1}
+
+
 def _flat_kv(df):
     """(k, op, old.grp, old.v, new.grp, new.v) set for the 3-col lakes."""
     out = set()

@@ -644,3 +644,36 @@ def test_cdf_stream_recorded_bridges_rename_and_widen(spark, tmp_path):
     parts2 = rdr2._plan_version(v)
     assert {p.value[0] for p in parts2} == {"rec"}
     assert parts2[0].value[6] is True  # identity: verbatim emit
+
+
+def test_cdf_stream_vacuumed_window_raises(spark, tmp_path):
+    """ADVICE r11 #2 (stream side): planning a batch whose range
+    crosses a vacuumed window must raise _RetentionGap even when the
+    first SURVIVING version carries a recorded cdf segment (the rec
+    fast path never probes the parent, so without the guard the
+    vacuumed window's changes would be silently skipped)."""
+    from nba_pipeline_spark.sources.cdf_stream import ManifestCDFStreamReader
+    from nba_pipeline_spark.sources.lake_stream import _RetentionGap
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame([(1, "a", 10)], "k int, grp string, v bigint"),
+    )
+    for ver, g in ((1, "b"), (2, "c")):
+        M.commit_upsert(
+            spark, lake,
+            spark.createDataFrame(
+                [(1, g, 10 + ver, ver)], "k int, grp string, v bigint, ver int"
+            ),
+            ["k"], "ver", record_cdf=True,
+        )
+    M.vacuum(spark, lake, keep_versions=1)  # only v3's manifest survives
+    rdr = ManifestCDFStreamReader({"path": lake, "keys": "k"})
+    # checkpoint at 1: (1, 3] crosses the vacuumed v2 window
+    with pytest.raises(_RetentionGap):
+        rdr.partitions({"version": 1}, {"version": 3})
+    # continuity: checkpoint at 2 (== v3's parent) plans the recorded
+    # step fine even though v2's manifest is gone
+    parts = rdr.partitions({"version": 2}, {"version": 3})
+    assert {p.value[0] for p in parts} == {"rec"}

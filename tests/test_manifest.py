@@ -8,6 +8,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from nba_pipeline_spark.sources import manifest as M
 
@@ -1625,6 +1626,44 @@ def test_commit_delete_dv_positional(spark, tmp_path):
     assert {r["id"] for r in M.read_snapshot(spark, lake).collect()} == got2
     M.vacuum(spark, lake, keep_versions=1)
     assert not os.path.exists(f"{lake}/data/{dv}")
+
+
+def test_commit_delete_dv_datasource_pushed_filter(spark, tmp_path):
+    """ADVICE r11 #1: deletion-vector positions index the RAW file's
+    rows, so the pyarrow datasource must not apply them after a
+    pushdown-filtered read (the filtered table's row indices are
+    shifted — the mask would kill the wrong rows AND resurrect deleted
+    ones). One file ids 0..9, DV kills ids {0, 3}; WHERE id >= 2 used
+    to drop row 0 pre-mask, so the mask killed id=2 and id=5 instead."""
+    from nba_pipeline_spark.sources.lake_datasource import register_lake_source
+
+    lake = str(tmp_path / "lake")
+    one = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(10)], "id int, t string"
+    ).coalesce(1)
+    M.commit_append(spark, lake, one, stats_cols=["id"])
+    M.commit_delete_dv(
+        spark, lake, spark.createDataFrame([(0,), (3,)], "id int"), ["id"]
+    )
+    register_lake_source(spark)
+    ds = spark.read.format("manifest_lake").option("path", lake).load()
+    want = {1, 2, 4, 5, 6, 7, 8, 9}
+    assert {r["id"] for r in ds.collect()} == want
+    # pushed range / equality / IN predicates over the DV-carrying file
+    assert {r["id"] for r in ds.filter("id >= 2").collect()} == want - {1}
+    assert {r["id"] for r in ds.filter("id = 3").collect()} == set()
+    assert {r["id"] for r in ds.filter("id = 5").collect()} == {5}
+    assert {
+        r["id"] for r in ds.filter(F.col("id").isin(0, 3, 4, 9)).collect()
+    } == {4, 9}
+    # equality-tombstone path unaffected by the reorder
+    M.commit_delete_mor(
+        spark, lake, spark.createDataFrame([(7,)], "id int"), ["id"]
+    )
+    ds2 = spark.read.format("manifest_lake").option("path", lake).load()
+    assert {r["id"] for r in ds2.filter("id >= 2").collect()} == {
+        2, 4, 5, 6, 8, 9,
+    }
 
 
 def test_commit_delete_dv_mixed_with_equality_and_cdf(spark, tmp_path):

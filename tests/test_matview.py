@@ -587,6 +587,29 @@ def test_commit_multi_prefix_crash_converges(spark, tmp_path):
     assert M.newest_multi_token(spark, "grp", a) == (2, 1)
 
 
+def test_newest_multi_token_mixed_numeric_and_string(spark, tmp_path):
+    """ADVICE r11 #3: a group mixing numeric and non-numeric tokens
+    must still totally order (numeric above string) instead of raising
+    TypeError on tuple[int] vs tuple[str]."""
+    lake = str(tmp_path / "lake")
+    for tok in ("run-a", "3:1"):
+        M.commit_append(
+            spark, lake,
+            spark.createDataFrame([(1, "x")], "k int, v string"),
+            tag=f"grp={tok}",
+        )
+    assert M.newest_multi_token(spark, "grp", lake) == (3, 1)
+    # an all-string group still returns raw string tuples
+    lake2 = str(tmp_path / "lake2")
+    for tok in ("run-a", "run-b"):
+        M.commit_append(
+            spark, lake2,
+            spark.createDataFrame([(1, "x")], "k int, v string"),
+            tag=f"grp={tok}",
+        )
+    assert M.newest_multi_token(spark, "grp", lake2) == ("run-b",)
+
+
 def test_join_matview_crash_injection_soak(spark, tmp_path):
     """Seeded crash-injection soak against the commit_multi-based
     maintainer (the r10 84-step soak, now COMMITTED and run through
