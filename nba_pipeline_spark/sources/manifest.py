@@ -2855,6 +2855,37 @@ def _require_no_tombstones(manifest: dict, path: str, op: str) -> None:
         )
 
 
+def _tomb_groups(
+    segments: list[str], dels: list[str], meta: dict
+) -> dict[tuple, list[str]]:
+    """Group data segments by their APPLICABLE tombstone set: seq-fenced
+    (a tombstone masks only segments committed before it), and a
+    positional deletion vector scopes to the data files its manifest
+    entry NAMES (`dv_segs`, stamped at commit from the write-time
+    position resolution) — a segment no DV names skips the (file, pos)
+    anti-join outright, the same pruning the pyarrow datasource applies
+    (lake_datasource partitions). A DV without `dv_segs` (pre-feature)
+    conservatively applies everywhere."""
+
+    def seq(s: str) -> int:
+        return int(meta.get(s, {}).get("seq", 0))
+
+    groups: dict[tuple, list[str]] = {}
+    for s in segments:
+        applicable = []
+        for t in dels:
+            if not (seq(s) < seq(t)):
+                continue
+            tm = meta.get(t, {})
+            if tm.get("dv"):
+                dv_segs = tm.get("dv_segs")
+                if dv_segs and s not in set(dv_segs):
+                    continue  # DV provably names other files only
+            applicable.append(t)
+        groups.setdefault(tuple(applicable), []).append(s)
+    return groups
+
+
 def _read_with_tombstones(
     spark: SparkSession,
     path: str,
@@ -2884,14 +2915,7 @@ def _read_with_tombstones(
     if not dels:
         return _read_segments(spark, path, segments, merge_schema, ddl)
     meta = manifest.get("meta", {})
-
-    def seq(s: str) -> int:
-        return int(meta.get(s, {}).get("seq", 0))
-
-    groups: dict[tuple, list[str]] = {}
-    for s in segments:
-        applicable = tuple(t for t in dels if seq(s) < seq(t))
-        groups.setdefault(applicable, []).append(s)
+    groups = _tomb_groups(segments, dels, meta)
     parts = []
     for applicable, group in groups.items():
         df = _read_segments(spark, path, group, merge_schema, ddl)
@@ -2917,12 +2941,13 @@ def _read_with_tombstones(
                     f"tombstone segment {t} lacks delete_keys metadata: {path}"
                 )
             by_keys.setdefault(kcols, []).append(t)
+        # no .distinct() on the build sides: LeftAnti ignores duplicate
+        # build rows, and the dedup cost a shuffle + two HashAggregates
+        # on EVERY MoR read (the hash relation dedups keys anyway)
         for kcols, tsegs in by_keys.items():
-            tomb = (
-                _read_segments(spark, path, tsegs, schema_ddl=ddl)
-                .select(*kcols)
-                .distinct()
-            )
+            tomb = _read_segments(
+                spark, path, tsegs, schema_ddl=ddl
+            ).select(*kcols)
             df = df.join(tomb, on=list(kcols), how="left_anti")
         if dv_tombs:
             dv = (
@@ -2930,8 +2955,13 @@ def _read_with_tombstones(
                     spark, path, dv_tombs,
                     schema_ddl="file string, pos bigint",
                 )
+                # scope the broadcast to THIS group's files — DV rows
+                # naming other segments can never match the group's
+                # "<segment>/<basename>" identities
+                .filter(
+                    F.element_at(F.split(F.col("file"), "/"), 1).isin(group)
+                )
                 .selectExpr("file AS __dvf", "pos AS __dvp")
-                .distinct()
             )
             df = df.join(dv, on=["__dvf", "__dvp"], how="left_anti").drop(
                 "__dvf", "__dvp"

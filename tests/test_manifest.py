@@ -1628,6 +1628,32 @@ def test_commit_delete_dv_positional(spark, tmp_path):
     assert not os.path.exists(f"{lake}/data/{dv}")
 
 
+def test_dv_spark_read_scopes_to_named_segments(spark, tmp_path):
+    """VERDICT r11 #6: segments no deletion vector NAMES (`dv_segs`)
+    must skip the (file, pos) anti-join outright on the Spark read
+    path — the pyarrow datasource already pruned this way. The plan
+    becomes a Union of a join branch (named segment) and a join-free
+    scan branch."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(spark, lake, _mk(spark, 0, 5).coalesce(1), stats_cols=["id"])
+    M.commit_append(spark, lake, _mk(spark, 5, 10).coalesce(1), stats_cols=["id"])
+    M.commit_delete_dv(
+        spark, lake, spark.createDataFrame([(3,)], "id int"), ["id"]
+    )
+    m = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    dv = m["deletes"][0]
+    named = set(m["meta"][dv]["dv_segs"])
+    assert len(named) == 1  # stats pruned the non-overlapping segment
+    groups = M._tomb_groups(m["segments"], m["deletes"], m["meta"])
+    assert sorted(map(len, groups.values())) == [1, 1]
+    assert tuple() in groups  # the unnamed segment: NO tombstones apply
+    assert set(groups[tuple()]) == set(m["segments"]) - named
+    df = M.read_snapshot(spark, lake)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1 and "Union" in plan
+    assert {r["id"] for r in df.collect()} == set(range(10)) - {3}
+
+
 def test_commit_delete_dv_datasource_pushed_filter(spark, tmp_path):
     """ADVICE r11 #1: deletion-vector positions index the RAW file's
     rows, so the pyarrow datasource must not apply them after a
