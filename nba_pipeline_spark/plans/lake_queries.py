@@ -3630,6 +3630,91 @@ register(
 )
 
 
+def q_manifest_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ MERGE (sources/manifest.py::commit_upsert_mor —
+    VERDICT r11 #1, the Iceberg v2 / Delta DV-update shape): ONE
+    commit lands a positional deletion vector over the superseded
+    rows plus the LWW-folded batch as a new segment; NO existing data
+    file is rewritten (asserted: the parent's segments all carry
+    over). A scattered-key CDC batch at fact scale costs
+    O(batch + pruned position scan) where every copy-on-write MERGE
+    rewrites each touched segment; compact() materializes later. The
+    batch exercises update, LWW fold (two versions of the %100==3
+    keys) and insert in one commit; the oracle replays the same CASE
+    mapping plus the insert UNION."""
+    tune(spark)
+    lake = _stage_dir(sf_dir, "orders", "manifest_merge_mor")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        M.commit_append(
+            spark, lake, orders.filter(F.col("o_orderkey") % 4 <= 1),
+            stats_cols=["o_orderkey"],
+        )
+        M.commit_append(
+            spark, lake, orders.filter(F.col("o_orderkey") % 4 >= 2),
+            stats_cols=["o_orderkey"],
+        )
+        upd1 = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+            "o_orderkey", "o_custkey",
+            F.lit("M").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            F.lit(1).alias("ver"),
+        )
+        upd2 = orders.filter(F.col("o_orderkey") % 100 == 3).select(
+            "o_orderkey", "o_custkey",
+            F.lit("M2").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 2000).alias("o_totalprice"),
+            F.lit(2).alias("ver"),
+        )
+        ins = orders.filter(F.col("o_orderkey") % 100 == 7).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(500.0).alias("o_totalprice"),
+            F.lit(1).alias("ver"),
+        )
+        before = M.resolve_segments(spark, lake)
+        v = M.commit_upsert_mor(
+            spark, lake, upd1.unionByName(upd2).unionByName(ins),
+            ["o_orderkey"], "ver",
+        )
+        m = M._read_manifest(spark, lake, v)
+        assert set(before) <= set(m["segments"]), "MoR MERGE must not rewrite"
+        dv = m.get("deletes", [])
+        assert len(dv) == 1 and m["meta"][dv[0]].get("dv") is True
+
+    _ensure_stage(lake, build)
+    return _agg(M.read_snapshot(spark, lake))
+
+
+register(
+    "q_manifest_merge_mor",
+    q_manifest_merge_mor,
+    """
+    WITH final AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 100 = 3 THEN 'M2'
+                  WHEN o_orderkey % 10 = 3 THEN 'M'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 100 = 3 THEN o_totalprice + 2000
+                  WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N', 500.0
+      FROM orders WHERE o_orderkey % 100 = 7
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MAX(o_custkey) AS max_cust
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+
+
 def _commit_multi_stage(spark: SparkSession, sf_dir: str) -> str:
     """Join-MV maintained through manifest.commit_multi (VERDICT r10
     #4) with a crash INJECTED between the two participant commits (the

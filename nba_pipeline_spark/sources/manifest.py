@@ -4918,6 +4918,216 @@ def commit_delete_dv(
     ) from last_err
 
 
+def commit_upsert_mor(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    version_col: str,
+    stats_key: str | None = None,
+    target_files: int | None = None,
+    max_tries: int = 5,
+    bloom_probe_cap: int = 1024,
+    tag: str | None = None,
+    record_cdf: bool = False,
+) -> int:
+    """MERGE-ON-READ MERGE (VERDICT r11 #1 — the Iceberg v2 /
+    Delta DV-update shape): ONE commit lands (a) a positional
+    deletion vector over the rows the change batch supersedes —
+    resolved to ``(file, pos)`` at write time by the same
+    stats+bloom-pruned scan as `commit_delete_dv` — and (b) the
+    LWW-folded change batch as a new data segment. No existing data
+    file is rewritten: a CDC batch whose keys SCATTER across the
+    keyspace (the common fact-table case without clustering) costs
+    O(batch + pruned position scan) where every copy-on-write path
+    (`commit_upsert` :3753, `_partitioned`, `_pruned` :4163) rewrites
+    each touched segment in full. `compact()` materializes the DVs
+    and re-consolidates, exactly as for DV deletes — write-cheap now,
+    read-optimal after maintenance, the deferred-compaction contract.
+
+    Semantics match `commit_upsert`: last-writer-wins inside the
+    batch by `version_col`, insert when the key is absent, update
+    when present (the old row is position-masked, the new row lives
+    in the appended segment — `seq` fencing keeps prior equality
+    tombstones applying only to pre-existing segments). Repeated
+    MoR merges stack DVs; a superseded row that is already masked
+    resolves a redundant position (harmless, the delete_dv rule).
+    Insert-only batches (no overlapping segment, or no position hit)
+    commit WITHOUT a tombstone — the DV segment is only referenced
+    when it actually kills rows, so append-heavy CDC never bloats the
+    read path's anti-join list.
+
+    Works on lakes the CoW paths refuse: pending MoR tombstones
+    (segments are carried in place, never name-transferred into a
+    tombstone-less manifest) and widened lakes (the position scan
+    reads under the widened DDL; the incoming batch upcasts at the
+    append boundary). Partition-tagged lakes still refuse — the
+    consolidated new segment carries stats, not partition tags.
+    UNIQUE-key parity with `commit_upsert_pruned`: self-duplicates in
+    the folded batch, then batch-vs-survivors collisions, both before
+    any write; both skipped when the merge keys ⊆ the UNIQUE columns
+    (one row per key by construction; any survivor sharing the uniq
+    tuple shares the key tuple and is therefore masked).
+
+    Because positions reference the parent's physical files, the
+    commit is a strict parent CAS. Column-mapped lakes translate keys
+    and batch to physical names; positions are physical by nature.
+
+    ``record_cdf=True`` is nearly free here — THE BATCH IS THE DELTA:
+    old side = currently-visible victims (the tombstone-applied read
+    of the touched segments, restricted to the batch keys), new side
+    = the folded batch itself; one `_diff_frames` of O(batch) rows,
+    no post-hoc table diff."""
+    if tag is not None and tag in committed_tags(spark, path):
+        return current_version(spark, path)
+    changes = _upcast_to_schema(spark, path, changes)  # before validation
+    _check_constraints(spark, path, changes)
+    _check_schema(spark, path, changes.drop(version_col))
+    from pyspark.sql import functions as F
+
+    from ..operators.cdc import merge_upsert
+
+    _p0 = _latest_props(spark, path)
+    logical_keys = list(keys)
+    # version_col is batch-only (never lands), so its name is shared
+    # between the logical batch and the physical translation
+    logical_changes = changes.drop(version_col)
+    changes = _to_physical(changes, _p0)
+    keys = [_physical(_p0, k) for k in keys]
+    sk = _physical(_p0, stats_key) if stats_key else keys[0]
+    if sk not in keys:
+        raise ValueError(
+            f"stats_key {stats_key!r} must be one of the merge keys {keys}"
+        )
+    # LWW fold of the batch alone (no base rows — the base never
+    # rewrites): one row per key tuple, version_col dropped
+    folded = merge_upsert(
+        changes.limit(0).drop(version_col), changes, keys, version_col
+    ).localCheckpoint(eager=True)
+    key_df = folded.select(*keys).distinct()
+    last_err: Exception | None = None
+    for _ in range(max_tries):
+        base_version = current_version(spark, path)
+        m = (
+            _read_manifest(spark, path, base_version)
+            if base_version is not None
+            else None
+        )
+        touched: list[str] = []
+        if m is not None:
+            if any(
+                "part" in m.get("meta", {}).get(s, {})
+                for s in m["segments"]
+            ):
+                raise ValueError(
+                    "commit_upsert_mor on a partition-tagged lake would "
+                    "strand an untagged merged segment — use "
+                    f"commit_upsert_partitioned: {path}"
+                )
+            touched, _untch = _segments_overlapping_keys(
+                spark, m, key_df.select(sk), sk
+            )
+            touched, _clr = _bloom_refine_touched(
+                spark, m, touched, key_df, sk, bloom_probe_cap
+            )
+        uniq = [_physical(_p0, c) for c in unique_key(spark, path)]
+        if uniq and not set(keys) <= set(uniq):
+            _check_unique_dups(folded, uniq, path, "the MERGE batch")
+            if m is not None:
+                survivors = _read_with_tombstones(
+                    spark, path, list(m["segments"]), m
+                ).join(key_df, on=list(keys), how="left_anti")
+                _check_unique_remainder(
+                    spark, path, uniq, folded, survivors, "the MERGE batch"
+                )
+        dv_seg = None
+        if touched:
+            ddl = _widened_ddl(dict(m.get("props", {})))
+            raw = _read_segments(spark, path, touched, schema_ddl=ddl)
+            hits = (
+                raw.select(
+                    _dv_relpath(F.col("_metadata.file_path")).alias("file"),
+                    F.col("_metadata.row_index").alias("pos"),
+                    *keys,
+                )
+                .join(key_df, on=list(keys), how="left_semi")
+                .select("file", "pos")
+            )
+            cand = _write_segment(hits, path, 1)
+            # reference the tombstone only when it kills rows — a pure
+            # insert batch that merely stats-overlapped must not tax
+            # every future read with an empty anti-join (the unused
+            # dir is an invisible, vacuumable orphan)
+            if _read_segments(spark, path, [cand]).limit(1).count():
+                dv_seg = cand
+        new_seg = _write_segment(folded, path, target_files)
+        new_stats = _stats_meta(
+            _read_segments(spark, path, [new_seg]), [sk]
+        )
+        extra = None
+        if record_cdf:
+            # the batch IS the delta: visible victims vs folded rows
+            if touched:
+                vict = _project_logical(
+                    _read_with_tombstones(spark, path, touched, m).join(
+                        key_df, on=list(keys), how="left_semi"
+                    ),
+                    _p0,
+                )
+            else:
+                vict = spark.createDataFrame(
+                    [], _project_logical(folded, _p0).schema
+                )
+            delta = _diff_frames(
+                vict,
+                _project_logical(
+                    _read_segments(spark, path, [new_seg]), _p0
+                ),
+                logical_keys,
+                include_values=True,
+            )
+            cdf_seg = f"seg-{uuid.uuid4().hex[:12]}"
+            delta.write.mode("overwrite").parquet(
+                f"{path}/{_CDF_DIR}/{cdf_seg}"
+            )
+            extra = {"cdf": cdf_seg}
+
+        def _segments(parent):
+            prior = list(parent["segments"]) if parent else []
+            return prior + [new_seg]
+
+        def _deletes(parent):
+            prior = list(parent.get("deletes", [])) if parent else []
+            return prior + ([dv_seg] if dv_seg else [])
+
+        def _meta(parent, segments):
+            pm = dict(parent.get("meta", {})) if parent else {}
+            out = {s: pm[s] for s in segments if s in pm}
+            if dv_seg:
+                out[dv_seg] = {"dv": True, "dv_segs": list(touched)}
+            out[new_seg] = dict(new_stats)
+            return out
+
+        try:
+            return _commit(
+                spark,
+                path,
+                "upsert_mor",
+                _segments,
+                tag=tag,
+                meta_fn=_meta,
+                deletes_fn=_deletes,
+                expected_parent=base_version if base_version is not None else 0,
+                props_fn=_schema_props_fn(spark, path, logical_changes),
+                extra_keys=extra,
+            )
+        except CommitConflict as e:
+            last_err = e  # positions reference a superseded parent
+    raise RuntimeError(
+        f"commit_upsert_mor lost the snapshot race {max_tries} times: {path}"
+    ) from last_err
+
+
 def manifest_append_sink(path: str, target_files: int | None = None):
     """foreachBatch function: EXACTLY-ONCE streaming append into the
     manifest lake. Each micro-batch commits as one atomic manifest

@@ -781,6 +781,109 @@ def test_recorded_cdf_pruned_merge(spark, tmp_path):
     assert not any(k in (1, 10, 11) for k, *_ in recorded)
 
 
+def test_recorded_cdf_upsert_mor(spark, tmp_path):
+    """commit_upsert_mor(record_cdf=True): the batch IS the delta —
+    recorded steps equal the post-hoc diff, ops are insert/update
+    only, an identical-row 'update' emits nothing, a row an earlier
+    tombstone killed records as INSERT (it was not visible), and LWW
+    folds inside the batch before recording."""
+    from nba_pipeline_spark.sources import manifest as M
+    from nba_pipeline_spark.sources.manifest import _diff_frames
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "k int, grp string, v bigint",
+        ),
+        stats_cols=["k"],
+    )
+    M.commit_delete_mor(spark, lake, spark.createDataFrame([(3,)], "k int"), ["k"])
+    M.commit_upsert_mor(
+        spark, lake,
+        spark.createDataFrame(
+            [
+                (1, "a2", 11, 1), (1, "a3", 12, 2),   # LWW: a3 wins
+                (2, "b", 20, 1),                      # identical: no feed row
+                (3, "c2", 31, 1),                     # dead key: INSERT
+                (4, "d", 40, 1),                      # fresh key: INSERT
+            ],
+            "k int, grp string, v bigint, ver int",
+        ),
+        ["k"], "ver", record_cdf=True,
+    )
+    v = M.current_version(spark, lake)
+    assert M._read_manifest(spark, lake, v).get("cdf")
+    rec = M.snapshot_diff(spark, lake, v - 1, v, ["k"], include_values=True)
+    assert _flat_kv(rec) == {
+        (1, "update", "a", 10, "a3", 12),
+        (3, "insert", None, None, "c2", 31),
+        (4, "insert", None, None, "d", 40),
+    }
+    computed = _flat_kv(_diff_frames(
+        M.read_snapshot(spark, lake, version=v - 1),
+        M.read_snapshot(spark, lake, version=v),
+        ["k"], include_values=True,
+    ))
+    assert _flat_kv(rec) == computed
+    # the read_feed step over the recorded version agrees
+    feed = M.read_feed(spark, lake, ["k"], v - 1, include_values=True)
+    assert _flat_kv(feed.drop("version")) == computed
+
+
+def test_cdf_stream_upsert_mor_computed_parity(spark, tmp_path):
+    """The manifest_cdf stream over an UNRECORDED MoR-merge history
+    (added segment + changed tombstone set → the carried-segment diff
+    path) emits the same change set as the recorded twin."""
+    from nba_pipeline_spark.sources import manifest as M
+    from nba_pipeline_spark.sources.cdf_stream import register_cdf_stream
+
+    register_cdf_stream(spark)
+
+    def history(lake, record):
+        M.commit_append(
+            spark, lake,
+            spark.createDataFrame(
+                [(1, "a", 10), (2, "b", 20)], "k int, grp string, v bigint"
+            ),
+            stats_cols=["k"],
+        )
+        M.commit_upsert_mor(
+            spark, lake,
+            spark.createDataFrame(
+                [(1, "a2", 11, 1), (9, "z", 90, 1)],
+                "k int, grp string, v bigint, ver int",
+            ),
+            ["k"], "ver", record_cdf=record,
+        )
+
+    def run(lake, ck):
+        out: list = []
+        q = (
+            spark.readStream.format("manifest_cdf")
+            .option("path", lake).option("keys", "k").load()
+            .writeStream.foreachBatch(lambda df, _b: out.extend(df.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["k"], r["op"], r["_commit_version"],
+             r["old"]["v"] if r["old"] else None,
+             r["new"]["v"] if r["new"] else None)
+            for r in out
+        }
+
+    rec_lake, cmp_lake = str(tmp_path / "rec"), str(tmp_path / "cmp")
+    history(rec_lake, True)
+    history(cmp_lake, False)
+    a = run(rec_lake, str(tmp_path / "ck1"))
+    b = run(cmp_lake, str(tmp_path / "ck2"))
+    assert a == b
+    assert (1, "update", 2, 10, 11) in a and (9, "insert", 2, None, 90) in a
+
+
 def test_recorded_cdf_delete_mor(spark, tmp_path):
     """commit_delete_mor(record_cdf=True): the recorded op='delete'
     rows carry old VALUES (the bare tombstone holds only keys), equal
