@@ -130,6 +130,156 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
     return json.loads(content)
 
 
+_CKPT_FILE = "_ckpt.json"
+_CKPT_INTERVAL = 32  # auto-rollup cadence; table prop "ckpt_interval"
+
+
+def _ckpt_entry(m: dict, epochs: dict, epoch_ids: dict) -> dict:
+    """One rollup row: exactly what the version-walking consumers
+    (read_feed / consume_feed / _identity_chain /
+    version_as_of_timestamp / snapshot_diff's recorded fast path)
+    need — parent, op, ts, recorded-cdf segment, and the
+    schema/colmap/dropped_cols props SUBSET, deduplicated into
+    `epochs` (schema changes are rare, so 10^5 versions share a
+    handful of epochs and the rollup stays ~60 bytes/version)."""
+    props = dict(m.get("props", {}) or {})
+    sub = {
+        k: props[k]
+        for k in ("schema", "colmap", "dropped_cols")
+        if k in props
+    }
+    sig = json.dumps(sub, sort_keys=True)
+    pe = epoch_ids.get(sig)
+    if pe is None:
+        pe = str(len(epochs))
+        epochs[pe] = sub
+        epoch_ids[sig] = pe
+    e = {
+        "parent": m.get("parent") or 0,
+        "op": m.get("op"),
+        "ts": float(m.get("ts", 0.0)),
+        "pe": pe,
+    }
+    if m.get("cdf"):
+        e["cdf"] = m["cdf"]
+    return e
+
+
+def _read_ckpt(spark: SparkSession, path: str) -> dict | None:
+    """The rollup checkpoint, or None. Derived state: absent, stale or
+    unparseable never fails a read — consumers fall back to the
+    per-version manifests they would have read anyway."""
+    ckfile = f"{path}/{_MANIFEST_DIR}/{_CKPT_FILE}"
+    fs, jp = _fs(spark, ckfile)
+    try:
+        if not fs.exists(jp):
+            return None
+        stream = fs.open(jp)
+        try:
+            content = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        ck = json.loads(content)
+        return ck if isinstance(ck.get("entries"), dict) else None
+    except Exception:
+        return None
+
+
+def checkpoint_manifest(spark: SparkSession, path: str) -> int:
+    """Roll the retained version history into ONE small file
+    (`_manifests/_ckpt.json`) — the `_last_checkpoint` analog
+    (VERDICT r11 #2). Every version-walking consumer then reads the
+    rollup + the per-version manifests of the SUFFIX committed after
+    it, instead of one KB JSON per version step: at 10^5 commits a
+    feed walk costs 1 GET + O(new commits), not 10^5 GETs.
+
+    Incremental by construction: versions the previous rollup already
+    covers are carried over without re-reading their manifests, so
+    the auto-cadence (every `_CKPT_INTERVAL` commits, table prop
+    ``ckpt_interval`` overrides) amortizes to O(1) manifest reads per
+    commit. Vacuumed versions drop out (the entry set is always the
+    intersection with the LIVE listing — consumers gate on the
+    listing, so the rollup can never resurrect a vacuumed version or
+    mask a retention gap). The rollup is DERIVED state: the
+    overwrite-rename publish is last-writer-wins, and a torn or stale
+    file only costs the fallback manifest reads. Returns the head
+    version rolled."""
+    versions = _manifest_versions(spark, path)
+    if not versions:
+        return 0
+    prev = _read_ckpt(spark, path)
+    prev_entries = prev.get("entries", {}) if prev else {}
+    prev_epochs = prev.get("epochs", {}) if prev else {}
+    epochs: dict = {}
+    epoch_ids: dict = {}
+    entries: dict = {}
+    for v in versions:
+        pe = prev_entries.get(str(v))
+        if pe is not None and str(pe.get("pe")) in prev_epochs:
+            # carry over, re-interning its epoch under the new table
+            sub = prev_epochs[str(pe["pe"])]
+            sig = json.dumps(sub, sort_keys=True)
+            eid = epoch_ids.get(sig)
+            if eid is None:
+                eid = str(len(epochs))
+                epochs[eid] = sub
+                epoch_ids[sig] = eid
+            entries[str(v)] = {**pe, "pe": eid}
+        else:
+            entries[str(v)] = _ckpt_entry(
+                _read_manifest(spark, path, v), epochs, epoch_ids
+            )
+    ck = {"version": versions[-1], "entries": entries, "epochs": epochs}
+    ckfile = f"{path}/{_MANIFEST_DIR}/{_CKPT_FILE}"
+    fs, _jp = _fs(spark, ckfile)
+    # ".tmp-" prefix so a crashed write is collected by vacuum's
+    # stale-tmp sweep like any torn manifest write
+    tmp = f"{path}/{_MANIFEST_DIR}/.tmp-ckpt-{uuid.uuid4().hex[:8]}"
+    out = fs.create(_jpath(spark, tmp), True)
+    try:
+        out.write(bytearray(json.dumps(ck).encode("utf-8")))
+    finally:
+        out.close()
+    _rename_overwrite(spark, tmp, ckfile)
+    return versions[-1]
+
+
+def _walk_entries(
+    spark: SparkSession, path: str, versions: list[int]
+) -> dict[int, dict]:
+    """{version: {parent, op, ts, cdf?, props}} for the given LIVE
+    versions — the rollup checkpoint serves every version it covers
+    from ONE read; only the suffix (and any pre-checkpoint lake)
+    falls back to per-manifest reads. `versions` must come from the
+    live listing: the rollup never introduces versions on its own."""
+    ck = _read_ckpt(spark, path)
+    ents = ck.get("entries", {}) if ck else {}
+    eps = ck.get("epochs", {}) if ck else {}
+    out: dict[int, dict] = {}
+    for v in versions:
+        e = ents.get(str(v))
+        if e is not None and str(e.get("pe")) in eps:
+            out[v] = {
+                "parent": int(e.get("parent") or 0),
+                "op": e.get("op"),
+                "ts": float(e.get("ts", 0.0)),
+                "cdf": e.get("cdf"),
+                "props": dict(eps[str(e["pe"])]),
+            }
+        else:
+            m = _read_manifest(spark, path, v)
+            out[v] = {
+                "parent": m.get("parent") or 0,
+                "op": m.get("op"),
+                "ts": float(m.get("ts", 0.0)),
+                "cdf": m.get("cdf"),
+                "props": dict(m.get("props", {}) or {}),
+            }
+    return out
+
+
 def _rename_no_overwrite(spark: SparkSession, src: str, dst: str) -> bool:
     """Atomic rename that FAILS if `dst` exists — the commit primitive.
     ``FileSystem.rename`` can't be trusted for this (RawLocalFileSystem
@@ -357,6 +507,14 @@ def _commit(
             out.close()
         # the commit point: atomic, fails if the version was taken
         if _rename_no_overwrite(spark, tmp, f"{mdir}/v{version:08d}.json"):
+            # periodic rollup (VERDICT r11 #2): best-effort, derived
+            # state — a failure never un-commits the version
+            try:
+                interval = int(props.get("ckpt_interval", _CKPT_INTERVAL))
+                if interval > 0 and version % interval == 0:
+                    checkpoint_manifest(spark, path)
+            except Exception:
+                pass
             return version
         fs.delete(_jpath(spark, tmp), False)  # lost the race: retry on new parent
     raise RuntimeError(f"manifest commit lost the CAS race {max_tries} times: {path}")
@@ -717,6 +875,35 @@ def unique_key(spark: SparkSession, path: str) -> list[str]:
     if v is None:
         return []
     return list(_read_manifest(spark, path, v).get("props", {}).get("unique", []))
+
+
+def set_table_property(
+    spark: SparkSession, path: str, key: str, value
+) -> int:
+    """Set a free-form table property (metadata-only commit, carried
+    forward verbatim by every subsequent commit). Engine-interpreted
+    keys so far: ``ckpt_interval`` — the auto-rollup cadence of the
+    manifest checkpoint (commits whose version is a multiple roll up;
+    0 disables). Reserved structural keys (schema/colmap/unique/...)
+    refuse — they have dedicated APIs whose validation this generic
+    setter would bypass."""
+    reserved = {
+        "schema", "colmap", "dropped_cols", "unique", "constraints",
+        "generated", "widened", "expectations",
+    }
+    if key in reserved:
+        raise ValueError(
+            f"table property {key!r} is engine-structural — use its "
+            "dedicated API (set_unique_key / set_constraint / "
+            "rename_column / ...)"
+        )
+    return _commit(
+        spark,
+        path,
+        "set_property",
+        lambda parent: list(parent["segments"]) if parent else [],
+        props_fn=lambda props: {**props, key: value},
+    )
 
 
 def set_unique_key(spark: SparkSession, path: str, cols: list[str]) -> int:
@@ -5198,6 +5385,7 @@ def snapshot_diff(
     v_to: int,
     keys: list[str],
     include_values: bool = False,
+    _m_to: dict | None = None,
 ) -> DataFrame:
     """Change data feed between two table versions: one row per changed
     key with op ∈ {insert, delete, update} — what a downstream
@@ -5242,13 +5430,23 @@ def snapshot_diff(
     diffs whose schema matches v_to's)."""
     from pyspark.sql import functions as F
 
-    m_to = _read_manifest(spark, path, v_to)
-    props_to = dict(m_to.get("props", {}))
+    # `_m_to` is a prefetched rollup entry (parent/props/cdf — see
+    # _walk_entries): a feed walking a checkpointed history plans
+    # every recorded step without re-reading its manifest
+    if _m_to is not None:
+        props_to = dict(_m_to.get("props", {}) or {})
+        par_to = _m_to.get("parent") or 0
+        cdf_seg = _m_to.get("cdf")
+    else:
+        m_to = _read_manifest(spark, path, v_to)
+        props_to = dict(m_to.get("props", {}))
+        par_to = m_to.get("parent") or 0
+        cdf_seg = m_to.get("cdf")
     # "single step" = v_from is v_to's recorded PARENT, not v_to-1:
     # WAP/branch publishes skip version numbers, and the recorded
     # segment captures exactly the parent→v_to delta
-    if v_from == (m_to.get("parent") or 0) and m_to.get("cdf"):
-        rec = spark.read.parquet(f"{path}/{_CDF_DIR}/{m_to['cdf']}")
+    if v_from == par_to and cdf_seg:
+        rec = spark.read.parquet(f"{path}/{_CDF_DIR}/{cdf_seg}")
         sch = props_to.get("schema")
         want = set(keys) | {"op", "old", "new"}
         cols_ok = set(rec.columns) == want and (
@@ -5347,7 +5545,12 @@ def _props_triples(props: dict):
     return [(n, t, cm.get(n, n)) for n, t in sch["cols"]]
 
 
-def _identity_chain(spark: SparkSession, path: str, versions: list[int]):
+def _identity_chain(
+    spark: SparkSession,
+    path: str,
+    versions: list[int],
+    entries: dict | None = None,
+):
     """{version: {logical_name: identity_token}} across the retained
     history — the column-identity ledger the schema-bridged feed needs.
     Identity threads by PHYSICAL name within a column-mapping epoch
@@ -5358,11 +5561,13 @@ def _identity_chain(spark: SparkSession, path: str, versions: list[int]):
     match in the parent mint fresh tokens (added columns). A version
     that predates schema recording maps to None and breaks the chain
     (its steps fall back to caller-name diffs)."""
+    if entries is None:
+        entries = _walk_entries(spark, path, versions)
     out: dict = {}
     prev = None  # (by_logical, by_physical, was_mapped)
     counter = [0]
     for v in versions:
-        props = dict(_read_manifest(spark, path, v).get("props", {}))
+        props = dict(entries[v]["props"])
         trip = _props_triples(props)
         if trip is None:
             out[v] = None
@@ -5399,6 +5604,8 @@ def _feed_step(
     cur_trip,
     cur_map,
     step_map,
+    trip_v=None,
+    entry: dict | None = None,
 ) -> DataFrame:
     """One version step of the feed, emitted under the CURRENT logical
     schema (r11 — the batch-side twin of the stream's schema bridge):
@@ -5415,7 +5622,9 @@ def _feed_step(
     from pyspark.sql import functions as F
 
     if cur_trip is None or not cur_map or not step_map:
-        return snapshot_diff(spark, path, par, v, keys, include_values)
+        return snapshot_diff(
+            spark, path, par, v, keys, include_values, _m_to=entry
+        )
     at_step = {i: n for n, i in step_map.items()}
     step_keys = []
     for k in keys:
@@ -5429,13 +5638,18 @@ def _feed_step(
                 "every key column exists"
             )
         step_keys.append(sk)
-    d = snapshot_diff(spark, path, par, v, step_keys, include_values)
+    d = snapshot_diff(
+        spark, path, par, v, step_keys, include_values, _m_to=entry
+    )
     for sk, k in zip(step_keys, keys):
         if sk != k:
             d = d.withColumnRenamed(sk, k)
     if not include_values:
         return d
-    trip_v = _props_triples(dict(_read_manifest(spark, path, v).get("props", {})))
+    if trip_v is None:
+        trip_v = _props_triples(
+            dict(_read_manifest(spark, path, v).get("props", {}))
+        )
     val_now = [(n, t) for n, t, _ in cur_trip if n not in keys]
     step_vals = [(n, t) for n, t, _ in trip_v if n not in step_keys]
     if val_now == step_vals:
@@ -5493,30 +5707,36 @@ def read_feed(
     # retention gap is a parent that is neither 0 nor present.
     have = set(versions)
     cur_trip = _props_triples(_latest_props(spark, path))
-    # the identity chain (O(versions) KB manifest reads) builds LAZILY:
-    # a rename-free history — every step's schema equals the current —
-    # never pays for it (the common case)
+    in_range = [v for v in versions if v_from < v <= v_to]
+    # rollup-served walk (VERDICT r11 #2): parent/props/cdf for every
+    # step come from ONE checkpoint read + the post-checkpoint suffix,
+    # not a KB manifest read per version
+    entries = _walk_entries(spark, path, in_range)
+    # the identity chain builds LAZILY: a rename-free history — every
+    # step's schema equals the current — never pays for it (the
+    # common case); when it does build, it too walks the rollup
     _chain: dict = {}
 
     def _maps():
         if not _chain:
-            ch = _identity_chain(spark, path, versions)
+            ch = _identity_chain(
+                spark, path, versions,
+                entries=_walk_entries(spark, path, versions),
+            )
             _chain["cur"] = ch.get(versions[-1]) if versions else None
             _chain["ch"] = ch
         return _chain["cur"], _chain["ch"]
 
     parts = []
-    for v in versions:
-        if not (v_from < v <= v_to):
-            continue
-        m = _read_manifest(spark, path, v)
-        par = m.get("parent") or 0
+    for v in in_range:
+        e = entries[v]
+        par = e["parent"]
         if par and par not in have:
             raise ValueError(
                 f"feed range ({v_from}, {v_to}] crosses vacuumed version "
                 f"{par}: re-bootstrap from a snapshot ({path})"
             )
-        trip_v = _props_triples(dict(m.get("props", {})))
+        trip_v = _props_triples(e["props"])
         # fast path on LOGICAL schema equality (names+types) — diffs
         # run in logical space, so physical drift alone needs no bridge
         same_logical = trip_v is not None and cur_trip is not None and [
@@ -5524,13 +5744,15 @@ def read_feed(
         ] == [(n, t) for n, t, _ in cur_trip]
         if cur_trip is None or same_logical:
             step = snapshot_diff(
-                spark, path, par, v, keys, include_values=include_values
+                spark, path, par, v, keys,
+                include_values=include_values, _m_to=e,
             )
         else:
             cur_map, ch = _maps()
             step = _feed_step(
                 spark, path, v, par, keys, include_values,
                 cur_trip, cur_map, ch.get(v),
+                trip_v=trip_v, entry=e,
             )
         parts.append(step.withColumn("version", F.lit(v)))
     if not parts:
@@ -5587,11 +5809,19 @@ def consume_feed(
     cur_trip = _props_triples(_latest_props(spark, path))
     all_versions = _manifest_versions(spark, path)
     have = set(all_versions)
+    # rollup-served walk (VERDICT r11 #2): ONE checkpoint read + the
+    # post-checkpoint suffix instead of a KB manifest read per version
+    entries = _walk_entries(
+        spark, path, [v for v in all_versions if hw < v <= latest]
+    )
     _chain: dict = {}
 
     def _maps():
         if not _chain:  # lazy: rename-free histories never pay
-            ch = _identity_chain(spark, path, all_versions)
+            ch = _identity_chain(
+                spark, path, all_versions,
+                entries=_walk_entries(spark, path, all_versions),
+            )
             _chain["cur"] = ch.get(all_versions[-1]) if all_versions else None
             _chain["ch"] = ch
         return _chain["cur"], _chain["ch"]
@@ -5606,8 +5836,8 @@ def consume_feed(
             break
         from pyspark.sql import functions as F
 
-        m = _read_manifest(spark, path, v)
-        par = m.get("parent") or 0
+        e = entries[v]
+        par = e["parent"]
         # retention-gap guard BEFORE serving (read_feed's rule): the
         # version's parent must be 0, at-or-below the checkpoint
         # (continuity — those changes were already consumed), or a
@@ -5623,7 +5853,7 @@ def consume_feed(
                 f"(version {v}'s parent {par} is gone): re-bootstrap "
                 f"from a snapshot ({path})"
             )
-        trip_v = _props_triples(dict(m.get("props", {})))
+        trip_v = _props_triples(e["props"])
         # fast path on LOGICAL schema equality (names+types) — diffs
         # run in logical space, so physical drift alone needs no bridge
         same_logical = trip_v is not None and cur_trip is not None and [
@@ -5631,13 +5861,15 @@ def consume_feed(
         ] == [(n, t) for n, t, _ in cur_trip]
         if cur_trip is None or same_logical:
             delta = snapshot_diff(
-                spark, path, par, v, keys, include_values=include_values
+                spark, path, par, v, keys,
+                include_values=include_values, _m_to=e,
             )
         else:
             cur_map, ch = _maps()
             delta = _feed_step(
                 spark, path, v, par, keys, include_values,
                 cur_trip, cur_map, ch.get(v),
+                trip_v=trip_v, entry=e,
             )
         delta = delta.withColumn(
             "version", F.lit(v)
@@ -5771,10 +6003,10 @@ def version_as_of_timestamp(spark: SparkSession, path: str, ts: float) -> int:
     versions = _manifest_versions(spark, path)
     if not versions:
         raise ValueError(f"no committed manifest under {path}")
+    entries = _walk_entries(spark, path, versions)  # rollup-served
     best: int | None = None
     for v in versions:
-        m_ts = float(_read_manifest(spark, path, v).get("ts", 0.0))
-        if m_ts <= ts:
+        if entries[v]["ts"] <= ts:
             best = v
     if best is None:
         raise ValueError(
@@ -6869,6 +7101,15 @@ def vacuum(
                 if not dry_run:
                     fs.delete(st.getPath(), True)
                 n += 1
+    # refresh the rollup checkpoint so it stops carrying vacuumed
+    # versions (hygiene only — consumers gate on the live listing, so
+    # a stale rollup can't resurrect anything; best-effort like the
+    # auto-rollup in _commit)
+    if not dry_run and _read_ckpt(spark, path) is not None:
+        try:
+            checkpoint_manifest(spark, path)
+        except Exception:
+            pass
     return n
 
 
