@@ -602,13 +602,16 @@ def apply_cdf_to_ivf_index(
     rewrites only the bloom-positive cell segments), then the
     insert/update rows land through the partition-scoped tagged MERGE.
 
-    Crash/replay discipline (the sink's contract): the caller gates on
-    the MERGE tag BEFORE calling — a replay after full completion
-    no-ops wholesale (the delete must NOT re-run: it would kill the
-    mover rows the completed MERGE re-homed); a crash between the
-    delete and the MERGE replays as a semantically-idempotent delete
-    (the keys are already gone) followed by the landing MERGE.
-    Unassignable vectors (NULL/short — NULL cid) drop, the
+    Crash/replay discipline (r12 — the delete+MERGE pair runs through
+    `manifest.commit_multi` as ONE ``{group}={token}`` group with a
+    NAMED delete participant, tag ``...:del``): the caller still gates
+    on the MERGE (bare) tag before calling — a replay after full
+    completion no-ops wholesale; a crash between the delete and the
+    MERGE now tag-SKIPS the delete (it used to re-run as a semantic
+    no-op) and lands the MERGE — the hand-rolled two-commit discipline
+    this primitive was built to subsume (VERDICT r11 #3). A `tag`
+    without '=' keeps the legacy single-tag behavior for ad-hoc batch
+    calls. Unassignable vectors (NULL/short — NULL cid) drop, the
     assign_cells contract."""
     from ..sources import manifest as M
 
@@ -639,8 +642,6 @@ def apply_cdf_to_ivf_index(
         .filter(F.col("cid").isNull() | (F.col("cid") != F.col("__cid_old")))
         .select(id_col)
     )
-    if kill.limit(1).count():
-        M.commit_delete(spark, codes_path, kill, [id_col])
     codes, scale = int8_codes(F.col("v"))
     change_rows = assigned_new.select(
         F.col(id_col),
@@ -649,17 +650,35 @@ def apply_cdf_to_ivf_index(
         codes.alias("codes"),
         F.lit(1).alias("__ver"),
     )
-    if change_rows.limit(1).count():
-        M.commit_upsert_partitioned(
-            spark,
-            codes_path,
-            change_rows,
-            keys=[id_col],
-            version_col="__ver",
-            part_col="cid",
-            bloom_cols=[id_col],
-            tag=tag,
+
+    def _del(t):
+        if kill.limit(1).count():
+            return M.commit_delete(spark, codes_path, kill, [id_col], tag=t)
+        return M.current_version(spark, codes_path)
+
+    def _merge(t):
+        if change_rows.limit(1).count():
+            return M.commit_upsert_partitioned(
+                spark,
+                codes_path,
+                change_rows,
+                keys=[id_col],
+                version_col="__ver",
+                part_col="cid",
+                bloom_cols=[id_col],
+                tag=t,
+            )
+        return M.current_version(spark, codes_path)
+
+    if tag is not None and "=" in tag:
+        group, token = tag.split("=", 1)
+        M.commit_multi(
+            spark, group, token,
+            [(codes_path, _del, "del"), (codes_path, _merge)],
         )
+    else:  # legacy ad-hoc batch call: untagged delete + tagged MERGE
+        _del(None)
+        _merge(tag)
 
 
 def ivf_quantized_topk(
@@ -1536,12 +1555,37 @@ def corpus_takedown(
     than its derivatives (a search can net a still-live doc, never a
     dangling one). Each lake's delete is the bloom-refined CoW (or
     tagged MoR tombstone) of `propagate_index_deletes` /
-    `commit_delete`. Returns {path: version}."""
+    `commit_delete`.
+
+    A ``tag`` of the form ``{group}={token}`` routes the whole ordered
+    chain through `manifest.commit_multi` with PATH-NAMED participants
+    (r12 — VERDICT r11 #3): per-lake tags stay byte-identical to the
+    old hand-suffixed ``{tag}:{path}`` discipline, so pre-upgrade
+    streaming checkpoints replay cleanly, and the prefix-convergence /
+    exactly-once-per-lake argument now lives in ONE primitive instead
+    of this loop. Returns {path: version}."""
     from ..sources import manifest as M
 
+    vids = doc_ids if vec_ids is None else vec_ids
+    if tag is not None and "=" in tag and mode in ("mor", "dv"):
+        delete = M.commit_delete_mor if mode == "mor" else M.commit_delete_dv
+        group, token = tag.split("=", 1)
+
+        def _part(p, key, ids):
+            def fn(t):
+                key_df = spark.createDataFrame([(i,) for i in ids], [key])
+                return delete(spark, p, key_df, [key], tag=t)
+
+            return (p, fn, p)
+
+        parts = [_part(p, vec_key, vids) for p in index_code_paths]
+        if emb_path:
+            parts.append(_part(emb_path, vec_key, vids))
+        parts.append(_part(docs_path, doc_key, doc_ids))
+        return M.commit_multi(spark, group, token, parts)
     out = propagate_index_deletes(
         spark,
-        doc_ids if vec_ids is None else vec_ids,
+        vids,
         vec_key,
         index_code_paths=index_code_paths,
         emb_path=emb_path,

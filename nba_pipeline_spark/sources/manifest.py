@@ -4591,6 +4591,7 @@ def commit_delete(
     max_tries: int = 5,
     bloom_probe_cap: int = 1024,
     record_cdf: bool = False,
+    tag: str | None = None,
 ) -> int:
     """Row-level DELETE, copy-on-write: rewrite ONLY the segments whose
     key range can contain a delete key (same one-job stats
@@ -4624,6 +4625,8 @@ def commit_delete(
     single-step diffs skip re-reading the rewrite width."""
     from pyspark.sql import functions as F  # noqa: F401  (parity w/ siblings)
 
+    if tag is not None and tag in committed_tags(spark, path):
+        return current_version(spark, path)
     _p0 = _latest_props(spark, path)
     logical_keys = list(keys)
     deletes = _to_physical(deletes, _p0)
@@ -4709,6 +4712,7 @@ def commit_delete(
                 _segments,
                 expected_parent=base_version,
                 meta_fn=_meta,
+                tag=tag,
                 extra_keys=extra,
             )
         except CommitConflict as e:
@@ -4886,18 +4890,27 @@ def commit_multi(
     isolation. Readers needing a consistent multi-lake view pin a
     catalog (`pin_catalog`) — the read-side half that already exists.
 
-    Adopters: `maintain_join_matview` (the mvj group — consumed
-    window repaired via `newest_multi_token`) and
-    `ann_index_ingest_sink` (the annidx append+MERGE pair) run ON this
-    primitive; `cdf_matview_sink` is single-lake (no group needed);
-    the takedown sinks keep their per-lake-suffixed tags (the same
-    convergence argument, with the suffix guarding duplicate paths in
-    one group).
+    A participant may be ``(path, fn, name)``: its tag becomes
+    ``{group}={token}:{name}`` — REQUIRED when one lake appears twice
+    in a group (e.g. the ann-CDF delete+MERGE pair: a shared tag
+    would make the second commit skip whenever the first landed) and
+    how the takedown group keeps its per-lake-suffixed on-disk tag
+    format. `newest_multi_token` parses the bare token either way
+    (a ':'-suffixed name sorts below numeric elements).
+
+    Adopters (r12 — every multi-commit sink): `maintain_join_matview`
+    (mvj), `ann_index_ingest_sink` (annidx), `pack_ingest_sink`
+    (pack), `apply_cdf_to_ivf_index`'s delete+MERGE pair (anncdf,
+    named delete part), `corpus_takedown`'s ordered index→embeddings→
+    docs chain (takedown, path-named parts), and the single-lake
+    `cdf_matview_sink` (uniformity — the tag gate is the same check).
 
     Returns {path: committed-or-current version}."""
-    tag = f"{group}={token}"
     out: dict[str, int] = {}
-    for path, fn in parts:
+    for part in parts:
+        path, fn = part[0], part[1]
+        name = part[2] if len(part) > 2 else None
+        tag = f"{group}={token}" if name is None else f"{group}={token}:{name}"
         if tag in committed_tags(spark, path):
             out[path] = current_version(spark, path)
             continue

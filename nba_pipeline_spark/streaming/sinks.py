@@ -297,6 +297,55 @@ def quarantine_ingest_sink(
     return _apply
 
 
+def pack_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    placed_path: str,
+    state_path: str,
+) -> None:
+    """One packing micro-batch as a ``pack=<batch_id>`` commit_multi
+    group — the per-batch body of `pack_ingest_sink`, module-level so
+    the crash-injection soak drives it directly."""
+    from ..plans.corpus_queries import pack_batch
+    from ..sources import manifest as M
+
+    spark = batch_df.sparkSession
+    memo: dict = {}
+
+    def _packed():
+        if not memo:
+            state = (
+                M.read_snapshot(spark, state_path)
+                if M.current_version(spark, state_path)
+                else None
+            )
+            placed, new_state = pack_batch(batch_df, state)
+            # one computation even when both participants run
+            memo["placed"] = placed.localCheckpoint(eager=True)
+            memo["state"] = new_state
+        return memo
+
+    M.commit_multi(
+        spark, "pack", str(batch_id),
+        [
+            (
+                placed_path,
+                lambda tag: M.commit_append(
+                    spark, placed_path,
+                    _packed()["placed"].withColumn("batch", F.lit(batch_id)),
+                    tag=tag,
+                ),
+            ),
+            (
+                state_path,
+                lambda tag: M.commit_replace(
+                    spark, state_path, _packed()["state"], tag=tag
+                ),
+            ),
+        ],
+    )
+
+
 def pack_ingest_sink(
     docs_stream: DataFrame,
     placed_path: str,
@@ -310,37 +359,23 @@ def pack_ingest_sink(
     maintained as documents arrive instead of by a full-corpus job.
 
     Exactly-once under replay WITHOUT a snapshot layout: both commits
-    carry the ``pack=<batch_id>`` idempotency tag. The state replace
-    is computed from the PRE-batch state, so the two crash windows
-    both converge — (a) crash before the placed append: full redo from
-    the same pre-batch state; (b) crash between the placed append and
-    the state replace: the redo recomputes the identical placement
-    from the still-unadvanced state, the placed append skips on its
-    tag, and the state replace lands. A batch whose BOTH tags are
-    present is a pure no-op. Per-trigger cost: O(batch) tokenize +
-    one shard-keyed window over batch rows + one broadcast of the
-    O(shards) state — settled docs never re-read.
+    run as ONE ``pack=<batch_id>`` `manifest.commit_multi` group (r12
+    — VERDICT r11 #3; same on-disk tags as the old hand-rolled dual
+    tag, so pre-upgrade checkpoints replay cleanly). The placement is
+    computed LAZILY from the PRE-batch state, so the primitive's
+    prefix contract converges both crash windows — (a) crash before
+    the placed append: full redo from the same pre-batch state; (b)
+    crash between the placed append and the state replace: the redone
+    placed append tag-skips WITHOUT recomputing, and the state
+    replace recomputes the identical placement from the
+    still-unadvanced state and lands. A batch whose both tags are
+    present is a pure no-op (neither recomputes). Per-trigger cost:
+    O(batch) tokenize + one shard-keyed window over batch rows + one
+    broadcast of the O(shards) state — settled docs never re-read.
 
     Returns the streaming query (availableNow trigger; await it)."""
-    from ..plans.corpus_queries import pack_batch
-    from ..sources import manifest as M
-
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        tag = f"pack={batch_id}"
-        state = (
-            M.read_snapshot(spark, state_path)
-            if M.current_version(spark, state_path)
-            else None
-        )
-        placed, new_state = pack_batch(batch_df, state)
-        placed = placed.localCheckpoint(eager=True)  # one computation
-        M.commit_append(
-            spark, placed_path,
-            placed.withColumn("batch", F.lit(batch_id)),
-            tag=tag,
-        )
-        M.commit_replace(spark, state_path, new_state, tag=tag)
+        pack_apply_batch(batch_df, batch_id, placed_path, state_path)
 
     return (
         docs_stream.writeStream.foreachBatch(_apply)
@@ -560,23 +595,31 @@ def cdf_matview_sink(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        tag = f"cdfmv={batch_id}"
-        if tag in M.committed_tags(spark, mv_path):
+        # cheap wholesale gate BEFORE the emptiness probe (replays of
+        # applied batches must not even count the batch)
+        if f"cdfmv={batch_id}" in M.committed_tags(spark, mv_path):
             return
         if not batch_df.limit(1).count():
             return
-        d = delta_contributions(batch_df, group_cols, sum_cols)
-        cur = M.current_version(spark, mv_path)
-        if cur is None:
-            mv = spark.createDataFrame(
-                [], _mv_schema(d, group_cols, sum_cols)
+
+        def _publish(tag):
+            d = delta_contributions(batch_df, group_cols, sum_cols)
+            cur = M.current_version(spark, mv_path)
+            if cur is None:
+                mv = spark.createDataFrame(
+                    [], _mv_schema(d, group_cols, sum_cols)
+                )
+            else:
+                mv = M.read_snapshot(spark, mv_path)
+            folded = fold_delta(mv, d, group_cols, sum_cols)
+            return M.commit_replace(
+                spark, mv_path, folded, target_files=target_files, tag=tag
             )
-        else:
-            mv = M.read_snapshot(spark, mv_path)
-        folded = fold_delta(mv, d, group_cols, sum_cols)
-        M.commit_replace(
-            spark, mv_path, folded, target_files=target_files, tag=tag
-        )
+
+        # single-lake, but routed through the shared primitive (r12 —
+        # one tag-gate convergence argument repo-wide, not N hand
+        # copies); the on-disk tag is unchanged
+        M.commit_multi(spark, "cdfmv", str(batch_id), [(mv_path, _publish)])
 
     return (
         cdf_stream.writeStream.foreachBatch(_apply)

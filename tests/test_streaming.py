@@ -892,3 +892,278 @@ def test_ann_cdf_maintain_sink_folds_merges_and_deletes(spark, tmp_path):
     drain("ck2")
     assert M.current_version(spark, kp) == v_k
     assert codes_map() == want
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _pre_crash(monkeypatch, module, name, times=1):
+    """Monkeypatch module.name to raise _Boom BEFORE doing anything,
+    for the first `times` calls, then pass through."""
+    orig = getattr(module, name)
+    left = [times]
+
+    def wrapper(*a, **k):
+        if left[0] > 0:
+            left[0] -= 1
+            raise _Boom(f"injected crash before {name}")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(module, name, wrapper)
+    return lambda: monkeypatch.setattr(module, name, orig)
+
+
+def test_pack_apply_crash_injection_soak(spark, tmp_path, monkeypatch):
+    """Seeded crash soak for the commit_multi-based packing sink
+    (VERDICT r11 #3): per batch, a crash injects BEFORE the placed
+    append or BETWEEN the append and the state replace; the replay
+    converges through the primitive's prefix contract. Final placed
+    rows and shard totals equal the crash-free batch fold."""
+    import random
+
+    from nba_pipeline_spark.plans.corpus_queries import pack_batch
+    from nba_pipeline_spark.sources import manifest as M
+    from nba_pipeline_spark.streaming.sinks import pack_apply_batch
+
+    rng = random.Random(12)
+    placed_lake = str(tmp_path / "placed")
+    state_lake = str(tmp_path / "state")
+    batches = []
+    next_id = 0
+    for _ in range(6):
+        rows = [
+            (next_id + j, "w", "tok " * rng.randint(1, 9))
+            for j in range(rng.randint(1, 4))
+        ]
+        next_id += len(rows)
+        batches.append(rows)
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "doc_id int, source string, text string"
+        )
+        window = rng.choice(["none", "pre_append", "between"])
+        if window != "none":
+            target = "commit_append" if window == "pre_append" else "commit_replace"
+            restore = _pre_crash(monkeypatch, M, target)
+            try:
+                pack_apply_batch(df, bid, placed_lake, state_lake)
+                raise AssertionError("injected crash did not fire")
+            except _Boom:
+                pass
+            restore()
+        pack_apply_batch(df, bid, placed_lake, state_lake)  # the replay
+        pack_apply_batch(df, bid, placed_lake, state_lake)  # full no-op
+    got = {
+        (r["doc_id"], r["shard"], int(r["start"]), int(r["n"]))
+        for r in M.read_snapshot(spark, placed_lake).collect()
+    }
+    state = None
+    want = set()
+    for rows in batches:
+        df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+        placed, state = pack_batch(df, state)
+        placed = placed.localCheckpoint(eager=True)
+        want |= {
+            (r["doc_id"], r["shard"], int(r["start"]), int(r["n"]))
+            for r in placed.collect()
+        }
+    assert got == want and len(got) == next_id
+    totals = {
+        r["shard"]: int(r["total"])
+        for r in M.read_snapshot(spark, state_lake).collect()
+    }
+    ends: dict = {}
+    for d, sh, st, n in got:
+        ends[sh] = max(ends.get(sh, 0), st + n)
+    assert totals == ends
+
+
+def test_ann_cdf_apply_crash_injection_soak(spark, tmp_path, monkeypatch):
+    """Seeded crash soak for the anncdf delete+MERGE commit_multi
+    group: crashes inject before the cell-loser delete and between
+    the delete and the MERGE; replays tag-skip the landed prefix (the
+    delete NEVER re-runs once committed — re-homed movers survive).
+    Truth: the codes lake equals the independent assignment of the
+    final embeddings snapshot."""
+    import random
+
+    import numpy as np
+
+    from nba_pipeline_spark.operators import similarity as SIM
+    from nba_pipeline_spark.sources import manifest as M
+
+    rng = np.random.default_rng(12)
+    pyr = random.Random(12)
+
+    def vec():
+        return [float(x) for x in rng.standard_normal(6)]
+
+    sch = "vec_id long, embedding array<double>"
+    ep = str(tmp_path / "emb")
+    cp, kp = str(tmp_path / "cent"), str(tmp_path / "codes")
+    M.commit_append(
+        spark, ep,
+        spark.createDataFrame([(int(i), vec()) for i in range(16)], sch),
+    )
+    SIM.build_ivf_quantized_index(
+        spark, M.read_snapshot(spark, ep), "vec_id", "embedding", 4, cp, kp
+    )
+    live = set(range(16))
+    nxt = 16
+    applied_from = M.current_version(spark, ep)
+    for step in range(5):
+        kind = pyr.choice(["upsert", "delete", "append"])
+        if kind == "upsert" and live:
+            ids = pyr.sample(sorted(live), min(3, len(live)))
+            ids.append(nxt)
+            live.add(nxt)
+            nxt += 1
+            M.commit_upsert(
+                spark, ep,
+                spark.createDataFrame(
+                    [(int(i), vec(), 1) for i in ids], sch + ", ver int"
+                ),
+                ["vec_id"], "ver",
+            )
+        elif kind == "delete" and len(live) > 4:
+            ids = pyr.sample(sorted(live), 2)
+            live -= set(ids)
+            M.commit_delete(
+                spark, ep,
+                spark.createDataFrame([(int(i),) for i in ids], "vec_id long"),
+                ["vec_id"],
+            )
+        else:
+            rows = [(int(nxt + j), vec()) for j in range(2)]
+            live |= {nxt, nxt + 1}
+            nxt += 2
+            M.commit_append(spark, ep, spark.createDataFrame(rows, sch))
+        # fold the feed window through the anncdf group, maybe crashing
+        v_now = M.current_version(spark, ep)
+        batch = M.read_feed(
+            spark, ep, ["vec_id"], applied_from, v_now, include_values=True
+        ).withColumnRenamed("version", "_commit_version")
+        applied_from = v_now
+        tag = f"anncdf={step}"
+        window = pyr.choice(["none", "pre_delete", "between"])
+        if window != "none":
+            target = (
+                "commit_delete" if window == "pre_delete"
+                else "commit_upsert_partitioned"
+            )
+            restore = _pre_crash(monkeypatch, M, target)
+            try:
+                SIM.apply_cdf_to_ivf_index(
+                    spark, batch, "vec_id", "embedding", cp, kp, tag=tag
+                )
+            except _Boom:
+                pass
+            restore()
+        SIM.apply_cdf_to_ivf_index(
+            spark, batch, "vec_id", "embedding", cp, kp, tag=tag
+        )
+    cents = M.read_snapshot(spark, cp).select("cid", "cv")
+    e = M.read_snapshot(spark, ep).select(
+        "vec_id", SIM.to_double_array(F.col("embedding")).alias("v")
+    )
+    assigned = SIM.assign_cells(e, cents, "vec_id")
+    codes, scale = SIM.int8_codes(F.col("v"))
+    want = {
+        int(r["vec_id"]): (int(r["cid"]), float(r["s"]), list(r["codes"]))
+        for r in assigned.select(
+            "vec_id", "cid", scale.alias("s"), codes.alias("codes")
+        ).collect()
+    }
+    got = {
+        int(r["vec_id"]): (int(r["cid"]), float(r["s"]), list(r["codes"]))
+        for r in M.read_snapshot(spark, kp).collect()
+    }
+    assert got == want
+    assert set(got) == live
+
+
+def test_takedown_crash_injection_soak(spark, tmp_path, monkeypatch):
+    """Seeded crash soak for the path-named takedown commit_multi
+    group (index → embeddings → docs): a crash strands a strict
+    PREFIX of lakes; the replay completes the suffix without
+    re-tombstoning the prefix (version counts advance exactly once
+    per lake per batch)."""
+    import random
+
+    import numpy as np
+
+    from nba_pipeline_spark.operators import similarity as SIM
+    from nba_pipeline_spark.sources import manifest as M
+
+    rng = np.random.default_rng(5)
+    pyr = random.Random(5)
+    docsp, embp = str(tmp_path / "docs"), str(tmp_path / "emb")
+    cp, kp = str(tmp_path / "cent"), str(tmp_path / "codes")
+    M.commit_append(
+        spark, docsp,
+        spark.createDataFrame(
+            [(int(i), f"text {i}") for i in range(24)],
+            "doc_id long, text string",
+        ),
+        stats_cols=["doc_id"],
+    )
+    M.commit_append(
+        spark, embp,
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in rng.standard_normal(6)])
+             for i in range(24)],
+            "vec_id long, embedding array<double>",
+        ),
+        stats_cols=["vec_id"],
+    )
+    SIM.build_ivf_quantized_index(
+        spark, M.read_snapshot(spark, embp), "vec_id", "embedding", 4, cp, kp
+    )
+    live = set(range(24))
+    for step in range(4):
+        ids = sorted(pyr.sample(sorted(live), 3))
+        live -= set(ids)
+        tag = f"takedown={step}"
+        vs_before = {
+            p: M.current_version(spark, p) for p in (kp, embp, docsp)
+        }
+        # crash inside participant 1..3 (commit_delete_mor raises on
+        # its k-th invocation this batch)
+        k = pyr.randint(1, 3)
+        calls = [0]
+        orig = M.commit_delete_mor
+
+        def crashing(*a, **kw):
+            calls[0] += 1
+            if calls[0] == k:
+                raise _Boom("injected takedown crash")
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(M, "commit_delete_mor", crashing)
+        try:
+            SIM.corpus_takedown(
+                spark, ids, docsp, emb_path=embp, index_code_paths=[kp],
+                doc_key="doc_id", vec_key="vec_id", mode="mor", tag=tag,
+            )
+            raise AssertionError("injected crash did not fire")
+        except _Boom:
+            pass
+        monkeypatch.setattr(M, "commit_delete_mor", orig)
+        # replay completes the suffix; a second replay is a full no-op
+        SIM.corpus_takedown(
+            spark, ids, docsp, emb_path=embp, index_code_paths=[kp],
+            doc_key="doc_id", vec_key="vec_id", mode="mor", tag=tag,
+        )
+        SIM.corpus_takedown(
+            spark, ids, docsp, emb_path=embp, index_code_paths=[kp],
+            doc_key="doc_id", vec_key="vec_id", mode="mor", tag=tag,
+        )
+        for p in (kp, embp, docsp):
+            assert M.current_version(spark, p) == vs_before[p] + 1, (
+                step, p,
+            )
+    for p, key in ((docsp, "doc_id"), (embp, "vec_id"), (kp, "vec_id")):
+        assert {
+            int(r[key]) for r in M.read_snapshot(spark, p).collect()
+        } == live, p
