@@ -1759,6 +1759,61 @@ register(
 )
 
 
+def q_manifest_agg_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY COUNT DISTINCT (VERDICT r11 #4 — NDV segment
+    statistics): `commit_append(ndv_cols=...)` records a mergeable
+    distinct-count sketch per segment (EXACT bitmap for integral
+    columns within the bucket cap; DataSketches Theta past it /
+    for strings), and `metadata_agg(ndv_cols=..., allow_scan=False)`
+    answers COUNT(DISTINCT o_custkey) and COUNT(DISTINCT
+    o_orderpriority) by UNIONING the sketches across three
+    key-overlapping segments — zero data files read (allow_scan=False
+    proves it), exact at every tested scale (custkey spans stay
+    inside the bitmap cap; priority is a 5-value Theta, exact below
+    4096 retained). The oracle recomputes both the hard way."""
+    tune(spark)
+    lake = _stage_dir(sf_dir, "orders", "manifest_agg_ndv")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_totalprice",
+        )
+        # three segments with OVERLAPPING custkeys — the cross-segment
+        # union must dedupe, which is the whole point of mergeable
+        # sketches over per-segment scalars
+        for band in range(3):
+            M.commit_append(
+                spark, lake,
+                orders.filter(F.col("o_orderkey") % 3 == band),
+                stats_cols=["o_orderkey"],
+                ndv_cols=["o_custkey", "o_orderpriority"],
+            )
+        d = M.describe_detail(spark, lake).collect()[0]
+        assert d["ndv_cols"] == ["o_custkey", "o_orderpriority"]
+
+    _ensure_stage(lake, build)
+    return M.metadata_agg(
+        spark,
+        lake,
+        ndv_cols=["o_custkey", "o_orderpriority"],
+        allow_scan=False,
+    )
+
+
+register(
+    "q_manifest_agg_ndv",
+    q_manifest_agg_ndv,
+    """
+    SELECT COUNT(*) AS count_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_o_custkey,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+             AS ndv_o_orderpriority
+    FROM orders
+    """,
+)
+
+
 def _wap_lake(spark: SparkSession, sf_dir: str) -> str:
     """Write-audit-publish: base = orders with o_orderkey % 4 <= 1; a
     BRANCH ingests the other half, the audit finds rows violating the

@@ -1404,6 +1404,100 @@ def _stats_meta(df: DataFrame, stats_cols: list[str]) -> dict:
     }
 
 
+_NDV_BITMAP_MAX_BUCKETS = 64  # ~2.1M-value span; zlib keeps it small
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
+
+
+def _ndv_meta(df: DataFrame, ndv_cols: list[str]) -> dict:
+    """Per-segment DISTINCT-COUNT sketches (VERDICT r11 #4) — one
+    mergeable structure per column so `metadata_agg` can answer
+    COUNT(DISTINCT col) across segments from manifest metadata and
+    `plan_maintenance` can see duplicate-heavy segments:
+
+      kind="bitmap" — integral columns whose value span fits
+        `_NDV_BITMAP_MAX_BUCKETS` 32768-bit buckets: the EXACT
+        mergeable form (Spark's bitmap_construct_agg per bucket;
+        cross-segment union is a byte-OR, count is a popcount).
+        Buckets store zlib+b85 (sparse bitmaps compress to ~nothing).
+      kind="theta" — everything else: a DataSketches Theta sketch
+        (exact below 4096 retained hashes, ~2% relative error past —
+        the 100 TB shape where exact bitmaps would outgrow the
+        manifest).
+
+    NULLs never count (COUNT DISTINCT semantics). Cost: one extra
+    aggregate job per recorded column — the write-time price of
+    metadata-answered NDV, same trade as stats/blooms."""
+    import base64
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    out: dict = {}
+    types = dict(df.dtypes)
+    for c in ndv_cols:
+        if types.get(c) in _INTEGRAL_TYPES:
+            buckets = (
+                df.filter(F.col(c).isNotNull())
+                .groupBy(F.bitmap_bucket_number(F.col(c)).alias("__b"))
+                .agg(
+                    F.bitmap_construct_agg(
+                        F.bitmap_bit_position(F.col(c))
+                    ).alias("__bm")
+                )
+                .collect()
+            )
+            if len(buckets) <= _NDV_BITMAP_MAX_BUCKETS:
+                enc = {
+                    str(int(r["__b"])): base64.b85encode(
+                        zlib.compress(bytes(r["__bm"]), 6)
+                    ).decode("ascii")
+                    for r in buckets
+                }
+                count = sum(
+                    bin(int.from_bytes(bytes(r["__bm"]), "big")).count("1")
+                    for r in buckets
+                )
+                out[c] = {"kind": "bitmap", "buckets": enc, "count": count}
+                continue
+        row = df.agg(
+            F.theta_sketch_agg(F.col(c)).alias("__sk"),
+            F.theta_sketch_estimate(
+                F.theta_sketch_agg(F.col(c))
+            ).alias("__est"),
+        ).collect()[0]
+        sk = row["__sk"]
+        if sk is None:
+            out[c] = {"kind": "bitmap", "buckets": {}, "count": 0}
+            continue
+        out[c] = {
+            "kind": "theta",
+            "sk": base64.b85encode(bytes(sk)).decode("ascii"),
+            "est": int(row["__est"] or 0),
+        }
+    return out
+
+
+def _ndv_bitmap_count(encoded_buckets: list[dict]) -> int:
+    """Exact distinct count from per-segment bitmap dicts: byte-OR
+    per bucket id, popcount the union — driver-side over KB-scale
+    metadata, zero data files read."""
+    import base64
+    import zlib
+
+    union: dict[str, bytes] = {}
+    for enc in encoded_buckets:
+        for b, payload in enc.items():
+            bm = zlib.decompress(base64.b85decode(payload))
+            prev = union.get(b)
+            if prev is None:
+                union[b] = bm
+            else:
+                union[b] = bytes(x | y for x, y in zip(prev, bm))
+    return sum(
+        bin(int.from_bytes(bm, "big")).count("1") for bm in union.values()
+    )
+
+
 def commit_append(
     spark: SparkSession,
     path: str,
@@ -1414,6 +1508,7 @@ def commit_append(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     token_bloom_cols: list[str] | None = None,
+    ndv_cols: list[str] | None = None,
 ) -> int:
     """Append `df` as a new segment; returns the committed version.
     Pass `tag` for an idempotency token (see `_commit`/`committed_tags`),
@@ -1491,6 +1586,13 @@ def commit_append(
             tblooms = {c: b for c, b in tblooms.items() if b is not None}
             if tblooms:
                 seg_meta["tok_bloom"] = tblooms
+        if ndv_cols:
+            ndv_t = [_physical(props0, c) for c in ndv_cols]
+            seg_meta["ndv"] = _ndv_meta(phys_df, ndv_t)
+            if "rows" not in seg_meta:
+                # the advisor's rows/ndv ratio and metadata_agg's
+                # count_rows both need the row count alongside
+                seg_meta["rows"] = phys_df.count()
 
         def meta_fn(parent, segments):
             pm = dict(parent.get("meta", {})) if parent else {}
@@ -3630,6 +3732,7 @@ def metadata_agg(
     version: int | None = None,
     allow_scan: bool = True,
     part_eq: dict | None = None,
+    ndv_cols: list[str] | tuple = (),
 ) -> DataFrame:
     """COUNT(*)/MIN/MAX/COUNT(col) answered from MANIFEST METADATA —
     zero data files read when every live segment carries `rows`/
@@ -3651,9 +3754,18 @@ def metadata_agg(
     snapshot aggregate. `allow_scan=False` raises instead of scanning
     — the introspection contract for plan tests.
 
+    `ndv_cols` adds COUNT(DISTINCT col) answered from the per-segment
+    NDV sketches (`commit_append(ndv_cols=...)` — VERDICT r11 #4):
+    all-bitmap columns union EXACTLY (byte-OR + popcount,
+    driver-side); all-theta columns union through DataSketches (exact
+    below 4096 retained hashes, ~2% past — the 100 TB shape). A
+    column any live segment lacks (or mixes kinds on) falls back to
+    one scoped COUNT DISTINCT scan — `allow_scan=False` raises, the
+    same honesty contract.
+
     Result: one row — `count_rows`, then `min_<c>` / `max_<c>` /
-    `count_<c>` (non-null count) per requested LOGICAL column, typed
-    by the table schema."""
+    `count_<c>` (non-null count) / `ndv_<c>` per requested LOGICAL
+    column, typed by the table schema."""
     from pyspark.sql import functions as F
 
     versions = _manifest_versions(spark, path)
@@ -3663,7 +3775,9 @@ def metadata_agg(
     m = _read_manifest(spark, path, v)
     props = dict(m.get("props", {}))
     meta = m.get("meta", {})
-    want = list(dict.fromkeys(list(min_cols) + list(max_cols) + list(count_cols)))
+    want = list(dict.fromkeys(
+        list(min_cols) + list(max_cols) + list(count_cols) + list(ndv_cols)
+    ))
     phys = {c: _physical(props, c) for c in want}
     part_t = _translate_probe(props, part_eq)
 
@@ -3697,6 +3811,7 @@ def metadata_agg(
             *[F.min(c).alias(f"min_{c}") for c in min_cols],
             *[F.max(c).alias(f"max_{c}") for c in max_cols],
             *[F.count(F.col(c)).alias(f"count_{c}") for c in count_cols],
+            *[F.countDistinct(F.col(c)).alias(f"ndv_{c}") for c in ndv_cols],
         )
 
     if m.get("deletes"):
@@ -3794,6 +3909,60 @@ def metadata_agg(
         for c in count_cols:
             nonnull[c] += int(scanned[f"count_{c}"])
 
+    ndv_vals: dict[str, int] = {}
+    if ndv_cols:
+        import base64
+
+        # NDV never hybrid-merges (a scan over the uncovered segments
+        # would double-count keys shared with covered ones): each
+        # column is either fully sketch-answered or fully scanned
+        scan_ndv: list[str] = []
+        ndv_segs = [
+            s for s in segs
+            if not part_t or _provably_all_match(meta.get(s, {}), part_t, None)
+        ]
+        hybrid = bool(need) or set(ndv_segs) != set(segs)
+        for c in ndv_cols:
+            ents = [
+                meta.get(s, {}).get("ndv", {}).get(phys[c]) for s in ndv_segs
+            ]
+            kinds = {e["kind"] for e in ents if e is not None}
+            if hybrid or any(e is None for e in ents) or len(kinds) > 1:
+                scan_ndv.append(c)
+            elif kinds == {"bitmap"} or not kinds:
+                ndv_vals[c] = _ndv_bitmap_count(
+                    [e["buckets"] for e in ents]
+                )
+            else:  # all theta: DataSketches union, estimate as long
+                sks = [
+                    (bytearray(base64.b85decode(e["sk"])),) for e in ents
+                ]
+                row = (
+                    spark.createDataFrame(sks, "sk binary")
+                    .agg(
+                        F.theta_sketch_estimate(
+                            F.theta_union_agg(F.col("sk"))
+                        ).alias("__ndv")
+                    )
+                    .collect()[0]
+                )
+                ndv_vals[c] = int(row["__ndv"] or 0)
+        if scan_ndv:
+            if not allow_scan:
+                raise ValueError(
+                    f"metadata_agg(allow_scan=False): column(s) "
+                    f"{scan_ndv} lack complete single-kind NDV sketches "
+                    f"across the live segments: {path}"
+                )
+            row = scope(_snap()).agg(
+                *[
+                    F.countDistinct(F.col(c)).alias(f"ndv_{c}")
+                    for c in scan_ndv
+                ]
+            ).collect()[0]
+            for c in scan_ndv:
+                ndv_vals[c] = int(row[f"ndv_{c}"] or 0)
+
     def lit_as(val, c):
         return (F.lit(val) if val is not None else F.lit(None)).cast(fields[c])
 
@@ -3804,6 +3973,10 @@ def metadata_agg(
         *[
             F.lit(nonnull[c]).cast("long").alias(f"count_{c}")
             for c in count_cols
+        ],
+        *[
+            F.lit(ndv_vals[c]).cast("long").alias(f"ndv_{c}")
+            for c in ndv_cols
         ],
     )
 
@@ -6157,6 +6330,9 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
     part_cols = sorted(
         {c for s in m["segments"] for c in meta.get(s, {}).get("part", {})}
     )
+    ndv_cols = sorted(
+        {c for s in m["segments"] for c in meta.get(s, {}).get("ndv", {})}
+    )
     sch = props.get("schema")
     ddl = ", ".join(f"{n} {t}" for n, t in sch["cols"]) if sch else None
     return spark.createDataFrame(
@@ -6171,11 +6347,13 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
                 ddl,
                 len(props.get("constraints", {})),
                 part_cols,
+                ndv_cols,
             )
         ],
         "version int, ts double, last_op string, n_segments int, "
         "n_tombstones int, size_bytes bigint, schema string, "
-        "n_constraints int, partition_cols array<string>",
+        "n_constraints int, partition_cols array<string>, "
+        "ndv_cols array<string>",
     )
 
 
@@ -6784,6 +6962,7 @@ def plan_maintenance(
     small_row_fraction: float = 0.25,
     max_partition_segments: int = 4,
     keep_versions: int = 2,
+    dup_ratio: float = 2.0,
 ) -> list[dict]:
     """MAINTENANCE ADVISOR (VERDICT r10 #6): turn the metadata tables
     (`files()` / `partitions()` / `describe_detail()` / a dry-run
@@ -6811,11 +6990,18 @@ def plan_maintenance(
     6. ``vacuum`` — a dry-run reports reclaimable segments outside
        the newest ``keep_versions`` (and any pins, honored as usual).
 
-    The plan FLATTENS: executing every advised action (repeating
-    until the plan is empty — maintenance commits expire versions that
-    the next vacuum reclaims) leaves a census the advisor has nothing
-    to say about. Metadata-scale by construction: everything reads KB
-    manifests + parquet footers; no data pages."""
+    7. ``review_duplicates`` — ADVISORY (r12, from the per-segment
+       NDV sketches): a segment whose rows/ndv on a recorded column
+       is >= ``dup_ratio`` is a dedup / keyed-rewrite candidate.
+       No automatic verb (deduping is semantic); apply_maintenance
+       reports it and the flattening contract excludes it.
+
+    The plan FLATTENS: executing every advised EXECUTABLE action
+    (repeating until the plan is empty — maintenance commits expire
+    versions that the next vacuum reclaims) leaves a census the
+    advisor has nothing to say about; advisory entries persist until
+    the data itself changes. Metadata-scale by construction:
+    everything reads KB manifests + parquet footers; no data pages."""
     version = current_version(spark, path)
     if version is None:
         return []
@@ -6953,6 +7139,39 @@ def plan_maintenance(
             ),
             "args": {"keep_versions": keep_versions},
         })
+    # duplicate-heavy segments from the recorded NDV sketches (r12 —
+    # VERDICT r11 #4): rows/ndv >= dup_ratio on a recorded column.
+    # ADVISORY: there is no safe automatic verb (deduping is a
+    # semantic decision — operators/dedup.py exact_dedup or an
+    # upsert-keyed rewrite), so apply_maintenance reports it without
+    # executing and the flattening contract excludes it.
+    dup: list[dict] = []
+    for s in m["segments"]:
+        sm = meta.get(s, {})
+        rows_s = sm.get("rows")
+        if not rows_s:
+            continue
+        for c, e in (sm.get("ndv") or {}).items():
+            n = e.get("count") if e.get("kind") == "bitmap" else e.get("est")
+            if n and rows_s / max(n, 1) >= dup_ratio:
+                dup.append({
+                    "segment": s, "col": c,
+                    "rows": int(rows_s), "ndv": int(n),
+                })
+    if dup:
+        worst = max(dup, key=lambda d: d["rows"] / d["ndv"])
+        out.append({
+            "action": "review_duplicates",
+            "priority": 7,
+            "reason": (
+                f"{len(dup)} segment/column pair(s) carry >= "
+                f"{dup_ratio:g}x duplicate keys (worst: "
+                f"{worst['col']} at {worst['rows']}/{worst['ndv']} "
+                "rows/ndv) — exact-dedup or upsert-keyed rewrite "
+                "candidates"
+            ),
+            "args": {"pairs": dup},
+        })
     return sorted(out, key=lambda a: a["priority"])
 
 
@@ -6986,6 +7205,10 @@ def apply_maintenance(
                 spark, path,
                 keep_versions=int(args.get("keep_versions", 2)),
             )
+        elif a["action"] == "review_duplicates":
+            # advisory only — deduping is a semantic decision (exact
+            # dedup vs keyed rewrite); reported, never auto-executed
+            res = "advisory"
         else:
             raise ValueError(f"unknown maintenance action {a['action']!r}")
         done.append({**a, "result": res})

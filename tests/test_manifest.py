@@ -1628,6 +1628,97 @@ def test_commit_delete_dv_positional(spark, tmp_path):
     assert not os.path.exists(f"{lake}/data/{dv}")
 
 
+def test_ndv_segment_stats(spark, tmp_path):
+    """VERDICT r11 #4 — NDV segment statistics: per-segment mergeable
+    distinct-count sketches (exact bitmap for integral columns, Theta
+    for strings), unioned by metadata_agg without reading data files
+    (allow_scan=False proves it); a wide-span integral column falls
+    to Theta; a segment without the sketch falls back to one scan;
+    plan_maintenance flags duplicate-heavy segments (advisory —
+    apply_maintenance reports without executing)."""
+    lake = str(tmp_path / "lake")
+    # overlapping ck values across segments + in-segment duplicates
+    for lo, hi, shift in ((0, 100, 0), (100, 160, 0), (160, 220, 20)):
+        rows = [(i, (i % 40) + shift, f"s{i % 7}") for i in range(lo, hi)]
+        M.commit_append(
+            spark, lake,
+            spark.createDataFrame(rows, "ok long, ck long, st string"),
+            stats_cols=["ok"], ndv_cols=["ck", "st"],
+        )
+    r = M.metadata_agg(
+        spark, lake, ndv_cols=["ck", "st"], allow_scan=False
+    ).collect()[0]
+    snap = M.read_snapshot(spark, lake)
+    assert int(r["count_rows"]) == 220
+    assert int(r["ndv_ck"]) == snap.select("ck").distinct().count() == 60
+    assert int(r["ndv_st"]) == snap.select("st").distinct().count() == 7
+    # recorded kinds: integral ck -> exact bitmap, string st -> theta
+    m = M._read_manifest(spark, lake, M.current_version(spark, lake))
+    kinds = {
+        (c, e["kind"])
+        for s in m["segments"]
+        for c, e in m["meta"][s]["ndv"].items()
+    }
+    assert kinds == {("ck", "bitmap"), ("st", "theta")}
+    # duplicate-heavy advice (rows/ndv >= 2 on ck in every segment)
+    plan = M.plan_maintenance(spark, lake)
+    dup = [a for a in plan if a["action"] == "review_duplicates"]
+    assert len(dup) == 1 and dup[0]["priority"] == 7
+    pairs = dup[0]["args"]["pairs"]
+    assert {p["col"] for p in pairs} >= {"ck"}
+    done = M.apply_maintenance(spark, lake, dup)
+    assert done[0]["result"] == "advisory"  # reported, never executed
+    # a segment missing the sketch: allow_scan=False raises, the
+    # default falls back to ONE exact scan
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame([(999, 999, "zz")], "ok long, ck long, st string"),
+        stats_cols=["ok"],
+    )
+    with pytest.raises(ValueError, match="NDV"):
+        M.metadata_agg(spark, lake, ndv_cols=["ck"], allow_scan=False).collect()
+    r2 = M.metadata_agg(spark, lake, ndv_cols=["ck"]).collect()[0]
+    assert int(r2["ndv_ck"]) == 61
+    # wide-span integral column (beyond the bitmap bucket cap): Theta
+    lake2 = str(tmp_path / "wide")
+    wide = [(i * 40_000_000,) for i in range(200)]  # 8e9 span
+    M.commit_append(
+        spark, lake2,
+        spark.createDataFrame(wide, "k long"),
+        ndv_cols=["k"],
+    )
+    m2 = M._read_manifest(spark, lake2, 1)
+    seg = m2["segments"][0]
+    assert m2["meta"][seg]["ndv"]["k"]["kind"] == "theta"
+    r3 = M.metadata_agg(
+        spark, lake2, ndv_cols=["k"], allow_scan=False
+    ).collect()[0]
+    assert int(r3["ndv_k"]) == 200  # theta is exact below 4096 retained
+
+
+def test_ndv_column_mapped_lake(spark, tmp_path):
+    """NDV sketches on a column-mapped lake key by PHYSICAL name and
+    still answer under the current logical name."""
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame([(i, i % 5) for i in range(50)], "a long, b long"),
+        ndv_cols=["b"],
+    )
+    M.rename_column(spark, lake, "b", "bucket")
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame(
+            [(i, (i % 5) + 3) for i in range(50)], "a long, bucket long"
+        ),
+        ndv_cols=["bucket"],
+    )
+    r = M.metadata_agg(
+        spark, lake, ndv_cols=["bucket"], allow_scan=False
+    ).collect()[0]
+    assert int(r["ndv_bucket"]) == 8  # {0..4} U {3..7}
+
+
 def _mor_chg(spark, rows):
     return spark.createDataFrame(rows, "id int, t string, ver int")
 
