@@ -83,14 +83,21 @@ def merge_pair(syms: Column, left: str, right: str) -> Column:
 
 def _pair_counts(words: DataFrame, freq_col: str) -> DataFrame:
     """Adjacent-pair counts weighted by word frequency. Words with a
-    single symbol contribute nothing (slice of length 0)."""
-    pairs = F.zip_with(
-        F.slice(F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))),
-        F.slice(F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
-    )
+    single symbol contribute nothing (slice of length 0).
+
+    Built from ONE fixed SQL expression string (no per-call lambda
+    Columns): this runs once per merge round inside a driver-sequential
+    loop, and the Python-side Column/lambda construction measured 2x
+    the single expr parse (9.3 ms vs 4.2 ms per build) — r12, guide §1
+    (the loop's cost is per-round fixed overhead, not data volume)."""
     return (
-        words.select(F.col(freq_col).alias("__f"), F.explode(pairs).alias("p"))
+        words.selectExpr(
+            f"`{freq_col}` AS __f",
+            "explode(zip_with("
+            "slice(syms, 1, greatest(size(syms) - 1, 0)), "
+            "slice(syms, 2, greatest(size(syms) - 1, 0)), "
+            "(a, b) -> struct(a AS left, b AS right))) AS p",
+        )
         .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
         .agg(F.sum("__f").alias("cnt"))
     )
@@ -102,13 +109,20 @@ def train_bpe(
     *,
     word_col: str = "w",
     freq_col: str = "freq",
+    checkpoint_every: int = 4,
 ) -> tuple[list[Merge], DataFrame]:
     """Learn ``num_merges`` BPE merges from a (word, freq) table.
 
     Returns (merges in rank order, the word table in its final merged
     symbolization — ``word_col`` + ``syms array<string>``). Stops
     early if no adjacent pair remains (fully merged vocabulary).
-    """
+
+    Lineage is cut every ``checkpoint_every`` merges (same cadence idea
+    as apply_merges): the per-round ``localCheckpoint`` call alone cost
+    ~27 ms of plan/RDD conversion, dominating the tiny 1-partition
+    round job, while re-folding up to 3 un-checkpointed merges on the
+    vocabulary-sized table is single-digit ms — r12, guide §1.3 (count
+    jobs and their fixed overhead, not just data volume)."""
     cur = (
         words.filter(F.length(word_col) > 0)
         .select(word_col, freq_col, chars(F.col(word_col)).alias("syms"))
@@ -128,7 +142,9 @@ def train_bpe(
         merges.append(m)
         cur = cur.withColumn(
             "syms", merge_pair(F.col("syms"), m.left, m.right)
-        ).localCheckpoint(eager=False)
+        )
+        if rank % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=False)
     return merges, cur
 
 

@@ -46,16 +46,23 @@ def connected_components(
         # 12.3 s -> 5.6 s edge prep at sf0.1)
         .localCheckpoint(eager=True)
     )
+    # lazy from here down (r12, guide §1.3): each checkpoint still cuts
+    # the SQL plan immediately, but materializes inside the next action
+    # that computes it (the convergence probe's join reads EVERY
+    # partition — its exchange is a full computation) instead of a
+    # separately scheduled job per checkpoint. Only the raw pin above
+    # stays eager: its upstream (e.g. minhash banding) is expensive and
+    # two lazy consumers racing in one job could compute it twice.
     e = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=False)
 
     comp = (
         e.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     converged = False
     rounds = 0
@@ -68,7 +75,7 @@ def connected_components(
             comp.union(msgs)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.alias("n")
@@ -132,25 +139,36 @@ def connected_components_star(
     self-loops included (a self-loop names the node), matching
     `connected_components` exactly.
     """
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u").isNotNull() & F.col("v").isNotNull()
+    # pin the RAW pair list before deriving nodes/edges: both derive
+    # from this subtree, and un-pinned the whole upstream pair pipeline
+    # (e.g. minhash banding + verify) executes TWICE — the same lesson
+    # connected_components encodes above (measured there 12.3 s ->
+    # 5.6 s edge prep at sf0.1; here 0.97 s + 0.52 s -> one ~0.5 s
+    # materialization + two cheap cached scans — r12, guide §2.4)
+    raw = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .localCheckpoint(eager=True)
     )
     # every incident node is a row in the result, even self-loop-only
-    # nodes whose edges the u != v filter below discards
+    # nodes whose edges the u != v filter below discards. Scanned
+    # exactly once (the final left join) — no checkpoint needed, the
+    # distinct recomputes from raw's cached blocks.
     nodes = (
         raw.select(F.col("u").alias("node"))
         .union(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    # canonical big -> small orientation (small-star form)
+    # canonical big -> small orientation (small-star form). Lazy
+    # checkpoint: the prev_n count below computes every partition and
+    # materializes it in the same job (one job instead of two — r12).
     e = (
         raw.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _large(ed: DataFrame) -> DataFrame:
@@ -186,7 +204,11 @@ def connected_components_star(
     prev_n = e.count()
     for _ in range(max_iter):
         rounds += 1
-        new = _small(_large(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the count() on the next line computes all
+        # partitions, so materialization and the convergence probe are
+        # ONE job instead of an eager-checkpoint job + a count job
+        # (saves a scheduled job per round — r12, guide §1.3)
+        new = _small(_large(e)).localCheckpoint(eager=False)
         # fixpoint when the oriented edge sets are identical. Cheap
         # necessary condition first (row counts — metadata-cheap on the
         # just-materialized checkpoint); only on a count match run the
@@ -271,18 +293,24 @@ def pagerank(
     only collect, O(1) rows.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    # lazy checkpoints throughout (r12, guide §1.3): every localCheckpoint
+    # here still cuts the SQL plan immediately, but materialization rides
+    # the NEXT action that touches it (nodes.count below for e/nodes; the
+    # first iteration's dangling-broadcast build for deg/ranks) instead of
+    # paying a separately scheduled job per checkpoint — on the bench's
+    # small transition graph the per-iteration jobs ARE the cost
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -290,7 +318,7 @@ def pagerank(
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     deg = nodes.join(out_w, nodes["node"] == out_w["src"], "left").select(
         "node", F.coalesce("out_w", F.lit(0.0)).alias("out_w")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # base and the uniform init are rounded by the ENGINE's ROUND (not
     # Python's banker's rounding) so the oracle's SQL ROUND replays them
@@ -331,6 +359,10 @@ def pagerank(
                     12,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: iteration k's ranks materialize inside iteration
+            # k+1's dangling-broadcast build (or the caller's action for
+            # the last one) — one job per iteration instead of an eager
+            # checkpoint job PLUS the broadcast job (r12, guide §1.3)
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", "rank")

@@ -2576,7 +2576,10 @@ def q_manifest_sql_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).partitions()
     )
     assert kept < n_all, f"bloom probes did not prune: {kept}/{n_all}"
-    t = read_lake(spark, lake, bloom_keys={"o_orderkey": keys}).filter(
+    # reuse the probe hashes computed for the pruning assert above —
+    # bloom_keys= would re-run the same engine-hash job (2x0.3 s
+    # measured) for identical positions — r12, guide §1
+    t = read_lake(spark, lake, bloom_probes=probes).filter(
         F.col("o_orderkey").isin(keys) if keys else F.lit(False)
     )
     return t.select("o_orderkey", "o_custkey", "o_orderstatus")

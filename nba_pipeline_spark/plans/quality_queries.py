@@ -777,7 +777,9 @@ def _trigram_ppl_plan(
         F.col("g.w").alias("w"),
     )
     tri = tri.localCheckpoint(eager=False)
-    toks = docs.select(F.explode(ts).alias("tok")).localCheckpoint(eager=False)
+    # no checkpoint on toks: c1 is its ONLY pass (tot derives from c1
+    # below — r12), so there is nothing to share
+    toks = docs.select(F.explode(ts).alias("tok"))
     # the trigram stream is aggregated EXACTLY ONCE (c3); every
     # lower-order table derives from c3 by re-summing the counts
     # (vocabulary-sized frames), and the stream takes 3 count joins
@@ -791,9 +793,11 @@ def _trigram_ppl_plan(
     ctx2 = c2.groupBy("h2").agg(F.sum("c2").alias("cc2"))
     c2e = c2.join(ctx2, "h2")
     c1 = toks.groupBy("tok").agg(F.count("*").alias("c1"))
-    tot = toks.agg(
-        F.count("*").alias("t"), F.count_distinct("tok").alias("v")
-    )
+    # tot derives from the vocabulary-sized c1 (sum of counts == token
+    # total, non-null group count == distinct tokens) instead of a
+    # second aggregation pass over the O(corpus positions) token
+    # stream — r12, guide §2.3 (shuffle fewer bytes / reuse partials)
+    tot = c1.agg(F.sum("c1").alias("t"), F.count("tok").alias("v"))
     p3 = (F.col("c3") + 1) / (F.col("cc3") + F.col("v"))
     p2 = (F.col("c2") + 1) / (F.col("cc2") + F.col("v"))
     p1 = (F.col("c1") + 1) / (F.col("t") + F.col("v"))

@@ -89,13 +89,55 @@ from . import lake_queries  # noqa: E402,F401
 # backfill = the r2-era greens sampled longest ago, original order.
 # Names not present in the registry are skipped.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-11 ROTATION: lead with this round's registrations —
-    # recorded CDF on every write path (VERDICT r10 #1), the CDF-fed
-    # ANN maintenance sink (#2), the deletion-vector MoR tier (#3),
-    # multi-lake atomic commit (#4), the recorded-CDF schema bridge
-    # (#5), and the maintenance advisor (#6) — then backfill with the
-    # r4-r6 cohort (now the oldest latest-green rows, oldest-first per
-    # the rotation protocol). Unregistered names are skipped.
+    # ROUND-12 ROTATION: lead with this round's two registrations
+    # (merge-on-read MERGE and NDV segment stats, committed mid-build
+    # before the optimization phase — never driver-sampled), then
+    # backfill oldest-first: the r7–r8 cohort is now the oldest
+    # latest-green set (VERDICT r11 #7), then the r9 cohort.
+    # Unregistered names are skipped.
+    "q_manifest_merge_mor",
+    "q_manifest_agg_ndv",
+    # r7 cohort (last driver-sampled in round 7)
+    "q_ann_pq_rerank",
+    "q_dedup_spans_incremental",
+    "q_bpe_first_merge",
+    "q_trigram_ppl",
+    "q_weighted_sample",
+    # r8 cohort
+    "q_knn_join_pq",
+    "q_manifest_zorder_mapped",
+    "q_manifest_merge_mapped",
+    "q_manifest_backfill_chunked",
+    "q_pack_sequences",
+    "q_text_chunks",
+    "q_knn_join_pq_nprobe",
+    "q_pack_incremental",
+    "q_manifest_agg_meta",
+    "q_manifest_wap",
+    "q_manifest_keyed_join",
+    "q_manifest_agg_parts",
+    "q_manifest_token_search",
+    "q_manifest_sql_read",
+    "q_manifest_sql_write",
+    "q_manifest_generated",
+    "q_manifest_widen",
+    "q_manifest_compact_small",
+    # r9 cohort
+    "q_ann_delete_propagate",
+    "q_manifest_sql_tombstone",
+    "q_manifest_sql_bloom",
+    "q_filter_attrition",
+    "q_length_buckets",
+    "q_ann_recall_eval",
+    "q_manifest_matview_join",
+    "q_corpus_takedown",
+    "q_udtf_chunks",
+    "q_manifest_catalog",
+    "q_pack_nfd",
+    "q_manifest_matview_part",
+    # ROUND-11 ROTATION (kept below as further backfill; the r11
+    # window sampled these plus the r4–r6/r1/r2 cohorts — they are the
+    # NEWEST latest-green rows and fall past the 50-entry window).
     "q_cdf_recorded_all_paths",
     "q_ann_cdf_maintain",
     "q_manifest_delete_dv",

@@ -514,6 +514,7 @@ def read_lake(
     path: str,
     version: int | None = None,
     bloom_keys: dict | None = None,
+    bloom_probes: str | None = None,
 ):
     """A FRESH ``format("manifest_lake")`` DataFrame — one relation
     per call, which is the safe usage under the engine's per-relation
@@ -528,14 +529,23 @@ def read_lake(
     option for ``partitions()`` to consume. Same contract as
     ``read_snapshot(bloom_eq=...)``: a pruning HINT — apply the
     matching predicate in the query too (``.where(col.isin(...))``),
-    which Catalyst then also pushes down for the row-level refilter."""
+    which Catalyst then also pushes down for the row-level refilter.
+
+    ``bloom_probes`` takes the already-serialized probe JSON instead:
+    a caller that hashed the keys once (e.g. to assert pruning through
+    ``ManifestLakeReader.partitions()``) reuses those positions rather
+    than paying the engine-hash job a second time — r12, guide §1
+    (the probe hash is a scheduled 1-row job; running it twice per
+    read measured 2x0.3 s in q_manifest_sql_bloom)."""
     import json
 
     register_lake_source(spark)
     r = spark.read.format("manifest_lake").option("path", path)
     if version is not None:
         r = r.option("version", str(version))
-    if bloom_keys:
+    if bloom_probes is not None:
+        r = r.option("bloom_probes", bloom_probes)
+    elif bloom_keys:
         from .manifest import _bloom_probes
 
         r = r.option("bloom_probes", json.dumps(_bloom_probes(spark, bloom_keys)))

@@ -3262,6 +3262,17 @@ def _read_with_tombstones(
     return out
 
 
+def _part_tag_disjoint(have, want) -> bool:
+    """True iff a segment's partition tag PROVABLY can't equal `want`:
+    exactly one side NULL (NULL is its own partition), or comparable
+    and unequal. A type-drifted probe (e.g. str '1997' vs int tag) is
+    not provably disjoint -> False (keep, never prune)."""
+    want_c = _json_safe(want)
+    if have is None or want_c is None:
+        return (have is None) != (want_c is None)
+    return _comparable(have, want_c) and have != want_c
+
+
 def _prune_segments(
     manifest: dict,
     part_eq: dict | None,
@@ -3269,6 +3280,7 @@ def _prune_segments(
     bloom_probes: dict | None = None,
     keys_in: dict | None = None,
     token_probes: dict | None = None,
+    part_in: dict | None = None,
 ) -> list[str]:
     """Manifest-level data skipping: drop segments whose metadata PROVES
     they can't match. A segment without the relevant metadata is always
@@ -3279,7 +3291,11 @@ def _prune_segments(
     `keys_in` maps column → SORTED key list: a segment is dropped when
     NO key falls inside its [min, max] stats (one bisect per segment —
     the point-in-range skip that stays sharp at key counts where a
-    bloom's union false-positive rate saturates)."""
+    bloom's union false-positive rate saturates). `part_in` maps
+    column → LIST of partition-tag values: a segment is dropped when
+    its tag is provably disjoint from EVERY listed value (the
+    set-valued `part_eq` — lets an N-cell probe run as ONE pruned scan
+    instead of an N-way union of per-cell reads — r12)."""
     segs = manifest["segments"]
     meta = manifest.get("meta", {})
     out = []
@@ -3291,19 +3307,17 @@ def _prune_segments(
             for col, want in part_eq.items():
                 if col not in part:
                     continue
-                have, want_c = part[col], _json_safe(want)
-                if have is None or want_c is None:
-                    # NULL is its own partition: prune iff exactly one
-                    # side is NULL (NULL tag can't hold a non-NULL key
-                    # and vice versa)
-                    if (have is None) != (want_c is None):
-                        keep = False
-                        break
-                elif _comparable(have, want_c) and have != want_c:
+                if _part_tag_disjoint(part[col], want):
                     keep = False
                     break
-                # type-drifted probe (e.g. str '1997' vs int tag): not
-                # provably disjoint -> keep, never prune
+        if keep and part_in:
+            part = m.get("part", {})
+            for col, wants in part_in.items():
+                if col not in part:
+                    continue
+                if all(_part_tag_disjoint(part[col], w) for w in wants):
+                    keep = False
+                    break
         if keep and bloom_probes:
             blooms = m.get("bloom", {})
             for col, probe_lists in bloom_probes.items():
@@ -3569,6 +3583,7 @@ def resolve_segments(
     bloom_eq: dict | None = None,
     keys_in: dict | None = None,
     token_eq: dict | None = None,
+    part_in: dict | None = None,
 ) -> list[str]:
     """The segment list a read would scan after manifest-level pruning
     (exposed for tests/introspection — the pruning IS the point)."""
@@ -3581,12 +3596,13 @@ def resolve_segments(
     m = _read_manifest(spark, path, v)
     props = dict(m.get("props", {}))
     part_eq = _translate_probe(props, part_eq)
+    part_in = _translate_probe(props, part_in)
     ranges = _translate_probe(props, ranges)
     bloom_eq = _translate_probe(props, bloom_eq)
     keys_in = _sortable_keys(_translate_probe(props, keys_in))
     probes = _bloom_probes(spark, bloom_eq) if bloom_eq else None
     tok = _token_probes(spark, _translate_probe(props, token_eq))
-    return _prune_segments(m, part_eq, ranges, probes, keys_in, tok)
+    return _prune_segments(m, part_eq, ranges, probes, keys_in, tok, part_in)
 
 
 def read_snapshot(
@@ -3600,6 +3616,7 @@ def read_snapshot(
     keys_in: dict | None = None,
     token_eq: dict | None = None,
     as_of_ts: float | None = None,
+    part_in: dict | None = None,
 ) -> DataFrame:
     """The table AS OF `version` (default: latest). One manifest read,
     then a plain multi-dir parquet scan — pushdown/pruning intact.
@@ -3646,12 +3663,13 @@ def read_snapshot(
     # column mapping: callers probe by LOGICAL names; segment metadata
     # is keyed by PHYSICAL — translate before pruning
     part_eq = _translate_probe(props, part_eq)
+    part_in = _translate_probe(props, part_in)
     ranges = _translate_probe(props, ranges)
     bloom_eq = _translate_probe(props, bloom_eq)
     keys_in = _sortable_keys(_translate_probe(props, keys_in))
     probes = _bloom_probes(spark, bloom_eq) if bloom_eq else None
     tok = _token_probes(spark, _translate_probe(props, token_eq))
-    segs = _prune_segments(m, part_eq, ranges, probes, keys_in, tok)
+    segs = _prune_segments(m, part_eq, ranges, probes, keys_in, tok, part_in)
     if not segs and m["segments"]:
         # every segment provably disjoint from the probes: an EMPTY
         # frame with the table's schema, not an error (the adversarial
@@ -7078,17 +7096,24 @@ def plan_maintenance(
                 ),
                 "args": {"target_rows": floor_rows, **keep_args},
             })
-    # fragmented partitions (scoped OPTIMIZE ... WHERE)
+    # fragmented partitions (scoped OPTIMIZE ... WHERE). Census folded
+    # driver-side from the f_rows already collected above: calling
+    # partitions() here re-ran files() — and with it the whole
+    # per-segment footer-counts job — for a groupBy over rows we
+    # already hold (one of q_lake_advisor's three metadata jobs,
+    # r12, guide §1/§5)
     if not full_compact:
-        part_rows = partitions(spark, path).collect()
-        for r in part_rows:
-            tags = json.loads(r["part"])
-            if tags and int(r["n_segments"]) > max_partition_segments:
+        by_tag: dict[str, int] = {}
+        for fr in f_rows:
+            by_tag[fr["part"]] = by_tag.get(fr["part"], 0) + 1
+        for part_s, n_segs in sorted(by_tag.items()):
+            tags = json.loads(part_s)
+            if tags and n_segs > max_partition_segments:
                 out.append({
                     "action": "compact",
                     "priority": 3,
                     "reason": (
-                        f"partition {r['part']} holds {r['n_segments']} "
+                        f"partition {part_s} holds {n_segs} "
                         f"segments (> {max_partition_segments}) — scoped "
                         "consolidation keeps maintenance O(partition)"
                     ),

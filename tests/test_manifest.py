@@ -357,6 +357,47 @@ def test_manifest_partition_and_stats_pruning(spark, tmp_path):
     assert len(none_tagged) == 1
 
 
+def test_manifest_part_in_pruning(spark, tmp_path):
+    """part_in = set-valued part_eq: ONE pruned scan over an N-value
+    partition probe must resolve exactly the union of the per-value
+    part_eq reads (the r12 optimization replacing N-way unions), keep
+    untagged segments, and never prune on a type-drifted probe."""
+    lake = str(tmp_path / "lake")
+    for yr in (1997, 1998, 1999):
+        M.commit_append(
+            spark,
+            lake,
+            spark.createDataFrame(
+                [(yr * 10 + j, yr, float(j)) for j in range(4)],
+                "id int, yr int, v double",
+            ),
+            partition={"yr": yr},
+        )
+    M.commit_append(
+        spark, lake, spark.createDataFrame([(7, 2005, 0.5)], "id int, yr int, v double")
+    )
+
+    union_of_eq = set(M.resolve_segments(spark, lake, part_eq={"yr": 1997})) | set(
+        M.resolve_segments(spark, lake, part_eq={"yr": 1999})
+    )
+    one_in = M.resolve_segments(spark, lake, part_in={"yr": [1997, 1999]})
+    assert set(one_in) == union_of_eq
+    assert len(one_in) == 3  # 1997 + 1999 segments + the untagged one
+
+    got = (
+        M.read_snapshot(spark, lake, part_in={"yr": [1997, 1999]})
+        .filter(F.col("yr").isin([1997, 1999]))
+    )
+    assert {r["id"] for r in got.collect()} == {
+        19970, 19971, 19972, 19973, 19990, 19991, 19992, 19993,
+    }
+
+    # no listed value matches a tag -> only the untagged segment survives
+    assert len(M.resolve_segments(spark, lake, part_in={"yr": [2050, 2051]})) == 1
+    # type-drifted probe (str vs int tag): not provably disjoint -> keep all
+    assert len(M.resolve_segments(spark, lake, part_in={"yr": ["1997x", "zz"]})) == 4
+
+
 def test_commit_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
     """Partition-scoped MERGE: untouched partitions' segments transfer
     by NAME (zero data movement), touched ones are re-merged; new
