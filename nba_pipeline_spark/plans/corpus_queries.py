@@ -579,16 +579,27 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("long")
         % DSIR_BUCKETS
     ).cast("int")
+    # the position stream is aggregated EXACTLY ONCE, map-side partial,
+    # into the (doc, source, bucket) count table — both the bucket
+    # distributions and the per-doc counts derive from it by re-summing
+    # (r12, guide §2.3: aggregate before you shuffle / reuse partials).
+    # Previously the pinned position stream itself was materialized and
+    # scanned by TWO full aggregation passes; the pin now holds the
+    # docs x min(doc_tokens, 256) table instead of O(corpus positions).
     base = (
         fan_out(docs)
         .select("doc_id", "source", F.explode(feats).alias("feat"))
         .select("doc_id", "source", bucket.alias("bucket"))
+    )
+    pd_all = (
+        base.groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").alias("cnt"))
         .localCheckpoint(eager=False)
     )
     is_t = F.col("source") == DSIR_TARGET
-    dist = base.groupBy("bucket").agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    dist = pd_all.groupBy("bucket").agg(
+        F.sum(F.when(is_t, F.col("cnt")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, F.col("cnt")).otherwise(0)).alias("cr"),
     )
     tot = dist.agg(F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot"))
     lr = dist.crossJoin(F.broadcast(tot)).select(
@@ -601,9 +612,7 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lr"),
     )
-    per_doc = (
-        base.filter(~is_t).groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
-    )
+    per_doc = pd_all.filter(~is_t).select("doc_id", "bucket", "cnt")
     # the per-doc score sums cnt*lr over the doc's buckets — as a
     # DOUBLE sum that is accumulation-order-dependent and the 4dp round
     # then flips at half-way boundaries across engines (found at
@@ -814,11 +823,17 @@ def q_data_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by CollapseProject (and per-element inside the shingle lambdas —
     # the O(tokens²) pitfall), re-tokenizing every doc per gate.
     # Measured 19 s -> sub-second for the gate stage at sf0.1.
-    toked = fan_out(docs).withColumn("__toks", TX.tokenize(F.col("text")))
+    # the held-out-source gate moves AHEAD of the scoring projection:
+    # it needs no token array, commutes with row-wise scoring, and
+    # pushed to the parquet scan it keeps test-source docs from ever
+    # being tokenized/lang-scored/shingled (r12, guide §6 — predicate
+    # pushdown before the expensive projection)
+    toked = fan_out(docs.filter(F.col("source") != TEST_SOURCE)).withColumn(
+        "__toks", TX.tokenize(F.col("text"))
+    )
     sh3 = TX.shingles(F.col("__toks"), 3)
     scored = toked.select(
         "doc_id",
-        "source",
         "text",
         "__toks",
         TX.lang_id(F.col("__toks")).alias("__lang"),
@@ -830,8 +845,7 @@ def q_data_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__dup"),
     ).localCheckpoint(eager=False)
     gated = scored.filter(
-        (F.col("source") != TEST_SOURCE)
-        & (F.col("__lang") == "en")
+        (F.col("__lang") == "en")
         & (F.col("__n") >= RECIPE_MIN_TOKENS)
         & (F.col("__dup") < RECIPE_DUP_RATIO)
     ).select("doc_id", "text", "__toks")

@@ -658,8 +658,14 @@ def _bigram_ppl_plan(
 
     def guarded(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if corpus_fits else df
-    ts = TX.tokenize(F.col("text"))
-    pairs = docs.select(
+    # pin the TOKENIZED arrays once: the bigram stream and the vocab
+    # count both consume them, and un-pinned the regexp tokenization of
+    # the whole corpus executed twice (r12, guide §2.4)
+    tokd = docs.select(
+        "doc_id", TX.tokenize(F.col("text")).alias("__ts")
+    ).localCheckpoint(eager=False)
+    ts = F.col("__ts")
+    pairs = tokd.select(
         "doc_id",
         F.explode(
             F.arrays_zip(
@@ -672,7 +678,7 @@ def _bigram_ppl_plan(
     uni = pairs.groupBy("h").agg(F.count("*").alias("ch"))
     bi = pairs.groupBy("h", "w").agg(F.count("*").alias("cb"))
     vocab = (
-        docs.select(F.explode(ts).alias("tok"))
+        tokd.select(F.explode(ts).alias("tok"))
         .agg(F.count_distinct("tok").alias("v"))
     )
     lp = F.round(
@@ -759,9 +765,16 @@ def _trigram_ppl_plan(
     def guarded(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if corpus_fits else df
 
-    ts = TX.tokenize(F.col("text"))
+    # pin the TOKENIZED arrays once: the trigram stream and the unigram
+    # token stream both consume them, and un-pinned the regexp
+    # tokenization of the whole corpus executed twice (r12, guide §2.4;
+    # the two derived explodes below are cheap reads of cached arrays)
+    tokd = docs.select(
+        "doc_id", TX.tokenize(F.col("text")).alias("__ts")
+    ).localCheckpoint(eager=False)
+    ts = F.col("__ts")
     n = F.size(ts)
-    tri = docs.select(
+    tri = tokd.select(
         "doc_id",
         F.explode(
             F.arrays_zip(
@@ -779,7 +792,7 @@ def _trigram_ppl_plan(
     tri = tri.localCheckpoint(eager=False)
     # no checkpoint on toks: c1 is its ONLY pass (tot derives from c1
     # below — r12), so there is nothing to share
-    toks = docs.select(F.explode(ts).alias("tok"))
+    toks = tokd.select(F.explode(ts).alias("tok"))
     # the trigram stream is aggregated EXACTLY ONCE (c3); every
     # lower-order table derives from c3 by re-summing the counts
     # (vocabulary-sized frames), and the stream takes 3 count joins

@@ -237,12 +237,17 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    # checkpoint the TOKENIZED arrays, not the derived stats: both the
+    # dl stats and the tf stream consume this subtree, and un-pinned
+    # the regexp tokenization of the whole corpus executed twice (r12,
+    # guide §2.4 — don't compute things twice; the derived size/explode
+    # scans below are cheap columnar reads of the cached arrays)
     toked = fan_out(docs).select(
         "doc_id", TX.tokenize(F.col("text")).alias("__toks")
-    )
+    ).localCheckpoint(eager=False)
     stats = toked.select("doc_id", F.size("__toks").alias("dl")).filter(
         F.col("dl") > 0
-    ).localCheckpoint(eager=False)
+    )
     g = stats.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
     tf = (
         toked.select("doc_id", F.explode("__toks").alias("tok"))
