@@ -5582,6 +5582,72 @@ def manifest_upsert_sink(
     return _apply
 
 
+# Commit ops whose single-step delta is EMPTY by construction: the
+# logical snapshot is invariant across them. compact/compact_small
+# consolidate the same rows (MoR tombstones either materialize in the
+# read or carry forward — logical row set unchanged either way);
+# cluster/cluster_incremental/cluster_partitioned rewrite the same rows
+# in z-order; the set_*/drop_*/register ops commit parent["segments"]
+# verbatim and only touch props. Schema-changing ops (rename_column,
+# widen_type, drop_column) are deliberately NOT here — their steps run
+# through the schema bridge like any other. Any new op added to this
+# set must keep the row-preservation contract or feeds will silently
+# skip its changes.
+_IDENTITY_OPS = frozenset({
+    "compact",
+    "compact_small",
+    "cluster",
+    "cluster_incremental",
+    "cluster_partitioned",
+    "set_property",
+    "set_unique",
+    "set_constraint",
+    "drop_constraint",
+    "set_expectation",
+    "drop_expectation",
+    "set_generated",
+    "register_catalog",
+})
+
+
+def _empty_diff(
+    spark: SparkSession, props_to: dict, keys: list[str], include_values: bool
+):
+    """Typed empty (key..., op[, old, new]) frame matching what
+    `_diff_frames` would emit for this schema, or None when the lake
+    predates schema recording / the keys aren't all recorded columns
+    (callers fall back to the join path, which raises the real
+    diagnosis for a bad key)."""
+    from pyspark.sql import types as T
+
+    sch = props_to.get("schema")
+    if not sch:
+        return None
+    cols = list(sch["cols"])
+    by_name = dict(cols)
+    if any(k not in by_name for k in keys):
+        return None
+    try:
+        fields = [
+            T.StructField(k, T._parse_datatype_string(by_name[k]))
+            for k in keys
+        ]
+        fields.append(T.StructField("op", T.StringType()))
+        if include_values:
+            val = T.StructType(
+                [
+                    T.StructField(n, T._parse_datatype_string(t))
+                    for n, t in cols
+                    if n not in keys
+                ]
+            )
+            fields.append(T.StructField("old", val))
+            fields.append(T.StructField("new", val))
+        return spark.createDataFrame([], T.StructType(fields))
+    except Exception:
+        return None  # unparseable recorded type: join path handles it
+
+
 def snapshot_diff(
     spark: SparkSession,
     path: str,
@@ -5641,11 +5707,13 @@ def snapshot_diff(
         props_to = dict(_m_to.get("props", {}) or {})
         par_to = _m_to.get("parent") or 0
         cdf_seg = _m_to.get("cdf")
+        op_to = _m_to.get("op")
     else:
         m_to = _read_manifest(spark, path, v_to)
         props_to = dict(m_to.get("props", {}))
         par_to = m_to.get("parent") or 0
         cdf_seg = m_to.get("cdf")
+        op_to = m_to.get("op")
     # "single step" = v_from is v_to's recorded PARENT, not v_to-1:
     # WAP/branch publishes skip version numbers, and the recorded
     # segment captures exactly the parent→v_to delta
@@ -5663,6 +5731,19 @@ def snapshot_diff(
                 return rec.select(*keys, "op", "old", "new")
             return rec.select(*keys, "op")
 
+    # identity-op fast path (r12, guide §2.4 — remove shuffles outright):
+    # maintenance and metadata commits preserve the LOGICAL snapshot by
+    # construction (compact/cluster rewrite the same rows; set_*/drop_*
+    # touch only props), so their single-step delta is provably empty —
+    # emit a typed empty frame instead of full-outer-joining two complete
+    # snapshots of the table. Only fires for a single step against the
+    # recorded parent and only when the schema is recorded (the empty
+    # frame needs exact key/value types); otherwise the join path runs.
+    if v_from == par_to and op_to in _IDENTITY_OPS:
+        empty = _empty_diff(spark, props_to, keys, include_values)
+        if empty is not None:
+            return empty
+
     def _snap(version: int) -> DataFrame:
         if not _has_colmap(props_to):
             return read_snapshot(spark, path, version=version)
@@ -5678,11 +5759,26 @@ def snapshot_diff(
 
     b_frame = _snap(v_to)
     if v_from == 0:  # version 0 = the empty table before the first commit
-        # fresh lineage (createDataFrame, not b.limit(0)) so the join
-        # below isn't a self-join with ambiguous column references
-        a_frame = spark.createDataFrame([], _snap(v_to).schema)
-    else:
-        a_frame = _snap(v_from)
+        # bootstrap fast path (r12, guide §2.4): diffing against the
+        # empty table classifies EVERY row as an insert — project the
+        # snapshot directly instead of full-outer-joining it against an
+        # empty frame (the join shuffled the whole snapshot; identical
+        # output row-for-row, each row once, dup keys included)
+        val_cols = [c for c in b_frame.columns if c not in keys]
+        extra = []
+        if include_values:
+            new_struct = F.struct(*[b_frame[c].alias(c) for c in val_cols])
+            # typed NULL of the same struct (old never exists for inserts)
+            extra = [
+                F.when(F.lit(False), new_struct).alias("old"),
+                new_struct.alias("new"),
+            ]
+        return b_frame.select(
+            *[b_frame[k].alias(k) for k in keys],
+            F.lit("insert").alias("op"),
+            *extra,
+        )
+    a_frame = _snap(v_from)
     return _diff_frames(a_frame, b_frame, keys, include_values)
 
 

@@ -1046,3 +1046,59 @@ def test_recorded_cdf_delete_dv(spark, tmp_path):
         ["k"], include_values=True,
     ))
     assert _flat_kv(rec) == computed
+
+
+def test_snapshot_diff_bootstrap_and_identity_fast_paths(spark, tmp_path):
+    """r12 optimization pins: (a) a v_from=0 bootstrap diff projects the
+    snapshot as inserts WITHOUT a join (the old path full-outer-joined
+    the whole snapshot against an empty frame); (b) maintenance /
+    metadata commits (compact, set_property) serve a typed EMPTY delta
+    without scanning the table. Both must match the join-path output
+    row for row (duplicate keys included)."""
+    from nba_pipeline_spark.sources import manifest as M
+    from nba_pipeline_spark.sources.manifest import _diff_frames
+
+    lake = str(tmp_path / "lake")
+    M.commit_append(
+        spark, lake,
+        spark.createDataFrame(
+            # duplicate key on purpose: bootstrap must emit each ROW once
+            [(1, "a", 10), (2, "b", None), (2, "b", None)],
+            "k int, grp string, v bigint",
+        ),
+    )
+    boot = M.snapshot_diff(spark, lake, 0, 1, ["k"], include_values=True)
+    assert "Join" not in boot._jdf.queryExecution().executedPlan().toString()
+    ref = _diff_frames(
+        spark.createDataFrame([], M.read_snapshot(spark, lake, version=1).schema),
+        M.read_snapshot(spark, lake, version=1),
+        ["k"], include_values=True,
+    )
+    assert _flat_kv(boot) == _flat_kv(ref)
+    assert sorted(r["k"] for r in boot.collect()) == [1, 2, 2]
+    # keys-only form too
+    assert sorted(
+        (r["k"], r["op"]) for r in M.snapshot_diff(spark, lake, 0, 1, ["k"]).collect()
+    ) == [(1, "insert"), (2, "insert"), (2, "insert")]
+
+    M.compact(spark, lake, target_files=1)                      # v2
+    M.set_table_property(spark, lake, "owner", "tests")         # v3
+    for v in (2, 3):
+        d = M.snapshot_diff(spark, lake, v - 1, v, ["k"], include_values=True)
+        # identity fast path: an empty LOCAL relation — no lake scan
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "Scan parquet" not in plan and "Join" not in plan
+        assert d.count() == 0
+        assert set(d.columns) == {"k", "op", "old", "new"}
+        assert dict(d.dtypes)["k"] == "int"
+        computed = _diff_frames(
+            M.read_snapshot(spark, lake, version=v - 1),
+            M.read_snapshot(spark, lake, version=v),
+            ["k"], include_values=True,
+        )
+        assert computed.count() == 0  # the contract the fast path relies on
+    # a feed across the whole history: only the bootstrap inserts remain
+    feed = M.read_feed(spark, lake, ["k"], 0)
+    assert sorted((r["k"], r["op"], r["version"]) for r in feed.collect()) == [
+        (1, "insert", 1), (2, "insert", 1), (2, "insert", 1)
+    ]
