@@ -325,13 +325,15 @@ def pagerank(
     nf = F.lit(float(n))
     base = F.round((F.lit(1.0) - F.lit(damping)) / nf, 12)
     ranks = deg.select("node", "out_w", F.round(F.lit(1.0) / nf, 12).alias("rank"))
+    # dangling-mass structure probe (r12, guide §2.4): whether any node
+    # has zero out-weight is a property of the GRAPH, not of the ranks —
+    # when none does, every iteration's dangling aggregate is exactly
+    # the empty sum (coalesce -> decimal 0 -> +0.0, bit-identical), so
+    # one upfront limit(1) probe replaces `iterations` broadcast-
+    # aggregate builds over the rank table. Graphs with dangling nodes
+    # keep the per-iteration aggregate (its input changes every step).
+    has_dangling = deg.filter(F.col("out_w") == 0).limit(1).count() > 0
     for _ in range(iterations):
-        dangling = ranks.filter(F.col("out_w") == 0).agg(
-            F.coalesce(
-                F.sum(F.round(F.col("rank") / F.lit(float(n)), 12).cast("decimal(38,12)")),
-                F.lit(0).cast("decimal(38,12)"),
-            ).alias("dm")
-        )
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .select(
@@ -343,10 +345,20 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("cs"))
         )
+        nxt = deg.join(contrib, deg["node"] == contrib["dst"], "left")
+        if has_dangling:
+            dangling = ranks.filter(F.col("out_w") == 0).agg(
+                F.coalesce(
+                    F.sum(F.round(F.col("rank") / F.lit(float(n)), 12).cast("decimal(38,12)")),
+                    F.lit(0).cast("decimal(38,12)"),
+                ).alias("dm")
+            )
+            nxt = nxt.crossJoin(F.broadcast(dangling))
+            dm = F.col("dm").cast("double")
+        else:
+            dm = F.lit(0.0)
         ranks = (
-            deg.join(contrib, deg["node"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
+            nxt.select(
                 "node",
                 "out_w",
                 F.round(
@@ -354,7 +366,7 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("cs").cast("double"), F.lit(0.0))
-                        + F.col("dm").cast("double")
+                        + dm
                     ),
                     12,
                 ).alias("rank"),

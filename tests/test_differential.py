@@ -478,3 +478,48 @@ def test_sql_datasource_matches_read_snapshot_random_layouts(
             read_lake(spark, lake).filter(F.col("band") == b).count()
             == exp.filter(F.col("band") == b).count()
         ), f"seed {seed} step {step} pushdown"
+
+
+def test_pagerank_explicit_dangling_node(spark):
+    """Deterministic dangling coverage for the r12 structure probe: a
+    graph where node 3 has no out-edges must redistribute its mass
+    (the probe keeps the per-iteration dangling aggregate), and the
+    result must match the same pure-Python reference."""
+    from nba_pipeline_spark.operators.graph import pagerank
+    import decimal
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3), (1, 3)]  # 3 is dangling
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+
+    def r12(x):
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("1e-12"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    from collections import Counter
+
+    w = Counter(edges)
+    present = [0, 1, 2, 3]
+    n = len(present)
+    out_w = Counter()
+    for (s, d), c in w.items():
+        out_w[s] += c
+    rank = {v: r12(1.0 / n) for v in present}
+    base = r12((1.0 - 0.85) / n)
+    for _ in range(4):
+        dm = sum(
+            decimal.Decimal(repr(r12(rank[v] / n)))
+            for v in present if out_w[v] == 0
+        )
+        contrib = {v: decimal.Decimal(0) for v in present}
+        for (s, d), c in w.items():
+            contrib[d] += decimal.Decimal(repr(r12(rank[s] * c / out_w[s])))
+        rank = {
+            v: r12(base + 0.85 * (float(contrib[v]) + float(dm)))
+            for v in present
+        }
+    assert got == {v: round(rank[v], 12) for v in present}
+    assert rank[3] > 0  # the dangling node holds mass (sanity)
