@@ -1136,21 +1136,7 @@ def ivfpq_knn_join(
     qv0 = pruned_vector_fetch(e, id_col, query_ids).select(
         F.col(id_col).alias("qid"), F.col("v").alias("qv")
     )
-    q_rows = qv0.collect()  # bounded by |Q| (the id-pushed point read)
-    if not q_rows:
-        return e.filter(F.lit(False)).select(
-            F.col(id_col).alias("query_id"),
-            F.col(id_col),
-            F.lit(None).cast("double").alias("sim"),
-        )
-    # the query vectors are driver-held (bounded): every downstream
-    # consumer (cell ranking, ADT build, rerank) reads the literal
-    # frame instead of re-running the point-read scan once per action
     id_t = e.schema[id_col].dataType.simpleString()
-    qv = spark.createDataFrame(
-        [(r["qid"], [float(x) for x in r["qv"]]) for r in q_rows],
-        f"qid {id_t}, qv array<double>",
-    )
     # per-query nearest cells IN-PLAN (|Q| x n_cells broadcast-nested-
     # loop rows — bounded by contract, never a Python loop over it):
     # the IDENTICAL rounded-L2 + cid-tiebreak ordering as assignment/
@@ -1181,16 +1167,21 @@ def ivfpq_knn_join(
     wq = Window.partitionBy("qid").orderBy(
         F.col("d6").asc_nulls_last(), F.col("cid").asc()
     )
+    # ONE driver round-trip serves the point read AND the cell ranking
+    # (r12, guide §1.2 — the two collects were sequential jobs over the
+    # same bounded query set; the ranking rows carry the query vectors
+    # alongside, both bounded by |Q| * nprobe by construction)
+    rank_rows = (
+        qv0.crossJoin(F.broadcast(cents_df))
+        .select("qid", "qv", "cid", d6.alias("d6"), qc_col.alias("qc"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= max(1, nprobe))
+        .select("qid", "qv", "cid", "qc")
+        .collect()  # bounded: |Q| * nprobe rows
+    )
     qcell_rows = [
         (r["qid"], int(r["cid"]), int(r["qc"]))
-        for r in (
-            qv.crossJoin(F.broadcast(cents_df))
-            .select("qid", "cid", d6.alias("d6"), qc_col.alias("qc"))
-            .withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= max(1, nprobe))
-            .select("qid", "cid", "qc")
-            .collect()  # bounded: |Q| * nprobe rows
-        )
+        for r in rank_rows
         if r["cid"] is not None
     ]
     if not qcell_rows:
@@ -1199,6 +1190,16 @@ def ivfpq_knn_join(
             F.col(id_col),
             F.lit(None).cast("double").alias("sim"),
         )
+    # the query vectors are driver-held (bounded): every downstream
+    # consumer (ADT build, rerank) reads the literal frame instead of
+    # re-running the point-read scan once per action
+    qv_by_id: dict = {}
+    for r in rank_rows:
+        qv_by_id.setdefault(r["qid"], [float(x) for x in r["qv"]])
+    qv = spark.createDataFrame(
+        sorted(qv_by_id.items()),
+        f"qid {id_t}, qv array<double>",
+    )
     probe_cids = sorted({cid for _, cid, _ in qcell_rows})
     qcell_map = spark.createDataFrame(
         qcell_rows, f"qid {id_t}, cid int, qc bigint"
