@@ -1269,14 +1269,129 @@ def _segment_bloom(df: DataFrame, col: str) -> dict | None:
     }
 
 
+# XXH64 (Collet's public xxHash spec) — the exact function behind the
+# engine's xxhash64, reimplemented so bloom PROBES hash driver-side
+# instead of paying a Spark job per read (r12, guide §1.2: the probe
+# job cost ~0.25 s of fixed overhead on every bloom-pruned read path).
+# Build-side hashing stays in the engine (data-scale); only the handful
+# of probe values hash here. Bit-exactness vs F.xxhash64 is pinned by a
+# differential pytest over unicode/length/sign edge cases.
+_XXH64_P1 = 0x9E3779B185EBCA87
+_XXH64_P2 = 0xC2B2AE3D27D4EB4F
+_XXH64_P3 = 0x165667B19E3779F9
+_XXH64_P4 = 0x85EBCA77C2B2AE63
+_XXH64_P5 = 0x27D4EB2F165667C5
+_MASK64 = (1 << 64) - 1
+
+
+def _xxh64(data: bytes, seed: int) -> int:
+    """Unsigned XXH64 of `data` with `seed` (reference algorithm)."""
+    rotl = lambda x, r: ((x << r) | (x >> (64 - r))) & _MASK64  # noqa: E731
+    length = len(data)
+    i = 0
+    if length >= 32:
+        v1 = (seed + _XXH64_P1 + _XXH64_P2) & _MASK64
+        v2 = (seed + _XXH64_P2) & _MASK64
+        v3 = seed & _MASK64
+        v4 = (seed - _XXH64_P1) & _MASK64
+        while i <= length - 32:
+            for _j in range(4):
+                lane = int.from_bytes(data[i:i + 8], "little")
+                if _j == 0:
+                    v1 = (rotl((v1 + lane * _XXH64_P2) & _MASK64, 31) * _XXH64_P1) & _MASK64
+                elif _j == 1:
+                    v2 = (rotl((v2 + lane * _XXH64_P2) & _MASK64, 31) * _XXH64_P1) & _MASK64
+                elif _j == 2:
+                    v3 = (rotl((v3 + lane * _XXH64_P2) & _MASK64, 31) * _XXH64_P1) & _MASK64
+                else:
+                    v4 = (rotl((v4 + lane * _XXH64_P2) & _MASK64, 31) * _XXH64_P1) & _MASK64
+                i += 8
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & _MASK64
+        for v in (v1, v2, v3, v4):
+            h ^= (rotl((v * _XXH64_P2) & _MASK64, 31) * _XXH64_P1) & _MASK64
+            h = (h * _XXH64_P1 + _XXH64_P4) & _MASK64
+    else:
+        h = (seed + _XXH64_P5) & _MASK64
+    h = (h + length) & _MASK64
+    while i + 8 <= length:
+        lane = int.from_bytes(data[i:i + 8], "little")
+        h ^= (rotl((lane * _XXH64_P2) & _MASK64, 31) * _XXH64_P1) & _MASK64
+        h = (rotl(h, 27) * _XXH64_P1 + _XXH64_P4) & _MASK64
+        i += 8
+    if i + 4 <= length:
+        lane = int.from_bytes(data[i:i + 4], "little")
+        h ^= (lane * _XXH64_P1) & _MASK64
+        h = (rotl(h, 23) * _XXH64_P2 + _XXH64_P3) & _MASK64
+        i += 4
+    while i < length:
+        h ^= (data[i] * _XXH64_P5) & _MASK64
+        h = (rotl(h, 11) * _XXH64_P1) & _MASK64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXH64_P2) & _MASK64
+    h ^= h >> 29
+    h = (h * _XXH64_P3) & _MASK64
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_int(i32: int, seed: int) -> int:
+    """XXH64 of one 4-byte int lane (the engine's hashInt step: the
+    expression `xxhash64(s, lit(seed))` folds the INT literal into the
+    running hash with this exact shape)."""
+    h = (seed + _XXH64_P5 + 4) & _MASK64
+    h ^= ((i32 & 0xFFFFFFFF) * _XXH64_P1) & _MASK64
+    h = ((((h << 23) | (h >> 41)) & _MASK64) * _XXH64_P2 + _XXH64_P3) & _MASK64
+    h ^= h >> 33
+    h = (h * _XXH64_P2) & _MASK64
+    h ^= h >> 29
+    h = (h * _XXH64_P3) & _MASK64
+    h ^= h >> 32
+    return h
+
+
+def _probe_str(value) -> str | None:
+    """The engine's CAST(v AS STRING) for the probe types the blooms
+    support (int/str; bools cast to 'true'/'false'), or None for any
+    type whose string form the driver can't reproduce bit-exactly
+    (floats, dates, decimals) — those fall back to the engine job."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, str):
+        return value
+    return None
+
+
+def _local_probe_hashes(value) -> list[int] | None:
+    """Driver-side twin of `_bloom_probe_hashes` for str/int probes —
+    the k signed xxhash64(CAST(v AS STRING), lit(seed)) values, no job.
+    The engine expression folds left-to-right from the fixed seed 42:
+    h = XXH64(utf8(s), 42), then hashInt(seed_i, h) per probe seed."""
+    s = _probe_str(value)
+    if s is None:
+        return None
+    base = _xxh64(s.encode("utf-8"), 42)
+    out = []
+    for seed in range(_BLOOM_HASHES):
+        h = _xxh64_int(seed, base)
+        out.append(h - (1 << 64) if h >= (1 << 63) else h)
+    return out
+
+
 def _bloom_probe_hashes(spark: SparkSession, value) -> list[int]:
     """The k FULL 64-bit hashes for a probe value — computed with the
-    SAME engine hash (xxhash64) that built the segment blooms, via a
-    1-row job (milliseconds; a Python reimplementation would have to
-    track Spark's exact seed/serialization semantics). Positions are
-    taken per segment as hash mod that segment's bitmap size."""
+    SAME hash function (xxhash64 over the string cast) that built the
+    segment blooms: driver-side for str/int probes (bit-exact XXH64
+    twin, differential-pinned), via a 1-row engine job for any other
+    type. Positions are taken per segment as hash mod that segment's
+    bitmap size."""
     from pyspark.sql import functions as F
 
+    local = _local_probe_hashes(value)
+    if local is not None:
+        return local
     row = (
         spark.range(1)
         .select(*[
@@ -1328,6 +1443,11 @@ def _bloom_probes(spark: SparkSession, bloom_eq: dict) -> dict:
             # any() over it is False). Adversarial catch: the empty
             # local frame otherwise crashes schema inference.
             out[c] = []
+            continue
+        local = [_local_probe_hashes(v) for v in vals]
+        if all(h is not None for h in local):
+            # str/int probes hash driver-side (r12): no engine job at all
+            out[c] = local
             continue
         if len(vals) == 1:
             out[c] = [_bloom_probe_hashes(spark, vals[0])]

@@ -2128,3 +2128,56 @@ def test_maintenance_advisor_flattens_census(spark, tmp_path):
 
     # a freshly-flattened lake: the advisor has nothing to say
     assert M.plan_maintenance(spark, a) == []
+
+
+def test_local_xxh64_probe_hashes_match_engine(spark):
+    """r12: bloom probe values hash DRIVER-SIDE through a pure-Python
+    XXH64 twin of the engine expression xxhash64(CAST(v AS STRING),
+    lit(seed)) — pin bit-exactness across string lengths (every tail
+    branch: <4, <8, <32, 32+ bytes), unicode, signs, bools, and the
+    empty string; unsupported types must fall back (return None)."""
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.sources.manifest import (
+        _BLOOM_HASHES,
+        _bloom_hash_cols,
+        _local_probe_hashes,
+    )
+
+    strs = [
+        "", "a", "abc", "abcd", "abcdefg", "abcdefgh", "0123456789abcde",
+        "x" * 31, "y" * 32, "z" * 33, "w" * 100,
+        "héllo wörld", "中文字符串 тест ☕", "\x00\x01\x02", " spaced  ",
+        "-42", "0", "2017",
+    ]
+    rows = (
+        spark.createDataFrame([(v,) for v in strs], ["s"])
+        .select(
+            "s",
+            *[
+                h.alias(f"h{i}")
+                for i, h in enumerate(_bloom_hash_cols(F.col("s")))
+            ],
+        )
+        .collect()
+    )
+    for r in rows:
+        assert _local_probe_hashes(r["s"]) == [
+            int(r[f"h{i}"]) for i in range(_BLOOM_HASHES)
+        ], f"xxh64 twin diverged on {r['s']!r}"
+    for v in [0, 1, -1, 2017, -2017, 2**31, -(2**31), 2**62, True, False]:
+        row = (
+            spark.range(1)
+            .select(
+                *[
+                    h.alias(f"h{i}")
+                    for i, h in enumerate(_bloom_hash_cols(F.lit(v)))
+                ]
+            )
+            .collect()[0]
+        )
+        assert _local_probe_hashes(v) == [
+            int(row[f"h{i}"]) for i in range(_BLOOM_HASHES)
+        ], f"xxh64 twin diverged on {v!r}"
+    # floats/dates can't reproduce the engine's string cast driver-side
+    assert _local_probe_hashes(1.5) is None
