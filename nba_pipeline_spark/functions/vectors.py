@@ -11,7 +11,62 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def to_double_array(col: Column) -> Column:
+# ---------------------------------------------------------------------
+# SQL-text twins (r12, guide §1.2 driver overhead): building these
+# expressions through the Python Column/lambda API costs ~25-65 ms of
+# py4j round-trips PER CALL at plan-construction time (measured:
+# cosine() 65 ms, to_double_array() 25 ms vs 0.4 ms for one F.expr
+# parse), and the similarity/ANN tier constructs them in every query.
+# The *_sql helpers emit the IDENTICAL expression as one SQL string —
+# same HOF structure, same 0.0D literals, same let-binding via the
+# 1-element-array transform — parsed in the JVM in a single call.
+# Numeric equivalence (NULLs, zero norms, length mismatches included)
+# is pinned by tests/test_dedup_similarity.py. Inputs are SQL text
+# (a quoted column name via `sql_ident`, or a composed *_sql string).
+# ---------------------------------------------------------------------
+
+
+def sql_ident(name: str) -> str:
+    """Backtick-quote a column name for splicing into SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def to_double_array_sql(a: str) -> str:
+    return f"transform({a}, __td -> cast(__td as double))"
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (__x, __y) -> __x * __y), 0.0D, "
+        f"(__acc, __v) -> __acc + __v)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0.0D, (__na, __nx) -> __na + __nx * __nx))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """Text twin of `cosine`: both inputs let-bound (evaluated once per
+    row even when `a`/`b` are computed expressions), try_divide for
+    zero-norm NULL safety — the same tree `cosine` builds."""
+    inner = (
+        f"try_divide({dot_sql('__ca', '__cb')}, "
+        f"{norm_sql('__ca')} * {norm_sql('__cb')})"
+    )
+    return (
+        f"element_at(transform(array({a}), __ca -> "
+        f"element_at(transform(array({b}), __cb -> {inner}), 1)), 1)"
+    )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return F.expr(cosine_sql(a, b))
+
+
+def to_double_array(col: Column | str) -> Column:
+    if isinstance(col, str):
+        return F.expr(to_double_array_sql(col))
     return F.transform(col, lambda x: x.cast("double"))
 
 

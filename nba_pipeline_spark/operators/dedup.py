@@ -33,7 +33,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokenize
-from ..functions.vectors import dot, dot_fixed, norm, to_double_array
+from ..functions.vectors import (
+    dot,
+    dot_fixed,
+    dot_sql,
+    norm,
+    sql_ident,
+    to_double_array,
+)
 from .partitioning import fan_out
 
 HEX = "0123456789abcdef"
@@ -719,7 +726,7 @@ def embedding_lsh_neardup_pairs(
 
     all_planes = hyperplane_planes(n_bands * n_bits, dims)
     e = df.select(
-        F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
+        F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
     buckets = F.array(
         *[
@@ -778,7 +785,7 @@ def embedding_lsh_neardup_pairs(
     # 4.4 s -> 0.7 s at sf0.1; both fold left-to-right from 0.0, so
     # results are bit-identical).
     sim = F.try_divide(
-        dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")
+        F.expr(dot_sql("`a`.`v`", "`b`.`v`")), F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(b, cond)
@@ -832,7 +839,7 @@ def embedding_neardup_pairs(
     # Norms are per-ROW quantities: materialize them before the pair
     # join so each is computed n times, not n² times per pair.
     docs = df.select(
-        F.col(id_col), *block_cols, to_double_array(F.col(vec_col)).alias("v")
+        F.col(id_col), *block_cols, to_double_array(sql_ident(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
     if max_block is not None:
         counts = docs.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__n"))
@@ -864,7 +871,7 @@ def embedding_neardup_pairs(
     # (re-measured at sf0.1: 2.4 s fixed64 vs 0.5 s HOF, bit-identical
     # results — the round-1 note claiming the opposite predates the
     # pushdown and measured the codegen'd project path).
-    sim = F.try_divide(dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm"))
+    sim = F.try_divide(F.expr(dot_sql("`a`.`v`", "`b`.`v`")), F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, cond)
         .select(
@@ -929,7 +936,7 @@ def semdedup_pairs(
     """
     from .similarity import assign_cells
 
-    e = df.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = df.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     if centroids is None:
         # deterministic replayable 'training': first n_cells vectors by
         # id; pass `centroids` (cid, cv — e.g. similarity.kmeans_centroids)
@@ -1001,7 +1008,7 @@ def semdedup_pairs(
     # interpreted join condition — see embedding_neardup_pairs); csim
     # above stays unrolled (it is evaluated in a codegen'd project)
     sim = F.try_divide(
-        dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")
+        F.expr(dot_sql("`a`.`v`", "`b`.`v`")), F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(b, cond)
@@ -1449,7 +1456,7 @@ def semantic_decontaminate(
     # with the two norm aggregates hoisted out of the per-eval loop
     ev = (
         emb.filter(is_eval)
-        .select(to_double_array(F.col(vec_col)).alias("v"), F.col(id_col))
+        .select(to_double_array(sql_ident(vec_col)).alias("v"), F.col(id_col))
         .select(
             F.struct(
                 F.col(id_col).alias("eid"),
@@ -1460,7 +1467,7 @@ def semantic_decontaminate(
         .agg(F.sort_array(F.collect_list("e")).alias("evals"))
     )
     tr = emb.filter(~is_eval).select(
-        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+        F.col(id_col), to_double_array(sql_ident(vec_col)).alias("__v")
     ).withColumn("__n", norm(F.col("__v")))
     scored = (
         tr.crossJoin(F.broadcast(ev))

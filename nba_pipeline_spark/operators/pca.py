@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import to_double_array
+from ..functions.vectors import sql_ident, to_double_array
 
 
 def gram_and_means(
@@ -40,7 +40,7 @@ def gram_and_means(
     """(Gram matrix Σ x xᵀ as d×d lists, per-dim sums, row count) in
     ONE partially-aggregated job. NULL/wrong-length vectors are
     dropped (they have no place in a covariance)."""
-    v = to_double_array(F.col(vec_col))
+    v = to_double_array(sql_ident(vec_col))
     staged = emb.select(v.alias("v")).filter(F.col("v").isNotNull())
     d_row = staged.select(F.size("v").alias("d")).limit(1).collect()
     if not d_row:
@@ -110,7 +110,7 @@ def pca_project(
     """(id, proj array<double>): center and project every vector onto
     the k components — a narrow builtin map (the k×d matrix rides as
     literal arrays; each output dim is one zip-sum fold)."""
-    v = to_double_array(F.col(vec_col))
+    v = to_double_array(sql_ident(vec_col))
     mu = F.array(*[F.lit(float(x)) for x in means])
     # stage the centered vector ONCE: inlining it into every component
     # fold duplicates the subtraction subtree k times (the round-2

@@ -36,7 +36,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine, l2_distance, to_double_array
+from ..functions.vectors import (
+    cosine,
+    cosine_expr,
+    cosine_sql,
+    l2_distance,
+    sql_ident,
+    to_double_array,
+    to_double_array_sql,
+)
 
 
 def _kmeans_centroid_lists(
@@ -45,7 +53,7 @@ def _kmeans_centroid_lists(
     """Lloyd-iteration core shared by `kmeans_cells` (assignment output)
     and `kmeans_centroids` (centroid-frame output). Driver holds only
     the k centroid lists between iterations."""
-    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     # first k by id ORDER, not id < k: ids need not be 0-based/contiguous
     centroids = [
         [float(x) for x in r["v"]] for r in e.orderBy(id_col).limit(k).collect()
@@ -86,7 +94,7 @@ def kmeans_cells(
     never leaves the cluster, so the loop is O(iterations) scans at any
     scale. Init: first k vectors by id (deterministic; replayable).
     """
-    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     centroids = _kmeans_centroid_lists(emb, id_col, vec_col, k, iterations)
     return _assign_cells_literal(e, id_col, list(enumerate(centroids))).select(
         id_col, F.col("cid").alias("cell")
@@ -115,7 +123,9 @@ def brute_force_topk(
     (array<double>); returns (id, sim rounded 4)."""
     scored = emb.crossJoin(F.broadcast(query)).select(
         F.col(id_col),
-        F.round(cosine(to_double_array(F.col(vec_col)), F.col("qv")), 6).alias("sim6"),
+        F.round(
+            cosine_expr(to_double_array_sql(sql_ident(vec_col)), "qv"), 6
+        ).alias("sim6"),
     )
     return (
         scored.orderBy(F.desc("sim6"), F.asc(id_col))
@@ -283,7 +293,7 @@ def lsh_topk(
     and thus lower recall per probe on clustered data.
     """
     planes = hyperplane_planes(n_bits, dims)
-    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     bucketed = e.withColumn("bucket", hyperplane_bucket("v", planes))
     q = bucketed.filter(F.col(id_col) == query_id).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qb")
@@ -292,7 +302,7 @@ def lsh_topk(
         F.col(id_col) != query_id
     )
     scored = cand.select(
-        F.col(id_col), F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6")
+        F.col(id_col), F.round(cosine_expr("v", "qv"), 6).alias("sim6")
     )
     return (
         scored.orderBy(F.desc("sim6"), F.asc(id_col))
@@ -325,7 +335,7 @@ def lsh_topk_multiprobe(
     partitionBy(bucket) layout.
     """
     planes = hyperplane_planes(n_bits, dims)
-    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     bucketed = e.withColumn("bucket", hyperplane_bucket("v", planes))
     qrow = (
         bucketed.filter(F.col(id_col) == query_id)
@@ -349,7 +359,7 @@ def lsh_topk_multiprobe(
         F.col("bucket").isin(probes) & (F.col(id_col) != query_id)
     ).crossJoin(F.broadcast(q))
     scored = cand.select(
-        F.col(id_col), F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6")
+        F.col(id_col), F.round(cosine_expr("v", "qv"), 6).alias("sim6")
     )
     return (
         scored.orderBy(F.desc("sim6"), F.asc(id_col))
@@ -363,7 +373,7 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN with deterministic 'training': centroids = first n_cells
     vectors by id. Search probes only the query's cell."""
-    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     # first n_cells by id order (robust to non-contiguous ids; equals the
     # id < n_cells set when ids are 0-based like the testdata)
     centroids = e.orderBy(id_col).limit(n_cells).select(
@@ -377,7 +387,7 @@ def ivf_topk(
         F.col(id_col) != query_id
     )
     scored = cand.select(
-        F.col(id_col), F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6")
+        F.col(id_col), F.round(cosine_expr("v", "qv"), 6).alias("sim6")
     )
     return (
         scored.orderBy(F.desc("sim6"), F.asc(id_col))
@@ -420,11 +430,11 @@ def knn_join(
     from ..functions.vectors import dot_fixed, norm
 
     dot_fn = (lambda x, y: dot_fixed(x, y, dims)) if dims else _dot
-    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v")).withColumn(
+    e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v")).withColumn(
         "nrm", norm(F.col("v"))
     )
     q = queries.select(
-        F.col("query_id"), to_double_array(F.col("qv")).alias("qv")
+        F.col("query_id"), to_double_array(sql_ident("qv")).alias("qv")
     ).withColumn("qnrm", norm(F.col("qv")))
     if n_bits is None:
         cand = e.crossJoin(F.broadcast(q))
@@ -504,7 +514,7 @@ def build_ivf_quantized_index(
     and the build pays one manifest CAS instead of one per cell)."""
     from ..sources import manifest as M
 
-    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     centroids = e.orderBy(id_col).limit(n_cells).select(
         F.col(id_col).cast("int").alias("cid"), F.col("v").alias("cv")
     )
@@ -552,7 +562,7 @@ def update_ivf_quantized_index(
     from ..sources import manifest as M
 
     centroids = M.read_snapshot(spark, centroids_path).select("cid", "cv")
-    e = emb_delta.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = emb_delta.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     assigned = assign_cells(e, centroids, id_col)
     codes, scale = int8_codes(F.col("v"))
     change_rows = assigned.select(
@@ -623,14 +633,14 @@ def apply_cdf_to_ivf_index(
     ).localCheckpoint(eager=True)
     ups = net.filter(F.col("__new1").isNotNull()).select(
         F.col(id_col),
-        to_double_array(F.col(f"__new1.{vec_col}")).alias("v"),
+        to_double_array(f"`__new1`.{sql_ident(vec_col)}").alias("v"),
     )
     assigned_new = assign_cells(ups, centroids, id_col).filter(
         F.col("cid").isNotNull()
     )
     olds = net.filter(F.col("__old0").isNotNull()).select(
         F.col(id_col),
-        to_double_array(F.col(f"__old0.{vec_col}")).alias("v"),
+        to_double_array(f"`__old0`.{sql_ident(vec_col)}").alias("v"),
     )
     assigned_old = assign_cells(olds, centroids, id_col).select(
         F.col(id_col), F.col("cid").alias("__cid_old")
@@ -733,14 +743,14 @@ def ivf_quantized_topk(
         .orderBy(F.col("qscore").desc_nulls_last(), F.col(id_col).asc())
         .limit(pool)
     )
-    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     qv = e.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
     reranked = (
         e.join(F.broadcast(pooled.select(id_col)), on=id_col)
         .crossJoin(F.broadcast(qv))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"),
+            F.round(cosine_expr("v", "qv"), 6).alias("sim6"),
         )
     )
     return (
@@ -793,7 +803,7 @@ def pq_train_codebooks(
     ksub is bounded (<=256 per the PQ byte-code contract), so a
     driver-side collect of ksub rows is O(1) by construction."""
     rows = (
-        emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+        emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
         .filter(F.col("v").isNotNull())  # NULL vectors train nothing
         .orderBy(id_col)
         .limit(ksub)
@@ -838,7 +848,7 @@ def pq_train_codebooks_kmeans(
     so queries built on it are rows-only; layout/recall parity with
     the sampled trainer is pinned in pytest instead."""
     e = (
-        emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+        emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
         .orderBy(id_col)
         .limit(train_rows)
         .localCheckpoint(eager=True)
@@ -878,7 +888,7 @@ def pq_encode(
     m codes fold back into one array. Cost: O(n * m * ksub) narrow
     rows, one (id, sub)-partitioned window, one groupBy — nothing
     quadratic in the corpus."""
-    v = to_double_array(F.col(vec_col))
+    v = to_double_array(sql_ident(vec_col))
     sub_rows = (
         emb.select(F.col(id_col), v.alias("v"))
         # a NULL vector has no codes — drop it here (equi-join
@@ -1033,7 +1043,7 @@ def pq_topk(
     SQL replay; the recall floor is pinned in pytest."""
     from ..sources import manifest as M
 
-    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     qrow = e.filter(F.col(id_col) == query_id).select(
         F.col("v").alias("qv"),
         F.posexplode(_subvectors_dyn(F.col("v"), m)).alias("sub", "qsv"),
@@ -1074,7 +1084,7 @@ def pq_topk(
     reranked = (
         pruned_vector_fetch(e, id_col, pool_ids)
         .crossJoin(F.broadcast(qv))
-        .select(id_col, F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"))
+        .select(id_col, F.round(cosine_expr("v", "qv"), 6).alias("sim6"))
     )
     return (
         reranked.orderBy(F.desc("sim6"), F.asc(id_col))
@@ -1132,7 +1142,7 @@ def ivfpq_knn_join(
     first, which is what a production pipeline does anyway."""
     from ..sources import manifest as M
 
-    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     qv0 = pruned_vector_fetch(e, id_col, query_ids).select(
         F.col(id_col).alias("qid"), F.col("v").alias("qv")
     )
@@ -1266,7 +1276,7 @@ def ivfpq_knn_join(
         .select(
             "qid",
             id_col,
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"),
+            F.round(cosine_expr("v", "qv"), 6).alias("sim6"),
         )
     )
     w2 = Window.partitionBy("qid").orderBy(F.desc("sim6"), F.asc(id_col))
@@ -1309,7 +1319,7 @@ def build_ivfpq_index(
     the paper's central observation."""
     from ..sources import manifest as M
 
-    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     centroids = e.orderBy(id_col).limit(n_cells).select(
         F.col(id_col).cast("int").alias("cid"), F.col("v").alias("cv")
     )
@@ -1368,7 +1378,7 @@ def ivfpq_topk(
     from ..sources import manifest as M
 
     cents = M.read_snapshot(spark, centroids_path).collect()
-    e = emb.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     qv_rows = e.filter(F.col(id_col) == query_id).collect()
     if not qv_rows:
         raise ValueError(f"query id {query_id!r} not in the embeddings")
@@ -1457,7 +1467,7 @@ def ivfpq_topk(
         .crossJoin(F.broadcast(qv))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"),
+            F.round(cosine_expr("v", "qv"), 6).alias("sim6"),
         )
     )
     return (

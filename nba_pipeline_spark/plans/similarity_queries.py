@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, to_double_array
+from ..functions.vectors import cosine, cosine_expr, to_double_array
 from ..operators import similarity as SIM
 from ..sources import load_table
 from ..sources import manifest as M
@@ -26,7 +26,7 @@ N_CELLS = 8
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     query = emb.filter(F.col("vec_id") == QUERY_ID).select(
-        to_double_array(F.col("embedding")).alias("qv")
+        to_double_array("embedding").alias("qv")
     )
     others = emb.filter(F.col("vec_id") != QUERY_ID)
     return SIM.brute_force_topk(others, query, "vec_id", "embedding", TOP_K)
@@ -352,7 +352,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.row_number().over(wl).alias("rank_lex")
     )
     query = emb.filter(F.col("vec_id") == QUERY_ID).select(
-        to_double_array(F.col("embedding")).alias("qv")
+        to_double_array("embedding").alias("qv")
     )
     dense_pool = SIM.brute_force_topk(
         emb.filter(F.col("vec_id") != QUERY_ID), query, "vec_id", "embedding",
@@ -428,7 +428,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-free)."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    v = to_double_array(F.col("embedding"))
+    v = to_double_array("embedding")
     mn, mx = F.array_min(v), F.array_max(v)
     code = lambda x: F.floor((x - mn) * F.lit(255.0) / (mx - mn) + F.lit(0.5)).cast(
         "bigint"
@@ -496,7 +496,7 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    v = to_double_array(F.col("embedding"))
+    v = to_double_array("embedding")
     scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
     codes = F.when(
         scale > 0,
@@ -572,7 +572,7 @@ def q_ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     point reads, not a second scan."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    v = to_double_array(F.col("embedding"))
+    v = to_double_array("embedding")
     codes, scale = SIM.int8_codes(v)
     q = emb.select(
         "vec_id", v.alias("v"), codes.alias("codes"), scale.alias("s")
@@ -595,7 +595,7 @@ def q_ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RERANK_POOL)
     )
     reranked = pool.select(
-        "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6")
+        "vec_id", F.round(cosine_expr("v", "qv"), 6).alias("sim6")
     )
     return (
         reranked.orderBy(F.desc("sim6"), F.asc("vec_id"))
@@ -1189,7 +1189,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding + id tiebreak), so the whole eval is oracled exact."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    e = emb.select("vec_id", to_double_array("embedding").alias("v"))
     cents = e.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
     )
@@ -1218,13 +1218,13 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_id") != F.col("qid")),
         ).select(
             "qid", "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"),
+            F.round(cosine_expr("v", "qv"), 6).alias("sim6"),
         )
     )
     exact = topk(
         e.join(qb, F.col("vec_id") != F.col("qid")).select(
             "qid", "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim6"),
+            F.round(cosine_expr("v", "qv"), 6).alias("sim6"),
         )
     )
     hits = (

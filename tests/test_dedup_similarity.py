@@ -1760,3 +1760,65 @@ def test_propagate_index_deletes_dv(spark, tmp_path):
     assert M.read_snapshot(spark, kp).filter(
         F.col("vec_id") == victim
     ).count() == 0
+
+
+def test_vector_sql_twins_match_column_builders(spark):
+    """r12: the SQL-text twins (cosine_expr / to_double_array(str) /
+    dot_sql) must produce bit-identical results to the Column/lambda
+    builders on every edge shape — NULL vectors, zero norms, empty
+    arrays, length mismatches, float inputs."""
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.functions.vectors import (
+        cosine,
+        cosine_expr,
+        cosine_sql,
+        dot,
+        dot_sql,
+        sql_ident,
+        to_double_array,
+        to_double_array_sql,
+    )
+
+    rows = [
+        ([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),   # zero norm -> NULL
+        (None, [1.0, 1.0, 1.0]),               # NULL vector
+        ([1.5, -2.5], [0.5, 0.25]),
+        ([], []),                               # empty arrays
+        ([1.0, 2.0], [1.0, 2.0, 3.0]),          # length mismatch
+    ]
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    old = df.select(
+        cosine(
+            to_double_array(F.col("a")), to_double_array(F.col("b"))
+        ).alias("c"),
+        dot(
+            to_double_array(F.col("a")), to_double_array(F.col("b"))
+        ).alias("d"),
+        to_double_array(F.col("a")).alias("ta"),
+    ).collect()
+    new = df.select(
+        cosine_expr(
+            to_double_array_sql(sql_ident("a")),
+            to_double_array_sql(sql_ident("b")),
+        ).alias("c"),
+        F.expr(
+            dot_sql(
+                to_double_array_sql(sql_ident("a")),
+                to_double_array_sql(sql_ident("b")),
+            )
+        ).alias("d"),
+        to_double_array(sql_ident("a")).alias("ta"),
+    ).collect()
+    assert [tuple(r) for r in old] == [tuple(r) for r in new]
+    # plain-name form over double arrays (the rerank call shape)
+    dd = spark.createDataFrame(
+        [([1.0, 2.0], [2.0, 1.0]), (None, [1.0, 0.0])],
+        "v array<double>, qv array<double>",
+    )
+    o = dd.select(cosine(F.col("v"), F.col("qv")).alias("c")).collect()
+    n = dd.select(cosine_expr("v", "qv").alias("c")).collect()
+    assert [r["c"] for r in o] == [r["c"] for r in n]
+    # text is stable enough to compose (no stray lambda-name capture)
+    assert "__ca" in cosine_sql("v", "qv") and "0.0D" in dot_sql("v", "qv")
