@@ -461,14 +461,32 @@ def knn_join(
     )
 
 
-def int8_codes(v: Column) -> tuple[Column, Column]:
+def int8_codes_sql(v: str) -> tuple[str, str]:
+    """SQL-text twin of `int8_codes` (r12, guide §1.2): the Column form
+    costs ~85 ms of py4j lambda construction per call at plan-build;
+    this is one string splice parsed in a single F.expr. `v` is SQL
+    text. Equivalence pinned by tests/test_dedup_similarity.py."""
+    scale = f"(array_max(transform({v}, __ia -> abs(__ia))) / 127.0D)"
+    codes = (
+        f"CASE WHEN {scale} > 0 THEN "
+        f"transform({v}, __ic -> cast(floor(__ic / {scale} + 0.5D) as bigint)) "
+        f"ELSE transform({v}, __iz -> cast(0 as bigint)) END"
+    )
+    return codes, scale
+
+
+def int8_codes(v: Column | str) -> tuple[Column, Column]:
     """(codes, scale): symmetric scale-only int8 quantization of a
     double array — code_i = floor(x_i/s + 0.5), s = max|x|/127 per
     vector. No affine offset (an offset breaks dot-product ranking);
     every step is one correctly-rounded IEEE op on exactly-derived
     doubles, so codes are bit-identical cross-engine. The scan-side
     scheme of the quantized ANN family (storage-side quantization with
-    per-vector (min,max) lives in q_embed_quantize)."""
+    per-vector (min,max) lives in q_embed_quantize). Accepts SQL text
+    for the hot plan-build path (one parse, see int8_codes_sql)."""
+    if isinstance(v, str):
+        codes_s, scale_s = int8_codes_sql(v)
+        return F.expr(codes_s), F.expr(scale_s)
     scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
     codes = F.when(
         scale > 0,
@@ -477,9 +495,21 @@ def int8_codes(v: Column) -> tuple[Column, Column]:
     return codes, scale
 
 
-def quantized_dot(codes_a: Column, codes_b: Column) -> Column:
+def quantized_dot_sql(codes_a: str, codes_b: str) -> str:
+    """SQL-text twin of `quantized_dot` — identical zip-sum tree, one
+    parse instead of ~35 ms of py4j lambda construction."""
+    return (
+        f"aggregate(zip_with({codes_a}, {codes_b}, (__qa, __qb) -> __qa * __qb), "
+        f"cast(0 as bigint), (__qacc, __qx) -> __qacc + __qx)"
+    )
+
+
+def quantized_dot(codes_a: Column | str, codes_b: Column | str) -> Column:
     """BIGINT zip-sum of two code arrays — the integer-exact core of
-    the asymmetric quantized score (codes_a · codes_b) · s_a · s_b."""
+    the asymmetric quantized score (codes_a · codes_b) · s_a · s_b.
+    Accepts SQL text for the hot plan-build path (one parse)."""
+    if isinstance(codes_a, str) and isinstance(codes_b, str):
+        return F.expr(quantized_dot_sql(codes_a, codes_b))
     return F.aggregate(
         F.zip_with(codes_a, codes_b, lambda a, b: a * b),
         F.lit(0).cast("bigint"),
@@ -519,7 +549,7 @@ def build_ivf_quantized_index(
         F.col(id_col).cast("int").alias("cid"), F.col("v").alias("cv")
     )
     assigned = assign_cells(e, centroids, id_col)
-    codes, scale = int8_codes(F.col("v"))
+    codes, scale = int8_codes("v")
     code_rows = assigned.select(
         F.col(id_col),
         F.col("cid"),
@@ -564,7 +594,7 @@ def update_ivf_quantized_index(
     centroids = M.read_snapshot(spark, centroids_path).select("cid", "cv")
     e = emb_delta.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     assigned = assign_cells(e, centroids, id_col)
-    codes, scale = int8_codes(F.col("v"))
+    codes, scale = int8_codes("v")
     change_rows = assigned.select(
         F.col(id_col),
         F.col("cid"),
@@ -652,7 +682,7 @@ def apply_cdf_to_ivf_index(
         .filter(F.col("cid").isNull() | (F.col("cid") != F.col("__cid_old")))
         .select(id_col)
     )
-    codes, scale = int8_codes(F.col("v"))
+    codes, scale = int8_codes("v")
     change_rows = assigned_new.select(
         F.col(id_col),
         F.col("cid"),
@@ -737,7 +767,7 @@ def ivf_quantized_topk(
         cand.crossJoin(qb)
         .select(
             F.col(id_col),
-            (quantized_dot(F.col("codes"), F.col("qcodes"))
+            (quantized_dot("codes", "qcodes")
              * (F.col("s") * F.col("qs"))).alias("qscore"),
         )
         .orderBy(F.col("qscore").desc_nulls_last(), F.col(id_col).asc())
@@ -779,11 +809,21 @@ def ivf_quantized_topk(
 # ----------------------------------------------------------------------
 
 
-def fixed_point(v: Column, bits: int = 20) -> Column:
+def fixed_point_sql(v: str, bits: int = 20) -> str:
+    """SQL-text twin of `fixed_point` — identical grid expression, one
+    parse instead of ~25 ms of py4j lambda construction per call."""
+    scale = repr(float(1 << bits))
+    return f"transform({v}, __fp -> cast(floor(__fp * {scale}D + 0.5D) as bigint))"
+
+
+def fixed_point(v: Column | str, bits: int = 20) -> Column:
     """array<bigint> fixed-point grid of a double array: floor(x *
     2^bits + 0.5) — one correctly-rounded multiply + floor per element,
     bit-identical cross-engine (the int8_codes argument, without the
-    per-vector scale so values stay COMPARABLE across vectors)."""
+    per-vector scale so values stay COMPARABLE across vectors).
+    Accepts SQL text for the hot plan-build path (one parse)."""
+    if isinstance(v, str):
+        return F.expr(fixed_point_sql(v, bits))
     scale = F.lit(float(1 << bits))
     return F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint"))
 
@@ -915,18 +955,17 @@ def pq_encode(
         .select(
             id_col,
             F.posexplode(
-                _subvectors_dyn(F.col("v"), m)
+                _subvectors_dyn("v", m)
             ).alias("sub", "sv"),
         )
-        .select(id_col, "sub", fixed_point(F.col("sv"), bits).alias("svf"))
+        .select(id_col, "sub", fixed_point("sv", bits).alias("svf"))
     )
     cb = codebooks.select(
-        "sub", "code", fixed_point(F.col("cw"), bits).alias("cwf")
+        "sub", "code", fixed_point("cw", bits).alias("cwf")
     )
-    dist = F.aggregate(
-        F.zip_with("svf", "cwf", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    dist = F.expr(
+        'aggregate(zip_with(svf, cwf, (__da, __db) -> (__da - __db) * (__da - __db)), '
+        'cast(0 as bigint), (__dacc, __dx) -> __dacc + __dx)'
     )
     # asc is NULLS FIRST in Spark: a NULL distance (vector length !=
     # codeword length) must never win the argmin — nulls last, so a
@@ -942,14 +981,14 @@ def pq_encode(
         .filter(F.col("rn") == 1)
     )
     return assigned.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code"))),
-            lambda x: x["code"].cast("int"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub, code))), "
+            "__pc -> cast(__pc.code as int))"
         ).alias("codes")
     )
 
 
-def _subvectors_dyn(v: Column, m: int) -> Column:
+def _subvectors_dyn(v: Column | str, m: int) -> Column:
     """m contiguous slices with the sub-dim derived IN-PLAN from the
     array length (size(v)/m) — no driver-side dims probe on the hot
     encode path. Divisibility (size(v) % m == 0) is validated by the
@@ -957,7 +996,14 @@ def _subvectors_dyn(v: Column, m: int) -> Column:
     vector of a DIFFERENT length than the codewords yields NULL
     zip_with distances downstream, which the nulls-LAST argmin windows
     refuse to promote to a code (the row surfaces no assignment rather
-    than an arbitrary one)."""
+    than an arbitrary one). Accepts SQL text for the hot plan-build
+    path (one parse instead of ~60 ms of per-slice py4j calls)."""
+    if isinstance(v, str):
+        dsub = f"cast((size({v}) / {m}) as int)"
+        slices = ", ".join(
+            f"slice({v}, {s} * {dsub} + 1, {dsub})" for s in range(m)
+        )
+        return F.expr(f"array({slices})")
     dsub = (F.size(v) / F.lit(m)).cast("int")
     return F.array(*[F.slice(v, s * dsub + 1, dsub) for s in range(m)])
 
@@ -1046,16 +1092,12 @@ def pq_topk(
     e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
     qrow = e.filter(F.col(id_col) == query_id).select(
         F.col("v").alias("qv"),
-        F.posexplode(_subvectors_dyn(F.col("v"), m)).alias("sub", "qsv"),
-    ).select("sub", fixed_point(F.col("qsv"), bits).alias("qsvf"), "qv")
+        F.posexplode(_subvectors_dyn("v", m)).alias("sub", "qsv"),
+    ).select("sub", fixed_point("qsv", bits).alias("qsvf"), "qv")
     cb = M.read_snapshot(spark, codebooks_path).select(
-        "sub", "code", fixed_point(F.col("cw"), bits).alias("cwf")
+        "sub", "code", fixed_point("cw", bits).alias("cwf")
     )
-    pdot = F.aggregate(
-        F.zip_with("qsvf", "cwf", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    pdot = quantized_dot("qsvf", "cwf")
     adt = (
         qrow.join(F.broadcast(cb), "sub")
         .select("sub", "code", pdot.alias("pdot"))
@@ -1155,25 +1197,12 @@ def ivfpq_knn_join(
     # cell; the per-(query, cell) fixed-point q·c constant rides along
     # as an exact BIGINT zip-sum on the ADT's 2^bits grid.
     cents_df = M.read_snapshot(spark, centroids_path)
-    grid = float(1 << bits)
-    d6 = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, w: acc + w,
-            )
-        ),
-        6,
+    d6 = F.expr(
+        'round(sqrt(aggregate(zip_with(qv, cv, '
+        '(__la, __lb) -> (__la - __lb) * (__la - __lb)), '
+        '0.0D, (__lacc, __lw) -> __lacc + __lw)), 6)'
     )
-    fp = lambda c: F.transform(  # noqa: E731
-        c, lambda x: F.floor(x * F.lit(grid) + F.lit(0.5)).cast("bigint")
-    )
-    qc_col = F.aggregate(
-        F.zip_with(fp("qv"), fp("cv"), lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    qc_col = quantized_dot(fixed_point_sql("qv", bits), fixed_point_sql("cv", bits))
     wq = Window.partitionBy("qid").orderBy(
         F.col("d6").asc_nulls_last(), F.col("cid").asc()
     )
@@ -1215,16 +1244,12 @@ def ivfpq_knn_join(
         qcell_rows, f"qid {id_t}, cid int, qc bigint"
     )
     qsub = qv.select(
-        "qid", F.posexplode(_subvectors_dyn(F.col("qv"), m)).alias("sub", "qsv")
-    ).select("qid", "sub", fixed_point(F.col("qsv"), bits).alias("qsvf"))
+        "qid", F.posexplode(_subvectors_dyn("qv", m)).alias("sub", "qsv")
+    ).select("qid", "sub", fixed_point("qsv", bits).alias("qsvf"))
     cb = M.read_snapshot(spark, codebooks_path).select(
-        "sub", "code", fixed_point(F.col("cw"), bits).alias("cwf")
+        "sub", "code", fixed_point("cw", bits).alias("cwf")
     )
-    pdot = F.aggregate(
-        F.zip_with("qsvf", "cwf", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    pdot = quantized_dot("qsvf", "cwf")
     adt = qsub.join(F.broadcast(cb), "sub").select(
         "qid", "sub", "code", pdot.alias("pdot")
     )
@@ -1329,7 +1354,7 @@ def build_ivfpq_index(
         .select(
             F.col(id_col),
             "cid",
-            F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
+            F.expr("zip_with(v, cv, (__ra, __rb) -> __ra - __rb)").alias("r"),
         )
         .localCheckpoint(eager=True)  # one assignment pass feeds train+encode
     )
@@ -1377,12 +1402,25 @@ def ivfpq_topk(
     scan (recall-vs-probes pinned in pytest)."""
     from ..sources import manifest as M
 
-    cents = M.read_snapshot(spark, centroids_path).collect()
     e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v"))
-    qv_rows = e.filter(F.col(id_col) == query_id).collect()
+    # ONE driver round-trip serves the centroid read AND the query
+    # point-read (r12, guide §1.2 — they were two sequential bounded
+    # jobs; the union is |cells| + 1 rows by construction)
+    both = (
+        M.read_snapshot(spark, centroids_path)
+        .select(F.col("cid").cast("int").alias("cid"), F.col("cv"))
+        .unionByName(
+            e.filter(F.col(id_col) == query_id).select(
+                F.lit(None).cast("int").alias("cid"), F.col("v").alias("cv")
+            )
+        )
+        .collect()
+    )
+    cents = [r for r in both if r["cid"] is not None]
+    qv_rows = [r for r in both if r["cid"] is None]
     if not qv_rows:
         raise ValueError(f"query id {query_id!r} not in the embeddings")
-    qvec = [float(x) for x in qv_rows[0]["v"]]
+    qvec = [float(x) for x in qv_rows[0]["cv"]]
     # nearest cells by the assignment ordering: round(L2, 6) asc, cid
     # asc — identical to assign_cells, so nprobe=1 == the query's cell.
     # HALF-UP rounding spelled out (python round() is banker's; the
@@ -1398,17 +1436,13 @@ def ivfpq_topk(
     probe_cids = [cid for _, cid in ranked[: max(1, nprobe)]]
     qsub = (
         e.filter(F.col(id_col) == query_id)
-        .select(F.posexplode(_subvectors_dyn(F.col("v"), m)).alias("sub", "qsv"))
-        .select("sub", fixed_point(F.col("qsv"), bits).alias("qsvf"))
+        .select(F.posexplode(_subvectors_dyn("v", m)).alias("sub", "qsv"))
+        .select("sub", fixed_point("qsv", bits).alias("qsvf"))
     )
     cb = M.read_snapshot(spark, codebooks_path).select(
-        "sub", "code", fixed_point(F.col("cw"), bits).alias("cwf")
+        "sub", "code", fixed_point("cw", bits).alias("cwf")
     )
-    pdot = F.aggregate(
-        F.zip_with("qsvf", "cwf", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    pdot = quantized_dot("qsvf", "cwf")
     adt = qsub.join(F.broadcast(cb), "sub").select(
         "sub", "code", pdot.alias("pdot")
     )

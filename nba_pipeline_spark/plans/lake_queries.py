@@ -2086,17 +2086,18 @@ def q_manifest_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     lake = _parts_stats_lake(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders")
-    yr = orders.agg(
-        F.min(F.year("o_orderdate").cast("int")).alias("y")
-    ).collect()[0]["y"]
+    # ONE aggregation serves the year probe AND the multi-year guard
+    # (r12, guide §1.2: these were two sequential full-scan jobs)
+    probe = orders.agg(
+        F.min(F.year("o_orderdate").cast("int")).alias("y"),
+        F.countDistinct(F.year("o_orderdate")).alias("ny"),
+    ).collect()[0]
+    yr, years = probe["y"], int(probe["ny"])
     # planned-partition introspection: the year probe must prune
     r = ManifestLakeReader({"path": lake})
     list(r.pushFilters([EqualTo(("o_year",), yr)]))
     kept = len(r.partitions())
     n_all = len(ManifestLakeReader({"path": lake}).partitions())
-    years = orders.select(
-        F.year("o_orderdate").cast("int").alias("y")
-    ).distinct().count()
     if years > 1:
         assert kept < n_all, f"year pushdown did not prune: {kept}/{n_all}"
     t = read_lake(spark, lake).filter(
@@ -2285,14 +2286,15 @@ def q_manifest_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     lake = _generated_lake(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders")
-    yr = orders.agg(
-        F.min(F.year("o_orderdate").cast("int")).alias("y")
-    ).collect()[0]["y"]
+    # ONE aggregation serves the year probe AND the multi-year guard
+    # (r12, guide §1.2: these were two sequential full-scan jobs)
+    probe = orders.agg(
+        F.min(F.year("o_orderdate").cast("int")).alias("y"),
+        F.countDistinct(F.year("o_orderdate")).alias("ny"),
+    ).collect()[0]
+    yr, years = probe["y"], int(probe["ny"])
     segs = M.resolve_segments(spark, lake, part_eq={"o_year": yr})
     n_all = len(M.resolve_segments(spark, lake))
-    years = orders.select(
-        F.year("o_orderdate").cast("int").alias("y")
-    ).distinct().count()
     if years > 1:
         assert len(segs) < n_all, f"generated-tag pruning: {len(segs)}/{n_all}"
     t = M.read_snapshot(spark, lake, part_eq={"o_year": yr}).filter(

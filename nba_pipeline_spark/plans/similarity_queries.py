@@ -5,7 +5,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, cosine_expr, to_double_array
+from ..functions.vectors import (
+    cosine,
+    cosine_expr,
+    to_double_array,
+    to_double_array_sql,
+)
 from ..operators import similarity as SIM
 from ..sources import load_table
 from ..sources import manifest as M
@@ -428,30 +433,33 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-free)."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    v = to_double_array("embedding")
-    mn, mx = F.array_min(v), F.array_max(v)
-    code = lambda x: F.floor((x - mn) * F.lit(255.0) / (mx - mn) + F.lit(0.5)).cast(
-        "bigint"
-    )
-    codes = F.when(mx > mn, F.transform(v, code)).otherwise(
-        F.transform(v, lambda x: F.lit(0).cast("bigint"))
+    # single SQL parses of the identical affine-quantize tree (r12,
+    # guide §1.2: the lambda-built Column form cost ~100 ms of py4j
+    # round-trips at plan construction)
+    v = to_double_array_sql("embedding")
+    mn, mx = f"array_min({v})", f"array_max({v})"
+    codes = (
+        f"CASE WHEN {mx} > {mn} THEN transform({v}, __qx -> "
+        f"cast(floor((__qx - {mn}) * 255.0D / ({mx} - {mn}) + 0.5D) as bigint)) "
+        f"ELSE transform({v}, __qz -> cast(0 as bigint)) END"
     )
     t = emb.select(
         "vec_id",
-        mn.alias("mn"),
-        mx.alias("mx"),
-        codes.alias("__codes"),
+        F.expr(mn).alias("mn"),
+        F.expr(mx).alias("mx"),
+        F.expr(codes).alias("__codes"),
     )
     return t.select(
         "vec_id",
         "mn",
         "mx",
         F.size("__codes").alias("n_dims"),
-        F.aggregate(
-            "__codes", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        F.expr(
+            "aggregate(__codes, cast(0 as bigint), (__sa, __sx) -> __sa + __sx)"
         ).alias("code_sum"),
-        F.array_join(
-            F.transform(F.slice("__codes", 1, 8), lambda x: x.cast("string")), ","
+        F.expr(
+            "array_join(transform(slice(__codes, 1, 8), "
+            "__hx -> cast(__hx as string)), ',')"
         ).alias("codes_head"),
     )
 
@@ -496,24 +504,15 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    v = to_double_array("embedding")
-    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
-    codes = F.when(
-        scale > 0,
-        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("bigint")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("bigint")))
-    q = emb.select("vec_id", codes.alias("codes"), scale.alias("s")).localCheckpoint(
-        eager=False
-    )
+    codes_s, scale_s = SIM.int8_codes_sql(to_double_array_sql("embedding"))
+    q = emb.select(
+        "vec_id", F.expr(codes_s).alias("codes"), F.expr(scale_s).alias("s")
+    ).localCheckpoint(eager=False)
     qv = q.filter(F.col("vec_id") == QUERY_ID).select(
         F.col("codes").alias("qcodes"), F.col("s").alias("qs")
     )
     others = q.filter(F.col("vec_id") != QUERY_ID)
-    qdot = F.aggregate(
-        F.zip_with("codes", "qcodes", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    qdot = SIM.quantized_dot("codes", "qcodes")
     return (
         others.crossJoin(F.broadcast(qv))
         .select(
@@ -572,10 +571,13 @@ def q_ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     point reads, not a second scan."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    v = to_double_array("embedding")
-    codes, scale = SIM.int8_codes(v)
+    v_s = to_double_array_sql("embedding")
+    codes_s, scale_s = SIM.int8_codes_sql(v_s)
     q = emb.select(
-        "vec_id", v.alias("v"), codes.alias("codes"), scale.alias("s")
+        "vec_id",
+        F.expr(v_s).alias("v"),
+        F.expr(codes_s).alias("codes"),
+        F.expr(scale_s).alias("s"),
     ).localCheckpoint(eager=False)
     qv = q.filter(F.col("vec_id") == QUERY_ID).select(
         F.col("codes").alias("qcodes"), F.col("s").alias("qs"),
@@ -588,7 +590,7 @@ def q_ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "v",
             "qv",
-            (SIM.quantized_dot(F.col("codes"), F.col("qcodes"))
+            (SIM.quantized_dot("codes", "qcodes")
              * (F.col("s") * F.col("qs"))).alias("qscore"),
         )
         .orderBy(F.col("qscore").desc_nulls_last(), F.col("vec_id").asc())
@@ -1454,7 +1456,7 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = PCA.pca_project(emb, "vec_id", "embedding", comps, means)
     return out.select(
         "vec_id",
-        F.posexplode(F.transform("proj", lambda x: F.round(x, 4))).alias(
+        F.posexplode(F.expr("transform(proj, __px -> round(__px, 4))")).alias(
             "dim", "value"
         ),
         F.lit(round(sum(ratios), 4)).alias("explained_ratio"),
@@ -1742,7 +1744,7 @@ def _ann_cdf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
             emb.filter(F.col("vec_id") % 10 == 1)
             .withColumn(
                 "embedding",
-                F.transform("embedding", lambda x: -x),
+                F.expr("transform(embedding, __nx -> -__nx)"),
             )
             .unionByName(emb.filter(F.col("vec_id") % 10 == 5))
             .withColumn("ver", F.lit(1))

@@ -1822,3 +1822,107 @@ def test_vector_sql_twins_match_column_builders(spark):
     assert [r["c"] for r in o] == [r["c"] for r in n]
     # text is stable enough to compose (no stray lambda-name capture)
     assert "__ca" in cosine_sql("v", "qv") and "0.0D" in dot_sql("v", "qv")
+
+def test_quantizer_sql_twins_match_column_builders(spark):
+    """r12: the PQ/quantizer SQL-text twins (int8_codes(str),
+    quantized_dot(str), fixed_point(str), _subvectors_dyn(str), the
+    L2-d6 and affine-quantize texts) must be bit-identical to the
+    Column/lambda builders on every edge shape — NULLs, zero vectors,
+    empty arrays, NaN, negative zero, length mismatches, NULL
+    elements."""
+    from pyspark.sql import functions as F
+
+    from nba_pipeline_spark.operators import similarity as SIM
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0], [0.5, -0.25, 3.0, 4.0]),
+        (2, [0.0, 0.0, 0.0, 0.0], [1.0, 2.0, 3.0, 4.0]),   # zero scale
+        (3, None, [1.0, 2.0, 3.0, 4.0]),                    # NULL vector
+        (4, [], []),                                        # empty arrays
+        (5, [1e-300, -127.3, 127.3, -0.0], [float("nan"), 1.0, 2.0, 3.0]),
+        (6, [1.5, 2.5], [1.0, 2.0, 3.0, 4.0]),              # length mismatch
+        (7, [None, 1.0, 2.0, 3.0], [1.0, None, 2.0, 3.0]),  # NULL elements
+        (8, [0.003, -0.017, 0.42, -0.9999], [0.1, 0.2, -0.3, 0.77]),
+    ]
+    df = spark.createDataFrame(rows, "id int, v array<double>, w array<double>")
+
+    # Column/lambda builders exactly as they were before the r12 rewrite
+    def old_int8(v):
+        scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+        codes = F.when(
+            scale > 0,
+            F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("bigint")),
+        ).otherwise(F.transform(v, lambda x: F.lit(0).cast("bigint")))
+        return codes, scale
+
+    def old_qdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    def old_fp(v, bits=20):
+        sc = F.lit(float(1 << bits))
+        return F.transform(
+            v, lambda x: F.floor(x * sc + F.lit(0.5)).cast("bigint")
+        )
+
+    def old_sub(v, m):
+        d = (F.size(v) / F.lit(m)).cast("int")
+        return F.array(*[F.slice(v, s * d + 1, d) for s in range(m)])
+
+    oc, osc = old_int8(F.col("v"))
+    nc, nsc = SIM.int8_codes("v")
+    od6 = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "w", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, w: acc + w,
+            )
+        ),
+        6,
+    )
+    nd6 = F.expr(
+        "round(sqrt(aggregate(zip_with(v, w, "
+        "(__la, __lb) -> (__la - __lb) * (__la - __lb)), "
+        "0.0D, (__lacc, __lw) -> __lacc + __lw)), 6)"
+    )
+    # affine (q_embed_quantize) twin
+    tv = F.transform(F.col("v"), lambda x: x.cast("double"))
+    mn, mx = F.array_min(tv), F.array_max(tv)
+    oaff = F.when(
+        mx > mn,
+        F.transform(
+            tv,
+            lambda x: F.floor(
+                (x - mn) * F.lit(255.0) / (mx - mn) + F.lit(0.5)
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.transform(tv, lambda x: F.lit(0).cast("bigint")))
+    vs = "transform(v, __td -> cast(__td as double))"
+    mns, mxs = f"array_min({vs})", f"array_max({vs})"
+    naff = F.expr(
+        f"CASE WHEN {mxs} > {mns} THEN transform({vs}, __qx -> "
+        f"cast(floor((__qx - {mns}) * 255.0D / ({mxs} - {mns}) + 0.5D) as bigint)) "
+        f"ELSE transform({vs}, __qz -> cast(0 as bigint)) END"
+    )
+    pairs = [
+        (oc, nc), (osc, nsc),
+        (old_fp(F.col("v")), SIM.fixed_point("v")),
+        (
+            old_qdot(old_fp(F.col("v"), 8), old_fp(F.col("w"), 8)),
+            SIM.quantized_dot(
+                SIM.fixed_point_sql("v", 8), SIM.fixed_point_sql("w", 8)
+            ),
+        ),
+        (old_sub(F.col("v"), 2), SIM._subvectors_dyn("v", 2)),
+        (od6, nd6), (oaff, naff),
+    ]
+    sel = ["id"]
+    for i, (o, n) in enumerate(pairs):
+        sel += [o.alias(f"o{i}"), n.alias(f"n{i}")]
+    for r in df.select(*sel).collect():
+        for i in range(len(pairs)):
+            assert str(r[f"o{i}"]) == str(r[f"n{i}"]), (r["id"], i, r[f"o{i}"], r[f"n{i}"])
