@@ -3121,6 +3121,7 @@ def _read_segments(
     if not segments:
         raise ValueError("manifest lists no segments (empty table version)")
     reader = spark.read
+    paths = [_seg_path(path, s) for s in segments]
     if schema_ddl is not None:
         # widened lake: the explicit recorded schema supersedes footer
         # inference AND mergeSchema — narrow files upcast, files
@@ -3128,7 +3129,44 @@ def _read_segments(
         reader = reader.schema(schema_ddl)
     elif merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[_seg_path(path, s) for s in segments])
+    else:
+        # r12 (guide §6/§7.3): segments are immutable CoW files, so the
+        # schema spark would infer for a given file set is pure metadata
+        # — memoize it per (file identities, inference confs) and skip
+        # the footer re-read on repeat reads of the same version. Data
+        # is still scanned fresh at every execution; a new version is a
+        # new file set and misses the cache.
+        sch = _segments_schema(spark, paths)
+        if sch is not None:
+            reader = reader.schema(sch)
+    return reader.parquet(*paths)
+
+
+_SEG_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _segments_schema(spark: SparkSession, paths: list[str]):
+    import os
+
+    ids = []
+    try:
+        for p in paths:
+            st = os.stat(p)
+            ids.append((p, st.st_mtime_ns, st.st_size))
+    except OSError:
+        return None  # non-local segment: fall back to plain inference
+    key = (
+        tuple(ids),
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ", "true"),
+        spark.conf.get("spark.sql.parquet.binaryAsString", "false"),
+        spark.conf.get("spark.sql.parquet.int96AsTimestamp", "true"),
+    )
+    sch = _SEG_SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(*paths).schema
+        _SEG_SCHEMA_CACHE[key] = sch
+    return sch
 
 
 _WIDEN_CHAINS = (

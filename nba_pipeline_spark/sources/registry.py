@@ -112,11 +112,51 @@ SCHEMAS: dict[str, T.StructType] = {
 TABLES = tuple(SCHEMAS)
 
 
+# r12 (guide §6 file listing / §7.3 planning time): spark.read.parquet()
+# re-infers the schema with a footer read on EVERY call (~90 ms measured
+# vs ~20 ms with an explicit schema). The inferred schema is pure plan
+# METADATA — memoizing it per (file identity, inference-relevant confs)
+# and handing it back to the reader skips re-inference while the data is
+# still scanned fresh from parquet at every execution (no rows, results
+# or intermediates are cached; the driver regenerating the testdata
+# changes mtime/size and invalidates the entry; conf keys cover the
+# session settings that change what inference returns).
+_READ_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
+def _inferred_schema(spark: SparkSession, path: str) -> T.StructType | None:
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None  # non-local path: fall back to plain inference
+    key = (
+        path,
+        st.st_mtime_ns,
+        st.st_size,
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ", "true"),
+        spark.conf.get("spark.sql.parquet.binaryAsString", "false"),
+        spark.conf.get("spark.sql.parquet.int96AsTimestamp", "true"),
+    )
+    sch = _READ_SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _READ_SCHEMA_CACHE[key] = sch
+    return sch
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table; assert column names match the declared schema."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _inferred_schema(spark, path)
+    if sch is not None:
+        df = spark.read.schema(sch).parquet(path)
+    else:
+        df = spark.read.parquet(path)
     expected = [f.name for f in SCHEMAS[name].fields]
     if df.columns != expected:
         raise ValueError(f"schema drift for {name}: {df.columns} != {expected}")

@@ -2181,3 +2181,28 @@ def test_local_xxh64_probe_hashes_match_engine(spark):
         ], f"xxh64 twin diverged on {v!r}"
     # floats/dates can't reproduce the engine's string cast driver-side
     assert _local_probe_hashes(1.5) is None
+
+
+def test_segment_schema_cache_matches_inference(spark, tmp_path):
+    """r12: _read_segments memoizes the inferred schema per immutable
+    file-set identity. The cached read must equal plain inference, and
+    a NEW version (new segment set) must re-infer, never serve stale."""
+    import nba_pipeline_spark.sources.manifest as M
+
+    lake = str(tmp_path / "lk")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    M.commit_replace(spark, lake, df1)
+    r1 = M.read_snapshot(spark, lake)
+    assert sorted(r1.collect()) == sorted(df1.collect())
+    # repeat read of the same version: same schema, same rows
+    r2 = M.read_snapshot(spark, lake)
+    assert r2.schema == r1.schema
+    assert sorted(r2.collect()) == sorted(r1.collect())
+    # new version with an ADDED column: the new segment set re-infers
+    df2 = spark.createDataFrame(
+        [(3, "c", 1.5)], "id int, s string, x double"
+    )
+    M.commit_replace(spark, lake, df2)
+    r3 = M.read_snapshot(spark, lake)
+    assert [f.name for f in r3.schema.fields] == ["id", "s", "x"]
+    assert sorted(r3.collect()) == sorted(df2.collect())

