@@ -81,6 +81,32 @@ def merge_pair(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _sql_str(s: str) -> str:
+    """Escape a Python string as a Spark SQL string literal (default
+    parser mode: backslash IS an escape character)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def merge_pair_sql(syms: str, left: str, right: str) -> str:
+    """Text twin of `merge_pair` (r12, guide §1.2 driver overhead —
+    same pattern as functions/vectors.py's *_sql helpers): the fold is
+    rebuilt once per merge round inside a driver-sequential loop, and
+    the Column/lambda construction costs ~20 ms of py4j round-trips
+    per build vs ~1 ms for one F.expr parse. Emits the IDENTICAL
+    expression — same CASE WHEN structure, same CAST(array() AS
+    array<string>) seed — differential-pinned in tests/test_bpe.py.
+    `syms` is SQL text (a quoted column name); left/right are raw
+    symbol strings, escaped here."""
+    lt, rt, both = _sql_str(left), _sql_str(right), _sql_str(left + right)
+    return (
+        f"aggregate({syms}, CAST(array() AS array<string>), "
+        f"(__macc, __ms) -> CASE WHEN size(__macc) > 0 "
+        f"AND element_at(__macc, -1) = {lt} AND __ms = {rt} "
+        f"THEN concat(slice(__macc, 1, size(__macc) - 1), array({both})) "
+        f"ELSE concat(__macc, array(__ms)) END)"
+    )
+
+
 def _pair_counts(words: DataFrame, freq_col: str) -> DataFrame:
     """Adjacent-pair counts weighted by word frequency. Words with a
     single symbol contribute nothing (slice of length 0).
@@ -141,7 +167,7 @@ def train_bpe(
         m = Merge(rank, best[0]["left"], best[0]["right"], int(best[0]["cnt"]))
         merges.append(m)
         cur = cur.withColumn(
-            "syms", merge_pair(F.col("syms"), m.left, m.right)
+            "syms", F.expr(merge_pair_sql("`syms`", m.left, m.right))
         )
         if rank % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=False)
@@ -163,7 +189,9 @@ def apply_merges(
     fold expression stays shallow for codegen."""
     out = words.select(word_col, chars(F.col(word_col)).alias("syms"))
     for i, m in enumerate(sorted(merges, key=lambda m: m.rank), start=1):
-        out = out.withColumn("syms", merge_pair(F.col("syms"), m.left, m.right))
+        out = out.withColumn(
+            "syms", F.expr(merge_pair_sql("`syms`", m.left, m.right))
+        )
         if i % checkpoint_every == 0:
             out = out.localCheckpoint(eager=False)
     return out

@@ -675,8 +675,13 @@ def _bigram_ppl_plan(
         ).alias("b"),
     ).select("doc_id", F.col("b.h").alias("h"), F.col("b.w").alias("w"))
     pairs = pairs.localCheckpoint(eager=False)
-    uni = pairs.groupBy("h").agg(F.count("*").alias("ch"))
     bi = pairs.groupBy("h", "w").agg(F.count("*").alias("cb"))
+    # the context table derives from the vocabulary-sized bigram table
+    # (sum of per-(h,w) counts == count per h), not from a second
+    # aggregation pass over the O(corpus positions) pair stream — the
+    # same lower-order-from-higher-order derivation q_trigram_ppl uses
+    # (r12, guide §2.3: shuffle fewer bytes / reuse partials)
+    uni = bi.groupBy("h").agg(F.sum("cb").alias("ch"))
     vocab = (
         tokd.select(F.explode(ts).alias("tok"))
         .agg(F.count_distinct("tok").alias("v"))

@@ -119,3 +119,36 @@ def test_randomized_corpora_match_reference(spark):
         got, _ = bpe.train_bpe(_spark_words(spark, words), 10)
         want, _ = ref_bpe(words, 10)
         assert [(m.left, m.right, m.count) for m in got] == want, f"case {case}"
+
+
+def test_merge_pair_sql_twin_matches_column_builder(spark):
+    # r12: the per-round fold is built as ONE SQL parse (merge_pair_sql)
+    # instead of a py4j lambda chain — pin bit-identical results across
+    # greedy-overlap, unicode, quote/backslash symbols, and empties
+    cases = [
+        ("aaaa", "a", "a"),
+        ("abab", "a", "b"),
+        ("xyz", "y", "z"),
+        ("", "a", "b"),
+        ("ééé", "é", "é"),
+        ("中中a", "中", "中"),
+        ("a'b\\c", "'", "b"),
+        ("a'b\\c", "\\", "c"),
+        ("qq", "q", "x"),  # no match anywhere
+    ]
+    for word, left, right in cases:
+        syms = F.split(F.lit(word), "(?!$)")
+        df = spark.range(1).select(
+            bpe.merge_pair(syms, left, right).alias("col_form"),
+            F.expr(
+                bpe.merge_pair_sql(
+                    "split('"
+                    + word.replace("\\", "\\\\").replace("'", "\\'")
+                    + "', '(?!$)')",
+                    left,
+                    right,
+                )
+            ).alias("sql_form"),
+        )
+        row = df.collect()[0]
+        assert row["col_form"] == row["sql_form"], (word, left, right)
