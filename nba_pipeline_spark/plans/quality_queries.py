@@ -675,7 +675,12 @@ def _bigram_ppl_plan(
         ).alias("b"),
     ).select("doc_id", F.col("b.h").alias("h"), F.col("b.w").alias("w"))
     pairs = pairs.localCheckpoint(eager=False)
+    # bi pinned: both its consumers (the derived context table and the
+    # probe-side count join) otherwise re-aggregate the corpus-positions
+    # pair cache — measured 0.90x with the pin (1.46 s -> 1.31 s
+    # isolated sf0.1, results bit-identical) — r12, guide §2.4
     bi = pairs.groupBy("h", "w").agg(F.count("*").alias("cb"))
+    bi = bi.localCheckpoint(eager=False)
     # the context table derives from the vocabulary-sized bigram table
     # (sum of per-(h,w) counts == count per h), not from a second
     # aggregation pass over the O(corpus positions) pair stream — the
@@ -801,10 +806,15 @@ def _trigram_ppl_plan(
     # the trigram stream is aggregated EXACTLY ONCE (c3); every
     # lower-order table derives from c3 by re-summing the counts
     # (vocabulary-sized frames), and the stream takes 3 count joins
-    # instead of 5 — no second pass over O(corpus positions) anywhere
-    # no checkpoint on c3: its three consumers compile to ONE exchange
-    # (Catalyst ReusedExchange dedups the identical agg subplan)
+    # instead of 5 — no second pass over O(corpus positions) anywhere.
+    # c3 IS pinned: the "ReusedExchange dedups it" assumption measured
+    # false — the executed plan carried four independent c3 aggregation
+    # towers over the tri cache (plans/r12/q_trigram_ppl, zero
+    # ReusedExchange nodes), and pinning the vocabulary-sized c3 ran
+    # 0.78x (2.68 s -> 2.10 s isolated sf0.1, results bit-identical) —
+    # r12, guide §2.4 (don't recompute shared subtrees)
     c3 = tri.groupBy("h1", "h2", "w").agg(F.count("*").alias("c3"))
+    c3 = c3.localCheckpoint(eager=False)
     ctx3 = c3.groupBy("h1", "h2").agg(F.sum("c3").alias("cc3"))
     c3e = c3.join(ctx3, ["h1", "h2"])
     c2 = c3.groupBy("h2", "w").agg(F.sum("c3").alias("c2"))

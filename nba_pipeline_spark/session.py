@@ -8,6 +8,7 @@ results are deterministic regardless of who built the session.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -34,14 +35,38 @@ _RUNTIME_CONF = {
 }
 
 
+# Sessions already tuned this process (r12, guide §1.2 fixed per-query
+# overhead): every registered query calls tune() defensively, and each
+# conf.set is a ~2 ms py4j round-trip — 12 keys × 2 runs × 108 headline
+# queries ≈ seconds of pure driver chatter per bench run for values
+# that never change after the first application. The memo is per
+# PYTHON session object (WeakSet — a new/driver-provided session still
+# tunes on first touch); anything that deliberately overrides a tuned
+# key mid-session (the bench skew demo, conf-toggling tests) already
+# saves and restores the value itself, which is the contract that made
+# re-applying redundant. `retune` is the explicit escape hatch.
+_TUNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime conf to any session (driver-provided or ours)."""
+    """Apply runtime conf to any session (driver-provided or ours).
+    Idempotent and memoized: repeat calls on an already-tuned session
+    are a set-membership check, not 12 py4j round-trips."""
+    if spark in _TUNED:
+        return spark
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build — keep going
+    _TUNED.add(spark)
     return spark
+
+
+def retune(spark: SparkSession) -> SparkSession:
+    """Force re-application of the runtime conf (drop the memo)."""
+    _TUNED.discard(spark)
+    return tune(spark)
 
 
 def get_spark(app_name: str = "nba_pipeline_spark", cores: int | None = None) -> SparkSession:
