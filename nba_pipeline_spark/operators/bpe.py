@@ -149,28 +149,39 @@ def train_bpe(
     round job, while re-folding up to 3 un-checkpointed merges on the
     vocabulary-sized table is single-digit ms — r12, guide §1.3 (count
     jobs and their fixed overhead, not just data volume)."""
+    from .partitioning import narrow_rounds
+
     cur = (
         words.filter(F.length(word_col) > 0)
         .select(word_col, freq_col, chars(F.col(word_col)).alias("syms"))
         .localCheckpoint(eager=False)
     )
+    # fan-in guard (r13, guide §1.2): the merge loop is driver-
+    # sequential over the vocabulary-sized word table — at bench scale
+    # every pair-count round is a KB-sized 1-partition aggregate whose
+    # cost is AQE stage-job scheduling. A provably tiny word table runs
+    # the loop non-adaptively on one shuffle partition (one job per
+    # round); the count materializes the pin the first round would have
+    # materialized anyway, and past narrow_rows_max the loop stays wide.
+    n_words = cur.count()
     merges: list[Merge] = []
-    for rank in range(1, num_merges + 1):
-        best = (
-            _pair_counts(cur, freq_col)
-            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        m = Merge(rank, best[0]["left"], best[0]["right"], int(best[0]["cnt"]))
-        merges.append(m)
-        cur = cur.withColumn(
-            "syms", F.expr(merge_pair_sql("`syms`", m.left, m.right))
-        )
-        if rank % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=False)
+    with narrow_rounds(cur.sparkSession, n_words):
+        for rank in range(1, num_merges + 1):
+            best = (
+                _pair_counts(cur, freq_col)
+                .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            m = Merge(rank, best[0]["left"], best[0]["right"], int(best[0]["cnt"]))
+            merges.append(m)
+            cur = cur.withColumn(
+                "syms", F.expr(merge_pair_sql("`syms`", m.left, m.right))
+            )
+            if rank % checkpoint_every == 0:
+                cur = cur.localCheckpoint(eager=False)
     return merges, cur
 
 

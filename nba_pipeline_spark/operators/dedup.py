@@ -79,6 +79,7 @@ def with_minhash_signatures(
     n_hashes: int,
     shingle_n: int = 3,
     carry_cols: Sequence[str] = (),
+    keep_shingles: bool = False,
 ) -> DataFrame:
     """(id, mh0..mhk) — per-row minhash signature, one column per seed.
 
@@ -103,10 +104,17 @@ def with_minhash_signatures(
     staged = df.select(
         F.col(id_col), *carry, tokenize(F.col(text_col)).alias("__toks")
     ).select(id_col, *carry, shingles(F.col("__toks"), shingle_n).alias("__sh"))
+    # keep_shingles carries the raw shingle array through (column
+    # "__sh") so a caller that ALSO needs exact shingle sets (fuzzy
+    # decontamination's jaccard verify) shares this one tokenize+
+    # shingle pass instead of re-running it over the corpus (r13,
+    # guide §2.4)
+    tail = [F.col("__sh")] if keep_shingles else []
     return staged.select(
         id_col,
         *carry,
         *[F.array_min(F.transform(F.col("__sh"), seeded(s))).alias(f"mh{s}") for s in range(n_hashes)],
+        *tail,
     )
 
 
@@ -311,20 +319,23 @@ def fuzzy_decontaminate_pairs(
     caller orients train/eval.
     """
     flag = F.col(eval_col).cast("boolean")
+    # ONE tokenize+shingle pass feeds both the banded signatures and
+    # the exact-jaccard shingle sets (r13, guide §2.4): un-shared, the
+    # corpus was tokenized and shingled TWICE — once for the signature
+    # pin, once for the verify pin. The single pin carries (id, flag,
+    # mh*, __sh); banding projects the signature columns, the verify
+    # join projects the distinct shingle sets, both from the same
+    # cached blocks — bit-identical inputs by construction.
     sigs = with_minhash_signatures(
         fan_out(df.withColumn("__new", flag)), text_col, id_col, n_hashes,
-        carry_cols=["__new"],
+        shingle_n=shingle_n, carry_cols=["__new"], keep_shingles=True,
     ).localCheckpoint(eager=False)
     cand = _mixed_bucket_pairs(
-        sigs, id_col, n_hashes, band_rows, max_bucket, cross_only=True
+        sigs.drop("__sh"), id_col, n_hashes, band_rows, max_bucket,
+        cross_only=True,
     )
-    docs = (
-        fan_out(df)
-        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
-        .select(
-            id_col, F.array_distinct(shingles(F.col("__toks"), shingle_n)).alias("sh")
-        )
-        .localCheckpoint(eager=False)
+    docs = sigs.select(
+        id_col, F.array_distinct(F.col("__sh")).alias("sh")
     )
     a = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sa"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__sb"))

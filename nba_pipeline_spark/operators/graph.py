@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import narrow_rounds
+
 
 def connected_components(
     edges: DataFrame,
@@ -53,6 +55,11 @@ def connected_components(
     # separately scheduled job per checkpoint. Only the raw pin above
     # stays eager: its upstream (e.g. minhash banding) is expensive and
     # two lazy consumers racing in one job could compute it twice.
+    # fan-in guard (r13, guide §1.2): the pair list is already pinned,
+    # so this count reads cached blocks; when the graph is provably
+    # tiny the whole round loop runs non-adaptively on one shuffle
+    # partition (one job per round instead of one job per Exchange)
+    n_pairs = e.count()
     e = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -66,28 +73,29 @@ def connected_components(
     )
     converged = False
     rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
-        msgs = e.join(comp, e["src"] == comp["node"]).select(
-            e["dst"].alias("node"), F.col("comp")
-        )
-        new = (
-            comp.union(msgs)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=False)
-        )
-        changed = (
-            new.alias("n")
-            .join(comp.alias("c"), "node")
-            .where(F.col("n.comp") != F.col("c.comp"))
-            .limit(1)
-            .count()
-        )
-        comp = new
-        if changed == 0:
-            converged = True
-            break
+    with narrow_rounds(e.sparkSession, n_pairs):
+        for _ in range(max_iter):
+            rounds += 1
+            msgs = e.join(comp, e["src"] == comp["node"]).select(
+                e["dst"].alias("node"), F.col("comp")
+            )
+            new = (
+                comp.union(msgs)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=False)
+            )
+            changed = (
+                new.alias("n")
+                .join(comp.alias("c"), "node")
+                .where(F.col("n.comp") != F.col("c.comp"))
+                .limit(1)
+                .count()
+            )
+            comp = new
+            if changed == 0:
+                converged = True
+                break
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:
@@ -202,35 +210,42 @@ def connected_components_star(
     converged = False
     rounds = 0
     prev_n = e.count()
-    for _ in range(max_iter):
-        rounds += 1
-        # lazy checkpoint: the count() on the next line computes all
-        # partitions, so materialization and the convergence probe are
-        # ONE job instead of an eager-checkpoint job + a count job
-        # (saves a scheduled job per round — r12, guide §1.3)
-        new = _small(_large(e)).localCheckpoint(eager=False)
-        # fixpoint when the oriented edge sets are identical. Cheap
-        # necessary condition first (row counts — metadata-cheap on the
-        # just-materialized checkpoint); only on a count match run the
-        # exact set compare, as ONE union+groupBy job (a row appearing
-        # once is in exactly one side — both inputs are distinct),
-        # instead of two subtract anti-joins.
-        n = new.count()
-        if n == prev_n:
-            diff = (
-                new.union(e)
-                .groupBy("u", "v")
-                .agg(F.count(F.lit(1)).alias("__c"))
-                .filter(F.col("__c") == 1)
-                .limit(1)
-                .count()
-            )
-            if diff == 0:
-                converged = True
-                e = new
-                break
-        prev_n = n
-        e = new
+    # fan-in guard (r13, guide §1.2): at convergence scale every round
+    # frame is KB-sized and AQE coalesces each shuffle to 1 partition
+    # anyway — the wall cost is one scheduled job PER EXCHANGE. Tiny
+    # graphs run the loop non-adaptively on one shuffle partition (one
+    # job per round, same 1-task width); the guard never fires past
+    # narrow_rows_max, so the 100 TB path stays wide and adaptive.
+    with narrow_rounds(e.sparkSession, prev_n):
+        for _ in range(max_iter):
+            rounds += 1
+            # lazy checkpoint: the count() on the next line computes all
+            # partitions, so materialization and the convergence probe are
+            # ONE job instead of an eager-checkpoint job + a count job
+            # (saves a scheduled job per round — r12, guide §1.3)
+            new = _small(_large(e)).localCheckpoint(eager=False)
+            # fixpoint when the oriented edge sets are identical. Cheap
+            # necessary condition first (row counts — metadata-cheap on the
+            # just-materialized checkpoint); only on a count match run the
+            # exact set compare, as ONE union+groupBy job (a row appearing
+            # once is in exactly one side — both inputs are distinct),
+            # instead of two subtract anti-joins.
+            n = new.count()
+            if n == prev_n:
+                diff = (
+                    new.union(e)
+                    .groupBy("u", "v")
+                    .agg(F.count(F.lit(1)).alias("__c"))
+                    .filter(F.col("__c") == 1)
+                    .limit(1)
+                    .count()
+                )
+                if diff == 0:
+                    converged = True
+                    e = new
+                    break
+            prev_n = n
+            e = new
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:
@@ -325,56 +340,70 @@ def pagerank(
     nf = F.lit(float(n))
     base = F.round((F.lit(1.0) - F.lit(damping)) / nf, 12)
     ranks = deg.select("node", "out_w", F.round(F.lit(1.0) / nf, 12).alias("rank"))
-    # dangling-mass structure probe (r12, guide §2.4): whether any node
-    # has zero out-weight is a property of the GRAPH, not of the ranks —
-    # when none does, every iteration's dangling aggregate is exactly
-    # the empty sum (coalesce -> decimal 0 -> +0.0, bit-identical), so
-    # one upfront limit(1) probe replaces `iterations` broadcast-
-    # aggregate builds over the rank table. Graphs with dangling nodes
-    # keep the per-iteration aggregate (its input changes every step).
-    has_dangling = deg.filter(F.col("out_w") == 0).limit(1).count() > 0
-    for _ in range(iterations):
-        contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .select(
-                F.col("dst"),
-                F.round(F.col("rank") * F.col("w") / F.col("out_w"), 12)
-                .cast("decimal(38,12)")
-                .alias("c"),
+    # fan-in guard (r13, guide §1.2): rank frames are O(nodes) and the
+    # contribution stream O(edges) — both must be tiny before the loop
+    # runs narrow. The edge count is only paid when the node count is
+    # already under the threshold (e's checkpoint was materialized by
+    # nodes.count(), so it reads cached blocks), never at scale. The
+    # guard must cover the plan BUILDS too (each lazy localCheckpoint's
+    # toRdd compiles the iteration's physical plan — with AQE off it
+    # compiles narrow and defers execution), so the whole loop sits
+    # inside the context.
+    from .partitioning import narrow_rows_max
+
+    n_edges = e.count() if n < narrow_rows_max(e.sparkSession) else n
+    with narrow_rounds(e.sparkSession, max(n, n_edges)):
+        # dangling-mass structure probe (r12, guide §2.4): whether any
+        # node has zero out-weight is a property of the GRAPH, not of
+        # the ranks — when none does, every iteration's dangling
+        # aggregate is exactly the empty sum (coalesce -> decimal 0 ->
+        # +0.0, bit-identical), so one upfront limit(1) probe replaces
+        # `iterations` broadcast-aggregate builds over the rank table.
+        # Graphs with dangling nodes keep the per-iteration aggregate
+        # (its input changes every step).
+        has_dangling = deg.filter(F.col("out_w") == 0).limit(1).count() > 0
+        for _ in range(iterations):
+            contrib = (
+                e.join(ranks, e["src"] == ranks["node"])
+                .select(
+                    F.col("dst"),
+                    F.round(F.col("rank") * F.col("w") / F.col("out_w"), 12)
+                    .cast("decimal(38,12)")
+                    .alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("cs"))
             )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("cs"))
-        )
-        nxt = deg.join(contrib, deg["node"] == contrib["dst"], "left")
-        if has_dangling:
-            dangling = ranks.filter(F.col("out_w") == 0).agg(
-                F.coalesce(
-                    F.sum(F.round(F.col("rank") / F.lit(float(n)), 12).cast("decimal(38,12)")),
-                    F.lit(0).cast("decimal(38,12)"),
-                ).alias("dm")
+            nxt = deg.join(contrib, deg["node"] == contrib["dst"], "left")
+            if has_dangling:
+                dangling = ranks.filter(F.col("out_w") == 0).agg(
+                    F.coalesce(
+                        F.sum(F.round(F.col("rank") / F.lit(float(n)), 12).cast("decimal(38,12)")),
+                        F.lit(0).cast("decimal(38,12)"),
+                    ).alias("dm")
+                )
+                nxt = nxt.crossJoin(F.broadcast(dangling))
+                dm = F.col("dm").cast("double")
+            else:
+                dm = F.lit(0.0)
+            ranks = (
+                nxt.select(
+                    "node",
+                    "out_w",
+                    F.round(
+                        base
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("cs").cast("double"), F.lit(0.0))
+                            + dm
+                        ),
+                        12,
+                    ).alias("rank"),
+                )
+                # lazy: iteration k's ranks materialize inside iteration
+                # k+1's dangling-broadcast build (or the caller's action for
+                # the last one) — one job per iteration instead of an eager
+                # checkpoint job PLUS the broadcast job (r12, guide §1.3)
+                .localCheckpoint(eager=False)
             )
-            nxt = nxt.crossJoin(F.broadcast(dangling))
-            dm = F.col("dm").cast("double")
-        else:
-            dm = F.lit(0.0)
-        ranks = (
-            nxt.select(
-                "node",
-                "out_w",
-                F.round(
-                    base
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("cs").cast("double"), F.lit(0.0))
-                        + dm
-                    ),
-                    12,
-                ).alias("rank"),
-            )
-            # lazy: iteration k's ranks materialize inside iteration
-            # k+1's dangling-broadcast build (or the caller's action for
-            # the last one) — one job per iteration instead of an eager
-            # checkpoint job PLUS the broadcast job (r12, guide §1.3)
-            .localCheckpoint(eager=False)
-        )
     return ranks.select("node", "rank")

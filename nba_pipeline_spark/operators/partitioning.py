@@ -80,3 +80,78 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df.repartition(
         min_parts or df.sparkSession.sparkContext.defaultParallelism
     )
+
+
+# --- iterative-loop fan-in (r13, guide §1.2/§2.2) --------------------------
+#
+# The iterative operators (star-CC, min-label CC, pagerank, BPE train)
+# run a driver-sequential loop of TINY per-round jobs at convergence
+# scale: the round frames are KB-sized and AQE already coalesces every
+# shuffle to 1 partition, so the wall-clock cost is pure scheduling —
+# adaptive execution materializes each Exchange as its OWN job (3-4
+# stage jobs + broadcast jobs + the action per round; one star-CC run
+# measured 49 jobs at sf0.1). When a round frame is PROVABLY tiny (the
+# loops already count rows every round for convergence), running the
+# loop non-adaptively on one shuffle partition collapses each round to
+# one job with the same 1-task parallelism AQE was choosing anyway
+# (measured 1.37-1.52x on the three loop queries at sf0.1).
+#
+# Scale safety: the guard fires only below `narrow_rows_max(spark)`
+# rows (default 100k — a few MB of edge/rank/word rows; conf-
+# overridable per deploy). A 100 TB graph or vocabulary never trips it,
+# so the wide adaptive path is untouched where parallelism matters, and
+# the toggle saves/restores the session conf so nothing leaks.
+
+_NARROW_ROWS_CONF = "spark.nba_pipeline.iterative.narrowRowsMax"
+_NARROW_ROWS_DEFAULT = 100_000
+
+
+def narrow_rows_max(spark) -> int:
+    """Row threshold under which an iterative loop's rounds run
+    non-adaptively on one shuffle partition."""
+    try:
+        return int(spark.conf.get(_NARROW_ROWS_CONF, str(_NARROW_ROWS_DEFAULT)))
+    except ValueError:
+        return _NARROW_ROWS_DEFAULT
+
+
+class narrow_rounds:
+    """Context manager: run the enclosed (provably tiny) loop actions
+    with adaptive execution OFF and one shuffle partition, restoring
+    the prior conf on exit. ``narrow_rounds(spark, rows)`` is a no-op
+    when ``rows`` is at or above ``narrow_rows_max(spark)`` — the
+    at-scale path keeps AQE and full shuffle width."""
+
+    _KEYS = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+
+    def __init__(self, spark, rows: int):
+        self._spark = spark
+        self._active = 0 <= rows < narrow_rows_max(spark)
+        self._saved: dict[str, str | None] = {}
+
+    def __enter__(self):
+        if not self._active:
+            return self
+        for k in self._KEYS:
+            try:
+                self._saved[k] = self._spark.conf.get(k)
+            except Exception:
+                self._saved[k] = None
+        self._spark.conf.set("spark.sql.adaptive.enabled", "false")
+        self._spark.conf.set("spark.sql.shuffle.partitions", "1")
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self._saved.items():
+            if v is None:
+                try:
+                    self._spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                self._spark.conf.set(k, v)
+        return False
+
+    @property
+    def active(self) -> bool:
+        return self._active

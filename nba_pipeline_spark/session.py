@@ -32,6 +32,13 @@ _RUNTIME_CONF = {
     # reader rejects; read as long and convert at the source boundary
     # (sources.registry normalizes back to TimestampType, micros).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The SQL-text expression twins (functions/vectors.py, operators/
+    # bpe.py::_sql_str) escape string literals assuming the DEFAULT
+    # parser mode (backslash IS an escape char). A driver-provided
+    # Hive-compat session (escapedStringLiterals=true) would silently
+    # change how \' and \\ parse — pin the mode the twins were
+    # differential-tested under (ADVICE r12).
+    "spark.sql.parser.escapedStringLiterals": "false",
 }
 
 
@@ -54,12 +61,18 @@ def tune(spark: SparkSession) -> SparkSession:
     are a set-membership check, not 12 py4j round-trips."""
     if spark in _TUNED:
         return spark
+    any_ok = False
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
+            any_ok = True
         except Exception:
             pass  # non-settable on this build — keep going
-    _TUNED.add(spark)
+    # memoize only a tune that actually took (ADVICE r12): a session
+    # where EVERY set raised (stopped/misbehaving) retries next call
+    # instead of being permanently recorded as tuned
+    if any_ok:
+        _TUNED.add(spark)
     return spark
 
 

@@ -311,8 +311,9 @@ def test_bigram_ppl_broadcast_is_size_guarded(spark):
     # the equi-joins degrade to shuffle joins: proves no unconditional
     # hint survives. Only the provably-1-row vocab crossJoin may still
     # broadcast (nested-loop, not hash).
-    # build FIRST (the query builder's tune() resets session conf),
-    # then flip the threshold — join selection happens lazily at plan()
+    # build first, then flip the threshold — join selection happens
+    # lazily at plan(), and the test saves/restores the conf itself
+    # (tune() is memoized since r12 and no longer resets session conf)
     df = _bigram_ppl_plan(spark, SF_DIR, broadcast_cap=-1)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
