@@ -1149,6 +1149,7 @@ def ivfpq_knn_join(
     pool: int = 50,
     bits: int = 20,
     nprobe: int = 1,
+    narrow_pool: bool | None = None,
 ) -> DataFrame:
     """Batch k-NN join served through the persisted IVF-PQ index — the
     batch-inference shape a training-data pipeline actually runs
@@ -1262,9 +1263,27 @@ def ivfpq_knn_join(
     cand = M.read_snapshot(
         spark, codes_path, part_in={"cid": [int(c) for c in probe_cids]}
     ).filter(F.col("cid").isin([int(c) for c in probe_cids]))
+    pool_src = cand.join(F.broadcast(qcell_map), "cid").filter(
+        F.col(id_col) != F.col("qid")
+    )
+    # size-guarded pool-job fan-in (r13, guide §2.4/§1.2): hash-
+    # partitioning the candidate stream by qid up front lets BOTH the
+    # ADT aggregation (clustering on (qid, id, qc) — a superset of the
+    # partition key) and the per-query pool window reuse ONE exchange
+    # (2 Exchanges -> 1, one fewer AQE stage job). Guarded by the same
+    # 64 MB plan-stats bar as semdedup's broadcast_build because the
+    # narrow shape shuffles candidate PAYLOADS (m-code arrays) and caps
+    # scoring parallelism at |Q| tasks — above the bar the wide shape
+    # (map-side partial agg, scan-width scoring, WindowGroupLimit-
+    # pre-limited second exchange) is the 100 TB plan.
+    from .partitioning import plan_size_bytes
+
+    if narrow_pool is None:
+        narrow_pool = plan_size_bytes(cand) <= (64 << 20)
+    if narrow_pool:
+        pool_src = pool_src.repartition("qid")
     scored = (
-        cand.join(F.broadcast(qcell_map), "cid")
-        .filter(F.col(id_col) != F.col("qid"))
+        pool_src
         .select("qid", "qc", id_col, F.posexplode("codes").alias("sub", "code"))
         .join(F.broadcast(adt), ["qid", "sub", "code"])
         .groupBy("qid", id_col, "qc")

@@ -1926,3 +1926,26 @@ def test_quantizer_sql_twins_match_column_builders(spark):
     for r in df.select(*sel).collect():
         for i in range(len(pairs)):
             assert str(r[f"o{i}"]) == str(r[f"n{i}"]), (r["id"], i, r[f"o{i}"], r[f"n{i}"])
+
+
+def test_ivfpq_knn_join_narrow_pool_identical(spark, tmp_path):
+    # the size-guarded pool fan-in (r13) changes scheduling, never
+    # results: force both pool shapes on the same index and compare
+    # exactly (including nprobe > 1, where qc varies per (qid, cid))
+    from conftest import SF_DIR
+
+    from nba_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    paths = [str(tmp_path / p) for p in ("cent", "cb", "codes")]
+    SIM.build_ivfpq_index(spark, emb, "vec_id", "embedding", 4, 4, 8, *paths)
+    qids = [0, 3, 7]
+    for nprobe in (1, 2):
+        out = {}
+        for narrow in (True, False):
+            rows = SIM.ivfpq_knn_join(
+                spark, emb, "vec_id", "embedding", qids, 5, 4, *paths,
+                pool=20, nprobe=nprobe, narrow_pool=narrow,
+            ).collect()
+            out[narrow] = sorted(map(tuple, rows))
+        assert out[True] == out[False], f"nprobe={nprobe}: narrow != wide"
