@@ -1477,7 +1477,14 @@ def semantic_decontaminate(
         )
         .agg(F.sort_array(F.collect_list("e")).alias("evals"))
     )
-    tr = emb.filter(~is_eval).select(
+    # fan_out (r13): the scoring pass below is the whole cost of this
+    # operator (|train| x |eval| dot products) and it is NARROW — an
+    # embeddings corpus that fits one parquet row group arrives as ONE
+    # scan partition and scores on a single core no matter how many
+    # exist (measured at 10x sf0.1: 131 s at 32 cores == 134 s at 8).
+    # Round-robin fan-out is guarded: a real at-scale scan already has
+    # more partitions than cores and is untouched.
+    tr = fan_out(emb.filter(~is_eval)).select(
         F.col(id_col), to_double_array(sql_ident(vec_col)).alias("__v")
     ).withColumn("__n", norm(F.col("__v")))
     scored = (

@@ -120,8 +120,15 @@ def brute_force_topk(
     emb: DataFrame, query: DataFrame, id_col: str, vec_col: str, k: int
 ) -> DataFrame:
     """Exact top-k by cosine. ``query`` is a 1-row frame with ``qv``
-    (array<double>); returns (id, sim rounded 4)."""
-    scored = emb.crossJoin(F.broadcast(query)).select(
+    (array<double>); returns (id, sim rounded 4).
+
+    fan_out (r13): the per-row cosine is the whole cost and is NARROW —
+    an embeddings corpus in one parquet row group arrives as one scan
+    partition and scores on one core (the semantic_decontaminate
+    finding, same shape). Guarded no-op on a real multi-partition scan."""
+    from .partitioning import fan_out
+
+    scored = fan_out(emb).crossJoin(F.broadcast(query)).select(
         F.col(id_col),
         F.round(
             cosine_expr(to_double_array_sql(sql_ident(vec_col)), "qv"), 6
@@ -430,9 +437,14 @@ def knn_join(
     from ..functions.vectors import dot_fixed, norm
 
     dot_fn = (lambda x, y: dot_fixed(x, y, dims)) if dims else _dot
-    e = emb.select(F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v")).withColumn(
-        "nrm", norm(F.col("v"))
-    )
+    # fan_out (r13): the |emb| x |queries| scoring below is narrow — a
+    # single-row-group scan otherwise scores on one core regardless of
+    # cluster width (guarded no-op at scale)
+    from .partitioning import fan_out
+
+    e = fan_out(emb).select(
+        F.col(id_col), to_double_array(sql_ident(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
     q = queries.select(
         F.col("query_id"), to_double_array(sql_ident("qv")).alias("qv")
     ).withColumn("qnrm", norm(F.col("qv")))

@@ -104,16 +104,17 @@ def main() -> None:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-        # one file per table, mirroring the testdata layout
-        tmp = f"{dst}/__tmp_{table}"
-        out.coalesce(1).write.mode("overwrite").parquet(tmp)
-        import glob
-        import shutil
-
-        part_file = glob.glob(f"{tmp}/part-*.parquet")[0]
-        shutil.move(part_file, f"{dst}/{table}.parquet")
-        shutil.rmtree(tmp)
-        print(f"{table}: {df.count()} -> {out.count() if table not in ('region','nation') else df.count()} rows")
+        # Directory table named <table>.parquet (spark.read.parquet
+        # reads a directory transparently) with MULTIPLE part files:
+        # a single ~100 MB file is one scan split under the 128 MB
+        # default and would serialize every narrow pipeline — the
+        # opposite of what a 10x corpus looks like on disk at scale
+        # (many files; scans arrive already parallel).
+        n_files = 1 if table in ("region", "nation") else 16
+        out.repartition(n_files).write.mode("overwrite").parquet(
+            f"{dst}/{table}.parquet"
+        )
+        print(f"{table}: {df.count()} -> {out.count()} rows, {n_files} files")
 
 
 if __name__ == "__main__":
