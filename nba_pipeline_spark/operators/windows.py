@@ -151,13 +151,26 @@ def skyline_2d(
     null_rows = df.filter(x.isNull() | y.isNull())
     df = df.filter(x.isNotNull() & y.isNotNull())
     b = df.withColumn("__bkt", F.floor(x / F.lit(int(bucket_width))))
+    # The ``x' > x`` suffix frame is expressed as a PREFIX frame over the
+    # NEGATED axis (r13, guide §1.2): RANGE [1, unboundedFollowing]
+    # makes Spark's UnboundedFollowingWindowFunctionFrame re-aggregate
+    # the whole suffix for every row — O(rows²) per bucket, and the
+    # bucket count is fixed by the VALUE RANGE, not the data size, so
+    # at 10x sf0.1 this was 10.7 s flat at 8 and 32 cores (quadratic,
+    # parallelism capped at ~11 buckets). Over ``-x`` ascending, RANGE
+    # [unboundedPreceding, -1] is the same strict set (-x' <= -x-1 ⇔
+    # x' >= x+1 ⇔ x' > x on integer axes) evaluated as an O(rows)
+    # running max. Same rewrite on the bucket-level window.
     in_bucket = (
-        Window.partitionBy("__bkt").orderBy(x.asc()).rangeBetween(1, Window.unboundedFollowing)
+        Window.partitionBy("__bkt")
+        .orderBy((-x).asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     local_max = F.max(y).over(in_bucket)
     stats = b.groupBy("__bkt").agg(F.max(y).alias("__bmax"))
     over_buckets = (
-        Window.orderBy(F.col("__bkt").asc()).rangeBetween(1, Window.unboundedFollowing)
+        Window.orderBy((-F.col("__bkt")).asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     higher = stats.select(
         "__bkt", F.max(F.col("__bmax")).over(over_buckets).alias("__hmax")
